@@ -26,6 +26,22 @@ object SparkEntry {
     "c8_dynamic_filter" -> (q.CoreSurface.dynamicFilter _),
     "c9_poly_derive" -> (q.CoreSurface.polyDerive _),
     "c18_default_value" -> (q.CoreSurface.defaultValue _),
+    // relational core (SURVEY §2.2), Spark-native
+    "r_join_broadcast" -> (q.Relational.joinBroadcast _),
+    "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
+    "r_semi_join" -> (q.Relational.semiJoin _),
+    "r_anti_join" -> (q.Relational.antiJoin _),
+    "r_rollup_stats" -> (q.Relational.rollupStats _),
+    "r_distinct_agg" -> (q.Relational.distinctAgg _),
+    "r_approx_distinct" -> (q.Relational.approxDistinct _),
+    "r_window_rank" -> (q.Relational.windowRank _),
+    "r_window_running" -> (q.Relational.windowRunning _),
+    "r_topk" -> (q.Relational.topK _),
+    "r_set_ops" -> (q.Relational.setOps _),
+    "r_dynamic_stats" -> (q.Relational.dynamicStats _),
+    "r_scalar_funcs" -> (q.Relational.scalarFuncs _),
+    "r_events_window" -> (q.Relational.eventsWindow _),
+    "r_sessionize" -> (q.Relational.sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +54,20 @@ object SparkEntry {
     "c8_dynamic_filter" -> q.CoreSurface.dynamicFilterSql,
     "c9_poly_derive" -> q.CoreSurface.polyDeriveSql,
     "c18_default_value" -> q.CoreSurface.defaultValueSql,
+    "r_join_broadcast" -> q.Relational.joinBroadcastSql,
+    "r_q5_multijoin" -> q.Relational.q5MultijoinSql,
+    "r_semi_join" -> q.Relational.semiJoinSql,
+    "r_anti_join" -> q.Relational.antiJoinSql,
+    "r_rollup_stats" -> q.Relational.rollupStatsSql,
+    "r_distinct_agg" -> q.Relational.distinctAggSql,
+    // r_approx_distinct: sketch values are engine-specific → rows-only check
+    "r_window_rank" -> q.Relational.windowRankSql,
+    "r_window_running" -> q.Relational.windowRunningSql,
+    "r_topk" -> q.Relational.topKSql,
+    "r_set_ops" -> q.Relational.setOpsSql,
+    "r_dynamic_stats" -> q.Relational.dynamicStatsSql,
+    "r_scalar_funcs" -> q.Relational.scalarFuncsSql,
+    "r_events_window" -> q.Relational.eventsWindowSql,
+    "r_sessionize" -> q.Relational.sessionizeSql,
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.queries.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator inventory (SURVEY.md §2.2) expressed Spark-first.
@@ -35,6 +36,293 @@ object Relational {
         avgMoney(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Fact⋈dim join with an explicit broadcast of the small side — at 100 TB
+    * the part table is the broadcastable dimension, lineitem the fact. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sumMoney(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  val joinBroadcastSql: String =
+    s"""SELECT p_brand, ${sqlSumMoney("l_extendedprice")} AS revenue, COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q5 flavor: five-way join; dims (region/nation/supplier) broadcast,
+    * the customer⋈orders⋈lineitem chain shuffles on its join keys. */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    val nation = broadcast(t(s, dir, "nation"))
+    val supplier = broadcast(t(s, dir, "supplier"))
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (rate(lit(1)) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM(${sqlDec2("l_extendedprice")} * (${sqlRate("1")} - ${sqlRate("l_discount")})) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Semi join (EXISTS): customers having a high-value order. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no order above 250k. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin
+
+  /** Rollup super-aggregate over the region→nation hierarchy (dynamic
+    * multi-dimensional statistics in Rollup mode, doc-03.md:86). */
+  def rollupStats(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+    graft.relational.DynamicStats.stats(
+      joined,
+      Seq("r_name", "n_name"),
+      Seq(
+        graft.relational.DynamicStats.Measure("total_bal", sumMoney(col("c_acctbal"))),
+        graft.relational.DynamicStats.Measure("n_cust", count(lit(1))),
+        graft.relational.DynamicStats.Measure("gid", grouping_id().cast("long"))),
+      graft.relational.DynamicStats.Mode.Rollup)
+  }
+
+  val rollupStatsSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${sqlSumMoney("c_acctbal")} AS total_bal,
+       |  COUNT(*) AS n_cust,
+       |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Exact distinct aggregation (Spark expand+two-phase distinct count). */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate distinct (HyperLogLog++) — engines' sketches differ, so the
+    * driver records the rows-only check; the exact twin above is the oracle. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  /** Window ranking: top-3 orders per customer (row_number + filter). */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** Running total per supplier — exact decimal inside the frame so the
+    * accumulation order can't change the double result. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_extendedprice"))).over(w).cast("double").as("running_rev"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+      |FROM lineitem""".stripMargin
+
+  /** Top-K: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+    * no global sort, each partition keeps K rows then the driver merges. */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT (distinct set semantics) composed
+    * into one labeled result. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    building.intersect(bigSpenders).withColumn("op", lit("both"))
+      .union(building.except(bigSpenders).withColumn("op", lit("building_only")))
+      .union(bigSpenders.except(building).withColumn("op", lit("spender_only")))
+  }
+
+  val setOpsSql: String =
+    """WITH b AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     s AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000)
+      |SELECT custkey, 'both' AS op FROM (SELECT custkey FROM b INTERSECT SELECT custkey FROM s)
+      |UNION ALL
+      |SELECT custkey, 'building_only' AS op FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM s)
+      |UNION ALL
+      |SELECT custkey, 'spender_only' AS op FROM (SELECT custkey FROM s EXCEPT SELECT custkey FROM b)""".stripMargin
+
+  /** Dynamic multi-dimensional statistics, dims chosen at request time
+    * (doc-03.md:86) — flat mode over two order dimensions. */
+  def dynamicStats(s: SparkSession, dir: String): DataFrame =
+    graft.relational.DynamicStats.stats(
+      t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(
+        graft.relational.DynamicStats.Measure("revenue", sumMoney(col("o_totalprice"))),
+        graft.relational.DynamicStats.Measure("avg_price", avgMoney(col("o_totalprice"))),
+        graft.relational.DynamicStats.Measure("n", count(lit(1)))))
+
+  val dynamicStatsSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${sqlSumMoney("o_totalprice")} AS revenue,
+       |  ${sqlAvgMoney("o_totalprice")} AS avg_price,
+       |  COUNT(*) AS n
+       |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Scalar function library over codegen'd built-ins (dates, strings,
+    * math) — the reference reaches these via poly/Slick (doc-01.md:107). */
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mth"),
+      upper(substring(col("o_orderpriority"), 3, 20)).as("prio"),
+      length(col("o_orderstatus")).cast("long").as("status_len"),
+      floor(col("o_totalprice")).as("price_floor"),
+      concat(lit("order-"), col("o_orderkey")).as("tag"))
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(MONTH(o_orderdate) AS BIGINT) AS mth,
+      |  UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio,
+      |  CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+      |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+      |  'order-' || o_orderkey AS tag
+      |FROM orders""".stripMargin
+
+  /** Tumbling event-time window aggregation (micro-truncated nanos). */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val eventsWindowSql: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       |  COUNT(*) AS n, ${sqlSumMoney("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) with window functions —
+    * the batch twin of the streaming session operator. Gap math is integer
+    * microseconds on both engines so boundaries agree exactly. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (SELECT *, CASE WHEN prev_us IS NULL
+      |                       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+      |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess""".stripMargin
 
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
