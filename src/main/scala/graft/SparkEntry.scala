@@ -42,6 +42,18 @@ object SparkEntry {
     "r_scalar_funcs" -> (q.Relational.scalarFuncs _),
     "r_events_window" -> (q.Relational.eventsWindow _),
     "r_sessionize" -> (q.Relational.sessionize _),
+    // LLM-pipeline operators (SURVEY §2.3 north-star)
+    "d_text_stats" -> (q.LlmOps.textStats _),
+    "d_lang_id" -> (q.LlmOps.langId _),
+    "d_dedup_exact" -> (q.LlmOps.dedupExact _),
+    "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
+    "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
+    "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
+    "d_fingerprints" -> (q.LlmOps.fingerprints _),
+    "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
+    "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
+    "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
+    "d_multimodal" -> (q.LlmOps.multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +81,11 @@ object SparkEntry {
     "r_scalar_funcs" -> q.Relational.scalarFuncsSql,
     "r_events_window" -> q.Relational.eventsWindowSql,
     "r_sessionize" -> q.Relational.sessionizeSql,
+    "d_text_stats" -> q.LlmOps.textStatsSql,
+    "d_lang_id" -> q.LlmOps.langIdSql,
+    "d_dedup_exact" -> q.LlmOps.dedupExactSql,
+    "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
+    // minhash/simhash/fingerprints/embedding/similarity/multimodal queries are
+    // hash- or float-kernel-specific → rows-only check + scalatest semantics
   )
 }

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registration + Column-level API for the custom expressions, and the
+  * composed text-analysis functions built from codegen'd built-ins. */
+object GraftFunctions {
+
+  /** Register the native expressions in the session's function registry
+    * (idempotent). They are then usable from both the Column API below and
+    * plain SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fingerprint64",
+      es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es(0),
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].longValue), "built-in")
+  }
+
+  def fingerprint64(c: Column): Column = call_function("graft_fingerprint64", c)
+  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long): Column =
+    call_function("graft_minhash_sig", shingles, lit(numHashes), lit(seed))
+
+  // ---- text analysis over codegen'd built-ins (oracle-portable) ----
+
+  /** Whitespace tokenization. The fixtures are single-space separated; a
+    * general corpus would normalize first (see [[normalize]]). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: words + punctuation clusters. */
+  def tokenCountRegex(text: Column): Column =
+    size(split(text, "(?=[^a-zA-Z0-9])|\\s+"))
+
+  /** Sorted distinct token set — canonical key for exact content dedup
+    * robust to word order/repetition. */
+  def canonicalKey(text: Column): Column =
+    array_join(array_sort(array_distinct(tokens(text))), " ")
+
+  /** Word k-shingles (k consecutive tokens joined) — the MinHash unit. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < k, array(array_join(ts, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - k),
+        i => array_join(slice(ts, i + 1, lit(k)), " ")))
+  }
+
+  /** Character n-grams of the raw string. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) <= n, array(text))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  // marker lexicons for the language-ID heuristic (tiny on purpose — the
+  // real discriminator on web text; deterministic + SQL-portable)
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "en", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  private def markerHits(ts: Column, markers: Seq[String]): Column =
+    size(filter(ts, t => t.isin(markers.map(m => lit(m)): _*)))
+
+  /** N-gram/stopword language-ID heuristic: count marker-word hits per
+    * language, argmax with fixed tie-break order, 'und' when nothing hits. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val hits = langMarkers.map { case (lang, ms) => lang -> markerHits(ts, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Composite quality score in [0,1]: vocabulary diversity + length
+    * saturation + non-stopword density. Single-division components in fixed
+    * order so the double result is engine-portable. */
+  def qualityScore(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts).cast("double")
+    val uniq = size(array_distinct(ts)).cast("double") / n
+    val lenScore = least(lit(1.0), n / lit(64.0))
+    val stopHits = markerHits(ts, langMarkers.flatMap(_._2)).cast("double")
+    lit(0.5) * uniq + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - stopHits / n)
+  }
+}

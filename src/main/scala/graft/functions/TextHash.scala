@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** JVM-static hash kernels shared by the interpreted and codegen paths of
+  * the custom expressions below. Self-contained FNV-1a (public-domain
+  * constants) so results are reproducible across engines and rounds. */
+object TextHash {
+
+  /** FNV-1a 64-bit over raw bytes. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  import java.util.concurrent.ConcurrentHashMap
+  private val coeffCache = new ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  /** Mersenne prime 2^31−1: universal-hash modulus. a·h ≤ (2^31)^2 < 2^63,
+    * so the arithmetic is exact in a signed long (no overflow under ANSI). */
+  val MinhashPrime: Long = (1L << 31) - 1
+
+  /** Deterministic universal-hash coefficients for [[minhashSig]]:
+    * a_i ∈ [1, p), b_i ∈ [0, p). The mod-p step below is essential — an
+    * un-modded a·h+b is monotone in h, which makes every signature slot pick
+    * the same min shingle and collapses all LSH bands to one. */
+  def minhashCoeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((numHashes, seed), { _ =>
+      val rnd = new scala.util.Random(seed)
+      val p = MinhashPrime.toInt
+      val a = Array.fill(numHashes)((rnd.nextInt(p - 1) + 1).toLong)
+      val b = Array.fill(numHashes)(rnd.nextInt(p).toLong)
+      (a, b)
+    })
+
+  /** MinHash signature in one pass: base FNV-1a hash per shingle, then
+    * min over shingles of (a_i·h + b_i) mod p for each i. A single JVM loop
+    * instead of `numHashes` interpreted higher-order transforms — the
+    * difference between O(ms) and O(minutes) per million rows. */
+  def minhashSig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int, seed: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (a, b) = minhashCoeffs(numHashes, seed)
+    val p = MinhashPrime
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < shingles.numElements()) {
+      if (!shingles.isNullAt(i)) {
+        val hm = (fnv1a64(shingles.getUTF8String(i).getBytes) & Long.MaxValue) % p
+        var k = 0
+        while (k < numHashes) {
+          val v = (a(k) * hm + b(k)) % p
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a token array: per-token FNV-1a votes each bit
+    * up/down; the sign of each bit's tally forms the signature. Documents
+    * with small Hamming distance between signatures are near-duplicates. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokens.numElements()) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** JVM-static float-vector kernels — called from both the interpreted
+  * `nullSafeEval` and the generated (whole-stage codegen) paths. Operating
+  * directly on `ArrayData` avoids materializing Scala collections per row,
+  * which is what makes brute-force similarity scans viable at scale. */
+object VectorOps {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm2(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Intersection size of two individually sorted, de-duplicated string
+    * arrays — O(n+m) merge, no per-row hash set. Kernel for the exact
+    * Jaccard verify tier. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    var i = 0; var j = 0; var c = 0
+    val n = a.numElements(); val m = b.numElements()
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Cosine similarity; 0.0 when either vector is all-zero. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star ops, SURVEY §2.3; `embeddings.parquet` fixture:
+  * `vec_id bigint, embedding array<float>, label int`).
+  *
+  * Three tiers:
+  *  - [[bruteForceTopK]]: exact scan + top-k. Compiles to a single
+  *    TakeOrderedAndProject over the scan — no shuffle; the right baseline
+  *    and still the right answer for one-off queries at any scale.
+  *  - [[withLshBuckets]] / [[lshTopK]]: random-hyperplane LSH — candidates
+  *    share a sign-pattern bucket in ≥1 table; cost ∝ bucket size.
+  *  - [[ivfTopK]]: inverted-file index — vectors partitioned by nearest
+  *    coarse centroid, queries probe the `nprobe` nearest cells. The cell
+  *    assignment is itself a column, so a table can be *written partitioned
+  *    by cell* and probing prunes partitions at scan time at 100 TB.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit hyperplanes (driver-side, tiny). */
+  private[operators] def planes(
+      n: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Exact cosine top-k against a literal query vector. */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(
+        col(idCol),
+        GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Attach (table, bucket) per row: bucket = sign bits of the row vector
+    * against `planesPerTable` hyperplanes, one bucket per table. Output has
+    * one row per (input row × table). */
+  def withLshBuckets(
+      df: DataFrame, vecCol: String, dim: Int,
+      planesPerTable: Int, tables: Int, seed: Long): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val all = planes(planesPerTable * tables, dim, seed)
+    val tableBuckets: Seq[Column] = (0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val plane = all(t * planesPerTable + p)
+        when(GraftFunctions.dotProduct(col(vecCol), typedLit(plane)) > 0d,
+          lit(1L << p)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
+    df.withColumn("tb", explode(array(tableBuckets: _*)))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = rows sharing any table's
+    * bucket with the query; exact cosine re-rank on candidates only. */
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      query: Seq[Float], k: Int,
+      planesPerTable: Int = 10, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val all = planes(planesPerTable * tables, dim, seed)
+    def bucketOf(vec: Seq[Float], t: Int): Long =
+      (0 until planesPerTable).map { p =>
+        val plane = all(t * planesPerTable + p)
+        val d = vec.zip(plane).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        if (d > 0) 1L << p else 0L
+      }.sum
+    val queryBuckets = (0 until tables).map(t => (t, bucketOf(query, t)))
+
+    val bucketed = withLshBuckets(df, vecCol, dim, planesPerTable, tables, seed)
+    val cond = queryBuckets
+      .map { case (t, b) => col("table") === t && col("bucket") === b }
+      .reduce(_ || _)
+    bucketed.filter(cond)
+      .dropDuplicates(idCol)
+      .select(
+        col(idCol),
+        GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Coarse centroids for IVF: the first `nCells` vectors by id (seeded,
+    * deterministic). A production build would run k-means refinement; the
+    * index structure and probing are identical. */
+  def ivfCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int): Seq[(Int, Seq[Float])] =
+    df.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(vecCol)).collect()
+      .toIndexedSeq.zipWithIndex
+      .map { case (row, i) => (i, row.getSeq[Float](0)) }
+
+  /** Assign each row to its nearest centroid cell (broadcast-friendly: the
+    * centroid list is a literal expression, no shuffle). */
+  def withIvfCell(
+      df: DataFrame, vecCol: String, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val sims = centroids.map { case (_, c) =>
+      GraftFunctions.cosineSim(col(vecCol), typedLit(c))
+    }
+    val simArr = array(sims: _*)
+    df.withColumn("cell",
+      (array_position(simArr, array_max(simArr)) - 1).cast("int"))
+  }
+
+  /** IVF probe: search only the `nprobe` cells whose centroids are nearest
+    * the query, exact cosine within them. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCells)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val probed = centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nprobe).map(_._1)
+    withIvfCell(df, vecCol, centroids)
+      .filter(col("cell").isin(probed: _*))
+      .select(
+        col(idCol),
+        GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkTestBase {
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("fingerprint64: codegen result matches the JVM kernel exactly") {
+    GraftFunctions.register(spark)
+    val rows = docs.select(col("text"),
+      GraftFunctions.fingerprint64(col("text")).as("fp")).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expected = TextHash.fnv1a64(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == expected)
+    }
+  }
+
+  test("fingerprint64 stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = docs.select(GraftFunctions.fingerprint64(col("text")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the `*` / codegen-id annotation marks operators inside WholeStageCodegen
+    assert(plan.contains("Project [codegen id"), plan)
+  }
+
+  test("simhash64: identical token arrays agree; permuted tokens agree; disjoint differ") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark fast query engine"),
+      (2L, "spark fast query engine"),
+      (3L, "engine query fast spark"), // order-insensitive by construction
+      (4L, "completely different words entirely")).toDF("id", "text")
+    val sigs = df.select(col("id"),
+        GraftFunctions.simhash64(GraftFunctions.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
+  }
+
+  test("cosine expression matches driver-side computation") {
+    GraftFunctions.register(spark)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = embs.orderBy(col("vec_id")).limit(1).select("embedding")
+      .head().getSeq[Float](0)
+    val got = embs.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.cosineSim(col("embedding"), typedLit(q)).as("c"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      v.indices.foreach { i =>
+        d += v(i).toDouble * q(i).toDouble
+        na += v(i).toDouble * v(i).toDouble
+        nb += q(i).toDouble * q(i).toDouble
+      }
+      val expected = if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12)
+    }
+    // self-similarity is 1
+    assert(math.abs(got.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("langId: deterministic markers, 'und' when nothing hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat of the house and a dog", "en"),
+      ("el perro es una casa en que los", "es"),
+      ("der hund ist ein und das nicht", "de"),
+      ("xyzzy qwerty asdf", "und")).toDF("text", "expected")
+    val got = df.select(GraftFunctions.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("qualityScore bounded in [0,1] on the corpus") {
+    val qs = docs.select(GraftFunctions.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(qs.getDouble(0) >= 0.0 && qs.getDouble(1) <= 1.0)
+  }
+
+  test("wordShingles: k consecutive tokens, short text degrades to whole text") {
+    import spark.implicits._
+    val r = Seq("a b c d", "a b").toDF("text")
+      .select(GraftFunctions.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq("a b"))
+  }
+}

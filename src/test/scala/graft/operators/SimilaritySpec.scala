@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  lazy val query: Seq[Float] =
+    embs.orderBy(col("vec_id")).limit(1).select("embedding").head().getSeq[Float](0)
+
+  test("bruteForceTopK: self is rank 1 with cosine 1; scores descending") {
+    GraftFunctions.register(spark)
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", query, 10).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("ivfTopK: subset of corpus with exact cosines; finds self; decent recall") {
+    GraftFunctions.register(spark)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", query, 20,
+      nCells = 16, nprobe = 4).collect()
+    assert(ivf.map(_.getLong(0)).contains(0L))
+    // exact scores on returned candidates
+    val bruteScores = Similarity.bruteForceTopK(embs, "vec_id", "embedding", query, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(math.abs(bruteScores(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    val recall = ivf.map(_.getLong(0)).count(brute.contains).toDouble / 20
+    assert(recall >= 0.2, s"ivf recall $recall") // nprobe 4/16 on random data
+  }
+
+  test("lshTopK: finds self, exact cosines on candidates") {
+    GraftFunctions.register(spark)
+    val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
+    assert(got.map(_.getLong(0)).contains(0L))
+    val scores = got.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("multimodal feature pipeline: per-source aggregates, stub decode deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal.featurePipeline(spark, docs).collect()
+    assert(out.length == 20) // 20 sources
+    assert(out.forall(_.getLong(1) == 25)) // 25 docs each
+    // decode is deterministic: run twice, same result
+    val out2 = Multimodal.featurePipeline(spark, docs).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+  }
+}
