@@ -54,6 +54,9 @@ object SparkEntry {
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
+    // structured streaming (run synchronously through the memory sink)
+    "s_stream_window" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.windowedCountsSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +90,9 @@ object SparkEntry {
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
     // minhash/simhash/fingerprints/embedding/similarity/multimodal queries are
     // hash- or float-kernel-specific → rows-only check + scalatest semantics
+    "s_stream_window" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.queries.Exact.{dec2, sqlSumMoney}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the events table — the streaming
+  * capability the reference lacks entirely (SURVEY §2.2: no streaming
+  * semantics to honor; `FFutureValue` is a single async cell, not a stream —
+  * reference: framework/ubw-circe/.../FFutureValue.scala:8-28).
+  *
+  * Batch/stream parity: [[windowedCounts]] is the streaming twin of
+  * `Relational.eventsWindow`, [[sessionize]] of `Relational.sessionize`
+  * (same 30-minute gap rule) — one declaration, two execution modes, which
+  * is exactly Spark's promise at 100 TB: the backfill and the live pipeline
+  * share operators.
+  */
+object EventPipeline {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** flatMapGroupsWithState state (public: Catalyst codegen instantiates it). */
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** Raw parquet schema of the events files: ts is INT64 TIMESTAMP(NANOS),
+    * which Spark 4 only reads as a long (nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files; nanosecond
+    * timestamps truncated to microseconds exactly like the batch loader. */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      globFilter: Option[String] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var r = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    globFilter.foreach(g => r = r.option("pathGlobFilter", g))
+    r.parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Synchronous batch-equivalent run of [[windowedCounts]] for the driver
+    * gate: streams the sf dir's events file through the memory sink and
+    * returns the final table — hash-matches the batch eventsWindow oracle. */
+  def windowedCountsSync(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_win_${System.nanoTime()}"
+    val q = windowedCounts(
+        readEventStream(spark, dir, globFilter = Some("events.parquet")))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling one-hour windows per event type with a one-hour watermark
+    * (late data beyond the watermark is dropped, state is bounded). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Stateful gap sessionization (30-minute inactivity) via
+    * flatMapGroupsWithState: per-user state holds the open session; closed
+    * sessions are emitted as soon as a gap is observed in-batch, and the
+    * final open session is flushed on event-time timeout once the watermark
+    * passes session end + gap. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def tsOf(usv: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(usv / 1000)
+      t.setNanos(((usv % 1000000) * 1000).toInt)
+      t
+    }
+
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state: GroupState[OpenSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed: flush the open session
+            val out = state.getOption.map(s =>
+              SessionOut(userId, tsOf(s.startUs), tsOf(s.endUs), s.n)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, tsOf(s.startUs), tsOf(s.endUs), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

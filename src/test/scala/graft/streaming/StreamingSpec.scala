@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Drives the streaming pipelines synchronously with the file source +
+  * memory sink (two input files → two triggers, so the watermark advances
+  * and event-time timeouts fire). Asserts stream/batch parity against the
+  * equivalent batch operators. */
+class StreamingSpec extends SparkTestBase {
+
+  private val inDir = "target/stream_test/in"
+
+  /** Split sf0.001 events into two time-ordered parquet files. */
+  private def prepareInput(): Unit = {
+    val fs = new java.io.File(inDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(fs)
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val cut = events.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
+    // write back with nanos→micros already applied; re-encode ts as long ns
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.select(
+          col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$inDir/../tmp_$name")
+    dump(events.filter(col("ts").cast("double") <= cut), "a")
+    dump(events.filter(col("ts").cast("double") > cut), "b")
+    fs.mkdirs()
+    def move(name: String, target: String): Unit = {
+      val src = new java.io.File(s"$inDir/../tmp_$name")
+      val p = src.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(p.toPath, new java.io.File(s"$inDir/$target").toPath)
+    }
+    move("a", "part-a.parquet")
+    move("b", "part-b.parquet")
+  }
+
+  test("streaming windowed counts match the batch events-window aggregation") {
+    prepareInput()
+    val stream = EventPipeline.readEventStream(spark, inDir)
+    val q = EventPipeline.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("win_out")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.queries.Exact.dec2(col("value"))).cast("double").as("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("streaming sessionize emits sessions consistent with the batch operator") {
+    prepareInput()
+    val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
+    val q = EventPipeline.sessionize(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "no sessions emitted — watermark/timeout path never fired")
+
+    val batch = graft.queries.Relational.sessionize(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    // append mode only emits sessions closed by an observed gap or timeout →
+    // everything emitted must exist identically in the batch result
+    val diff = got.diff(batch)
+    assert(diff.isEmpty, s"streamed sessions not in batch result: ${diff.take(3)}")
+  }
+}
