@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * at 1000× the data — pushdown reaching the scan, dimensions broadcast,
+  * top-k never globally sorting, no accidental cartesian products — are
+  * pinned here so a regression fails loudly rather than silently costing a
+  * full-scan at scale. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("projection pruning reaches the parquet scan (c1_projection)") {
+    val p = plan("c1_projection")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"), p)
+  }
+
+  test("predicate pushdown to the scan (q1_agg shipdate filter)") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("dynamic filters are pushed, including LIKE (c8_dynamic_filter)") {
+    val p = plan("c8_dynamic_filter")
+    assert(p.contains("StringContains(c_name,1)"), p)
+    assert(p.contains("GreaterThanOrEqual(c_acctbal,1000.0)"), p)
+  }
+
+  test("dimension joins broadcast (q5 multijoin, join_broadcast)") {
+    assert(plan("r_q5_multijoin").contains("BroadcastHashJoin"))
+    assert(plan("r_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("r_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(plan("r_semi_join").contains("LeftSemi"))
+    assert(plan("r_anti_join").contains("LeftAnti"))
+  }
+
+  test("no cartesian product anywhere in the inventory") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q1_agg")
+    // two HashAggregate nodes: partial then final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}
