@@ -26,7 +26,9 @@ object SparkEntry {
     "c8_dynamic_filter" -> (q.CoreSurface.dynamicFilter _),
     "c9_poly_derive" -> (q.CoreSurface.polyDerive _),
     "c18_default_value" -> (q.CoreSurface.defaultValue _),
+    "c7_json_request" -> (q.CoreSurface.jsonRequest _),
     // relational core (SURVEY §2.2), Spark-native
+    "r_udaf_wavg" -> (q.Relational.udafWavg _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
     "r_semi_join" -> (q.Relational.semiJoin _),
@@ -69,6 +71,8 @@ object SparkEntry {
     "c8_dynamic_filter" -> q.CoreSurface.dynamicFilterSql,
     "c9_poly_derive" -> q.CoreSurface.polyDeriveSql,
     "c18_default_value" -> q.CoreSurface.defaultValueSql,
+    "c7_json_request" -> q.CoreSurface.jsonRequestSql,
+    "r_udaf_wavg" -> q.Relational.udafWavgSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,
     "r_semi_join" -> q.Relational.semiJoinSql,

@@ -34,6 +34,10 @@ final case class ColumnSpec(
     filterOps: Set[FilterOp] = Set.empty,
     defaultValue: Option[Any] = None,
     typeNameOverride: Option[String] = None,
+    /** string column already holding serialized JSON: the JsonView renders
+      * it verbatim (unquoted) — models ubw's `Map[String, Json]` columns with
+      * per-row heterogeneous shapes (Sample07.scala:98-105, :117-126) */
+    rawJson: Boolean = false,
     /** inputs consumed by a poly/derived column — kept so orderability can be
       * recomputed from the underlying declarations (doc-03.md:40, :56-59) */
     polyInputs: Seq[ColumnSpec] = Nil) {
@@ -51,6 +55,7 @@ final case class ColumnSpec(
   def withDefault(v: Any): ColumnSpec       = copy(defaultValue = Some(v))
   def named(n: String): ColumnSpec          = copy(name = n)
   def withTypeName(t: String): ColumnSpec   = copy(typeNameOverride = Some(t))
+  def asRawJson: ColumnSpec                 = copy(rawJson = true)
 
   /** Column with the default-value fallback applied (DefaultValue atomic:
     * value used when the cell is absent — Sample09.scala:36-40). */
@@ -89,6 +94,7 @@ final case class ColumnSpec(
     mb.putBoolean("inView", inView)
     if (filterOps.nonEmpty)
       mb.putStringArray("filterOps", filterOps.map(_.opName).toArray.sorted)
+    if (rawJson) mb.putBoolean("rawJson", true)
     mb.build()
   }
 

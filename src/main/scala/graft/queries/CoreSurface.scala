@@ -90,6 +90,34 @@ object CoreSurface {
       |  c_name || ' [' || c_mktsegment || ']' AS display
       |FROM customer""".stripMargin
 
+  /** C7/readJ + SimpleTable: the entire query — column declarations AND the
+    * request — arrives as JSON strings, exactly the client-driven flow the
+    * reference documents (doc-03.md:84, doc-01.md:136-158). Declaration
+    * order puts `bal` before `cust_key`, so the requested sort resolves to
+    * `bal desc, cust_key asc`. */
+  def jsonRequest(s: SparkSession, dir: String): DataFrame = {
+    val config =
+      """{"columns": [
+        |  {"name": "cust_name", "expr": "c_name", "filters": ["like"]},
+        |  {"name": "bal", "expr": "c_acctbal", "order": true, "filters": ["ge", "le"]},
+        |  {"name": "cust_key", "expr": "c_custkey", "order": true},
+        |  {"name": "segment", "expr": "c_mktsegment", "filters": ["eq"]}]}""".stripMargin
+    val request =
+      """{"filters": {"segment": {"eq": "MACHINERY"}, "bal": {"ge": 2000}},
+        |  "orders": [{"column": "bal", "desc": true}, {"column": "cust_key"}],
+        |  "take": 25}""".stripMargin
+    graft.core.DynamicTable.fromJson(customer(s, dir), config)
+      .query(graft.compile.RequestJson.parseQuerySpec(request))
+  }
+
+  val jsonRequestSql: String =
+    """SELECT c_name AS cust_name, c_acctbal AS bal, c_custkey AS cust_key,
+      |       c_mktsegment AS segment
+      |FROM customer
+      |WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 2000
+      |ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS LAST
+      |LIMIT 25""".stripMargin
+
   /** C6 hidden columns: sort key pruned from output but still applied. */
   def hiddenSort(s: SparkSession, dir: String): DataFrame =
     TableSpec(customer(s, dir), Seq(

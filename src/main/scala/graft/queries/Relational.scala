@@ -276,6 +276,24 @@ object Relational {
       |  'order-' || o_orderkey AS tag
       |FROM orders""".stripMargin
 
+  /** Typed UDAF (Aggregator with map-side partial merge): quantity-weighted
+    * average price per return flag, integer-cents buffer for bit-exactness. */
+  def udafWavg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.Aggregators
+          .weightedAvgCol(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val udafWavgSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)
+      |    / SUM(l_quantity) AS wavg_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Tumbling event-time window aggregation (micro-truncated nanos). */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

@@ -56,7 +56,13 @@ object JsonWriter {
   def writeRow(schema: StructType)(row: Row): String =
     schema.fields.zipWithIndex
       .map { case (f, i) =>
-        s"${jsonString(f.name)}:${value(f.dataType, row.get(i))}"
+        val v = row.get(i)
+        // rawJson columns (ColumnSpec.asRawJson) hold serialized JSON: emit verbatim
+        val rendered =
+          if (v != null && f.metadata.contains("rawJson") &&
+            f.metadata.getBoolean("rawJson")) v.toString
+          else value(f.dataType, v)
+        s"${jsonString(f.name)}:$rendered"
       }
       .mkString("{", ",", "}")
 

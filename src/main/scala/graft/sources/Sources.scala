@@ -45,4 +45,12 @@ object Sources {
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** DB write-back (reference CRUD surface, doc-01.md:156): append/overwrite
+    * via the stock JDBC writer. Untested here for the same reason as
+    * [[readJdbc]]. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "append",
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 }

@@ -106,6 +106,42 @@ class CoreGoldenSpec extends SparkTestBase {
     assert(ids == Seq(1L, 4L, 3L, 2L))
   }
 
+  test("golden 7: nested poly → heterogeneous JSON object column (Sample07.scala:85-126)") {
+    val nameS = "name".ofCol(col("name")).orderTarget("nick").describe("昵称")
+    val nickS = "nick".ofCol(col("nick")).order.describe("昵称")
+    val ageS = "age".ofCol(col("age"))
+    val merged = Derive.poly3[String, String, Int, String]("name", nameS, nickS, ageS) {
+      (name, nick, age) =>
+        if (age.exists(_ < 200)) for { n <- name; k <- nick } yield s"$n-$k"
+        else if (name.isDefined) name
+        else None
+    }
+    // level 2: account = Aa(name, age) with the sample's fallback Aa("喵", 2334455)
+    val account = Derive.poly2[String, Int, String]("account", merged, ageS) {
+      (name, age) =>
+        (for { n <- name; a <- age } yield s"""{"name":"$n","age":$a}""")
+          .orElse(Some("""{"name":"喵","age":2334455}"""))
+    }
+    // level 3: info object whose key set differs per row
+    val idS = "id".ofCol(col("id")).order.describe("自增主键")
+    val info = Derive.poly3[String, Long, Int, String]("info", account, idS, ageS) {
+      (acc, id, age) =>
+        age match {
+          case Some(a) if acc.isDefined && id.isDefined =>
+            Some(s"""{"id":${id.get},"accountInfo":${acc.get},"ageOpt":$a}""")
+          case _ =>
+            Some(s"""{"message":"id为${id.get}的不知名人事"}""")
+        }
+    }.asRawJson
+    val t = TableSpec(friend, Seq(idS, info, "ageOpt".ofCol(col("age"))))
+    val view = t.jsonView()
+    assert(view.data == Seq(
+      """{"id":1,"info":{"id":1,"accountInfo":{"name":"魔理沙","age":2333},"ageOpt":2333},"ageOpt":2333}""",
+      """{"id":2,"info":{"id":2,"accountInfo":{"name":"jilen-jilen 酱","age":30},"ageOpt":30},"ageOpt":30}""",
+      """{"id":3,"info":{"id":3,"accountInfo":{"name":"品神-kerr","age":28},"ageOpt":28},"ageOpt":28}""",
+      """{"id":4,"info":{"message":"id为4的不知名人事"},"ageOpt":null}"""))
+  }
+
   test("golden 5: dynamic filter — like on capable column, others ignored (Sample09.scala:45-56)") {
     val t = TableSpec(friend, Seq(
       "id".ofCol(col("id")).order,
