@@ -44,7 +44,8 @@ object Dedup {
       numHashes: Int = 48,
       bands: Int = 16,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
@@ -73,12 +74,23 @@ object Dedup {
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    val candidates = l.join(r,
-        l("band") === r("band") && l("bucket") === r("bucket") &&
-          l("id_a") < r("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // Candidate generation as ONE aggregation (group bucket members, expand
+    // pairs in place) instead of a self-join: the banded subtree would
+    // otherwise be computed and shuffled twice (Spark can't reuse the
+    // exchange across differently-aliased sides). Degenerate buckets larger
+    // than `maxBucketSize` (near-identical boilerplate flooding one bucket)
+    // are dropped — callers see the cap as an explicit parameter.
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    val candidates = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - (i + 1), lit(0))),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
     val withSh = candidates
