@@ -126,15 +126,22 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
 
-    val l = chunked.select(col("chunk"), col("key"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("key"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-
-    l.join(r, l("chunk") === r("chunk") && l("key") === r("key") &&
-        l("id_a") < r("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    // one aggregation per (chunk, key) bucket, pairs expanded in place —
+    // same single-shuffle shape as minhashPairs, carrying (id, sig) structs
+    val buckets = chunked
+      .groupBy(col("chunk"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + 2, greatest(size(col("ms")) - (i + 1), lit(0))),
+          y => struct(
+            least(x("doc_id"), y("doc_id")).as("id_a"),
+            greatest(x("doc_id"), y("doc_id")).as("id_b"),
+            bit_count(x("sig").bitwiseXOR(y("sig"))).as("hamming"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
@@ -204,11 +211,17 @@ object Dedup {
     val bucketed = Similarity
       .withLshBuckets(vecs, vecCol, dim, planesPerTable, tables, seed)
       .select(col("table"), col("bucket"), col(idCol))
-    val l = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
-    val r = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_b"))
-    l.join(r, l("table") === r("table") && l("bucket") === r("bucket") &&
-        l("id_a") < r("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val buckets = bucketed
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - (i + 1), lit(0))),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")

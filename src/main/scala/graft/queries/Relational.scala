@@ -294,6 +294,25 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Semi-structured JSON column access (the reference's Map[String,Json]
+    * cells, Sample07.scala:98-105, as a scan-side primitive): extract a
+    * field from the events props JSON and aggregate it. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).cast("long").as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Tumbling event-time window aggregation (micro-truncated nanos). */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

@@ -84,6 +84,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(qs.getDouble(0) >= 0.0 && qs.getDouble(1) <= 1.0)
   }
 
+  test("charNgrams and regex token count") {
+    import spark.implicits._
+    val df = Seq("abcde", "ab").toDF("text")
+    val grams = df.select(GraftFunctions.charNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(grams(0) == Seq("abc", "bcd", "cde"))
+    assert(grams(1) == Seq("ab"))
+    val counts = Seq("hello, world!  two").toDF("text")
+      .select(GraftFunctions.tokenCountRegex(col("text")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(counts.head >= 4) // words + punctuation clusters
+  }
+
   test("wordShingles: k consecutive tokens, short text degrades to whole text") {
     import spark.implicits._
     val r = Seq("a b c d", "a b").toDF("text")
