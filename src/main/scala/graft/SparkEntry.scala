@@ -30,6 +30,8 @@ object SparkEntry {
     // relational core (SURVEY §2.2), Spark-native
     "r_udaf_wavg" -> (q.Relational.udafWavg _),
     "r_json_extract" -> (q.Relational.jsonExtract _),
+    "r_having" -> (q.Relational.havingAgg _),
+    "r_pivot" -> (q.Relational.pivotAgg _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
     "r_semi_join" -> (q.Relational.semiJoin _),
@@ -75,6 +77,8 @@ object SparkEntry {
     "c7_json_request" -> q.CoreSurface.jsonRequestSql,
     "r_udaf_wavg" -> q.Relational.udafWavgSql,
     "r_json_extract" -> q.Relational.jsonExtractSql,
+    "r_having" -> q.Relational.havingAggSql,
+    "r_pivot" -> q.Relational.pivotAggSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,
     "r_semi_join" -> q.Relational.semiJoinSql,

@@ -294,6 +294,37 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Post-aggregation filter (HAVING): customers with 3+ orders over 100k. */
+  def havingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") > 100000)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_big"),
+        sumMoney(col("o_totalprice")).as("total"))
+      .filter(col("n_big") >= 3)
+
+  val havingAggSql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_big, ${sqlSumMoney("o_totalprice")} AS total
+       |FROM orders WHERE o_totalprice > 100000
+       |GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin
+
+  /** Pivot (wide-form dynamic statistics): quantity by line status across
+    * return flags as columns — `sum(CASE WHEN…)` per flag in the oracle. */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
+  val pivotAggSql: String =
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+      |  SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+      |  SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Semi-structured JSON column access (the reference's Map[String,Json]
     * cells, Sample07.scala:98-105, as a scan-side primitive): extract a
     * field from the events props JSON and aggregate it. */
