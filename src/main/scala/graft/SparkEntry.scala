@@ -31,6 +31,7 @@ object SparkEntry {
     "r_udaf_wavg" -> (q.Relational.udafWavg _),
     "r_json_extract" -> (q.Relational.jsonExtract _),
     "r_having" -> (q.Relational.havingAgg _),
+    "r_asof_join" -> (q.Relational.asofJoin _),
     "r_pivot" -> (q.Relational.pivotAgg _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "r_udaf_wavg" -> q.Relational.udafWavgSql,
     "r_json_extract" -> q.Relational.jsonExtractSql,
     "r_having" -> q.Relational.havingAggSql,
+    "r_asof_join" -> q.Relational.asofJoinSql,
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,

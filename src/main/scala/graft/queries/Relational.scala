@@ -294,6 +294,29 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Backward as-of join: each purchase event aligned with the user's most
+    * recent click at-or-before it (DuckDB's native ASOF JOIN is the oracle). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    graft.relational.AsOfJoin.asofBackward(
+      purchases, clicks, Seq("user_id"), "ts", "click_ts",
+      rightPayload = Seq("click_id", "click_ts"))
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+
   /** Post-aggregation filter (HAVING): customers with 3+ orders over 100k. */
   def havingAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
