@@ -32,6 +32,7 @@ object SparkEntry {
     "r_json_extract" -> (q.Relational.jsonExtract _),
     "r_having" -> (q.Relational.havingAgg _),
     "r_asof_join" -> (q.Relational.asofJoin _),
+    "r_range_join" -> (q.Relational.rangeJoin _),
     "r_pivot" -> (q.Relational.pivotAgg _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "r_json_extract" -> q.Relational.jsonExtractSql,
     "r_having" -> q.Relational.havingAggSql,
     "r_asof_join" -> q.Relational.asofJoinSql,
+    "r_range_join" -> q.Relational.rangeJoinSql,
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,

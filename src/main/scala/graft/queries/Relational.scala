@@ -317,6 +317,38 @@ object Relational {
       |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
 
+  /** Interval join via time bucketing: clicks of the same user within ±30
+    * minutes of each purchase, counted per purchase (zero-match purchases
+    * kept with 0). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val pairs = graft.relational.RangeJoin.withinTolerance(
+      purchases, clicks, Seq("user_id"), "ts", "click_ts",
+      toleranceSec = 1800, rightPayload = Seq("click_id"))
+    val counts = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("__n"))
+    purchases.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("__n"), lit(0L)).as("n_nearby"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, CAST(COALESCE(x.cnt, 0) AS BIGINT) AS n_nearby
+      |FROM p LEFT JOIN (
+      |  SELECT p.event_id AS eid, COUNT(*) AS cnt
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+      |  GROUP BY 1) x ON x.eid = p.event_id""".stripMargin
+
   /** Post-aggregation filter (HAVING): customers with 3+ orders over 100k. */
   def havingAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
