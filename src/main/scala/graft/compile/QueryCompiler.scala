@@ -97,8 +97,11 @@ object QueryCompiler {
     if (predicates.nonEmpty) out = out.filter(predicates.reduce(_ && _))
     if (sortKeys.nonEmpty) out = out.orderBy(sortKeys: _*)
     out = out.select(visibleSpecs.map(_.boundCol): _*)
-    qs.effectiveOffset.filter(_ > 0).foreach(n => out = out.offset(n.toInt))
-    qs.effectiveLimit.foreach(n => out = out.limit(n.toInt))
+    // clamp Long request values: a page beyond Int.MaxValue rows is capped,
+    // never wrapped negative
+    def toIntClamped(n: Long): Int = math.min(n, Int.MaxValue.toLong).toInt
+    qs.effectiveOffset.filter(_ > 0).foreach(n => out = out.offset(toIntClamped(n)))
+    qs.effectiveLimit.map(n => math.max(n, 0L)).foreach(n => out = out.limit(toIntClamped(n)))
     out
   }
 
@@ -124,7 +127,7 @@ object QueryCompiler {
       case FilterOp.Like => Some(c.like(String.valueOf(value)))
       case FilterOp.In =>
         value match {
-          case vs: Seq[_] => Some(c.isin(vs: _*))
+          case vs: Seq[_] => Some(c.isin(vs.map(v => l(v)): _*))
           case other =>
             errors += s"filter: 'in' on '${spec.name}' needs a Seq, got $other"
             None

@@ -62,8 +62,7 @@ object Dedup {
 
     // Banding carries ONLY (doc_id, band, bucket) — never the shingle
     // arrays: at scale, replicating document payloads ×bands through the
-    // exchange dominates cost. Shingles are joined back by id at verify time.
-    val shingleTbl = base.select(col("doc_id"), col("shingles"))
+    // exchange dominates cost. Shingles (base) are joined back at verify time.
     val banded = signed.select(
       col("doc_id"),
       explode(transform(
@@ -94,8 +93,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val withSh = candidates
-      .join(shingleTbl.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shingleTbl.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     withSh
@@ -111,7 +110,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val sig = df.select(
       col(idCol).as("doc_id"),
@@ -131,7 +131,7 @@ object Dedup {
     val buckets = chunked
       .groupBy(col("chunk"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
     buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(

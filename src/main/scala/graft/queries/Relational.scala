@@ -305,7 +305,8 @@ object Relational {
         col("ts").as("click_ts"))
     graft.relational.AsOfJoin.asofBackward(
       purchases, clicks, Seq("user_id"), "ts", "click_ts",
-      rightPayload = Seq("click_id", "click_ts"))
+      rightPayload = Seq("click_id", "click_ts"),
+      rightTieBreak = Seq("click_id")) // deterministic under equal timestamps
   }
 
   val asofJoinSql: String =

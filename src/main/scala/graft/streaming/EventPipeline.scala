@@ -109,7 +109,13 @@ object EventPipeline {
             state.remove()
             out
           } else {
-            val sorted = rows.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
+            // flatMapGroupsWithState does NOT auto-drop rows behind the
+            // watermark: a straggler would open a session whose timeout lies
+            // before the watermark (query-killing) or duplicate a flushed
+            // session — drop late rows like the windowed aggregation does
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val sorted = rows.filter(e => us(e.ts) >= wmUs)
+              .toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
             var open = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
@@ -126,7 +132,10 @@ object EventPipeline {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000 + 1)
+              // never earlier than the watermark (Spark rejects that)
+              state.setTimeoutTimestamp(
+                math.max((s.endUs + gapUs) / 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
