@@ -33,6 +33,8 @@ object SparkEntry {
     "r_having" -> (q.Relational.havingAgg _),
     "r_asof_join" -> (q.Relational.asofJoin _),
     "r_range_join" -> (q.Relational.rangeJoin _),
+    "r_percentiles" -> (q.Relational.percentiles _),
+    "r_explode_tokens" -> (q.Relational.explodeTokens _),
     "r_pivot" -> (q.Relational.pivotAgg _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
@@ -82,6 +84,8 @@ object SparkEntry {
     "r_having" -> q.Relational.havingAggSql,
     "r_asof_join" -> q.Relational.asofJoinSql,
     "r_range_join" -> q.Relational.rangeJoinSql,
+    "r_percentiles" -> q.Relational.percentilesSql,
+    "r_explode_tokens" -> q.Relational.explodeTokensSql,
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,

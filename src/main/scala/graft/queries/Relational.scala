@@ -294,6 +294,39 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact percentiles (sort-based, interpolated) — matches DuckDB's
+    * quantile_cont bit-for-bit (verified incl. interpolated values). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+      .orderBy(col("l_returnflag"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.9) AS qty_p90,
+      |  quantile_cont(l_extendedprice, 0.25) AS price_p25
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Generator/UDTF surface: explode documents into tokens, global top-20
+    * token frequencies (deterministic tie-break). */
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  val explodeTokensSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
   /** Backward as-of join: each purchase event aligned with the user's most
     * recent click at-or-before it (DuckDB's native ASOF JOIN is the oracle). */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
