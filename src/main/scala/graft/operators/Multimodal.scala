@@ -65,6 +65,47 @@ object Multimodal {
       }
   }
 
+  final case class ResizedRow(
+      doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize — stands in for an image resampling kernel. Deterministic:
+    * keeps every stride-th byte, recomputes the metadata dims. The operator
+    * shape (payload × target dims → payload' + dims') and the
+    * partition-local batching are the real part. */
+  def resize(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val stride = math.max(1, r.payload.length / math.max(1, targetW * targetH))
+          val out = r.payload.indices.collect {
+            case i if i % stride == 0 => r.payload(i)
+          }.toArray
+          ResizedRow(r.doc_id, targetW, targetH, out)
+        }
+      }
+  }
+
+  final case class FrameRow(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** STUB frame sampling — stands in for video decode: splits the payload
+    * into fixed-size "frames" and keeps every `everyNth`. One input row →
+    * many frame rows (the generator shape video pipelines need); the
+    * explode happens executor-side in the iterator, never on the driver. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, everyNth: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          r.payload.grouped(frameBytes).zipWithIndex.collect {
+            case (chunk, i) if i % everyNth == 0 => FrameRow(r.doc_id, i, chunk)
+          }
+        }
+      }
+  }
+
   /** End-to-end pipeline: payload → batch decode → per-source feature
     * aggregation (joins features back to the docs dimension columns). */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {

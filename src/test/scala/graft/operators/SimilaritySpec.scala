@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("multimodal resize and frame sampling keep the partition-local batch shape") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.withPayload(docs)
+    val resized = Multimodal.resize(spark, media, targetW = 8, targetH = 8).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r => r.width == 8 && r.height == 8 && r.payload.nonEmpty))
+    val frames = Multimodal.frameSample(spark, media, frameBytes = 64, everyNth = 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    // every 4th 64-byte chunk: frame numbers are 0,4,8,…
+    byDoc.values.foreach(fs => assert(fs.forall(_.frame_no % 4 == 0)))
+    // deterministic across runs
+    val again = Multimodal.frameSample(spark, media).collect()
+    assert(again.length == frames.collect().length)
+  }
+
   test("multimodal feature pipeline: per-source aggregates, stub decode deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Multimodal.featurePipeline(spark, docs).collect()
