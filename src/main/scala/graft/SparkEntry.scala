@@ -63,6 +63,8 @@ object SparkEntry {
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
+    "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
+    "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),

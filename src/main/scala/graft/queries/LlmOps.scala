@@ -157,6 +157,21 @@ object LlmOps {
       queryVector(s, dir), k = 20, nCells = 16, nprobe = 4)
   }
 
+  /** Top-5 TF-IDF terms per document (ln() differs across engines by ulps →
+    * rows-only; exact math pinned in TfIdfSpec). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 5)
+
+  /** Text → hashed feature vectors → ANN composition: 20 nearest documents
+    * to doc 0 by cosine over feature-hashed tf vectors. */
+  def docVectorSearch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = graft.operators.TfIdf.hashedVectors(s, docs(s, dir), "doc_id", "text").toDF()
+    val query = vecs.orderBy(col("doc_id").asc).limit(1)
+      .select(col("vector")).head().getSeq[Float](0)
+    Similarity.bruteForceTopK(vecs, "doc_id", "vector", query, k = 20)
+  }
+
   /** Multimodal payload → batch decode → per-source features. */
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featurePipeline(s, docs(s, dir))
