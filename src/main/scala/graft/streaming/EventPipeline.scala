@@ -78,6 +78,21 @@ object EventPipeline {
         col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drops repeated keys with state bounded by the
+    * watermark — the streaming tier of [[graft.operators.Dedup]] for
+    * continuously-ingested corpora (duplicates arriving within the
+    * watermark horizon are guaranteed removed; state never grows past it). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream–static enrichment join: the static dimension is joined to every
+    * micro-batch (broadcast when small) — no state, no watermark needed. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey))
+
   /** Stateful gap sessionization (30-minute inactivity) via
     * flatMapGroupsWithState: per-user state holds the open session; closed
     * sessions are emitted as soon as a gap is observed in-batch, and the

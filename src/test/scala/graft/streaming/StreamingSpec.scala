@@ -54,6 +54,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("streaming dedup removes in-watermark duplicates; stream-static join enriches") {
+    prepareInput()
+    // plant a full duplicate file: part-a again under a new name
+    java.nio.file.Files.copy(
+      new java.io.File(s"$inDir/part-a.parquet").toPath,
+      new java.io.File(s"$inDir/part-a-dup.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = EventPipeline.readEventStream(spark, inDir)
+    val deduped = EventPipeline.dedupWithinWatermark(stream, Seq("event_id"))
+    val customers = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = EventPipeline.enrichWithDim(deduped, customers,
+      "user_id", "c_custkey")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val expected = events.join(customers, col("user_id") === col("c_custkey")).count()
+    val got = spark.table("dedup_out").count()
+    assert(got == expected, s"got $got expected $expected") // dups gone, join applied
+    // and without dedup the duplicate file would inflate the count
+    assert(got < expected * 2)
+    new java.io.File(s"$inDir/part-a-dup.parquet").delete()
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
