@@ -182,10 +182,14 @@ object Relational {
       |  FROM orders) WHERE rn <= 3""".stripMargin
 
   /** Running total per supplier — exact decimal inside the frame so the
-    * accumulation order can't change the double result. */
+    * accumulation order can't change the double result. (l_orderkey,
+    * l_linenumber) is NOT unique in the synthetic data, so the summand
+    * itself is the final sort key: rows tied on the full key then contribute
+    * equal increments and the prefix sums are order-independent. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(
@@ -197,7 +201,7 @@ object Relational {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
       |FROM lineitem""".stripMargin
 
