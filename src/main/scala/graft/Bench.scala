@@ -5,16 +5,28 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query seconds.
   *
-  * Each query is executed once untimed (warm-up: parquet footer cache, JIT,
-  * whole-stage-codegen class compilation — one-time session costs that would
-  * otherwise be charged to whichever query happens to run first) and then
-  * once timed from a fresh plan build, so the timed number covers plan
-  * building + optimization + execution.
+  * Methodology (hardened after round 1, where a single-shot timing let one
+  * environmental stall own 70% of the recorded total):
+  *   - one untimed warm-up pass over all queries (parquet footer cache, JIT,
+  *     whole-stage-codegen class compilation — one-time session costs that
+  *     would otherwise be charged to whichever query runs first);
+  *   - any streaming query left running by the warm-up is stopped before
+  *     timing starts, so state-store background load never bleeds into a
+  *     timed window;
+  *   - each query is then timed ITERS times (default 3) from a fresh plan
+  *     build and the MEDIAN is reported, so one GC pause / page-cache miss
+  *     cannot own the number;
+  *   - a progress line per query streams to stderr as it finishes, so a
+  *     stalled run is diagnosable from its partial output;
+  *   - failures report -1 per query but are EXCLUDED from the summed total
+  *     (a failure must never lower the reported runtime); a "failures"
+  *     count field makes them visible at the top level.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,23 +35,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // Warm-up pass: never timed, failures ignored (they fail again, timed, below).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
+    // Streaming queries (e.g. a warm-up that used a memory sink) must not keep
+    // background threads or state-store maintenance alive into the timed pass.
+    spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
+
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       // failures report -1, never a partial elapsed time posing as a result
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+
+    val results = names.map { name =>
+      val samples = Seq.fill(iters)(timeOnce(name))
+      val med =
+        if (samples.contains(-1.0)) -1.0
+        else samples.sorted.apply(samples.length / 2)
+      System.err.println(f"[bench] $name%-24s median=${med}%.3fs samples=${samples.map(s => f"$s%.3f").mkString(",")}")
+      name -> med
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val succeeded = results.map(_._2).filter(_ >= 0)
+    val failures = results.count(_._2 < 0)
+    val total = succeeded.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,8 +108,15 @@ object SparkEntry {
     "d_lang_id" -> q.LlmOps.langIdSql,
     "d_dedup_exact" -> q.LlmOps.dedupExactSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
-    // minhash/simhash/fingerprints/embedding/similarity/multimodal queries are
-    // hash- or float-kernel-specific → rows-only check + scalatest semantics
+    // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a
+    // replicate the JVM kernels bitwise — see LlmOps oracle section)
+    "d_fingerprints" -> q.LlmOps.fingerprintsSql,
+    "d_sim_topk_brute" -> q.LlmOps.simTopKBruteSql,
+    "d_sim_topk_ivf" -> q.LlmOps.simTopKIvfSql,
+    "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
+    "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
+    // minhash/simhash (xxhash64-banded) / approx_distinct (HLL sketch) /
+    // multimodal (stub codecs) remain rows-only + scalatest semantics
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

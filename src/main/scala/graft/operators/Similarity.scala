@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random unit hyperplanes (driver-side, tiny). */
-  private[operators] def planes(
+  /** Deterministic pseudo-random unit hyperplanes (driver-side, tiny).
+    * `private[graft]` so the oracle-SQL builder can embed the identical
+    * plane constants as literals. */
+  private[graft] def planes(
       n: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(n)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))

@@ -175,4 +175,140 @@ object LlmOps {
   /** Multimodal payload → batch decode → per-source features. */
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featurePipeline(s, docs(s, dir))
+
+  // ---- float/hash-exact DuckDB oracles for the cosine & fingerprint ----
+  // families. The gate hash-compares doubles at full precision, so these
+  // SQL twins replicate the JVM kernels' exact operation order:
+  // `list_sum(list_transform(...))` is a sequential left-to-right double
+  // fold — bitwise equal to VectorOps' while-loops (validated element-wise
+  // on the fixtures; DuckDB's own list_cosine_similarity differs in ulps
+  // and is NOT used).
+
+  /** Sequential double dot-product fold over the min length, mirroring
+    * [[graft.functions.VectorOps.dot]]. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, least(len($a), len($b))+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def normSql(a: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))"
+
+  /** d / sqrt(na·nb) with 0.0 on zero norms — [[graft.functions.VectorOps.cosine]]. */
+  private def cosSql(a: String, b: String): String =
+    s"""(CASE WHEN ${normSql(a)} = 0 OR ${normSql(b)} = 0 THEN 0.0
+       | ELSE ${dotSql(a, b)} / sqrt(${normSql(a)} * ${normSql(b)}) END)""".stripMargin
+
+  /** FNV-1a 64 over the (ASCII) bytes of `t` as an unsigned HUGEINT in
+    * [0, 2^64) — [[graft.functions.TextHash.fnv1a64]] with mod-2^64
+    * wraparound made explicit. */
+  private def fnvHugeSql(t: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(range(1, length($t)+1), i -> CAST(unicode(substr($t, i, 1)) AS HUGEINT))),
+       |      (a, b) -> (xor(a, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
+
+  /** Reinterpret the unsigned fold result as the JVM's signed Long. */
+  private def hugeToSignedSql(h: String): String =
+    s"CAST(CASE WHEN $h >= CAST(9223372036854775808 AS HUGEINT) THEN $h - CAST(18446744073709551616 AS HUGEINT) ELSE $h END AS BIGINT)"
+
+  val fingerprintsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${fnvHugeSql("text")} AS hf, ${fnvHugeSql("ck")} AS hc
+       |  FROM base)
+       |SELECT doc_id, ${hugeToSignedSql("hf")} AS fp, ${hugeToSignedSql("hc")} AS canonical_fp
+       |FROM h""".stripMargin
+
+  val simTopKBruteSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e CROSS JOIN q
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+
+  /** Mirrors [[graft.operators.Similarity.ivfTopK]]: centroids = first 16
+    * vectors by id; cell = first-index argmax of cosine (row_number with
+    * cell ASC tie-break ≡ Spark's array_position-of-max); probe the 4
+    * nearest cells. */
+  val simTopKIvfSql: String =
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+       |rc AS (
+       |  SELECT e.vec_id, cent.cell, ${cosSql("e.embedding", "cent.cv")} AS cs
+       |  FROM embeddings e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |    FROM rc) WHERE rn = 1),
+       |probed AS (
+       |  SELECT cent.cell FROM cent CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cell ASC LIMIT 4)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
+       |WHERE assign.cell IN (SELECT cell FROM probed)
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+
+  /** Mirrors [[graft.operators.Dedup.embeddingNearDupPairs]] with the SAME
+    * hyperplanes embedded as double literals (generated by the identical
+    * [[graft.operators.Similarity.planes]] call, exact shortest-repr
+    * round-trip). */
+  val embedNearDupSql: String = {
+    val planesPerTable = 8
+    val tables = 4
+    val all = Similarity.planes(planesPerTable * tables, 64, 42L)
+    val values = all.zipWithIndex.map { case (pv, i) =>
+      val t = i / planesPerTable; val p = i % planesPerTable
+      s"($t, $p, [${pv.map(_.toDouble.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+       |    $values),
+       |dots AS (
+       |  SELECT e.vec_id, pl.tbl, pl.p,
+       |    list_sum(list_transform(range(1, least(len(e.embedding), len(pl.pv))+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])) AS d
+       |  FROM embeddings e CROSS JOIN planes pl),
+       |buck AS (
+       |  SELECT vec_id, tbl,
+       |    SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buck a JOIN buck b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b, ${cosSql("va.embedding", "vb.embedding")} AS cosine
+       |  FROM pairs p
+       |  JOIN embeddings va ON va.vec_id = p.id_a
+       |  JOIN embeddings vb ON vb.vec_id = p.id_b)
+       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= -1.0
+       |ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.TfIdf.hashedVectors]] + brute-force cosine:
+    * FNV bucket (unsigned mod 64 ≡ the kernel's signed-mod-then-fix for a
+    * power-of-two dim), dense 64-bucket counts in bucket order, L2
+    * normalization rounded to float32, then the cosine fold. */
+  val docVectorSearchSql: String =
+    s"""WITH tb AS (
+       |  SELECT doc_id, CAST(${fnvHugeSql("t")} % 64 AS INT) AS bucket
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |cnt AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
+       |dense AS (
+       |  SELECT d.doc_id, b.b AS bucket, COALESCE(cnt.c, 0.0) AS c
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+       |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bucket = b.b),
+       |raw AS (SELECT doc_id, list(c ORDER BY bucket) AS rv FROM dense GROUP BY doc_id),
+       |normed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s > 0 THEN list_transform(rv, x -> CAST(x / s AS FLOAT))
+       |         ELSE list_transform(rv, x -> CAST(x AS FLOAT)) END AS vec
+       |  FROM (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, y -> y*y))) AS s FROM raw)),
+       |q AS (SELECT vec AS qv FROM normed ORDER BY doc_id LIMIT 1)
+       |SELECT n.doc_id, ${cosSql("n.vec", "q.qv")} AS cosine
+       |FROM normed n CROSS JOIN q
+       |ORDER BY cosine DESC, n.doc_id ASC LIMIT 20""".stripMargin
 }
