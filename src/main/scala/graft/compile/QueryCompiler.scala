@@ -79,7 +79,7 @@ object QueryCompiler {
     }
 
     // ---- projection (C1/C6 + GraphQL-style per-request columns) ----
-    val visibleSpecs: Seq[ColumnSpec] = qs.columns match {
+    val requestedSpecs: Seq[ColumnSpec] = qs.columns match {
       case None => specs.filter(_.inView)
       case Some(wanted) =>
         wanted.foreach { w =>
@@ -88,7 +88,13 @@ object QueryCompiler {
         // requested order wins; hidden columns stay hidden even if requested
         wanted.flatMap(registry.get).filter(_.inView)
     }
-    if (visibleSpecs.isEmpty) errors += "select: no visible columns"
+    if (requestedSpecs.isEmpty) errors += "select: no visible columns"
+    // lenient mode elides the unresolvable projection request entirely and
+    // falls back to the declared visible columns (the silent-elision
+    // contract) instead of executing a zero-column select that renders
+    // every row as '{}'; strict mode throws via `errors` below
+    val visibleSpecs: Seq[ColumnSpec] =
+      if (requestedSpecs.nonEmpty) requestedSpecs else specs.filter(_.inView)
 
     if (strict && errors.nonEmpty)
       throw GraftAnalysisException(errors.toList)
@@ -97,9 +103,16 @@ object QueryCompiler {
     if (predicates.nonEmpty) out = out.filter(predicates.reduce(_ && _))
     if (sortKeys.nonEmpty) out = out.orderBy(sortKeys: _*)
     out = out.select(visibleSpecs.map(_.boundCol): _*)
-    // clamp Long request values: a page beyond Int.MaxValue rows is capped,
-    // never wrapped negative
+    paginate(out, qs)
+  }
+
+  /** Apply the request's offset/limit. Long request values are clamped: a
+    * page beyond Int.MaxValue rows is capped, never wrapped negative.
+    * Public so total-count views can paginate the SAME cached plan the
+    * total was counted from (see [[graft.core.TableSpec.pagedView]]). */
+  def paginate(df: DataFrame, qs: QuerySpec): DataFrame = {
     def toIntClamped(n: Long): Int = math.min(n, Int.MaxValue.toLong).toInt
+    var out = df
     qs.effectiveOffset.filter(_ > 0).foreach(n => out = out.offset(toIntClamped(n)))
     qs.effectiveLimit.map(n => math.max(n, 0L)).foreach(n => out = out.limit(toIntClamped(n)))
     out

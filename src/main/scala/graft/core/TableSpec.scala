@@ -1,7 +1,7 @@
 package graft.core
 
 import graft.compile.{QueryCompiler, QuerySpec}
-import graft.render.{JsonView, PropertyInfo}
+import graft.render.{JsonView, JsonWriter, PagedView, PropertyInfo}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StructType
 
@@ -54,6 +54,25 @@ final case class TableSpec(
     * callers paginate via the request; the heavy lifting stays distributed. */
   def jsonView(qs: QuerySpec = QuerySpec()): JsonView =
     JsonView.render(this, qs)
+
+  /** Paged view carrying the unpaged result total (reference:
+    * doc-02.md:135 — pageIndex/pageSize requests imply a total so clients
+    * can render pagers). Both sinks — the count and the page — run over ONE
+    * cached materialization of the request-minus-pagination plan
+    * ([[graft.plans.Channels.multiSink]]); the filtered/sorted input is
+    * never computed twice. */
+  def pagedView(qs: QuerySpec = QuerySpec()): PagedView = {
+    val unpaged = query(qs.copy(
+      drop = None, take = None, pageIndex = None, pageSize = None))
+    val schema = unpaged.schema
+    val results = graft.plans.Channels.multiSink[Any](unpaged)(Seq(
+      df => df.count(),
+      df => QueryCompiler.paginate(df, qs).collect()))
+    val total = results(0).asInstanceOf[Long]
+    val rows = results(1).asInstanceOf[Array[org.apache.spark.sql.Row]]
+    PagedView(total,
+      JsonView(properties, rows.toIndexedSeq.map(JsonWriter.writeRow(schema))))
+  }
 
   def withStrict(s: Boolean): TableSpec = copy(strict = s)
 }

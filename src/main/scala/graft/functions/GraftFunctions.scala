@@ -26,6 +26,20 @@ object GraftFunctions {
       es => MinHashSig(es(0),
         es(1).eval().asInstanceOf[Number].intValue,
         es(2).eval().asInstanceOf[Number].longValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_hashed_tf_vector",
+      es => HashedTfVector(es(0),
+        es(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      es => WordShingles(es(0),
+        es(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_expand_id_pairs",
+      es => ExpandIdPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_expand_sig_pairs",
+      es => ExpandSigPairs(es(0),
+        es(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_expand_sized_pairs",
+      es => ExpandSizedPairsFirstBand(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].doubleValue), "built-in")
   }
 
   def fingerprint64(c: Column): Column = call_function("graft_fingerprint64", c)
@@ -36,6 +50,14 @@ object GraftFunctions {
     call_function("graft_sorted_intersect_count", a, b)
   def minhashSig(shingles: Column, numHashes: Int, seed: Long): Column =
     call_function("graft_minhash_sig", shingles, lit(numHashes), lit(seed))
+  def hashedTfVector(tokens: Column, dim: Int): Column =
+    call_function("graft_hashed_tf_vector", tokens, lit(dim))
+  def expandIdPairs(ids: Column): Column =
+    call_function("graft_expand_id_pairs", ids)
+  def expandSigPairs(ms: Column, maxHamming: Int): Column =
+    call_function("graft_expand_sig_pairs", ms, lit(maxHamming))
+  def expandSizedPairsFirstBand(ms: Column, band: Column, threshold: Double): Column =
+    call_function("graft_expand_sized_pairs", ms, band, lit(threshold))
 
   // ---- text analysis over codegen'd built-ins (oracle-portable) ----
 
@@ -57,14 +79,10 @@ object GraftFunctions {
   def canonicalKey(text: Column): Column =
     array_join(array_sort(array_distinct(tokens(text))), " ")
 
-  /** Word k-shingles (k consecutive tokens joined) — the MinHash unit. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < k, array(array_join(ts, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(ts) - k),
-        i => array_join(slice(ts, i + 1, lit(k)), " ")))
-  }
+  /** Word k-shingles (k consecutive tokens joined) — the MinHash unit.
+    * Native codegen expression ([[WordShingles]]); requires [[register]]. */
+  def wordShingles(text: Column, k: Int): Column =
+    call_function("graft_word_shingles", text, lit(k))
 
   /** Character n-grams of the raw string. */
   def charNgrams(text: Column, n: Int): Column =

@@ -65,6 +65,56 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Word k-shingles of a single-space-tokenized string: k consecutive
+    * tokens joined by ' '; texts shorter than k tokens yield one shingle of
+    * all tokens. Exact kernel twin of the former higher-order-function
+    * formulation (transform+slice+array_join), which Catalyst interprets —
+    * per-shingle array copies made shingling the dominant cost of the
+    * MinHash pipeline. */
+  def wordShingles(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val n = toks.length - k + 1
+      val out = new Array[Any](n)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** Feature-hashed, L2-normalized tf vector ("hashing trick"): FNV-1a
+    * bucket per token, count accumulation in float, one double pass for the
+    * norm, float32 rounding on the normalized output. Single JVM pass —
+    * kernel for the [[graft.functions.HashedTfVector]] codegen expression. */
+  def hashedTfVector(tokens: ArrayData, dim: Int): ArrayData = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < tokens.numElements()) {
+      if (!tokens.isNullAt(i)) {
+        val b = ((fnv1a64(tokens.getUTF8String(i).getBytes) % dim).toInt + dim) % dim
+        v(b) += 1f
+      }
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j).toDouble; j += 1 }
+    val s = math.sqrt(norm)
+    if (s > 0) { j = 0; while (j < dim) { v(j) = (v(j) / s).toFloat; j += 1 } }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
   /** 64-bit SimHash over a token array: per-token FNV-1a votes each bit
     * up/down; the sign of each bit's tally forms the signature. Documents
     * with small Hamming distance between signatures are near-duplicates. */

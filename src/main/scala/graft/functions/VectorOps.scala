@@ -8,8 +8,19 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * which is what makes brute-force similarity scans viable at scale. */
 object VectorOps {
 
+  /** Mismatched dimensions fail fast: silently truncating to the shorter
+    * vector yields a plausible-but-wrong similarity, which is far worse at
+    * scale than a loud error on the first bad row. */
+  private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft vector ops require equal dimensions, got $n vs ${b.numElements()}")
+    n
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -40,7 +51,7 @@ object VectorOps {
 
   /** Cosine similarity; 0.0 when either vector is all-zero. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

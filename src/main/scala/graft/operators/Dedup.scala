@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** Deduplication operators for large-scale corpus pipelines (north-star ops,
   * SURVEY §2.3). All are pure `DataFrame => DataFrame` transformations:
@@ -11,6 +12,22 @@ import org.apache.spark.sql.functions._
   * LSH banding instead of O(n²) pair enumeration.
   */
 object Dedup {
+
+  /** Apply the degenerate-bucket cap. With an accumulator the filter runs
+    * through a tiny UDF — acceptable here because it sees one row per
+    * BUCKET (post-aggregation), not per document — making the number of
+    * dropped buckets observable; the recall loss from the cap is otherwise
+    * silent. Without an accumulator the filter stays pure codegen. */
+  private def capBuckets(
+      buckets: DataFrame, idsCol: String, maxBucketSize: Int,
+      dropped: Option[LongAccumulator]): DataFrame = dropped match {
+    case None => buckets.filter(size(col(idsCol)) <= maxBucketSize)
+    case Some(acc) =>
+      val keep = udf { n: Int =>
+        if (n > maxBucketSize) { acc.add(1L); false } else true
+      }
+      buckets.filter(keep(size(col(idsCol))))
+  }
 
   /** Exact dedup on a key expression: keeps the smallest id per group
     * (deterministic, unlike dropDuplicates' arbitrary row). One hash
@@ -45,7 +62,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      droppedBuckets: Option[LongAccumulator] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
@@ -78,17 +96,16 @@ object Dedup {
     // otherwise be computed and shuffled twice (Spark can't reuse the
     // exchange across differently-aliased sides). Degenerate buckets larger
     // than `maxBucketSize` (near-identical boilerplate flooding one bucket)
-    // are dropped — callers see the cap as an explicit parameter.
-    val buckets = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    // are dropped — callers see the cap as an explicit parameter and can
+    // pass `droppedBuckets` to observe how many buckets the cap removed.
+    val buckets = capBuckets(
+      banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2),
+      "ids", maxBucketSize, droppedBuckets)
     val candidates = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - (i + 1), lit(0))),
-          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
-        .as("p"))
+      .select(explode(GraftFunctions.expandIdPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
@@ -111,7 +128,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      droppedBuckets: Option[LongAccumulator] = None): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val sig = df.select(
       col(idCol).as("doc_id"),
@@ -128,34 +146,45 @@ object Dedup {
 
     // one aggregation per (chunk, key) bucket, pairs expanded in place —
     // same single-shuffle shape as minhashPairs, carrying (id, sig) structs
-    val buckets = chunked
-      .groupBy(col("chunk"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
+    val buckets = capBuckets(
+      chunked
+        .groupBy(col("chunk"), col("key"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+        .filter(size(col("ms")) >= 2),
+      "ms", maxBucketSize, droppedBuckets)
+    // hamming is filtered INSIDE the expansion kernel, so far pairs never
+    // reach the dedup shuffle
     buckets
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(
-          slice(col("ms"), i + 2, greatest(size(col("ms")) - (i + 1), lit(0))),
-          y => struct(
-            least(x("doc_id"), y("doc_id")).as("id_a"),
-            greatest(x("doc_id"), y("doc_id")).as("id_b"),
-            bit_count(x("sig").bitwiseXOR(y("sig"))).as("hamming"))))))
-        .as("p"))
+      .select(explode(GraftFunctions.expandSigPairs(col("ms"), maxHamming)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram (token-set) Jaccard pairs with attribute blocking — the
-    * quadratic-verify variant, bounded by the blocking key (here: language).
-    * Above small corpora prefer [[minhashPairs]]; this one is oracle-exact. */
+  /** Exact n-gram (token-set) Jaccard pairs with attribute blocking: every
+    * pair in the output carries its exact token-set jaccard ≥ `threshold`.
+    *
+    * Candidate generation is MinHash-banded (same O(n·bands) shape as
+    * [[minhashPairs]], keyed by (block, band, bucket)) rather than a
+    * quadratic block cross: a true pair at jaccard j is missed only if all
+    * `bands` bands disagree — probability (1−j^r)^b ≈ 1.4e-14 at j=0.95
+    * with the default b=16, r=3 — so the exact tier keeps its oracle
+    * contract while scaling like the approximate one. Within a bucket the
+    * size-compatibility law (j ≥ t ⇒ min|A|,|B| ≥ t·max|A|,|B|) prunes
+    * pairs before they reach the verify join; no bucket is ever dropped
+    * (exactness first — a degenerate all-duplicates bucket has genuinely
+    * quadratic OUTPUT, which no candidate scheme can avoid). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      numHashes: Int = 48,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     GraftFunctions.register(df.sparkSession)
+    val rowsPerBand = numHashes / bands
     // sorted distinct token sets → the intersection is an O(n+m) merge
     // (custom SortedIntersectCount expression) instead of a per-pair hash set
     val toks = df.select(
@@ -164,24 +193,32 @@ object Dedup {
       array_sort(array_distinct(GraftFunctions.tokens(col(textCol)))).as("toks"))
       .withColumn("sz", size(col("toks")))
 
-    // Size-key candidate join: jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
-    // so pairing each set (as the larger side) with the candidate smaller
-    // sizes [⌈t·sz⌉, sz] turns the quadratic block-cross into an equi-join
-    // on (block, size). Epsilon keeps boundary sizes; the exact jaccard
-    // filter below decides. ids-only through the exchange.
-    val smaller = toks.select(col("block"), col("sz").as("key"),
-      col("doc_id").as("id_l"), col("sz").as("sz_l"))
-    val larger = toks.select(col("block"), col("doc_id").as("id_r"), col("sz").as("sz_r"),
-        explode(sequence(
-          ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int"),
-          col("sz"))).as("key"))
-    val candidates = smaller.join(larger,
-        smaller("block") === larger("block") && smaller("key") === larger("key") &&
-          (smaller("sz_l") < larger("sz_r") ||
-            (smaller("sz_l") === larger("sz_r") && smaller("id_l") < larger("id_r"))))
-      .select(
-        least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"))
+    // banding carries (doc_id, sz, bandHashes) structs through the exchange:
+    // the band-hash array (`bands` longs) lets the expansion kernel emit a
+    // pair only in the FIRST band where it collides, so a near-dup clique
+    // colliding in every band yields each pair once — no ×bands candidate
+    // duplication and no dropDuplicates shuffle at all
+    val signed = toks.withColumn("sig",
+      GraftFunctions.minhashSig(col("toks"), numHashes, seed))
+    val withBands = signed.withColumn("bh",
+      array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+    val banded = withBands.select(
+      col("block"),
+      struct(col("doc_id"), col("sz"), col("bh")).as("ds"),
+      posexplode(col("bh")).as(Seq("band", "bucket")))
+
+    // one aggregation + in-place codegen'd pair expansion (single shuffle);
+    // the size law (j ≥ t ⇒ min ≥ t·max) prunes inside the kernel, before
+    // the pair exists anywhere else
+    val buckets = banded
+      .groupBy(col("block"), col("band"), col("bucket"))
+      .agg(collect_list(col("ds")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val candidates = buckets
+      .select(explode(GraftFunctions.expandSizedPairsFirstBand(
+        col("ms"), col("band"), threshold)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
 
     val withToks = candidates
       .join(toks.select(col("doc_id").as("id_a"), col("toks").as("t_a")), "id_a")
@@ -216,11 +253,7 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) >= 2)
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - (i + 1), lit(0))),
-          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
-        .as("p"))
+      .select(explode(GraftFunctions.expandIdPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")

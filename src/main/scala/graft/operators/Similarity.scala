@@ -123,9 +123,12 @@ object Similarity {
       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids = ivfCentroids(df, idCol, vecCol, nCells)
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      // same fail-fast dimension contract as VectorOps.cosine
+      require(a.length == b.length,
+        s"graft vector ops require equal dimensions, got ${a.length} vs ${b.length}")
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (i < n) {
         d += a(i).toDouble * b(i).toDouble
         na += a(i).toDouble * a(i).toDouble

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,20 +12,30 @@ import org.apache.spark.sql.functions._
   *
   * Shapes: document frequencies are one token-keyed aggregation (bounded by
   * vocabulary size, not corpus size); scoring joins the DF table back on
-  * token — both shuffles are vocabulary-sized. Vectorization is
-  * partition-local (mapPartitions, fixed-width output).
+  * token — both shuffles are vocabulary-sized. The corpus size is folded
+  * into the plan as a broadcast 1-row aggregate, so the whole computation
+  * is a single Spark action (no separate count() pass over the corpus).
+  * Vectorization is a fused codegen expression — no object deserialization.
   */
 object TfIdf {
 
-  /** Document frequency per token + smoothed idf = ln((N+1)/(df+1)) + 1. */
+  /** Document frequency per token + smoothed idf = ln((N+1)/(df+1)) + 1.
+    *
+    * N is computed in-plan: a 1-row count aggregate broadcast-joined into
+    * the idf projection. At 100 TB a separate `docs.count()` action would
+    * be a second full corpus scan charged to every caller; here the count
+    * and the token explode share one job (and, under AQE, the broadcast is
+    * a single scalar row). */
   def idfTable(docs: DataFrame, textCol: String): DataFrame = {
-    val n = docs.count() // corpus size: one scalar, computed once
+    val n1 = docs.agg(count(lit(1)).cast("double").as("corpus_n"))
     docs
       .select(explode(array_distinct(GraftFunctions.tokens(col(textCol)))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n1))
       .withColumn("idf",
-        log((lit(n.toDouble) + 1d) / (col("df").cast("double") + 1d)) + 1d)
+        log((col("corpus_n") + 1d) / (col("df").cast("double") + 1d)) + 1d)
+      .drop("corpus_n")
   }
 
   /** Top-k terms per document by tf·idf (ties broken alphabetically). */
@@ -45,37 +55,18 @@ object TfIdf {
       .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
   }
 
-  final case class DocVector(doc_id: Long, vector: Array[Float])
-  /** public: Catalyst's generated deserializer must construct it */
-  final case class DocTokens(doc_id: Long, tokens: Seq[String])
-
   /** Feature-hashed tf vector (the "hashing trick"): token → FNV bucket in
-    * [0, dim), accumulate counts, L2-normalize. Partition-local, no
-    * vocabulary broadcast — the property that matters when the vocabulary
-    * itself no longer fits anywhere at corpus scale. Output plugs into
+    * [0, dim), accumulate counts, L2-normalize. No vocabulary broadcast —
+    * the property that matters when the vocabulary itself no longer fits
+    * anywhere at corpus scale. The whole vector is one fused codegen
+    * expression ([[graft.functions.HashedTfVector]]), so the projection
+    * stays inside whole-stage codegen (the earlier typed-mapPartitions
+    * version forced a DeserializeToObject boundary). Output plugs into
     * [[Similarity.bruteForceTopK]] / [[Dedup.embeddingNearDupPairs]]. */
   def hashedVectors(spark: SparkSession, docs: DataFrame,
-      idCol: String, textCol: String, dim: Int = 64): Dataset[DocVector] = {
-    import spark.implicits._
-    docs
-      .select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("tokens"))
-      .as[DocTokens]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val v = new Array[Float](dim)
-          r.tokens.foreach { t =>
-            val b = ((graft.functions.TextHash.fnv1a64(
-              t.getBytes("UTF-8")) % dim).toInt + dim) % dim
-            v(b) += 1f
-          }
-          var norm = 0.0
-          var i = 0
-          while (i < dim) { norm += v(i).toDouble * v(i).toDouble; i += 1 }
-          val s = math.sqrt(norm)
-          if (s > 0) { i = 0; while (i < dim) { v(i) = (v(i) / s).toFloat; i += 1 } }
-          DocVector(r.doc_id, v)
-        }
-      }
+      idCol: String, textCol: String, dim: Int = 64): DataFrame = {
+    GraftFunctions.register(spark)
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.hashedTfVector(split(col(textCol), " "), dim).as("vector"))
   }
 }

@@ -21,12 +21,21 @@ object Channels {
 
   /** Run every sink against one cached materialization of `df`; the cache is
     * dropped afterwards. At cluster scale, prefer MEMORY_AND_DISK (default
-    * here) so a large intermediate spills instead of recomputing per sink. */
+    * here) so a large intermediate spills instead of recomputing per sink.
+    *
+    * Contract: sinks must RUN an action and return its materialized result
+    * (count, collect, write). The input is force-materialized before the
+    * first sink, so every sink is guaranteed a warm cache regardless of
+    * order — but a sink that returns a *lazy* DataFrame gets no protection:
+    * the cache is dropped when this method returns, and consuming that
+    * DataFrame later recomputes the full input. */
   def multiSink[T](df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
       sinks: Seq[DataFrame => T]): Seq[T] = {
     val cached = df.persist(level)
-    try sinks.map(sink => sink(cached))
-    finally cached.unpersist(blocking = false)
+    try {
+      cached.count() // materialize once, up front
+      sinks.map(sink => sink(cached))
+    } finally cached.unpersist(blocking = false)
   }
 }

@@ -166,7 +166,7 @@ object LlmOps {
     * to doc 0 by cosine over feature-hashed tf vectors. */
   def docVectorSearch(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val vecs = graft.operators.TfIdf.hashedVectors(s, docs(s, dir), "doc_id", "text").toDF()
+    val vecs = graft.operators.TfIdf.hashedVectors(s, docs(s, dir), "doc_id", "text")
     val query = vecs.orderBy(col("doc_id").asc).limit(1)
       .select(col("vector")).head().getSeq[Float](0)
     Similarity.bruteForceTopK(vecs, "doc_id", "vector", query, k = 20)

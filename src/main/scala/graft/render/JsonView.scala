@@ -37,6 +37,13 @@ final case class JsonView(properties: Seq[PropertyInfo], data: Seq[String]) {
   def toJson: String = s"""{"properties":$propertiesJson,"data":$dataJson}"""
 }
 
+/** A [[JsonView]] page plus the unpaged result total — the pager contract
+  * implied by pageIndex/pageSize requests (reference: doc-02.md:135). */
+final case class PagedView(total: Long, view: JsonView) {
+  def toJson: String =
+    s"""{"total":$total,"properties":${view.propertiesJson},"data":${view.dataJson}}"""
+}
+
 object JsonView {
   def render(table: TableSpec, qs: QuerySpec): JsonView = {
     val df = table.query(qs)

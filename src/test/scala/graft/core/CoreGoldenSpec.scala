@@ -54,6 +54,46 @@ class CoreGoldenSpec extends SparkTestBase {
     assert(ids2 == Seq(1L, 4L, 3L, 2L)) // 小莎莎 > shihu > kerr > jilen 酱
   }
 
+  test("pagedView: total = unpaged count over ONE cached materialization (doc-02.md:135)") {
+    val evals = spark.sparkContext.longAccumulator("graft-test-source-evals")
+    val tick = org.apache.spark.sql.functions.udf { (s: String) => evals.add(1L); s }
+    val src = friend.withColumn("name", tick(col("name")))
+    val t = TableSpec(src, Seq(
+      "id".ofCol(col("id")).order,
+      "name".ofCol(col("name"))))
+    val qs = QuerySpec(
+      orders = Seq(ColumnOrder("id", desc = false)),
+      pageIndex = Some(1), pageSize = Some(2))
+    // baseline: ONE plain materialization of the shared (unpaged) plan —
+    // the global sort's range-partitioner sampling makes the absolute eval
+    // count plan-dependent, so we compare against it rather than row count
+    evals.reset()
+    t.query(qs.copy(pageIndex = None, pageSize = None)).collect()
+    val oneMaterialization = evals.value
+
+    evals.reset()
+    val pv = t.pagedView(qs)
+    assert(pv.total == 4)
+    assert(pv.view.data == Seq(
+      """{"id":3,"name":"品神"}""",
+      """{"id":4,"name":"廖师虎"}"""))
+    assert(evals.value == oneMaterialization,
+      s"source evaluated ${evals.value} times for total+page — expected one " +
+        s"materialization ($oneMaterialization); the count or the page recomputed the input")
+    assert(pv.toJson.startsWith("""{"total":4,"properties":[{"property":"id""""))
+  }
+
+  test("lenient: an all-unknown projection request falls back to the declared view") {
+    // silent-elision contract: the unresolvable request is elided entirely —
+    // never a zero-column select rendering rows as '{}'
+    val view = decl1.jsonView(QuerySpec(columns = Some(Seq("nope", "zilch"))))
+    assert(view.data == decl1.jsonView().data)
+    val ex = intercept[GraftAnalysisException] {
+      decl1.withStrict(true).query(QuerySpec(columns = Some(Seq("nope"))))
+    }
+    assert(ex.getMessage.contains("no visible columns"))
+  }
+
   test("golden 3: hidden columns prune projection, hidden sort keys still apply (doc-02.md:137-169)") {
     val t = TableSpec(friend, Seq(
       "id".ofCol(col("id")).order.describe("自增主键").hidden,

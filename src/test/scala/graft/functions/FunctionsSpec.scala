@@ -98,6 +98,7 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("wordShingles: k consecutive tokens, short text degrades to whole text") {
+    GraftFunctions.register(spark)
     import spark.implicits._
     val r = Seq("a b c d", "a b").toDF("text")
       .select(GraftFunctions.wordShingles(col("text"), 3).as("sh"))

@@ -52,6 +52,28 @@ class DedupSpec extends SparkTestBase {
     assert(found.size.toDouble / exact.size >= 0.95)
   }
 
+  test("ngramJaccardPairs: banded candidates lose nothing — set-equal to brute force at t=0.95") {
+    GraftFunctions.register(spark)
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val tk = docs.select(col("doc_id"), col("lang"),
+      array_distinct(GraftFunctions.tokens(col("text"))).as("tk"))
+    val l = tk.select(col("lang").as("lang_a"), col("doc_id").as("id_a"), col("tk").as("tk_a"))
+    val r = tk.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("tk").as("tk_b"))
+    val inter = size(array_intersect(col("tk_a"), col("tk_b"))).cast("double")
+    val union = (size(col("tk_a")) + size(col("tk_b"))).cast("double") - inter
+    val exact = l.join(r, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
+      .withColumn("j", inter / union)
+      .filter(col("j") >= 0.95)
+      .select("id_a", "id_b", "j")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+
+    assert(got.keySet == exact.keySet,
+      s"banded exact tier diverged: missed ${exact.keySet.diff(got.keySet)}, extra ${got.keySet.diff(exact.keySet)}")
+    got.foreach { case (p, j) => assert(math.abs(exact(p) - j) < 1e-12) }
+  }
+
   test("simhashPairs: verified hamming bound, identical docs found") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -64,6 +86,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
       .contains((9001L, 9002L, 0)))
     assert(got.forall(_.getInt(2) <= 3))
+  }
+
+  test("bucket cap: recall loss is observable via the droppedBuckets accumulator") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 8 identical docs flood every band bucket past a cap of 4
+    val flood = (1L to 8L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("graft-dropped-buckets")
+    val got = Dedup.minhashPairs(flood, "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8,
+      maxBucketSize = 4, droppedBuckets = Some(acc))
+    assert(got.count() == 0) // every pair lost to the cap...
+    assert(acc.value > 0)    // ...and the loss is visible, not silent
   }
 
   test("embeddingNearDupPairs: reported cosines are exact and above threshold") {

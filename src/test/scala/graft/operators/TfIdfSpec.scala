@@ -26,6 +26,21 @@ class TfIdfSpec extends SparkTestBase {
     assert(top.filter(_._1 == 3L).minBy(_._2)._3 == "cherry")
   }
 
+  test("topTerms builds lazily: the corpus count is in-plan, not a driver action") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val group = s"tfidf-lazy-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "tfidf laziness probe")
+    try {
+      // building the DataFrame must launch ZERO jobs (the old idfTable ran
+      // docs.count() here — a second full corpus pass at scale)
+      val df = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty,
+        "plan construction launched a Spark job — corpus count is not in-plan")
+      assert(df.collect().nonEmpty)
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
   test("hashedVectors: unit norm, deterministic, identical text → identical vector; composes with ANN") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -34,13 +49,18 @@ class TfIdfSpec extends SparkTestBase {
       (2L, "spark fast engine"),
       (3L, "totally different words here")).toDF("doc_id", "text")
     val vecs = TfIdf.hashedVectors(spark, docs, "doc_id", "text", dim = 32)
-    val byId = vecs.collect().map(v => v.doc_id -> v.vector).toMap
-    assert(byId(1L).toSeq == byId(2L).toSeq)
+    // fused expression keeps the projection in whole-stage codegen: no
+    // object-boundary operators in the physical plan
+    val plan = vecs.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"hashedVectors left whole-stage codegen:\n$plan")
+    val byId = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L) == byId(2L))
     val norm = math.sqrt(byId(1L).map(x => x.toDouble * x.toDouble).sum)
     assert(math.abs(norm - 1.0) < 1e-6)
     // ANN composition: doc 2 (identical) is doc 1's nearest non-self neighbor
-    val top = Similarity.bruteForceTopK(vecs.toDF(), "doc_id", "vector",
-      byId(1L).toSeq, k = 3).collect()
+    val top = Similarity.bruteForceTopK(vecs, "doc_id", "vector",
+      byId(1L), k = 3).collect()
     assert(top.take(2).map(_.getLong(0)).toSet == Set(1L, 2L))
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
