@@ -40,7 +40,11 @@ final case class ColumnSpec(
     rawJson: Boolean = false,
     /** inputs consumed by a poly/derived column — kept so orderability can be
       * recomputed from the underlying declarations (doc-03.md:40, :56-59) */
-    polyInputs: Seq[ColumnSpec] = Nil) {
+    polyInputs: Seq[ColumnSpec] = Nil,
+    /** presentation format for the formatted sink (reference doc-01.md:111-115:
+      * Excel decimal formats / column widths driven by the declaration) */
+    formatDecimals: Option[Int] = None,
+    formatWidth: Option[Int] = None) {
 
   // ---- builder DSL (mirrors the reference's atomic-append chain) ----
   def order: ColumnSpec                     = copy(sortable = true)
@@ -56,6 +60,8 @@ final case class ColumnSpec(
   def named(n: String): ColumnSpec          = copy(name = n)
   def withTypeName(t: String): ColumnSpec   = copy(typeNameOverride = Some(t))
   def asRawJson: ColumnSpec                 = copy(rawJson = true)
+  def decimals(n: Int): ColumnSpec          = copy(formatDecimals = Some(n))
+  def width(n: Int): ColumnSpec             = copy(formatWidth = Some(n))
 
   /** Column with the default-value fallback applied (DefaultValue atomic:
     * value used when the cell is absent — Sample09.scala:36-40). */
@@ -95,6 +101,8 @@ final case class ColumnSpec(
     if (filterOps.nonEmpty)
       mb.putStringArray("filterOps", filterOps.map(_.opName).toArray.sorted)
     if (rawJson) mb.putBoolean("rawJson", true)
+    formatDecimals.foreach(d => mb.putLong("formatDecimals", d.toLong))
+    formatWidth.foreach(w => mb.putLong("formatWidth", w.toLong))
     mb.build()
   }
 

@@ -39,18 +39,59 @@ object Sources {
     df.write.mode("overwrite").json(path)
 
   /** JDBC scan with predicate pushdown + partitioned parallel read — the
-    * Spark-native replacement for the reference's Slick/H2 source. Untested
-    * in this container (no JDBC driver jars ship with it); the call shape is
-    * the stock `DataFrameReader.jdbc`. */
+    * Spark-native replacement for the reference's Slick/H2 source.
+    * Round-trip tested against the embedded Derby engine that ships on the
+    * Spark classpath (SourcesSpec). */
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
-  /** DB write-back (reference CRUD surface, doc-01.md:156): append/overwrite
-    * via the stock JDBC writer. Untested here for the same reason as
-    * [[readJdbc]]. */
+  /** DB write-back INSERT (reference CRUD surface, doc-01.md:156):
+    * append/overwrite via the stock JDBC writer. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       mode: String = "append",
       props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode(mode).jdbc(url, table, props)
+
+  /** Row-level UPDATE-or-INSERT by key (the reference's `SlickCRUDImplicits`
+    * update surface, sample/commonSlick/.../Sample05.scala:15, re-expressed
+    * for a bulk engine): existing rows whose key collides with `updates` are
+    * replaced, others kept.
+    *
+    * Scale shape: the merge is a distributed anti-join ∪ union written to a
+    * STAGING table, then an atomic driver-side DROP+RENAME — never a
+    * driver-side collect, and never an overwrite of the table the merge is
+    * still reading from (which would truncate the input mid-plan). */
+  def upsertJdbc(spark: SparkSession, updates: DataFrame, url: String,
+      table: String, keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    import org.apache.spark.sql.functions.col
+    val existing = readJdbc(spark, url, table, props)
+    val merged = existing
+      .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col).toIndexedSeq: _*))
+    val staging = table + "_graft_upsert_stage"
+    merged.write.mode("overwrite").jdbc(url, staging, props)
+    withStatement(url, props) { st =>
+      st.executeUpdate(s"DROP TABLE $table")
+      st.executeUpdate(s"RENAME TABLE $staging TO $table")
+    }
+  }
+
+  /** Row-level DELETE by SQL predicate (reference CRUD delete). A targeted
+    * DML control statement belongs on the database, not in a scan-rewrite
+    * job — this is the one place driver-side JDBC is the scalable answer.
+    * Returns the deleted-row count. */
+  def deleteJdbc(url: String, table: String, whereSql: String,
+      props: java.util.Properties = new java.util.Properties()): Int =
+    withStatement(url, props)(_.executeUpdate(s"DELETE FROM $table WHERE $whereSql"))
+
+  private def withStatement[T](url: String, props: java.util.Properties)(
+      f: java.sql.Statement => T): T = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try f(st) finally st.close()
+    } finally conn.close()
+  }
 }

@@ -94,6 +94,28 @@ class CoreGoldenSpec extends SparkTestBase {
     assert(ex.getMessage.contains("no visible columns"))
   }
 
+  test("formatted sink: declaration-driven decimals/width + sidecar (Excel analog, doc-01.md:111-115)") {
+    import graft.render.FormattedSink
+    val t = TableSpec(friend, Seq(
+      "id".ofCol(col("id")).width(4),
+      "name".ofCol(col("name")).describe("昵称"),
+      "ageOpt".ofCol(col("age")).decimals(2).width(10)))
+    val got = FormattedSink.formattedFrame(t).collect().map(_.toSeq)
+    assert(got(0) == Seq("   1", "魔理沙", "  2,333.00"))
+    assert(got(1) == Seq("   2", "jilen", "     30.00"))
+    assert(got(3) == Seq("   4", "廖师虎", null)) // null stays null, not "null"
+    assert(FormattedSink.formatMetadataJson(t) ==
+      """[{"property":"id","typeName":"Long","describe":null,"decimals":-1,"width":4},""" +
+      """{"property":"name","typeName":"java.lang.String","describe":"昵称","decimals":-1,"width":-1},""" +
+      """{"property":"ageOpt","typeName":"Int","describe":null,"decimals":2,"width":10}]""")
+    // full write: distributed CSV + one sidecar
+    val dir = s"target/formatted_sink_${System.nanoTime()}"
+    FormattedSink.writeFormattedCsv(t, QuerySpec(), dir)
+    assert(new java.io.File(s"$dir/_format.json").exists())
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 4)
+  }
+
   test("golden 3: hidden columns prune projection, hidden sort keys still apply (doc-02.md:137-169)") {
     val t = TableSpec(friend, Seq(
       "id".ofCol(col("id")).order.describe("自增主键").hidden,

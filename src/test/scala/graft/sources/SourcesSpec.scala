@@ -37,4 +37,33 @@ class SourcesSpec extends SparkTestBase {
     assert(pruned.count() ==
       orders.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("JDBC round-trip + CRUD on embedded Derby (the reference's DB write-back surface)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val people = Seq((1L, "a", 10.5), (2L, "b", 20.5)).toDF("id", "name", "score")
+
+    // create + read back
+    Sources.writeJdbc(people, url, "people", mode = "overwrite")
+    def readBack(): Seq[(Long, String, Double)] =
+      Sources.readJdbc(spark, url, "people").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(readBack() == Seq((1L, "a", 10.5), (2L, "b", 20.5)))
+
+    // INSERT (append)
+    Sources.writeJdbc(Seq((3L, "c", 30.5)).toDF("id", "name", "score"), url, "people")
+    assert(readBack().size == 3)
+
+    // UPDATE-or-INSERT by key: id 2 replaced, id 4 added, others untouched
+    Sources.upsertJdbc(spark,
+      Seq((2L, "B", 21.0), (4L, "d", 40.5)).toDF("id", "name", "score"),
+      url, "people", Seq("id"))
+    assert(readBack() == Seq(
+      (1L, "a", 10.5), (2L, "B", 21.0), (3L, "c", 30.5), (4L, "d", 40.5)))
+
+    // DELETE by predicate, with count (identifiers quoted: Spark's JDBC
+    // writer creates case-sensitive quoted columns)
+    assert(Sources.deleteJdbc(url, "people", "\"id\" = 1") == 1)
+    assert(readBack().map(_._1) == Seq(2L, 3L, 4L))
+  }
 }
