@@ -115,6 +115,7 @@ object SparkEntry {
     "d_sim_topk_ivf" -> q.LlmOps.simTopKIvfSql,
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
+    "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     // minhash/simhash (xxhash64-banded) / approx_distinct (HLL sketch) /
     // multimodal (stub codecs) remain rows-only + scalatest semantics
     "s_stream_window" ->

@@ -52,7 +52,8 @@ object TfIdf {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+      .select(col("doc_id"), col("rank"), col("token"),
+        col("tf"), col("df"), col("tfidf"))
   }
 
   /** Feature-hashed tf vector (the "hashing trick"): token → FNV bucket in

@@ -157,10 +157,34 @@ object LlmOps {
       queryVector(s, dir), k = 20, nCells = 16, nprobe = 4)
   }
 
-  /** Top-5 TF-IDF terms per document (ln() differs across engines by ulps →
-    * rows-only; exact math pinned in TfIdfSpec). */
+  /** Top-5 TF-IDF terms per document. The gate query drops the raw tfidf
+    * double: JVM Math.log and DuckDB ln disagree by 1 ulp on rare idf
+    * arguments (measured: 1 of 5550 across sf0.001–0.1 corpus sizes), so
+    * the scale-robust oracle pins the exact RANKING plus the integer
+    * tf/df counts; the double-precision score itself is pinned by
+    * TfIdfSpec's exact-math test. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 5)
+      .drop("tfidf")
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, COUNT(*) AS df
+      |          FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |    CAST(tf.tf AS DOUBLE)
+      |      * (ln((n.corpus_n + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0) AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, token,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      |FROM (
+      |  SELECT doc_id, token, tf, df,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
 
   /** Text → hashed feature vectors → ANN composition: 20 nearest documents
     * to doc 0 by cosine over feature-hashed tf vectors. */

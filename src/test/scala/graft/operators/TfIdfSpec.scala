@@ -13,7 +13,7 @@ class TfIdfSpec extends SparkTestBase {
       (2L, "banana cherry common"),
       (3L, "cherry cherry cherry common")).toDF("doc_id", "text")
     val top = TfIdf.topTerms(docs, "doc_id", "text", k = 2).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(5)))
 
     def idf(df: Int): Double = math.log(4.0 / (df + 1)) + 1
     // doc 1: apple tf=2 df=1 → 2*(ln(2)+1); banana tf=1 df=2; common tf=1 df=3
