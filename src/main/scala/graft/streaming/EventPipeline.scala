@@ -55,14 +55,30 @@ object EventPipeline {
 
   /** Synchronous batch-equivalent run of [[windowedCounts]] for the driver
     * gate: streams the sf dir's events file through the memory sink and
-    * returns the final table — hash-matches the batch eventsWindow oracle. */
+    * returns the final table — hash-matches the batch eventsWindow oracle.
+    *
+    * Leak-free under repeated invocation (benchmark loops): the result is
+    * detached from the memory sink via an eager localCheckpoint, the sink's
+    * temp view is dropped, and the streaming checkpoint directory is
+    * deleted — otherwise every run would pin its full result in driver
+    * memory and leave state-store providers behind. */
   def windowedCountsSync(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_win_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     val q = windowedCounts(
         readEventStream(spark, dir, globFilter = Some("events.parquet")))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Tumbling one-hour windows per event type with a one-hour watermark
