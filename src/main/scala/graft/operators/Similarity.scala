@@ -115,6 +115,28 @@ object Similarity {
       (array_position(simArr, array_max(simArr)) - 1).cast("int"))
   }
 
+  private def cosDriver(a: Seq[Float], b: Seq[Float]): Double = {
+    // same fail-fast dimension contract as VectorOps.cosine
+    require(a.length == b.length,
+      s"graft vector ops require equal dimensions, got ${a.length} vs ${b.length}")
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  /** The `nprobe` cell ids whose centroids are nearest the query. */
+  def nearestCells(
+      centroids: Seq[(Int, Seq[Float])], query: Seq[Float], nprobe: Int): Seq[Int] =
+    centroids.sortBy { case (_, c) => -cosDriver(query, c) }
+      .take(nprobe).map(_._1)
+
   /** IVF probe: search only the `nprobe` cells whose centroids are nearest
     * the query, exact cosine within them. */
   def ivfTopK(
@@ -122,24 +144,40 @@ object Similarity {
       query: Seq[Float], k: Int,
       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids = ivfCentroids(df, idCol, vecCol, nCells)
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      // same fail-fast dimension contract as VectorOps.cosine
-      require(a.length == b.length,
-        s"graft vector ops require equal dimensions, got ${a.length} vs ${b.length}")
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = a.length
-      while (i < n) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
-    }
-    val probed = centroids.sortBy { case (_, c) => -cos(query, c) }
-      .take(nprobe).map(_._1)
+    val probed = nearestCells(centroids, query, nprobe)
     withIvfCell(df, vecCol, centroids)
+      .filter(col("cell").isin(probed: _*))
+      .select(
+        col(idCol),
+        GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Materialize the corpus as an on-disk IVF index: rows written
+    * partitioned BY CELL, so probing reads only nprobe/nCells of the data —
+    * at 100 TB the scan cost of a query drops with the partition count
+    * instead of the corpus size. Returns the centroids (k rows, tiny) for
+    * the caller to persist alongside. */
+  def writeIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 16): Seq[(Int, Seq[Float])] = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCells)
+    withIvfCell(df, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
+  /** Probe an on-disk IVF index: the `cell` filter is a PARTITION filter —
+    * Spark prunes non-probed cell directories at planning time and never
+    * opens their files (plan-asserted in SimilaritySpec). */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Float])], idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val probed = nearestCells(centroids, query, nprobe)
+    spark.read.parquet(path)
       .filter(col("cell").isin(probed: _*))
       .select(
         col(idCol),

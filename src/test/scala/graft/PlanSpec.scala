@@ -58,4 +58,20 @@ class PlanSpec extends SparkTestBase {
     // two HashAggregate nodes: partial then final
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("exact-jaccard candidates are unique by construction: no pair-dedup shuffle") {
+    val p = plan("d_ngram_jaccard")
+    // first-colliding-band emission replaces dropDuplicates — the ONLY
+    // aggregation keys in the plan are the banding bucket agg
+    assert(p.contains("graft_expand_sized_pairs"), p)
+    assert("""Keys \[\d+\]: \[id_a""".r.findFirstIn(p).isEmpty,
+      "found a pair-dedup aggregate:\n" + p)
+    assert("""Keys \[3\]: \[block""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("tfidf top terms: corpus count folded into the plan as a broadcast") {
+    val p = plan("d_tfidf_topterms")
+    // the 1-row count aggregate joins in via broadcast — no separate action
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }

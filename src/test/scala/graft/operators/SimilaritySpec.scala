@@ -34,6 +34,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"ivf recall $recall") // nprobe 4/16 on random data
   }
 
+  test("IVF on-disk index: probe ≡ in-memory probe, scan prunes non-probed cell partitions") {
+    GraftFunctions.register(spark)
+    val path = s"target/ivf_index_${System.nanoTime()}"
+    val centroids = Similarity.writeIvfIndex(embs, "vec_id", "embedding", path, nCells = 16)
+    val fromIndex = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+    // identical results to the in-memory probe (same centroids, same cells)
+    val inMem = Similarity.ivfTopK(embs, "vec_id", "embedding", query, 20,
+      nCells = 16, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inMem)
+    // the cell filter must reach the scan as a PARTITION filter: non-probed
+    // cell directories are pruned at planning time, never opened
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter not pushed as partition filter:\n$plan")
+    val probed = Similarity.nearestCells(centroids, query, 4)
+    val cellSizes = spark.read.parquet(path).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probedScan = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*)).count()
+    assert(probedScan == probed.map(cellSizes.getOrElse(_, 0L)).sum)
+    assert(probedScan < embs.count()) // strictly less data than a full scan
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
