@@ -7,20 +7,21 @@ import org.apache.spark.sql.functions._
   * `binary` columns + typed metadata structs, with decode/feature-extract as
   * partition-local batch transforms.
   *
-  * The Spark-side plumbing here is real — schema, batching via
-  * `mapPartitions` (the JVM analog of Python's `mapInPandas` batches),
-  * partition-friendly shapes, no driver collects. The actual media codec is
-  * a clearly-marked deterministic STUB ([[stubDecode]]) because this
-  * container ships no image/audio libraries; swapping in a real decoder is a
-  * one-function change.
-  */
+  * The Spark-side plumbing is real — schema, batching via `mapPartitions`
+  * (the JVM analog of Python's `mapInPandas` batches), partition-friendly
+  * shapes, no driver collects. The codecs are REAL for the formats that
+  * need no third-party libraries — 24-bit BMP and PCM-16 WAV parse down to
+  * actual pixels and samples ([[MediaCodecs]]) — and a clearly-marked
+  * deterministic STUB ([[stubDecode]]) stands in only for compressed
+  * formats (JPEG/MP3/H.264) whose codecs this container cannot ship. */
 object Multimodal {
 
   /** Typed per-media metadata carried alongside the payload. */
   final case class MediaMeta(mime: String, width: Int, height: Int, nBytes: Long)
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class FeatureRow(doc_id: Long, feature: Array[Float], n_bytes: Long)
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+  final case class FeatureRow(
+      doc_id: Long, mime: String, feature: Array[Float], n_bytes: Long)
 
   /** Attach a binary payload + metadata struct to each document. Payload is
     * the UTF-8 encoding of the text (stand-in bytes); metadata fields are
@@ -35,10 +36,28 @@ object Multimodal {
         (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder — stands in for image/audio decode + feature extraction.
-    * Deterministic: 16-bin byte histogram, L1-normalized. Real plumbing,
-    * fake codec: replace this body with e.g. a JPEG decode + CNN featurizer;
-    * the operator shape (binary => fixed-width float vector) is unchanged. */
+  /** Attach REAL media payloads: even doc_ids carry a spec-conforming
+    * 24-bit BMP, odd ones a PCM-16 WAV, both deterministic in doc_id. The
+    * generation is executor-side (an ingest stand-in); everything
+    * downstream — parse, features, resize — is a genuine decode. */
+  def withMediaPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long) =>
+      if (id % 2 == 0)
+        MediaCodecs.synthBmp(16 + (id % 16).toInt, 16 + (id % 12).toInt, id)
+      else
+        MediaCodecs.synthWav(2000 + (id % 1000).toInt, 16000, id)
+    }
+    docs.select(
+      col("doc_id"),
+      gen(col("doc_id")).as("payload"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("image/bmp"))
+        .otherwise(lit("audio/wav")).as("mime"))
+  }
+
+  /** STUB decoder — stands in for compressed-format decode (JPEG/MP3),
+    * whose codec libraries this container cannot ship. Deterministic:
+    * 16-bin byte histogram, L1-normalized. Same shape as the real paths
+    * (binary => fixed-width float vector). */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
@@ -52,37 +71,62 @@ object Multimodal {
     bins
   }
 
+  /** Normalize either payload layout — top-level `mime` (withMediaPayload)
+    * or `meta.mime` (withPayload) — into typed [[MediaRow]]s. */
+  private def asMediaRows(spark: SparkSession, media: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    val src =
+      if (media.columns.contains("mime"))
+        media.select(col("doc_id"), col("payload"), col("mime"))
+      else media.select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+    src.as[MediaRow]
+  }
+
+  /** Per-payload decode dispatch: real pixel/sample features for BMP/WAV,
+    * stub histogram for opaque formats. */
+  def decodeOne(payload: Array[Byte], mime: String): Array[Float] = mime match {
+    case "image/bmp" => MediaCodecs.bmpFeatures(payload)
+    case "audio/wav" => MediaCodecs.wavFeatures(payload)
+    case _ => stubDecode(payload)
+  }
+
   /** Partition-local batch decode: binary payload → fixed-width feature
     * vector. `mapPartitions` keeps the (real-world: expensive, native-lib)
     * decoder initialization per-partition, not per-row — the same shape a
     * Pandas-UDF batch decode has in PySpark. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[FeatureRow] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRow]
+    asMediaRows(spark, media)
       .mapPartitions { rows =>
         // per-partition decoder init would go here
-        rows.map(r => FeatureRow(r.doc_id, stubDecode(r.payload), r.payload.length.toLong))
+        rows.map(r => FeatureRow(
+          r.doc_id, r.mime, decodeOne(r.payload, r.mime), r.payload.length.toLong))
       }
   }
 
   final case class ResizedRow(
       doc_id: Long, width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB resize — stands in for an image resampling kernel. Deterministic:
-    * keeps every stride-th byte, recomputes the metadata dims. The operator
-    * shape (payload × target dims → payload' + dims') and the
-    * partition-local batching are the real part. */
+  /** Image resize: REAL nearest-neighbor resample for BMP payloads
+    * (decode → sample pixels at scaled coordinates → re-encode a valid
+    * BMP); a byte-stride STUB for opaque payloads. Partition-local
+    * batching either way. */
   def resize(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int): Dataset[ResizedRow] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRow]
+    asMediaRows(spark, media)
       .mapPartitions { rows =>
         rows.map { r =>
-          val stride = math.max(1, r.payload.length / math.max(1, targetW * targetH))
-          val out = r.payload.indices.collect {
-            case i if i % stride == 0 => r.payload(i)
-          }.toArray
-          ResizedRow(r.doc_id, targetW, targetH, out)
+          if (r.mime == "image/bmp") {
+            ResizedRow(r.doc_id, targetW, targetH,
+              MediaCodecs.resizeBmp(r.payload, targetW, targetH))
+          } else {
+            val stride = math.max(1, r.payload.length / math.max(1, targetW * targetH))
+            val out = r.payload.indices.collect {
+              case i if i % stride == 0 => r.payload(i)
+            }.toArray
+            ResizedRow(r.doc_id, targetW, targetH, out)
+          }
         }
       }
   }
@@ -96,7 +140,7 @@ object Multimodal {
   def frameSample(spark: SparkSession, media: DataFrame,
       frameBytes: Int = 64, everyNth: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRow]
+    asMediaRows(spark, media)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           r.payload.grouped(frameBytes).zipWithIndex.collect {
@@ -106,16 +150,17 @@ object Multimodal {
       }
   }
 
-  /** End-to-end pipeline: payload → batch decode → per-source feature
-    * aggregation (joins features back to the docs dimension columns). */
+  /** End-to-end pipeline: real media payloads → batch decode (actual BMP
+    * pixels / WAV samples) → per-(source, modality) feature aggregation
+    * (joins features back to the docs dimension columns). */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val media = withPayload(docs)
+    val media = withMediaPayload(spark, docs)
     val feats = decodeFeatures(spark, media).toDF()
     feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .groupBy(col("source"))
+      .groupBy(col("source"), col("mime"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
-        avg(element_at(col("feature"), 1)).as("avg_bin0"))
+        avg(element_at(col("feature"), 1)).as("avg_feat0"))
   }
 }

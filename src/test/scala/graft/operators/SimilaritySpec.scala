@@ -82,11 +82,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(again.length == frames.collect().length)
   }
 
-  test("multimodal feature pipeline: per-source aggregates, stub decode deterministic") {
+  test("multimodal real decode: BMP payloads resize to valid re-parseable images distributed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.withMediaPayload(spark, docs)
+      .filter(col("mime") === "image/bmp")
+    val resized = Multimodal.resize(spark, media, targetW = 8, targetH = 8).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val img = MediaCodecs.decodeBmp(r.payload) // a REAL BMP came back
+      assert(img.width == 8 && img.height == 8)
+    }
+  }
+
+  test("multimodal feature pipeline: real per-modality decode, per-source aggregates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Multimodal.featurePipeline(spark, docs).collect()
-    assert(out.length == 20) // 20 sources
-    assert(out.forall(_.getLong(1) == 25)) // 25 docs each
+    // 20 sources × 2 modalities (even ids: BMP, odd: WAV)
+    assert(out.map(_.getString(0)).distinct.length == 20)
+    assert(out.map(_.getString(1)).distinct.sorted.toSeq == Seq("audio/wav", "image/bmp"))
+    assert(out.map(_.getLong(2)).sum == 500) // every doc decoded once
+    // audio rows aggregate a real RMS: a half-amplitude sine has RMS ≈ 0.3536
+    out.filter(_.getString(1) == "audio/wav")
+      .foreach(r => assert(math.abs(r.getDouble(4) - 0.3536) < 0.01, r))
     // decode is deterministic: run twice, same result
     val out2 = Multimodal.featurePipeline(spark, docs).collect()
     assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
