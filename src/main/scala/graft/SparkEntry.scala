@@ -63,6 +63,8 @@ object SparkEntry {
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
+    "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
+    "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     // structured streaming (run synchronously through the memory sink)
@@ -116,6 +118,8 @@ object SparkEntry {
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
+    "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,
+    "d_train_split" -> q.LlmOps.trainSplitSql,
     // minhash/simhash (xxhash64-banded) / approx_distinct (HLL sketch) /
     // multimodal (stub codecs) remain rows-only + scalatest semantics
     "s_stream_window" ->

@@ -200,6 +200,80 @@ object LlmOps {
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featurePipeline(s, docs(s, dir))
 
+  /** End-to-end curation pipeline — the composition a training-data corpus
+    * actually runs: quality gate → language agreement → exact-canonical
+    * dedup survivors only. Pure operator composition (each stage is its own
+    * oracle-proven operator); one declarative plan, no intermediate
+    * materialization. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = d.select(
+      col("doc_id"), col("lang"),
+      GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      GraftFunctions.qualityScore(col("text")).as("quality"),
+      (GraftFunctions.langId(col("text")) === col("lang")).as("lang_ok"))
+    val survivors = Dedup.exactCanonical(d, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    scored.join(survivors, "doc_id")
+      .filter(col("quality") >= 0.5 && col("lang_ok"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+  }
+
+  val curationPipelineSql: String = {
+    val allMarkers = GraftFunctions.langMarkers.flatMap(_._2)
+    val hits = GraftFunctions.langMarkers.map { case (lang, _) => lang -> s"h_$lang" }
+    val hitDefs = GraftFunctions.langMarkers
+      .map { case (lang, ms) => s"${hitsSql(ms)} AS h_$lang" }.mkString(",\n  ")
+    val best = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val cases = hits.map { case (lang, h) =>
+      s"WHEN $h > 0 AND $h = $best THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len($tsSql) AS BIGINT) AS n_tokens,
+       |    0.5 * (CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))
+       |      + 0.3 * least(1.0, CAST(len($tsSql) AS DOUBLE) / 64.0)
+       |      + 0.2 * (1.0 - CAST(${hitsSql(allMarkers)} AS DOUBLE) / CAST(len($tsSql) AS DOUBLE)) AS quality,
+       |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
+       |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents)),
+       |survivors AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+       |FROM scored s JOIN survivors USING (doc_id)
+       |WHERE s.quality >= 0.5 AND s.lang_ok""".stripMargin
+  }
+
+  /** Deterministic content-stable train/val/test split: bucket =
+    * FNV-1a(doc_id) mod 100 → 80/10/10. Hash-based (not sampled) so the
+    * assignment is reproducible under any partitioning, any engine, and
+    * any subset of the corpus — the property a training pipeline needs so
+    * that test documents never drift into train between runs. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bucket = pmod(GraftFunctions.fingerprint64(col("doc_id").cast("string")), lit(100L))
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val trainSplitSql: String = {
+    // pmod over the SIGNED fingerprint: Spark's pmod(x, 100) = ((x % 100) + 100) % 100
+    val signed = hugeToSignedSql("h")
+    s"""WITH h AS (
+       |  SELECT doc_id, ${fnvHugeSql("CAST(doc_id AS VARCHAR)")} AS h,
+       |    CAST(len($tsSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens, (($signed % 100) + 100) % 100 AS bucket FROM h)
+       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   // ---- float/hash-exact DuckDB oracles for the cosine & fingerprint ----
   // families. The gate hash-compares doubles at full precision, so these
   // SQL twins replicate the JVM kernels' exact operation order:
