@@ -18,7 +18,9 @@ object PairOps {
   /** All unordered id pairs of a long-array bucket as (id_a ≤ id_b). */
   def expandIdPairs(ids: ArrayData): ArrayData = {
     val m = ids.numElements()
-    val out = new java.util.ArrayList[InternalRow](m * (m - 1) / 2)
+    // capacity hint clamped: m*(m-1)/2 overflows Int past ~65k members
+    val cap = math.min(m.toLong * (m - 1) / 2, 1 << 20).toInt
+    val out = new java.util.ArrayList[InternalRow](math.max(cap, 0))
     var i = 0
     while (i < m) {
       val a = ids.getLong(i)

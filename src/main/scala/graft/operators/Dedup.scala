@@ -17,7 +17,13 @@ object Dedup {
     * through a tiny UDF — acceptable here because it sees one row per
     * BUCKET (post-aggregation), not per document — making the number of
     * dropped buckets observable; the recall loss from the cap is otherwise
-    * silent. Without an accumulator the filter stays pure codegen. */
+    * silent. Without an accumulator the filter stays pure codegen.
+    *
+    * Accumulator caveat (standard Spark semantics for transformations):
+    * the count is exact for a single action over the returned plan, but
+    * re-executions — a second action without caching, stage retries,
+    * speculative tasks — add again. Treat it as "were buckets dropped, and
+    * roughly how many", not an exactly-once metric. */
   private def capBuckets(
       buckets: DataFrame, idsCol: String, maxBucketSize: Int,
       dropped: Option[LongAccumulator]): DataFrame = dropped match {
@@ -183,8 +189,18 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
+    // The exact contract is only as good as the banding's recall: a true
+    // pair at jaccard exactly `threshold` survives with prob 1-(1-t^r)^b.
+    // Refuse parameterizations that would silently lose real pairs — the
+    // caller must widen the banding (more bands / fewer rows per band) for
+    // lower thresholds rather than get quietly lossy "exact" output.
+    val missProb = math.pow(1.0 - math.pow(threshold, rowsPerBand), bands)
+    require(missProb <= 1e-4,
+      f"banding ($bands bands × $rowsPerBand rows) misses a true pair at j=$threshold " +
+        f"with probability $missProb%.2e > 1e-4 — raise `bands` (e.g. bands=numHashes " +
+        "for 1-row bands) or use minhashPairs for approximate thresholds this low")
+    GraftFunctions.register(df.sparkSession)
     // sorted distinct token sets → the intersection is an O(n+m) merge
     // (custom SortedIntersectCount expression) instead of a per-pair hash set
     val toks = df.select(

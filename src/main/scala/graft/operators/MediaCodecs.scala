@@ -69,23 +69,33 @@ object MediaCodecs {
     }
   }
 
-  /** Real BMP parse: validates magic/bit-depth/compression, un-pads and
-    * re-orders the bottom-up BGR rows into top-down RGB. */
+  /** Real BMP parse: validates magic/bit-depth/compression AND that the
+    * header's claimed geometry fits the payload (a truncated or lying
+    * header raises IllegalArgumentException instead of crashing a task
+    * mid-row). Handles both row orders: positive height = bottom-up per
+    * the common case, negative = top-down per the spec. */
   def decodeBmp(payload: Array[Byte]): BmpImage = {
     require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
       "not a BMP payload")
     val dataOffset = readLe4(payload, 10)
     val width = readLe4(payload, 18)
-    val height = readLe4(payload, 22)
+    val rawHeight = readLe4(payload, 22)
     val bitCount = readLe2(payload, 28)
     val compression = readLe4(payload, 30)
     require(bitCount == 24 && compression == 0,
       s"only 24-bit uncompressed BMP supported, got bitCount=$bitCount compression=$compression")
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"invalid BMP dimensions ${width}x$rawHeight")
     val rowSize = (width * 3 + 3) / 4 * 4
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + rowSize.toLong * height <= payload.length,
+      s"BMP payload truncated: header claims ${rowSize.toLong * height} pixel bytes at offset $dataOffset, have ${payload.length}")
     val px = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
-      val srcRow = dataOffset + (height - 1 - y) * rowSize
+      val srcRow = dataOffset + (if (topDown) y else height - 1 - y) * rowSize
       var x = 0
       while (x < width) {
         val s = srcRow + x * 3
@@ -191,7 +201,10 @@ object MediaCodecs {
   final case class WavAudio(sampleRate: Int, samples: Array[Short])
 
   /** Real RIFF/WAVE parse: walks the chunk list, validates PCM/16-bit,
-    * decodes the little-endian sample stream. */
+    * decodes the little-endian sample stream. Chunk sizes are validated
+    * against the remaining payload — a corrupt size field raises
+    * IllegalArgumentException rather than spinning the walk forever or
+    * reading past the buffer (this runs distributed over untrusted bytes). */
   def decodeWav(payload: Array[Byte]): WavAudio = {
     require(payload.length >= 44 &&
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
@@ -203,8 +216,11 @@ object MediaCodecs {
     while (off + 8 <= payload.length) {
       val id = new String(payload.slice(off, off + 4), "US-ASCII")
       val size = readLe4(payload, off + 4)
+      require(size >= 0 && off + 8 + size.toLong <= payload.length,
+        s"corrupt RIFF chunk '$id' at offset $off: size $size exceeds payload ${payload.length}")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
           val fmt = readLe2(payload, off + 8)
           val bits = readLe2(payload, off + 22)
           require(fmt == 1 && bits == 16, s"only PCM-16 supported, got fmt=$fmt bits=$bits")

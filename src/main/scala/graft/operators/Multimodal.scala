@@ -71,14 +71,21 @@ object Multimodal {
     bins
   }
 
-  /** Normalize either payload layout — top-level `mime` (withMediaPayload)
-    * or `meta.mime` (withPayload) — into typed [[MediaRow]]s. */
+  /** Normalize any payload layout into typed [[MediaRow]]s: top-level
+    * `mime` (withMediaPayload), `meta.mime` (withPayload), or — for plain
+    * (doc_id, payload) frames from external callers or operator
+    * composition — a default of application/octet-stream, which routes to
+    * the stub decode path. */
   private def asMediaRows(spark: SparkSession, media: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     val src =
       if (media.columns.contains("mime"))
         media.select(col("doc_id"), col("payload"), col("mime"))
-      else media.select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      else if (media.columns.contains("meta"))
+        media.select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      else
+        media.select(col("doc_id"), col("payload"),
+          lit("application/octet-stream").as("mime"))
     src.as[MediaRow]
   }
 

@@ -3,8 +3,7 @@ package graft.render
 import graft.compile.QuerySpec
 import graft.core.TableSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, format_number, lpad}
-import org.apache.spark.sql.types.{DoubleType, FloatType, DecimalType}
+import org.apache.spark.sql.functions.{col, format_number, length, lpad, when}
 
 /** Declaration-driven formatted writer — the POI-free analog of the
   * reference's Excel sink, whose column widths and decimal formats come
@@ -22,34 +21,39 @@ object FormattedSink {
   /** The compiled query with declaration formats applied: numeric columns
     * with `.decimals(n)` render via format_number (fixed n decimals,
     * thousands grouping — the Excel display convention); `.width(n)`
-    * right-aligns into an n-character field. */
+    * right-aligns into an n-character field. A value WIDER than the
+    * declared width passes through untouched — like a spreadsheet column
+    * width, the format never truncates data. */
   def formattedFrame(table: TableSpec, qs: QuerySpec = QuerySpec()): DataFrame = {
     val df = table.query(qs)
     val byName = table.registry
     val cols = df.schema.fields.map { f =>
       val spec = byName.get(f.name)
-      val isNumeric = f.dataType match {
-        case DoubleType | FloatType | _: DecimalType => true
-        case _ => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-      }
+      val isNumeric = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
       var c = col(f.name)
       spec.flatMap(_.formatDecimals).filter(_ => isNumeric)
         .foreach(d => c = format_number(col(f.name), d))
-      spec.flatMap(_.formatWidth)
-        .foreach(w => c = lpad(c.cast("string"), w, " "))
+      spec.flatMap(_.formatWidth).foreach { w =>
+        val s = c.cast("string")
+        c = when(length(s) < w, lpad(s, w, " ")).otherwise(s)
+      }
       c.as(f.name)
     }
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** One sidecar line per visible column. */
-  def formatMetadataJson(table: TableSpec): String = {
+  /** One sidecar line per column OF THE REQUEST's projection (same columns,
+    * same order as the CSV the request produced). */
+  def formatMetadataJson(table: TableSpec, qs: QuerySpec = QuerySpec()): String = {
     import JsonWriter.{jsonString => js}
-    table.properties.zip(table.specs).filter(_._2.inView).map { case (p, s) =>
-      s"""{"property":${js(p.property)},"typeName":${js(p.typeName)},""" +
-        s""""describe":${p.describe.map(js).getOrElse("null")},""" +
-        s""""decimals":${s.formatDecimals.getOrElse(-1)},""" +
-        s""""width":${s.formatWidth.getOrElse(-1)}}"""
+    val propsByName = table.properties.map(p => p.property -> p).toMap
+    val emitted = table.query(qs).schema.fieldNames.toSeq
+    emitted.flatMap { name =>
+      for (p <- propsByName.get(name); s <- table.registry.get(name)) yield
+        s"""{"property":${js(p.property)},"typeName":${js(p.typeName)},""" +
+          s""""describe":${p.describe.map(js).getOrElse("null")},""" +
+          s""""decimals":${s.formatDecimals.getOrElse(-1)},""" +
+          s""""width":${s.formatWidth.getOrElse(-1)}}"""
     }.mkString("[", ",", "]")
   }
 
@@ -62,7 +66,7 @@ object FormattedSink {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_format.json"), true)
-    try out.write(formatMetadataJson(table).getBytes("UTF-8"))
+    try out.write(formatMetadataJson(table, qs).getBytes("UTF-8"))
     finally out.close()
   }
 }

@@ -59,9 +59,17 @@ object Sources {
     * replaced, others kept.
     *
     * Scale shape: the merge is a distributed anti-join ∪ union written to a
-    * STAGING table, then an atomic driver-side DROP+RENAME — never a
+    * STAGING table, then a driver-side DROP+RENAME swap — never a
     * driver-side collect, and never an overwrite of the table the merge is
-    * still reading from (which would truncate the input mid-plan). */
+    * still reading from (which would truncate the input mid-plan).
+    *
+    * Swap caveats: the two DDL statements run in ONE transaction, which is
+    * genuinely atomic on engines with transactional DDL (Derby, Postgres);
+    * on engines that auto-commit DDL (MySQL, Oracle) a crash between them
+    * can leave only the staging table — recover by renaming it back. The
+    * rebuilt table has the JDBC writer's schema: engine-side constraints,
+    * indexes and grants on the original are NOT carried over, and `RENAME
+    * TABLE a TO b` is Derby/MySQL syntax (Postgres: ALTER TABLE RENAME). */
   def upsertJdbc(spark: SparkSession, updates: DataFrame, url: String,
       table: String, keys: Seq[String],
       props: java.util.Properties = new java.util.Properties()): Unit = {
@@ -72,10 +80,18 @@ object Sources {
       .unionByName(updates.select(existing.columns.map(col).toIndexedSeq: _*))
     val staging = table + "_graft_upsert_stage"
     merged.write.mode("overwrite").jdbc(url, staging, props)
-    withStatement(url, props) { st =>
-      st.executeUpdate(s"DROP TABLE $table")
-      st.executeUpdate(s"RENAME TABLE $staging TO $table")
-    }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"DROP TABLE $table")
+        st.executeUpdate(s"RENAME TABLE $staging TO $table")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
   }
 
   /** Row-level DELETE by SQL predicate (reference CRUD delete). A targeted

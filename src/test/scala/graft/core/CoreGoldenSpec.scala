@@ -114,6 +114,15 @@ class CoreGoldenSpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/_format.json").exists())
     val back = spark.read.option("header", "true").csv(dir)
     assert(back.count() == 4)
+    // a value WIDER than .width(n) passes through untruncated (like a
+    // spreadsheet column width — display hint, never data loss)
+    val narrow = TableSpec(friend, Seq("ageOpt".ofCol(col("age")).decimals(2).width(4)))
+    val wide = FormattedSink.formattedFrame(narrow).collect().map(_.getString(0))
+    assert(wide.contains("2,333.00"))
+    // the sidecar describes the REQUEST's projection, not the declaration
+    val projected = FormattedSink.formatMetadataJson(t, QuerySpec(columns = Some(Seq("name"))))
+    assert(projected ==
+      """[{"property":"name","typeName":"java.lang.String","describe":"昵称","decimals":-1,"width":-1}]""")
   }
 
   test("golden 3: hidden columns prune projection, hidden sort keys still apply (doc-02.md:137-169)") {

@@ -88,6 +88,18 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(_.getInt(2) <= 3))
   }
 
+  test("ngramJaccardPairs refuses lossy banding for low thresholds") {
+    // t=0.5 with default 16×3 banding would miss ~12% of true pairs —
+    // the exact tier must fail loudly, not return quietly lossy output
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("bands"))
+    // widening the banding to 1-row bands makes t=0.5 admissible again
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      threshold = 0.5, numHashes = 48, bands = 48).columns.contains("jaccard"))
+  }
+
   test("bucket cap: recall loss is observable via the droppedBuckets accumulator") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -55,6 +55,37 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs((4 until 16).map(f).sum - 1f) < 1e-5)
   }
 
+  test("BMP: top-down (negative height) images decode; lying headers raise, not crash") {
+    // flip a synth image to top-down: negate height, reverse row order
+    val src = MediaCodecs.synthBmp(5, 4, 2L)
+    val rowSize = (5 * 3 + 3) / 4 * 4
+    val topDown = src.clone()
+    val h = -4
+    topDown(22) = (h & 0xff).toByte; topDown(23) = ((h >> 8) & 0xff).toByte
+    topDown(24) = ((h >> 16) & 0xff).toByte; topDown(25) = ((h >> 24) & 0xff).toByte
+    for (y <- 0 until 4)
+      System.arraycopy(src, 54 + (4 - 1 - y) * rowSize, topDown, 54 + y * rowSize, rowSize)
+    assert(MediaCodecs.decodeBmp(topDown).pixels.toSeq ==
+      MediaCodecs.decodeBmp(src).pixels.toSeq)
+    // truncated payload: IllegalArgumentException, not ArrayIndexOutOfBounds
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(src.slice(0, 60))
+    }
+  }
+
+  test("WAV: corrupt chunk sizes raise instead of hanging or overreading") {
+    val base = MediaCodecs.synthWav(100, 8000, 1L)
+    // negative chunk size (would otherwise loop forever at offset 12)
+    val negSize = base.clone()
+    negSize(16) = 0xf8.toByte; negSize(17) = 0xff.toByte
+    negSize(18) = 0xff.toByte; negSize(19) = 0xff.toByte
+    intercept[IllegalArgumentException] { MediaCodecs.decodeWav(negSize) }
+    // data chunk claiming more bytes than the payload holds
+    val tooBig = base.clone()
+    tooBig(40) = 0xff.toByte; tooBig(41) = 0xff.toByte
+    intercept[IllegalArgumentException] { MediaCodecs.decodeWav(tooBig) }
+  }
+
   test("WAV: chunk walker skips unknown chunks per RIFF spec") {
     val base = MediaCodecs.synthWav(100, 8000, 1L)
     // splice a LIST chunk between fmt and data
