@@ -70,6 +70,8 @@ object SparkEntry {
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),
+    "s_stream_sessionize" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.sessionizeSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +128,8 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // stream ≡ batch: the sentinel-flushed streaming sessionizer must equal
+    // the batch gap-sessionization SQL exactly
+    "s_stream_sessionize" -> q.Relational.streamSessionizeSql,
   )
 }

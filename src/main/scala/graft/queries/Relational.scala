@@ -485,6 +485,19 @@ object Relational {
       |       COUNT(*) AS n_events
       |FROM s GROUP BY user_id, sess""".stripMargin
 
+  /** [[sessionizeSql]] without the internal session ordinal — the streaming
+    * sessionizer identifies sessions by (user, start, end), not by index. */
+  val streamSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (SELECT *, CASE WHEN prev_us IS NULL
+      |                       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess""".stripMargin
+
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  SUM(l_quantity) AS sum_qty,

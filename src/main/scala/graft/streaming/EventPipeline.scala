@@ -81,6 +81,53 @@ object EventPipeline {
     f.delete(): Unit
   }
 
+  /** Synchronous batch-equivalent run of [[sessionize]] for the driver
+    * gate: stages the sf dir's events file as a file stream, then advances
+    * the event-time watermark past every open session with two sentinel
+    * batches (user_id −1, filtered from the output; the second is needed
+    * because the watermark for batch N derives from data seen through
+    * batch N−1). Every open session flushes on its event-time timeout, so
+    * the streamed result EQUALS the batch operator's sessions — not merely
+    * a closed-session subset. Leak-free like [[windowedCountsSync]]. */
+  def sessionizeSync(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Files.createTempDirectory("graft_stream_sess")
+    val inDir = tmp.resolve("in")
+    Files.createDirectories(inDir)
+    Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+    val maxTsNs = spark.read.schema(rawSchema)
+      .parquet(inDir.resolve("part-a.parquet").toString)
+      .agg(max(col("ts"))).head().getLong(0)
+
+    val name = s"graft_stream_sess_${System.nanoTime()}"
+    val q = sessionize(spark, readEventStream(spark, inDir.toString))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      var n = 0
+      Seq(2L * 3600 * 1000000000L, 2L * 3600 * 1000000000L + 1000000000L)
+        .foreach { offsetNs =>
+          n += 1
+          import spark.implicits._
+          val stage = tmp.resolve(s"sentinel_$n")
+          Seq((-n.toLong, maxTsNs + offsetNs, -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.copy(part.toPath, inDir.resolve(s"part-z$n.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    val out = spark.table(name).filter(col("user_id") >= 0).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(tmp.toFile)
+    out
+  }
+
   /** Tumbling one-hour windows per event type with a one-hour watermark
     * (late data beyond the watermark is dropped, state is bounded). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -81,6 +81,16 @@ class StreamingSpec extends SparkTestBase {
     new java.io.File(s"$inDir/part-a-dup.parquet").delete()
   }
 
+  test("sessionizeSync: sentinel-flushed stream EQUALS the batch sessionizer") {
+    val got = EventPipeline.sessionizeSync(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batch = graft.queries.Relational.sessionize(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
