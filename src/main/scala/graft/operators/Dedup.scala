@@ -43,9 +43,23 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact content dedup robust to token order/repetition: canonical key =
-    * sorted distinct token set. */
+    * sorted distinct token set. The full canonical STRING rides the
+    * exchange as the group key — exact, and the right oracle anchor, but at
+    * corpus scale the key is payload-sized; prefer [[exactCanonicalHashed]]
+    * there. */
   def exactCanonical(df: DataFrame, id: Column, text: Column): DataFrame =
     exactByKey(df, id, GraftFunctions.canonicalKey(text))
+
+  /** [[exactCanonical]] with an 8-byte FNV-1a fingerprint of the canonical
+    * key as the shuffle key — the 100 TB shape: the exchange carries
+    * (8 bytes + id) per row instead of the document-sized canonical string.
+    * Same survivor semantics up to a 2⁻⁶⁴ hash collision per pair. */
+  def exactCanonicalHashed(df: DataFrame, id: Column, text: Column): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.groupBy(GraftFunctions.fingerprint64(GraftFunctions.canonicalKey(text))
+        .as("dedup_fp"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** MinHash + LSH banding near-duplicate pairs.
     *

@@ -88,6 +88,17 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(_.getInt(2) <= 3))
   }
 
+  test("exactCanonicalHashed: fingerprint shuffle key, identical survivors/counts") {
+    GraftFunctions.register(spark)
+    val a = Dedup.exactCanonical(docs, col("doc_id"), col("text"))
+      .select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.exactCanonicalHashed(docs, col("doc_id"), col("text"))
+      .select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("ngramJaccardPairs refuses lossy banding for low thresholds") {
     // t=0.5 with default 16×3 banding would miss ~12% of true pairs —
     // the exact tier must fail loudly, not return quietly lossy output
