@@ -122,8 +122,10 @@ object SparkEntry {
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,
     "d_train_split" -> q.LlmOps.trainSplitSql,
-    // minhash/simhash (xxhash64-banded) / approx_distinct (HLL sketch) /
-    // multimodal (stub codecs) remain rows-only + scalatest semantics
+    "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
+    "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,
+    // approx_distinct (HLL sketch) and multimodal (stub-fallback codecs)
+    // remain rows-only + scalatest semantics
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -65,8 +65,12 @@ object Dedup {
     *
     * shingle → per-shingle 64-bit hash → `numHashes` universal-hash
     * permutations, min over shingles = signature → split into `bands`,
-    * hash each band to a bucket → self-join on (band, bucket) for candidate
-    * pairs → verify exact Jaccard ≥ `threshold` on distinct shingle sets.
+    * group on each band's RAW signature slice for candidate pairs →
+    * verify exact Jaccard ≥ `threshold` on distinct shingle sets.
+    * (Grouping on the slice itself rather than a hash of it removes the
+    * bucket-collision layer: candidates are exactly the pairs agreeing on
+    * some band, which also makes the whole query reproducible in the
+    * DuckDB oracle.)
     *
     * Scale shape: signatures are computed in one projection (codegen'd
     * higher-order functions over xxhash64); the only shuffles are the
@@ -98,7 +102,7 @@ object Dedup {
     val signed = base.withColumn("sig",
       GraftFunctions.minhashSig(col("shingles"), numHashes, seed))
 
-    // Banding carries ONLY (doc_id, band, bucket) — never the shingle
+    // Banding carries ONLY (doc_id, band, band-slice) — never the shingle
     // arrays: at scale, replicating document payloads ×bands through the
     // exchange dominates cost. Shingles (base) are joined back at verify time.
     val banded = signed.select(
@@ -107,8 +111,8 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => struct(
           b.as("band"),
-          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("bucket")))).as("bb"))
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
+        .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // Candidate generation as ONE aggregation (group bucket members, expand

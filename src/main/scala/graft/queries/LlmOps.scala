@@ -385,6 +385,81 @@ object LlmOps {
        |ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin
   }
 
+  // word-3-shingles of a single-space-tokenized text, as DuckDB SQL
+  // (mirrors GraftFunctions.wordShingles semantics incl. the <k degenerate case)
+  private val shingleSql: String =
+    """CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+      |     ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+      |            i -> concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1], ' ', string_split(text,' ')[i+2]))
+      |END""".stripMargin
+
+  /** Mirrors [[graft.operators.Dedup.simhashPairs]] end to end: FNV-1a bit
+    * voting per token, pigeonhole banding on the 16-bit chunks, bucket cap,
+    * hamming ≤ 3 — every step is integer arithmetic, so the replica is
+    * bit-exact. */
+  val dedupSimhashSql: String = {
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (h // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS c$b"
+    }.mkString(",\n    ")
+    val assemble = (0 until 64).map { b =>
+      s"(CASE WHEN c$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+    }.mkString(" + ")
+    val chunkSelects = (0 until 4).map { c =>
+      s"  SELECT doc_id, sig, $c AS chunk, CAST((hu // CAST(${BigInt(1) << (16 * c)} AS HUGEINT)) % 65536 AS INT) AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id, ${fnvHugeSql("t")} AS h FROM tok),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |asm AS (SELECT doc_id, $assemble AS hu FROM votes),
+       |sigs AS (SELECT doc_id, ${hugeToSignedSql("hu")} AS sig, hu FROM asm),
+       |chunked AS (
+       |$chunkSelects
+       |),
+       |sized AS (SELECT chunk, key FROM chunked GROUP BY chunk, key HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+       |    bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN sized z ON z.chunk = a.chunk AND z.key = a.key)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM cand WHERE hamming <= 3""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Dedup.minhashPairs]] end to end: the
+    * universal-hash coefficients come from the SAME
+    * [[graft.functions.TextHash.minhashCoeffs]] call and are embedded as
+    * literals; banding groups on the raw signature slices (as the operator
+    * does), so candidates — and therefore the exact-jaccard output — are
+    * engine-identical. */
+  val dedupMinhashSql: String = {
+    val (a, b) = graft.functions.TextHash.minhashCoeffs(48, 42L)
+    val mins = (0 until 48).map { i =>
+      s"MIN((${a(i)} * hm + ${b(i)}) % 2147483647) AS s$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 16).map { bd =>
+      s"  SELECT doc_id, $bd AS band, [s${bd * 3}, s${bd * 3 + 1}, s${bd * 3 + 2}] AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val jac = "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / " +
+      "(CAST(len(ta.sh) + len(tb.sh) AS DOUBLE) - CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE))"
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS s FROM documents),
+       |hm AS (
+       |  SELECT doc_id, CAST((${fnvHugeSql("s")} % CAST(9223372036854775808 AS HUGEINT)) % 2147483647 AS BIGINT) AS hm
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
+       |banded AS (
+       |$bandSelects
+       |),
+       |sized AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN sized z ON z.band = a.band AND z.bucket = a.bucket),
+       |toks AS (SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents)
+       |SELECT c.id_a, c.id_b, $jac AS jaccard
+       |FROM cand c JOIN toks ta ON ta.doc_id = c.id_a JOIN toks tb ON tb.doc_id = c.id_b
+       |WHERE $jac >= 0.8""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.TfIdf.hashedVectors]] + brute-force cosine:
     * FNV bucket (unsigned mod 64 ≡ the kernel's signed-mod-then-fix for a
     * power-of-two dim), dense 64-bucket counts in bucket order, L2
