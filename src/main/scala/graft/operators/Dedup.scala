@@ -56,9 +56,9 @@ object Dedup {
     * Same survivor semantics up to a 2⁻⁶⁴ hash collision per pair. */
   def exactCanonicalHashed(df: DataFrame, id: Column, text: Column): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.groupBy(GraftFunctions.fingerprint64(GraftFunctions.canonicalKey(text))
-        .as("dedup_fp"))
-      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+    exactByKey(df, id,
+      GraftFunctions.fingerprint64(GraftFunctions.canonicalKey(text)))
+      .withColumnRenamed("dedup_key", "dedup_fp")
   }
 
   /** MinHash + LSH banding near-duplicate pairs.
@@ -72,10 +72,10 @@ object Dedup {
     * some band, which also makes the whole query reproducible in the
     * DuckDB oracle.)
     *
-    * Scale shape: signatures are computed in one projection (codegen'd
-    * higher-order functions over xxhash64); the only shuffles are the
-    * band-bucket exchange (rows × bands) and the verify join; no pair is
-    * ever materialized unless it collides in some band.
+    * Scale shape: signatures are one fused native-expression projection
+    * (WordShingles + MinHashSig over FNV-1a); the only shuffles are the
+    * band-slice exchange (rows × bands, ids only) and the verify join; no
+    * pair is ever materialized unless it agrees on some band.
     */
   def minhashPairs(
       df: DataFrame,

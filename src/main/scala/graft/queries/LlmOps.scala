@@ -102,13 +102,17 @@ object LlmOps {
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       |    / (CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.95""".stripMargin
 
-  /** MinHash+LSH near-dup pairs (hash-specific → rows-only check; semantics
-    * verified against the exact Jaccard twin in DedupSpec). */
+  /** MinHash+LSH near-dup pairs. Oracle-checked: [[dedupMinhashSql]]
+    * replicates the full signature/banding pipeline in DuckDB — its
+    * hard-coded 48/16/0.8/seed-42/cap-1000 literals must track the
+    * parameters here. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
       shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
 
-  /** SimHash near-dup pairs (rows-only). */
+  /** SimHash near-dup pairs. Oracle-checked: [[dedupSimhashSql]] replicates
+    * the bit-voting/chunk-banding pipeline in DuckDB (maxHamming 3,
+    * cap 1000 mirrored there). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)

@@ -473,30 +473,32 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
-  val sessionizeSql: String =
+  /** Shared CTE prefix of the two sessionization oracles: ONE definition of
+    * the 30-minute gap rule and the (ts, event_id) tie-break, so the batch
+    * and streaming gate queries can never silently test different
+    * semantics. */
+  private val sessionizeCtes: String =
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |g AS (SELECT *, CASE WHEN prev_us IS NULL
       |                       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
       |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
       |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
-      |SELECT user_id, CAST(sess AS BIGINT) AS sess,
-      |       MIN(ts) AS session_start, MAX(ts) AS session_end,
-      |       COUNT(*) AS n_events
-      |FROM s GROUP BY user_id, sess""".stripMargin
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)""".stripMargin
+
+  val sessionizeSql: String =
+    s"""$sessionizeCtes
+       |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       COUNT(*) AS n_events
+       |FROM s GROUP BY user_id, sess""".stripMargin
 
   /** [[sessionizeSql]] without the internal session ordinal — the streaming
     * sessionizer identifies sessions by (user, start, end), not by index. */
   val streamSessionizeSql: String =
-    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      |g AS (SELECT *, CASE WHEN prev_us IS NULL
-      |                       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
-      |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
-      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
-      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-      |       COUNT(*) AS n_events
-      |FROM s GROUP BY user_id, sess""".stripMargin
+    s"""$sessionizeCtes
+       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       COUNT(*) AS n_events
+       |FROM s GROUP BY user_id, sess""".stripMargin
 
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,

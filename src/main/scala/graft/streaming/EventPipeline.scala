@@ -117,8 +117,13 @@ object EventPipeline {
             .coalesce(1).write.mode("overwrite").parquet(stage.toString)
           val part = stage.toFile.listFiles()
             .filter(_.getName.endsWith(".parquet")).head
-          Files.copy(part.toPath, inDir.resolve(s"part-z$n.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
+          // the file source polls inDir continuously: stage the copy OUTSIDE
+          // and move it in atomically, so a listing can never observe a
+          // half-written parquet (footerless file ⇒ query death)
+          val tmpTarget = tmp.resolve(s"part-z$n.parquet.staged")
+          Files.copy(part.toPath, tmpTarget, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmpTarget, inDir.resolve(s"part-z$n.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
           q.processAllAvailable()
         }
     } finally q.stop()
