@@ -46,6 +46,16 @@ object Sources {
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Partitioned parallel JDBC scan: `numPartitions` concurrent range
+    * queries over `[lower, upper]` of a numeric column — the shape that
+    * matters when the relational source is large enough that one
+    * connection would serialize the read. Predicates still push down into
+    * each range query (asserted in SourcesSpec). */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lower: Long, upper: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions, props)
+
   /** DB write-back INSERT (reference CRUD surface, doc-01.md:156):
     * append/overwrite via the stock JDBC writer. */
   def writeJdbc(df: DataFrame, url: String, table: String,

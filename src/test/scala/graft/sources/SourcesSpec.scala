@@ -65,5 +65,17 @@ class SourcesSpec extends SparkTestBase {
     // writer creates case-sensitive quoted columns)
     assert(Sources.deleteJdbc(url, "people", "\"id\" = 1") == 1)
     assert(readBack().map(_._1) == Seq(2L, 3L, 4L))
+
+    // partitioned parallel read: N range-query partitions, same data,
+    // and filters still push down into the database-side scan
+    val part = Sources.readJdbcPartitioned(spark, url, "people", "id",
+      lower = 0L, upper = 10L, numPartitions = 3)
+    assert(part.rdd.getNumPartitions == 3)
+    assert(part.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    val filtered = part.filter(col("score") > 25.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("score"),
+      s"JDBC predicate not pushed:\n$plan")
+    assert(filtered.count() == 2)
   }
 }
