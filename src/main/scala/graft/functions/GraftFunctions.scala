@@ -14,6 +14,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fingerprint64",
       es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint64_alt",
+      es => Fingerprint64Alt(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
@@ -32,17 +34,25 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_word_shingles",
       es => WordShingles(es(0),
         es(1).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction("graft_expand_id_pairs",
-      es => ExpandIdPairs(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_expand_sig_pairs",
-      es => ExpandSigPairs(es(0),
-        es(1).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction("graft_expand_sized_pairs",
-      es => ExpandSizedPairsFirstBand(es(0), es(1),
-        es(2).eval().asInstanceOf[Number].doubleValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_ivf_cell",
+      es => IvfCellAssign(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_keyed_member_pairs",
+      es => KeyedMemberPairs(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sig_member_pairs",
+      es => SigMemberPairs(es(0), es(1), es(2),
+        es(3).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_sized_member_pairs",
+      es => SizedMemberPairs(es(0), es(1), es(2),
+        es(3).eval().asInstanceOf[Number].doubleValue), "built-in")
   }
 
   def fingerprint64(c: Column): Column = call_function("graft_fingerprint64", c)
+  def fingerprint64Alt(c: Column): Column = call_function("graft_fingerprint64_alt", c)
+  /** 128-bit fingerprint as a (f1, f2) struct of two independent FNV-1a
+    * streams — the hashed-dedup shuffle key at corpus scale. */
+  def fingerprint128(c: Column): Column =
+    struct(call_function("graft_fingerprint64", c).as("f1"),
+      call_function("graft_fingerprint64_alt", c).as("f2"))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -52,12 +62,16 @@ object GraftFunctions {
     call_function("graft_minhash_sig", shingles, lit(numHashes), lit(seed))
   def hashedTfVector(tokens: Column, dim: Int): Column =
     call_function("graft_hashed_tf_vector", tokens, lit(dim))
-  def expandIdPairs(ids: Column): Column =
-    call_function("graft_expand_id_pairs", ids)
-  def expandSigPairs(ms: Column, maxHamming: Int): Column =
-    call_function("graft_expand_sig_pairs", ms, lit(maxHamming))
-  def expandSizedPairsFirstBand(ms: Column, band: Column, threshold: Double): Column =
-    call_function("graft_expand_sized_pairs", ms, band, lit(threshold))
+  /** Argmax-cosine IVF cell of a float-vector column against a constant
+    * centroid matrix — one plan node regardless of cell count. */
+  def ivfCell(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    call_function("graft_ivf_cell", vec, typedLit(centroids))
+  def keyedMemberPairs(ms: Column, member: Column, band: Column): Column =
+    call_function("graft_keyed_member_pairs", ms, member, band)
+  def sigMemberPairs(ms: Column, member: Column, chunk: Column, maxHamming: Int): Column =
+    call_function("graft_sig_member_pairs", ms, member, chunk, lit(maxHamming))
+  def sizedMemberPairs(ms: Column, member: Column, band: Column, threshold: Double): Column =
+    call_function("graft_sized_member_pairs", ms, member, band, lit(threshold))
 
   // ---- text analysis over codegen'd built-ins (oracle-portable) ----
 

@@ -8,8 +8,20 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 object TextHash {
 
   /** FNV-1a 64-bit over raw bytes. */
-  def fnv1a64(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
+  def fnv1a64(bytes: Array[Byte]): Long = fnv1a64From(bytes, 0xcbf29ce484222325L)
+
+  /** Domain-separated second FNV-1a stream: initial state = one FNV step
+    * absorbing byte 0x01 (≡ hashing the input with a 0x01 prefix). Paired
+    * with [[fnv1a64]] it forms a 128-bit fingerprint: at trillion-doc
+    * scale a single 64-bit key expects ~n²/2⁶⁵ birthday collisions
+    * (thousands of silently merged groups); the pair pushes the aggregate
+    * expectation back below 10⁻¹⁸. */
+  val Fnv1a64AltBasis: Long = (0xcbf29ce484222325L ^ 0x01L) * 0x100000001b3L
+
+  def fnv1a64Alt(bytes: Array[Byte]): Long = fnv1a64From(bytes, Fnv1a64AltBasis)
+
+  private def fnv1a64From(bytes: Array[Byte], basis: Long): Long = {
+    var h = basis
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)

@@ -49,6 +49,39 @@ object VectorOps {
     c
   }
 
+  /** Index of the centroid with the highest cosine similarity to `vec`
+    * (first max wins on ties — same contract as array_position-of-max).
+    * Each per-centroid cosine uses the IDENTICAL operation sequence as
+    * [[cosine]], so the fused kernel is bitwise-equal to evaluating
+    * nCells separate cosine expressions — but the plan holds ONE
+    * expression whose size is constant in nCells, instead of an
+    * nCells-wide expression array that blows up codegen at the 4k–64k
+    * cells a 100 TB corpus needs. */
+  def argmaxCosineCell(vec: ArrayData, centroids: Array[Array[Float]]): Int = {
+    val n = vec.numElements()
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      if (ct.length != n)
+        throw new IllegalArgumentException(
+          s"graft vector ops require equal dimensions, got $n vs ${ct.length}")
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble
+        val y = ct(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+      if (cos > best) { best = cos; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
   /** Cosine similarity; 0.0 when either vector is all-zero. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = checkDims(a, b)

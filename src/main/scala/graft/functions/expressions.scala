@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,6 +30,26 @@ case class Fingerprint64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fnv1a64(($c).getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+/** Second, domain-separated 64-bit FNV-1a stream — see
+  * [[TextHash.Fnv1a64AltBasis]]; paired with [[Fingerprint64]] for 128-bit
+  * fingerprinting where aggregate birthday collisions matter. */
+case class Fingerprint64Alt(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint64_alt"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.fnv1a64Alt(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fnv1a64Alt(($c).getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64Alt =
     copy(child = newChild)
 }
 
@@ -90,6 +110,46 @@ case class DotProduct(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** IVF cell assignment: argmax-cosine centroid index of a float-vector
+  * column against a constant centroid matrix (array<array<float>> literal,
+  * shipped once with the task binary like any plan constant). ONE plan
+  * node regardless of nCells — the per-cell cosine arithmetic is bitwise
+  * identical to [[CosineSim]]; see VectorOps.argmaxCosineCell. */
+case class IvfCellAssign(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _))
+          if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, foldable array<array<float>>), " +
+          s"got (${l.simpleString}, ${r.simpleString}, foldable=${right.foldable})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_cell"
+
+  /** The constant matrix, converted ONCE per expression instance (not per
+    * row) — also registered as a codegen reference object. */
+  @transient private lazy val matrix: Array[Array[Float]] = {
+    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+  }
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    VectorOps.argmaxCosineCell(
+      vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfCentroids", matrix, "float[][]")
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.VectorOps.argmaxCosineCell($v, $m)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfCellAssign =
     copy(left = l, right = r)
 }
 
@@ -175,96 +235,115 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** All unordered id pairs of a bucket's long-array members, as
-  * struct(id_a ≤ id_b) — codegen'd bucket expansion for the LSH dedup
-  * family; see PairOps. */
-case class ExpandIdPairs(child: Expression)
-    extends UnaryExpression {
+/** Member-wise first-collision pair expansion for the banded dedup family
+  * (MinHash band hashes / hyperplane LSH table buckets): members are
+  * (id, keys) structs, `member` selects whose pairs this row emits, `band`
+  * is the current band/table index. See PairOps.keyedMemberPairs. */
+case class KeyedMemberPairs(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(ArrayType(LongType)))
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StructType(Array(a, k)), _), IntegerType, IntegerType)
+          if a.dataType == LongType && k.dataType.isInstanceOf[ArrayType] =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<struct<long,array<long>>>, int, int), " +
+          s"got (${f.simpleString}, ${s.simpleString}, ${t.simpleString})")
+    }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id_a", LongType, nullable = false),
       StructField("id_b", LongType, nullable = false))),
     containsNull = false)
-  override def prettyName: String = "graft_expand_id_pairs"
+  override def prettyName: String = "graft_keyed_member_pairs"
 
-  override protected def nullSafeEval(input: Any): Any =
-    PairOps.expandIdPairs(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def nullSafeEval(ms: Any, member: Any, band: Any): Any =
+    PairOps.keyedMemberPairs(
+      ms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      member.asInstanceOf[Int], band.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PairOps.expandIdPairs($c)")
+    defineCodeGen(ctx, ev, (ms, member, band) =>
+      s"graft.functions.PairOps.keyedMemberPairs($ms, $member, $band)")
 
-  override protected def withNewChildInternal(newChild: Expression): ExpandIdPairs =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): KeyedMemberPairs =
+    copy(first = f, second = s, third = t)
 }
 
-/** Unordered (id_a, id_b, hamming) pairs of a (doc_id, sig) bucket with
-  * hamming ≤ maxHamming; see PairOps.expandSigPairs. */
-case class ExpandSigPairs(child: Expression, maxHamming: Int)
-    extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(Array(a, b)), _)
-        if a.dataType == LongType && b.dataType == LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<struct<long,long>>, got ${other.simpleString}")
-  }
+/** Member-wise first-colliding-chunk (id_a, id_b, hamming) expansion for
+  * SimHash pigeonhole banding: members are (id, sig) structs; chunk keys
+  * are derived from the signatures in place. See PairOps.sigMemberPairs. */
+case class SigMemberPairs(
+    first: Expression, second: Expression, third: Expression, maxHamming: Int)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StructType(Array(a, b)), _), IntegerType, IntegerType)
+          if a.dataType == LongType && b.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<struct<long,long>>, int, int), " +
+          s"got (${f.simpleString}, ${s.simpleString}, ${t.simpleString})")
+    }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id_a", LongType, nullable = false),
       StructField("id_b", LongType, nullable = false),
       StructField("hamming", IntegerType, nullable = false))),
     containsNull = false)
-  override def prettyName: String = "graft_expand_sig_pairs"
+  override def prettyName: String = "graft_sig_member_pairs"
 
-  override protected def nullSafeEval(input: Any): Any =
-    PairOps.expandSigPairs(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], maxHamming)
+  override protected def nullSafeEval(ms: Any, member: Any, chunk: Any): Any =
+    PairOps.sigMemberPairs(
+      ms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      member.asInstanceOf[Int], chunk.asInstanceOf[Int], maxHamming)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.PairOps.expandSigPairs($c, $maxHamming)")
+    defineCodeGen(ctx, ev, (ms, member, chunk) =>
+      s"graft.functions.PairOps.sigMemberPairs($ms, $member, $chunk, $maxHamming)")
 
-  override protected def withNewChildInternal(newChild: Expression): ExpandSigPairs =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SigMemberPairs =
+    copy(first = f, second = s, third = t)
 }
 
-/** First-colliding-band pair expansion for the exact-jaccard tier: members
-  * are (doc_id, sz, bandHashes) structs, `band` is the current band index;
-  * pairs are size-filtered and emitted exactly once across all bands.
-  * See PairOps.expandSizedPairsFirstBand. */
-case class ExpandSizedPairsFirstBand(
-    left: Expression, right: Expression, threshold: Double)
-    extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StructType(Array(a, b, c)), _), IntegerType)
-        if a.dataType == LongType && b.dataType == IntegerType &&
-          c.dataType.isInstanceOf[ArrayType] =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (array<struct<long,int,array<long>>>, int), " +
-        s"got (${l.simpleString}, ${r.simpleString})")
-  }
+/** Member-wise first-colliding-band pair expansion for the exact-jaccard
+  * tier: members are (id, sz, bandHashes) structs; pairs are pruned by the
+  * jaccard size law before emission. See PairOps.sizedMemberPairs. */
+case class SizedMemberPairs(
+    first: Expression, second: Expression, third: Expression, threshold: Double)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StructType(Array(a, b, c)), _), IntegerType, IntegerType)
+          if a.dataType == LongType && b.dataType == IntegerType &&
+            c.dataType.isInstanceOf[ArrayType] =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<struct<long,int,array<long>>>, int, int), " +
+          s"got (${f.simpleString}, ${s.simpleString}, ${t.simpleString})")
+    }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id_a", LongType, nullable = false),
       StructField("id_b", LongType, nullable = false))),
     containsNull = false)
-  override def prettyName: String = "graft_expand_sized_pairs"
+  override def prettyName: String = "graft_sized_member_pairs"
 
-  override protected def nullSafeEval(ms: Any, band: Any): Any =
-    PairOps.expandSizedPairsFirstBand(
+  override protected def nullSafeEval(ms: Any, member: Any, band: Any): Any =
+    PairOps.sizedMemberPairs(
       ms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      band.asInstanceOf[Int], threshold)
+      member.asInstanceOf[Int], band.asInstanceOf[Int], threshold)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (ms, band) =>
-      s"graft.functions.PairOps.expandSizedPairsFirstBand($ms, $band, $threshold)")
+    defineCodeGen(ctx, ev, (ms, member, band) =>
+      s"graft.functions.PairOps.sizedMemberPairs($ms, $member, $band, $threshold)")
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExpandSizedPairsFirstBand =
-    copy(left = l, right = r)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SizedMemberPairs =
+    copy(first = f, second = s, third = t)
 }
 
 /** Minimal input-type validation shared by the custom expressions (stand-in

@@ -50,14 +50,16 @@ object Dedup {
   def exactCanonical(df: DataFrame, id: Column, text: Column): DataFrame =
     exactByKey(df, id, GraftFunctions.canonicalKey(text))
 
-  /** [[exactCanonical]] with an 8-byte FNV-1a fingerprint of the canonical
-    * key as the shuffle key — the 100 TB shape: the exchange carries
-    * (8 bytes + id) per row instead of the document-sized canonical string.
-    * Same survivor semantics up to a 2⁻⁶⁴ hash collision per pair. */
+  /** [[exactCanonical]] with a 128-bit fingerprint of the canonical key as
+    * the shuffle key — the 100 TB shape: the exchange carries (16 bytes +
+    * id) per row instead of the document-sized canonical string. The key is
+    * TWO independent FNV-1a streams: one 64-bit hash expects ~n²/2⁶⁵
+    * aggregate birthday collisions (thousands of silently merged groups at
+    * trillion-doc scale); 128 bits keeps the expectation below 10⁻¹⁸. */
   def exactCanonicalHashed(df: DataFrame, id: Column, text: Column): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     exactByKey(df, id,
-      GraftFunctions.fingerprint64(GraftFunctions.canonicalKey(text)))
+      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(text)))
       .withColumnRenamed("dedup_key", "dedup_fp")
   }
 
@@ -102,18 +104,29 @@ object Dedup {
     val signed = base.withColumn("sig",
       GraftFunctions.minhashSig(col("shingles"), numHashes, seed))
 
-    // Banding carries ONLY (doc_id, band, band-slice) — never the shingle
+    // Band-hash array for first-colliding-band emission: bh[b] is a 64-bit
+    // hash of band b's signature slice, letting the expansion kernel check
+    // "did these two docs already collide in an earlier band?" without
+    // carrying every raw slice. A false equality (different slices, equal
+    // hash — P ≈ bands·2⁻⁶⁴ per pair) can only suppress a pair, never
+    // invent one; the bucket KEY stays the raw slice, so the candidate set
+    // is exactly the oracle's.
+    val withBh = signed.withColumn("bh",
+      array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+
+    // Banding carries (doc_id, bh) + the band slice — never the shingle
     // arrays: at scale, replicating document payloads ×bands through the
     // exchange dominates cost. Shingles (base) are joined back at verify time.
-    val banded = signed.select(
-      col("doc_id"),
+    val banded = withBh.select(
+      struct(col("doc_id"), col("bh")).as("m"),
       explode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => struct(
           b.as("band"),
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("m"))
 
     // Candidate generation as ONE aggregation (group bucket members, expand
     // pairs in place) instead of a self-join: the banded subtree would
@@ -122,16 +135,24 @@ object Dedup {
     // than `maxBucketSize` (near-identical boilerplate flooding one bucket)
     // are dropped — callers see the cap as an explicit parameter and can
     // pass `droppedBuckets` to observe how many buckets the cap removed.
+    // Expansion is member-wise (one row per bucket member, kernel emits only
+    // that member's pairs) so no single row holds a bucket's O(m²) pair set,
+    // and first-colliding-band (kernel emits a pair only in the first band
+    // where the two docs agree) so the union over bands is duplicate-free —
+    // no ×bands candidate duplication, no pair-keyed dedup shuffle. Both
+    // Generates and the kernel fuse into one whole-stage-codegen span.
     val buckets = capBuckets(
       banded
         .groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) >= 2),
-      "ids", maxBucketSize, droppedBuckets)
+        .agg(collect_list(col("m")).as("ms"))
+        .filter(size(col("ms")) >= 2),
+      "ms", maxBucketSize, droppedBuckets)
     val candidates = buckets
-      .select(explode(GraftFunctions.expandIdPairs(col("ids"))).as("p"))
+      .select(col("band"), col("ms"),
+        explode(sequence(lit(0), size(col("ms")) - 2)).as("i"))
+      .select(explode(
+        GraftFunctions.keyedMemberPairs(col("ms"), col("i"), col("band"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
 
     val withSh = candidates
       .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
@@ -163,25 +184,29 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
     }
-    val chunked = sig.select(col("doc_id"), col("sig"),
+    val chunked = sig.select(
+        struct(col("doc_id"), col("sig")).as("m"),
         explode(array(chunkCols: _*)).as("ck"))
-      .select(col("doc_id"), col("sig"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"), col("m"))
 
-    // one aggregation per (chunk, key) bucket, pairs expanded in place —
-    // same single-shuffle shape as minhashPairs, carrying (id, sig) structs
+    // one aggregation per (chunk, key) bucket, pairs expanded member-wise in
+    // place — same single-shuffle shape as minhashPairs. Hamming is filtered
+    // INSIDE the kernel (far pairs never exist anywhere), and emission is
+    // first-colliding-chunk — the chunk keys are recomputed from the two
+    // signatures in the kernel (exact, zero extra payload), so the union
+    // over chunks is duplicate-free with no dedup shuffle.
     val buckets = capBuckets(
       chunked
         .groupBy(col("chunk"), col("key"))
-        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+        .agg(collect_list(col("m")).as("ms"))
         .filter(size(col("ms")) >= 2),
       "ms", maxBucketSize, droppedBuckets)
-    // hamming is filtered INSIDE the expansion kernel, so far pairs never
-    // reach the dedup shuffle
     buckets
-      .select(explode(GraftFunctions.expandSigPairs(col("ms"), maxHamming)).as("p"))
+      .select(col("chunk"), col("ms"),
+        explode(sequence(lit(0), size(col("ms")) - 2)).as("i"))
+      .select(explode(
+        GraftFunctions.sigMemberPairs(col("ms"), col("i"), col("chunk"), maxHamming)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram (token-set) Jaccard pairs with attribute blocking: every
@@ -213,10 +238,12 @@ object Dedup {
     // Refuse parameterizations that would silently lose real pairs — the
     // caller must widen the banding (more bands / fewer rows per band) for
     // lower thresholds rather than get quietly lossy "exact" output.
+    // 1e-8: tight enough that even billions of boundary-jaccard pairs at
+    // corpus scale expect zero misses (defaults at t=0.95 give 3.7e-14)
     val missProb = math.pow(1.0 - math.pow(threshold, rowsPerBand), bands)
-    require(missProb <= 1e-4,
+    require(missProb <= 1e-8,
       f"banding ($bands bands × $rowsPerBand rows) misses a true pair at j=$threshold " +
-        f"with probability $missProb%.2e > 1e-4 — raise `bands` (e.g. bands=numHashes " +
+        f"with probability $missProb%.2e > 1e-8 — raise `bands` (e.g. bands=numHashes " +
         "for 1-row bands) or use minhashPairs for approximate thresholds this low")
     GraftFunctions.register(df.sparkSession)
     // sorted distinct token sets → the intersection is an O(n+m) merge
@@ -242,16 +269,22 @@ object Dedup {
       struct(col("doc_id"), col("sz"), col("bh")).as("ds"),
       posexplode(col("bh")).as(Seq("band", "bucket")))
 
-    // one aggregation + in-place codegen'd pair expansion (single shuffle);
-    // the size law (j ≥ t ⇒ min ≥ t·max) prunes inside the kernel, before
-    // the pair exists anywhere else
+    // one aggregation + member-wise codegen'd pair expansion (single
+    // shuffle); the size law (j ≥ t ⇒ min ≥ t·max) prunes inside the
+    // kernel, before the pair exists anywhere else. Member-wise emission
+    // bounds every row's output to O(m) — a degenerate all-duplicates
+    // bucket streams its genuinely-quadratic pair set across m rows
+    // instead of materializing it in one ArrayData (which OOMs and, past
+    // ~65k members, overflows the Int element domain).
     val buckets = banded
       .groupBy(col("block"), col("band"), col("bucket"))
       .agg(collect_list(col("ds")).as("ms"))
       .filter(size(col("ms")) >= 2)
     val candidates = buckets
-      .select(explode(GraftFunctions.expandSizedPairsFirstBand(
-        col("ms"), col("band"), threshold)).as("p"))
+      .select(col("band"), col("ms"),
+        explode(sequence(lit(0), size(col("ms")) - 2)).as("i"))
+      .select(explode(GraftFunctions.sizedMemberPairs(
+        col("ms"), col("i"), col("band"), threshold)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
     val withToks = candidates
@@ -277,19 +310,27 @@ object Dedup {
       tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // ids-only through the bucket exchange; vectors joined back for verify
+    // (id, per-table bucket array) through the bucket exchange — the array
+    // IS the first-colliding-table state, so the kernel emits each pair in
+    // exactly one table (exact: the keys compared are the bucket keys
+    // themselves) and no dedup shuffle is needed; vectors joined back for
+    // verify only.
     val vecs = df.select(col(idCol), col(vecCol))
-    val bucketed = Similarity
-      .withLshBuckets(vecs, vecCol, dim, planesPerTable, tables, seed)
-      .select(col("table"), col("bucket"), col(idCol))
-    val buckets = bucketed
+    val banded = Similarity
+      .withLshBucketArray(vecs, vecCol, dim, planesPerTable, tables, seed)
+      .select(
+        struct(col(idCol), col("tbs")).as("m"),
+        posexplode(col("tbs")).as(Seq("table", "bucket")))
+    val buckets = banded
       .groupBy(col("table"), col("bucket"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2)
     buckets
-      .select(explode(GraftFunctions.expandIdPairs(col("ids"))).as("p"))
+      .select(col("table"), col("ms"),
+        explode(sequence(lit(0), size(col("ms")) - 2)).as("i"))
+      .select(explode(
+        GraftFunctions.keyedMemberPairs(col("ms"), col("i"), col("table"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("cosine", GraftFunctions.cosineSim(col("v_a"), col("v_b")))

@@ -42,27 +42,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** Attach (table, bucket) per row: bucket = sign bits of the row vector
-    * against `planesPerTable` hyperplanes, one bucket per table. Output has
-    * one row per (input row × table). */
-  def withLshBuckets(
+  /** Attach the per-table LSH bucket ARRAY per row: tbs[t] = sign-bit
+    * bucket of the row vector against table t's `planesPerTable`
+    * hyperplanes. One row per input row — the array form is what the
+    * first-colliding-table dedup kernel consumes. */
+  def withLshBucketArray(
       df: DataFrame, vecCol: String, dim: Int,
       planesPerTable: Int, tables: Int, seed: Long): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val all = planes(planesPerTable * tables, dim, seed)
     val tableBuckets: Seq[Column] = (0 until tables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
+      (0 until planesPerTable).map { p =>
         val plane = all(t * planesPerTable + p)
         when(GraftFunctions.dotProduct(col(vecCol), typedLit(plane)) > 0d,
           lit(1L << p)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+      }.reduce(_ + _)
     }
-    df.withColumn("tb", explode(array(tableBuckets: _*)))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+    df.withColumn("tbs", array(tableBuckets: _*))
   }
+
+  /** Attach (table, bucket) per row: bucket = sign bits of the row vector
+    * against `planesPerTable` hyperplanes, one bucket per table. Output has
+    * one row per (input row × table). */
+  def withLshBuckets(
+      df: DataFrame, vecCol: String, dim: Int,
+      planesPerTable: Int, tables: Int, seed: Long): DataFrame =
+    withLshBucketArray(df, vecCol, dim, planesPerTable, tables, seed)
+      .select(col("*"), posexplode(col("tbs")).as(Seq("table", "bucket")))
+      .drop("tbs")
 
   /** LSH-bucketed approximate top-k: candidates = rows sharing any table's
     * bucket with the query; exact cosine re-rank on candidates only. */
@@ -102,17 +109,48 @@ object Similarity {
       .toIndexedSeq.zipWithIndex
       .map { case (row, i) => (i, row.getSeq[Float](0)) }
 
-  /** Assign each row to its nearest centroid cell (broadcast-friendly: the
-    * centroid list is a literal expression, no shuffle). */
+  /** Assign each row to its nearest centroid cell — ONE fused codegen
+    * expression over the constant centroid matrix (plan size constant in
+    * nCells; no shuffle). Centroids must be cell-indexed 0..n-1 in order —
+    * the kernel's argmax index IS the cell id. Bitwise-equal to the
+    * nCells-wide cosine-array formulation it replaces, which blew up the
+    * expression tree and codegen at realistic 4k–64k cell counts. */
   def withIvfCell(
       df: DataFrame, vecCol: String, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val sims = centroids.map { case (_, c) =>
-      GraftFunctions.cosineSim(col(vecCol), typedLit(c))
-    }
-    val simArr = array(sims: _*)
+    require(centroids.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "centroids must be densely indexed 0..n-1 in cell order")
     df.withColumn("cell",
-      (array_position(simArr, array_max(simArr)) - 1).cast("int"))
+      GraftFunctions.ivfCell(col(vecCol), centroids.map(_._2)))
+  }
+
+  /** Lloyd (k-means) refinement of the coarse IVF centroids: `iters`
+    * assignment/update rounds, each a single DataFrame aggregation —
+    * assignment is the fused [[withIvfCell]] expression, the update a
+    * groupBy(cell) per-dimension average. Only the nCells-row centroid
+    * table is ever collected (once per iteration). Deterministic for a
+    * fixed input/seed count up to float-sum ordering in the averages.
+    * Empty cells keep their previous centroid. On clustered corpora this
+    * lifts probe recall well above the first-n-by-id seeds (recall
+    * asserted in SimilaritySpec); the index/probe structure is unchanged. */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      iters: Int = 3): Seq[(Int, Seq[Float])] = {
+    var cents = ivfCentroids(df, idCol, vecCol, nCells)
+    val dim = cents.head._2.length
+    val vecs = df.select(col(vecCol))
+    for (_ <- 0 until iters) {
+      val avgs = (0 until dim).map(i => avg(col(vecCol).getItem(i)).as(s"c$i"))
+      val rows = withIvfCell(vecs, vecCol, cents)
+        .groupBy(col("cell"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+      val byCell = rows.map { r =>
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1).toFloat)
+      }.toMap
+      cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
+    }
+    cents
   }
 
   private def cosDriver(a: Seq[Float], b: Seq[Float]): Double = {
@@ -137,13 +175,13 @@ object Similarity {
     centroids.sortBy { case (_, c) => -cosDriver(query, c) }
       .take(nprobe).map(_._1)
 
-  /** IVF probe: search only the `nprobe` cells whose centroids are nearest
-    * the query, exact cosine within them. */
-  def ivfTopK(
+  /** IVF probe with caller-supplied centroids (first-n, k-means-refined,
+    * or persisted): search only the `nprobe` cells whose centroids are
+    * nearest the query, exact cosine within them. */
+  def ivfTopKWith(
       df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int,
-      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nCells)
+      centroids: Seq[(Int, Seq[Float])],
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val probed = nearestCells(centroids, query, nprobe)
     withIvfCell(df, vecCol, centroids)
       .filter(col("cell").isin(probed: _*))
@@ -153,6 +191,15 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF probe: search only the `nprobe` cells whose centroids are nearest
+    * the query, exact cosine within them. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(df, idCol, vecCol,
+      ivfCentroids(df, idCol, vecCol, nCells), query, k, nprobe)
 
   /** Materialize the corpus as an on-disk IVF index: rows written
     * partitioned BY CELL, so probing reads only nprobe/nCells of the data —

@@ -208,7 +208,9 @@ object LlmOps {
     * actually runs: quality gate → language agreement → exact-canonical
     * dedup survivors only. Pure operator composition (each stage is its own
     * oracle-proven operator); one declarative plan, no intermediate
-    * materialization. */
+    * materialization. Dedup uses the HASHED canonical key (128-bit
+    * fingerprint struct), so the widest shuffle in the flagship pipeline
+    * carries 16-byte keys, not document-sized canonical strings. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val scored = d.select(
@@ -216,7 +218,7 @@ object LlmOps {
       GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
       GraftFunctions.qualityScore(col("text")).as("quality"),
       (GraftFunctions.langId(col("text")) === col("lang")).as("lang_ok"))
-    val survivors = Dedup.exactCanonical(d, col("doc_id"), col("text"))
+    val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
     scored.join(survivors, "doc_id")
       .filter(col("quality") >= 0.5 && col("lang_ok"))
@@ -241,8 +243,12 @@ object LlmOps {
        |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
        |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents)),
        |survivors AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM documents
-       |  GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       |  SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |    FROM (SELECT doc_id,
+       |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |          FROM documents))
+       |  GROUP BY f1, f2)
        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
        |FROM scored s JOIN survivors USING (doc_id)
        |WHERE s.quality >= 0.5 AND s.lang_ok""".stripMargin
@@ -303,8 +309,18 @@ object LlmOps {
     * [0, 2^64) — [[graft.functions.TextHash.fnv1a64]] with mod-2^64
     * wraparound made explicit. */
   private def fnvHugeSql(t: String): String =
+    fnvHugeFromSql(t, "14695981039346656037")
+
+  /** The second, domain-separated FNV stream —
+    * [[graft.functions.TextHash.fnv1a64Alt]] (basis embedded from the JVM
+    * constant). */
+  private def fnvAltHugeSql(t: String): String =
+    fnvHugeFromSql(t,
+      java.lang.Long.toUnsignedString(graft.functions.TextHash.Fnv1a64AltBasis))
+
+  private def fnvHugeFromSql(t: String, basis: String): String =
     s"""list_reduce(
-       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_prepend(CAST($basis AS HUGEINT),
        |        list_transform(range(1, length($t)+1), i -> CAST(unicode(substr($t, i, 1)) AS HUGEINT))),
        |      (a, b) -> (xor(a, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
 
@@ -419,13 +435,18 @@ object LlmOps {
        |chunked AS (
        |$chunkSelects
        |),
-       |sized AS (SELECT chunk, key FROM chunked GROUP BY chunk, key HAVING COUNT(*) BETWEEN 2 AND 1000),
-       |cand AS (
-       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+       |bsz AS (SELECT chunk, key, COUNT(*) AS n FROM chunked GROUP BY chunk, key),
+       |coll AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.chunk, a.key,
        |    bit_count(xor(a.sig, b.sig)) AS hamming
-       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
-       |  JOIN sized z ON z.chunk = a.chunk AND z.key = a.key)
-       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM cand WHERE hamming <= 3""".stripMargin
+       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id),
+       |firstc AS (
+       |  SELECT id_a, id_b, chunk, key, hamming,
+       |    row_number() OVER (PARTITION BY id_a, id_b ORDER BY chunk) AS rn
+       |  FROM coll)
+       |SELECT f.id_a, f.id_b, CAST(f.hamming AS INT) AS hamming
+       |FROM firstc f JOIN bsz ON bsz.chunk = f.chunk AND bsz.key = f.key
+       |WHERE f.rn = 1 AND bsz.n <= 1000 AND f.hamming <= 3""".stripMargin
   }
 
   /** Mirrors [[graft.operators.Dedup.minhashPairs]] end to end: the
@@ -453,11 +474,18 @@ object LlmOps {
        |banded AS (
        |$bandSelects
        |),
-       |sized AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |bsz AS (SELECT band, bucket, COUNT(*) AS n FROM banded GROUP BY band, bucket),
+       |coll AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band, a.bucket
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |firstb AS (
+       |  SELECT id_a, id_b, band, bucket,
+       |    row_number() OVER (PARTITION BY id_a, id_b ORDER BY band) AS rn
+       |  FROM coll),
        |cand AS (
-       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |  JOIN sized z ON z.band = a.band AND z.bucket = a.bucket),
+       |  SELECT f.id_a, f.id_b
+       |  FROM firstb f JOIN bsz ON bsz.band = f.band AND bsz.bucket = f.bucket
+       |  WHERE f.rn = 1 AND bsz.n <= 1000),
        |toks AS (SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents)
        |SELECT c.id_a, c.id_b, $jac AS jaccard
        |FROM cand c JOIN toks ta ON ta.doc_id = c.id_a JOIN toks tb ON tb.doc_id = c.id_b

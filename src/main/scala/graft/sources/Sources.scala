@@ -79,7 +79,16 @@ object Sources {
     * can leave only the staging table — recover by renaming it back. The
     * rebuilt table has the JDBC writer's schema: engine-side constraints,
     * indexes and grants on the original are NOT carried over, and `RENAME
-    * TABLE a TO b` is Derby/MySQL syntax (Postgres: ALTER TABLE RENAME). */
+    * TABLE a TO b` is Derby/MySQL syntax (Postgres: ALTER TABLE RENAME).
+    *
+    * Identifier handling: `table` is embedded VERBATIM into SQL text, the
+    * same contract as Spark's own `dbtable` option — pass it pre-quoted
+    * (`"\"My Table\""`) for case-sensitive/special names. The staging name
+    * is derived quote-aware (suffix inside the caller's quotes), a stale
+    * staging table from a previous failed run is dropped up front, and on
+    * a failed swap the staging table is cleaned up — unless the original
+    * table no longer exists, in which case staging holds the only copy of
+    * the data and is deliberately left for manual recovery. */
   def upsertJdbc(spark: SparkSession, updates: DataFrame, url: String,
       table: String, keys: Seq[String],
       props: java.util.Properties = new java.util.Properties()): Unit = {
@@ -88,20 +97,39 @@ object Sources {
     val merged = existing
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(existing.columns.map(col).toIndexedSeq: _*))
-    val staging = table + "_graft_upsert_stage"
+
+    val staging = withConnection(url, props) { conn =>
+      val q = Option(conn.getMetaData.getIdentifierQuoteString)
+        .map(_.trim).filter(_ != " ").getOrElse("")
+      val stg =
+        if (q.nonEmpty && table.length > 2 * q.length &&
+            table.startsWith(q) && table.endsWith(q))
+          table.dropRight(q.length) + "_graft_upsert_stage" + q
+        else table + "_graft_upsert_stage"
+      dropQuietly(conn, stg)
+      stg
+    }
+
     merged.write.mode("overwrite").jdbc(url, staging, props)
-    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      try {
-        st.executeUpdate(s"DROP TABLE $table")
-        st.executeUpdate(s"RENAME TABLE $staging TO $table")
-        conn.commit()
-      } catch {
-        case e: Throwable => conn.rollback(); throw e
-      } finally st.close()
-    } finally conn.close()
+      withConnection(url, props) { conn =>
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(s"DROP TABLE $table")
+          st.executeUpdate(s"RENAME TABLE $staging TO $table")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally st.close()
+      }
+    } catch {
+      case e: Throwable =>
+        withConnection(url, props) { conn =>
+          if (tableExists(conn, table)) dropQuietly(conn, staging)
+        }
+        throw e
+    }
   }
 
   /** Row-level DELETE by SQL predicate (reference CRUD delete). A targeted
@@ -112,12 +140,29 @@ object Sources {
       props: java.util.Properties = new java.util.Properties()): Int =
     withStatement(url, props)(_.executeUpdate(s"DELETE FROM $table WHERE $whereSql"))
 
-  private def withStatement[T](url: String, props: java.util.Properties)(
-      f: java.sql.Statement => T): T = {
+  private def withConnection[T](url: String, props: java.util.Properties)(
+      f: java.sql.Connection => T): T = {
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
+    try f(conn) finally conn.close()
+  }
+
+  private def withStatement[T](url: String, props: java.util.Properties)(
+      f: java.sql.Statement => T): T =
+    withConnection(url, props) { conn =>
       val st = conn.createStatement()
       try f(st) finally st.close()
-    } finally conn.close()
-  }
+    }
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean =
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      finally st.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  private def dropQuietly(conn: java.sql.Connection, table: String): Unit =
+    try {
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"DROP TABLE $table"); () } finally st.close()
+    } catch { case _: java.sql.SQLException => () }
 }

@@ -62,18 +62,36 @@ object EventPipeline {
     * temp view is dropped, and the streaming checkpoint directory is
     * deleted — otherwise every run would pin its full result in driver
     * memory and leave state-store providers behind. */
-  def windowedCountsSync(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_win_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    val q = windowedCounts(
-        readEventStream(spark, dir, globFilter = Some("events.parquet")))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+  def windowedCountsSync(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      val name = s"graft_stream_win_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+      val q = windowedCounts(
+          readEventStream(spark, dir, globFilter = Some("events.parquet")))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      deleteRecursively(ckpt.toFile)
+      out
+    }
+
+  /** The sync gate harnesses flip the legacy nanos-parquet read conf for
+    * their own scans; restore the caller's value afterwards so a shared
+    * session doesn't inherit a changed parquet-read behavior. (The
+    * streaming API [[readEventStream]] still sets it without restoring —
+    * there the stream outlives the call and needs the conf for its whole
+    * lifetime.) */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -89,9 +107,8 @@ object EventPipeline {
     * batch N−1). Every open session flushes on its event-time timeout, so
     * the streamed result EQUALS the batch operator's sessions — not merely
     * a closed-session subset. Leak-free like [[windowedCountsSync]]. */
-  def sessionizeSync(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeSync(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Files.createTempDirectory("graft_stream_sess")
     val inDir = tmp.resolve("in")
     Files.createDirectories(inDir)

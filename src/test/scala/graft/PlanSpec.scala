@@ -63,7 +63,7 @@ class PlanSpec extends SparkTestBase {
     val p = plan("d_ngram_jaccard")
     // first-colliding-band emission replaces dropDuplicates — the ONLY
     // aggregation keys in the plan are the banding bucket agg
-    assert(p.contains("graft_expand_sized_pairs"), p)
+    assert(p.contains("graft_sized_member_pairs"), p)
     assert("""Keys \[\d+\]: \[id_a""".r.findFirstIn(p).isEmpty,
       "found a pair-dedup aggregate:\n" + p)
     assert("""Keys \[3\]: \[block""".r.findFirstIn(p).isDefined, p)

@@ -125,6 +125,24 @@ class DedupSpec extends SparkTestBase {
     assert(acc.value > 0)    // ...and the loss is visible, not silent
   }
 
+  test("first-collision emission: no pair-keyed dedup exchange in any LSH dedup plan") {
+    GraftFunctions.register(spark)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plans = Seq(
+      "minhash" -> Dedup.minhashPairs(docs, "doc_id", "text"),
+      "simhash" -> Dedup.simhashPairs(docs, "doc_id", "text"),
+      "embed" -> Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", dim = 64),
+      "ngram" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.95))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      // a dropDuplicates-style pair dedup would show up as an exchange
+      // hash-partitioned on BOTH pair columns; verify joins partition on
+      // one id at a time only
+      assert(!plan.matches("(?s).*hashpartitioning\\(id_a#\\d+L?, id_b#.*"),
+        s"$name plan still carries a pair-keyed exchange:\n$plan")
+    }
+  }
+
   test("embeddingNearDupPairs: reported cosines are exact and above threshold") {
     GraftFunctions.register(spark)
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

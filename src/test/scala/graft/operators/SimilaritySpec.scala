@@ -58,6 +58,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(probedScan < embs.count()) // strictly less data than a full scan
   }
 
+  test("withIvfCell: fused argmax ≡ cosine-array formulation; plan holds ONE node at 1024 cells") {
+    GraftFunctions.register(spark)
+    val centroids = Similarity.ivfCentroids(embs, "vec_id", "embedding", 16)
+    val fused = Similarity.withIvfCell(embs, "embedding", centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference: the nCells-wide expression array the fused kernel replaced
+    val sims = centroids.map { case (_, c) =>
+      GraftFunctions.cosineSim(col("embedding"), typedLit(c))
+    }
+    val simArr = array(sims: _*)
+    val ref = embs.withColumn("cell",
+        (array_position(simArr, array_max(simArr)) - 1).cast("int"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused == ref)
+
+    // at 1024 cells the plan must still carry a single assignment node
+    // (the old formulation embedded 1024 cosine expressions)
+    val rnd = new scala.util.Random(1)
+    val big = (0 until 1024).map(i => i -> Seq.fill(64)(rnd.nextGaussian().toFloat))
+    val assigned = Similarity.withIvfCell(embs, "embedding", big)
+    val planStr = assigned.queryExecution.analyzed.toString
+    assert(!planStr.contains("graft_cosine"))
+    val cells = assigned.select("cell").collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 1024))
+  }
+
+  test("kmeansCentroids: refined probe recall beats first-n-by-id seeds on clustered data") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 8 well-separated clusters in 32 dims; ids ordered so the first 16
+    // (the first-n centroid seeds) ALL sit in cluster 0 — the degenerate
+    // seeding a real corpus with sorted ingest produces
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.fill(8)(Seq.fill(32)(rnd.nextGaussian().toFloat))
+    def member(c: Int): Seq[Float] =
+      centers(c).map(x => x * 4f + rnd.nextGaussian().toFloat)
+    val rows =
+      (0 until 16).map(i => (i.toLong, member(0))) ++
+        (16 until 320).map(i => (i.toLong, member(i % 8)))
+    val df = rows.toDF("vec_id", "vec")
+    val query = member(5)
+
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "vec", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recallWith(cents: Seq[(Int, Seq[Float])]): Double =
+      Similarity.ivfTopKWith(df, "vec_id", "vec", cents, query, 20, nprobe = 2)
+        .collect().map(_.getLong(0)).count(brute.contains).toDouble / 20
+    val firstN = recallWith(Similarity.ivfCentroids(df, "vec_id", "vec", 16))
+    val refined = recallWith(Similarity.kmeansCentroids(df, "vec_id", "vec", 16, iters = 5))
+    assert(refined > firstN,
+      s"k-means recall $refined not above first-n recall $firstN")
+    assert(refined >= 0.9, s"k-means recall $refined below 0.9")
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
