@@ -76,8 +76,11 @@ object Dedup {
     *
     * Scale shape: signatures are one fused native-expression projection
     * (WordShingles + MinHashSig over FNV-1a); the only shuffles are the
-    * band-slice exchange (rows × bands, ids only) and the verify join; no
-    * pair is ever materialized unless it agrees on some band.
+    * band-slice exchange (rows × bands, carrying id + the bands-long
+    * band-hash array, never payloads) and the verify join. Pair emission
+    * is member-wise and first-colliding-band (see [[PairOps]]): each
+    * qualifying pair exists exactly once, with no pair-keyed dedup
+    * shuffle and no O(m²) single-row allocation.
     */
   def minhashPairs(
       df: DataFrame,
@@ -221,7 +224,14 @@ object Dedup {
     * size-compatibility law (j ≥ t ⇒ min|A|,|B| ≥ t·max|A|,|B|) prunes
     * pairs before they reach the verify join; no bucket is ever dropped
     * (exactness first — a degenerate all-duplicates bucket has genuinely
-    * quadratic OUTPUT, which no candidate scheme can avoid). */
+    * quadratic OUTPUT, which no candidate scheme can avoid).
+    *
+    * Candidate volume tracks the corpus's TOKEN-jaccard structure: on a
+    * low-diversity corpus where typical cross-doc pairs sit at jaccard
+    * 0.3–0.6, banding fires on a large fraction of block pairs (measured
+    * in DedupScaleSpec) — exactness survives, cost doesn't. Such corpora
+    * should dedup on shingles ([[minhashPairs]]) instead, whose k-gram
+    * space stays sparse. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -157,17 +157,70 @@ object Multimodal {
       }
   }
 
+  /** Closed-form first feature of the synthetic media for doc `id`,
+    * derived from the synthBmp/synthWav DEFINITIONS — no bytes, no codec:
+    * even ids: mean R channel / 255 of the (16+id%16)×(16+id%12) gradient
+    * image (R at (x,y) = (7x + s) mod 256 with s = id mod 256, independent
+    * of y); odd ids: RMS of the half-amplitude sine at 220 + id mod 220 Hz,
+    * truncation-quantized to 16-bit over 2000 + id mod 1000 samples.
+    * Every float/double operation replicates the feature kernels' order, so
+    * the full synth → encode → parse → feature path must agree
+    * BIT-FOR-BIT — the theory pin that replaces an external oracle for
+    * this engine-specific query. */
+  def theoryFeature0(id: Long): Float =
+    if (id % 2 == 0) {
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 12).toInt
+      val s = (id & 0xff).toInt
+      var srRow = 0L
+      var x = 0
+      while (x < w) { srRow += (x * 7 + s) % 256; x += 1 }
+      val sr = srRow * h
+      sr.toFloat / (w * h) / 255f
+    } else {
+      val n = 2000 + (id % 1000).toInt
+      val freq = 220.0 + (id % 220).toDouble
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val v = (0.5 * 32767.0 * math.sin(2.0 * math.Pi * freq * i / 16000.0)).toInt
+        val sn = v.toDouble / 32768.0
+        sumSq += sn * sn
+        i += 1
+      }
+      math.sqrt(sumSq / n).toFloat
+    }
+
+  /** Closed-form payload size for doc `id` (file-format header arithmetic,
+    * no bytes): BMP = 54-byte header + padded rows; WAV = 44-byte header +
+    * 2 bytes per sample. */
+  def theoryByteCount(id: Long): Long =
+    if (id % 2 == 0) {
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 12).toInt
+      54L + ((w * 3 + 3) / 4 * 4).toLong * h
+    } else 44L + 2L * (2000 + (id % 1000).toInt)
+
   /** End-to-end pipeline: real media payloads → batch decode (actual BMP
     * pixels / WAV samples) → per-(source, modality) feature aggregation
-    * (joins features back to the docs dimension columns). */
+    * (joins features back to the docs dimension columns). The two
+    * `*_theory_exact` columns make the query self-checking at any scale
+    * factor: every doc's decoded feature[0] and byte count must equal the
+    * closed-form theory values BIT-FOR-BIT or the group reports false. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     val media = withMediaPayload(spark, docs)
     val feats = decodeFeatures(spark, media).toDF()
+    val theoryF = udf((id: Long) => theoryFeature0(id))
+    val theoryB = udf((id: Long) => theoryByteCount(id))
     feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"), col("mime"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
-        avg(element_at(col("feature"), 1)).as("avg_feat0"))
+        avg(element_at(col("feature"), 1)).as("avg_feat0"),
+        bool_and(element_at(col("feature"), 1) === theoryF(col("doc_id")))
+          .as("feat0_theory_exact"),
+        bool_and(col("n_bytes") === theoryB(col("doc_id")))
+          .as("bytes_theory_exact"))
   }
 }

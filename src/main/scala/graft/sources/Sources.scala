@@ -91,33 +91,63 @@ object Sources {
     * the data and is deliberately left for manual recovery. */
   def upsertJdbc(spark: SparkSession, updates: DataFrame, url: String,
       table: String, keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    upsertJdbcMulti(spark, Seq((table, updates, keys)), url, props)
+
+  /** Multi-table transactional write-back (the reference's one-request-
+    * several-tables surface, doc-01.md:156): every table's merge writes to
+    * its own staging table first — all DISTRIBUTED work happens before any
+    * DDL — then every DROP+RENAME swap runs in ONE driver-side
+    * transaction, so on transactional-DDL engines (Derby, Postgres) the
+    * request is atomic across tables: all of them flip to their new
+    * contents or none does. Same identifier/staging/cleanup contract as
+    * [[upsertJdbc]]. */
+  def upsertJdbcMulti(spark: SparkSession,
+      updates: Seq[(String, DataFrame, Seq[String])], url: String,
       props: java.util.Properties = new java.util.Properties()): Unit = {
     import org.apache.spark.sql.functions.col
-    val existing = readJdbc(spark, url, table, props)
-    val merged = existing
-      .join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates.select(existing.columns.map(col).toIndexedSeq: _*))
 
-    val staging = withConnection(url, props) { conn =>
-      val q = Option(conn.getMetaData.getIdentifierQuoteString)
-        .map(_.trim).filter(_ != " ").getOrElse("")
-      val stg =
-        if (q.nonEmpty && table.length > 2 * q.length &&
-            table.startsWith(q) && table.endsWith(q))
-          table.dropRight(q.length) + "_graft_upsert_stage" + q
-        else table + "_graft_upsert_stage"
-      dropQuietly(conn, stg)
-      stg
+    // staging phase: originals untouched, so on ANY failure here the
+    // already-written staging tables are dropped unconditionally and the
+    // request has had no effect
+    val staged = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    try {
+      updates.foreach { case (table, ups, keys) =>
+        val existing = readJdbc(spark, url, table, props)
+        val merged = existing
+          .join(ups.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(ups.select(existing.columns.map(col).toIndexedSeq: _*))
+        val staging = withConnection(url, props) { conn =>
+          val q = Option(conn.getMetaData.getIdentifierQuoteString)
+            .map(_.trim).filter(_ != " ").getOrElse("")
+          val stg =
+            if (q.nonEmpty && table.length > 2 * q.length &&
+                table.startsWith(q) && table.endsWith(q))
+              table.dropRight(q.length) + "_graft_upsert_stage" + q
+            else table + "_graft_upsert_stage"
+          dropQuietly(conn, stg)
+          stg
+        }
+        merged.write.mode("overwrite").jdbc(url, staging, props)
+        staged += ((table, staging))
+      }
+    } catch {
+      case e: Throwable =>
+        withConnection(url, props) { conn =>
+          staged.foreach { case (_, staging) => dropQuietly(conn, staging) }
+        }
+        throw e
     }
 
-    merged.write.mode("overwrite").jdbc(url, staging, props)
     try {
       withConnection(url, props) { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
-          st.executeUpdate(s"DROP TABLE $table")
-          st.executeUpdate(s"RENAME TABLE $staging TO $table")
+          staged.foreach { case (table, staging) =>
+            st.executeUpdate(s"DROP TABLE $table")
+            st.executeUpdate(s"RENAME TABLE $staging TO $table")
+          }
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
@@ -126,7 +156,9 @@ object Sources {
     } catch {
       case e: Throwable =>
         withConnection(url, props) { conn =>
-          if (tableExists(conn, table)) dropQuietly(conn, staging)
+          staged.foreach { case (table, staging) =>
+            if (tableExists(conn, table)) dropQuietly(conn, staging)
+          }
         }
         throw e
     }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.GenerateExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+object Slow extends Tag("graft.Slow")
+
+/** Scale-stress invariants for the dedup tier: a ~10× corpus (every
+  * DISTINCT sf0.1 document replicated as a near-duplicate clique of 10)
+  * through minhashPairs and ngramJaccardPairs, asserting the MEASURED
+  * candidate count stays O(n·bands) — the bound that makes LSH dedup
+  * viable at 100 TB. The candidate count is read from the pair-expansion
+  * Generate's own numOutputRows metric on the SAME executed plan, so the
+  * assertion covers what actually ran, not a model of it. With the
+  * pre-round-3 ×bands duplicated emission, every clique pair is emitted in
+  * ~all 16 bands (the copies are near-identical), putting candidates an
+  * order of magnitude above the asserted bound — the test FAILS against
+  * that implementation, which is the point.
+  *
+  * The base is deduplicated by canonical key first: sf0.1 ships a natural
+  * 248-strong exact-duplicate group, and replicating THAT ×10 manufactures
+  * a 2,480-member clique whose ~3M-pair output is genuinely quadratic —
+  * a property of the corpus, not of the candidate scheme, and exactly what
+  * the bucket cap + droppedBuckets accumulator exist to surface. Here the
+  * cliques are bounded so the O(n·bands) invariant is meaningful. */
+class DedupScaleSpec extends SparkTestBase {
+
+  /** Distinct-canonical sf0.1 docs, each replicated 10× with one
+    * copy-specific token appended: cliques of 10 whose members sit at
+    * token-jaccard m/(m+2) — above the minhash threshold for all but the
+    * shortest docs. */
+  lazy val bigDocs: DataFrame = {
+    GraftFunctions.register(spark)
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("ck", GraftFunctions.canonicalKey(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ck")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .drop("ck", "rn")
+    base
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(sequence(lit(0), lit(9))).as("copy"))
+      .select(
+        (col("doc_id") * 10 + col("copy")).as("doc_id"),
+        col("lang"),
+        concat(col("text"), lit(" copytoken"), col("copy").cast("string")).as("text"))
+      .repartition(8)
+      .cache()
+  }
+
+  /** Executes the pairs plan ONCE (via its own QueryExecution — a count()
+    * would build a fresh plan whose metrics never move) and returns
+    * (candidate rows emitted by the member-pair Generate, verified pairs).
+    * AQE is disabled for the run so the executed tree is directly
+    * traversable. */
+  private def measuredCandidates(df: => DataFrame, kernelName: String): (Long, Long) = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = df.queryExecution
+      val nPairs = qe.toRdd.count()
+      val gens = qe.executedPlan.collect {
+        case g: GenerateExec if g.generator.toString.contains(kernelName) => g
+      }
+      assert(gens.nonEmpty, s"no Generate with $kernelName in the executed plan")
+      (gens.map(_.metrics("numOutputRows").value).sum, nPairs)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("minhashPairs at ~40k docs: candidates O(n·bands), zero dropped buckets", Slow) {
+    GraftFunctions.register(spark)
+    val n = bigDocs.count()
+    val cliques = n / 10
+    assert(n > 30000L, s"fixture too small: $n")
+    val dropped = spark.sparkContext.longAccumulator("graft-scale-dropped")
+    val (candidates, pairs) = measuredCandidates(
+      Dedup.minhashPairs(bigDocs, "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8,
+        droppedBuckets = Some(dropped)),
+      "graft_keyed_member_pairs")
+    val bands = 16
+    assert(candidates <= n * bands,
+      s"candidate blow-up: $candidates emitted for n=$n (bound ${n * bands})")
+    assert(candidates >= cliques * 40,
+      s"candidates $candidates below the planted within-clique pair count " +
+        s"(${cliques * 45} expected) — harness broken")
+    assert(dropped.value == 0L,
+      s"${dropped.value} buckets dropped at the default cap — recall loss at scale")
+    assert(pairs >= cliques * 30,
+      s"verified pairs $pairs miss most planted near-dup pairs")
+  }
+
+  /** The ngram tier minhashes raw TOKEN sets, so its candidate volume
+    * tracks the corpus's token-jaccard structure. The sf0.1 fixture's tiny
+    * shared vocabulary (≤31 distinct tokens/doc from a few hundred words)
+    * puts most cross-doc pairs at jaccard 0.3–0.6, where 16×3 banding
+    * fires with high probability — a measured 52M candidates at t=0.9,
+    * which is the corpus being degenerate for token-set dedup, not the
+    * scheme failing (the same corpus under SHINGLE minhash is sparse and
+    * bounded — previous test). The exact tier's scale regime is a sparse
+    * vocabulary where near-dups are signal, not background; this fixture
+    * reproduces it: 60 tokens per doc drawn from a 30k-word vocabulary
+    * (cross-clique jaccard ≈ 0), cliques of 10 at jaccard (m-1)/(m+1). */
+  test("ngramJaccardPairs at 40k sparse-vocab docs: exact tier candidates O(n·bands)", Slow) {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val baseDocs = (0 until 4000).map { i =>
+      val toks = Seq.fill(60)("w" + rnd.nextInt(30000))
+      (i.toLong, (i % 5).toString, toks.mkString(" "))
+    }
+    val sparse = baseDocs.toDF("base_id", "block", "text")
+      .select(col("base_id"), col("block"), col("text"),
+        explode(sequence(lit(0), lit(9))).as("copy"))
+      .select(
+        (col("base_id") * 10 + col("copy")).as("doc_id"),
+        col("block"),
+        concat(col("text"), lit(" copytoken"), col("copy").cast("string")).as("text"))
+      .repartition(8)
+      .cache()
+    val n = sparse.count()
+    assert(n == 40000L)
+    // qualifying cliques: copies sit at (m-1)/(m+1) with m = |distinct|+1
+    val qualifying = sparse.filter(col("doc_id") % 10 === 0)
+      .select(size(array_distinct(GraftFunctions.tokens(col("text")))).as("m"))
+      .filter((col("m") - 1).cast("double") / (col("m") + 1) >= 0.95)
+      .count()
+    assert(qualifying > 3000L, s"fixture degenerate: only $qualifying qualifying cliques")
+    val (candidates, pairs) = measuredCandidates(
+      Dedup.ngramJaccardPairs(sparse, "doc_id", "text", "block", threshold = 0.95),
+      "graft_sized_member_pairs")
+    assert(candidates <= n * 16,
+      s"candidate blow-up: $candidates emitted for n=$n (bound ${n * 16})")
+    assert(pairs >= qualifying * 45,
+      s"verified pairs $pairs below the ${qualifying * 45} planted qualifying pairs")
+    sparse.unpersist()
+  }
+}

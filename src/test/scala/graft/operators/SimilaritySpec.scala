@@ -164,4 +164,40 @@ class SimilaritySpec extends SparkTestBase {
     val out2 = Multimodal.featurePipeline(spark, docs).collect()
     assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
   }
+
+  test("multimodal theory pins: decoded features and sizes equal closed-form values bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // every per-(source, modality) group must report an exact theory match
+    val out = Multimodal.featurePipeline(spark, docs).collect()
+    out.foreach { r =>
+      assert(r.getBoolean(5), s"feature[0] diverged from theory in $r")
+      assert(r.getBoolean(6), s"payload size diverged from theory in $r")
+    }
+    // per-doc: the full synth → encode → parse → feature path reproduces
+    // the closed-form value EXACTLY (Float ==, no tolerance), for every doc
+    val media = Multimodal.withMediaPayload(spark, docs)
+    val perDoc = Multimodal.decodeFeatures(spark, media).collect()
+    assert(perDoc.length == 500)
+    perDoc.foreach { f =>
+      assert(f.feature(0) == Multimodal.theoryFeature0(f.doc_id),
+        s"doc ${f.doc_id}: decoded ${f.feature(0)} != theory ${Multimodal.theoryFeature0(f.doc_id)}")
+      assert(f.n_bytes == Multimodal.theoryByteCount(f.doc_id), s"doc ${f.doc_id} size")
+    }
+    // aggregate pin: group averages equal the theory-computed averages up
+    // to double-summation order (the only nondeterminism left)
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perDoc.groupBy(f => (srcOf(f.doc_id), f.mime)).map {
+      case (k, fs) =>
+        k -> (fs.length.toLong,
+          fs.map(_.doc_id).sorted.map(Multimodal.theoryByteCount).sum,
+          fs.map(_.doc_id).sorted.map(id => Multimodal.theoryFeature0(id).toDouble).sum / fs.length)
+    }
+    out.foreach { r =>
+      val (n, bytes, avgF) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == bytes)
+      assert(math.abs(r.getDouble(4) - avgF) < 1e-12,
+        s"avg_feat0 ${r.getDouble(4)} != theory $avgF for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
 }

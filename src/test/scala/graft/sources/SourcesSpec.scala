@@ -78,4 +78,39 @@ class SourcesSpec extends SparkTestBase {
       s"JDBC predicate not pushed:\n$plan")
     assert(filtered.count() == 2)
   }
+
+  test("multi-table upsert: one transaction across tables, atomic rollback on failure") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftmulti${System.nanoTime()};create=true"
+    Sources.writeJdbc(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      url, "t_users", mode = "overwrite")
+    Sources.writeJdbc(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"),
+      url, "t_accounts", mode = "overwrite")
+
+    // one request updating BOTH tables
+    Sources.upsertJdbcMulti(spark, Seq(
+      ("t_users", Seq((2L, "B"), (3L, "c")).toDF("id", "name"), Seq("id")),
+      ("t_accounts", Seq((2L, 21.0)).toDF("id", "amount"), Seq("id"))), url)
+    val users = Sources.readJdbc(spark, url, "t_users").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val accounts = Sources.readJdbc(spark, url, "t_accounts").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(users == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(accounts == Seq((1L, 10.0), (2L, 21.0)))
+
+    // a failing member (missing table) must roll the WHOLE request back:
+    // t_users keeps its pre-request contents, and no staging table leaks
+    val ex = intercept[Exception] {
+      Sources.upsertJdbcMulti(spark, Seq(
+        ("t_users", Seq((1L, "MUTATED")).toDF("id", "name"), Seq("id")),
+        ("t_missing", Seq((1L, "x")).toDF("id", "name"), Seq("id"))), url)
+    }
+    val usersAfter = Sources.readJdbc(spark, url, "t_users").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(usersAfter == users, "partial multi-table request mutated a table")
+    val stagingGone = intercept[Exception] {
+      Sources.readJdbc(spark, url, "t_users_graft_upsert_stage").collect()
+    }
+    assert(stagingGone != null && ex != null)
+  }
 }
