@@ -27,6 +27,7 @@ object SparkEntry {
     "c9_poly_derive" -> (q.CoreSurface.polyDerive _),
     "c18_default_value" -> (q.CoreSurface.defaultValue _),
     "c7_json_request" -> (q.CoreSurface.jsonRequest _),
+    "c19_xlsx_roundtrip" -> (q.CoreSurface.xlsxRoundtrip _),
     // relational core (SURVEY §2.2), Spark-native
     "r_udaf_wavg" -> (q.Relational.udafWavg _),
     "r_json_extract" -> (q.Relational.jsonExtract _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "c9_poly_derive" -> q.CoreSurface.polyDeriveSql,
     "c18_default_value" -> q.CoreSurface.defaultValueSql,
     "c7_json_request" -> q.CoreSurface.jsonRequestSql,
+    "c19_xlsx_roundtrip" -> q.CoreSurface.xlsxRoundtripSql,
     "r_udaf_wavg" -> q.Relational.udafWavgSql,
     "r_json_extract" -> q.Relational.jsonExtractSql,
     "r_having" -> q.Relational.havingAggSql,

@@ -36,6 +36,8 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue), "built-in")
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       es => IvfCellAssign(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_marker_stats",
+      es => MarkerStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_keyed_member_pairs",
       es => KeyedMemberPairs(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_member_pairs",
@@ -107,21 +109,23 @@ object GraftFunctions {
 
   // marker lexicons for the language-ID heuristic (tiny on purpose — the
   // real discriminator on web text; deterministic + SQL-portable)
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "of", "and", "a", "to", "in", "is"),
-    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
-    "es" -> Seq("el", "los", "las", "es", "una", "en", "que"),
-    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+  val langMarkers: Seq[(String, Seq[String])] = TextMarkers.markers
 
-  private def markerHits(ts: Column, markers: Seq[String]): Column =
-    size(filter(ts, t => t.isin(markers.map(m => lit(m)): _*)))
+  /** Fused one-pass marker statistics: struct(n_tokens, n_distinct,
+    * lang_hits, stop_hits) as ONE codegen call over the raw string —
+    * replaces the former per-language interpreted `filter(tokens, isin)`
+    * passes. Requires [[register]]. */
+  def markerStats(text: Column): Column = call_function("graft_marker_stats", text)
 
   /** N-gram/stopword language-ID heuristic: count marker-word hits per
-    * language, argmax with fixed tie-break order, 'und' when nothing hits. */
+    * language, argmax with fixed tie-break order, 'und' when nothing hits.
+    * Counts come from the fused [[markerStats]] kernel; the argmax stays
+    * declarative (identical to the oracle's CASE chain). */
   def langId(text: Column): Column = {
-    val ts = tokens(text)
-    val hits = langMarkers.map { case (lang, ms) => lang -> markerHits(ts, ms) }
+    val ms = markerStats(text)
+    val hits = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> ms.getField("lang_hits").getItem(i)
+    }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
       when(h > 0 && h === best, lit(lang)).otherwise(elseCol)
@@ -130,13 +134,15 @@ object GraftFunctions {
 
   /** Composite quality score in [0,1]: vocabulary diversity + length
     * saturation + non-stopword density. Single-division components in fixed
-    * order so the double result is engine-portable. */
+    * order so the double result is engine-portable; the integer counts come
+    * from the fused [[markerStats]] kernel (same values as the former
+    * array passes, so the double arithmetic is unchanged). */
   def qualityScore(text: Column): Column = {
-    val ts = tokens(text)
-    val n = size(ts).cast("double")
-    val uniq = size(array_distinct(ts)).cast("double") / n
+    val ms = markerStats(text)
+    val n = ms.getField("n_tokens").cast("double")
+    val uniq = ms.getField("n_distinct").cast("double") / n
     val lenScore = least(lit(1.0), n / lit(64.0))
-    val stopHits = markerHits(ts, langMarkers.flatMap(_._2)).cast("double")
+    val stopHits = ms.getField("stop_hits").cast("double")
     lit(0.5) * uniq + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - stopHits / n)
   }
 }

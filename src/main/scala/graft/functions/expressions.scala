@@ -113,6 +113,33 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused one-pass text-marker statistics of a raw string column:
+  * struct(n_tokens, n_distinct, lang_hits array, stop_hits) — see
+  * TextMarkers.stats. Replaces up to seven interpreted higher-order
+  * passes (split / array_distinct / per-language isin filters) with a
+  * single codegen call; the combining arithmetic stays in Columns so
+  * oracle contracts are unchanged. */
+case class MarkerStats(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("lang_hits", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_marker_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextMarkers.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextMarkers.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerStats =
+    copy(child = newChild)
+}
+
 /** IVF cell assignment: argmax-cosine centroid index of a float-vector
   * column against a constant centroid matrix (array<array<float>> literal,
   * shipped once with the task binary like any plan constant). ONE plan

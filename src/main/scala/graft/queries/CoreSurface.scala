@@ -95,6 +95,36 @@ object CoreSurface {
     * reference documents (doc-03.md:84, doc-01.md:136-158). Declaration
     * order puts `bal` before `cust_key`, so the requested sort resolves to
     * `bal desc, cust_key asc`. */
+  /** Binary Excel round trip through the declaration-driven xlsx sink
+    * (reference Excel surface, doc-01.md:109-115): nation → real .xlsx
+    * (JDK-only OOXML; `.decimals`/`.width` become real number formats /
+    * column widths) → read back. The oracle pins the VALUES that survive
+    * the container round trip — integers keep their raw lexical form, so
+    * the string compare is engine-portable. */
+  def xlsxRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val t = TableSpec(Tables.load(s, dir, "nation"), Seq(
+      "n_nationkey".ofCol(col("n_nationkey")).width(6),
+      "n_name".ofCol(col("n_name")),
+      "n_regionkey".ofCol(col("n_regionkey")).decimals(0)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx")
+    val path = tmp.resolve("nation.xlsx").toString
+    try {
+      graft.render.XlsxSink.writeXlsx(t, QuerySpec(), path)
+      // readXlsx materializes driver-side rows, so the temp file can go
+      graft.render.XlsxSink.readXlsx(s, path)
+    } finally {
+      // the local Hadoop FS also leaves a .crc sidecar → sweep the dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  val xlsxRoundtripSql: String =
+    """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+      |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+      |FROM nation""".stripMargin
+
   def jsonRequest(s: SparkSession, dir: String): DataFrame = {
     val config =
       """{"columns": [

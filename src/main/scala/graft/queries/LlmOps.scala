@@ -25,17 +25,22 @@ object LlmOps {
   private def hitsSql(markers: Seq[String]): String =
     s"len(list_filter($tsSql, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
 
-  /** Per-document text statistics + quality score. */
+  /** Per-document text statistics + quality score — every count reads from
+    * the fused one-pass [[GraftFunctions.markerStats]] kernel (identical
+    * integer values to the former array passes, so the oracle's double
+    * arithmetic is unchanged). */
   def textStats(s: SparkSession, dir: String): DataFrame = {
-    val ts = GraftFunctions.tokens(col("text"))
-    val n = size(ts).cast("double")
+    GraftFunctions.register(s)
+    val ms = GraftFunctions.markerStats(col("text"))
+    val n = ms.getField("n_tokens").cast("double")
     docs(s, dir).select(
       col("doc_id"),
       col("lang"),
-      size(ts).cast("long").as("n_tokens"),
-      size(array_distinct(ts)).cast("long").as("n_distinct"),
-      (size(array_distinct(ts)).cast("double") / n).as("uniq_ratio"),
-      ((length(col("text")) - (size(ts) - 1)).cast("double") / n).as("avg_token_len"),
+      ms.getField("n_tokens").cast("long").as("n_tokens"),
+      ms.getField("n_distinct").cast("long").as("n_distinct"),
+      (ms.getField("n_distinct").cast("double") / n).as("uniq_ratio"),
+      ((length(col("text")) - (ms.getField("n_tokens") - 1)).cast("double") / n)
+        .as("avg_token_len"),
       GraftFunctions.qualityScore(col("text")).as("quality"))
   }
 
@@ -53,12 +58,14 @@ object LlmOps {
   }
 
   /** Language-ID heuristic vs the labeled lang column. */
-  def langId(s: SparkSession, dir: String): DataFrame =
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     docs(s, dir).select(
       col("doc_id"),
       col("lang"),
       GraftFunctions.langId(col("text")).as("lang_pred"))
       .withColumn("agree", (col("lang_pred") === col("lang")).cast("int"))
+  }
 
   val langIdSql: String = {
     val hits = GraftFunctions.langMarkers
@@ -212,10 +219,12 @@ object LlmOps {
     * fingerprint struct), so the widest shuffle in the flagship pipeline
     * carries 16-byte keys, not document-sized canonical strings. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val d = docs(s, dir)
     val scored = d.select(
       col("doc_id"), col("lang"),
-      GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      GraftFunctions.markerStats(col("text")).getField("n_tokens")
+        .cast("long").as("n_tokens"),
       GraftFunctions.qualityScore(col("text")).as("quality"),
       (GraftFunctions.langId(col("text")) === col("lang")).as("lang_ok"))
     val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))

@@ -62,36 +62,34 @@ object EventPipeline {
     * temp view is dropped, and the streaming checkpoint directory is
     * deleted — otherwise every run would pin its full result in driver
     * memory and leave state-store providers behind. */
-  def windowedCountsSync(spark: SparkSession, dir: String): DataFrame =
-    withNanosAsLong(spark) {
-      val name = s"graft_stream_win_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-      val q = windowedCounts(
-          readEventStream(spark, dir, globFilter = Some("events.parquet")))
-        .writeStream.outputMode("complete").format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.toString).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = spark.table(name).localCheckpoint(true)
-      spark.catalog.dropTempView(name)
-      deleteRecursively(ckpt.toFile)
-      out
-    }
+  def windowedCountsSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val name = s"graft_stream_win_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val q = windowedCounts(
+        readEventStream(s, dir, globFilter = Some("events.parquet")))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
 
-  /** The sync gate harnesses flip the legacy nanos-parquet read conf for
-    * their own scans; restore the caller's value afterwards so a shared
-    * session doesn't inherit a changed parquet-read behavior. (The
-    * streaming API [[readEventStream]] still sets it without restoring —
-    * there the stream outlives the call and needs the conf for its whole
-    * lifetime.) */
-  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  /** Isolated child session for the sync gate harnesses: shares the
+    * SparkContext but not session state, so (a) the nanos-parquet legacy
+    * conf never leaks into the caller's session, and (b) stateful
+    * micro-batches run with a small shuffle-partition count — per
+    * micro-batch overhead is proportional to the number of state-store
+    * partitions, and the gate's state fits in a handful; a REAL streaming
+    * deployment sizes `spark.sql.shuffle.partitions` to its own state
+    * volume before starting the query. */
+  private def harnessSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -107,18 +105,19 @@ object EventPipeline {
     * batch N−1). Every open session flushes on its event-time timeout, so
     * the streamed result EQUALS the batch operator's sessions — not merely
     * a closed-session subset. Leak-free like [[windowedCountsSync]]. */
-  def sessionizeSync(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
+  def sessionizeSync(spark: SparkSession, dir: String): DataFrame = {
+    val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_stream_sess")
     val inDir = tmp.resolve("in")
     Files.createDirectories(inDir)
     Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
-    val maxTsNs = spark.read.schema(rawSchema)
+    val maxTsNs = hs.read.schema(rawSchema)
       .parquet(inDir.resolve("part-a.parquet").toString)
       .agg(max(col("ts"))).head().getLong(0)
 
     val name = s"graft_stream_sess_${System.nanoTime()}"
-    val q = sessionize(spark, readEventStream(spark, inDir.toString))
+    val q = sessionize(hs, readEventStream(hs, inDir.toString))
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {
@@ -127,7 +126,7 @@ object EventPipeline {
       Seq(2L * 3600 * 1000000000L, 2L * 3600 * 1000000000L + 1000000000L)
         .foreach { offsetNs =>
           n += 1
-          import spark.implicits._
+          import hs.implicits._
           val stage = tmp.resolve(s"sentinel_$n")
           Seq((-n.toLong, maxTsNs + offsetNs, -1L, "sentinel", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -144,8 +143,8 @@ object EventPipeline {
           q.processAllAvailable()
         }
     } finally q.stop()
-    val out = spark.table(name).filter(col("user_id") >= 0).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
+    val out = hs.table(name).filter(col("user_id") >= 0).localCheckpoint(true)
+    hs.catalog.dropTempView(name)
     deleteRecursively(tmp.toFile)
     out
   }

@@ -67,6 +67,7 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("langId: deterministic markers, 'und' when nothing hits") {
+    GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq(
       ("the cat of the house and a dog", "en"),
@@ -79,9 +80,30 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("qualityScore bounded in [0,1] on the corpus") {
+    GraftFunctions.register(spark)
     val qs = docs.select(GraftFunctions.qualityScore(col("text")).as("q"))
       .agg(min("q"), max("q")).head()
     assert(qs.getDouble(0) >= 0.0 && qs.getDouble(1) <= 1.0)
+  }
+
+  test("markerStats fused kernel ≡ the interpreted HOF formulation it replaced") {
+    GraftFunctions.register(spark)
+    val ts = split(col("text"), " ")
+    def hits(markers: Seq[String]) =
+      size(filter(ts, t => t.isin(markers.map(m => lit(m)): _*)))
+    val ms = GraftFunctions.markerStats(col("text"))
+    val rows = docs.select(
+      ms.getField("n_tokens"), size(ts),
+      ms.getField("n_distinct"), size(array_distinct(ts)),
+      ms.getField("stop_hits"), hits(GraftFunctions.langMarkers.flatMap(_._2)),
+      ms.getField("lang_hits").getItem(0), hits(GraftFunctions.langMarkers.head._2))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "n_tokens")
+      assert(r.getInt(2) == r.getInt(3), "n_distinct")
+      assert(r.getInt(4) == r.getInt(5), "stop_hits")
+      assert(r.getInt(6) == r.getInt(7), "lang_hits[en]")
+    }
   }
 
   test("charNgrams and regex token count") {
