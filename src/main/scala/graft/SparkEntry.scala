@@ -67,6 +67,9 @@ object SparkEntry {
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
+    "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
+    "d_pack_sequences" -> (q.LlmOps.packSequences _),
+    "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
@@ -122,6 +125,9 @@ object SparkEntry {
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
+    "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
+    "d_pack_sequences" -> q.LlmOps.packSequencesSql,
+    "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,
     "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,

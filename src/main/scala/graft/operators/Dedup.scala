@@ -63,6 +63,25 @@ object Dedup {
       .withColumnRenamed("dedup_key", "dedup_fp")
   }
 
+  /** Incremental ingest dedup: rows of `incoming` whose 128-bit canonical
+    * fingerprint does NOT already appear in `corpus` — the streaming-ingest
+    * shape, where each new batch is admitted against the standing corpus
+    * without re-deduplicating the corpus itself. A left-anti join carrying
+    * 16-byte fingerprint keys on both sides; the corpus side can (and at
+    * 100 TB should) be a pre-computed fingerprint store rather than raw
+    * text. Batch-internal duplicates are the caller's concern
+    * ([[exactCanonicalHashed]] over the batch). */
+  def dedupAgainstCorpus(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(incoming.sparkSession)
+    def withFp(df: DataFrame): DataFrame = df.withColumn("dedup_fp",
+      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
+    withFp(incoming)
+      .join(withFp(corpus).select(col("dedup_fp")), Seq("dedup_fp"), "left_anti")
+      .drop("dedup_fp")
+  }
+
   /** MinHash + LSH banding near-duplicate pairs.
     *
     * shingle → per-shingle 64-bit hash → `numHashes` universal-hash

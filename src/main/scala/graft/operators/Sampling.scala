@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling and sequence packing for
+  * training-data pipelines (north-star ops, SURVEY §2.3 family).
+  *
+  * Sampling is HASH-based, not RNG-based: a row's membership depends only
+  * on its key, so the sample is reproducible under any partitioning, any
+  * engine, any corpus subset, and any re-run — the property a training
+  * pipeline needs so an ablation's subsets never drift between runs.
+  * The hash is the ALT FNV-1a stream ([[graft.functions.TextHash.fnv1a64Alt]]),
+  * deliberately independent of the primary stream used by
+  * `LlmOps.trainSplit`, so sampling and split assignment don't correlate. */
+object Sampling {
+
+  /** Buckets in [0, 1e6): fraction resolution of one part per million. */
+  private val Resolution = 1000000L
+
+  private[graft] def bucket(key: Column): Column =
+    pmod(GraftFunctions.fingerprint64Alt(key.cast("string")), lit(Resolution))
+
+  private[graft] def threshold(fraction: Double): Long =
+    math.round(fraction * Resolution)
+
+  /** Keep each row iff hash(key) mod 1e6 < fraction·1e6. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.filter(bucket(key) < lit(threshold(fraction)))
+  }
+
+  /** Per-stratum fractions (strata not listed fall back to `default`) —
+    * the content-stable analog of `DataFrameStatFunctions.sampleBy`. One
+    * codegen'd filter, no shuffle, no RNG state. */
+  def stratifiedSample(
+      df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val limit = fractions.toSeq.sortBy(_._1).foldLeft(lit(threshold(default))) {
+      case (acc, (s, f)) => when(strata === s, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(bucket(key) < limit)
+  }
+
+  /** Pack rows into ≤`budget`-token bins per `part`, greedily in `order`
+    * order, via cumulative-offset binning: a row belongs to the bin where
+    * its token range STARTS (bin = floor((cumsum − n) / budget)), so a row
+    * straddling a boundary stays in the earlier bin and that bin overshoots
+    * by at most one row's tokens — the standard pack-then-truncate/carry
+    * contract of sequence packing, expressible as ONE window function
+    * (a strict never-exceed next-fit is inherently sequential state).
+    * Adds `bin`; one shuffle on `part`. */
+  def packByTokenBudget(
+      df: DataFrame, order: Column, nTokens: Column, part: Column,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(part).orderBy(order)
+    val cum = sum(nTokens.cast("long")).over(w)
+    df.withColumn("bin",
+      floor((cum - nTokens.cast("long")) / lit(budget.toDouble)).cast("long"))
+  }
+}

@@ -293,6 +293,77 @@ object LlmOps {
        |FROM b GROUP BY 1""".stripMargin
   }
 
+  /** Content-stable stratified sample: per-language fractions over the
+    * ALT hash stream (independent of the train-split stream). */
+  val sampleFractions: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.05)
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      docs(s, dir), col("doc_id"), col("lang"),
+      sampleFractions.toMap, default = 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  val sampleStratifiedSql: String = {
+    val cases = sampleFractions.map { case (lang, f) =>
+      s"WHEN '$lang' THEN ${graft.operators.Sampling.threshold(f)}"
+    }.mkString(" ")
+    val signed = hugeToSignedSql("h")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, (($signed % 1000000) + 1000000) % 1000000 AS bucket FROM h)
+       |SELECT doc_id, lang FROM b
+       |WHERE bucket < CASE lang $cases ELSE ${graft.operators.Sampling.threshold(0.1)} END""".stripMargin
+  }
+
+  /** Sequence packing: documents → ≤2048-token bins per language
+    * (cumulative-offset binning in doc_id order), reported per (lang, bin). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.operators.Sampling.packByTokenBudget(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      order = col("doc_id"), nTokens = col("n_tokens"), part = col("lang"),
+      budget = 2048)
+    packed.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, CAST(len($tsSql) AS BIGINT) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n,
+       |    SUM(n) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+       |b AS (
+       |  SELECT lang, CAST(floor((cum - n) / CAST(2048 AS DOUBLE)) AS BIGINT) AS bin, n
+       |  FROM c)
+       |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+       |FROM b GROUP BY lang, bin""".stripMargin
+
+  /** Incremental ingest dedup: the doc_id %7==0 slice plays the incoming
+    * batch, the rest the standing corpus; survivors are incoming docs whose
+    * canonical content is new. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupAgainstCorpus(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0),
+      d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, lang, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |  FROM (SELECT doc_id, lang,
+       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |        FROM documents))
+       |SELECT i.doc_id, i.lang FROM fp i
+       |WHERE i.doc_id % 7 = 0 AND NOT EXISTS (
+       |  SELECT 1 FROM fp c
+       |  WHERE c.doc_id % 7 <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)""".stripMargin
+
   // ---- float/hash-exact DuckDB oracles for the cosine & fingerprint ----
   // families. The gate hash-compares doubles at full precision, so these
   // SQL twins replicate the JVM kernels' exact operation order:

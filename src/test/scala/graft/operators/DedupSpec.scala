@@ -125,6 +125,25 @@ class DedupSpec extends SparkTestBase {
     assert(acc.value > 0)    // ...and the loss is visible, not silent
   }
 
+  test("dedupAgainstCorpus: known content rejected, novel content admitted, key is the fingerprint") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "beta alpha gamma gamma"), // canonical-equal to doc 1 → rejected
+      (11L, "entirely novel content here"),
+      (12L, "delta epsilon zeta")       // exact copy of doc 2 → rejected
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L))
+    // the anti-join must key on the 16-byte fingerprint struct, not text
+    val plan = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("dedup_fp"), plan)
+  }
+
   test("first-collision emission: no pair-keyed dedup exchange in any LSH dedup plan") {
     GraftFunctions.register(spark)
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("deterministicSample: partitioning-independent, reproducible, fraction honored") {
+    GraftFunctions.register(spark)
+    val a = Sampling.deterministicSample(docs, col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample membership changed under repartitioning")
+    assert(a.size > 200 && a.size < 300, s"fraction 0.5 of 500 gave ${a.size}")
+    // nesting: a smaller fraction is a SUBSET of a larger one (same hash,
+    // lower threshold) — ablation subsets never drift
+    val half = Sampling.deterministicSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(a))
+  }
+
+  test("stratifiedSample: per-stratum fractions, content-stable under subsetting") {
+    GraftFunctions.register(spark)
+    val fractions = Map("en" -> 0.8, "de" -> 0.2)
+    val got = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      fractions, default = 0.0)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "de"), s"default=0 strata leaked: $byLang")
+    assert(math.abs(byLang("en").toDouble / totals("en") - 0.8) < 0.15)
+    assert(math.abs(byLang("de").toDouble / totals("de") - 0.2) < 0.15)
+    // content-stability: sampling a filtered corpus = filtering the sample
+    val subsetSample = Sampling.stratifiedSample(
+      docs.filter(col("doc_id") < 250), col("doc_id"), col("lang"),
+      fractions, default = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampleSubset = got.filter(col("doc_id") < 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subsetSample == sampleSubset)
+  }
+
+  test("sampling stream is independent of the train-split stream") {
+    GraftFunctions.register(spark)
+    // same key hashed by the two streams: buckets must disagree for most
+    // rows (a shared stream would correlate ablation samples with splits)
+    val both = docs.select(
+      pmod(GraftFunctions.fingerprint64(col("doc_id").cast("string")), lit(100L)).as("split_b"),
+      pmod(GraftFunctions.fingerprint64Alt(col("doc_id").cast("string")), lit(100L)).as("sample_b"))
+      .collect()
+    val agree = both.count(r => r.getLong(0) == r.getLong(1))
+    assert(agree < both.length / 10, s"$agree/${both.length} bucket collisions")
+  }
+
+  test("packByTokenBudget: contiguous greedy bins, budget respected at bin starts") {
+    GraftFunctions.register(spark)
+    val budget = 500
+    val packed = Sampling.packByTokenBudget(
+      docs.select(col("doc_id"), col("lang"),
+        GraftFunctions.tokenCount(col("text")).cast("long").as("n")),
+      order = col("doc_id"), nTokens = col("n"), part = col("lang"),
+      budget = budget)
+      .select("lang", "doc_id", "n", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == 500) // every doc assigned exactly one bin
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // bins are nondecreasing in pack order and start at 0
+      val bins = sorted.map(_._4)
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a },
+        "bins must be nondecreasing in pack order")
+      // invariant of offset binning: each row STARTS inside its bin
+      var cum = 0L
+      sorted.foreach { case (_, _, n, bin) =>
+        assert(cum / budget == bin, s"row starting at offset $cum landed in bin $bin")
+        cum += n
+      }
+      // every bin's token total ≤ budget + one straddling row
+      val maxRow = sorted.map(_._3).max
+      sorted.groupBy(_._4).values.foreach { binRows =>
+        assert(binRows.map(_._3).sum <= budget + maxRow)
+      }
+    }
+  }
+}
