@@ -51,16 +51,19 @@ object Bench {
     // the main action — DataFrame construction, analysis, optimization and
     // physical planning (forced via executedPlan), plus any driver-side
     // setup a query's builder performs (e.g. the IVF centroid fetch or a
-    // streaming sync harness). The split makes driver-side overhead
-    // observable separately from cluster execution; "queries" stays the
-    // plain per-query median total for the driver's existing parse.
+    // streaming sync harness). Execution then runs the SAME QueryExecution
+    // (toRdd) — a df.count() here would (a) re-plan the whole tree a second
+    // time and (b) let the optimizer prune every projection a count-star
+    // doesn't need, silently skipping the very expressions being measured.
+    // "queries" stays the plain per-query median total for the driver's
+    // existing parse.
     def timeOnce(name: String): (Double, Double) = {
       val t0 = System.nanoTime()
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        df.queryExecution.executedPlan
+        val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        qe.executedPlan
         val t1 = System.nanoTime()
-        df.count()
+        qe.toRdd.count()
         val t2 = System.nanoTime()
         ((t2 - t0) / 1e9, (t1 - t0) / 1e9)
       } catch {

@@ -72,8 +72,7 @@ object Dedup {
     * text. Batch-internal duplicates are the caller's concern
     * ([[exactCanonicalHashed]] over the batch). */
   def dedupAgainstCorpus(
-      incoming: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      incoming: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
     GraftFunctions.register(incoming.sparkSession)
     def withFp(df: DataFrame): DataFrame = df.withColumn("dedup_fp",
       GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
@@ -137,18 +136,21 @@ object Dedup {
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
 
-    // Banding carries (doc_id, bh) + the band slice — never the shingle
-    // arrays: at scale, replicating document payloads ×bands through the
-    // exchange dominates cost. Shingles (base) are joined back at verify time.
+    // Banding carries (doc_id, bh-PREFIX) + the band slice — never the
+    // shingle arrays: at scale, replicating document payloads ×bands
+    // through the exchange dominates cost. Band b's kernel only ever reads
+    // bh[0..b) (the earlier-band check), so each exploded row ships just
+    // that prefix — half the band-hash bytes of the full array, and zero
+    // for band 0. Shingles (base) are joined back at verify time.
     val banded = withBh.select(
-      struct(col("doc_id"), col("bh")).as("m"),
       explode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => struct(
           b.as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"),
+          struct(col("doc_id"), slice(col("bh"), lit(1), b).as("bh")).as("m"))))
         .as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("m"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("bb.m").as("m"))
 
     // Candidate generation as ONE aggregation (group bucket members, expand
     // pairs in place) instead of a self-join: the banded subtree would
@@ -283,11 +285,11 @@ object Dedup {
       array_sort(array_distinct(GraftFunctions.tokens(col(textCol)))).as("toks"))
       .withColumn("sz", size(col("toks")))
 
-    // banding carries (doc_id, sz, bandHashes) structs through the exchange:
-    // the band-hash array (`bands` longs) lets the expansion kernel emit a
-    // pair only in the FIRST band where it collides, so a near-dup clique
-    // colliding in every band yields each pair once — no ×bands candidate
-    // duplication and no dropDuplicates shuffle at all
+    // banding carries (doc_id, sz, bandHash-PREFIX) structs through the
+    // exchange: band b's kernel reads only bh[0..b) for the
+    // first-colliding-band check (emit each pair exactly once, no ×bands
+    // duplication, no dropDuplicates shuffle), so each exploded row ships
+    // just that prefix
     val signed = toks.withColumn("sig",
       GraftFunctions.minhashSig(col("toks"), numHashes, seed))
     val withBands = signed.withColumn("bh",
@@ -295,8 +297,15 @@ object Dedup {
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
     val banded = withBands.select(
       col("block"),
-      struct(col("doc_id"), col("sz"), col("bh")).as("ds"),
-      posexplode(col("bh")).as(Seq("band", "bucket")))
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          element_at(col("bh"), b + 1).as("bucket"),
+          struct(col("doc_id"), col("sz"), slice(col("bh"), lit(1), b).as("bh")).as("ds"))))
+        .as("bb"))
+      .select(col("block"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("bb.ds").as("ds"))
 
     // one aggregation + member-wise codegen'd pair expansion (single
     // shuffle); the size law (j ≥ t ⇒ min ≥ t·max) prunes inside the
@@ -339,17 +348,24 @@ object Dedup {
       tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // (id, per-table bucket array) through the bucket exchange — the array
-    // IS the first-colliding-table state, so the kernel emits each pair in
-    // exactly one table (exact: the keys compared are the bucket keys
-    // themselves) and no dedup shuffle is needed; vectors joined back for
-    // verify only.
+    // (id, earlier-table bucket PREFIX) through the bucket exchange — the
+    // prefix IS the first-colliding-table state, so the kernel emits each
+    // pair in exactly one table (exact: the keys compared are the bucket
+    // keys themselves) and no dedup shuffle is needed; vectors joined back
+    // for verify only.
     val vecs = df.select(col(idCol), col(vecCol))
     val banded = Similarity
       .withLshBucketArray(vecs, vecCol, dim, planesPerTable, tables, seed)
       .select(
-        struct(col(idCol), col("tbs")).as("m"),
-        posexplode(col("tbs")).as(Seq("table", "bucket")))
+        explode(transform(
+          sequence(lit(0), lit(tables - 1)),
+          t => struct(
+            t.as("table"),
+            element_at(col("tbs"), t + 1).as("bucket"),
+            struct(col(idCol), slice(col("tbs"), lit(1), t).as("tbs")).as("m"))))
+          .as("tb"))
+      .select(col("tb.table").as("table"), col("tb.bucket").as("bucket"),
+        col("tb.m").as("m"))
     val buckets = banded
       .groupBy(col("table"), col("bucket"))
       .agg(collect_list(col("m")).as("ms"))

@@ -349,7 +349,7 @@ object LlmOps {
     Dedup.dedupAgainstCorpus(
       d.filter(pmod(col("doc_id"), lit(7)) === 0),
       d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
-      "doc_id", "text")
+      "text")
       .select(col("doc_id"), col("lang"))
   }
 

@@ -44,7 +44,14 @@ object XlsxSink {
     letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
   }
 
-  private def xml(s: String): String = {
+  /** OOXML string escaping: XML entities; control characters as the
+    * spec's `_xHHHH_` marker; and — so the marker stays unambiguous — a
+    * LITERAL `_xHHHH_` already present in the data gets its leading
+    * underscore escaped as `_x005F_` (ECMA-376 §22.4.2.4). [[decodeText]]
+    * is the exact inverse, so round trips preserve bytes and compliant
+    * readers agree. */
+  private def xml(s0: String): String = {
+    val s = s0.replaceAll("_(?=x[0-9A-Fa-f]{4}_)", "_x005F_")
     val sb = new StringBuilder(s.length)
     s.foreach {
       case '&' => sb.append("&amp;")
@@ -57,6 +64,20 @@ object XlsxSink {
     }
     sb.toString
   }
+
+  /** Decode `_xHHHH_` escapes (matches are consumed left-to-right, so
+    * `_x005F_x0041_` → literal `_x0041_`, per the spec). */
+  private def decodeText(s: String): String =
+    if (!s.contains("_x")) s
+    else {
+      val m = java.util.regex.Pattern.compile("_x([0-9A-Fa-f]{4})_").matcher(s)
+      val sb = new StringBuffer
+      while (m.find())
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.group(1), 16).toChar.toString))
+      m.appendTail(sb)
+      sb.toString
+    }
 
   private val ContentTypes =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -136,8 +157,13 @@ object XlsxSink {
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // stream into a temp sibling and swap in only on success — a failure
+    // mid-write (including the MaxRows refusal) must never have destroyed
+    // a pre-existing file at `path` or left a corrupt partial ZIP there
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmpTarget = new org.apache.hadoop.fs.Path(path + ".graft_tmp")
     val out = new java.util.zip.ZipOutputStream(
-      fs.create(new org.apache.hadoop.fs.Path(path), true),
+      fs.create(tmpTarget, true),
       java.nio.charset.StandardCharsets.UTF_8)
     try {
       def part(name: String, content: String): Unit = {
@@ -196,7 +222,16 @@ object XlsxSink {
       w.write("</sheetData></worksheet>")
       w.flush()
       out.closeEntry()
-    } finally out.close()
+    } catch {
+      case e: Throwable =>
+        try { out.close(); fs.delete(tmpTarget, false); () }
+        catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    }
+    out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmpTarget, target))
+      throw new java.io.IOException(s"could not move $tmpTarget to $target")
   }
 
   /** Minimal xlsx reader (sheets this sink produces, or any single-sheet
@@ -234,7 +269,7 @@ object XlsxSink {
       if (sharedBytes == null) IndexedSeq.empty
       else {
         val els = parse(sharedBytes).getElementsByTagName("si")
-        (0 until els.getLength).map(i => els.item(i).getTextContent)
+        (0 until els.getLength).map(i => decodeText(els.item(i).getTextContent))
       }
 
     val rows = parse(sheetBytes).getElementsByTagName("row")
@@ -244,9 +279,14 @@ object XlsxSink {
       (0 until cells.getLength).flatMap { ci =>
         val c = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
         val idx = lettersToIndex(c.getAttribute("r"))
+        // ECMA-376 makes r= optional (cells become positional); this
+        // reader doesn't track a positional cursor, so fail LOUDLY rather
+        // than silently mis-keying the row's data
+        require(idx >= 0,
+          s"cell without an r= reference in row $ri — positional cells unsupported")
         val t = c.getAttribute("t")
         val value = t match {
-          case "inlineStr" => Some(c.getTextContent)
+          case "inlineStr" => Some(decodeText(c.getTextContent))
           case "s" =>
             val vs = c.getElementsByTagName("v")
             if (vs.getLength > 0) Some(shared(vs.item(0).getTextContent.trim.toInt))

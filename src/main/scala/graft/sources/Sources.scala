@@ -128,14 +128,20 @@ object Sources {
           dropQuietly(conn, stg)
           stg
         }
-        merged.write.mode("overwrite").jdbc(url, staging, props)
+        // registered BEFORE the write: a staging table created by a write
+        // that then dies midway must still be swept by the catch below
         staged += ((table, staging))
+        merged.write.mode("overwrite").jdbc(url, staging, props)
       }
     } catch {
       case e: Throwable =>
-        withConnection(url, props) { conn =>
-          staged.foreach { case (_, staging) => dropQuietly(conn, staging) }
-        }
+        // best-effort sweep — a cleanup failure must never mask the
+        // original error
+        try {
+          withConnection(url, props) { conn =>
+            staged.foreach { case (_, staging) => dropQuietly(conn, staging) }
+          }
+        } catch { case c: Throwable => e.addSuppressed(c) }
         throw e
     }
 
@@ -155,11 +161,17 @@ object Sources {
       }
     } catch {
       case e: Throwable =>
-        withConnection(url, props) { conn =>
-          staged.foreach { case (table, staging) =>
-            if (tableExists(conn, table)) dropQuietly(conn, staging)
+        // best-effort: drop stagings only where the original table still
+        // exists (else staging holds the sole copy — leave for recovery);
+        // a failure HERE (e.g. the DB is down, which likely caused the
+        // swap failure too) must never mask the swap error
+        try {
+          withConnection(url, props) { conn =>
+            staged.foreach { case (table, staging) =>
+              if (tableExists(conn, table)) dropQuietly(conn, staging)
+            }
           }
-        }
+        } catch { case c: Throwable => e.addSuppressed(c) }
         throw e
     }
   }

@@ -135,11 +135,11 @@ class DedupSpec extends SparkTestBase {
       (11L, "entirely novel content here"),
       (12L, "delta epsilon zeta")       // exact copy of doc 2 → rejected
     ).toDF("doc_id", "text")
-    val got = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(incoming, corpus, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(11L))
     // the anti-join must key on the 16-byte fingerprint struct, not text
-    val plan = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+    val plan = Dedup.dedupAgainstCorpus(incoming, corpus, "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti") && plan.contains("dedup_fp"), plan)
   }

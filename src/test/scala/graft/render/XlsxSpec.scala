@@ -68,16 +68,23 @@ class XlsxSpec extends SparkTestBase {
       ("4", "廖师虎", null)))
   }
 
-  test("xlsx escaping: markup characters and control bytes can't break the sheet") {
+  test("xlsx escaping: markup, control bytes, and literal _xHHHH_ round-trip EXACTLY") {
     import spark.implicits._
-    val tricky = Seq((1L, """<b>&"quoted"</b>""" + "tail")).toDF("id", "name")
+    // markup + a raw BEL control char + a literal _x0041_ marker: the
+    // control char must travel as the spec's _xHHHH_ escape, the literal
+    // marker must be protected with the mandatory _x005F_ prefix
+    // (ECMA-376 par. 22.4.2.4) -- and the reader must invert both
+    val value = "<b>&\"quoted\"</b>\u0007tail_x0041_end"
+    val tricky = Seq((1L, value)).toDF("id", "name")
     val t = TableSpec(tricky, Seq("id".ofCol(col("id")), "name".ofCol(col("name"))))
     val path = s"target/xlsx_esc_${System.nanoTime()}.xlsx"
     XlsxSink.writeXlsx(t, QuerySpec(), path)
-    val back = XlsxSink.readXlsx(spark, path).collect()
-    // control chars round-trip via the spec's _xHHHH_ escape (we assert the
-    // markup survives; the escaped control marker is visible, not raw)
-    assert(back.head.getString(1).startsWith("""<b>&"quoted"</b>"""))
+    assert(XlsxSink.readXlsx(spark, path).collect().head.getString(1) == value)
+    // the raw sheet bytes must carry the escapes (a compliant reader
+    // would decode them identically), never a bare control byte
+    val sheet = new String(zipEntries(path)("xl/worksheets/sheet1.xml"), "UTF-8")
+    assert(sheet.contains("_x0007_") && sheet.contains("_x005F_x0041_"), sheet)
+    assert(!sheet.exists(c => c < ' ' && c != '\t' && c != '\n' && c != '\r'))
   }
 
   test("xlsx honors the request: projection + pagination reach the sheet") {
