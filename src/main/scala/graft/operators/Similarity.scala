@@ -208,8 +208,10 @@ object Similarity {
     * the caller to persist alongside. */
   def writeIvfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      path: String, nCells: Int = 16): Seq[(Int, Seq[Float])] = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nCells)
+      path: String, nCells: Int = 16, refineIters: Int = 0): Seq[(Int, Seq[Float])] = {
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, refineIters)
+      else ivfCentroids(df, idCol, vecCol, nCells)
     withIvfCell(df, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids

@@ -87,6 +87,35 @@ class XlsxSpec extends SparkTestBase {
     assert(!sheet.exists(c => c < ' ' && c != '\t' && c != '\n' && c != '\r'))
   }
 
+  test("readXlsx resolves shared-strings sheets (files from other writers)") {
+    // hand-build a minimal xlsx whose cells use the sharedStrings table
+    // (t="s") — the layout Excel itself writes — to pin the reader's
+    // claim beyond the inline-string files our own sink produces
+    val path = s"target/xlsx_shared_${System.nanoTime()}.xlsx"
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(name: String, body: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(body.getBytes("UTF-8")); zout.closeEntry()
+    }
+    try {
+      part("xl/sharedStrings.xml",
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+          "<si><t>name</t></si><si><t>alpha</t></si><si><t>beta_x005F_x0041_</t></si></sst>")
+      part("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>n</t></is></c></row>""" +
+          """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>7</v></c></row>""" +
+          """<row r="3"><c r="A3" t="s"><v>2</v></c></row>""" +
+          "</sheetData></worksheet>")
+    } finally zout.close()
+    val back = XlsxSink.readXlsx(spark, path)
+    assert(back.columns.toSeq == Seq("name", "n"))
+    val rows = back.orderBy(col("name")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // shared-string escapes decode too: _x005F_x0041_ → literal _x0041_
+    assert(rows.toSeq == Seq(("alpha", "7"), ("beta_x0041_", null)))
+  }
+
   test("xlsx honors the request: projection + pagination reach the sheet") {
     val path = s"target/xlsx_req_${System.nanoTime()}.xlsx"
     XlsxSink.writeXlsx(table,
