@@ -84,14 +84,23 @@ object Bench {
       (name, med, medPlan)
     }
 
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of this process's output and
+    // must find ONE parseable JSON line in it. Keep that line SHORT (3-decimal
+    // seconds, no plan_sec map — 52 queries at full Double precision plus the
+    // plan split overflowed the capture window every prior round) and print it
+    // LAST and UNPREFIXED (run/outputStrategy := StdoutOutput in build.sbt).
+    // The {exec, plan} split per query still goes out, as a separate
+    // stderr diagnostic line just before.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val plans = results.map { case (k, _, p) => s"\"" + k + "\":" + p }
+    val plans = results.map { case (k, _, p) => "\"" + k + "\":" + r3(p) }
       .mkString("{", ",", "}")
     val succeeded = results.map(_._2).filter(_ >= 0)
     val failures = results.count(_._2 < 0)
     val total = succeeded.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_sec":$plans,"failures":$failures,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] plan_sec $plans""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,8 +132,10 @@ object SparkEntry {
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,
-    // approx_distinct (HLL sketch) and multimodal (stub-fallback codecs)
-    // remain rows-only + scalatest semantics
+    // multimodal: integer gate shape — byte counts recomputed from header
+    // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
+    "d_multimodal" -> q.LlmOps.multimodalSql,
+    // approx_distinct (HLL sketch) remains rows-only + scalatest semantics
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -38,6 +38,8 @@ object GraftFunctions {
       es => IvfCellAssign(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_marker_stats",
       es => MarkerStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition_stats",
+      es => RepetitionStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_keyed_member_pairs",
       es => KeyedMemberPairs(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_member_pairs",
@@ -116,6 +118,13 @@ object GraftFunctions {
     * replaces the former per-language interpreted `filter(tokens, isin)`
     * passes. Requires [[register]]. */
   def markerStats(text: Column): Column = call_function("graft_marker_stats", text)
+
+  /** Fused one-pass repetition statistics: struct(n_tokens, n_distinct,
+    * max_freq, n_3gram, dup_3gram, max_run) as ONE codegen call — the
+    * counting tier of the Gopher/C4-style quality filter. Requires
+    * [[register]]. */
+  def repetitionStats(text: Column): Column =
+    call_function("graft_repetition_stats", text)
 
   /** N-gram/stopword language-ID heuristic: count marker-word hits per
     * language, argmax with fixed tie-break order, 'und' when nothing hits.

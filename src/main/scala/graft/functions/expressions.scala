@@ -140,6 +140,34 @@ case class MarkerStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused one-pass repetition statistics of a raw string column:
+  * struct(n_tokens, n_distinct, max_freq, n_3gram, dup_3gram, max_run) —
+  * see TextQuality.stats. One codegen call instead of five interpreted
+  * higher-order passes; all counts exact (string sets, not sketches) so
+  * the quality-filter oracle replicates them with list operations. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_freq", IntegerType, nullable = false),
+    StructField("n_3gram", IntegerType, nullable = false),
+    StructField("dup_3gram", IntegerType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextQuality.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextQuality.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** IVF cell assignment: argmax-cosine centroid index of a float-vector
   * column against a constant centroid matrix (array<array<float>> literal,
   * shipped once with the task binary like any plan constant). ONE plan

@@ -201,6 +201,35 @@ object Multimodal {
       54L + ((w * 3 + 3) / 4 * 4).toLong * h
     } else 44L + 2L * (2000 + (id % 1000).toInt)
 
+  /** Oracle-able gate aggregation: the same synth → encode → decode →
+    * aggregate pipeline as [[featurePipeline]], but every output column is
+    * an integer whose EXPECTED value has a closed form — so an external
+    * engine that cannot decode media can still verify the query end to end:
+    *
+    *   - `total_bytes` is file-format header arithmetic in doc_id
+    *     ([[theoryByteCount]]), independently recomputable in SQL;
+    *   - `n_feat0_exact` / `n_bytes_exact` count docs whose DECODED
+    *     feature[0] / byte count equal the closed-form theory values
+    *     BIT-FOR-BIT — the oracle pins both to n_docs (all must match), so
+    *     any divergence anywhere in the synth/encode/parse/feature path
+    *     shows up as a count mismatch.
+    */
+  def featureGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = withMediaPayload(spark, docs)
+    val feats = decodeFeatures(spark, media).toDF()
+    val theoryF = udf((id: Long) => theoryFeature0(id))
+    val theoryB = udf((id: Long) => theoryByteCount(id))
+    feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("mime"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(element_at(col("feature"), 1) === theoryF(col("doc_id")), 1L)
+          .otherwise(0L)).as("n_feat0_exact"),
+        sum(when(col("n_bytes") === theoryB(col("doc_id")), 1L)
+          .otherwise(0L)).as("n_bytes_exact"))
+  }
+
   /** End-to-end pipeline: real media payloads → batch decode (actual BMP
     * pixels / WAV samples) → per-(source, modality) feature aggregation
     * (joins features back to the docs dimension columns). The two

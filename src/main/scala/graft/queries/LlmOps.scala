@@ -207,9 +207,29 @@ object LlmOps {
     Similarity.bruteForceTopK(vecs, "doc_id", "vector", query, k = 20)
   }
 
-  /** Multimodal payload → batch decode → per-source features. */
+  /** Multimodal payload → batch decode → per-(source, modality) aggregates,
+    * in the oracle-able integer shape ([[Multimodal.featureGate]]): the
+    * oracle recomputes `total_bytes` from file-format header arithmetic and
+    * pins the theory-exactness counts to n_docs, so the real BMP/WAV
+    * synth → encode → parse → feature path is externally verified without
+    * the oracle needing a codec. */
   def multimodal(s: SparkSession, dir: String): DataFrame =
-    Multimodal.featurePipeline(s, docs(s, dir))
+    Multimodal.featureGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodal]]: byte counts from the BMP/WAV
+    * header arithmetic ([[Multimodal.theoryByteCount]] in SQL); the
+    * exactness counts pinned to "every doc matches theory". */
+  val multimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 54 + ((((16 + doc_id % 16) * 3 + 3) // 4) * 4) * (16 + doc_id % 12)
+      |      ELSE 44 + 2 * (2000 + doc_id % 1000) END AS nb
+      |  FROM documents)
+      |SELECT source, mime, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS total_bytes,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_bytes_exact
+      |FROM m GROUP BY source, mime""".stripMargin
 
   /** End-to-end curation pipeline — the composition a training-data corpus
     * actually runs: quality gate → language agreement → exact-canonical

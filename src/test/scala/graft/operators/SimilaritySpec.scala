@@ -200,4 +200,18 @@ class SimilaritySpec extends SparkTestBase {
         s"avg_feat0 ${r.getDouble(4)} != theory $avgF for ${r.getString(0)}/${r.getString(1)}")
     }
   }
+
+  test("multimodal featureGate: integer gate shape, exactness counts saturate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal.featureGate(spark, docs).collect()
+    assert(out.map(_.getLong(2)).sum == 500)
+    out.foreach { r =>
+      val n = r.getLong(2)
+      // oracle contract: every doc's decoded feature[0] and byte count
+      // match the closed-form theory values
+      assert(r.getLong(4) == n, s"n_feat0_exact < n_docs in $r")
+      assert(r.getLong(5) == n, s"n_bytes_exact < n_docs in $r")
+      assert(r.getLong(3) > 0)
+    }
+  }
 }
