@@ -55,6 +55,7 @@ object SparkEntry {
     // LLM-pipeline operators (SURVEY §2.3 north-star)
     "d_text_stats" -> (q.LlmOps.textStats _),
     "d_lang_id" -> (q.LlmOps.langId _),
+    "d_quality_repetition" -> (q.LlmOps.qualityRepetition _),
     "d_dedup_exact" -> (q.LlmOps.dedupExact _),
     "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "r_sessionize" -> q.Relational.sessionizeSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,
+    "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,
     "d_dedup_exact" -> q.LlmOps.dedupExactSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
     // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a

@@ -126,12 +126,14 @@ object GraftFunctions {
   def repetitionStats(text: Column): Column =
     call_function("graft_repetition_stats", text)
 
-  /** N-gram/stopword language-ID heuristic: count marker-word hits per
-    * language, argmax with fixed tie-break order, 'und' when nothing hits.
-    * Counts come from the fused [[markerStats]] kernel; the argmax stays
-    * declarative (identical to the oracle's CASE chain). */
-  def langId(text: Column): Column = {
-    val ms = markerStats(text)
+  /** N-gram/stopword language-ID heuristic over an ALREADY-COMPUTED
+    * [[markerStats]] struct column: argmax of per-language marker hits with
+    * fixed tie-break order, 'und' when nothing hits. Taking the struct (not
+    * the text) lets a caller alias the kernel ONCE in a narrow projection
+    * and feed several derivations from it — CollapseProject keeps a
+    * multiply-referenced non-cheap alias in its own Project, so the fused
+    * kernel runs once per row instead of once per call site. */
+  def langIdFrom(ms: Column): Column = {
     val hits = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
       lang -> ms.getField("lang_hits").getItem(i)
     }
@@ -141,17 +143,51 @@ object GraftFunctions {
     }
   }
 
-  /** Composite quality score in [0,1]: vocabulary diversity + length
-    * saturation + non-stopword density. Single-division components in fixed
-    * order so the double result is engine-portable; the integer counts come
-    * from the fused [[markerStats]] kernel (same values as the former
-    * array passes, so the double arithmetic is unchanged). */
-  def qualityScore(text: Column): Column = {
-    val ms = markerStats(text)
+  /** [[langIdFrom]] over a raw text column (single-call-site convenience). */
+  def langId(text: Column): Column = langIdFrom(markerStats(text))
+
+  /** Composite quality score in [0,1] from a [[markerStats]] struct:
+    * vocabulary diversity + length saturation + non-stopword density.
+    * Single-division components in fixed order so the double result is
+    * engine-portable. */
+  def qualityScoreFrom(ms: Column): Column = {
     val n = ms.getField("n_tokens").cast("double")
     val uniq = ms.getField("n_distinct").cast("double") / n
     val lenScore = least(lit(1.0), n / lit(64.0))
     val stopHits = ms.getField("stop_hits").cast("double")
     lit(0.5) * uniq + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - stopHits / n)
+  }
+
+  /** [[qualityScoreFrom]] over a raw text column. */
+  def qualityScore(text: Column): Column = qualityScoreFrom(markerStats(text))
+
+  // Gopher/C4-style repetition gate defaults, tuned so every signal
+  // participates on the fixture corpus (39/27/25 of 500 docs flagged by the
+  // three conditions respectively at sf0.01). Shared with the oracle-SQL
+  // builders so the thresholds can never drift between engines.
+  val RepMaxFreqFrac: Double = 0.15
+  val RepDup3gramFrac: Double = 0.02
+  val RepMaxRun: Int = 2
+
+  /** Repetition-filter verdict from an ALREADY-COMPUTED [[repetitionStats]]
+    * struct: keep a document iff
+    *   - its most frequent token owns ≤ `maxFreqFrac` of all tokens
+    *     (Gopher's most-common-word test),
+    *   - ≤ `dup3gramFrac` of its word 3-grams are repeats (C4's
+    *     repeated-phrase test; vacuously true below 3 tokens),
+    *   - no token repeats consecutively more than `maxRun` times
+    *     (degenerate boilerplate like "= = = = =").
+    * All comparisons are single divisions of exact integer counts, so the
+    * verdict is bit-identical across engines. */
+  def repetitionOk(rs: Column,
+      maxFreqFrac: Double = RepMaxFreqFrac,
+      dup3gramFrac: Double = RepDup3gramFrac,
+      maxRun: Int = RepMaxRun): Column = {
+    val n = rs.getField("n_tokens").cast("double")
+    val n3 = rs.getField("n_3gram")
+    (rs.getField("max_freq").cast("double") / n <= maxFreqFrac) &&
+      (n3 === 0 ||
+        rs.getField("dup_3gram").cast("double") / n3.cast("double") <= dup3gramFrac) &&
+      rs.getField("max_run") <= maxRun
   }
 }

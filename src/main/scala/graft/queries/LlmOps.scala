@@ -31,17 +31,20 @@ object LlmOps {
     * arithmetic is unchanged). */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val ms = GraftFunctions.markerStats(col("text"))
+    val ms = col("ms")
     val n = ms.getField("n_tokens").cast("double")
-    docs(s, dir).select(
-      col("doc_id"),
-      col("lang"),
-      ms.getField("n_tokens").cast("long").as("n_tokens"),
-      ms.getField("n_distinct").cast("long").as("n_distinct"),
-      (ms.getField("n_distinct").cast("double") / n).as("uniq_ratio"),
-      ((length(col("text")) - (ms.getField("n_tokens") - 1)).cast("double") / n)
-        .as("avg_token_len"),
-      GraftFunctions.qualityScore(col("text")).as("quality"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"),
+        GraftFunctions.markerStats(col("text")).as("ms"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        ms.getField("n_tokens").cast("long").as("n_tokens"),
+        ms.getField("n_distinct").cast("long").as("n_distinct"),
+        (ms.getField("n_distinct").cast("double") / n).as("uniq_ratio"),
+        ((col("text_len") - (ms.getField("n_tokens") - 1)).cast("double") / n)
+          .as("avg_token_len"),
+        GraftFunctions.qualityScoreFrom(ms).as("quality"))
   }
 
   val textStatsSql: String = {
@@ -84,6 +87,78 @@ object LlmOps {
        |    ELSE 'und' END AS lang_pred
        |  FROM (SELECT doc_id, lang, $hitDefs FROM documents))""".stripMargin
   }
+
+  /** Gopher/C4-style repetition quality gate over the fused
+    * [[GraftFunctions.repetitionStats]] kernel: per-document exact counts
+    * (max token frequency, duplicate word-3-grams, longest identical-token
+    * run), the derived fractions, and the keep verdict
+    * ([[GraftFunctions.repetitionOk]]). The kernel is aliased ONCE in a
+    * narrow projection and every output column derives from the struct, so
+    * the one-pass kernel runs exactly once per row. */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val withRs = docs(s, dir).select(
+      col("doc_id"),
+      GraftFunctions.repetitionStats(col("text")).as("rs"))
+    val rs = col("rs")
+    val n = rs.getField("n_tokens").cast("double")
+    val n3 = rs.getField("n_3gram")
+    withRs.select(
+      col("doc_id"),
+      rs.getField("n_tokens").cast("long").as("n_tokens"),
+      rs.getField("max_freq").cast("long").as("max_freq"),
+      rs.getField("n_3gram").cast("long").as("n_3gram"),
+      rs.getField("dup_3gram").cast("long").as("dup_3gram"),
+      rs.getField("max_run").cast("long").as("max_run"),
+      (rs.getField("max_freq").cast("double") / n).as("max_freq_frac"),
+      when(n3 === 0, lit(0.0))
+        .otherwise(rs.getField("dup_3gram").cast("double") / n3.cast("double"))
+        .as("dup_3gram_frac"),
+      GraftFunctions.repetitionOk(rs).cast("int").as("keep"))
+  }
+
+  // DuckDB list-op twins of the TextQuality counts (the kernel was designed
+  // so every count replicates with list operations verbatim):
+  //   max_freq — histogram max over the distinct tokens;
+  //   3-grams  — materialized positionally, dup = total − distinct;
+  //   max_run  — gaps between consecutive run-start positions (a start is
+  //              i=1 or ts[i] ≠ ts[i-1]), closed with sentinel n+1.
+  private val repStatsSql: String =
+    s"""SELECT doc_id,
+       |    len(ts) AS n,
+       |    list_max(list_transform(list_distinct(ts), d -> len(list_filter(ts, x -> x = d)))) AS max_freq,
+       |    len(g3) AS n3,
+       |    len(g3) - len(list_distinct(g3)) AS dup3,
+       |    list_max(list_transform(range(1, len(runs)), j -> runs[j+1] - runs[j])) AS max_run
+       |  FROM (
+       |    SELECT doc_id, ts,
+       |      CASE WHEN len(ts) >= 3
+       |        THEN list_transform(range(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+       |        ELSE []::VARCHAR[] END AS g3,
+       |      list_append(list_filter(range(1, len(ts)+1), i -> i = 1 OR ts[i] <> ts[i-1]), len(ts)+1) AS runs
+       |    FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
+
+  /** The keep verdict on [[repStatsSql]] columns — same divisions, same
+    * thresholds ([[GraftFunctions.RepMaxFreqFrac]] etc.) as
+    * [[GraftFunctions.repetitionOk]]. */
+  private val repKeepSql: String =
+    s"""(CAST(max_freq AS DOUBLE) / CAST(n AS DOUBLE) <= ${GraftFunctions.RepMaxFreqFrac}
+       |    AND (n3 = 0 OR CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE) <= ${GraftFunctions.RepDup3gramFrac})
+       |    AND max_run <= ${GraftFunctions.RepMaxRun})""".stripMargin
+
+  val qualityRepetitionSql: String =
+    s"""WITH s AS (
+       |  $repStatsSql)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(max_freq AS BIGINT) AS max_freq,
+       |  CAST(n3 AS BIGINT) AS n_3gram,
+       |  CAST(dup3 AS BIGINT) AS dup_3gram,
+       |  CAST(max_run AS BIGINT) AS max_run,
+       |  CAST(max_freq AS DOUBLE) / CAST(n AS DOUBLE) AS max_freq_frac,
+       |  CASE WHEN n3 = 0 THEN 0.0 ELSE CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE) END AS dup_3gram_frac,
+       |  CAST($repKeepSql AS INT) AS keep
+       |FROM s""".stripMargin
 
   /** Exact canonical-key dedup: group by sorted distinct token set, keep the
     * smallest doc_id (deterministic survivor). */
@@ -232,25 +307,37 @@ object LlmOps {
       |FROM m GROUP BY source, mime""".stripMargin
 
   /** End-to-end curation pipeline — the composition a training-data corpus
-    * actually runs: quality gate → language agreement → exact-canonical
-    * dedup survivors only. Pure operator composition (each stage is its own
-    * oracle-proven operator); one declarative plan, no intermediate
-    * materialization. Dedup uses the HASHED canonical key (128-bit
-    * fingerprint struct), so the widest shuffle in the flagship pipeline
-    * carries 16-byte keys, not document-sized canonical strings. */
+    * actually runs: quality gate → repetition gate → language agreement →
+    * exact-canonical dedup survivors only. Pure operator composition (each
+    * stage is its own oracle-proven operator); one declarative plan, no
+    * intermediate materialization. Dedup uses the HASHED canonical key
+    * (128-bit fingerprint struct), so the widest shuffle in the flagship
+    * pipeline carries 16-byte keys, not document-sized canonical strings.
+    *
+    * The two fused text kernels ([[GraftFunctions.markerStats]],
+    * [[GraftFunctions.repetitionStats]]) are each aliased ONCE in a narrow
+    * projection and all scoring derives from the structs — an expensive
+    * alias referenced more than once is not inlined by CollapseProject, so
+    * each kernel runs once per row regardless of how many scoring columns
+    * read it (round 4's shape re-evaluated MarkerStats per call site from
+    * three derivations; see SCALE.md). */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val d = docs(s, dir)
     val scored = d.select(
-      col("doc_id"), col("lang"),
-      GraftFunctions.markerStats(col("text")).getField("n_tokens")
-        .cast("long").as("n_tokens"),
-      GraftFunctions.qualityScore(col("text")).as("quality"),
-      (GraftFunctions.langId(col("text")) === col("lang")).as("lang_ok"))
+        col("doc_id"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.repetitionStats(col("text")).as("rs"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("ms").getField("n_tokens").cast("long").as("n_tokens"),
+        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
+        GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
     val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
     scored.join(survivors, "doc_id")
-      .filter(col("quality") >= 0.5 && col("lang_ok"))
+      .filter(col("quality") >= 0.5 && col("lang_ok") && col("rep_ok"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
@@ -271,6 +358,9 @@ object LlmOps {
        |      + 0.2 * (1.0 - CAST(${hitsSql(allMarkers)} AS DOUBLE) / CAST(len($tsSql) AS DOUBLE)) AS quality,
        |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
        |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents)),
+       |rep AS (
+       |  SELECT doc_id, $repKeepSql AS rep_ok FROM (
+       |  $repStatsSql)),
        |survivors AS (
        |  SELECT MIN(doc_id) AS doc_id FROM (
        |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
@@ -279,8 +369,8 @@ object LlmOps {
        |          FROM documents))
        |  GROUP BY f1, f2)
        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
-       |FROM scored s JOIN survivors USING (doc_id)
-       |WHERE s.quality >= 0.5 AND s.lang_ok""".stripMargin
+       |FROM scored s JOIN survivors USING (doc_id) JOIN rep USING (doc_id)
+       |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
   /** Deterministic content-stable train/val/test split: bucket =

@@ -106,6 +106,105 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionStats fused kernel ≡ interpreted HOF formulation on the corpus") {
+    GraftFunctions.register(spark)
+    val ts = split(col("text"), " ")
+    val n = size(ts)
+    val g3 = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val rs = GraftFunctions.repetitionStats(col("text"))
+    val rows = docs.select(
+      rs.getField("n_tokens"), n,
+      rs.getField("n_distinct"), size(array_distinct(ts)),
+      rs.getField("max_freq"),
+      array_max(transform(array_distinct(ts), d => size(filter(ts, x => x === d)))),
+      rs.getField("n_3gram"), size(g3),
+      rs.getField("dup_3gram"), size(g3) - size(array_distinct(g3)))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "n_tokens")
+      assert(r.getInt(2) == r.getInt(3), "n_distinct")
+      assert(r.getInt(4) == r.getInt(5), "max_freq")
+      assert(r.getInt(6) == r.getInt(7), "n_3gram")
+      assert(r.getInt(8) == r.getInt(9), "dup_3gram")
+    }
+  }
+
+  /** Independent naive recomputation (Scala collections, different
+    * tokenize/count/run machinery than the kernel's single pass). */
+  private def naiveRepetition(text: String): (Int, Int, Int, Int, Int, Int) = {
+    val toks = text.split(" ", -1).toSeq
+    val n = toks.length
+    val maxFreq = toks.groupBy(identity).values.map(_.size).max
+    val g3 = if (n >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+    val dup3 = g3.length - g3.distinct.length
+    val maxRun = {
+      var best = 0; var run = 0; var prev: String = null
+      toks.foreach { t =>
+        run = if (t == prev) run + 1 else 1
+        if (run > best) best = run
+        prev = t
+      }
+      best
+    }
+    (n, toks.distinct.length, maxFreq, g3.length, dup3, maxRun)
+  }
+
+  test("repetitionStats matches a naive recomputation on edge cases and corpus sample") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val edge = Seq(
+      "",                        // split('',-1) → [""]: 1 token, run 1
+      "a",
+      "a a a a a",               // all identical: max_freq=5, run=5, dup3=2
+      "a b",                     // below 3-gram threshold
+      "a b c",                   // exactly one 3-gram
+      "a b a b a b a b",         // period-2: no consecutive run, dup 3-grams
+      " leading and trailing ",  // empty tokens at the edges
+      "x  y",                    // double space → empty middle token
+      "= = = foo = = =")
+      .toDF("text")
+    val sample = docs.select(col("text")).limit(50)
+    val rows = edge.union(sample).select(col("text"),
+      GraftFunctions.repetitionStats(col("text")).as("rs")).collect()
+    rows.foreach { r =>
+      val expected = naiveRepetition(r.getString(0))
+      val rs = r.getStruct(1)
+      val got = (rs.getInt(0), rs.getInt(1), rs.getInt(2), rs.getInt(3), rs.getInt(4), rs.getInt(5))
+      assert(got == expected, s"text='${r.getString(0)}'")
+    }
+  }
+
+  test("repetitionOk gate: thresholds discriminate and match per-signal expectations") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("clean sentence with distinct useful words here", true),
+      ("spam spam spam spam spam spam spam spam", false),   // max_freq + runs
+      ("a b c a b c a b c a b c a b c a b c a b c", false), // dup 3-grams
+      ("= = = normal words after a run", false))            // run of 3
+      .toDF("text", "expected")
+    val got = df.select(
+      GraftFunctions.repetitionOk(GraftFunctions.repetitionStats(col("text"))).as("keep"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    // on the corpus the gate keeps most docs but not all
+    val kept = docs.select(
+        GraftFunctions.repetitionOk(GraftFunctions.repetitionStats(col("text")))
+          .cast("int").as("k"))
+      .agg(sum("k"), count(lit(1))).head()
+    assert(kept.getLong(0) > 0 && kept.getLong(0) < kept.getLong(1))
+  }
+
+  test("repetitionStats stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = docs.select(GraftFunctions.repetitionStats(col("text")))
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Project [codegen id"), plan)
+  }
+
   test("charNgrams and regex token count") {
     import spark.implicits._
     val df = Seq("abcde", "ab").toDF("text")
