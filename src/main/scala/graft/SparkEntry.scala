@@ -35,6 +35,7 @@ object SparkEntry {
     "r_asof_join" -> (q.Relational.asofJoin _),
     "r_range_join" -> (q.Relational.rangeJoin _),
     "r_percentiles" -> (q.Relational.percentiles _),
+    "r_percentiles_approx" -> (q.Relational.percentilesApprox _),
     "r_explode_tokens" -> (q.Relational.explodeTokens _),
     "r_pivot" -> (q.Relational.pivotAgg _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
@@ -97,6 +98,8 @@ object SparkEntry {
     "r_asof_join" -> q.Relational.asofJoinSql,
     "r_range_join" -> q.Relational.rangeJoinSql,
     "r_percentiles" -> q.Relational.percentilesSql,
+    // r_percentiles_approx: GK sketch values are engine-specific → rows-only
+    // check; SketchSpec pins them inside the exact operator's error band
     "r_explode_tokens" -> q.Relational.explodeTokensSql,
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,

@@ -236,11 +236,18 @@ object LlmOps {
       queryVector(s, dir), k = 20)
   }
 
-  /** IVF-probed approximate top-k (the scale path). */
+  /** IVF-probed approximate top-k over K-MEANS-REFINED centroids (the
+    * production scale path: Lloyd refinement of the first-n seeds, mirrored
+    * iteration-for-iteration in [[simTopKIvfSql]]). */
+  val IvfKmeansIters = 2
+
   def simTopKIvf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding",
-      queryVector(s, dir), k = 20, nCells = 16, nprobe = 4)
+    val e = embeddings(s, dir)
+    Similarity.ivfTopKWith(e, "vec_id", "embedding",
+      Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nCells = 16, iters = IvfKmeansIters),
+      queryVector(s, dir), k = 20, nprobe = 4)
   }
 
   /** Top-5 TF-IDF terms per document. The gate query drops the raw tfidf
@@ -535,29 +542,56 @@ object LlmOps {
        |FROM embeddings e CROSS JOIN q
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
 
-  /** Mirrors [[graft.operators.Similarity.ivfTopK]]: centroids = first 16
-    * vectors by id; cell = first-index argmax of cosine (row_number with
-    * cell ASC tie-break ≡ Spark's array_position-of-max); probe the 4
-    * nearest cells. */
-  val simTopKIvfSql: String =
-    s"""WITH cent AS (
+  /** Mirrors [[graft.operators.Similarity.kmeansCentroids]] +
+    * `ivfTopKWith`: seeds = first 16 vectors by id; [[IvfKmeansIters]]
+    * UNROLLED Lloyd rounds, each an assignment (first-index argmax of
+    * cosine ≡ row_number with cell ASC tie-break) + per-dimension
+    * AVG-cast-to-float32 update (empty cells keep their centroid, like the
+    * kernel's `getOrElse(c, old)`); then the 4-nearest-cell probe. The
+    * float32 cast after each update quantizes away the engines'
+    * double-summation-order noise, so assignments — and therefore the
+    * probed membership and the final exact cosines — are engine-identical. */
+  val simTopKIvfSql: String = {
+    val dim = 64
+    val avgs = (1 to dim)
+      .map(i => s"CAST(AVG(CAST(e.embedding[$i] AS DOUBLE)) AS FLOAT)")
+      .mkString("[", ", ", "]")
+    def round(t: Int): String =
+      s"""rc$t AS (
+         |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cent$t c),
+         |a$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+         |    FROM rc$t) WHERE rn = 1),
+         |up$t AS (
+         |  SELECT a.cell, $avgs AS cv
+         |  FROM a$t a JOIN embeddings e USING (vec_id) GROUP BY a.cell),
+         |cent${t + 1} AS (
+         |  SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
+         |  FROM cent$t c LEFT JOIN up$t u ON u.cell = c.cell)""".stripMargin
+    val rounds = (0 until IvfKmeansIters).map(round).mkString(",\n")
+    val f = IvfKmeansIters
+    s"""WITH cent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |$rounds,
        |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |rc AS (
-       |  SELECT e.vec_id, cent.cell, ${cosSql("e.embedding", "cent.cv")} AS cs
-       |  FROM embeddings e CROSS JOIN cent),
+       |rcF AS (
+       |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
+       |  FROM embeddings e CROSS JOIN cent$f c),
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
-       |    FROM rc) WHERE rn = 1),
+       |    FROM rcF) WHERE rn = 1),
        |probed AS (
-       |  SELECT cent.cell FROM cent CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cell ASC LIMIT 4)
+       |  SELECT c.cell FROM cent$f c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
        |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
        |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
        |WHERE assign.cell IN (SELECT cell FROM probed)
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+  }
 
   /** Mirrors [[graft.operators.Dedup.embeddingNearDupPairs]] with the SAME
     * hyperplanes embedded as double literals (generated by the identical

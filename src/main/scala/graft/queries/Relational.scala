@@ -316,6 +316,27 @@ object Relational {
       |  quantile_cont(l_extendedprice, 0.25) AS price_p25
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Rank-error budget of the [[percentilesApprox]] sketch: observed rank
+    * within ±1/accuracy of the requested percentile (Greenwald-Khanna
+    * guarantee). Shared with SketchSpec's bound assertion. */
+  val PercentileAccuracy: Int = 10000
+
+  /** Sketch twin of [[percentiles]] — the 100 TB scale path. The exact
+    * operator buffers every group member in its aggregation buffer (fine at
+    * sf0.1, executor-memory killer at 100×); `approx_percentile` keeps a
+    * bounded mergeable Greenwald-Khanna summary with rank error ≤
+    * n/[[PercentileAccuracy]], so group state no longer grows with group
+    * size. Sketch internals are engine-specific → rows-only driver check;
+    * SketchSpec pins the values inside the exact operator's error band. */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $PercentileAccuracy)").as("qty_p50"),
+        expr(s"approx_percentile(l_quantity, 0.9, $PercentileAccuracy)").as("qty_p90"),
+        expr(s"approx_percentile(l_extendedprice, 0.25, $PercentileAccuracy)").as("price_p25"))
+      .orderBy(col("l_returnflag"))
+
   /** Generator/UDTF surface: explode documents into tokens, global top-20
     * token frequencies (deterministic tie-break). */
   def explodeTokens(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,63 @@
+package graft.relational
+
+import graft.SparkTestBase
+import graft.queries.Relational
+import org.apache.spark.sql.functions._
+
+/** The sketch twins' error contracts: the approximate operators are the
+  * documented 100 TB scale paths (bounded mergeable state instead of
+  * whole-group buffering / exact distinct expansion), so their values must
+  * land inside the exact operators' error bands — that is what makes the
+  * rows-only driver check meaningful. */
+class SketchSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_percentile lands within the GK rank-error band of the exact percentiles") {
+    val eps = 1.0 / Relational.PercentileAccuracy
+    val probes = Seq(
+      ("l_quantity", 0.5, "qty_p50"),
+      ("l_quantity", 0.9, "qty_p90"),
+      ("l_extendedprice", 0.25, "price_p25"))
+    // GK returns an ACTUAL element whose rank is within ±eps·n of p·n (an
+    // interpolated exact band can exclude it), so the band edges are the
+    // sorted elements at the rank-error edges, with one rank of slack for
+    // the rounding convention.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+    val byFlag = li.groupBy(_.getString(0))
+    def band(flag: String, colIdx: Int, p: Double): (Double, Double) = {
+      val sorted = byFlag(flag).map(r => r.getDouble(colIdx)).sorted
+      val n = sorted.length
+      def at(rank: Double) = sorted(math.max(0, math.min(n - 1, rank.toInt)))
+      (at(math.floor((p - eps) * n) - 1), at(math.ceil((p + eps) * n) + 1))
+    }
+    val approx = Relational.percentilesApprox(spark, dir).collect()
+    assert(approx.length == 3)
+    approx.foreach { r =>
+      val flag = r.getString(0)
+      probes.zipWithIndex.foreach { case ((c, p, name), i) =>
+        val v = r.getDouble(i + 1)
+        val colIdx = if (c == "l_quantity") 1 else 2
+        val (lo, hi) = band(flag, colIdx, p)
+        assert(v >= lo && v <= hi,
+          s"$flag $name: approx $v outside exact rank band [$lo, $hi]")
+      }
+    }
+  }
+
+  test("approx_count_distinct lands within HLL++ relative error of the exact counts") {
+    val exact = Relational.distinctAgg(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.approxDistinct(spark, dir).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getLong(1).toDouble
+      // default HLL++ rsd is 5%; allow 3 sigma
+      assert(math.abs(a - e) / e <= 0.15,
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+}
