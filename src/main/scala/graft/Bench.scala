@@ -38,6 +38,19 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
+    // Per-query shuffle-write attribution (diagnostic): accumulate stage
+    // shuffle bytes via a listener and snapshot around each timed query.
+    // Listener delivery is async, so numbers are ~approximate at the
+    // boundary — good enough to spot an exchange regression between rounds.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    })
+
     // Warm-up pass: never timed, failures ignored (they fail again, timed, below).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -75,12 +88,21 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.contains(-1.0)) -1.0 else xs.sorted.apply(xs.length / 2)
 
+    // locale-pinned formatting: the f interpolator follows the JVM default
+    // locale, and a comma decimal separator would corrupt the JSON line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     val results = names.map { name =>
+      val sb0 = shuffleBytes.get()
       val samples = Seq.fill(iters)(timeOnce(name))
+      Thread.sleep(50) // let async stage-completion events drain (diagnostic only)
+      val sbQ = (shuffleBytes.get() - sb0) / iters
       val med = median(samples.map(_._1))
       val medPlan = median(samples.map(_._2))
-      System.err.println(f"[bench] $name%-24s median=${med}%.3fs plan=${medPlan}%.3fs " +
-        f"samples=${samples.map(s => f"${s._1}%.3f").mkString(",")}")
+      System.err.println(f"[bench] $name%-24s median=${fmt(med)}s plan=${fmt(medPlan)}s " +
+        s"shuffleMB=${fmt(sbQ / 1e6)} " +
+        s"samples=${samples.map(s => fmt(s._1)).mkString(",")}")
       (name, med, medPlan)
     }
 
@@ -91,7 +113,7 @@ object Bench {
     // LAST and UNPREFIXED (run/outputStrategy := StdoutOutput in build.sbt).
     // The {exec, plan} split per query still goes out, as a separate
     // stderr diagnostic line just before.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def r3(v: Double): String = if (v < 0) "-1" else fmt(v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val plans = results.map { case (k, _, p) => "\"" + k + "\":" + r3(p) }

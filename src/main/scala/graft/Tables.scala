@@ -24,19 +24,35 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // conf must be in place BEFORE any events read — set it even on a
-    // cache hit so later direct reads in the same session behave the same
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private val nanosSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** A session whose parquet scans read TIMESTAMP(NANOS) as long: the
+    * caller's own session if it already opted in, otherwise a memoized
+    * CHILD session (shared SparkContext, isolated session state) with the
+    * legacy conf set. The parquet relation captures its session at read
+    * time, so executing a plan built in the caller's session still
+    * resolves the conf against the child — and the caller's session conf
+    * is never mutated (the round-3/4 leak: a legacy read behavior silently
+    * applied to every subsequent parquet read in the caller's session). */
+  private[graft] def nanosReadSession(spark: SparkSession): SparkSession =
+    if (spark.conf.get(NanosConf, "false") == "true") spark
+    else nanosSessions.computeIfAbsent(spark, { s =>
+      val c = s.newSession()
+      c.conf.set(NanosConf, "true")
+      c
+    })
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), { _ =>
       if (name == "events")
-        spark.read.parquet(s"$dir/events.parquet")
+        nanosReadSession(spark).read.parquet(s"$dir/events.parquet")
           .withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       else spark.read.parquet(s"$dir/$name.parquet")
     })
-  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * natively; read it as a nanosecond long and truncate to microseconds —

@@ -214,13 +214,22 @@ object Multimodal {
     *     any divergence anywhere in the synth/encode/parse/feature path
     *     shows up as a count mismatch.
     */
-  def featureGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Shared synth → decode → join → group prefix of [[featureGate]] and
+    * [[featurePipeline]] (kept single-sourced so a join-key or synth change
+    * cannot drift between the two aggregations). */
+  private def groupedFeatures(
+      spark: SparkSession, docs: DataFrame): org.apache.spark.sql.RelationalGroupedDataset = {
     val media = withMediaPayload(spark, docs)
     val feats = decodeFeatures(spark, media).toDF()
-    val theoryF = udf((id: Long) => theoryFeature0(id))
-    val theoryB = udf((id: Long) => theoryByteCount(id))
     feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"), col("mime"))
+  }
+
+  private def theoryF = udf((id: Long) => theoryFeature0(id))
+  private def theoryB = udf((id: Long) => theoryByteCount(id))
+
+  def featureGate(spark: SparkSession, docs: DataFrame): DataFrame =
+    groupedFeatures(spark, docs)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
@@ -228,7 +237,6 @@ object Multimodal {
           .otherwise(0L)).as("n_feat0_exact"),
         sum(when(col("n_bytes") === theoryB(col("doc_id")), 1L)
           .otherwise(0L)).as("n_bytes_exact"))
-  }
 
   /** End-to-end pipeline: real media payloads → batch decode (actual BMP
     * pixels / WAV samples) → per-(source, modality) feature aggregation
@@ -236,13 +244,8 @@ object Multimodal {
     * `*_theory_exact` columns make the query self-checking at any scale
     * factor: every doc's decoded feature[0] and byte count must equal the
     * closed-form theory values BIT-FOR-BIT or the group reports false. */
-  def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val media = withMediaPayload(spark, docs)
-    val feats = decodeFeatures(spark, media).toDF()
-    val theoryF = udf((id: Long) => theoryFeature0(id))
-    val theoryB = udf((id: Long) => theoryByteCount(id))
-    feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .groupBy(col("source"), col("mime"))
+  def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    groupedFeatures(spark, docs)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
@@ -251,5 +254,4 @@ object Multimodal {
           .as("feat0_theory_exact"),
         bool_and(col("n_bytes") === theoryB(col("doc_id")))
           .as("bytes_theory_exact"))
-  }
 }

@@ -72,7 +72,13 @@ object Similarity {
       .drop("tbs")
 
   /** LSH-bucketed approximate top-k: candidates = rows sharing any table's
-    * bucket with the query; exact cosine re-rank on candidates only. */
+    * bucket with the query; exact cosine re-rank on candidates only.
+    * Works on the per-row bucket ARRAY ([[withLshBucketArray]]) — one row
+    * per input row matched against the query's bucket per table — so a
+    * row is a candidate at most once by construction: no posexplode row
+    * multiplication and no pair-dedup exchange (the former
+    * `dropDuplicates(id)` shuffle). The whole query is scan → filter →
+    * TakeOrderedAndProject: zero exchanges at any corpus size. */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       query: Seq[Float], k: Int,
@@ -86,12 +92,11 @@ object Similarity {
       }.sum
     val queryBuckets = (0 until tables).map(t => (t, bucketOf(query, t)))
 
-    val bucketed = withLshBuckets(df, vecCol, dim, planesPerTable, tables, seed)
+    val bucketed = withLshBucketArray(df, vecCol, dim, planesPerTable, tables, seed)
     val cond = queryBuckets
-      .map { case (t, b) => col("table") === t && col("bucket") === b }
+      .map { case (t, b) => col("tbs").getItem(t) === b }
       .reduce(_ || _)
     bucketed.filter(cond)
-      .dropDuplicates(idCol)
       .select(
         col(idCol),
         GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))

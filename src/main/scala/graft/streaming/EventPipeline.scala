@@ -41,12 +41,15 @@ object EventPipeline {
     StructField("props", StringType)))
 
   /** File-source stream over a directory of events parquet files; nanosecond
-    * timestamps truncated to microseconds exactly like the batch loader. */
+    * timestamps truncated to microseconds exactly like the batch loader.
+    * The nanos legacy conf comes from [[graft.Tables.nanosReadSession]]
+    * (the caller's session if it opted in — the sync-gate harness sessions
+    * do — else an isolated child), so the caller's conf is never mutated. */
   def readEventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None,
       globFilter: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    var r = spark.readStream.schema(rawSchema)
+    val s = graft.Tables.nanosReadSession(spark)
+    var r = s.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
     globFilter.foreach(g => r = r.option("pathGlobFilter", g))
     r.parquet(dir)

@@ -122,6 +122,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("lshTopK plan: scan → filter → TakeOrdered, zero exchanges") {
+    GraftFunctions.register(spark)
+    val plan = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10)
+      .queryExecution.executedPlan.toString
+    // candidates are per-row bucket-array matches — no posexplode row
+    // multiplication and no pair-dedup shuffle
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("multimodal resize and frame sampling keep the partition-local batch shape") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.withPayload(docs)

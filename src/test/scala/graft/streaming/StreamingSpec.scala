@@ -43,7 +43,9 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName("win_out").start()
     try { q.processAllAvailable() } finally q.stop()
 
-    val got = spark.table("win_out")
+    // the stream binds to the nanos child session (the test session never
+    // opted into the legacy conf), so the memory sink lives in ITS catalog
+    val got = stream.sparkSession.table("win_out")
       .select(col("hour"), col("event_type"), col("n"), col("total_value"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val expected = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
@@ -74,7 +76,7 @@ class StreamingSpec extends SparkTestBase {
 
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val expected = events.join(customers, col("user_id") === col("c_custkey")).count()
-    val got = spark.table("dedup_out").count()
+    val got = stream.sparkSession.table("dedup_out").count()
     assert(got == expected, s"got $got expected $expected") // dups gone, join applied
     // and without dedup the duplicate file would inflate the count
     assert(got < expected * 2)
@@ -99,7 +101,7 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName("sess_out").start()
     try { q.processAllAvailable() } finally q.stop()
 
-    val got = spark.table("sess_out")
+    val got = stream.sparkSession.table("sess_out")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
     assert(got.nonEmpty, "no sessions emitted — watermark/timeout path never fired")
 
