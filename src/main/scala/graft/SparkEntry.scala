@@ -61,6 +61,9 @@ object SparkEntry {
     "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
     "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
+    "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
+    "d_decontaminate" -> (q.LlmOps.decontaminate _),
+    "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -137,6 +140,9 @@ object SparkEntry {
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,
+    "d_dedup_clusters" -> q.LlmOps.dedupClustersSql,
+    "d_decontaminate" -> q.LlmOps.decontaminateSql,
+    "d_pii_scan" -> q.LlmOps.piiScanSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

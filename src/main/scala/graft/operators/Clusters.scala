@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-component resolution over near-duplicate pair lists — the step
+  * after candidate generation that every dedup pipeline needs: pair lists
+  * ([[Dedup.minhashPairs]] et al.) say "a ~ b", but what a corpus keeps is
+  * one representative per transitive CLUSTER (a ~ b ~ c collapses to one
+  * document even when (a, c) was never emitted as a pair).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC 2014 — public). Each round is two
+  * groupBy-explode passes over the EDGE list only; the edge set provably
+  * shrinks toward a star forest in O(log² n) rounds (O(log n) observed),
+  * independent of component diameter — a chain of 10⁶ near-identical crawl
+  * snapshots resolves in ~20 passes, where naive label propagation needs
+  * 10⁶. No driver-side data beyond a per-round 2-long convergence
+  * signature; no vertex state table — the edges ARE the state.
+  */
+object Clusters {
+
+  /** One large-star round: every node connects its LARGER neighbors to the
+    * minimum of its neighborhood (including itself). Input edges may be in
+    * any orientation; output edges are (hi, lo)-oriented and self-loop-free. */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    nbrs.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"), collect_set(col("v")).as("ns"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"), col("ns"))
+      .select(col("u"), col("m"), explode(col("ns")).as("w"))
+      .filter(col("w") > col("u"))
+      .select(col("w").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round over (hi, lo)-oriented edges: every node connects
+    * its smaller neighbors (and itself) to the minimum among them. */
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+    edges.groupBy(col("u"))
+      .agg(min(col("v")).as("m"), collect_set(col("v")).as("ns"))
+      .select(col("u"), col("m"),
+        explode(array_union(col("ns"), array(col("u")))).as("w"))
+      .filter(col("w") =!= col("m"))
+      .select(col("w").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** True iff the (hi, lo)-oriented edge set is a star forest: every hi has
+    * exactly one edge, and no node is both a hi and a lo. One aggregation +
+    * one semi-join — exact, not a hash heuristic. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val multiOut = edges.groupBy(col("u")).count().filter(col("count") > 1)
+    val both = edges.select(col("u")).join(
+      edges.select(col("v").as("u")), Seq("u"), "left_semi")
+    multiOut.isEmpty && both.isEmpty
+  }
+
+  /** Resolve pairs into clusters: returns one row per node that appears in
+    * `pairs`, with `rep` = the minimum id of its connected component.
+    *
+    * `checkpoint` truncates the per-round plan lineage (without it the plan
+    * doubles every round and analysis cost explodes). The default
+    * `localCheckpoint` is right for local mode and tests; on a real cluster
+    * pass `_.checkpoint()` with a reliable checkpoint dir so a lost executor
+    * doesn't kill a 20-round job.
+    *
+    * Convergence is detected by a cheap per-round (count, hash-sum)
+    * signature and then CONFIRMED by the exact star-forest predicate, so a
+    * signature collision can only cost one extra round, never a wrong
+    * answer. Throws if `maxIters` rounds don't converge (loud beats wrong);
+    * the theoretical bound is O(log² n) rounds, so 30 covers any corpus. */
+  def resolve(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 30,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val raw = pairs.select(
+      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    var edges = checkpoint(raw
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct())
+
+    var converged = false
+    var prevSig: (Long, Long) = null
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      edges = checkpoint(smallStar(largeStar(edges)))
+      // xor-fold of edge hashes: an overflow-free (ANSI-safe) set signature;
+      // collisions only delay detection — the exact predicate below confirms
+      val row = edges.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      if (sig == prevSig && isStarForest(edges)) converged = true
+      prevSig = sig
+      iters += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+
+    // star edges are (member, root); roots and any isolated nodes label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+  }
+}

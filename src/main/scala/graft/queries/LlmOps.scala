@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,139 @@ object LlmOps {
     GraftFunctions.register(s)
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
   }
+
+  /** Near-dup CLUSTER resolution: the [[dedupMinhash]] pair list collapsed
+    * to transitive connected components ([[Clusters.resolve]], alternating
+    * star contraction), one row per clustered document with its component
+    * representative (min doc_id), the component size, and the keep verdict
+    * (representatives survive, other members drop). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
+    val labels = Clusters.resolve(pairs, "id_a", "id_b")
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster"),
+        col("cluster_size"),
+        (col("id") === col("rep")).cast("int").as("keep"))
+  }
+
+  /** Transitive closure of [[dedupMinhashSql]]'s pair list via recursive
+    * min-label propagation (`lab < v` prunes propagation that cannot lower
+    * a node's minimum; the UNION dedup guarantees termination). Lazy:
+    * [[dedupMinhashSql]] is declared later in this object. */
+  lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |$dedupMinhashSql
+       |  )),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id WHERE r.lab < e.v),
+       |lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+       |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+       |SELECT lab.id AS doc_id, lab.cluster AS cluster,
+       |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(lab.id = lab.cluster AS INT) AS keep
+       |FROM lab JOIN sz USING (cluster)""".stripMargin
+
+  /** Benchmark decontamination: the doc_id %19==0 slice plays the eval
+    * suite, the rest the training corpus; each training doc reports how many
+    * distinct word-5-gram fingerprints it shares with the eval set and the
+    * contaminated verdict ([[Decontaminate.overlapNgrams]] — broadcast
+    * eval-fingerprint set, no corpus-side shuffle before the per-doc agg). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontaminate.overlapNgrams(
+      d.filter(pmod(col("doc_id"), lit(19)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(19)) === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Word k-shingles of a single-space-tokenized text as DuckDB SQL,
+    * mirroring [[GraftFunctions.wordShingles]] incl. the <k degenerate
+    * case (whole text as one gram). */
+  private def shingleSqlK(k: Int): String = {
+    val ts = "string_split(text,' ')"
+    val parts = (0 until k).map(j => s"$ts[i+$j]").mkString(", ' ', ")
+    s"""CASE WHEN len($ts) < $k THEN [text]
+       |     ELSE list_transform(range(1, len($ts) - ${k - 2}), i -> concat($parts))
+       |END""".stripMargin
+  }
+
+  /** Mirrors [[decontaminate]]: same 5-gram unit, same FNV-1a fingerprints
+    * (signed-BIGINT join keys), COUNT(DISTINCT) over the hit fingerprints. */
+  val decontaminateSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct(${shingleSqlK(5)})) AS g FROM documents),
+       |hh AS (SELECT doc_id, ${fnvHugeSql("g")} AS hu FROM g),
+       |h AS (SELECT doc_id, ${hugeToSignedSql("hu")} AS h FROM hh),
+       |e AS (SELECT DISTINCT h FROM h WHERE doc_id % 19 = 0),
+       |t AS (SELECT doc_id, h FROM h WHERE doc_id % 19 <> 0),
+       |j AS (
+       |  SELECT t.doc_id,
+       |    COUNT(DISTINCT CASE WHEN e.h IS NOT NULL THEN t.h END) AS n_overlap
+       |  FROM t LEFT JOIN e USING (h) GROUP BY t.doc_id)
+       |SELECT doc_id, n_overlap, CAST(n_overlap > 0 AS INT) AS contaminated
+       |FROM j""".stripMargin
+
+  /** PII scan + redaction over deterministically PII-salted text (the
+    * fixtures are PII-free word salad, so emails / phone numbers / IPv4
+    * addresses are woven in as pure doc_id arithmetic — identically in
+    * [[piiScanSql]] — making every count and the full redacted text
+    * oracle-checkable). Counts per category plus the redacted text pinned
+    * by length + FNV fingerprint ([[Pii.scan]]). */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val id = col("doc_id")
+    val salted = concat(
+      col("text"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit(" call (555) 010-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" from 10."), pmod(id, lit(256)).cast("string"),
+          lit(".0."), pmod(id, lit(100)).cast("string")))
+        .otherwise(lit("")))
+    Pii.scan(docs(s, dir).select(id, salted.as("pii_text")),
+      col("doc_id"), col("pii_text"))
+  }
+
+  /** Mirrors [[piiScan]]: same salt arithmetic, same regexes (the shared
+    * [[Pii]] constants — a Java/RE2-agreeing subset), same replace order,
+    * FNV fingerprint of the redacted text. */
+  val piiScanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+       |      '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
+       |      '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g') AS red
+       |  FROM t),
+       |h AS (SELECT doc_id, t, red, ${fnvHugeSql("red")} AS hr FROM r)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+       |  CAST(length(red) AS BIGINT) AS red_len,
+       |  ${hugeToSignedSql("hr")} AS red_fp
+       |FROM h""".stripMargin
 
   /** Document fingerprints via the native Fingerprint64 expression
     * (rows-only; cross-checked interpreted-vs-codegen in FunctionsSpec). */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkTestBase {
+
+  private def resolveMap(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Clusters.resolve(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference union-find over the same pairs. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain collapses to its minimum despite no direct pair") {
+    val got = resolveMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("long chain (diameter 200) converges within the round budget") {
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = resolveMap(chain)
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+  }
+
+  test("multiple components, duplicate and reversed pairs, self-loops") {
+    val got = resolveMap(Seq(
+      (2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L),
+      (10L, 11L), (11L, 10L),
+      (20L, 20L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 150
+      val pairs = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(resolveMap(pairs) == unionFind(pairs), s"trial $trial")
+    }
+  }
+
+  test("largeStar/smallStar preserve (hi, lo) orientation") {
+    import spark.implicits._
+    val edges = Seq((5L, 2L), (9L, 2L), (9L, 7L), (4L, 3L))
+      .toDF("u", "v")
+    for (step <- Seq(Clusters.largeStar(edges), Clusters.smallStar(edges))) {
+      val rows = step.collect()
+      assert(rows.forall(r => r.getLong(0) > r.getLong(1)))
+    }
+  }
+}

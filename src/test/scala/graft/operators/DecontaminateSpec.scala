@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("planted 5-gram overlap is counted; clean docs report zero") {
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains eval's "alpha beta gamma delta epsilon" AND "beta gamma delta epsilon zeta"
+      (1L, "x alpha beta gamma delta epsilon zeta y"),
+      // one shared 5-gram only
+      (2L, "alpha beta gamma delta epsilon q r s t"),
+      (3L, "totally unrelated words here avoiding any overlap whatsoever")
+    ).toDF("doc_id", "text")
+
+    val rows = Decontaminate.overlapNgrams(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(rows(1L) == (2L, 1))
+    assert(rows(2L) == (1L, 1))
+    assert(rows(3L) == (0L, 0))
+    assert(rows.size == 3)
+  }
+
+  test("documents shorter than n fall back to whole-text grams") {
+    val eval = Seq((9L, "short text")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "short text"),      // identical short doc → overlap via degenerate gram
+      (2L, "short text plus")  // 3 tokens < 5 → gram is the whole (different) text
+    ).toDF("doc_id", "text")
+    val rows = Decontaminate.overlapNgrams(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(rows(1L) == (1L, 1))
+    assert(rows(2L) == (0L, 0))
+  }
+
+  test("fingerprint-join counts equal string-join counts on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+    val got = Decontaminate.overlapNgrams(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    GraftFunctions.register(spark)
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(GraftFunctions.wordShingles(col("text"), 5))).as("g"))
+    val expected = grams(train)
+      .join(grams(eval).select(col("g")).distinct(), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count_distinct(col("g")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._2 > 0) == expected)
+    assert(got.keySet.map(_ % 19).forall(_ != 0))
+    assert(got.size == train.count())
+  }
+
+  test("eval side arrives broadcast") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Decontaminate.overlapNgrams(
+      docs.filter(col("doc_id") % 19 =!= 0), docs.filter(col("doc_id") % 19 === 0),
+      "doc_id", "text", n = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
