@@ -73,6 +73,7 @@ object SparkEntry {
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
+    "d_mixture_rebalance" -> (q.LlmOps.mixtureRebalance _),
     "d_pack_sequences" -> (q.LlmOps.packSequences _),
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
+    "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,
     "d_pack_sequences" -> q.LlmOps.packSequencesSql,
     "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,
     "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,

@@ -78,8 +78,11 @@ object Clusters {
       bCol: String,
       maxIters: Int = 30,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val raw = pairs.select(
-      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // materialize the pair list ONCE: nodes and the initial edge set both
+    // read it, and the final label join reads nodes — without this the
+    // (possibly expensive) upstream pair-generation plan runs twice
+    val raw = checkpoint(pairs.select(
+      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id"))).distinct()
     var edges = checkpoint(raw

@@ -45,6 +45,40 @@ object Sampling {
     df.filter(bucket(key) < limit)
   }
 
+  /** Rebalance a corpus to a target group mixture by per-group
+    * deterministic downsampling — the domain-weighting step of training-set
+    * assembly (e.g. "40% web, 20% code, …"). Keeps the LARGEST corpus
+    * consistent with the target: the binding group g* = argmin n_g/w_g is
+    * kept whole and every other group is hash-downsampled to
+    * n_total·w_g rows, where n_total = min_g n_g/w_g.
+    *
+    * Everything stays in-plan: the per-group count/threshold table is one
+    * tiny aggregation broadcast back into the scan (no driver collect), and
+    * membership is the same content-stable ALT-hash bucket as
+    * [[deterministicSample]], so the rebalanced corpus is reproducible
+    * under any partitioning or subset. Groups missing from `weights` are
+    * dropped (weight 0). Thresholds use double arithmetic in a fixed
+    * association order so an external oracle can replicate them exactly. */
+  def rebalanceToMixture(
+      df: DataFrame, key: Column, group: Column,
+      weights: Map[String, Double]): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val counts = df.groupBy(group.as("g"))
+      .agg(count(lit(1)).cast("double").as("n_g"))
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) {
+      case (acc, (g, w)) => when(col("g") === g, lit(w)).otherwise(acc)
+    }
+    val weighted = counts.withColumn("w_g", wCol).filter(!isnan(col("w_g")))
+    val total = weighted.agg(min(col("n_g") / col("w_g")).as("n_total"))
+    val thresholds = weighted.crossJoin(broadcast(total))
+      .select(col("g"),
+        floor(col("n_total") * col("w_g") / col("n_g") * lit(Resolution.toDouble))
+          .cast("long").as("thr"))
+    df.join(broadcast(thresholds), group === col("g"))
+      .filter(bucket(key) < col("thr"))
+      .drop("g", "thr")
+  }
+
   /** Pack rows into ≤`budget`-token bins per `part`, greedily in `order`
     * order, via cumulative-offset binning: a row belongs to the bin where
     * its token range STARTS (bin = floor((cumsum − n) / budget)), so a row

@@ -567,6 +567,44 @@ object LlmOps {
        |WHERE bucket < CASE lang $cases ELSE ${graft.operators.Sampling.threshold(0.1)} END""".stripMargin
   }
 
+  /** Target domain mixture for [[mixtureRebalance]] (shared with the oracle
+    * builder so the weights can never drift between engines). */
+  val mixtureWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+
+  /** Domain-mixture rebalancing: downsample each language to the target
+    * mixture ([[graft.operators.Sampling.rebalanceToMixture]] — largest
+    * corpus consistent with the weights, thresholds computed in-plan,
+    * content-stable hash membership), reported as achieved per-language
+    * counts. */
+  def mixtureRebalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.rebalanceToMixture(
+      docs(s, dir), col("doc_id"), col("lang"), mixtureWeights.toMap)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
+  /** Mirrors [[mixtureRebalance]]: same weight literals, same fixed
+    * double-association order for n_total and the thresholds, same
+    * ALT-stream FNV bucket as [[sampleStratifiedSql]]. */
+  val mixtureRebalanceSql: String = {
+    val cases = mixtureWeights.map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+    val signed = hugeToSignedSql("hu")
+    s"""WITH c AS (
+       |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_g FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n_g, CASE lang $cases ELSE NULL END AS w_g FROM c),
+       |ww AS (SELECT lang, n_g, w_g FROM w WHERE w_g IS NOT NULL),
+       |t AS (SELECT MIN(n_g / w_g) AS n_total FROM ww),
+       |thr AS (
+       |  SELECT lang, CAST(FLOOR(((n_total * w_g) / n_g) * 1000000.0) AS BIGINT) AS thr
+       |  FROM ww CROSS JOIN t),
+       |h AS (
+       |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS hu
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, (($signed % 1000000) + 1000000) % 1000000 AS bucket FROM h),
+       |kept AS (SELECT b.lang FROM b JOIN thr USING (lang) WHERE b.bucket < thr.thr)
+       |SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang""".stripMargin
+  }
+
   /** Sequence packing: documents → ≤2048-token bins per language
     * (cumulative-offset binning in doc_id order), reported per (lang, bin). */
   def packSequences(s: SparkSession, dir: String): DataFrame = {

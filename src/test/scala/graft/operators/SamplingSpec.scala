@@ -45,6 +45,45 @@ class SamplingSpec extends SparkTestBase {
     assert(subsetSample == sampleSubset)
   }
 
+  test("rebalanceToMixture: achieved mixture tracks targets, binding group kept whole") {
+    GraftFunctions.register(spark)
+    val weights = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+    val kept = Sampling.rebalanceToMixture(docs, col("doc_id"), col("lang"), weights)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding group (min n_g/w_g) survives whole
+    val binding = totals.keys.minBy(g => totals(g) / weights(g))
+    assert(byLang(binding) == totals(binding), s"binding $binding was downsampled")
+    // achieved fractions within hash-sampling noise of the targets
+    val n = byLang.values.sum.toDouble
+    weights.foreach { case (g, w) =>
+      assert(math.abs(byLang(g) / n - w) < 0.07, s"$g: ${byLang(g) / n} vs $w")
+    }
+    // each group lands within binomial noise of its n_total·w_g expectation
+    // (hash membership is Bernoulli per row, so counts fluctuate ~√np)
+    val nTotal = totals(binding) / weights(binding)
+    weights.foreach { case (g, w) =>
+      val exp = nTotal * w
+      assert(math.abs(byLang(g) - exp) <= 4 * math.sqrt(exp) + 1,
+        s"$g: got ${byLang(g)}, expected ~$exp")
+    }
+  }
+
+  test("rebalanceToMixture: unweighted groups drop; membership is content-stable") {
+    GraftFunctions.register(spark)
+    val weights = Map("en" -> 0.7, "de" -> 0.3)
+    val kept = Sampling.rebalanceToMixture(docs, col("doc_id"), col("lang"), weights)
+    assert(kept.select("lang").distinct().collect().map(_.getString(0)).toSet ==
+      Set("en", "de"))
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.rebalanceToMixture(
+      docs.repartition(13), col("doc_id"), col("lang"), weights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership changed under repartitioning")
+  }
+
   test("sampling stream is independent of the train-split stream") {
     GraftFunctions.register(spark)
     // same key hashed by the two streams: buckets must disagree for most
