@@ -64,6 +64,8 @@ object SparkEntry {
     "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_pii_scan" -> (q.LlmOps.piiScan _),
+    "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
+    "d_vocab_coverage" -> (q.LlmOps.vocabCoverage _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -145,6 +147,8 @@ object SparkEntry {
     "d_dedup_clusters" -> q.LlmOps.dedupClustersSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
     "d_pii_scan" -> q.LlmOps.piiScanSql,
+    "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
+    "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

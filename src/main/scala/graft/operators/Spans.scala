@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repeated-span detection — the counting tier of exact substring
+  * deduplication (the published protocol: deduplicate long token spans that
+  * repeat ACROSS documents, not just whole near-duplicate documents; spans
+  * are then cut from the training text rather than dropping the doc).
+  *
+  * A span is "repeated" when its k-token window occurs in at least
+  * `minDocs` distinct documents. Per document, overlapping/adjacent
+  * repeated windows merge into maximal extents — the ranges a trainer
+  * would excise.
+  *
+  * Scale shape: positional k-shingles carry (doc, pos, 8-byte fingerprint)
+  * — never text — through the one multi-occurrence shuffle (groupBy
+  * fingerprint); extent merging is a per-doc window over the repeated
+  * positions only (repeated windows are a small fraction of any healthy
+  * corpus, so the window input is tiny relative to the scan). A suffix
+  * array gives the same answer with better constants on one machine; at
+  * corpus scale the fingerprint-shuffle formulation is what parallelizes.
+  */
+object Spans {
+
+  /** Maximal repeated extents: (doc_id, span_start, span_end, span_tokens)
+    * with token positions 0-based inclusive; each extent is the union of
+    * k-token windows whose fingerprint occurs in ≥ `minDocs` distinct docs.
+    * An FNV collision (P ≈ n²/2⁶⁵ over distinct windows) can only widen a
+    * span, never lose one. Documents shorter than k tokens carry no
+    * k-window and are exempt by definition (they are whole-document dedup's
+    * job, not span excision's). */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Int = 2): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val positioned = df
+      .filter(size(GraftFunctions.tokens(col(textCol))) >= k)
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(GraftFunctions.wordShingles(col(textCol), k)).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"),
+        GraftFunctions.fingerprint64(col("g")).as("gfp"))
+
+    val multiDoc = positioned
+      .groupBy(col("gfp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gfp"))
+
+    val repeated = positioned.join(multiDoc, "gfp")
+      .select(col("doc_id"), col("p"), (col("p") + k - 1).as("e"))
+
+    // interval union per doc: a window starts a new extent iff it begins
+    // after every earlier window's end + 1 (adjacency merges)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val prevMaxEnd = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val withIsland = repeated
+      .withColumn("new_ext",
+        when(prevMaxEnd.isNull || col("p") > prevMaxEnd + 1, 1).otherwise(0))
+      .withColumn("ext", sum(col("new_ext")).over(byPos))
+
+    withIsland.groupBy(col("doc_id"), col("ext"))
+      .agg(min(col("p")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+}

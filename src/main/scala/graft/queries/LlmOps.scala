@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Similarity}
+import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Similarity, Spans}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -332,6 +332,87 @@ object LlmOps {
        |  CAST(length(red) AS BIGINT) AS red_len,
        |  ${hugeToSignedSql("hr")} AS red_fp
        |FROM h""".stripMargin
+
+  /** Repeated-span detection (exact-substring-dedup counting tier): maximal
+    * per-document extents of word-8-gram windows that occur in ≥2 distinct
+    * documents ([[Spans.repeatedSpans]] — the ranges a trainer would excise
+    * rather than dropping whole documents). */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Spans.repeatedSpans(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2)
+
+  /** Mirrors [[repeatedSpans]]: positional 8-grams, FNV fingerprints,
+    * multi-doc HAVING, and the identical interval-union window. */
+  val repeatedSpansSql: String = {
+    val k = 8
+    val parts = (1 to k).map(j => s"ts[i+${j - 1}]").mkString(", ' ', ")
+    val pme = "max(e) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text,' ') AS ts FROM documents
+       |  WHERE len(string_split(text,' ')) >= $k),
+       |s AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts) - ${k - 2}),
+       |      i -> {p: i - 1, g: concat($parts)})) AS u
+       |  FROM d),
+       |g AS (SELECT doc_id, u.p AS p, u.g AS g FROM s),
+       |hh AS (SELECT doc_id, p, ${fnvHugeSql("g")} AS hu FROM g),
+       |ps AS (SELECT doc_id, p, ${hugeToSignedSql("hu")} AS h FROM hh),
+       |md AS (SELECT h FROM ps GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |rep AS (SELECT ps.doc_id, ps.p, ps.p + ${k - 1} AS e FROM ps JOIN md USING (h)),
+       |isl AS (
+       |  SELECT doc_id, p, e,
+       |    CASE WHEN $pme IS NULL OR p > $pme + 1 THEN 1 ELSE 0 END AS new_ext
+       |  FROM rep),
+       |ext AS (
+       |  SELECT doc_id, p, e,
+       |    SUM(new_ext) OVER (PARTITION BY doc_id ORDER BY p) AS ext
+       |  FROM isl)
+       |SELECT doc_id,
+       |  CAST(MIN(p) AS BIGINT) AS span_start,
+       |  CAST(MAX(e) AS BIGINT) AS span_end,
+       |  CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
+       |FROM ext GROUP BY doc_id, ext""".stripMargin
+  }
+
+  /** Vocabulary coverage (tokenizer-prep): the top-200 corpus tokens by
+    * frequency with cumulative coverage fraction — the curve that sizes a
+    * vocabulary. One explode + one aggregation + one window over the
+    * (tiny) distinct-token table; corpus total rides along as a 1-row
+    * broadcast agg, no driver action. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    // the unpartitioned window runs over the AGGREGATED vocab table (orders
+    // of magnitude smaller than the corpus), not the token stream
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(explode(GraftFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = W.orderBy(col("cnt").desc, col("token").asc)
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_frac",
+        (sum(col("cnt")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+          .cast("double") / col("total").cast("double")))
+      .filter(col("rank") <= 200)
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("cnt"), col("cum_frac"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT token, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |t AS (SELECT SUM(cnt) AS total FROM c),
+      |r AS (
+      |  SELECT token, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, token, cnt,
+      |  CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_frac
+      |FROM r CROSS JOIN t WHERE rank <= 200""".stripMargin
 
   /** Document fingerprints via the native Fingerprint64 expression
     * (rows-only; cross-checked interpreted-vs-codegen in FunctionsSpec). */

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SpansSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def spansOf(docs: Seq[(Long, String)], k: Int = 4) =
+    Spans.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("a shared window is reported as one extent in both documents") {
+    // docs 1 and 2 share "c d e f" (a 4-token window); doc 3 is clean
+    val got = spansOf(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s t u v m")))
+    assert(got == Set((1L, 2L, 5L, 4L), (2L, 2L, 5L, 4L)))
+  }
+
+  test("overlapping and adjacent windows merge into one maximal extent") {
+    // docs share 6 consecutive tokens → three overlapping 4-windows → one extent
+    val got = spansOf(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h q r s t")))
+    assert(got == Set((1L, 2L, 7L, 6L), (2L, 0L, 5L, 6L)))
+  }
+
+  test("disjoint repeats produce separate extents") {
+    // doc 1 shares "a b c d" with doc 2 and "w x y z" with doc 3, far apart
+    val got = spansOf(Seq(
+      (1L, "a b c d m1 m2 m3 m4 m5 w x y z"),
+      (2L, "a b c d n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+      (3L, "k1 k2 k3 k4 k5 w x y z k6 k7 k8 k9")))
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1 == Set((1L, 0L, 3L, 4L), (1L, 9L, 12L, 4L)))
+  }
+
+  test("within-document repetition alone does not flag (minDocs honors distinct docs)") {
+    val got = spansOf(Seq(
+      (1L, "a b c d q1 q2 a b c d q3 q4"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8")))
+    assert(got.isEmpty)
+  }
+
+  test("documents shorter than k are exempt") {
+    val got = spansOf(Seq((1L, "a b c"), (2L, "a b c")))
+    assert(got.isEmpty)
+  }
+
+  test("full-document duplicates cover the whole token range") {
+    val text = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val got = spansOf(Seq((1L, text), (2L, text)))
+    assert(got == Set((1L, 0L, 9L, 10L), (2L, 0L, 9L, 10L)))
+  }
+}
