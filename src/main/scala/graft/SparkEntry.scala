@@ -70,6 +70,7 @@ object SparkEntry {
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
+    "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
@@ -84,6 +85,8 @@ object SparkEntry {
       streaming.EventPipeline.windowedCountsSync(s, dir)),
     "s_stream_sessionize" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.sessionizeSync(s, dir)),
+    "s_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.dedupSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +136,7 @@ object SparkEntry {
     "d_fingerprints" -> q.LlmOps.fingerprintsSql,
     "d_sim_topk_brute" -> q.LlmOps.simTopKBruteSql,
     "d_sim_topk_ivf" -> q.LlmOps.simTopKIvfSql,
+    "d_knn_join" -> q.LlmOps.knnJoinSql,
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
@@ -160,5 +164,9 @@ object SparkEntry {
     // stream ≡ batch: the sentinel-flushed streaming sessionizer must equal
     // the batch gap-sessionization SQL exactly
     "s_stream_sessionize" -> q.Relational.streamSessionizeSql,
+    // streaming dedup gate: all duplicates co-arrive within the watermark
+    // horizon, so the surviving KEY SET equals batch DISTINCT (the gate
+    // projects away the nondeterministic surviving-row identity)
+    "s_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** Connected-component resolution over near-duplicate pair lists — the step
   * after candidate generation that every dedup pipeline needs: pair lists
@@ -77,7 +78,8 @@ object Clusters {
       aCol: String,
       bCol: String,
       maxIters: Int = 30,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+      rounds: Option[LongAccumulator] = None): DataFrame = {
     // materialize the pair list ONCE: nodes and the initial edge set both
     // read it, and the final label join reads nodes — without this the
     // (possibly expensive) upstream pair-generation plan runs twice
@@ -107,6 +109,7 @@ object Clusters {
       iters += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
+    rounds.foreach(_.add(iters.toLong))
 
     // star edges are (member, root); roots and any isolated nodes label themselves
     nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")

@@ -42,6 +42,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN: for EVERY row, its k most-similar neighbors among the
+    * LSH-candidate set (hard-negative mining, cluster seeding — the
+    * all-rows companion of the single-query [[lshTopK]]). Candidate pairs
+    * come from [[Dedup.embeddingNearDupPairs]] with the threshold open
+    * (each qualifying pair exists exactly once, no dedup shuffle), are
+    * symmetrized, and ranked per row by exact cosine; rows whose buckets
+    * collide with fewer than k others return fewer neighbors — the
+    * standard LSH-recall contract (raise `tables` for higher recall).
+    * Shuffles carry ids + an 8-byte bucket array, the verify join carries
+    * vectors once, and the final ranking is one window over the candidate
+    * pairs (bounded by bucket sizes, not n²). */
+  def lshKnnJoin(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      planesPerTable: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val pairs = Dedup.embeddingNearDupPairs(
+      df, idCol, vecCol, dim, threshold = -1.0, planesPerTable, tables, seed)
+    val sym = pairs
+      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"), col("cosine"))
+      .union(pairs
+        .select(col("id_b").as(idCol), col("id_a").as("neighbor_id"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Attach the per-table LSH bucket ARRAY per row: tbs[t] = sign-bit
     * bucket of the row vector against table t's `planesPerTable`
     * hyperplanes. One row per input row — the array form is what the

@@ -845,19 +845,18 @@ object LlmOps {
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
   }
 
-  /** Mirrors [[graft.operators.Dedup.embeddingNearDupPairs]] with the SAME
-    * hyperplanes embedded as double literals (generated by the identical
-    * [[graft.operators.Similarity.planes]] call, exact shortest-repr
-    * round-trip). */
-  val embedNearDupSql: String = {
-    val planesPerTable = 8
-    val tables = 4
+  /** Shared CTE body mirroring [[graft.operators.Dedup.embeddingNearDupPairs]]
+    * with the SAME hyperplanes embedded as double literals (generated by the
+    * identical [[graft.operators.Similarity.planes]] call, exact
+    * shortest-repr round-trip): yields `scored(id_a, id_b, cosine)` — every
+    * LSH-candidate pair (a < b) with its exact cosine. */
+  private def lshScoredCte(planesPerTable: Int, tables: Int): String = {
     val all = Similarity.planes(planesPerTable * tables, 64, 42L)
     val values = all.zipWithIndex.map { case (pv, i) =>
       val t = i / planesPerTable; val p = i % planesPerTable
       s"($t, $p, [${pv.map(_.toDouble.toString).mkString(",")}]::DOUBLE[])"
     }.mkString(",\n    ")
-    s"""WITH planes(tbl, p, pv) AS (VALUES
+    s"""planes(tbl, p, pv) AS (VALUES
        |    $values),
        |dots AS (
        |  SELECT e.vec_id, pl.tbl, pl.p,
@@ -876,9 +875,35 @@ object LlmOps {
        |  SELECT p.id_a, p.id_b, ${cosSql("va.embedding", "vb.embedding")} AS cosine
        |  FROM pairs p
        |  JOIN embeddings va ON va.vec_id = p.id_a
-       |  JOIN embeddings vb ON vb.vec_id = p.id_b)
+       |  JOIN embeddings vb ON vb.vec_id = p.id_b)""".stripMargin
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH ${lshScoredCte(8, 4)}
        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= -1.0
        |ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin
+
+  /** Mirrors [[knnJoin]]: the same candidate CTE, symmetrized, ranked per
+    * row by (cosine DESC, neighbor ASC). */
+  val knnJoinSql: String =
+    s"""WITH ${lshScoredCte(8, 4)},
+       |sym AS (
+       |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+       |  UNION ALL
+       |  SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM sym)
+       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Batch kNN join over the embeddings table: each vector's 5 nearest
+    * LSH-candidate neighbors ([[Similarity.lshKnnJoin]]). */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Similarity.lshKnnJoin(embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, k = 5, planesPerTable = 8, tables = 4)
   }
 
   // word-3-shingles of a single-space-tokenized text, as DuckDB SQL

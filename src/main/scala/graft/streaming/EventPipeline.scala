@@ -174,6 +174,30 @@ object EventPipeline {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Synchronous gate run of [[dedupWithinWatermark]]: streams the sf dir's
+    * events file, dedups on (user_id, event_type), and returns the KEYS of
+    * the survivors — the key set is deterministic (which physical row
+    * survives within a micro-batch is not, so the gate projects it away)
+    * and equals batch `SELECT DISTINCT`, since all duplicates co-arrive
+    * within the watermark horizon here. Leak-free like
+    * [[windowedCountsSync]]. */
+  def dedupSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val q = dedupWithinWatermark(
+        readEventStream(s, dir, globFilter = Some("events.parquet")),
+        Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
   /** Stream–static enrichment join: the static dimension is joined to every
     * micro-batch (broadcast when small) — no state, no watermark needed. */
   def enrichWithDim(events: DataFrame, dim: DataFrame,

@@ -36,6 +36,19 @@ class ClustersSpec extends SparkTestBase {
     assert(got.size == 201 && got.values.forall(_ == 0L))
   }
 
+  test("contraction rounds stay logarithmic, not diameter-bound (5k chain)") {
+    import spark.implicits._
+    val n = 5000L
+    val rounds = spark.sparkContext.longAccumulator("cc_rounds")
+    val labels = Clusters.resolve(
+      (0L until n).map(i => (i, i + 1)).toDF("a", "b"), "a", "b",
+      rounds = Some(rounds))
+    assert(labels.filter(col("rep") =!= 0L).isEmpty)
+    assert(labels.count() == n + 1)
+    // a diameter-5000 path resolves in ~log rounds; propagation would need 5000
+    assert(rounds.value <= 20, s"took ${rounds.value} rounds")
+  }
+
   test("multiple components, duplicate and reversed pairs, self-loops") {
     val got = resolveMap(Seq(
       (2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L),

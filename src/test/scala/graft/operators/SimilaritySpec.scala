@@ -132,6 +132,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("lshKnnJoin: planted twin is rank 1 both ways; per-row ranking is dense and ordered") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // corpus + an exact duplicate of vec 0 under a fresh id
+    val twinId = 100000L
+    val twinRow = embs.filter(col("vec_id") === 0L)
+      .select(lit(twinId).as("vec_id"), col("embedding"))
+    val withTwin = embs.select(col("vec_id"), col("embedding")).union(twinRow)
+    val got = Similarity.lshKnnJoin(withTwin, "vec_id", "embedding", 64, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byRow = got.groupBy(_._1)
+    // identical vectors share every bucket → each is the other's rank 1 at cosine 1
+    assert(byRow(0L).find(_._2 == 1L).exists(t => t._3 == twinId && t._4 == 1.0))
+    assert(byRow(twinId).find(_._2 == 1L).exists(t => t._3 == 0L && t._4 == 1.0))
+    byRow.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"ranks not dense for $id")
+      val cos = sorted.map(_._4).toSeq
+      assert(cos == cos.sorted.reverse, s"cosines not descending for $id")
+      assert(rows.forall(_._3 != id), s"self-neighbor for $id")
+      assert(rows.length <= 5)
+    }
+  }
+
   test("multimodal resize and frame sampling keep the partition-local batch shape") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.withPayload(docs)
