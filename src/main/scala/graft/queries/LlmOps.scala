@@ -529,11 +529,14 @@ object LlmOps {
 
   /** End-to-end curation pipeline — the composition a training-data corpus
     * actually runs: quality gate → repetition gate → language agreement →
-    * exact-canonical dedup survivors only. Pure operator composition (each
-    * stage is its own oracle-proven operator); one declarative plan, no
-    * intermediate materialization. Dedup uses the HASHED canonical key
-    * (128-bit fingerprint struct), so the widest shuffle in the flagship
-    * pipeline carries 16-byte keys, not document-sized canonical strings.
+    * exact-canonical dedup survivors → benchmark decontamination (the
+    * doc_id %19==0 slice plays the held-out eval suite: its docs are
+    * excluded from the training output, and training docs sharing any
+    * 5-gram with it drop). Pure operator composition (each stage is its
+    * own oracle-proven operator); one declarative plan, no intermediate
+    * materialization. Dedup uses the HASHED canonical key (128-bit
+    * fingerprint struct), so the widest shuffle in the flagship pipeline
+    * carries 16-byte keys, not document-sized canonical strings.
     *
     * The two fused text kernels ([[GraftFunctions.markerStats]],
     * [[GraftFunctions.repetitionStats]]) are each aliased ONCE in a narrow
@@ -557,7 +560,13 @@ object LlmOps {
         GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
     val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
-    scored.join(survivors, "doc_id")
+    val clean = Decontaminate.overlapNgrams(
+        d.filter(pmod(col("doc_id"), lit(19)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(19)) === 0),
+        "doc_id", "text", n = 5)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"))
+    scored.join(survivors, "doc_id").join(clean, "doc_id")
       .filter(col("quality") >= 0.5 && col("lang_ok") && col("rep_ok"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
@@ -588,9 +597,14 @@ object LlmOps {
        |    FROM (SELECT doc_id,
        |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
        |          FROM documents))
-       |  GROUP BY f1, f2)
+       |  GROUP BY f1, f2),
+       |clean AS (
+       |  SELECT doc_id FROM (
+       |$decontaminateSql
+       |  ) WHERE contaminated = 0)
        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
        |FROM scored s JOIN survivors USING (doc_id) JOIN rep USING (doc_id)
+       |  JOIN clean USING (doc_id)
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
