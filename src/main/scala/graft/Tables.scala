@@ -26,8 +26,13 @@ object Tables {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  private val nanosSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // Weak keys: a child session holds no reference back to its parent (the
+  // key), so entries are collected with the caller session — a long-lived
+  // process creating many short-lived sessions doesn't accumulate children.
+  // (The plan `cache` above can't do the same: a DataFrame references its
+  // session, so a weak key would be pinned by its own value.)
+  private val nanosSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   /** A session whose parquet scans read TIMESTAMP(NANOS) as long: the
     * caller's own session if it already opted in, otherwise a memoized

@@ -28,17 +28,10 @@ object VerifyOne {
       println(s"[verifyone] dumped $name")
     }
     // tools/check.py-compatible oracle map for just the dumped subset
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(wanted.contains)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      Verify.oracleJson(
+        SparkEntry.oracleSql.view.filterKeys(wanted.contains).toMap))
     spark.stop()
   }
 }

@@ -39,21 +39,33 @@ object Pii {
         lit(PhoneRe), lit(PhoneTag)),
       lit(Ipv4Re), lit(Ipv4Tag))
 
-  /** Per-row PII report: non-overlapping match counts per category, plus
-    * the redacted text pinned by length + 64-bit fingerprint (so a gate can
-    * hash-verify the full redaction without shipping the text twice). The
-    * triple-replace is aliased ONCE in its own projection — referenced-twice
-    * non-cheap aliases are not inlined by CollapseProject, so the three
-    * regex passes run once per row, not once per derived column. */
+  /** Per-row PII report: match counts per category, plus the redacted text
+    * pinned by length + 64-bit fingerprint (so a gate can hash-verify the
+    * full redaction without shipping the text twice).
+    *
+    * Counts are taken at the SAME stage as each redaction pass (emails on
+    * the raw text, phones after email masking, IPs after phone masking), so
+    * `n_<cat>` equals the number of `<CAT>` tags in the redacted output by
+    * construction — independent per-category counts on the raw text can
+    * contradict the redaction when matches overlap (an IP-looking substring
+    * inside an email is consumed by the email mask). Every intermediate is
+    * aliased ONCE in its own projection — referenced-twice non-cheap
+    * aliases are not inlined by CollapseProject, so each regex pass runs
+    * once per row. */
   def scan(df: DataFrame, id: Column, text: Column): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(id.as("doc_id"), text.as("t"))
-      .select(col("doc_id"), col("t"), redact(col("t")).as("red"))
+      .select(col("doc_id"), col("t"),
+        regexp_replace(col("t"), lit(EmailRe), lit(EmailTag)).as("r1"))
+      .select(col("doc_id"), col("t"), col("r1"),
+        regexp_replace(col("r1"), lit(PhoneRe), lit(PhoneTag)).as("r2"))
+      .select(col("doc_id"), col("t"), col("r1"), col("r2"),
+        regexp_replace(col("r2"), lit(Ipv4Re), lit(Ipv4Tag)).as("red"))
       .select(
         col("doc_id"),
         regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
-        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phone"),
-        regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+        regexp_count(col("r1"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("r2"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
         length(col("red")).cast("long").as("red_len"),
         GraftFunctions.fingerprint64(col("red")).as("red_fp"))
   }

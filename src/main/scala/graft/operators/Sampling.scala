@@ -70,10 +70,17 @@ object Sampling {
     }
     val weighted = counts.withColumn("w_g", wCol).filter(!isnan(col("w_g")))
     val total = weighted.agg(min(col("n_g") / col("w_g")).as("n_total"))
+    // The binding group (n_g/w_g == n_total — the same double computed the
+    // same way, so the equality is exact) is pinned to keep-everything
+    // explicitly: (n_total·w_g)/n_g can round to 0.99999… in IEEE double,
+    // and flooring that would silently drop its bucket-999999 rows.
     val thresholds = weighted.crossJoin(broadcast(total))
       .select(col("g"),
-        floor(col("n_total") * col("w_g") / col("n_g") * lit(Resolution.toDouble))
-          .cast("long").as("thr"))
+        when(col("n_g") / col("w_g") === col("n_total"), lit(Resolution))
+          .otherwise(floor(
+            col("n_total") * col("w_g") / col("n_g") * lit(Resolution.toDouble))
+            .cast("long"))
+          .as("thr"))
     df.join(broadcast(thresholds), group === col("g"))
       .filter(bucket(key) < col("thr"))
       .drop("g", "thr")

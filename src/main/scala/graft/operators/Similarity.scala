@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]]: exact scan + top-k. Compiles to a single
   *    TakeOrderedAndProject over the scan — no shuffle; the right baseline
   *    and still the right answer for one-off queries at any scale.
-  *  - [[withLshBuckets]] / [[lshTopK]]: random-hyperplane LSH — candidates
-  *    share a sign-pattern bucket in ≥1 table; cost ∝ bucket size.
+  *  - [[withLshBucketArray]] / [[lshTopK]] / [[lshKnnJoin]]:
+  *    random-hyperplane LSH — candidates share a sign-pattern bucket in
+  *    ≥1 table; cost ∝ bucket size. lshTopK filters on the per-row bucket
+  *    ARRAY (no row multiplication, zero exchanges).
   *  - [[ivfTopK]]: inverted-file index — vectors partitioned by nearest
   *    coarse centroid, queries probe the `nprobe` nearest cells. The cell
   *    assignment is itself a column, so a table can be *written partitioned
@@ -58,10 +60,15 @@ object Similarity {
       planesPerTable: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val pairs = Dedup.embeddingNearDupPairs(
       df, idCol, vecCol, dim, threshold = -1.0, planesPerTable, tables, seed)
+    // symmetrize by exploding each pair into both directions IN PLACE — a
+    // self-union would compile to two independent copies of the whole
+    // candidate-generation subplan (bucket agg + vector joins + cosine)
     val sym = pairs
-      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"), col("cosine"))
-      .union(pairs
-        .select(col("id_b").as(idCol), col("id_a").as("neighbor_id"), col("cosine")))
+      .select(explode(array(
+        struct(col("id_a").as(idCol), col("id_b").as("neighbor_id"), col("cosine")),
+        struct(col("id_b").as(idCol), col("id_a").as("neighbor_id"), col("cosine"))))
+        .as("e"))
+      .select(col(s"e.$idCol"), col("e.neighbor_id"), col("e.cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -89,16 +96,6 @@ object Similarity {
     }
     df.withColumn("tbs", array(tableBuckets: _*))
   }
-
-  /** Attach (table, bucket) per row: bucket = sign bits of the row vector
-    * against `planesPerTable` hyperplanes, one bucket per table. Output has
-    * one row per (input row × table). */
-  def withLshBuckets(
-      df: DataFrame, vecCol: String, dim: Int,
-      planesPerTable: Int, tables: Int, seed: Long): DataFrame =
-    withLshBucketArray(df, vecCol, dim, planesPerTable, tables, seed)
-      .select(col("*"), posexplode(col("tbs")).as(Seq("table", "bucket")))
-      .drop("tbs")
 
   /** LSH-bucketed approximate top-k: candidates = rows sharing any table's
     * bucket with the query; exact cosine re-rank on candidates only.

@@ -39,6 +39,11 @@ object Spans {
       k: Int,
       minDocs: Int = 2): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // persisted because BOTH the multi-occurrence aggregate and the join
+    // probe side read it — the branches shuffle different shapes, so
+    // ReuseExchange can't fire and the scan+explode+hash would run twice.
+    // Spillable storage; blocks are reclaimed by the ContextCleaner once
+    // the plan is unreachable.
     val positioned = df
       .filter(size(GraftFunctions.tokens(col(textCol))) >= k)
       .select(
@@ -46,6 +51,7 @@ object Spans {
         posexplode(GraftFunctions.wordShingles(col(textCol), k)).as(Seq("p", "g")))
       .select(col("doc_id"), col("p"),
         GraftFunctions.fingerprint64(col("g")).as("gfp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val multiDoc = positioned
       .groupBy(col("gfp"))

@@ -240,18 +240,25 @@ object LlmOps {
        |  CAST(lab.id = lab.cluster AS INT) AS keep
        |FROM lab JOIN sz USING (cluster)""".stripMargin
 
-  /** Benchmark decontamination: the doc_id %19==0 slice plays the eval
-    * suite, the rest the training corpus; each training doc reports how many
-    * distinct word-5-gram fingerprints it shares with the eval set and the
+  /** Decontamination protocol shared by [[decontaminate]] and
+    * [[curationPipeline]] (and their oracle builders): the doc_id
+    * %[[DecontEvalMod]]==0 slice plays the held-out eval suite; overlap
+    * unit is the word-[[DecontGramK]]-gram. */
+  val DecontEvalMod = 19
+  val DecontGramK = 5
+
+  private def decontOverlap(d: DataFrame): DataFrame =
+    Decontaminate.overlapNgrams(
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) === 0),
+      "doc_id", "text", n = DecontGramK)
+
+  /** Benchmark decontamination: each training doc reports how many distinct
+    * word-5-gram fingerprints it shares with the eval slice and the
     * contaminated verdict ([[Decontaminate.overlapNgrams]] — broadcast
     * eval-fingerprint set, no corpus-side shuffle before the per-doc agg). */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Decontaminate.overlapNgrams(
-      d.filter(pmod(col("doc_id"), lit(19)) =!= 0),
-      d.filter(pmod(col("doc_id"), lit(19)) === 0),
-      "doc_id", "text", n = 5)
-  }
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontOverlap(docs(s, dir))
 
   /** Word k-shingles of a single-space-tokenized text as DuckDB SQL,
     * mirroring [[GraftFunctions.wordShingles]] incl. the <k degenerate
@@ -268,11 +275,11 @@ object LlmOps {
     * (signed-BIGINT join keys), COUNT(DISTINCT) over the hit fingerprints. */
   val decontaminateSql: String =
     s"""WITH g AS (
-       |  SELECT doc_id, unnest(list_distinct(${shingleSqlK(5)})) AS g FROM documents),
+       |  SELECT doc_id, unnest(list_distinct(${shingleSqlK(DecontGramK)})) AS g FROM documents),
        |hh AS (SELECT doc_id, ${fnvHugeSql("g")} AS hu FROM g),
        |h AS (SELECT doc_id, ${hugeToSignedSql("hu")} AS h FROM hh),
-       |e AS (SELECT DISTINCT h FROM h WHERE doc_id % 19 = 0),
-       |t AS (SELECT doc_id, h FROM h WHERE doc_id % 19 <> 0),
+       |e AS (SELECT DISTINCT h FROM h WHERE doc_id % $DecontEvalMod = 0),
+       |t AS (SELECT doc_id, h FROM h WHERE doc_id % $DecontEvalMod <> 0),
        |j AS (
        |  SELECT t.doc_id,
        |    COUNT(DISTINCT CASE WHEN e.h IS NOT NULL THEN t.h END) AS n_overlap
@@ -317,18 +324,23 @@ object LlmOps {
        |    CASE WHEN doc_id % 4 = 0 THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
        |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
        |  FROM documents),
-       |r AS (
+       |s1 AS (
        |  SELECT doc_id, t,
-       |    regexp_replace(regexp_replace(regexp_replace(t,
-       |      '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
-       |      '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
-       |      '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g') AS red
+       |    regexp_replace(t, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g') AS r1
        |  FROM t),
-       |h AS (SELECT doc_id, t, red, ${fnvHugeSql("red")} AS hr FROM r)
+       |s2 AS (
+       |  SELECT doc_id, t, r1,
+       |    regexp_replace(r1, '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS r2
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT doc_id, t, r1, r2,
+       |    regexp_replace(r2, '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g') AS red
+       |  FROM s2),
+       |h AS (SELECT doc_id, t, r1, r2, red, ${fnvHugeSql("red")} AS hr FROM s3)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
-       |  CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
-       |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(r1, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(r2, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
        |  CAST(length(red) AS BIGINT) AS red_len,
        |  ${hugeToSignedSql("hr")} AS red_fp
        |FROM h""".stripMargin
@@ -560,10 +572,7 @@ object LlmOps {
         GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
     val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
-    val clean = Decontaminate.overlapNgrams(
-        d.filter(pmod(col("doc_id"), lit(19)) =!= 0),
-        d.filter(pmod(col("doc_id"), lit(19)) === 0),
-        "doc_id", "text", n = 5)
+    val clean = decontOverlap(d)
       .filter(col("contaminated") === 0)
       .select(col("doc_id"))
     scored.join(survivors, "doc_id").join(clean, "doc_id")
@@ -690,7 +699,9 @@ object LlmOps {
        |ww AS (SELECT lang, n_g, w_g FROM w WHERE w_g IS NOT NULL),
        |t AS (SELECT MIN(n_g / w_g) AS n_total FROM ww),
        |thr AS (
-       |  SELECT lang, CAST(FLOOR(((n_total * w_g) / n_g) * 1000000.0) AS BIGINT) AS thr
+       |  SELECT lang,
+       |    CASE WHEN n_g / w_g = n_total THEN 1000000
+       |         ELSE CAST(FLOOR(((n_total * w_g) / n_g) * 1000000.0) AS BIGINT) END AS thr
        |  FROM ww CROSS JOIN t),
        |h AS (
        |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS hu
@@ -816,7 +827,14 @@ object LlmOps {
     * kernel's `getOrElse(c, old)`); then the 4-nearest-cell probe. The
     * float32 cast after each update quantizes away the engines'
     * double-summation-order noise, so assignments — and therefore the
-    * probed membership and the final exact cosines — are engine-identical. */
+    * probed membership and the final exact cosines — are engine-identical.
+    *
+    * Residual risk (documented, accepted): the quantization argument fails
+    * only if a centroid dimension's double mean lands within half an ulp of
+    * a float32 rounding boundary AND the engines' summation orders diverge
+    * there — P ≈ 2⁻²⁹ per (cell, dim, iter), ~10⁻⁵ per run at these
+    * parameters. A flake here re-passes on rerun and cannot produce a
+    * silently-wrong stable result. */
   val simTopKIvfSql: String = {
     val dim = 64
     val avgs = (1 to dim)
