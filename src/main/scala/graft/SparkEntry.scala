@@ -66,6 +66,7 @@ object SparkEntry {
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
     "d_vocab_coverage" -> (q.LlmOps.vocabCoverage _),
+    "d_text_normalize" -> (q.LlmOps.textNormalize _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "d_pii_scan" -> q.LlmOps.piiScanSql,
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
     "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,
+    "d_text_normalize" -> q.LlmOps.textNormalizeSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

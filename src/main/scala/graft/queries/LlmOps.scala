@@ -345,6 +345,53 @@ object LlmOps {
        |  ${hugeToSignedSql("hr")} AS red_fp
        |FROM h""".stripMargin
 
+  /** Text normalization + character-shingle profile: the cleanup pass ahead
+    * of tokenization/dedup. The fixture text is already clean, so each doc
+    * is deterministically messed up first (leading/trailing runs of spaces,
+    * an uppercased prefix) — identically in [[textNormalizeSql]] — and the
+    * gate pins [[GraftFunctions.normalize]]'s full output by length + FNV
+    * fingerprint plus the [[GraftFunctions.charNgrams]] profile of the
+    * normalized text. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val messy = concat(lit("  "), upper(col("text").substr(1, 40)),
+      lit("   "), col("text"), lit(" "))
+    docs(s, dir)
+      .select(col("doc_id"), GraftFunctions.normalize(messy).as("norm"))
+      .select(
+        col("doc_id"),
+        length(col("norm")).cast("long").as("norm_len"),
+        GraftFunctions.tokenCount(col("norm")).cast("long").as("n_tokens"),
+        size(array_distinct(GraftFunctions.charNgrams(col("norm"), 3)))
+          .cast("long").as("n_char3"),
+        GraftFunctions.fingerprint64(col("norm")).as("norm_fp"))
+  }
+
+  /** Mirrors [[textNormalize]]: same mess-up arithmetic, lower/trim/
+    * whitespace-collapse (`\s+` agrees between Java and RE2 on this ASCII
+    * corpus), same 3-gram window arithmetic, FNV pin of the full result. */
+  val textNormalizeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    '  ' || upper(substr(text, 1, 40)) || '   ' || text || ' ' AS t
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(t), '\\s+', ' ', 'g')) AS norm
+       |  FROM m),
+       |g AS (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN length(norm) <= 3 THEN [norm]
+       |         ELSE list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3))
+       |    END AS grams
+       |  FROM n),
+       |h AS (SELECT doc_id, norm, grams, ${fnvHugeSql("norm")} AS hn FROM g)
+       |SELECT doc_id,
+       |  CAST(length(norm) AS BIGINT) AS norm_len,
+       |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_char3,
+       |  ${hugeToSignedSql("hn")} AS norm_fp
+       |FROM h""".stripMargin
+
   /** Repeated-span detection (exact-substring-dedup counting tier): maximal
     * per-document extents of word-8-gram windows that occur in ≥2 distinct
     * documents ([[Spans.repeatedSpans]] — the ranges a trainer would excise

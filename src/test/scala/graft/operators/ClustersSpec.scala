@@ -69,6 +69,24 @@ class ClustersSpec extends SparkTestBase {
     }
   }
 
+  test("resolve works with a reliable checkpoint (the cluster deployment path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val labels = Clusters.resolve(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b",
+        checkpoint = _.checkpoint())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("largeStar/smallStar preserve (hi, lo) orientation") {
     import spark.implicits._
     val edges = Seq((5L, 2L), (9L, 2L), (9L, 7L), (4L, 3L))

@@ -141,4 +141,28 @@ class DedupScaleSpec extends SparkTestBase {
       s"verified pairs $pairs below the ${qualifying * 45} planted qualifying pairs")
     sparse.unpersist()
   }
+
+  /** End-to-end pairs → clusters at ~40k docs: every 10-copy clique whose
+    * members pair must resolve to ONE component (no fragmentation), no
+    * component may exceed what the pair graph supports, and the
+    * star-contraction round count stays logarithmic on the real graph. */
+  test("cluster resolution over the 40k-doc near-dup graph: cliques resolve whole", Slow) {
+    GraftFunctions.register(spark)
+    val pairs = Dedup.minhashPairs(bigDocs, "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
+    val rounds = spark.sparkContext.longAccumulator("cc_rounds_scale")
+    val labels = Clusters.resolve(pairs, "id_a", "id_b", rounds = Some(rounds))
+      .cache()
+    val nLabeled = labels.count()
+    assert(nLabeled > 30000L, s"only $nLabeled docs entered the pair graph")
+    assert(rounds.value <= 10, s"contraction took ${rounds.value} rounds")
+    // within a base clique, every labeled member shares one representative
+    val fragmented = labels
+      .groupBy((col("id") / 10).cast("long").as("base"))
+      .agg(count_distinct(col("rep")).as("reps"), count(lit(1)).as("members"))
+      .filter(col("members") >= 2 && col("reps") > 1)
+      .count()
+    assert(fragmented == 0L, s"$fragmented cliques fragmented across components")
+    labels.unpersist()
+  }
 }
