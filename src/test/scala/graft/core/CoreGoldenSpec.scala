@@ -146,6 +146,24 @@ class CoreGoldenSpec extends SparkTestBase {
       Seq(("id", false), ("name", true), ("nick", false), ("ageOpt", true)))
   }
 
+  test("poly arity family: poly1 and poly4 lift like poly2/poly3") {
+    import spark.implicits._
+    val df = Seq((1L, "ann", Some(10)), (2L, "bob", None))
+      .toDF("id", "name", "age")
+    val idS = "id".ofCol(col("id"))
+    val nameS = "name".ofCol(col("name"))
+    val ageS = "age".ofCol(col("age"))
+    val shout = Derive.poly1[String, String]("shout", nameS)(_.map(_.toUpperCase))
+    val blend = Derive.poly4[Long, String, Int, String, String](
+      "blend", idS, nameS, ageS, shout) { (id, name, age, sh) =>
+      for { i <- id; n <- name; s <- sh } yield s"$i:$n:${age.getOrElse(-1)}:$s"
+    }
+    val out = TableSpec(df, Seq(idS, shout, blend)).jsonView()
+    assert(out.data == Seq(
+      """{"id":1,"shout":"ANN","blend":"1:ann:10:ANN"}""",
+      """{"id":2,"shout":"BOB","blend":"2:bob:-1:BOB"}"""))
+  }
+
   test("golden 4: poly transform — merged name column (doc-03.md:12-61)") {
     val nameS = "name".ofCol(col("name")).orderTarget("nick").describe("昵称")
     val nickS = "nick".ofCol(col("nick")).order.describe("昵称")

@@ -7,6 +7,13 @@ class SourcesSpec extends SparkTestBase {
 
   private val base = "target/sources_test"
 
+  test("parquet reader matches the native scan") {
+    val direct = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val viaSources = Sources.readParquet(spark, "/root/testdata/sf0.001/region.parquet")
+    assert(viaSources.schema == direct.schema)
+    assert(viaSources.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("csv round-trip preserves schema-on-read and values") {
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     Sources.writeCsv(customer, s"$base/customer_csv")
