@@ -88,6 +88,8 @@ object SparkEntry {
       streaming.EventPipeline.sessionizeSync(s, dir)),
     "s_stream_dedup" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.dedupSync(s, dir)),
+    "s_stream_quality" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.curationFilterSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,5 +172,7 @@ object SparkEntry {
     // horizon, so the surviving KEY SET equals batch DISTINCT (the gate
     // projects away the nondeterministic surviving-row identity)
     "s_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
+    // stateless quality tier on a document stream ≡ the batch filters
+    "s_stream_quality" -> q.LlmOps.streamQualitySql,
   )
 }

@@ -627,7 +627,11 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
-  val curationPipelineSql: String = {
+  /** The quality/repetition/language scoring CTEs (`scored`, `rep`) shared
+    * by [[curationPipelineSql]] and the streaming gate's oracle — the
+    * filters are the same kernels in both execution modes, so their oracle
+    * text is single-sourced too. */
+  private lazy val scoredRepCtes: String = {
     val allMarkers = GraftFunctions.langMarkers.flatMap(_._2)
     val hits = GraftFunctions.langMarkers.map { case (lang, _) => lang -> s"h_$lang" }
     val hitDefs = GraftFunctions.langMarkers
@@ -636,7 +640,7 @@ object LlmOps {
     val cases = hits.map { case (lang, h) =>
       s"WHEN $h > 0 AND $h = $best THEN '$lang'"
     }.mkString("\n    ")
-    s"""WITH scored AS (
+    s"""scored AS (
        |  SELECT doc_id, lang,
        |    CAST(len($tsSql) AS BIGINT) AS n_tokens,
        |    0.5 * (CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))
@@ -646,7 +650,19 @@ object LlmOps {
        |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents)),
        |rep AS (
        |  SELECT doc_id, $repKeepSql AS rep_ok FROM (
-       |  $repStatsSql)),
+       |  $repStatsSql))""".stripMargin
+  }
+
+  /** Mirrors [[graft.streaming.EventPipeline.curationFilterStream]] (the
+    * stateless quality/repetition/language tier, stream ≡ batch). */
+  lazy val streamQualitySql: String =
+    s"""WITH $scoredRepCtes
+       |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+       |FROM scored s JOIN rep USING (doc_id)
+       |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
+
+  lazy val curationPipelineSql: String = {
+    s"""WITH $scoredRepCtes,
        |survivors AS (
        |  SELECT MIN(doc_id) AS doc_id FROM (
        |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2

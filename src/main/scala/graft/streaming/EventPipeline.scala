@@ -204,6 +204,59 @@ object EventPipeline {
       eventKey: String, dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey))
 
+  /** Raw schema of the documents fixture (for the file-source stream). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The curation tier's quality filters on a DOCUMENT STREAM — the same
+    * stateless scoring kernels the batch pipeline uses
+    * ([[graft.functions.GraftFunctions.markerStats]]/`repetitionStats` via
+    * the struct-aliased derivations), applied per micro-batch: one
+    * declaration, two execution modes, so the live ingest filter and the
+    * batch backfill can never disagree. Stateless ⇒ no watermark, no state
+    * store; scales as a pure map over whatever the source delivers. */
+  def curationFilterStream(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.repetitionStats(col("text")).as("rs"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("ms").getField("n_tokens").cast("long").as("n_tokens"),
+        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
+        GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
+      .filter(col("quality") >= 0.5 && col("lang_ok") && col("rep_ok"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+  }
+
+  /** Synchronous gate run of [[curationFilterStream]]: streams the sf dir's
+    * documents file through the memory sink (two files per trigger keeps it
+    * honestly micro-batched), returns the accepted documents. Leak-free
+    * like [[windowedCountsSync]]. */
+  def curationFilterSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val name = s"graft_stream_cur_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val in = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = curationFilterStream(in)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
   /** Stateful gap sessionization (30-minute inactivity) via
     * flatMapGroupsWithState: per-user state holds the open session; closed
     * sessions are emitted as soon as a gap is observed in-batch, and the

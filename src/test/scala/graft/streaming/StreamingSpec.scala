@@ -93,6 +93,17 @@ class StreamingSpec extends SparkTestBase {
       s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
   }
 
+  test("curationFilterSync: streamed quality tier EQUALS the batch filters") {
+    val got = EventPipeline.curationFilterSync(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventPipeline.curationFilterStream(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
