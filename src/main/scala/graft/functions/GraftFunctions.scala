@@ -40,6 +40,9 @@ object GraftFunctions {
       es => MarkerStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition_stats",
       es => RepetitionStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_ngram_stats",
+      es => CharNgramStats(es(0),
+        es(1).eval().asInstanceOf[Number].intValue), "built-in")
     reg.createOrReplaceTempFunction("graft_keyed_member_pairs",
       es => KeyedMemberPairs(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_member_pairs",
@@ -108,6 +111,15 @@ object GraftFunctions {
       .otherwise(transform(
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n))))
+
+  /** Fused one-pass char-n-gram profile: struct(n_chars, n_grams,
+    * n_distinct) as ONE codegen call ([[CharNgramStats]]) — the counting
+    * twin of [[charNgrams]] (`n_distinct` ≡
+    * `size(array_distinct(charNgrams(text, n)))` exactly, string sets not
+    * sketches) without the per-gram string allocation. Requires
+    * [[register]]. */
+  def charNgramStats(text: Column, n: Int): Column =
+    call_function("graft_char_ngram_stats", text, lit(n))
 
   // marker lexicons for the language-ID heuristic (tiny on purpose — the
   // real discriminator on web text; deterministic + SQL-portable)

@@ -290,6 +290,30 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Fused one-pass character-n-gram profile of a string column:
+  * struct(n_chars, n_grams, n_distinct) — see TextQuality.charStats.
+  * One codegen call, zero per-gram allocation on ASCII, replacing the
+  * transform/substr/array_distinct chain (one allocated string per gram). */
+case class CharNgramStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_char_ngram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextQuality.charStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextQuality.charStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramStats =
+    copy(child = newChild)
+}
+
 /** Member-wise first-collision pair expansion for the banded dedup family
   * (MinHash band hashes / hyperplane LSH table buckets): members are
   * (id, keys) structs, `member` selects whose pairs this row emits, `band`

@@ -362,8 +362,8 @@ object LlmOps {
         col("doc_id"),
         length(col("norm")).cast("long").as("norm_len"),
         GraftFunctions.tokenCount(col("norm")).cast("long").as("n_tokens"),
-        size(array_distinct(GraftFunctions.charNgrams(col("norm"), 3)))
-          .cast("long").as("n_char3"),
+        GraftFunctions.charNgramStats(col("norm"), 3)
+          .getField("n_distinct").cast("long").as("n_char3"),
         GraftFunctions.fingerprint64(col("norm")).as("norm_fp"))
   }
 

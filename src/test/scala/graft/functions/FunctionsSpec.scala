@@ -218,6 +218,39 @@ class FunctionsSpec extends SparkTestBase {
     assert(counts.head >= 4) // words + punctuation clusters
   }
 
+  test("charNgramStats: fused counts EQUAL the Column-level HOF recomputation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // edge cases: empty, shorter than n, exactly n, repeats, multibyte
+    // (forces the wide-gram fallback path), long ASCII (packed fast path),
+    // and a mixed string whose grams straddle both domains
+    val texts = Seq("", "ab", "abc", "aaaaaaa", "héllo wörld héllo",
+      "日本語のテキスト日本語", ("the quick brown fox " * 50).trim,
+      "aéa" * 20)
+    for (n <- Seq(1, 3, 7)) {
+      val df = texts.toDF("text")
+      val got = df.select(
+          GraftFunctions.charNgramStats(col("text"), n).as("s"),
+          length(col("text")).as("len"),
+          size(array_distinct(GraftFunctions.charNgrams(col("text"), n))).as("naive"))
+        .collect()
+      got.foreach { r =>
+        val s = r.getStruct(0)
+        assert(s.getInt(0) == r.getInt(1), s"n_chars n=$n")
+        val expGrams = if (r.getInt(1) <= n) 1 else r.getInt(1) - n + 1
+        assert(s.getInt(1) == expGrams, s"n_grams n=$n")
+        assert(s.getInt(2) == r.getInt(2), s"n_distinct n=$n naive=${r.getInt(2)}")
+      }
+    }
+  }
+
+  test("charNgramStats stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = docs.select(GraftFunctions.charNgramStats(col("text"), 3))
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Project [codegen id"), plan)
+  }
+
   test("wordShingles: k consecutive tokens, short text degrades to whole text") {
     GraftFunctions.register(spark)
     import spark.implicits._
