@@ -59,14 +59,33 @@ object Clusters {
     multiOut.isEmpty && both.isEmpty
   }
 
+  /** Unpersist a checkpointed round's blocks once a later round has
+    * materialized past it. No-op for non-checkpointed plans (e.g. an
+    * identity `checkpoint` in tests). Without this, a long-lived session
+    * (a curation service, a bench loop) accumulates every round of every
+    * invocation in the block manager until the context cleaner happens to
+    * run. */
+  private def freeBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   /** Resolve pairs into clusters: returns one row per node that appears in
-    * `pairs`, with `rep` = the minimum id of its connected component.
+    * `pairs`, with `rep` = the minimum id of its connected component. The
+    * result is materialized through `checkpoint` before returning, so every
+    * intermediate round's blocks are already freed — the caller holds ONE
+    * small (id, rep) table, not the whole contraction history.
     *
     * `checkpoint` truncates the per-round plan lineage (without it the plan
-    * doubles every round and analysis cost explodes). The default
-    * `localCheckpoint` is right for local mode and tests; on a real cluster
-    * pass `_.checkpoint()` with a reliable checkpoint dir so a lost executor
-    * doesn't kill a 20-round job.
+    * doubles every round and analysis cost explodes). Checkpoints are LAZY:
+    * each round's convergence-signature aggregation doubles as its
+    * materializing action, so a round costs one job, not two. The default
+    * `localCheckpoint(false)` is right for local mode and tests; on a real
+    * cluster pass `_.checkpoint(false)` with a reliable checkpoint dir so a
+    * lost executor doesn't kill a 20-round job (superseded rounds are freed
+    * as the loop advances, so recompute can't reach back anyway).
     *
     * Convergence is detected by a cheap per-round (count, hash-sum)
     * signature and then CONFIRMED by the exact star-forest predicate, so a
@@ -78,7 +97,7 @@ object Clusters {
       aCol: String,
       bCol: String,
       maxIters: Int = 30,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false),
       rounds: Option[LongAccumulator] = None): DataFrame = {
     // materialize the pair list ONCE: nodes and the initial edge set both
     // read it, and the final label join reads nodes — without this the
@@ -97,12 +116,15 @@ object Clusters {
     var prevSig: (Long, Long) = null
     var iters = 0
     while (!converged && iters < maxIters) {
-      edges = checkpoint(smallStar(largeStar(edges)))
+      val next = checkpoint(smallStar(largeStar(edges)))
       // xor-fold of edge hashes: an overflow-free (ANSI-safe) set signature;
-      // collisions only delay detection — the exact predicate below confirms
-      val row = edges.agg(
+      // collisions only delay detection — the exact predicate below confirms.
+      // This aggregation IS the round's materializing action (lazy checkpoint).
+      val row = next.agg(
         count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      freeBlocks(edges) // superseded: `next` is materialized past it
+      edges = next
       val sig = (row.getLong(0), row.getLong(1))
       if (sig == prevSig && isStarForest(edges)) converged = true
       prevSig = sig
@@ -112,7 +134,12 @@ object Clusters {
     rounds.foreach(_.add(iters.toLong))
 
     // star edges are (member, root); roots and any isolated nodes label themselves
-    nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    val out = checkpoint(
+      nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
+    out.count(): Unit // materialize so the inputs below can be freed
+    freeBlocks(raw)
+    freeBlocks(edges)
+    out
   }
 }
