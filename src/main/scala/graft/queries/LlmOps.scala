@@ -552,6 +552,56 @@ object LlmOps {
       |  FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  // BM25 gate parameters — shared by the query and its oracle twin
+  private val Bm25Terms = Seq("spark", "vector", "join", "query")
+  private val Bm25K = 15
+
+  /** BM25 keyword retrieval: top-15 documents for a fixed bag-of-words
+    * query ([[graft.operators.Bm25.topK]]). Integer evidence (tf per term,
+    * dl) is emitted; the score orders (its idf log is transcendental —
+    * same output posture as [[tfidfTopTermsSql]]). */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.topK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
+
+  /** Mirrors [[bm25Search]] operation-for-operation: same conditional-sum
+    * tf/df shape, same exact-integer avgdl ratio, same FIXED left-fold
+    * order over the four per-term contributions (doubles agree bitwise
+    * when the operation trees agree). */
+  lazy val bm25SearchSql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    def tfDef(i: Int) =
+      s"CAST(SUM(CASE WHEN term = '${Bm25Terms(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+    def dfDef(i: Int) =
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    def contrib(i: Int) =
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+         | * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+         | / (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |    + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+        .stripMargin.replace("\n", "")
+    val score = Bm25Terms.indices.map(contrib).mkString(" + ")
+    s"""WITH stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len($tsSql)) AS BIGINT) AS total_dl
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, CAST(len($tsSql) AS BIGINT) AS dl,
+       |         unnest(list_filter($tsSql, t -> t IN ($inList))) AS term
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, MIN(dl) AS dl, ${Bm25Terms.indices.map(tfDef).mkString(", ")}
+       |  FROM hits GROUP BY doc_id),
+       |dfx AS (SELECT ${Bm25Terms.indices.map(dfDef).mkString(", ")} FROM perdoc),
+       |scored AS (
+       |  SELECT p.doc_id, p.dl, ${Bm25Terms.indices.map(i => s"p.tf_$i").mkString(", ")},
+       |         $score AS score
+       |  FROM perdoc p CROSS JOIN stats CROSS JOIN dfx)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       |  doc_id, dl,
+       |  ${Bm25Terms.zipWithIndex.map { case (t, i) => s"tf_$i AS tf_$t" }.mkString(", ")}
+       |FROM scored ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+  }
+
   /** Text → hashed feature vectors → ANN composition: 20 nearest documents
     * to doc 0 by cosine over feature-hashed tf vectors. */
   def docVectorSearch(s: SparkSession, dir: String): DataFrame = {
