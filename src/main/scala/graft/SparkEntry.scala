@@ -82,6 +82,7 @@ object SparkEntry {
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
+    "d_semantic_dedup" -> (q.LlmOps.semanticDedup _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_bm25_search" -> q.LlmOps.bm25SearchSql,
+    "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,

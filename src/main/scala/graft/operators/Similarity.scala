@@ -248,6 +248,43 @@ object Similarity {
     centroids
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
+    * Ganguli, Morcos, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023 — public): cluster the
+    * embedding space with k-means, then compare pairs ONLY within a
+    * cluster — the clustering is what makes semantic dedup tractable
+    * (pairs are O(Σ m_c²) over cell sizes, never corpus²).
+    *
+    * Returns the DROP list with evidence: each row is a document that has
+    * a same-cell witness with cosine ≥ `tau` and a smaller id — (vec_id,
+    * cell, kept_by = smallest such witness, cosine to that witness). The
+    * kept corpus = input ∖ drops; keeping the minimum id per near-dup
+    * group is the same deterministic convention as the text-dedup tier.
+    *
+    * 100 TB shape: ONE fused cell assignment (no shuffle), then a single
+    * cell-keyed self-join — vectors ride that one exchange because the
+    * verifying cosine needs them (the SemDeDup trade: cluster-bounded
+    * candidate volume in exchange for vector-payload shuffles; cells
+    * should be sized ~10⁴-vector — skewed giant cells are visible as
+    * straggler tasks and split by raising nCells). */
+  def semanticDedupDrops(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], tau: Double): DataFrame = {
+    val assigned = withIvfCell(df, vecCol, centroids)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("cell"))
+    val witnesses = assigned
+      .select(col("vec_id").as("wit_id"), col("v").as("wv"), col("cell"))
+    assigned.join(witnesses, Seq("cell"))
+      .filter(col("wit_id") < col("vec_id"))
+      .withColumn("cosine", GraftFunctions.cosineSim(col("v"), col("wv")))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("wit_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("wit_id").as("kept_by"), col("cosine"))
+  }
+
   /** Probe an on-disk IVF index: the `cell` filter is a PARTITION filter —
     * Spark prunes non-probed cell directories at planning time and never
     * opens their files (plan-asserted in SimilaritySpec). */

@@ -948,7 +948,12 @@ object LlmOps {
     * there — P ≈ 2⁻²⁹ per (cell, dim, iter), ~10⁻⁵ per run at these
     * parameters. A flake here re-passes on rerun and cannot produce a
     * silently-wrong stable result. */
-  val simTopKIvfSql: String = {
+  /** Shared CTE fragment: cent0 seeds (first-16 by id) → [[IvfKmeansIters]]
+    * unrolled Lloyd rounds → `cent$IvfKmeansIters` (the refined centroid
+    * table) and `assign(vec_id, cell)` (final first-index-argmax
+    * assignment). Used by the IVF probe oracle AND the semantic-dedup
+    * oracle, so both gates exercise the SAME replicated k-means. */
+  private def kmeansAssignCtes: String = {
     val dim = 64
     val avgs = (1 to dim)
       .map(i => s"CAST(AVG(CAST(e.embedding[$i] AS DOUBLE)) AS FLOAT)")
@@ -969,18 +974,23 @@ object LlmOps {
          |  FROM cent$t c LEFT JOIN up$t u ON u.cell = c.cell)""".stripMargin
     val rounds = (0 until IvfKmeansIters).map(round).mkString(",\n")
     val f = IvfKmeansIters
-    s"""WITH cent0 AS (
+    s"""cent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
        |$rounds,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
        |rcF AS (
        |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
        |  FROM embeddings e CROSS JOIN cent$f c),
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
-       |    FROM rcF) WHERE rn = 1),
+       |    FROM rcF) WHERE rn = 1)""".stripMargin
+  }
+
+  lazy val simTopKIvfSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
        |probed AS (
        |  SELECT c.cell FROM cent$f c CROSS JOIN q
        |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
@@ -989,6 +999,45 @@ object LlmOps {
        |WHERE assign.cell IN (SELECT cell FROM probed)
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
   }
+
+  /** Cosine threshold for the semantic-dedup gate — chosen against the
+    * fixture embedding distribution (near-orthogonal synthetic vectors:
+    * cross-pair cosines top out ≈ 0.51), so the drop set is non-trivial at
+    * every SF. */
+  private val SemDedupTau = 0.38
+
+  /** SemDeDup semantic dedup gate
+    * ([[graft.operators.Similarity.semanticDedupDrops]]): k-means cells
+    * from the SAME refined centroids as the IVF gate, within-cell
+    * witnesses at cosine ≥ τ, minimum-id keep rule. Output is the drop
+    * list with its evidence (witness id + exact cosine). */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, dir)
+    Similarity.semanticDedupDrops(e, "vec_id", "embedding",
+      Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nCells = 16, iters = IvfKmeansIters),
+      tau = SemDedupTau)
+  }
+
+  /** Mirrors [[semanticDedup]] on the shared k-means CTEs: same
+    * assignment, same within-cell pair generation, same sequential-fold
+    * cosine, same min-witness window. */
+  lazy val semanticDedupSql: String =
+    s"""WITH $kmeansAssignCtes,
+       |pairs0 AS (
+       |  SELECT a.vec_id, a.cell, b.vec_id AS kept_by,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |pairs AS (SELECT * FROM pairs0 WHERE cosine >= $SemDedupTau)
+       |SELECT vec_id, CAST(cell AS INT) AS cell, kept_by, cosine
+       |FROM (
+       |  SELECT vec_id, cell, kept_by, cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY kept_by ASC) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1""".stripMargin
 
   /** Shared CTE body mirroring [[graft.operators.Dedup.embeddingNearDupPairs]]
     * with the SAME hyperplanes embedded as double literals (generated by the

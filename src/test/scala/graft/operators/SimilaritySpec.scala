@@ -114,6 +114,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(refined >= 0.9, s"k-means recall $refined below 0.9")
   }
 
+  test("semanticDedupDrops: planted near-dups drop to the min id; cross-cluster pairs survive") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian().toFloat))
+    def near(c: Int, eps: Float): Seq[Float] =
+      centers(c).map(x => x * 10f + rnd.nextGaussian().toFloat * eps)
+    // per cluster: a base member, a near-duplicate of it (ids base+100),
+    // and a far member that must NOT drop
+    val rows = (0 until 4).flatMap { c =>
+      val base = near(c, 0.01f)
+      Seq((c.toLong, base),
+        (c.toLong + 100L, base.map(_ + rnd.nextGaussian().toFloat * 0.01f)),
+        (c.toLong + 200L, near(c, 8f)))
+    }
+    val df = rows.toDF("vec_id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "vec", nCells = 4, iters = 5)
+    val drops = Similarity.semanticDedupDrops(df, "vec_id", "vec", cents, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every planted near-dup (base+100) drops, kept by its base
+    (0 until 4).foreach { c =>
+      assert(drops.get(c.toLong + 100L).contains(c.toLong),
+        s"cluster $c near-dup not dropped by its base: $drops")
+    }
+    // bases and far members survive
+    assert(drops.keySet.intersect((0 until 4).map(_.toLong).toSet).isEmpty)
+    assert(drops.keySet.intersect((200 until 204).map(_.toLong).toSet).isEmpty)
+  }
+
+  test("semanticDedupDrops plan: one cell-keyed join, no cartesian product") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (0 until 64).map(i => (i.toLong, Seq.fill(8)(i.toFloat)))
+      .toDF("vec_id", "vec")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "vec", 4)
+    val plan = Similarity.semanticDedupDrops(df, "vec_id", "vec", cents, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
