@@ -83,6 +83,7 @@ object SparkEntry {
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
     "d_semantic_dedup" -> (q.LlmOps.semanticDedup _),
+    "d_lm_score" -> (q.LlmOps.lmScore _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),
@@ -146,6 +147,7 @@ object SparkEntry {
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_bm25_search" -> q.LlmOps.bm25SearchSql,
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
+    "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,

@@ -1000,6 +1000,42 @@ object LlmOps {
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
   }
 
+  /** LM-gate threshold: the fixture corpus self-scores mean_p in
+    * [0.0299, 0.0383] (5th pct ≈ 0.0322), so 0.032 gates the genuinely
+    * least-predictable tail without emptying the corpus at any SF. */
+  private val LmMinMeanP = 0.032
+
+  /** CCNet-flavored LM predictability scoring
+    * ([[graft.operators.LangModel.scoreBigram]], self-scored: the corpus
+    * is its own reference model). mean_p is emitted EXACTLY — rational
+    * count arithmetic + position-ordered folds, no transcendentals. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.LangModel.scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
+  }
+
+  /** Mirrors [[lmScore]]: same add-one-smoothed counts, same 0-based
+    * positions, same position-ordered sequential fold (list_sum over an
+    * ORDER BY pos list ≡ the JVM left fold — the [[cosSql]] precedent). */
+  lazy val lmScoreSql: String =
+    s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |uni AS (SELECT t AS token, COUNT(*) AS c_uni FROM (SELECT unnest(toks) AS t FROM ts) GROUP BY t),
+       |vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       |bipos AS (
+       |  SELECT doc_id, u.p AS pos, u.prev AS prev, u.bg AS bg FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> {p: i - 1, prev: toks[i], bg: toks[i] || ' ' || toks[i+1]})) AS u
+       |    FROM ts)),
+       |bi AS (SELECT bg, COUNT(*) AS c_bi FROM bipos GROUP BY bg),
+       |contrib AS (
+       |  SELECT doc_id, pos,
+       |    (CAST(c_bi AS DOUBLE) + 1.0) / (CAST(c_uni AS DOUBLE) + CAST(v AS DOUBLE)) AS p
+       |  FROM bipos JOIN bi USING (bg) JOIN uni ON uni.token = bipos.prev CROSS JOIN vocab)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS mean_p,
+       |  (list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE)) >= $LmMinMeanP AS lm_ok
+       |FROM contrib GROUP BY doc_id""".stripMargin
+
   /** Cosine threshold for the semantic-dedup gate — chosen against the
     * fixture embedding distribution (near-orthogonal synthetic vectors:
     * cross-pair cosines top out ≈ 0.51), so the drop set is non-trivial at
