@@ -672,7 +672,13 @@ object LlmOps {
     val clean = decontOverlap(d)
       .filter(col("contaminated") === 0)
       .select(col("doc_id"))
-    scored.join(survivors, "doc_id").join(clean, "doc_id")
+    // LM predictability stage (CCNet tier): self-trained bigram model;
+    // docs too short to score (< 2 tokens) fail the gate by construction
+    val lmOk = graft.operators.LangModel
+      .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
+      .filter(col("lm_ok"))
+      .select(col("doc_id"))
+    scored.join(survivors, "doc_id").join(clean, "doc_id").join(lmOk, "doc_id")
       .filter(col("quality") >= 0.5 && col("lang_ok") && col("rep_ok"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
@@ -723,10 +729,12 @@ object LlmOps {
        |clean AS (
        |  SELECT doc_id FROM (
        |$decontaminateSql
-       |  ) WHERE contaminated = 0)
+       |  ) WHERE contaminated = 0),
+       |$lmCtes,
+       |lmok AS (SELECT doc_id FROM lmdoc WHERE mean_p >= $LmMinMeanP)
        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
        |FROM scored s JOIN survivors USING (doc_id) JOIN rep USING (doc_id)
-       |  JOIN clean USING (doc_id)
+       |  JOIN clean USING (doc_id) JOIN lmok USING (doc_id)
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
@@ -1014,27 +1022,37 @@ object LlmOps {
     graft.operators.LangModel.scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
   }
 
+  /** Bigram-LM CTE fragment (`lmdoc(doc_id, n_bigrams, mean_p)`) shared by
+    * the standalone [[lmScoreSql]] gate and the curation pipeline's LM
+    * stage — one replica of the model in the oracle corpus, like
+    * [[scoredRepCtes]] for the quality kernels. */
+  private lazy val lmCtes: String =
+    s"""lm_ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |lm_uni AS (SELECT t AS token, COUNT(*) AS c_uni FROM (SELECT unnest(toks) AS t FROM lm_ts) GROUP BY t),
+       |lm_vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lm_uni),
+       |lm_bipos AS (
+       |  SELECT doc_id, u.p AS pos, u.prev AS prev, u.bg AS bg FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> {p: i - 1, prev: toks[i], bg: toks[i] || ' ' || toks[i+1]})) AS u
+       |    FROM lm_ts)),
+       |lm_bi AS (SELECT bg, COUNT(*) AS c_bi FROM lm_bipos GROUP BY bg),
+       |lm_contrib AS (
+       |  SELECT doc_id, pos,
+       |    (CAST(c_bi AS DOUBLE) + 1.0) / (CAST(c_uni AS DOUBLE) + CAST(v AS DOUBLE)) AS p
+       |  FROM lm_bipos JOIN lm_bi USING (bg)
+       |  JOIN lm_uni ON lm_uni.token = lm_bipos.prev CROSS JOIN lm_vocab),
+       |lmdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS mean_p
+       |  FROM lm_contrib GROUP BY doc_id)""".stripMargin
+
   /** Mirrors [[lmScore]]: same add-one-smoothed counts, same 0-based
     * positions, same position-ordered sequential fold (list_sum over an
     * ORDER BY pos list ≡ the JVM left fold — the [[cosSql]] precedent). */
   lazy val lmScoreSql: String =
-    s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |uni AS (SELECT t AS token, COUNT(*) AS c_uni FROM (SELECT unnest(toks) AS t FROM ts) GROUP BY t),
-       |vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-       |bipos AS (
-       |  SELECT doc_id, u.p AS pos, u.prev AS prev, u.bg AS bg FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-       |      i -> {p: i - 1, prev: toks[i], bg: toks[i] || ' ' || toks[i+1]})) AS u
-       |    FROM ts)),
-       |bi AS (SELECT bg, COUNT(*) AS c_bi FROM bipos GROUP BY bg),
-       |contrib AS (
-       |  SELECT doc_id, pos,
-       |    (CAST(c_bi AS DOUBLE) + 1.0) / (CAST(c_uni AS DOUBLE) + CAST(v AS DOUBLE)) AS p
-       |  FROM bipos JOIN bi USING (bg) JOIN uni ON uni.token = bipos.prev CROSS JOIN vocab)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |  list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS mean_p,
-       |  (list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE)) >= $LmMinMeanP AS lm_ok
-       |FROM contrib GROUP BY doc_id""".stripMargin
+    s"""WITH $lmCtes
+       |SELECT doc_id, n_bigrams, mean_p, mean_p >= $LmMinMeanP AS lm_ok
+       |FROM lmdoc""".stripMargin
 
   /** Cosine threshold for the semantic-dedup gate — chosen against the
     * fixture embedding distribution (near-orthogonal synthetic vectors:
