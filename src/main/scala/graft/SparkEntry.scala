@@ -84,6 +84,7 @@ object SparkEntry {
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
     "d_semantic_dedup" -> (q.LlmOps.semanticDedup _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
+    "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "d_bm25_search" -> q.LlmOps.bm25SearchSql,
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
+    "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,

@@ -738,6 +738,27 @@ object LlmOps {
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
+  // chunking gate parameters — shared by the query and its oracle twin
+  private val ChunkMaxTokens = 40
+  private val ChunkStride = 32
+
+  /** Context-window chunking ([[graft.operators.Chunking.slidingWindows]]):
+    * 40-token windows at stride 32 (8-token overlap) over every document. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingWindows(
+      docs(s, dir), "doc_id", "text", ChunkMaxTokens, ChunkStride)
+
+  /** Mirrors [[chunkWindows]]: same start offsets (0 ≤ w·stride < n), same
+    * clamped slice, same single-space re-join. */
+  lazy val chunkWindowsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(u.st // $ChunkStride AS INT) AS chunk_id,
+       |  CAST(least($ChunkMaxTokens, len(ts) - u.st) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(ts, u.st + 1, u.st + $ChunkMaxTokens), ' ') AS chunk
+       |FROM (
+       |  SELECT doc_id, ts, unnest(list_transform(range(0, len(ts), $ChunkStride), s -> {st: s})) AS u
+       |  FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
+
   /** Deterministic content-stable train/val/test split: bucket =
     * FNV-1a(doc_id) mod 100 → 80/10/10. Hash-based (not sampled) so the
     * assignment is reproducible under any partitioning, any engine, and
