@@ -159,10 +159,20 @@ object Relational {
 
   /** Approximate distinct (HyperLogLog++) — engines' sketches differ, so the
     * driver records the rows-only check; the exact twin above is the oracle. */
+  /** HLL sketch next to the exact count it approximates — the query is
+    * SELF-CHECKING: `within_bound` asserts the sketch landed inside 3× its
+    * configured relative standard deviation (0.05), so the rows-only gate
+    * still catches a broken sketch without an engine-portable oracle
+    * (sketch internals are engine-specific by nature). */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .withColumn("within_bound",
+        abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+          <= lit(3 * 0.05) * col("exact_parts").cast("double"))
 
   /** Window ranking: top-3 orders per customer (row_number + filter). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {

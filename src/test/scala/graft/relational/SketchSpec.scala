@@ -58,6 +58,9 @@ class SketchSpec extends SparkTestBase {
       // default HLL++ rsd is 5%; allow 3 sigma
       assert(math.abs(a - e) / e <= 0.15,
         s"${r.getString(0)}: approx $a vs exact $e")
+      // the query's own in-row verdict agrees (self-checking gate)
+      assert(r.getBoolean(r.fieldIndex("within_bound")),
+        s"${r.getString(0)}: within_bound false")
     }
   }
 }
