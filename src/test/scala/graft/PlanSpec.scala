@@ -74,4 +74,22 @@ class PlanSpec extends SparkTestBase {
     // the 1-row count aggregate joins in via broadcast — no separate action
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("round-5 text operators prune the documents scan to (doc_id, text)") {
+    Seq("d_bm25_search", "d_lm_score", "d_chunk_windows").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("source:string") && !p.contains("n_chars:bigint"),
+        s"$name reads unused document columns:\n$p")
+    }
+  }
+
+  test("semantic dedup prunes the embeddings scan to (vec_id, embedding), no label") {
+    val p = plan("d_semantic_dedup")
+    assert(!p.contains("label:int"), s"label column not pruned:\n$p")
+  }
+
+  test("chunking is exchange-free end to end") {
+    val p = plan("d_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+  }
 }
