@@ -31,6 +31,20 @@ class ChunkingSpec extends SparkTestBase {
       "windows must cover at least every token once")
   }
 
+  test("reconstruction: stride == maxTokens chunks concatenate back to the document") {
+    val texts = (0 until 50).map(i =>
+      (i.toLong, (0 until (1 + i * 7 % 90)).map(j => s"w${(i + j) % 13}").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    val rebuilt = Chunking.slidingWindows(df, "doc_id", "text", maxTokens = 16, stride = 16)
+      .groupBy(col("doc_id"))
+      .agg(array_join(array_sort(collect_list(struct(col("chunk_id"), col("chunk"))))
+        .getField("chunk"), " ").as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(rebuilt(id) == t, s"doc $id reconstruction mismatch")
+    }
+  }
+
   test("plan: zero exchanges — chunking is a pure per-row generator") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = Chunking.slidingWindows(df, "doc_id", "text", 4, 2)
