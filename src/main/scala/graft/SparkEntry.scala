@@ -65,6 +65,7 @@ object SparkEntry {
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
+    "d_strip_spans" -> (q.LlmOps.stripSpans _),
     "d_vocab_coverage" -> (q.LlmOps.vocabCoverage _),
     "d_text_normalize" -> (q.LlmOps.textNormalize _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
+    "d_strip_spans" -> q.LlmOps.stripSpansSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,

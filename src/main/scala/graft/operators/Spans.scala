@@ -78,4 +78,46 @@ object Spans {
         col("span_end").cast("long").as("span_end"),
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
   }
+
+  /** The REMOVAL half of the substring-dedup tier (the counting tier above
+    * finds the extents; this cuts them — cf. Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022, whose ExactSubstr
+    * pipeline likewise splits find/cut): every token inside a repeated
+    * extent is dropped from every document carrying it (aggressive
+    * boilerplate strip; a keep-one-occurrence policy is a different,
+    * coordination-heavy operator — this one is per-doc local once the
+    * extents exist).
+    *
+    * Output per input doc: token counts before/removed plus the cleaned
+    * text pinned by length + fingerprint (the `d_text_normalize` posture).
+    * The extent list joins back doc-keyed (tiny rows: two longs per
+    * extent); the per-token membership test is O(tokens × extents) per
+    * document — extents are merged intervals, typically few. */
+  def stripRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Int = 2): DataFrame = {
+    val exts = repeatedSpans(df, idCol, textCol, k, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(
+          struct(col("span_start").as("s"), col("span_end").as("e")))).as("exts"),
+        sum(col("span_tokens")).as("n_removed"))
+    val ts = GraftFunctions.tokens(col("text"))
+    val noExts = array().cast("array<struct<s:bigint,e:bigint>>")
+    val kept = filter(ts, (_, i) =>
+      !exists(coalesce(col("exts"), noExts),
+        ex => i >= ex.getField("s") && i <= ex.getField("e")))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(exts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(ts).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        length(col("clean")).cast("long").as("clean_len"),
+        GraftFunctions.fingerprint64(col("clean")).as("clean_fp"))
+  }
 }

@@ -433,6 +433,45 @@ object LlmOps {
        |FROM ext GROUP BY doc_id, ext""".stripMargin
   }
 
+  /** Span REMOVAL ([[Spans.stripRepeatedSpans]]): the cut half of the
+    * substring-dedup tier — every repeated extent excised, cleaned text
+    * pinned by length + fingerprint. */
+  def stripSpans(s: SparkSession, dir: String): DataFrame =
+    Spans.stripRepeatedSpans(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2)
+
+  /** Mirrors [[stripSpans]]: the [[repeatedSpansSql]] extents inlined as a
+    * subquery, sorted per doc, same 0-based inclusive membership test,
+    * same single-space re-join, same FNV pin. */
+  lazy val stripSpansSql: String =
+    s"""WITH spans AS ($repeatedSpansSql),
+       |ag AS (
+       |  SELECT doc_id,
+       |    list_sort(list({s: span_start, e: span_end})) AS exts,
+       |    SUM(span_tokens) AS n_removed
+       |  FROM spans GROUP BY doc_id),
+       |base AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |cleaned AS (
+       |  SELECT b.doc_id,
+       |    CAST(len(b.ts) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |    array_to_string(
+       |      list_transform(
+       |        list_filter(range(1, len(b.ts) + 1),
+       |          i -> len(list_filter(COALESCE(a.exts, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+       |                 x -> (i - 1) >= x.s AND (i - 1) <= x.e)) = 0),
+       |        i -> b.ts[i]), ' ') AS clean0
+       |  FROM base b LEFT JOIN ag a USING (doc_id)),
+       |coalesced AS (
+       |  -- a fully-stripped doc: DuckDB's array_to_string([]) is NULL,
+       |  -- Spark's array_join([]) is '' — align on ''
+       |  SELECT doc_id, n_tokens, n_removed, COALESCE(clean0, '') AS clean
+       |  FROM cleaned),
+       |h AS (SELECT doc_id, n_tokens, n_removed, clean, ${fnvHugeSql("clean")} AS hc FROM coalesced)
+       |SELECT doc_id, n_tokens, n_removed,
+       |  CAST(length(clean) AS BIGINT) AS clean_len,
+       |  ${hugeToSignedSql("hc")} AS clean_fp
+       |FROM h""".stripMargin
+
   /** Vocabulary coverage (tokenizer-prep): the top-200 corpus tokens by
     * frequency with cumulative coverage fraction — the curve that sizes a
     * vocabulary. One explode + one aggregation + one window over the

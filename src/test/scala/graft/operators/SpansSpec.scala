@@ -57,4 +57,51 @@ class SpansSpec extends SparkTestBase {
     val got = spansOf(Seq((1L, text), (2L, text)))
     assert(got == Set((1L, 0L, 9L, 10L), (2L, 0L, 9L, 10L)))
   }
+
+  private def stripOf(docs: Seq[(Long, String)], k: Int = 4) =
+    Spans.stripRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("strip cuts exactly the repeated extent and keeps the rest verbatim") {
+    val got = stripOf(Seq(
+      (1L, "a b c d e f g h"),   // shares "c d e f" with doc 2
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s t u v m")))  // untouched
+    // doc 1: remove tokens 2..5 → "a b g h" (len 7)
+    assert(got(1L) == (8L, 4L, 7L), got)
+    assert(got(2L) == (8L, 4L, 7L), got)
+    assert(got(3L) == (8L, 0L, 15L), got)
+  }
+
+  test("strip of a full-document duplicate leaves the empty string") {
+    val text = "t1 t2 t3 t4 t5 t6"
+    val got = Spans.stripRepeatedSpans(
+        Seq((1L, text), (2L, text)).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((6L, 0L))) // all 6 removed, clean_len 0 for both
+  }
+
+  test("strip ≡ manual recomputation from the extents on the fixture corpus") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val spans = Spans.repeatedSpans(df, "doc_id", "text", k = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))) }
+    val expected = df.select(col("doc_id"), col("text")).collect().map { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ", -1)
+      val exts = spans.getOrElse(id, Array.empty)
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !exts.exists { case (s, e) => i >= s && i <= e } => t
+      }
+      id -> kept.mkString(" ")
+    }.toMap
+    val got = Spans.stripRepeatedSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    expected.foreach { case (id, clean) =>
+      assert(got(id) == clean.length.toLong, s"doc $id clean_len mismatch")
+    }
+  }
 }
