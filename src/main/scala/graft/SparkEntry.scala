@@ -81,6 +81,7 @@ object SparkEntry {
     "d_mixture_rebalance" -> (q.LlmOps.mixtureRebalance _),
     "d_pack_sequences" -> (q.LlmOps.packSequences _),
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
+    "d_neardup_incremental" -> (q.LlmOps.nearDupIncremental _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
     "d_semantic_dedup" -> (q.LlmOps.semanticDedup _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,
+    "d_neardup_incremental" -> q.LlmOps.nearDupIncrementalSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,

@@ -81,6 +81,45 @@ object Dedup {
       .drop("dedup_fp")
   }
 
+  /** NEAR-dup incremental ingest — the MinHash analog of
+    * [[dedupAgainstCorpus]]: admit only incoming documents that share NO
+    * LSH band bucket with the standing corpus (an S-curve recall gate at
+    * the banding parameters; exact near-dups and close paraphrases
+    * collide with probability ≈ 1 − (1 − s^r)^b).
+    *
+    * 100 TB shape: both sides reduce to (band, band-slice) keys — the
+    * corpus side is exactly the banded signature INDEX an ingest service
+    * keeps materialized, so a batch of incoming docs costs one fused
+    * signature projection plus one semi-join against the index, never a
+    * corpus scan. No pair expansion, no bucket-size cap needed — a giant
+    * bucket just means the flag short-circuits for its members. */
+  def nearDupAgainstCorpus(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    GraftFunctions.register(incoming.sparkSession)
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.minhashSig(
+          array_distinct(GraftFunctions.wordShingles(col(textCol), shingleK)),
+          numHashes, seed).as("sig"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val flagged = banded(incoming)
+      .join(banded(corpus).select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id")).distinct()
+    incoming.join(flagged,
+      incoming(idCol) === flagged("doc_id"), "left_anti")
+  }
+
   /** MinHash + LSH banding near-duplicate pairs.
     *
     * shingle → per-shingle 64-bit hash → `numHashes` universal-hash

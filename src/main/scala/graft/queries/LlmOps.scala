@@ -928,6 +928,34 @@ object LlmOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** NEAR-dup incremental ingest
+    * ([[graft.operators.Dedup.nearDupAgainstCorpus]]): incoming slice =
+    * doc_id ≡ 0 (mod 7) (the [[dedupIncremental]] convention), standing
+    * corpus = the rest; admitted = incoming docs sharing no MinHash band
+    * bucket with the corpus. */
+  def nearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.nearDupAgainstCorpus(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0),
+      d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Mirrors [[nearDupIncremental]] on the shared banding CTEs:
+    * signatures are per-doc, so banding the whole corpus then splitting by
+    * the slice predicate ≡ banding each side separately. */
+  lazy val nearDupIncrementalSql: String =
+    s"""WITH $minhashBandedCtes,
+       |flagged AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM banded i JOIN banded c
+       |    ON i.band = c.band AND i.bucket = c.bucket
+       |   AND i.doc_id % 7 = 0 AND c.doc_id % 7 <> 0)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 7 = 0
+       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""".stripMargin
+
   val dedupIncrementalSql: String =
     s"""WITH fp AS (
        |  SELECT doc_id, lang, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
@@ -1264,7 +1292,11 @@ object LlmOps {
     * literals; banding groups on the raw signature slices (as the operator
     * does), so candidates — and therefore the exact-jaccard output — are
     * engine-identical. */
-  val dedupMinhashSql: String = {
+  /** Shared MinHash signature/banding CTEs (`sh` → `hm` → `sig` →
+    * `banded(doc_id, band, bucket)`) — the DuckDB replica of the fused
+    * `MinHashSig` + band-slice pipeline, used by the pair gate AND the
+    * incremental near-dup gate so both bind the same signature math. */
+  private lazy val minhashBandedCtes: String = {
     val (a, b) = graft.functions.TextHash.minhashCoeffs(48, 42L)
     val mins = (0 until 48).map { i =>
       s"MIN((${a(i)} * hm + ${b(i)}) % 2147483647) AS s$i"
@@ -1272,9 +1304,7 @@ object LlmOps {
     val bandSelects = (0 until 16).map { bd =>
       s"  SELECT doc_id, $bd AS band, [s${bd * 3}, s${bd * 3 + 1}, s${bd * 3 + 2}] AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n")
-    val jac = "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / " +
-      "(CAST(len(ta.sh) + len(tb.sh) AS DOUBLE) - CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE))"
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS s FROM documents),
        |hm AS (
        |  SELECT doc_id, CAST((${fnvHugeSql("s")} % CAST(9223372036854775808 AS HUGEINT)) % 2147483647 AS BIGINT) AS hm
@@ -1282,7 +1312,13 @@ object LlmOps {
        |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
        |banded AS (
        |$bandSelects
-       |),
+       |)""".stripMargin
+  }
+
+  lazy val dedupMinhashSql: String = {
+    val jac = "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / " +
+      "(CAST(len(ta.sh) + len(tb.sh) AS DOUBLE) - CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE))"
+    s"""WITH $minhashBandedCtes,
        |bsz AS (SELECT band, bucket, COUNT(*) AS n FROM banded GROUP BY band, bucket),
        |coll AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band, a.bucket

@@ -144,6 +144,29 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("LeftAnti") && plan.contains("dedup_fp"), plan)
   }
 
+  test("nearDupAgainstCorpus: paraphrases of corpus docs rejected, novel admitted") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different corpus material about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " extra"),  // near-dup of doc 1: shares almost every shingle
+      (11L, base),             // exact dup
+      (12L, "unrelated novel writing with fresh vocabulary nothing shared here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(12L), s"admitted $got")
+    // the flag side is a semi-join on (band, bucket) and the admit side an
+    // anti-join — no pair expansion anywhere
+    val plan = Dedup.nearDupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+  }
+
   test("first-collision emission: no pair-keyed dedup exchange in any LSH dedup plan") {
     GraftFunctions.register(spark)
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
