@@ -96,6 +96,8 @@ object SparkEntry {
       streaming.EventPipeline.dedupSync(s, dir)),
     "s_stream_quality" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.curationFilterSync(s, dir)),
+    "s_stream_ingest" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.nearDupIngestSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +188,7 @@ object SparkEntry {
     "s_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // stateless quality tier on a document stream ≡ the batch filters
     "s_stream_quality" -> q.LlmOps.streamQualitySql,
+    // per-doc decision vs the STATIC corpus index ⇒ stream ≡ batch
+    "s_stream_ingest" -> q.LlmOps.nearDupIncrementalSql,
   )
 }

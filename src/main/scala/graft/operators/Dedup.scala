@@ -99,7 +99,11 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 48, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // both sessions: under foreachBatch the micro-batch frame and the
+    // static corpus are bound to DIFFERENT sessions, and Dataset ops
+    // analyze eagerly against their own session's function registry
     GraftFunctions.register(incoming.sparkSession)
+    GraftFunctions.register(corpus.sparkSession)
     val rowsPerBand = numHashes / bands
     def banded(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),

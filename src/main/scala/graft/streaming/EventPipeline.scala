@@ -257,6 +257,48 @@ object EventPipeline {
     out
   }
 
+  /** Live near-dup ingest gate: a DOCUMENT STREAM admitted against the
+    * static standing-corpus MinHash band index via
+    * [[graft.operators.Dedup.nearDupAgainstCorpus]] inside `foreachBatch` —
+    * the production ingestion pattern (each micro-batch is a small batch
+    * frame, so the banded semi-join + admit anti-join run unchanged; the
+    * flag decision is per-document against the STATIC index, so output is
+    * independent of micro-batching and equals the batch operator exactly).
+    * Admitted documents append to `outPath` — in production, the corpus
+    * store this gate protects. */
+  def nearDupIngestStream(
+      docsStream: DataFrame, corpus: DataFrame, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+          .select(col("doc_id"), col("lang"))
+          .write.mode("append").parquet(outPath)
+      }
+
+  /** Synchronous gate run of [[nearDupIngestStream]]: the sf dir's
+    * documents stream, incoming slice doc_id ≡ 0 (mod 7) filtered
+    * in-stream, the rest as the static corpus. Returns the admitted
+    * documents. */
+  def nearDupIngestSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
+    val corpus = s.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val in = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+    val q = nearDupIngestStream(in, corpus, out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val admitted = s.read.parquet(out.toString).localCheckpoint(true)
+    deleteRecursively(ckpt.toFile)
+    deleteRecursively(out.toFile)
+    admitted
+  }
+
   /** Stateful gap sessionization (30-minute inactivity) via
     * flatMapGroupsWithState: per-user state holds the open session; closed
     * sessions are emitted as soon as a gap is observed in-batch, and the

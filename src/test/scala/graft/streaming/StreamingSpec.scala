@@ -104,6 +104,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("nearDupIngestSync: streamed admission EQUALS the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.nearDupIngestSync(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.nearDupAgainstCorpus(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0),
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
