@@ -85,6 +85,7 @@ object SparkEntry {
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
     "d_semantic_dedup" -> (q.LlmOps.semanticDedup _),
+    "d_cluster_report" -> (q.LlmOps.clusterReport _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     // structured streaming (run synchronously through the memory sink)
@@ -152,6 +153,7 @@ object SparkEntry {
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_bm25_search" -> q.LlmOps.bm25SearchSql,
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
+    "d_cluster_report" -> q.LlmOps.clusterReportSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,

@@ -285,6 +285,38 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("wit_id").as("kept_by"), col("cosine"))
   }
 
+  /** Clustering-quality report for a centroid set: per cell — member
+    * count, exact min/max cosine-to-centroid, and the mean in quantized
+    * micro-cosine units (each member's cosine floored to 1e-6 before the
+    * integer sum, so the aggregate is ORDER-INDEPENDENT and exact on any
+    * partitioning/engine — a raw double mean would depend on summation
+    * order). The observability face of the k-means tier: skewed or
+    * incoherent cells (huge n, low mean) are where IVF probes degrade and
+    * SemDeDup pair volume concentrates.
+    *
+    * 100 TB shape: fused cell assignment + a broadcast nCells-row centroid
+    * join + ONE cell-keyed aggregation (map-side partial; no per-group
+    * arrays, no collects). */
+  def clusterReport(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val centDf = df.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "cv")
+    withIvfCell(df, vecCol, centroids)
+      .join(broadcast(centDf), "cell")
+      .withColumn("cos", GraftFunctions.cosineSim(col(vecCol), col("cv")))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).cast("long").as("n_members"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"),
+        sum(floor(col("cos") * lit(1000000.0)).cast("long")).as("sum_cos_q6"))
+      .select(col("cell"), col("n_members"), col("min_cos"), col("max_cos"),
+        col("sum_cos_q6"),
+        (col("sum_cos_q6").cast("double") / col("n_members").cast("double")
+          / lit(1000000.0)).as("mean_cos_q"))
+  }
+
   /** Probe an on-disk IVF index: the `cell` filter is a PARTITION filter —
     * Spark prunes non-probed cell directories at planning time and never
     * opens their files (plan-asserted in SimilaritySpec). */

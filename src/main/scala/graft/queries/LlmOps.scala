@@ -1142,6 +1142,36 @@ object LlmOps {
        |SELECT doc_id, n_bigrams, mean_p, mean_p >= $LmMinMeanP AS lm_ok
        |FROM lmdoc""".stripMargin
 
+  /** Clustering-quality report
+    * ([[graft.operators.Similarity.clusterReport]]) over the SAME refined
+    * centroids as the IVF and semantic-dedup gates. */
+  def clusterReport(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, dir)
+    Similarity.clusterReport(e, "vec_id", "embedding",
+      Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nCells = 16, iters = IvfKmeansIters))
+  }
+
+  /** Mirrors [[clusterReport]] on the shared k-means CTEs: same
+    * assignment, same cosine fold, same floor-quantized integer sum (the
+    * mean is order-independent by construction, so no ordered-fold CTE is
+    * needed). */
+  lazy val clusterReportSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |m AS (
+       |  SELECT a.cell, ${cosSql("e.embedding", "c.cv")} AS cs
+       |  FROM assign a JOIN embeddings e USING (vec_id)
+       |  JOIN cent$f c ON c.cell = a.cell)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MIN(cs) AS min_cos, MAX(cs) AS max_cos,
+       |  CAST(SUM(CAST(floor(cs * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cos_q6,
+       |  CAST(SUM(CAST(floor(cs * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_cos_q
+       |FROM m GROUP BY cell""".stripMargin
+  }
+
   /** Cosine threshold for the semantic-dedup gate — chosen against the
     * fixture embedding distribution (near-orthogonal synthetic vectors:
     * cross-pair cosines top out ≈ 0.51), so the drop set is non-trivial at

@@ -156,6 +156,32 @@ class SimilaritySpec extends SparkTestBase {
       || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("clusterReport: counts cover every vector; quantized mean tracks the true mean") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(4)(Seq.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => x * 6f + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    val df = rows.toDF("vec_id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "vec", nCells = 4, iters = 4)
+    val rep = Similarity.clusterReport(df, "vec_id", "vec", cents).collect()
+    assert(rep.map(_.getLong(1)).sum == 200L, "member counts must cover the corpus")
+    rep.foreach { r =>
+      val n = r.getLong(1); val mn = r.getDouble(2); val mx = r.getDouble(3)
+      val meanQ = r.getDouble(5)
+      assert(mn <= mx && meanQ >= mn - 1e-6 && meanQ <= mx,
+        s"cell ${r.getInt(0)}: mean $meanQ outside [$mn, $mx]")
+      // tight clusters around strong centers → coherent cells
+      assert(n > 0 && meanQ > 0.9, s"cell ${r.getInt(0)} incoherent: mean $meanQ n $n")
+    }
+    // quantized-sum aggregation is partitioning-independent
+    val rep2 = Similarity.clusterReport(df.repartition(17), "vec_id", "vec", cents)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    rep.foreach(r => assert(rep2(r.getInt(0)) == r.getLong(4)))
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
