@@ -115,31 +115,37 @@ object Clusters {
     var converged = false
     var prevSig: (Long, Long) = null
     var iters = 0
-    while (!converged && iters < maxIters) {
-      val next = checkpoint(smallStar(largeStar(edges)))
-      // xor-fold of edge hashes: an overflow-free (ANSI-safe) set signature;
-      // collisions only delay detection — the exact predicate below confirms.
-      // This aggregation IS the round's materializing action (lazy checkpoint).
-      val row = next.agg(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      freeBlocks(edges) // superseded: `next` is materialized past it
-      edges = next
-      val sig = (row.getLong(0), row.getLong(1))
-      if (sig == prevSig && isStarForest(edges)) converged = true
-      prevSig = sig
-      iters += 1
-    }
-    require(converged, s"connected components did not converge in $maxIters rounds")
-    rounds.foreach(_.add(iters.toLong))
+    try {
+      while (!converged && iters < maxIters) {
+        val next = checkpoint(smallStar(largeStar(edges)))
+        // xor-fold of edge hashes: an overflow-free (ANSI-safe) set signature;
+        // collisions only delay detection — the exact predicate below confirms.
+        // This aggregation IS the round's materializing action (lazy checkpoint).
+        val row = next.agg(
+          count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+        freeBlocks(edges) // superseded: `next` is materialized past it
+        edges = next
+        val sig = (row.getLong(0), row.getLong(1))
+        if (sig == prevSig && isStarForest(edges)) converged = true
+        prevSig = sig
+        iters += 1
+      }
+      require(converged, s"connected components did not converge in $maxIters rounds")
+      rounds.foreach(_.add(iters.toLong))
 
-    // star edges are (member, root); roots and any isolated nodes label themselves
-    val out = checkpoint(
-      nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
-    out.count(): Unit // materialize so the inputs below can be freed
-    freeBlocks(raw)
-    freeBlocks(edges)
-    out
+      // star edges are (member, root); roots and any isolated nodes label themselves
+      val out = checkpoint(
+        nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
+      out.count(): Unit // materialize so the inputs freed below aren't needed
+      out
+    } finally {
+      // success AND failure paths: the pair list and the last materialized
+      // round must never outlive the call (a curation service retrying a
+      // non-converging resolve would otherwise accumulate pinned blocks)
+      freeBlocks(raw)
+      freeBlocks(edges)
+    }
   }
 }

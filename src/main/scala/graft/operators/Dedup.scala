@@ -93,20 +93,18 @@ object Dedup {
     * signature projection plus one semi-join against the index, never a
     * corpus scan. No pair expansion, no bucket-size cap needed — a giant
     * bucket just means the flag short-circuits for its members. */
-  def nearDupAgainstCorpus(
-      incoming: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String,
+  /** The `(doc_id, band, bucket)` banded-signature projection of a corpus
+    * — the materializable INDEX form an ingest service persists once and
+    * reuses per batch (see [[nearDupAgainstIndex]]). One fused signature
+    * projection + one explode; no shuffle. */
+  def bandedIndex(
+      df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 48, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // both sessions: under foreachBatch the micro-batch frame and the
-    // static corpus are bound to DIFFERENT sessions, and Dataset ops
-    // analyze eagerly against their own session's function registry
-    GraftFunctions.register(incoming.sparkSession)
-    GraftFunctions.register(corpus.sparkSession)
+    GraftFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         GraftFunctions.minhashSig(
           array_distinct(GraftFunctions.wordShingles(col(textCol), shingleK)),
           numHashes, seed).as("sig"))
@@ -116,12 +114,40 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val flagged = banded(incoming)
-      .join(banded(corpus).select(col("band"), col("bucket")),
+  }
+
+  /** Admit the incoming documents that share no band bucket with an
+    * ALREADY-BANDED corpus index ([[bandedIndex]] output, or its persisted
+    * form read back). The batch of incoming docs costs one fused signature
+    * projection plus one semi-join against the index — never a corpus
+    * scan, which is what makes the per-micro-batch streaming use sound. */
+  def nearDupAgainstIndex(
+      incoming: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val flagged = bandedIndex(incoming, idCol, textCol,
+        shingleK, numHashes, bands, seed)
+      .join(corpusIndex.select(col("band"), col("bucket")),
         Seq("band", "bucket"), "left_semi")
       .select(col("doc_id")).distinct()
     incoming.join(flagged,
       incoming(idCol) === flagged("doc_id"), "left_anti")
+  }
+
+  def nearDupAgainstCorpus(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    // both sessions: under foreachBatch the micro-batch frame and the
+    // static corpus are bound to DIFFERENT sessions, and Dataset ops
+    // analyze eagerly against their own session's function registry
+    GraftFunctions.register(incoming.sparkSession)
+    GraftFunctions.register(corpus.sparkSession)
+    nearDupAgainstIndex(incoming,
+      bandedIndex(corpus, idCol, textCol, shingleK, numHashes, bands, seed),
+      idCol, textCol, shingleK, numHashes, bands, seed)
   }
 
   /** MinHash + LSH banding near-duplicate pairs.

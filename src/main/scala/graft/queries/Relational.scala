@@ -157,8 +157,6 @@ object Relational {
       |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Approximate distinct (HyperLogLog++) — engines' sketches differ, so the
-    * driver records the rows-only check; the exact twin above is the oracle. */
   /** HLL sketch next to the exact count it approximates — the query is
     * SELF-CHECKING: `within_bound` asserts the sketch landed inside 3× its
     * configured relative standard deviation (0.05), so the rows-only gate

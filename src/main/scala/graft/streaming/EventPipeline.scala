@@ -237,9 +237,11 @@ object EventPipeline {
   }
 
   /** Synchronous gate run of [[curationFilterStream]]: streams the sf dir's
-    * documents file through the memory sink (two files per trigger keeps it
-    * honestly micro-batched), returns the accepted documents. Leak-free
-    * like [[windowedCountsSync]]. */
+    * single documents file through the memory sink (one micro-batch here —
+    * the operator is stateless, so batching cannot change its output; the
+    * multi-batch behavior of the same source harness is exercised by
+    * [[sessionizeSync]]'s staged two-file input), returns the accepted
+    * documents. Leak-free like [[windowedCountsSync]]. */
   def curationFilterSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_cur_${System.nanoTime()}"
@@ -258,42 +260,58 @@ object EventPipeline {
   }
 
   /** Live near-dup ingest gate: a DOCUMENT STREAM admitted against the
-    * static standing-corpus MinHash band index via
-    * [[graft.operators.Dedup.nearDupAgainstCorpus]] inside `foreachBatch` —
-    * the production ingestion pattern (each micro-batch is a small batch
-    * frame, so the banded semi-join + admit anti-join run unchanged; the
-    * flag decision is per-document against the STATIC index, so output is
-    * independent of micro-batching and equals the batch operator exactly).
-    * Admitted documents append to `outPath` — in production, the corpus
-    * store this gate protects. */
+    * static standing-corpus MinHash band index
+    * ([[graft.operators.Dedup.bandedIndex]], computed ONCE and persisted —
+    * each micro-batch costs one signature projection over the batch plus
+    * one semi-join against the cached index, never a corpus re-scan)
+    * inside `foreachBatch` — the production ingestion pattern. The flag
+    * decision is per-document against the STATIC index, so output is
+    * independent of micro-batching and equals the batch operator exactly.
+    * Admitted documents land under `outPath/batch_id=N` — one overwritten
+    * directory per micro-batch, so a foreachBatch replay after a failure
+    * (its at-least-once contract) rewrites the same directory instead of
+    * appending duplicates into the corpus store this gate protects. */
   def nearDupIngestStream(
-      docsStream: DataFrame, corpus: DataFrame, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      docsStream: DataFrame, corpusIndex: DataFrame, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.nearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .nearDupAgainstIndex(batch, corpusIndex, "doc_id", "text")
           .select(col("doc_id"), col("lang"))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
+
+  /** Output schema of the admitted-documents store. */
+  private val admittedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType)))
 
   /** Synchronous gate run of [[nearDupIngestStream]]: the sf dir's
     * documents stream, incoming slice doc_id ≡ 0 (mod 7) filtered
-    * in-stream, the rest as the static corpus. Returns the admitted
-    * documents. */
+    * in-stream, the rest as the static corpus (banded once, persisted).
+    * Returns the admitted documents; the explicit read schema keeps the
+    * all-documents-rejected case an empty result, not an inference
+    * error. */
   def nearDupIngestSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
-    val corpus = s.read.parquet(s"$dir/documents.parquet")
-      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val corpusIndex = graft.operators.Dedup.bandedIndex(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val in = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(pmod(col("doc_id"), lit(7)) === 0)
-    val q = nearDupIngestStream(in, corpus, out.toString)
+    val q = nearDupIngestStream(in, corpusIndex, out.toString)
       .option("checkpointLocation", ckpt.toString).start()
     try q.processAllAvailable() finally q.stop()
-    val admitted = s.read.parquet(out.toString).localCheckpoint(true)
+    val admitted = s.read.schema(admittedSchema)
+      .option("recursiveFileLookup", "true").parquet(out.toString)
+      .localCheckpoint(true)
+    corpusIndex.unpersist(false)
     deleteRecursively(ckpt.toFile)
     deleteRecursively(out.toFile)
     admitted
