@@ -165,4 +165,38 @@ class DedupScaleSpec extends SparkTestBase {
     assert(fragmented == 0L, s"$fragmented cliques fragmented across components")
     labels.unpersist()
   }
+
+  /** Incremental near-dup ingest at scale: the standing corpus is half of
+    * every 10-clique (copies 0–4), the incoming batch is the other half
+    * (copies 5–9 — near-dups that MUST be rejected) plus a disjoint-vocab
+    * novel slice that MUST be admitted. Exercises the persisted band-index
+    * path ([[Dedup.bandedIndex]] + [[Dedup.nearDupAgainstIndex]]) — the
+    * shape where per-batch cost is batch-sized, not corpus-sized. */
+  test("nearDupAgainstIndex at scale: clique halves rejected, novel vocabulary admitted", Slow) {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val corpus = bigDocs.filter(col("doc_id") % 10 < 5)
+    val nearDups = bigDocs.filter(col("doc_id") % 10 >= 5)
+    val rnd = new scala.util.Random(23)
+    val novel = (0 until 2000).map { i =>
+      (10000000L + i, "xx", Seq.fill(60)("nv" + rnd.nextInt(50000)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val incoming = nearDups.unionByName(novel).cache()
+    val index = Dedup.bandedIndex(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count() // the one corpus-sized cost, paid once
+    val admitted = Dedup.nearDupAgainstIndex(incoming, index, "doc_id", "text")
+      .select(col("doc_id")).cache()
+    val admittedNear = admitted.filter(col("doc_id") < 10000000L).count()
+    val admittedNovel = admitted.filter(col("doc_id") >= 10000000L).count()
+    val nNear = nearDups.count()
+    // near-dup halves: banding at jaccard m/(m+2) fires for all but the
+    // shortest docs — at least 95% must be caught
+    assert(admittedNear <= nNear / 20,
+      s"$admittedNear of $nNear near-dup incoming docs slipped the gate")
+    // disjoint 50k-word vocabulary: band collisions are chance-level
+    assert(admittedNovel >= 1900L,
+      s"only $admittedNovel of 2000 novel docs admitted — false-flag rate too high")
+    admitted.unpersist(); index.unpersist(); incoming.unpersist()
+  }
 }
