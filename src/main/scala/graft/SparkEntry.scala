@@ -75,6 +75,7 @@ object SparkEntry {
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
+    "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "d_bm25_search" -> q.LlmOps.bm25SearchSql,
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
     "d_cluster_report" -> q.LlmOps.clusterReportSql,
+    "d_corpus_export" -> q.LlmOps.corpusExportSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,

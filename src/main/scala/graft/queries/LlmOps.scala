@@ -798,21 +798,58 @@ object LlmOps {
        |  SELECT doc_id, ts, unnest(list_transform(range(0, len(ts), $ChunkStride), s -> {st: s})) AS u
        |  FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
 
+  /** Corpus export gate ([[graft.plans.CorpusExport.writeCurated]]): the
+    * curated corpus written split-partitioned to a temp dir, manifest
+    * recomputed from the WRITTEN files — the oracle therefore checks the
+    * on-disk artifact, xlsx-roundtrip style. */
+  def corpusExport(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_export")
+    out.toFile.deleteOnExit()
+    graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
+  }
+
+  /** Mirrors [[corpusExport]]: the curation subquery joined to the split
+    * buckets, aggregated per (split, lang). */
+  lazy val corpusExportSql: String = {
+    val signed = hugeToSignedSql("h")
+    s"""WITH cur AS (
+       |$curationPipelineSql
+       |),
+       |hsh AS (
+       |  SELECT doc_id, ${fnvHugeSql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (($signed % 100) + 100) % 100 < 80 THEN 'train'
+       |         WHEN (($signed % 100) + 100) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM hsh)
+       |SELECT sp.split, cur.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(cur.n_tokens) AS BIGINT) AS total_tokens
+       |FROM cur JOIN sp USING (doc_id)
+       |GROUP BY sp.split, cur.lang""".stripMargin
+  }
+
   /** Deterministic content-stable train/val/test split: bucket =
     * FNV-1a(doc_id) mod 100 → 80/10/10. Hash-based (not sampled) so the
     * assignment is reproducible under any partitioning, any engine, and
     * any subset of the corpus — the property a training pipeline needs so
     * that test documents never drift into train between runs. */
-  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document split assignment — the content-stable bucket every split
+    * consumer shares ([[trainSplit]]'s gate aggregate, the corpus export's
+    * partition column). */
+  def splitAssignments(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val bucket = pmod(GraftFunctions.fingerprint64(col("doc_id").cast("string")), lit(100L))
     docs(s, dir)
       .select(col("doc_id"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
         GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
+    splitAssignments(s, dir)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-  }
 
   val trainSplitSql: String = {
     // pmod over the SIGNED fingerprint: Spark's pmod(x, 100) = ((x % 100) + 100) % 100
