@@ -804,8 +804,16 @@ object LlmOps {
     * on-disk artifact, xlsx-roundtrip style. */
   def corpusExport(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_export")
-    out.toFile.deleteOnExit()
-    graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
+    // the manifest is a 3-row aggregate: materialize it off the written
+    // files, then reclaim the temp corpus immediately (a bench loop calls
+    // this repeatedly — deleteOnExit would strand every iteration's export)
+    val manifest = graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(out.toFile)
+    manifest
   }
 
   /** Mirrors [[corpusExport]]: the curation subquery joined to the split
