@@ -1217,6 +1217,88 @@ object LlmOps {
        |FROM m GROUP BY cell""".stripMargin
   }
 
+  // probe-gate hyperparameters — shared by the query and its oracle twin
+  private val ProbeIters = 3
+  private val ProbeLr = 0.5
+  private val ProbeDim = 64
+
+  /** Linear quality probe trained in-plan
+    * ([[graft.operators.Probe.trainLinear]]): hashed-tf features, weak
+    * labels from the quality kernel, 3 unrolled full-batch GD rounds with
+    * integer-quantized gradient aggregation — the weights are
+    * bit-reproducible on any partitioning, so the oracle can replay
+    * training exactly. */
+  def qualityProbe(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = graft.operators.TfIdf.hashedVectors(
+      s, docs(s, dir), "doc_id", "text", dim = ProbeDim)
+    val labels = docs(s, dir)
+      .select(col("doc_id"), GraftFunctions.markerStats(col("text")).as("ms"))
+      .select(col("doc_id"),
+        when(GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5, 1.0)
+          .otherwise(0.0).as("y"))
+    graft.operators.Probe.trainLinearDF(
+      s, vecs.join(labels, "doc_id"), "vector", "y",
+      ProbeDim, ProbeIters, ProbeLr)
+  }
+
+  /** Mirrors [[qualityProbe]] with the GD rounds UNROLLED (the k-means
+    * oracle pattern): per round, one quantized-integer gradient aggregate
+    * and one weight-update row; every double operation tree (fixed-order
+    * 64-term prediction sum, err·x·1e9 floor, g/n/1e9 update) matches the
+    * JVM driver arithmetic operation for operation. */
+  lazy val qualityProbeSql: String = {
+    val dims = 0 until ProbeDim
+    // prediction under the iteration-t weight row (w0 ≡ all-zero literals)
+    def predSql(t: Int): String =
+      if (t == 0) dims.map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * 0.0").mkString(" + ")
+      else dims.map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * w$t.w$j").mkString(" + ")
+    def dataCte(t: Int): String = {
+      val from = if (t == 0) "normed d JOIN lab USING (doc_id)"
+      else s"normed d JOIN lab USING (doc_id) CROSS JOIN w$t"
+      s"""d$t AS (
+         |  SELECT d.vec AS vec, (${predSql(t)}) - lab.y AS err
+         |  FROM $from)""".stripMargin
+    }
+    def gradCte(t: Int): String = {
+      val gs = dims.map(j =>
+        s"SUM(CAST(floor(err * CAST(vec[${j + 1}] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS g$j")
+        .mkString(",\n    ")
+      s"""g${t + 1} AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $gs FROM d$t)""".stripMargin
+    }
+    def weightCte(t: Int): String = {
+      val prev = if (t == 0) (_: Int) => "0.0" else (j: Int) => s"w$t.w$j"
+      val from = if (t == 0) s"g${t + 1}" else s"g${t + 1} CROSS JOIN w$t"
+      val ws = dims.map(j =>
+        s"${prev(j)} - $ProbeLr * (CAST(g${t + 1}.g$j AS DOUBLE) / CAST(g${t + 1}.n AS DOUBLE) / 1000000000.0) AS w$j")
+        .mkString(",\n    ")
+      s"""w${t + 1} AS (
+         |  SELECT $ws FROM $from)""".stripMargin
+    }
+    val rounds = (0 until ProbeIters)
+      .map(t => s"${dataCte(t)},\n${gradCte(t)},\n${weightCte(t)}").mkString(",\n")
+    val wList = dims.map(j => s"w$ProbeIters.w$j").mkString("[", ", ", "]")
+    s"""WITH $hashedVectorCtes,
+       |lab AS (
+       |  SELECT doc_id, CASE WHEN $qualityExprSql >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |$rounds
+       |SELECT CAST(u.j AS INT) AS dim, $wList[u.j + 1] AS weight
+       |FROM w$ProbeIters, (SELECT unnest(range(0, $ProbeDim)) AS j) u""".stripMargin
+  }
+
+  /** The quality-score formula as a SQL expression over `documents` rows
+    * (the [[GraftFunctions.qualityScore]] twin used inline by
+    * [[textStatsSql]]/[[scoredRepCtes]]). */
+  private lazy val qualityExprSql: String = {
+    val allMarkers = GraftFunctions.langMarkers.flatMap(_._2)
+    s"""0.5 * (CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))
+       |    + 0.3 * least(1.0, CAST(len($tsSql) AS DOUBLE) / 64.0)
+       |    + 0.2 * (1.0 - CAST(${hitsSql(allMarkers)} AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Cosine threshold for the semantic-dedup gate — chosen against the
     * fixture embedding distribution (near-orthogonal synthetic vectors:
     * cross-pair cosines top out ≈ 0.51), so the drop set is non-trivial at
@@ -1416,8 +1498,11 @@ object LlmOps {
     * FNV bucket (unsigned mod 64 ≡ the kernel's signed-mod-then-fix for a
     * power-of-two dim), dense 64-bucket counts in bucket order, L2
     * normalization rounded to float32, then the cosine fold. */
-  val docVectorSearchSql: String =
-    s"""WITH tb AS (
+  /** Shared hashed-tf-vector CTEs (`normed(doc_id, vec)` — the
+    * [[graft.operators.TfIdf.hashedVectors]] replica), used by the
+    * doc-vector-search gate and the linear-probe trainer's oracle. */
+  private lazy val hashedVectorCtes: String =
+    s"""tb AS (
        |  SELECT doc_id, CAST(${fnvHugeSql("t")} % 64 AS INT) AS bucket
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
        |cnt AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
@@ -1431,7 +1516,10 @@ object LlmOps {
        |  SELECT doc_id,
        |    CASE WHEN s > 0 THEN list_transform(rv, x -> CAST(x / s AS FLOAT))
        |         ELSE list_transform(rv, x -> CAST(x AS FLOAT)) END AS vec
-       |  FROM (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, y -> y*y))) AS s FROM raw)),
+       |  FROM (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, y -> y*y))) AS s FROM raw))""".stripMargin
+
+  lazy val docVectorSearchSql: String =
+    s"""WITH $hashedVectorCtes,
        |q AS (SELECT vec AS qv FROM normed ORDER BY doc_id LIMIT 1)
        |SELECT n.doc_id, ${cosSql("n.vec", "q.qv")} AS cosine
        |FROM normed n CROSS JOIN q
