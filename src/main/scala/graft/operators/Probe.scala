@@ -47,12 +47,16 @@ object Probe {
         val pred = (0 until dim)
           .map(j => col("x").getItem(j) * lit(w(j)))
           .reduce(_ + _)
-        val err = pred - col("y")
+        // alias err ONCE in a projection and aggregate over the alias —
+        // inlining the 64-term pred into each of the 64 gradient columns
+        // would evaluate it 64× per row (the curation-pipeline
+        // CollapseProject lesson; the oracle's d$t CTE is this projection)
+        val withErr = cached.select(col("x"), (pred - col("y")).as("err"))
         val gradCols = (0 until dim).map { j =>
-          sum(floor(err * col("x").getItem(j) * lit(QuantScale)).cast("long"))
+          sum(floor(col("err") * col("x").getItem(j) * lit(QuantScale)).cast("long"))
             .as(s"g$j")
         }
-        val row: Row = cached.agg(count(lit(1)).as("n"), gradCols: _*).head()
+        val row: Row = withErr.agg(count(lit(1)).as("n"), gradCols: _*).head()
         val n = row.getLong(0).toDouble
         w = (0 until dim).map { j =>
           w(j) - lr * (row.getLong(j + 1).toDouble / n / QuantScale)
