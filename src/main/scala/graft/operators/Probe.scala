@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   *   - only 'dim + 1' values ever reach the driver per round (the gradient
   *     vector and the count), like the k-means centroid fetch.
   *
-  * Quantization bound: |err·x_j| ≤ maxErr ≈ 1 for normalized features and
-  * 0/1 labels, so per-doc quanta are ≤ 1e9 and the long sum holds ~9e9
-  * documents; beyond that, shard the aggregation or drop the scale — the
-  * gate corpus sizes are nowhere near it.
+  * Quantization bound: |err·x_j| ≤ (1 + ‖w‖₂) for unit-norm features and
+  * 0/1 labels; at these hyperparameters ‖w‖ stays ≲ 4, so per-doc quanta
+  * are ≤ ~5e9 and the long sum holds ~1e9 documents conservatively;
+  * beyond that, shard the aggregation or drop the scale — the gate corpus
+  * sizes are orders of magnitude below the bound.
   */
 object Probe {
 
@@ -57,6 +58,7 @@ object Probe {
             .as(s"g$j")
         }
         val row: Row = withErr.agg(count(lit(1)).as("n"), gradCols: _*).head()
+        require(row.getLong(0) > 0L, "Probe.trainLinear: empty training input")
         val n = row.getLong(0).toDouble
         w = (0 until dim).map { j =>
           w(j) - lr * (row.getLong(j + 1).toDouble / n / QuantScale)

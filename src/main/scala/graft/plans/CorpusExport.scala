@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusExport {
 
+  /** Recursive delete for export temp directories (shared by the gate
+    * wrapper and specs — `deleteOnExit` cannot remove non-empty dirs). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Write corpus + manifest under `outPath`, then return the manifest
     * recomputed FROM THE WRITTEN CORPUS (read-back) — callers (and the
     * driver gate) therefore verify the on-disk artifact end to end, not

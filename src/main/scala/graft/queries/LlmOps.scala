@@ -48,15 +48,12 @@ object LlmOps {
   }
 
   val textStatsSql: String = {
-    val allMarkers = GraftFunctions.langMarkers.flatMap(_._2)
     s"""SELECT doc_id, lang,
        |  CAST(len($tsSql) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct($tsSql)) AS BIGINT) AS n_distinct,
        |  CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE) AS uniq_ratio,
        |  CAST(length(text) - (len($tsSql) - 1) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE) AS avg_token_len,
-       |  0.5 * (CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))
-       |    + 0.3 * least(1.0, CAST(len($tsSql) AS DOUBLE) / 64.0)
-       |    + 0.2 * (1.0 - CAST(${hitsSql(allMarkers)} AS DOUBLE) / CAST(len($tsSql) AS DOUBLE)) AS quality
+       |  $qualityExprSql AS quality
        |FROM documents""".stripMargin
   }
 
@@ -727,7 +724,6 @@ object LlmOps {
     * filters are the same kernels in both execution modes, so their oracle
     * text is single-sourced too. */
   private lazy val scoredRepCtes: String = {
-    val allMarkers = GraftFunctions.langMarkers.flatMap(_._2)
     val hits = GraftFunctions.langMarkers.map { case (lang, _) => lang -> s"h_$lang" }
     val hitDefs = GraftFunctions.langMarkers
       .map { case (lang, ms) => s"${hitsSql(ms)} AS h_$lang" }.mkString(",\n  ")
@@ -738,9 +734,7 @@ object LlmOps {
     s"""scored AS (
        |  SELECT doc_id, lang,
        |    CAST(len($tsSql) AS BIGINT) AS n_tokens,
-       |    0.5 * (CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))
-       |      + 0.3 * least(1.0, CAST(len($tsSql) AS DOUBLE) / 64.0)
-       |      + 0.2 * (1.0 - CAST(${hitsSql(allMarkers)} AS DOUBLE) / CAST(len($tsSql) AS DOUBLE)) AS quality,
+       |    $qualityExprSql AS quality,
        |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
        |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents)),
        |rep AS (
@@ -805,46 +799,32 @@ object LlmOps {
   def corpusExport(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus_export")
     // the manifest is a 3-row aggregate: materialize it off the written
-    // files, then reclaim the temp corpus immediately (a bench loop calls
-    // this repeatedly — deleteOnExit would strand every iteration's export)
-    val manifest = graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
+    // files, then reclaim the temp corpus (finally: a failed write in a
+    // bench loop must not strand an iteration's multi-MB export either)
+    try graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(out.toFile)
-    manifest
+    finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
   /** Mirrors [[corpusExport]]: the curation subquery joined to the split
     * buckets, aggregated per (split, lang). */
-  lazy val corpusExportSql: String = {
-    val signed = hugeToSignedSql("h")
+  lazy val corpusExportSql: String =
     s"""WITH cur AS (
        |$curationPipelineSql
        |),
-       |hsh AS (
-       |  SELECT doc_id, ${fnvHugeSql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
-       |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN (($signed % 100) + 100) % 100 < 80 THEN 'train'
-       |         WHEN (($signed % 100) + 100) % 100 < 90 THEN 'val'
-       |         ELSE 'test' END AS split
-       |  FROM hsh)
+       |$splitAssignCtes
        |SELECT sp.split, cur.lang, COUNT(*) AS n_docs,
        |  CAST(SUM(cur.n_tokens) AS BIGINT) AS total_tokens
        |FROM cur JOIN sp USING (doc_id)
        |GROUP BY sp.split, cur.lang""".stripMargin
-  }
 
-  /** Deterministic content-stable train/val/test split: bucket =
+  /** Per-document deterministic train/val/test assignment: bucket =
     * FNV-1a(doc_id) mod 100 → 80/10/10. Hash-based (not sampled) so the
     * assignment is reproducible under any partitioning, any engine, and
     * any subset of the corpus — the property a training pipeline needs so
-    * that test documents never drift into train between runs. */
-  /** Per-document split assignment — the content-stable bucket every split
-    * consumer shares ([[trainSplit]]'s gate aggregate, the corpus export's
-    * partition column). */
+    * that test documents never drift into train between runs. The
+    * content-stable bucket every split consumer shares ([[trainSplit]]'s
+    * gate aggregate, the corpus export's partition column). */
   def splitAssignments(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val bucket = pmod(GraftFunctions.fingerprint64(col("doc_id").cast("string")), lit(100L))
@@ -859,19 +839,29 @@ object LlmOps {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
-  val trainSplitSql: String = {
+  /** Shared split-assignment CTEs (`sp(doc_id, n_tokens, split)`) — ONE
+    * replica of the FNV-signed-pmod 80/10/10 bucket, bound by both the
+    * split gate and the corpus-export gate (mirroring the Scala side's
+    * single [[splitAssignments]]). */
+  private lazy val splitAssignCtes: String = {
     // pmod over the SIGNED fingerprint: Spark's pmod(x, 100) = ((x % 100) + 100) % 100
     val signed = hugeToSignedSql("h")
-    s"""WITH h AS (
+    s"""sph AS (
        |  SELECT doc_id, ${fnvHugeSql("CAST(doc_id AS VARCHAR)")} AS h,
        |    CAST(len($tsSql) AS BIGINT) AS n_tokens
        |  FROM documents),
-       |b AS (
-       |  SELECT doc_id, n_tokens, (($signed % 100) + 100) % 100 AS bucket FROM h)
-       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-       |FROM b GROUP BY 1""".stripMargin
+       |spb AS (
+       |  SELECT doc_id, n_tokens, (($signed % 100) + 100) % 100 AS bucket FROM sph),
+       |sp AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM spb)""".stripMargin
   }
+
+  lazy val trainSplitSql: String =
+    s"""WITH $splitAssignCtes
+       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM sp GROUP BY split""".stripMargin
 
   /** Content-stable stratified sample: per-language fractions over the
     * ALT hash stream (independent of the train-split stream). */
@@ -1261,8 +1251,9 @@ object LlmOps {
          |  FROM $from)""".stripMargin
     }
     def gradCte(t: Int): String = {
+      val q = graft.operators.Probe.QuantScale
       val gs = dims.map(j =>
-        s"SUM(CAST(floor(err * CAST(vec[${j + 1}] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS g$j")
+        s"SUM(CAST(floor(err * CAST(vec[${j + 1}] AS DOUBLE) * $q) AS BIGINT)) AS g$j")
         .mkString(",\n    ")
       s"""g${t + 1} AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $gs FROM d$t)""".stripMargin
@@ -1270,8 +1261,9 @@ object LlmOps {
     def weightCte(t: Int): String = {
       val prev = if (t == 0) (_: Int) => "0.0" else (j: Int) => s"w$t.w$j"
       val from = if (t == 0) s"g${t + 1}" else s"g${t + 1} CROSS JOIN w$t"
+      val q = graft.operators.Probe.QuantScale
       val ws = dims.map(j =>
-        s"${prev(j)} - $ProbeLr * (CAST(g${t + 1}.g$j AS DOUBLE) / CAST(g${t + 1}.n AS DOUBLE) / 1000000000.0) AS w$j")
+        s"${prev(j)} - $ProbeLr * (CAST(g${t + 1}.g$j AS DOUBLE) / CAST(g${t + 1}.n AS DOUBLE) / $q) AS w$j")
         .mkString(",\n    ")
       s"""w${t + 1} AS (
          |  SELECT $ws FROM $from)""".stripMargin
@@ -1494,13 +1486,12 @@ object LlmOps {
        |WHERE $jac >= 0.8""".stripMargin
   }
 
-  /** Mirrors [[graft.operators.TfIdf.hashedVectors]] + brute-force cosine:
-    * FNV bucket (unsigned mod 64 ≡ the kernel's signed-mod-then-fix for a
-    * power-of-two dim), dense 64-bucket counts in bucket order, L2
-    * normalization rounded to float32, then the cosine fold. */
   /** Shared hashed-tf-vector CTEs (`normed(doc_id, vec)` — the
-    * [[graft.operators.TfIdf.hashedVectors]] replica), used by the
-    * doc-vector-search gate and the linear-probe trainer's oracle. */
+    * [[graft.operators.TfIdf.hashedVectors]] replica: FNV bucket, unsigned
+    * mod 64 ≡ the kernel's signed-mod-then-fix for a power-of-two dim;
+    * dense 64-bucket counts in bucket order; L2 normalization rounded to
+    * float32). Used by the doc-vector-search gate (which adds the cosine
+    * fold) and the linear-probe trainer's oracle. */
   private lazy val hashedVectorCtes: String =
     s"""tb AS (
        |  SELECT doc_id, CAST(${fnvHugeSql("t")} % 64 AS INT) AS bucket

@@ -11,7 +11,9 @@ class CorpusExportSpec extends SparkTestBase {
     val out = java.nio.file.Files.createTempDirectory("graft_export_spec")
     try {
       val manifest = CorpusExport.writeCurated(spark, dir, out.toString)
-        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
       // physical layout: split partition directories
       val dirs = new java.io.File(s"$out/corpus").listFiles()
         .filter(_.isDirectory).map(_.getName).toSet
@@ -26,15 +28,11 @@ class CorpusExportSpec extends SparkTestBase {
       assert(written.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
       assert(written.columns.contains("text"))
       // the sidecar manifest agrees with the returned (read-back) manifest
+      // on BOTH doc counts and token totals
       val sidecar = spark.read.json(s"$out/_manifest")
         .collect().map(r => (r.getAs[String]("split"), r.getAs[String]("lang"))
-          -> r.getAs[Long]("n_docs")).toMap
+          -> (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))).toMap
       assert(sidecar == manifest, s"sidecar $sidecar != read-back $manifest")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(out.toFile)
-    }
+    } finally CorpusExport.deleteRecursively(out.toFile)
   }
 }
