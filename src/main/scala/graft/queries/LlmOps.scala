@@ -732,11 +732,11 @@ object LlmOps {
       s"WHEN $h > 0 AND $h = $best THEN '$lang'"
     }.mkString("\n    ")
     s"""scored AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, source,
        |    CAST(len($tsSql) AS BIGINT) AS n_tokens,
        |    $qualityExprSql AS quality,
        |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
-       |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents)),
+       |  FROM (SELECT doc_id, lang, source, text, $hitDefs FROM documents)),
        |rep AS (
        |  SELECT doc_id, $repKeepSql AS rep_ok FROM (
        |  $repStatsSql))""".stripMargin
@@ -791,6 +791,67 @@ object LlmOps {
        |FROM (
        |  SELECT doc_id, ts, unnest(list_transform(range(0, len(ts), $ChunkStride), s -> {st: s})) AS u
        |  FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
+
+  /** Per-source corpus health report — the observability query a corpus
+    * operation runs per ingest source/domain: volume (docs, tokens),
+    * quality mean (floor-quantized micro-units → ORDER-INDEPENDENT exact
+    * aggregate, the [[graft.operators.Similarity.clusterReport]] device),
+    * language-agreement count, and exact-duplicate involvement (docs whose
+    * canonical 128-bit fingerprint occurs more than once corpus-wide).
+    * One scan + one tiny fingerprint-keyed side-aggregation; every output
+    * is exact across engines. */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val scored = d.select(
+        col("doc_id"), col("source"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.fingerprint128(
+          GraftFunctions.canonicalKey(col("text"))).as("fp"))
+      .select(col("doc_id"), col("source"), col("fp"),
+        col("ms").getField("n_tokens").cast("long").as("n_tokens"),
+        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"))
+    val dupFps = scored.groupBy(col("fp")).count()
+      .filter(col("count") > 1).select(col("fp"))
+    scored
+      .join(dupFps.withColumn("is_dup", lit(1L)), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(floor(col("quality") * lit(1000000.0)).cast("long")).as("sum_quality_q6"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("sum_quality_q6").cast("double") / col("n_docs").cast("double")
+          / lit(1000000.0)).as("mean_quality_q"),
+        col("n_lang_ok"), col("n_dup_docs"))
+  }
+
+  /** Mirrors [[sourceReport]] on the shared scored CTEs: same quality
+    * expression, same language case chain, same two-stream FNV canonical
+    * fingerprint, same quantized quality sum. */
+  lazy val sourceReportSql: String =
+    s"""WITH $scoredRepCtes,
+       |fp AS (
+       |  SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |  FROM (SELECT doc_id,
+       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |        FROM documents)),
+       |dupfp AS (
+       |  SELECT f1, f2 FROM fp GROUP BY f1, f2 HAVING COUNT(*) > 1),
+       |dupdoc AS (
+       |  SELECT fp.doc_id, 1 AS is_dup FROM fp JOIN dupfp USING (f1, f2))
+       |SELECT s.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(floor(s.quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_quality_q,
+       |  CAST(SUM(CASE WHEN s.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       |  CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS n_dup_docs
+       |FROM scored s LEFT JOIN dupdoc d USING (doc_id)
+       |GROUP BY s.source""".stripMargin
 
   /** Corpus export gate ([[graft.plans.CorpusExport.writeCurated]]): the
     * curated corpus written split-partitioned to a temp dir, manifest
