@@ -89,6 +89,7 @@ object SparkEntry {
     "d_cluster_report" -> (q.LlmOps.clusterReport _),
     "d_quality_probe" -> (q.LlmOps.qualityProbe _),
     "d_source_report" -> (q.LlmOps.sourceReport _),
+    "d_corpus_diff" -> (q.LlmOps.corpusDiff _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     // structured streaming (run synchronously through the memory sink)
@@ -160,6 +161,7 @@ object SparkEntry {
     "d_corpus_export" -> q.LlmOps.corpusExportSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
+    "d_corpus_diff" -> q.LlmOps.corpusDiffSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,

@@ -853,6 +853,44 @@ object LlmOps {
        |FROM scored s LEFT JOIN dupdoc d USING (doc_id)
        |GROUP BY s.source""".stripMargin
 
+  /** Corpus snapshot diff ([[graft.operators.Versioning.diff]]): v2 is a
+    * deterministic synthetic revision of the fixture corpus — drop
+    * doc_id ≡ 0 (mod 13), append " rev2" to surviving doc_id ≡ 0 (mod 11),
+    * re-add doc_id ≡ 0 (mod 17) under id+1,000,000 — identically in the
+    * oracle, so every added/removed/modified/unchanged verdict is pinned. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val v2 = d.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.Versioning.diff(d, v2, "doc_id", "text")
+  }
+
+  /** Mirrors [[corpusDiff]]: same synthetic v2, same two-stream raw-text
+    * fingerprints, same full-outer classification. */
+  lazy val corpusDiffSql: String =
+    s"""WITH oldc AS (
+       |  SELECT doc_id, ${fnvHugeSql("text")} AS f1, ${fnvAltHugeSql("text")} AS f2
+       |  FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+       |newc AS (
+       |  SELECT doc_id, ${fnvHugeSql("text")} AS f1, ${fnvAltHugeSql("text")} AS f2
+       |  FROM v2)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN n.doc_id IS NULL THEN 'removed'
+       |       WHEN o.doc_id IS NULL THEN 'added'
+       |       WHEN o.f1 = n.f1 AND o.f2 = n.f2 THEN 'unchanged'
+       |       ELSE 'modified' END AS status
+       |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin
+
   /** Corpus export gate ([[graft.plans.CorpusExport.writeCurated]]): the
     * curated corpus written split-partitioned to a temp dir, manifest
     * recomputed from the WRITTEN files — the oracle therefore checks the
