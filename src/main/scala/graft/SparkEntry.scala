@@ -90,6 +90,7 @@ object SparkEntry {
     "d_quality_probe" -> (q.LlmOps.qualityProbe _),
     "d_source_report" -> (q.LlmOps.sourceReport _),
     "d_corpus_diff" -> (q.LlmOps.corpusDiff _),
+    "d_embed_quantize" -> (q.LlmOps.embedQuantize _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     // structured streaming (run synchronously through the memory sink)
@@ -162,6 +163,7 @@ object SparkEntry {
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,
+    "d_embed_quantize" -> q.LlmOps.embedQuantizeSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,

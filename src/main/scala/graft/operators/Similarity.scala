@@ -317,6 +317,33 @@ object Similarity {
           / lit(1000000.0)).as("mean_cos_q"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage tier of the ANN index (4× smaller than float32; the standard
+    * compression for billion-vector IVF deployments). Per vector: scale
+    * s = max |v_i|; q_i = floor(v_i/s·127 + 0.5) ∈ [−127, 127]
+    * (round-half-up via floor, deterministic and engine-portable — no
+    * banker's-rounding divergence). Reconstruction v̂_i = q_i·s/127 has
+    * per-component error ≤ s/254. Zero vectors quantize to all-zero with
+    * scale 0. One narrow projection, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val s = array_max(transform(v, x => abs(x))).cast("double")
+    df.select(
+      col(idCol),
+      s.as("scale"),
+      when(s === 0d, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x =>
+          floor(x.cast("double") / s * lit(127.0) + lit(0.5)).cast("int")))
+        .as("qvec"))
+  }
+
+  /** Dequantized vectors from [[quantizeInt8]] output (float32, the ANN
+    * operators' input type). */
+  def dequantizeInt8(df: DataFrame): DataFrame =
+    df.withColumn("vec",
+      transform(col("qvec"), q =>
+        (q.cast("double") * col("scale") / lit(127.0)).cast("float")))
+
   /** Probe an on-disk IVF index: the `cell` filter is a PARTITION filter —
     * Spark prunes non-probed cell directories at planning time and never
     * opens their files (plan-asserted in SimilaritySpec). */

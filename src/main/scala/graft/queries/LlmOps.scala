@@ -853,6 +853,37 @@ object LlmOps {
        |FROM scored s LEFT JOIN dupdoc d USING (doc_id)
        |GROUP BY s.source""".stripMargin
 
+  /** Int8 embedding quantization gate
+    * ([[graft.operators.Similarity.quantizeInt8]]): per vector — the exact
+    * scale plus integer digests of the quantized codes (sum and L1), every
+    * output engine-portable exact. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qvec"), lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+        aggregate(col("qvec"), lit(0L), (acc, q) => acc + abs(q.cast("long"))).as("q_l1"))
+
+  /** Mirrors [[embedQuantize]]: same max-abs scale, same
+    * floor(x·127/s + 0.5) round-half-up, same sequential integer folds. */
+  lazy val embedQuantizeSql: String =
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, scale,
+       |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+       |         ELSE list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT))
+       |    END AS qvec
+       |  FROM sc)
+       |SELECT vec_id, scale,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(qvec, v -> CAST(v AS BIGINT))), (a, b) -> a + b) AS q_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(qvec, v -> abs(CAST(v AS BIGINT)))), (a, b) -> a + b) AS q_l1
+       |FROM q""".stripMargin
+
   /** Corpus snapshot diff ([[graft.operators.Versioning.diff]]): v2 is a
     * deterministic synthetic revision of the fixture corpus — drop
     * doc_id ≡ 0 (mod 13), append " rev2" to surviving doc_id ≡ 0 (mod 11),

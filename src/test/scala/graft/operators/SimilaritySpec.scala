@@ -182,6 +182,37 @@ class SimilaritySpec extends SparkTestBase {
     rep.foreach(r => assert(rep2(r.getInt(0)) == r.getLong(4)))
   }
 
+  test("quantizeInt8: codes bounded, reconstruction within s/254 per component, ANN recall holds") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val joined = Similarity.dequantizeInt8(q)
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("scale"), col("qvec"), col("vec"), col("embedding"))
+      .collect()
+    joined.foreach { r =>
+      val s = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"codes out of range")
+      val deq = r.getSeq[Float](3)
+      val orig = r.getSeq[Float](4)
+      deq.zip(orig).foreach { case (d, o) =>
+        assert(math.abs(d - o) <= s / 254.0 + 1e-6,
+          s"vec ${r.getLong(0)}: reconstruction error ${math.abs(d - o)} above ${s / 254.0}")
+      }
+    }
+    // brute-force top-k over dequantized vectors stays close to exact top-k
+    val query = e.orderBy(col("vec_id")).limit(1).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val deqVecs = Similarity.dequantizeInt8(q).select(col("vec_id"), col("vec"))
+    val approx = Similarity.bruteForceTopK(deqVecs, "vec_id", "vec", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / 20
+    assert(recall >= 0.8, s"int8 ANN recall $recall below 0.8")
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
