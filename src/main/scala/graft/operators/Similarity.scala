@@ -327,14 +327,19 @@ object Similarity {
     * scale 0. One narrow projection, no shuffle. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val s = array_max(transform(v, x => abs(x))).cast("double")
-    df.select(
-      col(idCol),
-      s.as("scale"),
-      when(s === 0d, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x =>
-          floor(x.cast("double") / s * lit(127.0) + lit(0.5)).cast("int")))
-        .as("qvec"))
+    // alias the max-abs scale ONCE before the per-element lambda reads it:
+    // higher-order-function bodies sit outside subexpression elimination,
+    // so an inlined scale would recompute the O(d) max per component
+    // (O(d²) per row) — the CollapseProject lesson, one level down
+    df.select(col(idCol), v.as("v"),
+        array_max(transform(v, x => abs(x))).cast("double").as("scale"))
+      .select(
+        col(idCol),
+        col("scale"),
+        when(col("scale") === 0d, transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"), x =>
+            floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5)).cast("int")))
+          .as("qvec"))
   }
 
   /** Dequantized vectors from [[quantizeInt8]] output (float32, the ANN

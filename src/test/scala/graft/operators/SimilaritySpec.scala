@@ -184,7 +184,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("quantizeInt8: codes bounded, reconstruction within s/254 per component, ANN recall holds") {
     GraftFunctions.register(spark)
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = embs
     val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
     val joined = Similarity.dequantizeInt8(q)
       .join(e, "vec_id")

@@ -15,8 +15,12 @@ class VersioningSpec extends SparkTestBase {
       (1L, "same content"),
       (2L, "has changed"),
       (4L, "brand new")).toDF("doc_id", "text")
-    val got = Versioning.diff(v1, v2, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Versioning.diff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // row count BEFORE the map conversion — toMap would silently swallow
+    // a double-reported id
+    assert(rows.length == 4, s"expected one row per id: ${rows.toSeq}")
+    val got = rows.toMap
     assert(got == Map(1L -> "unchanged", 2L -> "modified",
       3L -> "removed", 4L -> "added"), got)
   }

@@ -44,10 +44,12 @@ class PipelineIntegrationSpec extends SparkTestBase {
       val chunkCov = graft.operators.Chunking
         .slidingWindows(written, "doc_id", "text", maxTokens = 32, stride = 32)
         .groupBy(col("doc_id")).agg(sum(col("n_chunk_tokens")).as("covered"))
+      // left join: a doc that produced ZERO chunks must count as uncovered,
+      // not silently drop out of an inner join
       val uncovered = written
         .select(col("doc_id"), GraftFunctions.tokenCount(col("text")).cast("long").as("nt"))
-        .join(chunkCov, "doc_id")
-        .filter(col("covered") =!= col("nt")).count()
+        .join(chunkCov, Seq("doc_id"), "left")
+        .filter(coalesce(col("covered"), lit(0L)) =!= col("nt")).count()
       assert(uncovered == 0L, s"$uncovered exported docs not fully covered by chunks")
 
       written.unpersist()
