@@ -72,6 +72,8 @@ object SparkEntry {
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
+    "d_sim_topk_ivf_q8" -> (q.LlmOps.simTopKIvfQ8 _),
+    "d_ann_batch" -> (q.LlmOps.annBatch _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
@@ -153,6 +155,8 @@ object SparkEntry {
     "d_fingerprints" -> q.LlmOps.fingerprintsSql,
     "d_sim_topk_brute" -> q.LlmOps.simTopKBruteSql,
     "d_sim_topk_ivf" -> q.LlmOps.simTopKIvfSql,
+    "d_sim_topk_ivf_q8" -> q.LlmOps.simTopKIvfQ8Sql,
+    "d_ann_batch" -> q.LlmOps.annBatchSql,
     "d_knn_join" -> q.LlmOps.knnJoinSql,
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,

@@ -36,6 +36,13 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue), "built-in")
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       es => IvfCellAssign(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ivf_cells_topn",
+      es => IvfCellsTopN(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_pack_int8",
+      es => PackInt8(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_unpack_q8",
+      es => UnpackQ8(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_marker_stats",
       es => MarkerStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition_stats",
@@ -73,6 +80,17 @@ object GraftFunctions {
     * centroid matrix — one plan node regardless of cell count. */
   def ivfCell(vec: Column, centroids: Seq[Seq[Float]]): Column =
     call_function("graft_ivf_cell", vec, typedLit(centroids))
+  /** Top-`nprobe` IVF cells (cosine DESC, cell ASC) of a float-vector
+    * column against a constant centroid matrix — the in-plan probe-cell
+    * assignment of the batched ANN tier. */
+  def ivfCellsTopN(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
+    call_function("graft_ivf_cells_topn", vec, typedLit(centroids), lit(nprobe))
+  /** int8 code array → one-byte-per-component binary (quantized ANN index
+    * storage). */
+  def packInt8(codes: Column): Column = call_function("graft_pack_int8", codes)
+  /** Packed-int8 binary + per-row scale → dequantized float32 vector. */
+  def unpackQ8(codes: Column, scale: Column): Column =
+    call_function("graft_unpack_q8", codes, scale)
   def keyedMemberPairs(ms: Column, member: Column, band: Column): Column =
     call_function("graft_keyed_member_pairs", ms, member, band)
   def sigMemberPairs(ms: Column, member: Column, chunk: Column, maxHamming: Int): Column =

@@ -82,6 +82,78 @@ object VectorOps {
     bestC
   }
 
+  /** The `nprobe` centroid indices nearest `vec` by cosine, ordered
+    * (cosine DESC, cell ASC) — the batched-probe twin of
+    * [[argmaxCosineCell]] (identical per-centroid cosine arithmetic, so a
+    * 1-probe call equals the argmax bitwise). Selection is O(nCells·nprobe)
+    * with strict `>` comparison over ascending cells, which reproduces the
+    * driver-side `nearestCells` stable sort's tie-break exactly. */
+  def topCellsByCosine(
+      vec: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val n = vec.numElements()
+    val nc = centroids.length
+    val cos = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val ct = centroids(c)
+      if (ct.length != n)
+        throw new IllegalArgumentException(
+          s"graft vector ops require equal dimensions, got $n vs ${ct.length}")
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble
+        val y = ct(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+      c += 1
+    }
+    val k = math.min(nprobe, nc)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = Double.NegativeInfinity
+      var bestC = -1
+      var j = 0
+      while (j < nc) {
+        if (!taken(j) && cos(j) > best) { best = cos(j); bestC = j }
+        j += 1
+      }
+      taken(bestC) = true
+      out(r) = bestC
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Pack int8 quantization codes (each in [-127, 127]) into a binary
+    * column — ONE byte per component, the 4× storage shrink of the
+    * quantized ANN index tier (a parquet array<int> element costs 4 bytes
+    * before encodings; a binary cell costs its length). */
+  def packInt8(codes: ArrayData): Array[Byte] = {
+    val n = codes.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = codes.getInt(i).toByte; i += 1 }
+    out
+  }
+
+  /** Dequantize packed int8 codes back to float32: v̂ᵢ = qᵢ·s/127 —
+    * bitwise the same arithmetic as the column-level
+    * [[graft.operators.Similarity.dequantizeInt8]] (double multiply,
+    * double divide, float cast, in that order), so the quantized index
+    * probe is oracle-replicable. */
+  def unpackQ8(codes: Array[Byte], scale: Double): ArrayData = {
+    val n = codes.length
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = (codes(i).toDouble * scale / 127.0).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine similarity; 0.0 when either vector is all-zero. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = checkDims(a, b)

@@ -208,6 +208,85 @@ case class IvfCellAssign(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Top-`nprobe` IVF cells of a float-vector column against a constant
+  * centroid matrix, ordered (cosine DESC, cell ASC) — the batched-ANN
+  * probe assignment ([[IvfCellAssign]]'s top-n twin; same constant-matrix
+  * discipline: ONE plan node regardless of nCells). See
+  * VectorOps.topCellsByCosine. */
+case class IvfCellsTopN(left: Expression, right: Expression, nprobe: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _))
+          if right.foldable && nprobe > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, foldable array<array<float>>, nprobe > 0), " +
+          s"got (${l.simpleString}, ${r.simpleString}, foldable=${right.foldable}, nprobe=$nprobe)")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells_topn"
+
+  @transient private lazy val matrix: Array[Array[Float]] = {
+    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+  }
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    VectorOps.topCellsByCosine(
+      vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], matrix, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfCentroids", matrix, "float[][]")
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.VectorOps.topCellsByCosine($v, $m, $nprobe)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfCellsTopN =
+    copy(left = l, right = r)
+}
+
+/** Pack int8 quantization codes (array<int>, each in [-127, 127]) into a
+  * binary column — the storage form of the quantized ANN index. See
+  * VectorOps.packInt8. */
+case class PackInt8(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(ArrayType(IntegerType)))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pack_int8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.packInt8(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.packInt8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackInt8 =
+    copy(child = newChild)
+}
+
+/** Dequantize a packed-int8 binary column back to array<float> given its
+  * per-row scale — the probe-time inverse of [[PackInt8]]; bitwise the
+  * dequantizeInt8 arithmetic. See VectorOps.unpackQ8. */
+case class UnpackQ8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(left.dataType, right.dataType),
+      Seq(BinaryType, DoubleType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_unpack_q8"
+
+  override protected def nullSafeEval(codes: Any, scale: Any): Any =
+    VectorOps.unpackQ8(codes.asInstanceOf[Array[Byte]], scale.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, s) => s"graft.functions.VectorOps.unpackQ8($c, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UnpackQ8 =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature (array<long> of `numHashes` mins) of a shingle array —
   * one fused JVM pass; see TextHash.minhashSig. */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)

@@ -24,7 +24,15 @@ object Clusters {
 
   /** One large-star round: every node connects its LARGER neighbors to the
     * minimum of its neighborhood (including itself). Input edges may be in
-    * any orientation; output edges are (hi, lo)-oriented and self-loop-free. */
+    * any orientation; output edges are (hi, lo)-oriented and self-loop-free.
+    *
+    * Skew bound: `collect_set` materializes a node's whole neighborhood in
+    * one aggregation buffer, so a hub node (a giant near-dup component's
+    * center) holds O(degree) ids in a single row — memory ∝ the largest
+    * degree, not the corpus. Upstream candidate caps ([[Dedup.minhashPairs]]
+    * `maxBucketSize`) bound degree ≤ bands·maxBucketSize by construction;
+    * feeding UNCAPPED pair lists from another source is where a
+    * degree-salted pre-aggregation would be needed first. */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))

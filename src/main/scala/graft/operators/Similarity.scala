@@ -155,12 +155,27 @@ object Similarity {
       GraftFunctions.ivfCell(col(vecCol), centroids.map(_._2)))
   }
 
+  /** Centroid-update quantization scale: per-dimension contributions are
+    * floored to integer nano-units before the sum, so the Lloyd update is a
+    * LONG sum — order-independent, hence BIT-REPRODUCIBLE on any
+    * partitioning and any engine (the same discipline that made the probe's
+    * GD training and the cluster report exact; a raw double `avg()` depends
+    * on summation order). Resolution 10⁻⁹ sits below the float32 ulp of
+    * any unit-scale embedding, so refinement quality is unchanged.
+    * Headroom: |x| ≤ 16 leaves room for ~5·10⁸ members per cell in the
+    * long sum; for larger cells lower the scale (documented trade, same as
+    * the cluster report's 10⁻⁶ quanta). */
+  private[graft] val CentroidQuanta = 1000000000.0
+
   /** Lloyd (k-means) refinement of the coarse IVF centroids: `iters`
     * assignment/update rounds, each a single DataFrame aggregation —
     * assignment is the fused [[withIvfCell]] expression, the update a
-    * groupBy(cell) per-dimension average. Only the nCells-row centroid
-    * table is ever collected (once per iteration). Deterministic for a
-    * fixed input/seed count up to float-sum ordering in the averages.
+    * groupBy(cell) quantized-integer-sum mean per dimension (see
+    * [[CentroidQuanta]]): floor(x·10⁹) long sums + a count, mean =
+    * sum/n/10⁹ cast to float32. DETERMINISTIC on any partitioning —
+    * partitioning-invariance is asserted in SimilaritySpec, and the DuckDB
+    * oracle replays the rounds bit-for-bit with no rounding caveat. Only
+    * the nCells-row centroid table is ever collected (once per iteration).
     * Empty cells keep their previous centroid. On clustered corpora this
     * lifts probe recall well above the first-n-by-id seeds (recall
     * asserted in SimilaritySpec); the index/probe structure is unchanged. */
@@ -171,13 +186,17 @@ object Similarity {
     val dim = cents.head._2.length
     val vecs = df.select(col(vecCol))
     for (_ <- 0 until iters) {
-      val avgs = (0 until dim).map(i => avg(col(vecCol).getItem(i)).as(s"c$i"))
+      val sums = (0 until dim).map(i =>
+        sum(floor(col(vecCol).getItem(i).cast("double") * lit(CentroidQuanta))
+          .cast("long")).as(s"s$i"))
       val rows = withIvfCell(vecs, vecCol, cents)
         .groupBy(col("cell"))
-        .agg(avgs.head, avgs.tail: _*)
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       val byCell = rows.map { r =>
-        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1).toFloat)
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> (0 until dim).map(i =>
+          (r.getLong(i + 2).toDouble / n / CentroidQuanta).toFloat)
       }.toMap
       cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
     }
@@ -236,17 +255,42 @@ object Similarity {
     * partitioned BY CELL, so probing reads only nprobe/nCells of the data —
     * at 100 TB the scan cost of a query drops with the partition count
     * instead of the corpus size. Returns the centroids (k rows, tiny) for
-    * the caller to persist alongside. */
+    * the caller to persist alongside.
+    *
+    * `quantize = true` stores the int8 tier instead of float32: per row a
+    * one-byte-per-component packed code column (`qcodes` binary) + its
+    * `scale` double — ~4× smaller vector payload (the standard compression
+    * for billion-vector IVF deployments; size and the ≥0.8 recall pin are
+    * asserted in SimilaritySpec). Probes ([[ivfTopKFromIndex]],
+    * [[ivfTopKBatch]]) detect the quantized layout by schema and
+    * dequantize in-kernel at scan time. */
   def writeIvfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      path: String, nCells: Int = 16, refineIters: Int = 0): Seq[(Int, Seq[Float])] = {
+      path: String, nCells: Int = 16, refineIters: Int = 0,
+      quantize: Boolean = false): Seq[(Int, Seq[Float])] = {
     val centroids =
       if (refineIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, refineIters)
       else ivfCentroids(df, idCol, vecCol, nCells)
-    withIvfCell(df, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val assigned = withIvfCell(df, vecCol, centroids)
+    val out =
+      if (!quantize) assigned
+      else {
+        val keep = df.columns.filterNot(_ == vecCol).map(col).toSeq :+ col("cell")
+        withQuantized(assigned, vecCol, keep)
+          .withColumn("qcodes", GraftFunctions.packInt8(col("qvec")))
+          .drop("qvec")
+      }
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids
   }
+
+  /** The float32 vector of an index row, whichever storage tier the index
+    * was written with: dequantized from (qcodes, scale) for a quantized
+    * index, the raw vector column otherwise. */
+  private def indexVector(index: DataFrame, vecCol: String): Column =
+    if (index.columns.contains("qcodes"))
+      GraftFunctions.unpackQ8(col("qcodes"), col("scale"))
+    else col(vecCol)
 
   /** SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
     * Ganguli, Morcos, "SemDeDup: Data-efficient learning at web-scale
@@ -265,13 +309,43 @@ object Similarity {
     * cell-keyed self-join — vectors ride that one exchange because the
     * verifying cosine needs them (the SemDeDup trade: cluster-bounded
     * candidate volume in exchange for vector-payload shuffles; cells
-    * should be sized ~10⁴-vector — skewed giant cells are visible as
-    * straggler tasks and split by raising nCells). */
+    * should be sized ~10⁴-vector).
+    *
+    * Skew guard: pair volume is O(Σ m_c²) over cell sizes, so ONE
+    * power-law cell (a boilerplate cluster holding 10% of a corpus) makes
+    * one reducer quadratic. `maxCellSize` drops cells above the cap from
+    * pair generation BEFORE the self-join — the same explicit-cap +
+    * accumulator discipline as [[Dedup.minhashPairs]]' `maxBucketSize`:
+    * callers see the cap as a parameter and can pass `droppedCells` to
+    * observe how many cells it removed (a dropped cell trades recall
+    * inside that cell for a bounded reducer; raise nCells to split it —
+    * see SCALE.md). The default keeps every cell, so existing oracles are
+    * byte-identical. */
   def semanticDedupDrops(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Float])], tau: Double): DataFrame = {
-    val assigned = withIvfCell(df, vecCol, centroids)
+      centroids: Seq[(Int, Seq[Float])], tau: Double,
+      maxCellSize: Int = Int.MaxValue,
+      droppedCells: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val assignedAll = withIvfCell(df, vecCol, centroids)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("cell"))
+    val assigned =
+      if (maxCellSize == Int.MaxValue) assignedAll
+      else {
+        // cell sizes are an nCells-row aggregate; the kept-cell list rides
+        // a broadcast join, so the cap costs one tiny extra aggregation,
+        // not a corpus shuffle
+        val sizes = assignedAll.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cell_n"))
+        val kept = droppedCells match {
+          case None => sizes.filter(col("cell_n") <= maxCellSize)
+          case Some(acc) =>
+            val keep = udf { n: Long =>
+              if (n > maxCellSize) { acc.add(1L); false } else true
+            }
+            sizes.filter(keep(col("cell_n")))
+        }
+        assignedAll.join(broadcast(kept.select(col("cell"))), "cell")
+      }
     val witnesses = assigned
       .select(col("vec_id").as("wit_id"), col("v").as("wv"), col("cell"))
     assigned.join(witnesses, Seq("cell"))
@@ -325,21 +399,28 @@ object Similarity {
     * banker's-rounding divergence). Reconstruction v̂_i = q_i·s/127 has
     * per-component error ≤ s/254. Zero vectors quantize to all-zero with
     * scale 0. One narrow projection, no shuffle. */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withQuantized(df, vecCol, Seq(col(idCol)))
+
+  /** The quantization projection shared by [[quantizeInt8]] and the index
+    * writer: appends (scale, qvec) to the caller-chosen `keep` columns —
+    * ONE formula, so the standalone gate and the quantized index can never
+    * drift. */
+  private def withQuantized(
+      df: DataFrame, vecCol: String, keep: Seq[Column]): DataFrame = {
     val v = col(vecCol)
     // alias the max-abs scale ONCE before the per-element lambda reads it:
     // higher-order-function bodies sit outside subexpression elimination,
     // so an inlined scale would recompute the O(d) max per component
     // (O(d²) per row) — the CollapseProject lesson, one level down
-    df.select(col(idCol), v.as("v"),
-        array_max(transform(v, x => abs(x))).cast("double").as("scale"))
-      .select(
-        col(idCol),
+    df.select(keep ++ Seq(v.as("v"),
+        array_max(transform(v, x => abs(x))).cast("double").as("scale")): _*)
+      .select(keep ++ Seq(
         col("scale"),
         when(col("scale") === 0d, transform(col("v"), _ => lit(0)))
           .otherwise(transform(col("v"), x =>
             floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5)).cast("int")))
-          .as("qvec"))
+          .as("qvec")): _*)
   }
 
   /** Dequantized vectors from [[quantizeInt8]] output (float32, the ANN
@@ -351,19 +432,70 @@ object Similarity {
 
   /** Probe an on-disk IVF index: the `cell` filter is a PARTITION filter —
     * Spark prunes non-probed cell directories at planning time and never
-    * opens their files (plan-asserted in SimilaritySpec). */
+    * opens their files (plan-asserted in SimilaritySpec). Works over both
+    * storage tiers: a quantized index ([[writeIvfIndex]] `quantize = true`)
+    * is dequantized in-kernel inside the scan projection. */
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Seq[Float])], idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
     val probed = nearestCells(centroids, query, nprobe)
-    spark.read.parquet(path)
+    val index = spark.read.parquet(path)
+    index
       .filter(col("cell").isin(probed: _*))
       .select(
         col(idCol),
-        GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))
+        GraftFunctions.cosineSim(indexVector(index, vecCol), typedLit(query))
+          .as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Batched ANN probe: a whole DataFrame of query vectors against the
+    * on-disk IVF index in ONE distributed job — the cross-set retrieval
+    * shape (mining millions of queries) that a per-query driver loop
+    * cannot represent. Per query row: the fused [[IvfCellsTopN]] kernel
+    * assigns its `nprobe` nearest cells IN-PLAN (constant plan size in
+    * nCells), the (query, cell) pairs explode and join the index on its
+    * `cell` PARTITION column, and one window takes the per-query top-k by
+    * exact cosine — job count is constant in the number of queries
+    * (asserted in SimilaritySpec).
+    *
+    * 100 TB shape: the query side is broadcast (queries × nprobe rows of
+    * id + vector), so the probe is exchange-free on the index side and
+    * Spark's dynamic partition pruning drops non-probed cell directories
+    * at runtime — the vacuously-true `cell >= 0` predicate below is what
+    * marks the build side selective so the DPP rule attaches (plan-asserted
+    * in SimilaritySpec). A query set beyond broadcast size flips to a
+    * shuffle join on `cell` with identical semantics — at that scale every
+    * cell is probed by some query, so there is nothing left to prune.
+    * Works over both index storage tiers ([[indexVector]]). */
+  def ivfTopKBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Float])],
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(queries.sparkSession)
+    require(centroids.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "centroids must be densely indexed 0..n-1 in cell order")
+    val probed = queries
+      .select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+        explode(GraftFunctions.ivfCellsTopN(
+          col(queryVecCol), centroids.map(_._2), nprobe)).as("cell"))
+      .filter(col("cell") >= 0)
+    val index = spark.read.parquet(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    index.join(broadcast(probed), "cell")
+      .select(col("query_id"), col(idCol),
+        GraftFunctions.cosineSim(indexVector(index, vecCol), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("cosine"))
   }
 }

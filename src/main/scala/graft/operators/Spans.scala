@@ -42,41 +42,61 @@ object Spans {
     // persisted because BOTH the multi-occurrence aggregate and the join
     // probe side read it — the branches shuffle different shapes, so
     // ReuseExchange can't fire and the scan+explode+hash would run twice.
-    // Spillable storage; blocks are reclaimed by the ContextCleaner once
-    // the plan is unreachable.
-    val positioned = df
-      .filter(size(GraftFunctions.tokens(col(textCol))) >= k)
+    // Spillable storage; the result is materialized eagerly below and
+    // `positioned` unpersisted before returning, so repeated invocations in
+    // a long-lived session (a bench loop, a curation service) never pin the
+    // big positional frame — the Clusters.resolve cleanup discipline.
+    val positioned = positionedFingerprints(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val multiDoc = positioned
+        .groupBy(col("gfp"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("gfp"))
+
+      val repeated = positioned.join(multiDoc, "gfp")
+        .select(col("doc_id"), col("p"), (col("p") + k - 1).as("e"))
+
+      // eager: the extent table (repeated positions only — a small fraction
+      // of any healthy corpus) is materialized through localCheckpoint so
+      // the big positional frame can be unpersisted NOW rather than when
+      // the ContextCleaner happens to GC the plan. On a real cluster swap in
+      // a reliable checkpoint the same way Clusters.resolve documents.
+      mergeExtents(repeated)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+        .localCheckpoint(true)
+    } finally positioned.unpersist(blocking = false)
+  }
+
+  /** The positional-fingerprint stream both span tiers consume:
+    * (doc_id, p, gfp) — one row per k-token window, 8-byte FNV fingerprint,
+    * never text. */
+  private def positionedFingerprints(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.filter(size(GraftFunctions.tokens(col(textCol))) >= k)
       .select(
         col(idCol).as("doc_id"),
         posexplode(GraftFunctions.wordShingles(col(textCol), k)).as(Seq("p", "g")))
       .select(col("doc_id"), col("p"),
         GraftFunctions.fingerprint64(col("g")).as("gfp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val multiDoc = positioned
-      .groupBy(col("gfp"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("gfp"))
-
-    val repeated = positioned.join(multiDoc, "gfp")
-      .select(col("doc_id"), col("p"), (col("p") + k - 1).as("e"))
-
-    // interval union per doc: a window starts a new extent iff it begins
-    // after every earlier window's end + 1 (adjacency merges)
+  /** Interval union per doc over (doc_id, p, e) window rows: a window starts
+    * a new extent iff it begins after every earlier window's end + 1
+    * (adjacency merges). Returns (doc_id, span_start, span_end). */
+  private def mergeExtents(windows: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val prevMaxEnd = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-    val withIsland = repeated
+    windows
       .withColumn("new_ext",
         when(prevMaxEnd.isNull || col("p") > prevMaxEnd + 1, 1).otherwise(0))
       .withColumn("ext", sum(col("new_ext")).over(byPos))
-
-    withIsland.groupBy(col("doc_id"), col("ext"))
+      .groupBy(col("doc_id"), col("ext"))
       .agg(min(col("p")).as("span_start"), max(col("e")).as("span_end"))
-      .select(col("doc_id"),
-        col("span_start").cast("long").as("span_start"),
-        col("span_end").cast("long").as("span_end"),
-        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
   /** The REMOVAL half of the substring-dedup tier (the counting tier above

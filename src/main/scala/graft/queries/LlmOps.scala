@@ -559,6 +559,112 @@ object LlmOps {
       queryVector(s, dir), k = 20, nprobe = 4)
   }
 
+  /** Quantized-index IVF probe gate: the SAME refined centroids as
+    * [[simTopKIvf]], but the on-disk index stores the int8 tier
+    * ([[Similarity.writeIvfIndex]] `quantize = true` — packed one-byte
+    * codes + per-row scale, ~4× smaller) and the probe dequantizes
+    * in-kernel at scan time. The gate probes the WRITTEN index
+    * (xlsx-roundtrip posture: the on-disk artifact is what's verified),
+    * and the oracle replays quantize → dequantize → cosine exactly —
+    * round-half-up floor quantization and the q·s/127 reconstruction are
+    * rational arithmetic, so the hash check is exact, not a recall bound
+    * (the ≥0.8 recall-vs-exact pin lives in SimilaritySpec). */
+  def simTopKIvfQ8(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_q8")
+    try {
+      val e = embeddings(s, dir)
+      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        out.toString, nCells = 16, refineIters = IvfKmeansIters, quantize = true)
+      Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
+        queryVector(s, dir), k = 20, nprobe = 4).localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[simTopKIvfQ8]] on the shared k-means CTEs: same refined
+    * centroids and cell membership, the corpus side dequantized through
+    * the identical floor(x/s·127 + 0.5) → q·s/127 → float32 chain, the
+    * query at full precision (as the probe leaves it). */
+  lazy val simTopKIvfQ8Sql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+       |probed AS (
+       |  SELECT c.cell FROM cent$f c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4),
+       |sc AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+       |  FROM embeddings),
+       |dq AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+       |         ELSE list_transform(embedding, x ->
+       |           CAST(CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)
+       |                * scale / 127.0 AS FLOAT))
+       |    END AS vec
+       |  FROM sc)
+       |SELECT dq.vec_id, ${cosSql("dq.vec", "q.qv")} AS cosine
+       |FROM dq JOIN assign USING (vec_id) CROSS JOIN q
+       |WHERE assign.cell IN (SELECT cell FROM probed)
+       |ORDER BY cosine DESC, dq.vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  // batched-ANN gate parameters — shared by the query and its oracle twin.
+  // Every AnnBatchQueryMod-th vector is a query: 10 queries at sf0.01,
+  // 100 at sf0.1 — the gate's query COUNT scales with the corpus, pinning
+  // "one job, N queries" at every SF.
+  private val AnnBatchQueryMod = 50
+  private val AnnBatchK = 10
+
+  /** Batched ANN probe gate ([[Similarity.ivfTopKBatch]]): a DataFrame of
+    * query vectors probed against the on-disk IVF index in ONE job —
+    * in-plan top-nprobe cell assignment (fused [[graft.functions
+    * .IvfCellsTopN]] kernel), cell join, per-query top-k window. Replaces
+    * the engine's last per-query driver-loop pattern. */
+  def annBatch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_ann_batch")
+    try {
+      val e = embeddings(s, dir)
+      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        out.toString, nCells = 16, refineIters = IvfKmeansIters)
+      val queries = e.filter(pmod(col("vec_id"), lit(AnnBatchQueryMod)) === 0)
+      Similarity.ivfTopKBatch(s, out.toString, cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = AnnBatchK, nprobe = 4).localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[annBatch]] on the shared k-means CTEs: per query, the
+    * 4-nearest refined centroids by (cosine DESC, cell ASC) — exactly the
+    * fused kernel's strict-greater ascending-cell selection — then the
+    * cell-joined candidates ranked per query by exact cosine. */
+  lazy val annBatchSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % $AnnBatchQueryMod = 0),
+       |pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM q CROSS JOIN cent$f c) WHERE rn <= 4),
+       |cand AS (SELECT pr.query_id, a.vec_id FROM pr JOIN assign a USING (cell)),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+       |FROM (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $AnnBatchK""".stripMargin
+  }
+
   /** Top-5 TF-IDF terms per document. The gate query drops the raw tfidf
     * double: JVM Math.log and DuckDB ln disagree by 1 ulp on rare idf
     * arguments (measured: 1 of 5550 across sf0.001–0.1 corpus sizes), so
@@ -1196,28 +1302,26 @@ object LlmOps {
   /** Mirrors [[graft.operators.Similarity.kmeansCentroids]] +
     * `ivfTopKWith`: seeds = first 16 vectors by id; [[IvfKmeansIters]]
     * UNROLLED Lloyd rounds, each an assignment (first-index argmax of
-    * cosine ≡ row_number with cell ASC tie-break) + per-dimension
-    * AVG-cast-to-float32 update (empty cells keep their centroid, like the
-    * kernel's `getOrElse(c, old)`); then the 4-nearest-cell probe. The
-    * float32 cast after each update quantizes away the engines'
-    * double-summation-order noise, so assignments — and therefore the
-    * probed membership and the final exact cosines — are engine-identical.
-    *
-    * Residual risk (documented, accepted): the quantization argument fails
-    * only if a centroid dimension's double mean lands within half an ulp of
-    * a float32 rounding boundary AND the engines' summation orders diverge
-    * there — P ≈ 2⁻²⁹ per (cell, dim, iter), ~10⁻⁵ per run at these
-    * parameters. A flake here re-passes on rerun and cannot produce a
-    * silently-wrong stable result. */
+    * cosine ≡ row_number with cell ASC tie-break) + a per-dimension
+    * quantized-integer-sum mean update — floor(x·10⁹) BIGINT sums / count
+    * / 10⁹, cast to float32, exactly the kernel's [[Similarity
+    * .CentroidQuanta]] arithmetic (empty cells keep their centroid, like
+    * the kernel's `getOrElse(c, old)`); then the 4-nearest-cell probe.
+    * Integer sums are order-independent, so the replay is BIT-EXACT on any
+    * partitioning and any engine — the former AVG()-cast-float32
+    * formulation's documented ~10⁻⁵/run summation-order flake class is
+    * gone (same fix that made the probe's GD training reproducible). */
   /** Shared CTE fragment: cent0 seeds (first-16 by id) → [[IvfKmeansIters]]
     * unrolled Lloyd rounds → `cent$IvfKmeansIters` (the refined centroid
     * table) and `assign(vec_id, cell)` (final first-index-argmax
-    * assignment). Used by the IVF probe oracle AND the semantic-dedup
-    * oracle, so both gates exercise the SAME replicated k-means. */
+    * assignment). Used by the IVF probe oracle, the semantic-dedup oracle,
+    * the cluster-report oracle and the batched-ANN oracle, so all gates
+    * exercise the SAME replicated k-means. */
   private def kmeansAssignCtes: String = {
     val dim = 64
+    val q = graft.operators.Similarity.CentroidQuanta
     val avgs = (1 to dim)
-      .map(i => s"CAST(AVG(CAST(e.embedding[$i] AS DOUBLE)) AS FLOAT)")
+      .map(i => s"CAST(CAST(SUM(CAST(floor(CAST(e.embedding[$i] AS DOUBLE) * $q) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $q AS FLOAT)")
       .mkString("[", ", ", "]")
     def round(t: Int): String =
       s"""rc$t AS (
@@ -1290,10 +1394,16 @@ object LlmOps {
        |    FROM lm_ts)),
        |lm_bi AS (SELECT bg, COUNT(*) AS c_bi FROM lm_bipos GROUP BY bg),
        |lm_contrib AS (
+       |  -- LEFT joins + COALESCE mirror LangModel.scoreBigram for ANY
+       |  -- reference corpus: an unseen bigram/unigram smooths to
+       |  -- (0+1)/(0+V) instead of silently dropping the position (inner
+       |  -- joins only coincide under self-scoring, where every scored
+       |  -- bigram exists in the reference)
        |  SELECT doc_id, pos,
-       |    (CAST(c_bi AS DOUBLE) + 1.0) / (CAST(c_uni AS DOUBLE) + CAST(v AS DOUBLE)) AS p
-       |  FROM lm_bipos JOIN lm_bi USING (bg)
-       |  JOIN lm_uni ON lm_uni.token = lm_bipos.prev CROSS JOIN lm_vocab),
+       |    (CAST(COALESCE(c_bi, 0) AS DOUBLE) + 1.0)
+       |      / (CAST(COALESCE(c_uni, 0) AS DOUBLE) + CAST(v AS DOUBLE)) AS p
+       |  FROM lm_bipos LEFT JOIN lm_bi USING (bg)
+       |  LEFT JOIN lm_uni ON lm_uni.token = lm_bipos.prev CROSS JOIN lm_vocab),
        |lmdoc AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |    list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS mean_p
@@ -1499,13 +1609,16 @@ object LlmOps {
        |ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin
 
   /** Mirrors [[knnJoin]]: the same candidate CTE, symmetrized, ranked per
-    * row by (cosine DESC, neighbor ASC). */
+    * row by (cosine DESC, neighbor ASC). The `cosine >= -1.0` predicate
+    * mirrors the operator exactly ([[Similarity.lshKnnJoin]] calls
+    * `embeddingNearDupPairs` with threshold = -1.0): a NaN cosine or a
+    * rounding one ulp below -1 is dropped by BOTH engines, never just one. */
   val knnJoinSql: String =
     s"""WITH ${lshScoredCte(8, 4)},
        |sym AS (
-       |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+       |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored WHERE cosine >= -1.0
        |  UNION ALL
-       |  SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored),
+       |  SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored WHERE cosine >= -1.0),
        |ranked AS (
        |  SELECT vec_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank

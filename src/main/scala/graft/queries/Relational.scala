@@ -158,10 +158,14 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** HLL sketch next to the exact count it approximates — the query is
-    * SELF-CHECKING: `within_bound` asserts the sketch landed inside 3× its
+    * SELF-CHECKING: `within_bound` asserts the sketch landed inside 5× its
     * configured relative standard deviation (0.05), so the rows-only gate
     * still catches a broken sketch without an engine-portable oracle
-    * (sketch internals are engine-specific by nature). */
+    * (sketch internals are engine-specific by nature). 5σ because rsd is a
+    * STANDARD DEVIATION, not a bound: a healthy sketch lands outside 3σ
+    * ~0.3% of the time per group (a real gate-flake rate over rounds),
+    * outside 5σ ~6·10⁻⁷ — negligible, while a broken sketch (off by ≥25%)
+    * still fails loudly. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -170,7 +174,7 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .withColumn("within_bound",
         abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
-          <= lit(3 * 0.05) * col("exact_parts").cast("double"))
+          <= lit(5 * 0.05) * col("exact_parts").cast("double"))
 
   /** Window ranking: top-3 orders per customer (row_number + filter). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {

@@ -55,8 +55,9 @@ class SketchSpec extends SparkTestBase {
     approx.foreach { r =>
       val e = exact(r.getString(0)).toDouble
       val a = r.getLong(1).toDouble
-      // default HLL++ rsd is 5%; allow 3 sigma
-      assert(math.abs(a - e) / e <= 0.15,
+      // default HLL++ rsd is 5%; allow 5 sigma (rsd is a standard
+      // deviation — 3σ flakes ~0.3% per group on a healthy sketch)
+      assert(math.abs(a - e) / e <= 0.25,
         s"${r.getString(0)}: approx $a vs exact $e")
       // the query's own in-row verdict agrees (self-checking gate)
       assert(r.getBoolean(r.fieldIndex("within_bound")),
