@@ -66,6 +66,7 @@ object SparkEntry {
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
     "d_strip_spans" -> (q.LlmOps.stripSpans _),
+    "d_span_dedup_keep_one" -> (q.LlmOps.spanDedupKeepOne _),
     "d_vocab_coverage" -> (q.LlmOps.vocabCoverage _),
     "d_text_normalize" -> (q.LlmOps.textNormalize _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,
+    "d_span_dedup_keep_one" -> q.LlmOps.spanDedupKeepOneSql,
     "d_neardup_incremental" -> q.LlmOps.nearDupIncrementalSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,85 @@ object Spans {
     * The extent list joins back doc-keyed (tiny rows: two longs per
     * extent); the per-token membership test is O(tokens × extents) per
     * document — extents are merged intervals, typically few. */
+  /** Keep-ONE-occurrence substring dedup — the deployed Lee et al. 2022
+    * recipe ([[stripRepeatedSpans]] excises EVERY occurrence, which deletes
+    * boilerplate and its only surviving copy; this operator keeps exactly
+    * one): for every repeated window fingerprint the corpus-wide WITNESS is
+    * its minimum (doc_id, p) occurrence, and a token survives iff it is
+    * covered by a witness window or by no repeated window at all. The
+    * witness's tokens are consecutive and all kept, so every repeated
+    * k-gram string still occurs (at least once) in the cleaned corpus —
+    * the reconstruction invariant SpansSpec asserts.
+    *
+    * Coordination cost over the strip-all variant: ONE extra min-struct
+    * per fingerprint inside the aggregation the counting tier already runs
+    * (the witness rides the same groupBy(gfp) shuffle — no new exchange),
+    * then witness/removable extents merge per doc exactly like
+    * [[repeatedSpans]]. Output shape matches [[stripRepeatedSpans]]:
+    * token counts + cleaned text pinned by length + fingerprint. */
+  def dedupRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Int = 2): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val positioned = positionedFingerprints(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fps = positioned
+        .groupBy(col("gfp"))
+        .agg(
+          count_distinct(col("doc_id")).as("nd"),
+          min(struct(col("doc_id"), col("p"))).as("wit"))
+        .filter(col("nd") >= minDocs)
+        .select(col("gfp"),
+          col("wit").getField("doc_id").as("wit_doc"),
+          col("wit").getField("p").as("wit_p"))
+      val occ = positioned.join(fps, "gfp")
+        .select(col("doc_id"), col("p"), (col("p") + k - 1).as("e"),
+          (col("doc_id") === col("wit_doc") && col("p") === col("wit_p"))
+            .as("is_wit"))
+      def extArray(windows: DataFrame, name: String): DataFrame =
+        mergeExtents(windows.select(col("doc_id"), col("p"), col("e")))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(
+            struct(col("span_start").as("s"), col("span_end").as("e")))).as(name))
+      // eager like repeatedSpans: the per-doc extent arrays (repeated
+      // positions only) materialize through localCheckpoint so the big
+      // positional frame is freed NOW
+      val exts = extArray(occ.filter(!col("is_wit")), "rem_exts")
+        .join(extArray(occ.filter(col("is_wit")), "wit_exts"),
+          Seq("doc_id"), "full_outer")
+        .localCheckpoint(true)
+
+      val ts = GraftFunctions.tokens(col("text"))
+      val noExts = array().cast("array<struct<s:int,e:int>>")
+      def covered(extsCol: Column, i: Column): Column =
+        exists(coalesce(extsCol, noExts),
+          ex => i >= ex.getField("s") && i <= ex.getField("e"))
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .join(exts, Seq("doc_id"), "left")
+        // alias the kept-token filter ONCE — it feeds both the removed
+        // count and the re-joined clean text (the CollapseProject lesson)
+        .select(col("doc_id"), size(ts).as("nt"),
+          filter(ts, (_, i) =>
+            !covered(col("rem_exts"), i) || covered(col("wit_exts"), i))
+            .as("kept"))
+        .select(col("doc_id"),
+          col("nt").cast("long").as("n_tokens"),
+          (col("nt") - size(col("kept"))).cast("long").as("n_removed"),
+          array_join(col("kept"), " ").as("clean"))
+        // unlike stripRepeatedSpans, the cleaned TEXT is emitted: the
+        // reconstruction invariant (every repeated k-gram survives at its
+        // witness) is asserted over it in SpansSpec and hash-pinned by the
+        // gate's oracle; the fingerprint still rides along for manifests
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean"),
+          length(col("clean")).cast("long").as("clean_len"),
+          GraftFunctions.fingerprint64(col("clean")).as("clean_fp"))
+    } finally positioned.unpersist(blocking = false)
+  }
+
   def stripRepeatedSpans(
       df: DataFrame,
       idCol: String,

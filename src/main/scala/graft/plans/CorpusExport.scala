@@ -31,17 +31,7 @@ object CorpusExport {
     * driver gate) therefore verify the on-disk artifact end to end, not
     * the in-memory plan that produced it. */
   def writeCurated(s: SparkSession, dir: String, outPath: String): DataFrame = {
-    val curated = graft.queries.LlmOps.curationPipeline(s, dir)
-    val splits = graft.queries.LlmOps.splitAssignments(s, dir)
-      .select(col("doc_id"), col("split"))
-    val text = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-    val full = curated.join(splits, "doc_id").join(text, "doc_id")
-
-    def manifestOf(df: DataFrame): DataFrame = df
-      .groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("total_tokens"))
-
+    val full = curatedFull(s, dir)
     Channels.multiSink(full)(Seq[DataFrame => Unit](
       df => df.write.mode("overwrite").partitionBy("split")
         .parquet(s"$outPath/corpus"),
@@ -49,5 +39,70 @@ object CorpusExport {
         .write.mode("overwrite").json(s"$outPath/_manifest")
     ))
     manifestOf(s.read.parquet(s"$outPath/corpus"))
+  }
+
+  /** The full curated frame an export writes: curation survivors joined to
+    * their split assignment and raw text. */
+  private def curatedFull(s: SparkSession, dir: String): DataFrame = {
+    val curated = graft.queries.LlmOps.curationPipeline(s, dir)
+    val splits = graft.queries.LlmOps.splitAssignments(s, dir)
+      .select(col("doc_id"), col("split"))
+    val text = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    curated.join(splits, "doc_id").join(text, "doc_id")
+  }
+
+  private def manifestOf(df: DataFrame): DataFrame = df
+    .groupBy(col("split"), col("lang"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("total_tokens"))
+
+  /** INCREMENTAL re-export against an existing [[writeCurated]] artifact at
+    * `outPath`: diff the freshly-curated corpus against the base corpus on
+    * disk by content fingerprint ([[graft.operators.Versioning.diff]]) and
+    * write ONLY the added/modified documents as a split-partitioned DELTA
+    * (`outPath/delta`), plus the removed ids (`outPath/_removed`). An
+    * UNCHANGED snapshot therefore re-exports ZERO corpus rows — no part
+    * files at all (asserted in CorpusExportSpec) — where a full re-export
+    * rewrites every partition.
+    *
+    * Returns the manifest of the LOGICAL corpus (base minus
+    * removed/modified, union delta) recomputed from the WRITTEN files —
+    * the same read-back verification contract as [[writeCurated]]; the
+    * spec pins it equal to a from-scratch export's manifest.
+    *
+    * 100 TB shape: the diff reduces both sides to (id, 16-byte
+    * fingerprint) scan projections — one narrow full-outer join; document
+    * payloads move only for the docs that actually changed. The curated
+    * frame is computed ONCE (persisted across the diff and the delta
+    * write, then freed). */
+  def writeCuratedDelta(s: SparkSession, dir: String, outPath: String): DataFrame = {
+    val base = s.read.parquet(s"$outPath/corpus")
+    val full = curatedFull(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val diff = graft.operators.Versioning.diff(
+        base.select(col("doc_id"), col("text")),
+        full.select(col("doc_id"), col("text")), "doc_id", "text")
+      val changed = diff.filter(col("status").isin("added", "modified"))
+        .select(col("doc_id"))
+      val removed = diff.filter(col("status") === "removed").select(col("doc_id"))
+
+      full.join(changed, "doc_id")
+        .write.mode("overwrite").partitionBy("split")
+        .parquet(s"$outPath/delta")
+      removed.write.mode("overwrite").json(s"$outPath/_removed")
+
+      // logical corpus = base rows still current + the written delta; an
+      // explicit schema on the delta read-back because an empty delta has
+      // no part files to infer from
+      val gone = changed.unionByName(
+        s.read.schema("doc_id long").json(s"$outPath/_removed")
+          .select(col("doc_id")))
+      val delta = s.read.schema(base.schema)
+        .parquet(s"$outPath/delta")
+      manifestOf(
+        base.join(gone, Seq("doc_id"), "left_anti").unionByName(delta))
+        .localCheckpoint(true)
+    } finally { full.unpersist(blocking = false); () }
   }
 }

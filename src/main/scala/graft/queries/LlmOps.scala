@@ -469,6 +469,91 @@ object LlmOps {
        |  ${hugeToSignedSql("hc")} AS clean_fp
        |FROM h""".stripMargin
 
+  /** Keep-one-occurrence substring dedup ([[Spans.dedupRepeatedSpans]]):
+    * every repeated 8-token window survives exactly at its corpus-wide
+    * minimum-(doc_id, pos) witness; all other occurrences are excised.
+    * Same output posture as [[stripSpans]] (counts + clean text pinned by
+    * length + fingerprint). */
+  def spanDedupKeepOne(s: SparkSession, dir: String): DataFrame =
+    Spans.dedupRepeatedSpans(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2)
+
+  /** The island-merge (interval-union) CTE chain over a (doc_id, p, e)
+    * window source, ending in per-doc sorted extent arrays
+    * `${tag}_ag(doc_id, exts)` — the SQL replica of `Spans.mergeExtents` +
+    * the collect_list aggregation, shared by both witness and removable
+    * extent sets in [[spanDedupKeepOneSql]]. */
+  private def extentAggCtes(src: String, tag: String): String = {
+    val pme = "max(e) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"""${tag}_isl AS (
+       |  SELECT doc_id, p, e,
+       |    CASE WHEN $pme IS NULL OR p > $pme + 1 THEN 1 ELSE 0 END AS new_ext
+       |  FROM $src),
+       |${tag}_ext AS (
+       |  SELECT doc_id, p, e,
+       |    SUM(new_ext) OVER (PARTITION BY doc_id ORDER BY p) AS ext
+       |  FROM ${tag}_isl),
+       |${tag}_sp AS (
+       |  SELECT doc_id, MIN(p) AS s, MAX(e) AS e
+       |  FROM ${tag}_ext GROUP BY doc_id, ext),
+       |${tag}_ag AS (
+       |  SELECT doc_id, list_sort(list({s: s, e: e})) AS exts
+       |  FROM ${tag}_sp GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Mirrors [[spanDedupKeepOne]]: the positional-fingerprint CTEs of
+    * [[repeatedSpansSql]], the witness as row_number 1 over (doc_id, p)
+    * per fingerprint (≡ the operator's min-struct), separate island-merges
+    * for witness and removable windows, and the keep rule
+    * `NOT covered-by-removable OR covered-by-witness` per token. */
+  lazy val spanDedupKeepOneSql: String = {
+    val k = 8
+    val parts = (1 to k).map(j => s"ts[i+${j - 1}]").mkString(", ' ', ")
+    val noExts = "CAST([] AS STRUCT(s BIGINT, e BIGINT)[])"
+    def coveredSql(src: String): String =
+      s"len(list_filter(COALESCE($src, $noExts), x -> (i - 1) >= x.s AND (i - 1) <= x.e)) > 0"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text,' ') AS ts FROM documents
+       |  WHERE len(string_split(text,' ')) >= $k),
+       |s AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts) - ${k - 2}),
+       |      i -> {p: i - 1, g: concat($parts)})) AS u
+       |  FROM d),
+       |g AS (SELECT doc_id, u.p AS p, u.g AS g FROM s),
+       |hh AS (SELECT doc_id, p, ${fnvHugeSql("g")} AS hu FROM g),
+       |ps AS (SELECT doc_id, p, ${hugeToSignedSql("hu")} AS h FROM hh),
+       |md AS (SELECT h FROM ps GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |occ AS (
+       |  SELECT ps.doc_id, ps.p, ps.p + ${k - 1} AS e,
+       |    row_number() OVER (PARTITION BY ps.h ORDER BY ps.doc_id, ps.p) AS rn
+       |  FROM ps JOIN md USING (h)),
+       |${extentAggCtes("(SELECT doc_id, p, e FROM occ WHERE rn > 1)", "rem")},
+       |${extentAggCtes("(SELECT doc_id, p, e FROM occ WHERE rn = 1)", "wit")},
+       |base AS (SELECT doc_id, $tsSql AS ts FROM documents),
+       |cleaned AS (
+       |  SELECT b.doc_id,
+       |    CAST(len(b.ts) AS BIGINT) AS n_tokens,
+       |    list_transform(
+       |      list_filter(range(1, len(b.ts) + 1),
+       |        i -> NOT (${coveredSql("r.exts")}) OR (${coveredSql("w.exts")})),
+       |      i -> b.ts[i]) AS kept
+       |  FROM base b
+       |  LEFT JOIN rem_ag r USING (doc_id)
+       |  LEFT JOIN wit_ag w USING (doc_id)),
+       |fin AS (
+       |  -- a fully-stripped doc: DuckDB's array_to_string([]) is NULL,
+       |  -- Spark's array_join([]) is '' — align on ''
+       |  SELECT doc_id, n_tokens,
+       |    CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       |    COALESCE(array_to_string(kept, ' '), '') AS clean
+       |  FROM cleaned),
+       |h AS (SELECT doc_id, n_tokens, n_removed, clean, ${fnvHugeSql("clean")} AS hc FROM fin)
+       |SELECT doc_id, n_tokens, n_removed, clean,
+       |  CAST(length(clean) AS BIGINT) AS clean_len,
+       |  ${hugeToSignedSql("hc")} AS clean_fp
+       |FROM h""".stripMargin
+  }
+
   /** Vocabulary coverage (tokenizer-prep): the top-200 corpus tokens by
     * frequency with cumulative coverage fraction — the curve that sizes a
     * vocabulary. One explode + one aggregation + one window over the

@@ -213,6 +213,159 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"int8 ANN recall $recall below 0.8")
   }
 
+  test("kmeansCentroids: quantized-integer-sum Lloyd updates are partitioning-invariant") {
+    GraftFunctions.register(spark)
+    val a = Similarity.kmeansCentroids(embs, "vec_id", "embedding", 16, iters = 3)
+    val b = Similarity.kmeansCentroids(
+      embs.repartition(17), "vec_id", "embedding", 16, iters = 3)
+    assert(a == b,
+      "refined centroids must be bit-identical on any partitioning")
+  }
+
+  test("semanticDedupDrops: maxCellSize drops giant cells, accumulator observes, small cells unaffected") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val c0 = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val c1 = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    def near(c: Seq[Float], eps: Float): Seq[Float] =
+      c.map(x => x * 10f + rnd.nextGaussian().toFloat * eps)
+    // giant cell: 30 near-identical members around c0; small cell: a planted
+    // near-dup pair (100, 101) + one far member around c1
+    val base1 = near(c1, 0.01f)
+    val rows =
+      (0 until 30).map(i => (i.toLong, near(c0, 0.01f))) ++
+        Seq((100L, base1),
+          (101L, base1.map(_ + rnd.nextGaussian().toFloat * 0.01f)),
+          (102L, near(c1, 8f)))
+    val df = rows.toDF("vec_id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "vec", nCells = 2, iters = 5)
+    // uncapped: the giant cell floods the drop list
+    val uncapped = Similarity.semanticDedupDrops(df, "vec_id", "vec", cents, tau = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(uncapped.count(_ < 30L) >= 25, s"giant cell should flood uncapped drops: $uncapped")
+    assert(uncapped.contains(101L))
+    // capped: the giant cell is excluded from pair generation entirely,
+    // the small cell's dedup is untouched, and the cap is observable
+    val acc = spark.sparkContext.longAccumulator("droppedCells")
+    val capped = Similarity.semanticDedupDrops(df, "vec_id", "vec", cents, tau = 0.999,
+        maxCellSize = 10, droppedCells = Some(acc))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped.keySet.forall(_ >= 100L), s"giant-cell ids must not appear: $capped")
+    assert(capped.get(101L).contains(100L))
+    assert(acc.value == 1L, s"exactly one cell over the cap, got ${acc.value}")
+  }
+
+  test("quantized IVF index: >=3x smaller on disk, probe ≡ dequantized in-memory search, partitions prune") {
+    GraftFunctions.register(spark)
+    val p32 = s"target/ivf_f32_${System.nanoTime()}"
+    val p8 = s"target/ivf_q8_${System.nanoTime()}"
+    val c32 = Similarity.writeIvfIndex(embs, "vec_id", "embedding", p32,
+      nCells = 16, refineIters = 2)
+    val c8 = Similarity.writeIvfIndex(embs, "vec_id", "embedding", p8,
+      nCells = 16, refineIters = 2, quantize = true)
+    assert(c32 == c8, "quantization must not perturb the centroids")
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.startsWith("part-")) f.length()
+        else 0L
+      walk(new java.io.File(dir))
+    }
+    // size ratio measured where payload dominates parquet footers: 4000
+    // incompressible random vectors over 4 cells (the 50-row fixture is
+    // ~90% per-partition-file footer overhead, which caps any ratio)
+    {
+      import spark.implicits._
+      val rnd = new scala.util.Random(3)
+      val big = (0 until 4000).map(i =>
+        (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "vec")
+      val bp32 = s"target/ivf_sz_f32_${System.nanoTime()}"
+      val bp8 = s"target/ivf_sz_q8_${System.nanoTime()}"
+      Similarity.writeIvfIndex(big, "vec_id", "vec", bp32, nCells = 4)
+      Similarity.writeIvfIndex(big, "vec_id", "vec", bp8, nCells = 4, quantize = true)
+      val (b32, b8) = (bytes(bp32), bytes(bp8))
+      assert(b8 * 3 <= b32, s"int8 index $b8 B not >=3x smaller than float32 $b32 B")
+    }
+    // probe over the quantized index ≡ probing the dequantized vectors with
+    // the same cells — bit-exact, not approximate
+    val fromQ8 = Similarity.ivfTopKFromIndex(
+        spark, p8, c8, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val deq = Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(embs, "vec_id", "embedding"))
+      .select(col("vec_id"), col("vec"))
+    val probed = Similarity.nearestCells(c8, query, 4)
+    val expected = Similarity.withIvfCell(embs, "embedding", c8)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id")).join(deq, "vec_id")
+      .select(col("vec_id"),
+        GraftFunctions.cosineSim(col("vec"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromQ8 == expected)
+    // quantization keeps the probe's answer quality: >=0.8 overlap with the
+    // float32 index probe (same cells, full-precision vectors)
+    val fromF32 = Similarity.ivfTopKFromIndex(
+        spark, p32, c32, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = fromQ8.map(_._1).count(fromF32.contains).toDouble / 20
+    assert(recall >= 0.8, s"q8 index recall $recall below 0.8")
+    // the cell filter still prunes partitions on the quantized layout
+    val plan = Similarity.ivfTopKFromIndex(
+      spark, p8, c8, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
+  test("ivfTopKBatch: ≡ per-query probes, constant job count in N, index scan dynamically pruned") {
+    GraftFunctions.register(spark)
+    val path = s"target/ivf_batch_${System.nanoTime()}"
+    val cents = Similarity.writeIvfIndex(embs, "vec_id", "embedding", path,
+      nCells = 16, refineIters = 2)
+    def queriesWhere(mod: Int) = embs.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val batch = Similarity.ivfTopKBatch(spark, path, cents,
+      queriesWhere(10), "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 4)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    // every query's block equals its single-query probe, bit-exact
+    val qvecs = queriesWhere(10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == qvecs.keySet)
+    qvecs.foreach { case (qid, qv) =>
+      val single = Similarity.ivfTopKFromIndex(
+          spark, path, cents, "vec_id", "embedding", qv, k = 5, nprobe = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }.toSeq
+      assert(got(qid).sortBy(_._2).toSeq == single, s"query $qid diverges from single probe")
+    }
+    // job count must not scale with the number of queries
+    def jobsFor(mod: Int): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Similarity.ivfTopKBatch(spark, path, cents, queriesWhere(mod),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 4).count()
+        Thread.sleep(500) // listener delivery is async
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val (j5, j25) = (jobsFor(10), jobsFor(2))
+    assert(j5 == j25, s"job count scales with query count: $j5 vs $j25 — a per-query loop")
+    // the broadcast side's selective predicate lets dynamic partition
+    // pruning attach to the index scan's cell partition column
+    val planStr = batch.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n$planStr")
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()

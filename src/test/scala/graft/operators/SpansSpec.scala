@@ -83,6 +83,54 @@ class SpansSpec extends SparkTestBase {
     assert(got == Set((6L, 0L))) // all 6 removed, clean_len 0 for both
   }
 
+  test("dedupRepeatedSpans keeps exactly the min-(doc,pos) witness of a planted repeat") {
+    // "b1..b4" repeats across all three docs; doc 1 holds the minimum
+    // (doc_id, pos) occurrence, so it alone keeps the boilerplate
+    val got = Spans.dedupRepeatedSpans(Seq(
+        (1L, "u1 u2 b1 b2 b3 b4 u3 u4"),
+        (2L, "v1 v2 v3 b1 b2 b3 b4 v4"),
+        (3L, "b1 b2 b3 b4 w1 w2 w3 w4")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (0L, "u1 u2 b1 b2 b3 b4 u3 u4"), got)
+    assert(got(2L) == (4L, "v1 v2 v3 v4"), got)
+    assert(got(3L) == (4L, "w1 w2 w3 w4"), got)
+  }
+
+  test("dedupRepeatedSpans: a witness inside an overlap survives; non-witness copies go") {
+    // two docs share the SAME long run; the whole run survives once (doc 1)
+    val text = "t1 t2 t3 t4 t5 t6"
+    val got = Spans.dedupRepeatedSpans(
+        Seq((1L, text), (2L, text)).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (0L, text), got)
+    assert(got(2L) == (6L, ""), got)
+  }
+
+  test("dedupRepeatedSpans reconstruction invariant on the fixture corpus: every repeated k-gram survives") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    def shinglesOf(text: String, k: Int): Seq[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < k) Seq.empty
+      else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    }
+    val orig = df.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val repeated = orig.flatMap { case (id, t) => shinglesOf(t, 8).distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+    assert(repeated.nonEmpty, "fixture must contain cross-doc repeats")
+    val cleaned = Spans.dedupRepeatedSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getString(3))
+    val survivors = cleaned.flatMap(shinglesOf(_, 8)).toSet
+    repeated.foreach { g =>
+      assert(survivors.contains(g), s"repeated 8-gram lost corpus-wide: '$g'")
+    }
+    // and the strip-all variant's failure mode is real: it deletes some
+    // repeated grams from EVERY copy (what keep-one exists to prevent)
+    val strippedAll = Spans.stripRepeatedSpans(df, "doc_id", "text", k = 8)
+    assert(strippedAll.collect().map(_.getLong(2)).sum > 0)
+  }
+
   test("strip ≡ manual recomputation from the extents on the fixture corpus") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)

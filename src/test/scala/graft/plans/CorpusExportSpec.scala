@@ -35,4 +35,52 @@ class CorpusExportSpec extends SparkTestBase {
       assert(sidecar == manifest, s"sidecar $sidecar != read-back $manifest")
     } finally CorpusExport.deleteRecursively(out.toFile)
   }
+
+  test("incremental re-export: unchanged corpus writes ZERO files; a tampered base yields exactly its delta") {
+    val out = java.nio.file.Files.createTempDirectory("graft_export_inc")
+    try {
+      def partFiles(dir: String): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+        walk(new java.io.File(dir))
+      }
+      def manifestMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val m0 = manifestMap(CorpusExport.writeCurated(spark, dir, out.toString))
+
+      // 1) unchanged snapshot: the delta holds no corpus files at all, yet
+      //    the returned (logical, read-back) manifest still verifies
+      val m1 = manifestMap(CorpusExport.writeCuratedDelta(spark, dir, out.toString))
+      assert(partFiles(s"$out/delta").isEmpty,
+        s"unchanged re-export wrote ${partFiles(s"$out/delta")}")
+      assert(m1 == m0, s"logical manifest drifted: $m1 != $m0")
+
+      // 2) tamper the base: modify one doc's text and plant a stale doc the
+      //    fresh curation no longer contains
+      val base = spark.read.parquet(s"$out/corpus")
+      val victim = base.select("doc_id").orderBy("doc_id").head().getLong(0)
+      val tampered = base
+        .withColumn("text",
+          when(col("doc_id") === victim, lit("tampered")).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") === victim)
+          .withColumn("doc_id", lit(999999999L)))
+        .localCheckpoint(true) // break file lineage so overwrite-in-place is safe
+      tampered.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$out/corpus")
+
+      // 3) the delta re-export writes EXACTLY the modified doc, records the
+      //    stale doc as removed, and the logical manifest equals a fresh
+      //    export's again
+      val m2 = manifestMap(CorpusExport.writeCuratedDelta(spark, dir, out.toString))
+      val deltaIds = spark.read.parquet(s"$out/delta")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(deltaIds == Seq(victim), s"delta should hold exactly $victim: $deltaIds")
+      val removedIds = spark.read.schema("doc_id long").json(s"$out/_removed")
+        .collect().map(_.getLong(0)).toSeq
+      assert(removedIds == Seq(999999999L), s"removed: $removedIds")
+      assert(m2 == m0, s"repaired logical manifest drifted: $m2 != $m0")
+    } finally CorpusExport.deleteRecursively(out.toFile)
+  }
 }
