@@ -94,6 +94,8 @@ object SparkEntry {
     "d_source_report" -> (q.LlmOps.sourceReport _),
     "d_corpus_diff" -> (q.LlmOps.corpusDiff _),
     "d_embed_quantize" -> (q.LlmOps.embedQuantize _),
+    "d_embed_pca" -> (q.LlmOps.embedPca _),
+    "d_bpe_train" -> (q.LlmOps.bpeTrain _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     // structured streaming (run synchronously through the memory sink)
@@ -169,6 +171,8 @@ object SparkEntry {
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,
     "d_embed_quantize" -> q.LlmOps.embedQuantizeSql,
+    "d_embed_pca" -> q.LlmOps.embedPcaSql,
+    "d_bpe_train" -> q.LlmOps.bpeTrainSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,

@@ -71,8 +71,11 @@ object Probe {
   /** [[trainLinear]] as a (dim, weight) frame — the gate shape. */
   def trainLinearDF(
       spark: SparkSession, data: DataFrame, vecCol: String, labelCol: String,
-      dim: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
-    val w = trainLinear(data, vecCol, labelCol, dim, iters, lr)
+      dim: Int, iters: Int = 3, lr: Double = 0.5): DataFrame =
+    weightsDF(spark, trainLinear(data, vecCol, labelCol, dim, iters, lr))
+
+  /** A trained weight vector as the (dim, weight) gate frame. */
+  def weightsDF(spark: SparkSession, w: Seq[Double]): DataFrame = {
     val rows = w.zipWithIndex.map { case (v, j) => Row(j, v) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),

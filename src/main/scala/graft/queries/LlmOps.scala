@@ -868,11 +868,14 @@ object LlmOps {
     * exact-canonical dedup survivors → benchmark decontamination (the
     * doc_id %19==0 slice plays the held-out eval suite: its docs are
     * excluded from the training output, and training docs sharing any
-    * 5-gram with it drop). Pure operator composition (each stage is its
+    * 5-gram with it drop) → LM predictability → trained-probe scoring
+    * (train on weak labels → score corpus → threshold, the GPT-3/LLaMA
+    * classifier-filtering recipe). Operator composition (each stage is its
     * own oracle-proven operator); one declarative plan, no intermediate
-    * materialization. Dedup uses the HASHED canonical key (128-bit
-    * fingerprint struct), so the widest shuffle in the flagship pipeline
-    * carries 16-byte keys, not document-sized canonical strings.
+    * materialization — the probe trainer's dim+1-longs-per-round fetches
+    * are the only driver round-trips. Dedup uses the HASHED canonical key
+    * (128-bit fingerprint struct), so the widest shuffle in the flagship
+    * pipeline carries 16-byte keys, not document-sized canonical strings.
     *
     * The two fused text kernels ([[GraftFunctions.markerStats]],
     * [[GraftFunctions.repetitionStats]]) are each aliased ONCE in a narrow
@@ -882,6 +885,22 @@ object LlmOps {
     * read it (round 4's shape re-evaluated MarkerStats per call site from
     * three derivations; see SCALE.md). */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    // probe-scoring stage (the GPT-3/LLaMA recipe end-to-end): train the
+    // linear probe on the corpus's weak labels, score every doc by margin,
+    // keep the confidently-good. Training is the pipeline's only driver
+    // round-trips — dim+1 longs per GD round, bit-reproducible on any
+    // partitioning, so the oracle replays the weights AND the margins.
+    val (vecs, w) = trainedProbe(s, dir)
+    val probeOk = graft.operators.Probe.score(vecs, "vector", w)
+      .filter(col("margin") >= ProbeGateMargin)
+      .select(col("doc_id"))
+    curationCore(s, dir).join(probeOk, "doc_id")
+  }
+
+  /** Every curation stage EXCEPT the probe (heuristic quality/repetition/
+    * language gates, dedup, decontamination, LM) — package-visible so the
+    * integration spec can prove the probe stage binds. */
+  private[graft] def curationCore(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val d = docs(s, dir)
     val scored = d.select(
@@ -955,10 +974,13 @@ object LlmOps {
        |$decontaminateSql
        |  ) WHERE contaminated = 0),
        |$lmCtes,
-       |lmok AS (SELECT doc_id FROM lmdoc WHERE mean_p >= $LmMinMeanP)
+       |lmok AS (SELECT doc_id FROM lmdoc WHERE mean_p >= $LmMinMeanP),
+       |$probeTrainCtes,
+       |$probeGateCtes
        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
        |FROM scored s JOIN survivors USING (doc_id) JOIN rep USING (doc_id)
        |  JOIN clean USING (doc_id) JOIN lmok USING (doc_id)
+       |  JOIN pok USING (doc_id)
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
@@ -1537,6 +1559,48 @@ object LlmOps {
   private val ProbeLr = 0.5
   private val ProbeDim = 64
 
+  /** Fraction of the corpus the probe TRAINS on (ALT-hash deterministic
+    * sample — independent of the split stream); scoring covers everything.
+    * Training a 64-dim linear probe needs thousands of examples, not the
+    * corpus: at 100 TB this is the difference between 3 sampled-scan
+    * aggregations and 3 full-corpus passes per GD round. */
+  private val ProbeTrainFrac = 0.25
+
+  /** Margin threshold for the curation pipeline's probe-scoring stage.
+    * The probe is trained to predict the weak label (quality ≥ 0.5 → 1.0),
+    * so 0.6 asks for "confidently good": measured against the fixture
+    * corpora it cuts a small real slice of the heuristic survivors
+    * (3/118 at sf0.001, 2/138 at sf0.01, 16/1090 at sf0.1) — the docs the
+    * classifier disagrees with the hand rules about, which is the point
+    * of the GPT-3/LLaMA probe-filtering recipe. */
+  private[graft] val ProbeGateMargin = 0.6
+
+  /** Hashed-tf feature vectors + weak labels → trained probe weights: the
+    * shared trainer behind the weights gate ([[qualityProbe]]) and the
+    * curation pipeline's probe-scoring stage. Returns the vector frame too
+    * so the caller can score without rebuilding it. */
+  private def trainedProbe(s: SparkSession, dir: String): (DataFrame, Seq[Double]) = {
+    GraftFunctions.register(s)
+    val vecs = graft.operators.TfIdf.hashedVectors(
+      s, docs(s, dir), "doc_id", "text", dim = ProbeDim)
+    // the deployed recipe's shape: TRAIN on a content-stable sample
+    // (hash-membership filter pushed into the scan — at 100 TB you never
+    // full-batch-GD over the whole corpus), SCORE everything. Vector and
+    // weak label come from ONE projection off the sampled scan — a doc_id
+    // self-join here would shuffle rows that already sit side by side.
+    val training = graft.operators.Sampling
+      .deterministicSample(docs(s, dir), col("doc_id"), ProbeTrainFrac)
+      .select(
+        GraftFunctions.hashedTfVector(split(col("text"), " "), ProbeDim).as("vector"),
+        GraftFunctions.markerStats(col("text")).as("ms"))
+      .select(col("vector"),
+        when(GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5, 1.0)
+          .otherwise(0.0).as("y"))
+    val w = graft.operators.Probe.trainLinear(
+      training, "vector", "y", ProbeDim, ProbeIters, ProbeLr)
+    (vecs, w)
+  }
+
   /** Linear quality probe trained in-plan
     * ([[graft.operators.Probe.trainLinear]]): hashed-tf features, weak
     * labels from the quality kernel, 3 unrolled full-batch GD rounds with
@@ -1544,33 +1608,26 @@ object LlmOps {
     * bit-reproducible on any partitioning, so the oracle can replay
     * training exactly. */
   def qualityProbe(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val vecs = graft.operators.TfIdf.hashedVectors(
-      s, docs(s, dir), "doc_id", "text", dim = ProbeDim)
-    val labels = docs(s, dir)
-      .select(col("doc_id"), GraftFunctions.markerStats(col("text")).as("ms"))
-      .select(col("doc_id"),
-        when(GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5, 1.0)
-          .otherwise(0.0).as("y"))
-    graft.operators.Probe.trainLinearDF(
-      s, vecs.join(labels, "doc_id"), "vector", "y",
-      ProbeDim, ProbeIters, ProbeLr)
+    val (_, w) = trainedProbe(s, dir)
+    graft.operators.Probe.weightsDF(s, w)
   }
 
-  /** Mirrors [[qualityProbe]] with the GD rounds UNROLLED (the k-means
-    * oracle pattern): per round, one quantized-integer gradient aggregate
-    * and one weight-update row; every double operation tree (fixed-order
-    * 64-term prediction sum, err·x·1e9 floor, g/n/1e9 update) matches the
-    * JVM driver arithmetic operation for operation. */
-  lazy val qualityProbeSql: String = {
+  /** The probe-training CTE chain — [[hashedVectorCtes]], weak labels,
+    * and the GD rounds UNROLLED (the k-means oracle pattern): per round,
+    * one quantized-integer gradient aggregate and one weight-update row;
+    * every double operation tree (fixed-order 64-term prediction sum,
+    * err·x·1e9 floor, g/n/1e9 update) matches the JVM driver arithmetic
+    * operation for operation. Ends in `w$ProbeIters(w0..w63)` — bound by
+    * the weights gate and by [[curationPipelineSql]]'s scoring stage. */
+  private lazy val probeTrainCtes: String = {
     val dims = 0 until ProbeDim
     // prediction under the iteration-t weight row (w0 ≡ all-zero literals)
     def predSql(t: Int): String =
       if (t == 0) dims.map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * 0.0").mkString(" + ")
       else dims.map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * w$t.w$j").mkString(" + ")
     def dataCte(t: Int): String = {
-      val from = if (t == 0) "normed d JOIN lab USING (doc_id)"
-      else s"normed d JOIN lab USING (doc_id) CROSS JOIN w$t"
+      val from = if (t == 0) "normed d JOIN lab USING (doc_id) JOIN ptrain USING (doc_id)"
+      else s"normed d JOIN lab USING (doc_id) JOIN ptrain USING (doc_id) CROSS JOIN w$t"
       s"""d$t AS (
          |  SELECT d.vec AS vec, (${predSql(t)}) - lab.y AS err
          |  FROM $from)""".stripMargin
@@ -1595,14 +1652,186 @@ object LlmOps {
     }
     val rounds = (0 until ProbeIters)
       .map(t => s"${dataCte(t)},\n${gradCte(t)},\n${weightCte(t)}").mkString(",\n")
-    val wList = dims.map(j => s"w$ProbeIters.w$j").mkString("[", ", ", "]")
-    s"""WITH $hashedVectorCtes,
+    // training-sample membership: the ALT-stream FNV bucket, the exact
+    // [[sampleStratifiedSql]] replica at the probe's fraction
+    val signed = hugeToSignedSql("hu")
+    val trainCte =
+      s"""ptrain AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, (($signed % 1000000) + 1000000) % 1000000 AS bucket
+         |    FROM (SELECT doc_id, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS hu
+         |          FROM documents))
+         |  WHERE bucket < ${graft.operators.Sampling.threshold(ProbeTrainFrac)})""".stripMargin
+    s"""$hashedVectorCtes,
        |lab AS (
        |  SELECT doc_id, CASE WHEN $qualityExprSql >= 0.5 THEN 1.0 ELSE 0.0 END AS y
        |  FROM documents),
-       |$rounds
+       |$trainCte,
+       |$rounds""".stripMargin
+  }
+
+  /** Per-doc margin under the trained weights — `pok(doc_id)`, the docs the
+    * probe rates ≥ [[ProbeGateMargin]]. The margin is the same fixed-order
+    * 64-term sum as the training prediction ([[graft.operators.Probe.score]]
+    * left-folds identically), so the double compares exactly. */
+  private lazy val probeGateCtes: String = {
+    val margin = (0 until ProbeDim)
+      .map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * w$ProbeIters.w$j").mkString(" + ")
+    s"""pmarg AS (
+       |  SELECT d.doc_id, ($margin) AS margin
+       |  FROM normed d CROSS JOIN w$ProbeIters),
+       |pok AS (SELECT doc_id FROM pmarg WHERE margin >= $ProbeGateMargin)""".stripMargin
+  }
+
+  /** Mirrors [[qualityProbe]]: the [[probeTrainCtes]] replay, weights
+    * unpivoted to the (dim, weight) gate shape. */
+  lazy val qualityProbeSql: String = {
+    val wList = (0 until ProbeDim).map(j => s"w$ProbeIters.w$j").mkString("[", ", ", "]")
+    s"""WITH $probeTrainCtes
        |SELECT CAST(u.j AS INT) AS dim, $wList[u.j + 1] AS weight
        |FROM w$ProbeIters, (SELECT unnest(range(0, $ProbeDim)) AS j) u""".stripMargin
+  }
+
+  // BPE-gate hyperparameters — shared by the query and its oracle twin
+  private val BpeRounds = 8
+
+  /** BPE merge training ([[graft.operators.Bpe.trainMerges]]): 8 rounds of
+    * most-frequent-adjacent-pair merging over the word-frequency vocab.
+    * Output is the trained merge table — all integers and ASCII strings,
+    * hash-exact by construction. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (table, vocab) = graft.operators.Bpe.trainMerges(
+      s, docs(s, dir), "text", BpeRounds)
+    graft.operators.Bpe.freeVocab(vocab)
+    table
+  }
+
+  /** Mirrors [[bpeTrain]] with the merge rounds UNROLLED: per round, the
+    * pair argmax (count DESC, lhs ASC, rhs ASC — bytewise on ASCII, same
+    * order both engines) and the greedy non-overlapping merge replayed via
+    * gaps-and-islands windows (taken = odd rank within a consecutive-match
+    * island ≡ the operator's left-to-right fold; a position following a
+    * taken one is absorbed). The oracle presumes each round finds a pair —
+    * true for any natural-language corpus at 8 rounds (the operator stops
+    * early on exhaustion; a degenerate corpus would need fewer rounds). */
+  lazy val bpeTrainSql: String = {
+    def round(t: Int): String =
+      s"""pr$t AS (
+         |  SELECT f, syms, unnest(range(1, len(syms))) AS i FROM v$t),
+         |pc$t AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM pr$t GROUP BY 1, 2),
+         |top$t AS MATERIALIZED (SELECT l, r, cnt FROM pc$t ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |ps$t AS (
+         |  SELECT v.word, unnest(range(1, len(v.syms))) AS i, v.syms AS syms
+         |  FROM v$t v),
+         |mt$t AS (
+         |  SELECT p.word, p.i FROM ps$t p CROSS JOIN top$t
+         |  WHERE p.syms[p.i] = top$t.l AND p.syms[p.i + 1] = top$t.r),
+         |isl$t AS (
+         |  SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+         |  FROM mt$t),
+         |tk$t AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+         |    FROM isl$t)
+         |  WHERE rn % 2 = 1),
+         |ap$t AS (
+         |  SELECT word, f, syms, unnest(range(1, len(syms) + 1)) AS i FROM v$t),
+         |v${t + 1} AS MATERIALIZED (
+         |  SELECT word, f, list(s ORDER BY i) AS syms FROM (
+         |    SELECT a.word, a.f, a.i,
+         |      CASE WHEN t1.i IS NOT NULL THEN top$t.l || top$t.r ELSE a.syms[a.i] END AS s
+         |    FROM ap$t a CROSS JOIN top$t
+         |    LEFT JOIN tk$t t1 ON t1.word = a.word AND t1.i = a.i
+         |    LEFT JOIN tk$t t2 ON t2.word = a.word AND t2.i = a.i - 1
+         |    WHERE t2.i IS NULL)
+         |  GROUP BY word, f)""".stripMargin
+    val rounds = (0 until BpeRounds).map(round).mkString(",\n")
+    val out = (0 until BpeRounds)
+      .map(t => s"SELECT ${t + 1} AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM top$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, f, string_split(word, '') AS syms FROM w),
+       |$rounds
+       |SELECT CAST(round AS INT) AS round, lhs, rhs, pair_count FROM ($out)""".stripMargin
+  }
+
+  // PCA-gate hyperparameters — shared by the query and its oracle twin
+  private val PcaDim = 64
+  private val PcaIters = 3
+  private val PcaNComp = 2
+
+  /** Deterministic power-iteration PCA over the embeddings
+    * ([[graft.operators.Pca.components]]): quantized-integer matrix
+    * applications make the components bit-reproducible on any
+    * partitioning, so the oracle replays the whole training — mean,
+    * every power round, deflation — and the gate emits every vector's
+    * EXACT projection onto the top two components. */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val (m, comps) = graft.operators.Pca.components(
+      e, "embedding", PcaDim, PcaNComp, PcaIters)
+    graft.operators.Pca.project(e, "vec_id", "embedding", m, comps)
+  }
+
+  /** Mirrors [[embedPca]] with mean, power rounds, and deflation all
+    * UNROLLED in CTEs (the probe-GD replay pattern): identical quantized
+    * floor-sums, identical fixed-order folds, IEEE sqrt/divide — the
+    * projections compare as exact doubles. */
+  lazy val embedPcaSql: String = {
+    val q = graft.operators.Pca.Quanta // renders 1.0E9, a DOUBLE literal
+    val dims = 0 until PcaDim
+    // centered coordinates: z[j+1] = CAST(embedding[j+1] AS DOUBLE) - m_j
+    val xcList = dims.map(j =>
+      s"CAST(e.embedding[${j + 1}] AS DOUBLE) - m.m$j").mkString("[", ", ", "]")
+    // fixed-order left fold of z against a (prefix, j)-named weight row
+    def dotSql(vOf: Int => String): String =
+      dims.map(j => s"z[${j + 1}] * ${vOf(j)}").mkString(" + ")
+    val seed = 1.0 / math.sqrt(PcaDim.toDouble) // 0.125 — exact literal
+    // one power round for component `p` over its deflated base `base`
+    def round(p: Int, t: Int, base: String): String = {
+      val dot = if (t == 0) dotSql(_ => seed.toString)
+      else dotSql(j => s"c${p}v$t.v$j")
+      val from = if (t == 0) base else s"$base CROSS JOIN c${p}v$t"
+      val us = dims.map(j =>
+        s"SUM(CAST(floor(dt * z[${j + 1}] * $q) AS BIGINT)) AS u$j").mkString(",\n    ")
+      val sq = dims.map(j => s"(CAST(u$j AS DOUBLE) * CAST(u$j AS DOUBLE))")
+        .mkString(" + ")
+      val vs = dims.map(j => s"CAST(u$j AS DOUBLE) / no AS v$j").mkString(",\n    ")
+      s"""c${p}d$t AS (SELECT z, ($dot) AS dt FROM $from),
+         |c${p}u$t AS (SELECT $us FROM c${p}d$t),
+         |c${p}n$t AS (SELECT *, sqrt($sq) AS no FROM c${p}u$t),
+         |c${p}v${t + 1} AS (SELECT $vs FROM c${p}n$t)""".stripMargin
+    }
+    def rounds(p: Int, base: String): String =
+      (0 until PcaIters).map(t => round(p, t, base)).mkString(",\n")
+    // deflation base for component 2: z ← z − (z·c1)·c1, the scalar d
+    // aliased once (the operator's projection-pair shape)
+    val deflList = dims.map(j => s"z[${j + 1}] - d * v$j").mkString("[", ", ", "]")
+    val meanSums = dims.map(j =>
+      s"SUM(CAST(floor(CAST(embedding[${j + 1}] AS DOUBLE) * $q) AS BIGINT)) AS s$j")
+      .mkString(",\n    ")
+    val means = dims.map(j =>
+      s"CAST(s$j AS DOUBLE) / CAST(n AS DOUBLE) / $q AS m$j").mkString(",\n    ")
+    def projSql(p: Int): String =
+      dims.map(j => s"xc.z[${j + 1}] * c${p}v$PcaIters.v$j").mkString(" + ")
+    s"""WITH ms AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $meanSums FROM embeddings),
+       |m AS (SELECT $means FROM ms),
+       |xc AS (SELECT e.vec_id, $xcList AS z FROM embeddings e CROSS JOIN m),
+       |${rounds(1, "xc")},
+       |c2p AS (
+       |  SELECT z, (${dotSql(j => s"c1v$PcaIters.v$j")}) AS d,
+       |    ${dims.map(j => s"c1v$PcaIters.v$j AS v$j").mkString(", ")}
+       |  FROM xc CROSS JOIN c1v$PcaIters),
+       |c2b AS (SELECT $deflList AS z FROM c2p),
+       |${rounds(2, "c2b")}
+       |SELECT xc.vec_id, (${projSql(1)}) AS p1, (${projSql(2)}) AS p2
+       |FROM xc CROSS JOIN c1v$PcaIters CROSS JOIN c2v$PcaIters""".stripMargin
   }
 
   /** The quality-score formula as a SQL expression over `documents` rows

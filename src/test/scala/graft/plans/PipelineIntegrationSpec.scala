@@ -55,4 +55,28 @@ class PipelineIntegrationSpec extends SparkTestBase {
       written.unpersist()
     } finally CorpusExport.deleteRecursively(out.toFile)
   }
+
+  test("probe-scoring stage binds: pipeline = heuristic core ∩ margin-gated, and the cut is non-empty") {
+    GraftFunctions.register(spark)
+    val ops = graft.queries.LlmOps
+    val core = ops.curationCore(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val piped = ops.curationPipeline(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // margins recomputed from the PUBLISHED weights gate + scorer — the
+    // pipeline must agree with the composition of its published parts
+    val w = ops.qualityProbe(spark, dir).orderBy("dim")
+      .collect().map(_.getDouble(1)).toSeq
+    val vecs = graft.operators.TfIdf.hashedVectors(
+      spark, spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", dim = 64)
+    val gated = graft.operators.Probe.score(vecs, "vector", w)
+      .filter(col("margin") >= ops.ProbeGateMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(piped == (core intersect gated),
+      "pipeline must equal heuristic-core ∩ probe-gated")
+    val cut = core -- gated
+    assert(cut.nonEmpty,
+      "probe stage must bind on the fixture (some heuristic survivor scores below the margin)")
+    assert(piped.nonEmpty)
+  }
 }
