@@ -109,6 +109,8 @@ object SparkEntry {
       streaming.EventPipeline.curationFilterSync(s, dir)),
     "s_stream_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.nearDupIngestSync(s, dir)),
+    "s_stream_probe" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.probeScoreSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,5 +214,6 @@ object SparkEntry {
     "s_stream_quality" -> q.LlmOps.streamQualitySql,
     // per-doc decision vs the STATIC corpus index ⇒ stream ≡ batch
     "s_stream_ingest" -> q.LlmOps.nearDupIncrementalSql,
+    "s_stream_probe" -> q.LlmOps.streamProbeSql,
   )
 }

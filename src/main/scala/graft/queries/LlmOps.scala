@@ -1612,6 +1612,12 @@ object LlmOps {
     graft.operators.Probe.weightsDF(s, w)
   }
 
+  /** The trained weight vector alone — the batch-side artifact the
+    * streaming deployment ([[graft.streaming.EventPipeline.probeScoreStream]])
+    * freezes into its plan. */
+  private[graft] def trainedProbeWeights(s: SparkSession, dir: String): Seq[Double] =
+    trainedProbe(s, dir)._2
+
   /** The probe-training CTE chain — [[hashedVectorCtes]], weak labels,
     * and the GD rounds UNROLLED (the k-means oracle pattern): per round,
     * one quantized-integer gradient aggregate and one weight-update row;
@@ -1691,6 +1697,17 @@ object LlmOps {
        |SELECT CAST(u.j AS INT) AS dim, $wList[u.j + 1] AS weight
        |FROM w$ProbeIters, (SELECT unnest(range(0, $ProbeDim)) AS j) u""".stripMargin
   }
+
+  /** Mirrors [[graft.streaming.EventPipeline.probeScoreStream]] (stream ≡
+    * batch for a stateless scorer): the [[probeTrainCtes]] replay + the
+    * margin projection, emitting the admitted docs WITH their exact-double
+    * margins. */
+  lazy val streamProbeSql: String =
+    s"""WITH $probeTrainCtes,
+       |$probeGateCtes
+       |SELECT d.doc_id, d.lang, p.margin
+       |FROM documents d JOIN pmarg p USING (doc_id)
+       |WHERE p.margin >= $ProbeGateMargin""".stripMargin
 
   // BPE-gate hyperparameters — shared by the query and its oracle twin
   private val BpeRounds = 8

@@ -259,6 +259,47 @@ object EventPipeline {
     out
   }
 
+  /** Deploy the TRAINED quality probe to the ingest stream — the
+    * model-serving half of the GPT-3/LLaMA filtering recipe: weights are
+    * trained batch-side (on the standing corpus's content-stable sample,
+    * [[graft.operators.Probe.trainLinear]]) and FROZEN into the stream
+    * plan as literals; each incoming document is scored by the
+    * fixed-order margin and admitted at margin ≥ threshold. Stateless —
+    * no watermark, no state store — so stream output ≡ batch scoring by
+    * construction, at any micro-batching. */
+  def probeScoreStream(docs: DataFrame, w: Seq[Double], margin: Double): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    val vecs = docs.select(col("doc_id"), col("lang"),
+      GraftFunctions.hashedTfVector(split(col("text"), " "), w.length).as("vector"))
+    graft.operators.Probe.score(vecs, "vector", w)
+      .filter(col("margin") >= margin)
+      .select(col("doc_id"), col("lang"), col("margin"))
+  }
+
+  /** Synchronous gate run of [[probeScoreStream]]: trains on the PARENT
+    * (batch) session — the deployment split: training is a batch job, the
+    * stream only evaluates the frozen linear map — then streams the sf
+    * dir's documents through the memory sink. Leak-free like
+    * [[windowedCountsSync]]. */
+  def probeScoreSync(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.queries.LlmOps.trainedProbeWeights(spark, dir)
+    val s = harnessSession(spark)
+    val name = s"graft_stream_probe_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val in = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = probeScoreStream(in, w, graft.queries.LlmOps.ProbeGateMargin)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
   /** Live near-dup ingest gate: a DOCUMENT STREAM admitted against the
     * static standing-corpus MinHash band index
     * ([[graft.operators.Dedup.bandedIndex]], computed ONCE and persisted —

@@ -104,6 +104,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("probeScoreSync: stream-deployed frozen weights EQUAL batch scoring, margins bit-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.probeScoreSync(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // batch twin: the same frozen weights applied to a batch read
+    val w = graft.queries.LlmOps.trainedProbeWeights(spark, dir)
+    val batch = EventPipeline.probeScoreStream(
+        spark.read.parquet(s"$dir/documents.parquet"), w,
+        graft.queries.LlmOps.ProbeGateMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    assert(got.nonEmpty)
+    // the gate admits a strict, non-empty subset (the margin binds)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.size < total, "margin threshold must reject someone")
+  }
+
   test("nearDupIngestSync: streamed admission EQUALS the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val got = EventPipeline.nearDupIngestSync(spark, dir)
