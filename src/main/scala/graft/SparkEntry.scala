@@ -68,6 +68,7 @@ object SparkEntry {
     "d_strip_spans" -> (q.LlmOps.stripSpans _),
     "d_span_dedup_keep_one" -> (q.LlmOps.spanDedupKeepOne _),
     "d_vocab_coverage" -> (q.LlmOps.vocabCoverage _),
+    "d_heavy_hitters" -> (q.LlmOps.heavyHitters _),
     "d_text_normalize" -> (q.LlmOps.textNormalize _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "d_corpus_diff" -> (q.LlmOps.corpusDiff _),
     "d_embed_quantize" -> (q.LlmOps.embedQuantize _),
     "d_embed_pca" -> (q.LlmOps.embedPca _),
+    "d_sim_topk_pca" -> (q.LlmOps.simTopKPca _),
     "d_bpe_train" -> (q.LlmOps.bpeTrain _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
@@ -174,6 +176,7 @@ object SparkEntry {
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,
     "d_embed_quantize" -> q.LlmOps.embedQuantizeSql,
     "d_embed_pca" -> q.LlmOps.embedPcaSql,
+    "d_sim_topk_pca" -> q.LlmOps.simTopKPcaSql,
     "d_bpe_train" -> q.LlmOps.bpeTrainSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Similarity, Spans}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators on the driver fixtures (north-star ops,
@@ -552,6 +552,53 @@ object LlmOps {
        |  CAST(length(clean) AS BIGINT) AS clean_len,
        |  ${hugeToSignedSql("hc")} AS clean_fp
        |FROM h""".stripMargin
+  }
+
+  // heavy-hitter sketch parameters (relative error eps over total tokens,
+  // confidence 1-delta, fixed seed → deterministic sketch)
+  private val CmsEps = 0.001
+  private val CmsConfidence = 0.99
+  private val CmsSeed = 42
+
+  /** Heavy hitters via Count-Min sketch — the frequency member of the
+    * sketch trio (HLL distinct `r_approx_distinct`, GK percentile
+    * `r_percentiles_approx`, CMS frequency here): token frequencies at
+    * 100 TB without a vocabulary-sized exact aggregation. SELF-CHECKING
+    * like the HLL gate: the top-20 exact counts ride along and every
+    * estimate must satisfy the CMS guarantee exact ≤ est ≤ exact + eps·N
+    * (one-sided overestimation is structural; the upper bound holds with
+    * confidence 1-delta per query — a violation fails the gate loudly).
+    * Sketch internals are engine-specific → rows-only driver check, with
+    * the error bound pinned here and in SketchSpec. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val toks = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketchRow = toks.agg(
+      expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchRow.getAs[Array[Byte]](0)))
+    val n = sketchRow.getLong(1)
+    val slack = math.ceil(CmsEps * n).toLong
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token").asc)
+      .limit(20).collect()
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val est = cms.estimateCount(r.getString(0))
+      require(est >= r.getLong(1) && est <= r.getLong(1) + slack,
+        s"CMS bound violated for '${r.getString(0)}': exact=${r.getLong(1)} est=$est slack=$slack")
+      Row(i + 1, r.getString(0), r.getLong(1), est, true)
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("exact", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cms_estimate", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("within_bound", org.apache.spark.sql.types.BooleanType, nullable = false))))
   }
 
   /** Vocabulary coverage (tokenizer-prep): the top-200 corpus tokens by
@@ -1708,6 +1755,41 @@ object LlmOps {
        |SELECT d.doc_id, d.lang, p.margin
        |FROM documents d JOIN pmarg p USING (doc_id)
        |WHERE p.margin >= $ProbeGateMargin""".stripMargin
+
+  /** PCA-reduced ANN ([[embedPca]] composed with top-k): nearest 20
+    * vectors to vec 0 by squared euclidean distance IN THE REDUCED SPACE —
+    * the search an index built over projections serves. Because the
+    * projections are exact doubles ([[embedPcaSql]]'s replay), the
+    * distances — fixed-order two-term sums — are too, so the whole
+    * composition is hash-exact, not a recall bound. The query projection
+    * is a 1-row driver fetch (the accepted single-query-ANN shape; the
+    * batch shape is [[annBatch]]'s). */
+  def simTopKPca(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val (m, comps) = graft.operators.Pca.components(
+      e, "embedding", PcaDim, PcaNComp, PcaIters)
+    val proj = graft.operators.Pca.project(e, "vec_id", "embedding", m, comps)
+    val q = proj.orderBy(col("vec_id").asc).limit(1).head()
+    val (q1, q2) = (q.getDouble(1), q.getDouble(2))
+    proj.select(col("vec_id"),
+        (((col("p1") - lit(q1)) * (col("p1") - lit(q1))) +
+          ((col("p2") - lit(q2)) * (col("p2") - lit(q2)))).as("dist2"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** Mirrors [[simTopKPca]]: the full PCA replay as a subquery, the
+    * vec-0 projection re-derived in SQL (bit-equal to the collected
+    * literals), the same fixed-order distance. */
+  lazy val simTopKPcaSql: String =
+    s"""WITH pca AS (
+       |$embedPcaSql
+       |),
+       |q AS (SELECT p1 AS q1, p2 AS q2 FROM pca ORDER BY vec_id LIMIT 1)
+       |SELECT vec_id,
+       |  ((pca.p1 - q.q1) * (pca.p1 - q.q1)) + ((pca.p2 - q.q2) * (pca.p2 - q.q2)) AS dist2
+       |FROM pca CROSS JOIN q
+       |ORDER BY dist2 ASC, vec_id ASC LIMIT 20""".stripMargin
 
   // BPE-gate hyperparameters — shared by the query and its oracle twin
   private val BpeRounds = 8

@@ -38,6 +38,17 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC — the second columnar format Spark ships natively: same scan
+    * machinery as parquet (column pruning, predicate pushdown, partition
+    * pruning all apply; SourcesSpec asserts the pushdown). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** JDBC scan with predicate pushdown + partitioned parallel read — the
     * Spark-native replacement for the reference's Slick/H2 source.
     * Round-trip tested against the embedded Derby engine that ships on the

@@ -64,4 +64,25 @@ class SketchSpec extends SparkTestBase {
         s"${r.getString(0)}: within_bound false")
     }
   }
+
+  test("count_min_sketch estimates honor the one-sided CMS guarantee on the heavy hitters") {
+    // the gate already require()s exact <= est <= exact + ceil(eps*N) per
+    // row (a violation aborts the query); re-assert the emitted evidence
+    // and the structural properties here
+    val rows = graft.queries.LlmOps.heavyHitters(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS must never underestimate: ${r.getString(1)}")
+      assert(r.getBoolean(4), s"within_bound false for ${r.getString(1)}")
+    }
+    // ranks are the exact top-20, descending with deterministic ties
+    val exacts = rows.sortBy(_.getInt(0)).map(_.getLong(2)).toSeq
+    assert(exacts == exacts.sorted.reverse, "ranks must follow exact counts")
+    // determinism: fixed seed → identical estimates on a second run
+    val again = graft.queries.LlmOps.heavyHitters(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    rows.foreach(r => assert(again(r.getString(1)) == r.getLong(3),
+      "CMS estimates must be deterministic under the fixed seed"))
+  }
 }

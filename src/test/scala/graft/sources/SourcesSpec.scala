@@ -33,6 +33,17 @@ class SourcesSpec extends SparkTestBase {
       nation.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
   }
 
+  test("orc round-trip preserves values; predicate pushdown reaches the ORC scan") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    Sources.writeOrc(nation, s"$base/nation_orc")
+    val back = Sources.readOrc(spark, s"$base/nation_orc")
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ==
+      nation.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
+    val plan = back.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"), plan)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .withColumn("status", col("o_orderstatus"))
