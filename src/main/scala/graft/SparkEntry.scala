@@ -76,6 +76,7 @@ object SparkEntry {
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
     "d_sim_topk_ivf_q8" -> (q.LlmOps.simTopKIvfQ8 _),
     "d_ann_batch" -> (q.LlmOps.annBatch _),
+    "d_ann_append" -> (q.LlmOps.annAppend _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "d_sim_topk_ivf" -> q.LlmOps.simTopKIvfSql,
     "d_sim_topk_ivf_q8" -> q.LlmOps.simTopKIvfQ8Sql,
     "d_ann_batch" -> q.LlmOps.annBatchSql,
+    "d_ann_append" -> q.LlmOps.annAppendSql,
     "d_knn_join" -> q.LlmOps.knnJoinSql,
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,

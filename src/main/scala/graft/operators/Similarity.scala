@@ -284,6 +284,39 @@ object Similarity {
     centroids
   }
 
+  /** INCREMENTAL index maintenance — the ANN tier's analog of the dedup
+    * tier's `nearDupAgainstIndex` ingest: assign the NEW vectors to the
+    * existing index's cells (the centroids are the index's contract; they
+    * do NOT move — re-clustering would silently re-shuffle every standing
+    * cell directory) and APPEND only the new rows' partitions. A daily
+    * embedding ingest therefore costs one assignment projection + a
+    * partition-local append of the new data, never an index rebuild.
+    * Probes ([[ivfTopKFromIndex]], [[ivfTopKBatch]]) read the union
+    * transparently — same layout, same partition pruning. The quantized
+    * tier appends (qcodes, scale) in the identical encoding, so a mixed
+    * write is impossible by construction (the caller passes the same
+    * `quantize` the index was created with; schemas differ otherwise and
+    * parquet append fails loudly rather than corrupting). Centroid drift
+    * is the operator's documented trade: appended vectors join the
+    * NEAREST EXISTING cell, so recall stays exact w.r.t. the assignment
+    * invariant; re-cluster (a fresh [[writeIvfIndex]]) when the cell-size
+    * histogram ([[clusterReport]]) says the geometry moved. */
+  def appendToIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[(Int, Seq[Float])],
+      quantize: Boolean = false): Unit = {
+    val assigned = withIvfCell(df, vecCol, centroids)
+    val out =
+      if (!quantize) assigned
+      else {
+        val keep = df.columns.filterNot(_ == vecCol).map(col).toSeq :+ col("cell")
+        withQuantized(assigned, vecCol, keep)
+          .withColumn("qcodes", GraftFunctions.packInt8(col("qvec")))
+          .drop("qvec")
+      }
+    out.write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** The float32 vector of an index row, whichever storage tier the index
     * was written with: dequantized from (qcodes, scale) for a quantized
     * index, the raw vector column otherwise. */

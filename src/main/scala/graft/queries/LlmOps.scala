@@ -1471,7 +1471,14 @@ object LlmOps {
     * assignment). Used by the IVF probe oracle, the semantic-dedup oracle,
     * the cluster-report oracle and the batched-ANN oracle, so all gates
     * exercise the SAME replicated k-means. */
-  private def kmeansAssignCtes: String = {
+  private def kmeansAssignCtes: String = kmeansAssignCtesOver("embeddings")
+
+  /** [[kmeansAssignCtes]] with the TRAINING corpus parameterized (seed +
+    * every Lloyd round read `train`; the final `assign` always covers the
+    * whole embeddings table) — the incremental-index oracle trains on the
+    * base slice and assigns base + appended alike, mirroring
+    * `appendToIvfIndex`'s frozen-centroid contract. */
+  private def kmeansAssignCtesOver(train: String): String = {
     val dim = 64
     val q = graft.operators.Similarity.CentroidQuanta
     val avgs = (1 to dim)
@@ -1480,14 +1487,14 @@ object LlmOps {
     def round(t: Int): String =
       s"""rc$t AS (
          |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
-         |  FROM embeddings e CROSS JOIN cent$t c),
+         |  FROM $train e CROSS JOIN cent$t c),
          |a$t AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
          |    FROM rc$t) WHERE rn = 1),
          |up$t AS (
          |  SELECT a.cell, $avgs AS cv
-         |  FROM a$t a JOIN embeddings e USING (vec_id) GROUP BY a.cell),
+         |  FROM a$t a JOIN $train e USING (vec_id) GROUP BY a.cell),
          |cent${t + 1} AS (
          |  SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
          |  FROM cent$t c LEFT JOIN up$t u ON u.cell = c.cell)""".stripMargin
@@ -1495,7 +1502,7 @@ object LlmOps {
     val f = IvfKmeansIters
     s"""cent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, embedding FROM $train ORDER BY vec_id LIMIT 16)),
        |$rounds,
        |rcF AS (
        |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
@@ -1755,6 +1762,44 @@ object LlmOps {
        |SELECT d.doc_id, d.lang, p.margin
        |FROM documents d JOIN pmarg p USING (doc_id)
        |WHERE p.margin >= $ProbeGateMargin""".stripMargin
+
+  /** Incremental IVF index maintenance
+    * ([[graft.operators.Similarity.appendToIvfIndex]]): build the index
+    * from the even-id half (centroids trained there and FROZEN — the
+    * index's contract), append the odd-id half as a partition-local
+    * append (no rebuild, no standing-cell rewrite), then probe the union
+    * from disk. The probe result is hash-exact against the oracle's
+    * frozen-centroid replica. */
+  def annAppend(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+    try {
+      val e = embeddings(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val incr = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val cents = Similarity.writeIvfIndex(base, "vec_id", "embedding",
+        out.toString, nCells = 16, refineIters = IvfKmeansIters)
+      Similarity.appendToIvfIndex(incr, "vec_id", "embedding", out.toString, cents)
+      Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
+        queryVector(s, dir), k = 20, nprobe = 4).localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[annAppend]]: k-means trained on the even-id slice only
+    * (the frozen-centroid contract), assignment over EVERYTHING — base
+    * and appended rows probe identically. */
+  lazy val annAppendSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH ${kmeansAssignCtesOver("(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)")},
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+       |probed AS (
+       |  SELECT c.cell FROM cent$f c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
+       |WHERE assign.cell IN (SELECT cell FROM probed)
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+  }
 
   /** PCA-reduced ANN ([[embedPca]] composed with top-k): nearest 20
     * vectors to vec 0 by squared euclidean distance IN THE REDUCED SPACE —

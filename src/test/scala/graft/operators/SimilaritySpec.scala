@@ -366,6 +366,48 @@ class SimilaritySpec extends SparkTestBase {
       s"no dynamic partition pruning on the index scan:\n$planStr")
   }
 
+  test("appendToIvfIndex: probe over base+appended ≡ in-memory union with frozen centroids; quantized layout appends cleanly") {
+    GraftFunctions.register(spark)
+    for (q8 <- Seq(false, true)) {
+      val path = s"target/ivf_app_${q8}_${System.nanoTime()}"
+      val base = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val incr = embs.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val cents = Similarity.writeIvfIndex(base, "vec_id", "embedding", path,
+        nCells = 16, refineIters = 2, quantize = q8)
+      Similarity.appendToIvfIndex(incr, "vec_id", "embedding", path, cents, quantize = q8)
+      val got = Similarity.ivfTopKFromIndex(
+          spark, path, cents, "vec_id", "embedding", query, k = 20, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // expected: the same frozen-centroid probe over the in-memory union,
+      // through the same storage transform the index applied
+      val union = base.unionByName(incr)
+      val mem =
+        if (!q8) union
+        else Similarity.dequantizeInt8(
+            Similarity.quantizeInt8(union, "vec_id", "embedding"))
+          .select(col("vec_id"), col("vec").as("embedding"))
+      val probed = Similarity.nearestCells(cents, query, 4)
+      val expected = Similarity.withIvfCell(union, "embedding", cents)
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id")).join(mem, "vec_id")
+        .select(col("vec_id"),
+          GraftFunctions.cosineSim(col("embedding"), typedLit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, s"append probe diverges (quantize=$q8)")
+      // appended rows actually reach the probe results
+      assert(got.exists(_._1 % 2 == 1), s"no appended (odd) vector in top-20 (quantize=$q8)")
+      // the base partitions were appended to, not rewritten: every cell dir
+      // holding both halves has >1 part file
+      val cells = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cells.nonEmpty)
+      val multi = cells.count(c =>
+        c.listFiles().count(_.getName.startsWith("part-")) > 1)
+      assert(multi > 0, "append should add part files beside the base ones")
+    }
+  }
+
   test("lshTopK: finds self, exact cosines on candidates") {
     GraftFunctions.register(spark)
     val got = Similarity.lshTopK(embs, "vec_id", "embedding", 64, query, 10).collect()
