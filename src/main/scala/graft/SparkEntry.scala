@@ -99,6 +99,7 @@ object SparkEntry {
     "d_embed_pca" -> (q.LlmOps.embedPca _),
     "d_sim_topk_pca" -> (q.LlmOps.simTopKPca _),
     "d_bpe_train" -> (q.LlmOps.bpeTrain _),
+    "d_bpe_tokenize" -> (q.LlmOps.bpeTokenize _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     // structured streaming (run synchronously through the memory sink)
@@ -180,6 +181,7 @@ object SparkEntry {
     "d_embed_pca" -> q.LlmOps.embedPcaSql,
     "d_sim_topk_pca" -> q.LlmOps.simTopKPcaSql,
     "d_bpe_train" -> q.LlmOps.bpeTrainSql,
+    "d_bpe_tokenize" -> q.LlmOps.bpeTokenizeSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,

@@ -1859,6 +1859,53 @@ object LlmOps {
     * true for any natural-language corpus at 8 rounds (the operator stops
     * early on exhaustion; a degenerate corpus would need fewer rounds). */
   lazy val bpeTrainSql: String = {
+    val out = (0 until BpeRounds)
+      .map(t => s"SELECT ${t + 1} AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM top$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
+       |SELECT CAST(round AS INT) AS round, lhs, rhs, pair_count FROM ($out)""".stripMargin
+  }
+
+  /** BPE tokenization with the trained vocab
+    * ([[graft.operators.Bpe.tokenize]]): every (doc, word position) maps
+    * to its merged symbol sequence via the broadcast vocab — the trained
+    * artifact applied to the corpus, one scan, no per-round re-fold.
+    * Output is one row per (doc, word_pos, sym_pos, token) — all
+    * integers/strings, hash-exact. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = graft.operators.Bpe.trainMerges(
+      s, docs(s, dir), "text", BpeRounds)
+    val out = graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", vocab)
+      .localCheckpoint(true)
+    graft.operators.Bpe.freeVocab(vocab)
+    out
+  }
+
+  /** Mirrors [[bpeTokenize]]: the shared [[bpeCtes]] replay to the final
+    * vocab, then word positions (pre-filter positions, empties dropped
+    * after — ≡ posexplode-then-filter) joined to the merged symbol
+    * sequences. */
+  lazy val bpeTokenizeSql: String =
+    s"""WITH $bpeCtes,
+       |base AS (
+       |  SELECT doc_id, u.p AS word_pos, u.w AS word FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(ws) + 1), i -> {p: i - 1, w: ws[i]})) AS u
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |  WHERE len(u.w) > 0),
+       |tok AS (
+       |  SELECT b.doc_id, b.word_pos,
+       |    unnest(list_transform(range(1, len(v.syms) + 1), i -> {p: i - 1, s: v.syms[i]})) AS u2
+       |  FROM base b JOIN v$BpeRounds v USING (word))
+       |SELECT doc_id, CAST(word_pos AS INT) AS word_pos,
+       |  CAST(u2.p AS INT) AS sym_pos, u2.s AS token
+       |FROM tok""".stripMargin
+
+  /** The BPE training CTE chain — word-frequency vocab `w`, char-split
+    * `v0`, and [[BpeRounds]] unrolled merge rounds ending in
+    * `v$BpeRounds(word, f, syms)` + per-round `top$t(l, r, cnt)` — shared
+    * by the merge-table gate and the tokenization gate. */
+  private lazy val bpeCtes: String = {
     def round(t: Int): String =
       s"""pr$t AS (
          |  SELECT f, syms, unnest(range(1, len(syms))) AS i FROM v$t),
@@ -1892,16 +1939,12 @@ object LlmOps {
          |    WHERE t2.i IS NULL)
          |  GROUP BY word, f)""".stripMargin
     val rounds = (0 until BpeRounds).map(round).mkString(",\n")
-    val out = (0 until BpeRounds)
-      .map(t => s"SELECT ${t + 1} AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM top$t")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE len(word) > 0 GROUP BY word),
        |v0 AS MATERIALIZED (SELECT word, f, string_split(word, '') AS syms FROM w),
-       |$rounds
-       |SELECT CAST(round AS INT) AS round, lhs, rhs, pair_count FROM ($out)""".stripMargin
+       |$rounds""".stripMargin
   }
 
   // PCA-gate hyperparameters — shared by the query and its oracle twin
