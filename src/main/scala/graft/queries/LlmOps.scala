@@ -933,33 +933,43 @@ object LlmOps {
     * three derivations; see SCALE.md). */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     // probe-scoring stage (the GPT-3/LLaMA recipe end-to-end): train the
-    // linear probe on the corpus's weak labels, score every doc by margin,
-    // keep the confidently-good. Training is the pipeline's only driver
-    // round-trips — dim+1 longs per GD round, bit-reproducible on any
-    // partitioning, so the oracle replays the weights AND the margins.
-    val (vecs, w) = trainedProbe(s, dir)
-    val probeOk = graft.operators.Probe.score(vecs, "vector", w)
-      .filter(col("margin") >= ProbeGateMargin)
-      .select(col("doc_id"))
-    curationCore(s, dir).join(probeOk, "doc_id")
+    // linear probe on the corpus's sampled weak labels, score every doc by
+    // margin, keep the confidently-good. Training is the pipeline's only
+    // driver round-trips — dim+1 longs per GD round, bit-reproducible on
+    // any partitioning, so the oracle replays the weights AND the margins.
+    // Scoring happens INLINE in the scan projection (the weights are
+    // driver literals by then) — no second corpus scan, no doc_id join.
+    curationAssembled(s, dir, Some(trainedProbe(s, dir)))
   }
 
   /** Every curation stage EXCEPT the probe (heuristic quality/repetition/
     * language gates, dedup, decontamination, LM) — package-visible so the
     * integration spec can prove the probe stage binds. */
-  private[graft] def curationCore(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def curationCore(s: SparkSession, dir: String): DataFrame =
+    curationAssembled(s, dir, None)
+
+  private def curationAssembled(
+      s: SparkSession, dir: String, probeW: Option[Seq[Double]]): DataFrame = {
     GraftFunctions.register(s)
     val d = docs(s, dir)
-    val scored = d.select(
-        col("doc_id"), col("lang"),
-        GraftFunctions.markerStats(col("text")).as("ms"),
-        GraftFunctions.repetitionStats(col("text")).as("rs"))
-      .select(
-        col("doc_id"), col("lang"),
-        col("ms").getField("n_tokens").cast("long").as("n_tokens"),
-        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
-        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
-        GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
+    // each fused kernel (markerStats, repetitionStats, hashedTfVector)
+    // aliased ONCE; every scoring column derives from the aliases
+    val kernels = Seq(
+      col("doc_id"), col("lang"),
+      GraftFunctions.markerStats(col("text")).as("ms"),
+      GraftFunctions.repetitionStats(col("text")).as("rs")) ++
+      probeW.map(w =>
+        GraftFunctions.hashedTfVector(split(col("text"), " "), w.length).as("pv"))
+    val scoring = Seq(
+      col("doc_id"), col("lang"),
+      col("ms").getField("n_tokens").cast("long").as("n_tokens"),
+      GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+      (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
+      GraftFunctions.repetitionOk(col("rs")).as("rep_ok")) ++
+      probeW.map(w =>
+        (w.indices.map(j => col("pv").getItem(j) * lit(w(j))).reduce(_ + _)
+          >= ProbeGateMargin).as("probe_ok"))
+    val scored = d.select(kernels: _*).select(scoring: _*)
     val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
     val clean = decontOverlap(d)
@@ -971,8 +981,10 @@ object LlmOps {
       .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
       .filter(col("lm_ok"))
       .select(col("doc_id"))
+    val keep = col("quality") >= 0.5 && col("lang_ok") && col("rep_ok") &&
+      probeW.map(_ => col("probe_ok")).getOrElse(lit(true))
     scored.join(survivors, "doc_id").join(clean, "doc_id").join(lmOk, "doc_id")
-      .filter(col("quality") >= 0.5 && col("lang_ok") && col("rep_ok"))
+      .filter(keep)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
@@ -1629,14 +1641,12 @@ object LlmOps {
     * of the GPT-3/LLaMA probe-filtering recipe. */
   private[graft] val ProbeGateMargin = 0.6
 
-  /** Hashed-tf feature vectors + weak labels → trained probe weights: the
-    * shared trainer behind the weights gate ([[qualityProbe]]) and the
-    * curation pipeline's probe-scoring stage. Returns the vector frame too
-    * so the caller can score without rebuilding it. */
-  private def trainedProbe(s: SparkSession, dir: String): (DataFrame, Seq[Double]) = {
+  /** Hashed-tf features + weak labels → trained probe weights: the
+    * shared trainer behind the weights gate ([[qualityProbe]]), the
+    * curation pipeline's inline scoring stage, and the streaming
+    * deployment. */
+  private def trainedProbe(s: SparkSession, dir: String): Seq[Double] = {
     GraftFunctions.register(s)
-    val vecs = graft.operators.TfIdf.hashedVectors(
-      s, docs(s, dir), "doc_id", "text", dim = ProbeDim)
     // the deployed recipe's shape: TRAIN on a content-stable sample
     // (hash-membership filter pushed into the scan — at 100 TB you never
     // full-batch-GD over the whole corpus), SCORE everything. Vector and
@@ -1650,9 +1660,8 @@ object LlmOps {
       .select(col("vector"),
         when(GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5, 1.0)
           .otherwise(0.0).as("y"))
-    val w = graft.operators.Probe.trainLinear(
+    graft.operators.Probe.trainLinear(
       training, "vector", "y", ProbeDim, ProbeIters, ProbeLr)
-    (vecs, w)
   }
 
   /** Linear quality probe trained in-plan
@@ -1661,16 +1670,14 @@ object LlmOps {
     * integer-quantized gradient aggregation — the weights are
     * bit-reproducible on any partitioning, so the oracle can replay
     * training exactly. */
-  def qualityProbe(s: SparkSession, dir: String): DataFrame = {
-    val (_, w) = trainedProbe(s, dir)
-    graft.operators.Probe.weightsDF(s, w)
-  }
+  def qualityProbe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Probe.weightsDF(s, trainedProbe(s, dir))
 
   /** The trained weight vector alone — the batch-side artifact the
     * streaming deployment ([[graft.streaming.EventPipeline.probeScoreStream]])
     * freezes into its plan. */
   private[graft] def trainedProbeWeights(s: SparkSession, dir: String): Seq[Double] =
-    trainedProbe(s, dir)._2
+    trainedProbe(s, dir)
 
   /** The probe-training CTE chain — [[hashedVectorCtes]], weak labels,
     * and the GD rounds UNROLLED (the k-means oracle pattern): per round,
