@@ -119,8 +119,17 @@ object VectorOps {
       var bestC = -1
       var j = 0
       while (j < nc) {
+        // NaN cosines (a NaN/Inf query component) compare false here; the
+        // fallback below picks the first untaken cell so such a row selects
+        // cells 0..k-1 — the same degraded-but-total behavior as
+        // argmaxCosineCell's bestC = 0 start, instead of crashing the batch
         if (!taken(j) && cos(j) > best) { best = cos(j); bestC = j }
         j += 1
+      }
+      if (bestC < 0) {
+        var f = 0
+        while (f < nc && taken(f)) f += 1
+        bestC = f
       }
       taken(bestC) = true
       out(r) = bestC

@@ -292,22 +292,25 @@ object Similarity {
     * embedding ingest therefore costs one assignment projection + a
     * partition-local append of the new data, never an index rebuild.
     * Probes ([[ivfTopKFromIndex]], [[ivfTopKBatch]]) read the union
-    * transparently — same layout, same partition pruning. The quantized
-    * tier appends (qcodes, scale) in the identical encoding, so a mixed
-    * write is impossible by construction (the caller passes the same
-    * `quantize` the index was created with; schemas differ otherwise and
-    * parquet append fails loudly rather than corrupting). Centroid drift
-    * is the operator's documented trade: appended vectors join the
-    * NEAREST EXISTING cell, so recall stays exact w.r.t. the assignment
-    * invariant; re-cluster (a fresh [[writeIvfIndex]]) when the cell-size
-    * histogram ([[clusterReport]]) says the geometry moved. */
+    * transparently — same layout, same partition pruning. The storage
+    * tier is DETECTED from the index's own schema (a path-based parquet
+    * append validates nothing, so a caller-supplied flag that disagreed
+    * with the standing files would silently write a mixed-schema index
+    * whose inferred schema — and therefore whose probe results — depend
+    * on file-listing order; deriving the tier makes the mixed write
+    * unrepresentable). Centroid drift is the operator's documented
+    * trade: appended vectors join the NEAREST EXISTING cell, so recall
+    * stays exact w.r.t. the assignment invariant; re-cluster (a fresh
+    * [[writeIvfIndex]]) when the cell-size histogram ([[clusterReport]])
+    * says the geometry moved. */
   def appendToIvfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      path: String, centroids: Seq[(Int, Seq[Float])],
-      quantize: Boolean = false): Unit = {
+      path: String, centroids: Seq[(Int, Seq[Float])]): Unit = {
+    val quantized = df.sparkSession.read.parquet(path)
+      .schema.fieldNames.contains("qcodes")
     val assigned = withIvfCell(df, vecCol, centroids)
     val out =
-      if (!quantize) assigned
+      if (!quantized) assigned
       else {
         val keep = df.columns.filterNot(_ == vecCol).map(col).toSeq :+ col("cell")
         withQuantized(assigned, vecCol, keep)
@@ -361,35 +364,41 @@ object Similarity {
       droppedCells: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val assignedAll = withIvfCell(df, vecCol, centroids)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col("cell"))
-    val assigned =
-      if (maxCellSize == Int.MaxValue) assignedAll
-      else {
-        // cell sizes are an nCells-row aggregate; the kept-cell list rides
-        // a broadcast join, so the cap costs one tiny extra aggregation,
-        // not a corpus shuffle
+    def dropsOver(assigned: DataFrame): DataFrame = {
+      val witnesses = assigned
+        .select(col("vec_id").as("wit_id"), col("v").as("wv"), col("cell"))
+      assigned.join(witnesses, Seq("cell"))
+        .filter(col("wit_id") < col("vec_id"))
+        .withColumn("cosine", GraftFunctions.cosineSim(col("v"), col("wv")))
+        .filter(col("cosine") >= tau)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("wit_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("wit_id").as("kept_by"), col("cosine"))
+    }
+    if (maxCellSize == Int.MaxValue) dropsOver(assignedAll)
+    else {
+      // the cap costs one nCells-row aggregate, collected: the kept-cell
+      // list becomes an in-plan literal filter (no second assignment
+      // pass — the sizes job runs over the PERSISTED assignment, which
+      // the pair join reuses), and the dropped-cell count is set EXACTLY
+      // once on the driver — an accumulator bumped inside a filter UDF
+      // would double-count on any plan re-execution (Spark only
+      // guarantees exactly-once accumulator updates in actions). The
+      // small drop list materializes through localCheckpoint so the
+      // assignment cache is freed before returning (the Spans/Clusters
+      // cleanup discipline).
+      assignedAll.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
         val sizes = assignedAll.groupBy(col("cell"))
-          .agg(count(lit(1)).as("cell_n"))
-        val kept = droppedCells match {
-          case None => sizes.filter(col("cell_n") <= maxCellSize)
-          case Some(acc) =>
-            val keep = udf { n: Long =>
-              if (n > maxCellSize) { acc.add(1L); false } else true
-            }
-            sizes.filter(keep(col("cell_n")))
-        }
-        assignedAll.join(broadcast(kept.select(col("cell"))), "cell")
-      }
-    val witnesses = assigned
-      .select(col("vec_id").as("wit_id"), col("v").as("wv"), col("cell"))
-    assigned.join(witnesses, Seq("cell"))
-      .filter(col("wit_id") < col("vec_id"))
-      .withColumn("cosine", GraftFunctions.cosineSim(col("v"), col("wv")))
-      .filter(col("cosine") >= tau)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("wit_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("wit_id").as("kept_by"), col("cosine"))
+          .agg(count(lit(1)).as("cell_n")).collect()
+        val keptCells = sizes.filter(_.getLong(1) <= maxCellSize).map(_.getInt(0))
+        droppedCells.foreach(_.add(sizes.length - keptCells.length))
+        dropsOver(assignedAll.filter(col("cell").isin(keptCells.toSeq: _*)))
+          .localCheckpoint(true)
+      } finally { assignedAll.unpersist(blocking = false): Unit }
+    }
   }
 
   /** Clustering-quality report for a centroid set: per cell — member
@@ -495,20 +504,25 @@ object Similarity {
     * exact cosine — job count is constant in the number of queries
     * (asserted in SimilaritySpec).
     *
-    * 100 TB shape: the query side is broadcast (queries × nprobe rows of
-    * id + vector), so the probe is exchange-free on the index side and
-    * Spark's dynamic partition pruning drops non-probed cell directories
-    * at runtime — the vacuously-true `cell >= 0` predicate below is what
-    * marks the build side selective so the DPP rule attaches (plan-asserted
-    * in SimilaritySpec). A query set beyond broadcast size flips to a
-    * shuffle join on `cell` with identical semantics — at that scale every
-    * cell is probed by some query, so there is nothing left to prune.
-    * Works over both index storage tiers ([[indexVector]]). */
+    * 100 TB shape: with `broadcastQueries = true` (default) the query
+    * side is broadcast (queries × nprobe rows of id + vector), the probe
+    * is exchange-free on the index side, and Spark's dynamic partition
+    * pruning drops non-probed cell directories at runtime — the
+    * vacuously-true `cell >= 0` predicate below is what marks the build
+    * side selective so the DPP rule attaches (plan-asserted in
+    * SimilaritySpec). The hint FORCES the broadcast — Spark does not
+    * degrade a hinted join, it fails past the broadcast limits — so for
+    * a query set too large to ship (hundreds of millions of rows), pass
+    * `broadcastQueries = false`: the same plan runs as a shuffle join on
+    * `cell` with identical semantics, and at that query volume every
+    * cell is probed by some query anyway, so pruning had nothing left to
+    * buy. Works over both index storage tiers ([[indexVector]]). */
   def ivfTopKBatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Seq[Float])],
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
     GraftFunctions.register(spark)
     GraftFunctions.register(queries.sparkSession)
     require(centroids.zipWithIndex.forall { case ((c, _), i) => c == i },
@@ -523,7 +537,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
-    index.join(broadcast(probed), "cell")
+    index.join(if (broadcastQueries) broadcast(probed) else probed, "cell")
       .select(col("query_id"), col(idCol),
         GraftFunctions.cosineSim(indexVector(index, vecCol), col("qv")).as("cosine"))
       .withColumn("rank", row_number().over(w))

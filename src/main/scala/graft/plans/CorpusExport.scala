@@ -80,9 +80,14 @@ object CorpusExport {
     val full = curatedFull(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the narrow (id, status) diff is persisted too: three actions
+      // consume it (delta write, removed-ids write, manifest read-back),
+      // and without the cache each would re-run the full-outer
+      // fingerprint join AND re-scan + re-fingerprint the base corpus
       val diff = graft.operators.Versioning.diff(
         base.select(col("doc_id"), col("text")),
         full.select(col("doc_id"), col("text")), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = diff.filter(col("status").isin("added", "modified"))
         .select(col("doc_id"))
       val removed = diff.filter(col("status") === "removed").select(col("doc_id"))
@@ -100,9 +105,13 @@ object CorpusExport {
           .select(col("doc_id")))
       val delta = s.read.schema(base.schema)
         .parquet(s"$outPath/delta")
-      manifestOf(
+      // localCheckpoint(eager) is the last action over the cached frames;
+      // both caches free before the manifest is returned
+      val manifest = manifestOf(
         base.join(gone, Seq("doc_id"), "left_anti").unionByName(delta))
         .localCheckpoint(true)
+      diff.unpersist(blocking = false)
+      manifest
     } finally { full.unpersist(blocking = false); () }
   }
 }

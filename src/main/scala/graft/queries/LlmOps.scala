@@ -564,10 +564,13 @@ object LlmOps {
     * sketch trio (HLL distinct `r_approx_distinct`, GK percentile
     * `r_percentiles_approx`, CMS frequency here): token frequencies at
     * 100 TB without a vocabulary-sized exact aggregation. SELF-CHECKING
-    * like the HLL gate: the top-20 exact counts ride along and every
-    * estimate must satisfy the CMS guarantee exact ≤ est ≤ exact + eps·N
-    * (one-sided overestimation is structural; the upper bound holds with
-    * confidence 1-delta per query — a violation fails the gate loudly).
+    * like the HLL gate: the top-20 exact counts ride along; est ≥ exact
+    * is STRUCTURAL (CMS never underestimates) and enforced as-is, while
+    * the upper bound is enforced at 3× the eps·N slack — the theoretical
+    * bound only holds with confidence 1-delta PER QUERY, so requiring it
+    * raw for 20 tokens per run would abort a healthy sketch at a real
+    * rate (the same flake class the HLL gate's 3σ→5σ widening removed);
+    * both raw values are emitted so the actual gap stays visible.
     * Sketch internals are engine-specific → rows-only driver check, with
     * the error bound pinned here and in SketchSpec. */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
@@ -587,7 +590,7 @@ object LlmOps {
       .limit(20).collect()
     val rows = top.zipWithIndex.map { case (r, i) =>
       val est = cms.estimateCount(r.getString(0))
-      require(est >= r.getLong(1) && est <= r.getLong(1) + slack,
+      require(est >= r.getLong(1) && est <= r.getLong(1) + 3 * slack,
         s"CMS bound violated for '${r.getString(0)}': exact=${r.getLong(1)} est=$est slack=$slack")
       Row(i + 1, r.getString(0), r.getLong(1), est, true)
     }

@@ -374,7 +374,8 @@ class SimilaritySpec extends SparkTestBase {
       val incr = embs.filter(pmod(col("vec_id"), lit(2)) =!= 0)
       val cents = Similarity.writeIvfIndex(base, "vec_id", "embedding", path,
         nCells = 16, refineIters = 2, quantize = q8)
-      Similarity.appendToIvfIndex(incr, "vec_id", "embedding", path, cents, quantize = q8)
+      // the storage tier is auto-detected from the standing index's schema
+      Similarity.appendToIvfIndex(incr, "vec_id", "embedding", path, cents)
       val got = Similarity.ivfTopKFromIndex(
           spark, path, cents, "vec_id", "embedding", query, k = 20, nprobe = 4)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

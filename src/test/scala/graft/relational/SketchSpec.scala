@@ -66,9 +66,10 @@ class SketchSpec extends SparkTestBase {
   }
 
   test("count_min_sketch estimates honor the one-sided CMS guarantee on the heavy hitters") {
-    // the gate already require()s exact <= est <= exact + ceil(eps*N) per
-    // row (a violation aborts the query); re-assert the emitted evidence
-    // and the structural properties here
+    // the gate require()s exact <= est <= exact + 3*ceil(eps*N) per row —
+    // the upper bound widened 3x because the theoretical eps*N bound only
+    // holds with confidence 1-delta per query (the HLL 5-sigma precedent);
+    // re-assert the emitted evidence and the structural properties here
     val rows = graft.queries.LlmOps.heavyHitters(spark, dir).collect()
     assert(rows.length == 20)
     rows.foreach { r =>
