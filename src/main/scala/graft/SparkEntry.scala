@@ -75,6 +75,8 @@ object SparkEntry {
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
     "d_sim_topk_ivf" -> (q.LlmOps.simTopKIvf _),
     "d_sim_topk_ivf_q8" -> (q.LlmOps.simTopKIvfQ8 _),
+    "d_sim_topk_pq" -> (q.LlmOps.simTopKPq _),
+    "d_sim_topk_ivf_pq" -> (q.LlmOps.simTopKIvfPq _),
     "d_ann_batch" -> (q.LlmOps.annBatch _),
     "d_ann_append" -> (q.LlmOps.annAppend _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
@@ -165,6 +167,8 @@ object SparkEntry {
     "d_sim_topk_brute" -> q.LlmOps.simTopKBruteSql,
     "d_sim_topk_ivf" -> q.LlmOps.simTopKIvfSql,
     "d_sim_topk_ivf_q8" -> q.LlmOps.simTopKIvfQ8Sql,
+    "d_sim_topk_pq" -> q.LlmOps.simTopKPqSql,
+    "d_sim_topk_ivf_pq" -> q.LlmOps.simTopKIvfPqSql,
     "d_ann_batch" -> q.LlmOps.annBatchSql,
     "d_ann_append" -> q.LlmOps.annAppendSql,
     "d_knn_join" -> q.LlmOps.knnJoinSql,

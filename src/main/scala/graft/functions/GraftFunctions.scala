@@ -39,6 +39,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ivf_cells_topn",
       es => IvfCellsTopN(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_assign",
+      es => PqAssign(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_decode",
+      es => PqDecode(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue), "built-in")
     reg.createOrReplaceTempFunction("graft_pack_int8",
       es => PackInt8(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_unpack_q8",
@@ -85,6 +91,15 @@ object GraftFunctions {
     * assignment of the batched ANN tier. */
   def ivfCellsTopN(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_ivf_cells_topn", vec, typedLit(centroids), lit(nprobe))
+  /** Per-subspace argmin-L2 PQ codes of a float-vector column against a
+    * constant subspace-major codebook — one plan node regardless of
+    * codebook size. */
+  def pqAssign(vec: Column, codebook: Seq[Seq[Float]], ksub: Int): Column =
+    call_function("graft_pq_assign", vec, typedLit(codebook), lit(ksub))
+  /** PQ reconstruction (concatenated coded sub-centroids) from an
+    * array<int> code column or its packed binary form. */
+  def pqDecode(codes: Column, codebook: Seq[Seq[Float]], ksub: Int): Column =
+    call_function("graft_pq_decode", codes, typedLit(codebook), lit(ksub))
   /** int8 code array → one-byte-per-component binary (quantized ANN index
     * storage). */
   def packInt8(codes: Column): Column = call_function("graft_pack_int8", codes)

@@ -163,6 +163,91 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Product-quantization codes of `vec` against a subspace-major codebook
+    * (entry `s*ksub + code` = code-th centroid of subspace s, each of
+    * length dsub = dim/m): per subspace, the index of the sub-centroid
+    * with the smallest squared-L2 distance to the sub-vector (first min
+    * wins on ties — strict `<` over ascending codes, the argmax-cell
+    * convention). L2, not cosine, because sub-vector norms carry signal
+    * the concatenated reconstruction needs (Jégou, Douze, Schmid,
+    * "Product quantization for nearest neighbor search", TPAMI 2011 —
+    * public). ONE plan node: m·ksub distance evaluations per row against
+    * a constant matrix, plan size constant in the codebook. */
+  def pqAssign(vec: ArrayData, codebook: Array[Array[Float]], ksub: Int): ArrayData = {
+    val dim = vec.numElements()
+    val m = codebook.length / ksub
+    val dsub = codebook(0).length
+    if (m * dsub != dim || m * ksub != codebook.length)
+      throw new IllegalArgumentException(
+        s"pq codebook mismatch: dim=$dim, entries=${codebook.length}, ksub=$ksub, dsub=$dsub")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val ct = codebook(s * ksub + c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = vec.getFloat(s * dsub + i).toDouble - ct(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Reconstructed float32 vector from PQ codes: the concatenation of each
+    * subspace's coded centroid — the decode side of [[pqAssign]] (same
+    * subspace-major layout). Scoring against the reconstruction is the
+    * standard PQ search contract; per-component error is bounded by the
+    * subspace quantizer's cell radius. */
+  def pqDecode(codes: ArrayData, codebook: Array[Array[Float]], ksub: Int): ArrayData = {
+    val m = codes.numElements()
+    val dsub = codebook(0).length
+    if (m * ksub != codebook.length)
+      throw new IllegalArgumentException(
+        s"pq codebook mismatch: m=$m, entries=${codebook.length}, ksub=$ksub")
+    val out = new Array[Float](m * dsub)
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      if (code < 0 || code >= ksub)
+        throw new IllegalArgumentException(s"pq code out of range: $code (ksub=$ksub)")
+      System.arraycopy(codebook(s * ksub + code), 0, out, s * dsub, dsub)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[pqDecode]] over the PACKED one-byte-per-code binary form
+    * ([[packInt8]] of the code array) — the on-disk PQ index tier decodes
+    * straight from storage without an intermediate array<int> column. */
+  def pqDecodeBytes(codes: Array[Byte], codebook: Array[Array[Float]], ksub: Int): ArrayData = {
+    val m = codes.length
+    val dsub = codebook(0).length
+    if (m * ksub != codebook.length)
+      throw new IllegalArgumentException(
+        s"pq codebook mismatch: m=$m, entries=${codebook.length}, ksub=$ksub")
+    val out = new Array[Float](m * dsub)
+    var s = 0
+    while (s < m) {
+      val code = codes(s).toInt
+      if (code < 0 || code >= ksub)
+        throw new IllegalArgumentException(s"pq code out of range: $code (ksub=$ksub)")
+      System.arraycopy(codebook(s * ksub + code), 0, out, s * dsub, dsub)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine similarity; 0.0 when either vector is all-zero. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = checkDims(a, b)

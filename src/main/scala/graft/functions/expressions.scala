@@ -287,6 +287,88 @@ case class UnpackQ8(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Product-quantization code assignment: per-subspace argmin-L2 codes
+  * (array<int> of m = dim/dsub entries) of a float-vector column against a
+  * constant subspace-major codebook (array<array<float>> literal of m·ksub
+  * entries, each dsub wide) — ONE plan node whose size is constant in the
+  * codebook, the [[IvfCellAssign]] discipline applied to the PQ fine
+  * quantizer. See VectorOps.pqAssign. */
+case class PqAssign(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _))
+          if right.foldable && ksub > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, foldable array<array<float>>, ksub > 0), " +
+          s"got (${l.simpleString}, ${r.simpleString}, foldable=${right.foldable}, ksub=$ksub)")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_assign"
+
+  @transient private lazy val codebook: Array[Array[Float]] = {
+    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+  }
+
+  override protected def nullSafeEval(vec: Any, cb: Any): Any =
+    VectorOps.pqAssign(
+      vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], codebook, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCodebook", codebook, "float[][]")
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.VectorOps.pqAssign($v, $m, $ksub)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAssign =
+    copy(left = l, right = r)
+}
+
+/** PQ reconstruction: concatenated coded sub-centroids (array<float> of
+  * dim) from a code column — array<int> form ([[PqAssign]] output) or the
+  * packed one-byte-per-code binary form ([[PackInt8]] of it, the on-disk
+  * index tier). See VectorOps.pqDecode / pqDecodeBytes. */
+case class PqDecode(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _) | BinaryType, ArrayType(ArrayType(FloatType, _), _))
+          if right.foldable && ksub > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<int> | binary, foldable array<array<float>>, ksub > 0), " +
+          s"got (${l.simpleString}, ${r.simpleString}, foldable=${right.foldable}, ksub=$ksub)")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+
+  @transient private lazy val codebook: Array[Array[Float]] = {
+    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+  }
+
+  private def packed: Boolean = left.dataType == BinaryType
+
+  override protected def nullSafeEval(codes: Any, cb: Any): Any =
+    if (packed)
+      VectorOps.pqDecodeBytes(codes.asInstanceOf[Array[Byte]], codebook, ksub)
+    else
+      VectorOps.pqDecode(
+        codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], codebook, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCodebook", codebook, "float[][]")
+    val fn = if (packed) "pqDecodeBytes" else "pqDecode"
+    defineCodeGen(ctx, ev, (c, _) =>
+      s"graft.functions.VectorOps.$fn($c, $m, $ksub)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqDecode =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature (array<long> of `numHashes` mins) of a shingle array —
   * one fused JVM pass; see TextHash.minhashSig. */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the ANN storage tier below int8: split each
+  * dim-wide vector into `m` contiguous subspaces of dsub = dim/m
+  * components, k-means each subspace independently (`ksub` sub-centroids),
+  * and store ONE BYTE per subspace (the sub-centroid code). At dim=64 /
+  * m=8 that is 8 bytes per vector against 256 bytes of float32 — a 32×
+  * shrink (vs int8's 4×), the compression that makes billion-vector
+  * indexes RAM-resident (Jégou, Douze, Schmid, "Product quantization for
+  * nearest neighbor search", TPAMI 2011 — public).
+  *
+  * Search scores against the RECONSTRUCTION (concatenated coded
+  * sub-centroids): cosine(query, decode(codes)) — the asymmetric-distance
+  * contract: the query stays exact, only the corpus side is quantized.
+  *
+  * Determinism: sub-centroid updates use the same floor-quantized
+  * integer-sum mean as the coarse k-means ([[Similarity.CentroidQuanta]]),
+  * so training is BIT-REPRODUCIBLE on any partitioning and any engine —
+  * the DuckDB oracle replays the per-subspace Lloyd rounds exactly.
+  *
+  * 100 TB shape: training is `iters` single-aggregation passes (the
+  * per-subspace explode multiplies rows ×m but divides payload ÷m — byte
+  * volume is unchanged) collecting only m·ksub centroid rows per round;
+  * encode/decode are one fused plan node each, constant in codebook size
+  * ([[graft.functions.PqAssign]]/[[graft.functions.PqDecode]]); nothing
+  * per-vector ever reaches the driver.
+  */
+object Pq {
+
+  /** Train a subspace-major codebook (entry `s*ksub + code`, each dsub
+    * wide): seeds are the first `ksub` vectors by id (each contributing
+    * its s-th slice to subspace s — the [[Similarity.ivfCentroids]]
+    * convention), refined by `iters` Lloyd rounds. Assignment is
+    * argmin-squared-L2 with first-min tie-break; the update is the
+    * quantized-integer-sum mean (empty codes keep their centroid). One
+    * aggregation job per round; m·ksub rows collected per round. */
+  def trainCodebook(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Seq[Seq[Float]] = {
+    GraftFunctions.register(df.sparkSession)
+    val seeds = df.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(vecCol)).collect()
+      .toIndexedSeq.map(_.getSeq[Float](0))
+    require(seeds.nonEmpty, "pq training corpus is empty")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    require(seeds.length == ksub,
+      s"pq needs at least ksub=$ksub training rows, got ${seeds.length}")
+    var cb: IndexedSeq[Seq[Float]] = for {
+      s <- 0 until m
+      c <- 0 until ksub
+    } yield seeds(c).slice(s * dsub, (s + 1) * dsub)
+    val q = Similarity.CentroidQuanta
+    for (_ <- 0 until iters) {
+      val sums = (0 until dsub).map(i =>
+        sum(floor(element_at(col("v"), col("s") * dsub + i + 1).cast("double") * lit(q))
+          .cast("long")).as(s"s$i"))
+      val rows = df
+        .select(col(vecCol).as("v"),
+          posexplode(GraftFunctions.pqAssign(col(vecCol), cb, ksub)).as(Seq("s", "code")))
+        .groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val updated = rows.map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getInt(0), r.getInt(1)) -> (0 until dsub).map(i =>
+          (r.getLong(i + 3).toDouble / n / q).toFloat)
+      }.toMap
+      cb = for {
+        s <- 0 until m
+        c <- 0 until ksub
+      } yield updated.getOrElse((s, c), cb(s * ksub + c))
+    }
+    cb
+  }
+
+  /** The packed PQ code column (binary, one byte per subspace) of a
+    * float-vector column — the storage form. */
+  def codesCol(vec: Column, codebook: Seq[Seq[Float]], ksub: Int): Column =
+    GraftFunctions.packInt8(GraftFunctions.pqAssign(vec, codebook, ksub))
+
+  /** The reconstructed float32 vector of a code column (array<int> or
+    * packed binary). */
+  def decodeCol(codes: Column, codebook: Seq[Seq[Float]], ksub: Int): Column =
+    GraftFunctions.pqDecode(codes, codebook, ksub)
+
+  /** Encode a corpus: (idCol, pqcodes binary). One narrow projection. */
+  def encode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Float]], ksub: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), codesCol(col(vecCol), codebook, ksub).as("pqcodes"))
+  }
+
+  /** Exact-query-vs-quantized-corpus top-k (asymmetric distance): encode +
+    * decode in-plan, cosine against the literal query, TakeOrdered — the
+    * [[Similarity.bruteForceTopK]] shape over the 32×-compressed
+    * representation. */
+  def pqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Float]], ksub: Int,
+      query: Seq[Float], k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val recon = decodeCol(
+      GraftFunctions.pqAssign(col(vecCol), codebook, ksub), codebook, ksub)
+    df.select(
+        col(idCol),
+        GraftFunctions.cosineSim(recon, typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -261,27 +261,43 @@ object Similarity {
     * one-byte-per-component packed code column (`qcodes` binary) + its
     * `scale` double — ~4× smaller vector payload (the standard compression
     * for billion-vector IVF deployments; size and the ≥0.8 recall pin are
-    * asserted in SimilaritySpec). Probes ([[ivfTopKFromIndex]],
-    * [[ivfTopKBatch]]) detect the quantized layout by schema and
-    * dequantize in-kernel at scan time. */
+    * asserted in SimilaritySpec). `pq = Some((codebook, ksub))` stores the
+    * PQ tier instead: one byte PER SUBSPACE (`pqcodes` binary, [[Pq]]) —
+    * ~32× smaller at dim 64 / m 8, the IVF-PQ layout of billion-vector
+    * deployments. Probes ([[ivfTopKFromIndex]], [[ivfTopKBatch]]) detect
+    * the storage tier by schema and decode in-kernel at scan time. */
   def writeIvfIndex(
       df: DataFrame, idCol: String, vecCol: String,
       path: String, nCells: Int = 16, refineIters: Int = 0,
-      quantize: Boolean = false): Seq[(Int, Seq[Float])] = {
+      quantize: Boolean = false,
+      pq: Option[(Seq[Seq[Float]], Int)] = None): Seq[(Int, Seq[Float])] = {
+    require(!(quantize && pq.nonEmpty), "pick ONE storage tier: int8 or pq")
     val centroids =
       if (refineIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, refineIters)
       else ivfCentroids(df, idCol, vecCol, nCells)
     val assigned = withIvfCell(df, vecCol, centroids)
-    val out =
-      if (!quantize) assigned
-      else {
-        val keep = df.columns.filterNot(_ == vecCol).map(col).toSeq :+ col("cell")
+    storageProjected(assigned, df.columns.toSeq, vecCol, quantize, pq)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
+  /** The index row projection for a storage tier: float32 rows unchanged;
+    * int8 → (scale, qcodes); pq → (pqcodes). ONE formula shared by the
+    * full write and the incremental append, so the tiers can never
+    * drift. */
+  private def storageProjected(
+      assigned: DataFrame, dataCols: Seq[String], vecCol: String,
+      quantize: Boolean, pq: Option[(Seq[Seq[Float]], Int)]): DataFrame = {
+    val keep = dataCols.filterNot(_ == vecCol).map(col) :+ col("cell")
+    (quantize, pq) match {
+      case (true, _) =>
         withQuantized(assigned, vecCol, keep)
           .withColumn("qcodes", GraftFunctions.packInt8(col("qvec")))
           .drop("qvec")
-      }
-    out.write.mode("overwrite").partitionBy("cell").parquet(path)
-    centroids
+      case (_, Some((cb, ksub))) =>
+        assigned.select(keep :+ Pq.codesCol(col(vecCol), cb, ksub).as("pqcodes"): _*)
+      case _ => assigned
+    }
   }
 
   /** INCREMENTAL index maintenance — the ANN tier's analog of the dedup
@@ -305,26 +321,31 @@ object Similarity {
     * says the geometry moved. */
   def appendToIvfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      path: String, centroids: Seq[(Int, Seq[Float])]): Unit = {
-    val quantized = df.sparkSession.read.parquet(path)
-      .schema.fieldNames.contains("qcodes")
+      path: String, centroids: Seq[(Int, Seq[Float])],
+      pq: Option[(Seq[Seq[Float]], Int)] = None): Unit = {
+    val standing = df.sparkSession.read.parquet(path).schema.fieldNames
+    val quantized = standing.contains("qcodes")
+    if (standing.contains("pqcodes"))
+      require(pq.nonEmpty, "appending to a PQ index requires its codebook")
+    else
+      require(pq.isEmpty, s"index at $path is not PQ-coded; drop the codebook")
     val assigned = withIvfCell(df, vecCol, centroids)
-    val out =
-      if (!quantized) assigned
-      else {
-        val keep = df.columns.filterNot(_ == vecCol).map(col).toSeq :+ col("cell")
-        withQuantized(assigned, vecCol, keep)
-          .withColumn("qcodes", GraftFunctions.packInt8(col("qvec")))
-          .drop("qvec")
-      }
-    out.write.mode("append").partitionBy("cell").parquet(path)
+    storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq)
+      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** The float32 vector of an index row, whichever storage tier the index
-    * was written with: dequantized from (qcodes, scale) for a quantized
-    * index, the raw vector column otherwise. */
-  private def indexVector(index: DataFrame, vecCol: String): Column =
-    if (index.columns.contains("qcodes"))
+    * was written with: dequantized from (qcodes, scale) for an int8 index,
+    * PQ-reconstructed from pqcodes (needs the caller-persisted codebook,
+    * like the centroids), the raw vector column otherwise. */
+  private def indexVector(
+      index: DataFrame, vecCol: String,
+      pq: Option[(Seq[Seq[Float]], Int)]): Column =
+    if (index.columns.contains("pqcodes")) {
+      val (cb, ksub) = pq.getOrElse(throw new IllegalArgumentException(
+        "probing a PQ index requires its codebook"))
+      Pq.decodeCol(col("pqcodes"), cb, ksub)
+    } else if (index.columns.contains("qcodes"))
       GraftFunctions.unpackQ8(col("qcodes"), col("scale"))
     else col(vecCol)
 
@@ -480,7 +501,8 @@ object Similarity {
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Seq[Float])], idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+      query: Seq[Float], k: Int, nprobe: Int = 4,
+      pq: Option[(Seq[Seq[Float]], Int)] = None): DataFrame = {
     GraftFunctions.register(spark)
     val probed = nearestCells(centroids, query, nprobe)
     val index = spark.read.parquet(path)
@@ -488,7 +510,7 @@ object Similarity {
       .filter(col("cell").isin(probed: _*))
       .select(
         col(idCol),
-        GraftFunctions.cosineSim(indexVector(index, vecCol), typedLit(query))
+        GraftFunctions.cosineSim(indexVector(index, vecCol, pq), typedLit(query))
           .as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -522,7 +544,8 @@ object Similarity {
       centroids: Seq[(Int, Seq[Float])],
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      pq: Option[(Seq[Seq[Float]], Int)] = None): DataFrame = {
     GraftFunctions.register(spark)
     GraftFunctions.register(queries.sparkSession)
     require(centroids.zipWithIndex.forall { case ((c, _), i) => c == i },
@@ -539,7 +562,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
     index.join(if (broadcastQueries) broadcast(probed) else probed, "cell")
       .select(col("query_id"), col(idCol),
-        GraftFunctions.cosineSim(indexVector(index, vecCol), col("qv")).as("cosine"))
+        GraftFunctions.cosineSim(indexVector(index, vecCol, pq), col("qv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Similarity, Spans}
+import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Pq, Similarity, Spans}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -743,6 +743,136 @@ object LlmOps {
        |FROM dq JOIN assign USING (vec_id) CROSS JOIN q
        |WHERE assign.cell IN (SELECT cell FROM probed)
        |ORDER BY cosine DESC, dq.vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  // PQ hyperparameters — shared by the gates, their oracle twins, and the
+  // specs: 64-dim vectors → 8 subspaces of 8 components, 16 sub-centroids
+  // each → 8 one-byte codes per vector (32× smaller than float32), 2
+  // Lloyd rounds per subspace (the coarse-k-means iteration budget).
+  private[graft] val PqM = 8
+  private[graft] val PqKsub = 16
+  private[graft] val PqIters = 2
+
+  /** Product-quantization top-k gate ([[Pq.pqTopK]]): codebook trained
+    * per-subspace with quantized-integer-sum Lloyd updates, the corpus
+    * scored as cosine(query, reconstruction). The oracle replays the
+    * per-subspace k-means bit-for-bit (the [[simTopKIvfSql]] discipline
+    * one level down), so the hash check is exact — the recall-vs-exact
+    * bound lives in PqSpec. */
+  def simTopKPq(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, dir)
+    val cb = Pq.trainCodebook(e, "vec_id", "embedding",
+      m = PqM, ksub = PqKsub, iters = PqIters)
+    Pq.pqTopK(e, "vec_id", "embedding", cb, PqKsub, queryVector(s, dir), k = 20)
+  }
+
+  /** Squared-L2 distance of two dsub-wide float sub-vectors as an
+    * index-ordered double fold — (x−c)·(x−c) per component, exactly
+    * [[graft.functions.VectorOps.pqAssign]]'s inner loop. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${64 / PqM + 1}), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Shared PQ CTE fragment: `pq_sv` (per-vector per-subspace slices) →
+    * seeded sub-codebooks → [[PqIters]] unrolled per-subspace Lloyd rounds
+    * (argmin-L2 assignment with first-min/code-ASC tie-break; floor-
+    * quantized BIGINT-sum mean updates, empty codes keep their centroid —
+    * [[Pq.trainCodebook]] exactly) → `precon(vec_id, rv)`: the
+    * reconstruction as the s-ordered concatenation of coded sub-centroids
+    * ([[graft.functions.VectorOps.pqDecode]]). Integer sums are order-
+    * independent, so the replay is bit-exact on any partitioning. */
+  private def pqCtes: String = {
+    val dsub = 64 / PqM
+    val q = Similarity.CentroidQuanta
+    val avgs = (1 to dsub)
+      .map(i => s"CAST(CAST(SUM(CAST(floor(CAST(v.sv[$i] AS DOUBLE) * $q) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $q AS FLOAT)")
+      .mkString("[", ", ", "]")
+    def round(t: Int): String =
+      s"""prc$t AS (
+         |  SELECT v.vec_id, v.s, c.code, ${l2Sql("v.sv", "c.cv")} AS d2
+         |  FROM pq_sv v JOIN pcent$t c USING (s)),
+         |pa$t AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM prc$t) WHERE rn = 1),
+         |pup$t AS (
+         |  SELECT a.s, a.code, $avgs AS cv
+         |  FROM pa$t a JOIN pq_sv v USING (vec_id, s) GROUP BY a.s, a.code),
+         |pcent${t + 1} AS (
+         |  SELECT c.s, c.code, COALESCE(u.cv, c.cv) AS cv
+         |  FROM pcent$t c LEFT JOIN pup$t u ON u.s = c.s AND u.code = c.code)""".stripMargin
+    val rounds = (0 until PqIters).map(round).mkString(",\n")
+    val f = PqIters
+    s"""pq_sv AS (
+       |  SELECT vec_id, CAST(u AS INT) AS s,
+       |    list_slice(embedding, u*$dsub + 1, u*$dsub + $dsub) AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range($PqM)) AS u)),
+       |pcent0 AS (
+       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code, sv AS cv
+       |  FROM pq_sv
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKsub)),
+       |$rounds,
+       |prcF AS (
+       |  SELECT v.vec_id, v.s, c.code, ${l2Sql("v.sv", "c.cv")} AS d2
+       |  FROM pq_sv v JOIN pcent$f c USING (s)),
+       |paF AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM prcF) WHERE rn = 1),
+       |precon AS (
+       |  SELECT a.vec_id, flatten(list(c.cv ORDER BY a.s)) AS rv
+       |  FROM paF a JOIN pcent$f c ON c.s = a.s AND c.code = a.code
+       |  GROUP BY a.vec_id)""".stripMargin
+  }
+
+  /** Mirrors [[simTopKPq]] on [[pqCtes]]: cosine of the full-precision
+    * query against each reconstruction, top-20. */
+  lazy val simTopKPqSql: String =
+    s"""WITH $pqCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+       |SELECT r.vec_id, ${cosSql("r.rv", "q.qv")} AS cosine
+       |FROM precon r CROSS JOIN q
+       |ORDER BY cosine DESC, r.vec_id ASC LIMIT 20""".stripMargin
+
+  /** IVF-PQ gate: the coarse k-means cell directory of [[simTopKIvf]] with
+    * the PQ storage tier inside each cell — the billion-vector IVF-PQ
+    * layout (partition pruning from the coarse index, 32× payload shrink
+    * from the fine quantizer). The gate probes the WRITTEN index and the
+    * oracle composes the two shared CTE replicas (coarse cells +
+    * sub-quantizer reconstruction), both bit-exact. */
+  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_pq")
+    try {
+      val e = embeddings(s, dir)
+      val cb = Pq.trainCodebook(e, "vec_id", "embedding",
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        out.toString, nCells = 16, refineIters = IvfKmeansIters,
+        pq = Some((cb, PqKsub)))
+      Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
+        queryVector(s, dir), k = 20, nprobe = 4,
+        pq = Some((cb, PqKsub))).localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[simTopKIvfPq]]: the [[kmeansAssignCtes]] cell membership
+    * and probe-cell selection, scored against the [[pqCtes]]
+    * reconstructions. */
+  lazy val simTopKIvfPqSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |$pqCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+       |probed AS (
+       |  SELECT c.cell FROM cent$f c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
+       |SELECT r.vec_id, ${cosSql("r.rv", "q.qv")} AS cosine
+       |FROM precon r JOIN assign USING (vec_id) CROSS JOIN q
+       |WHERE assign.cell IN (SELECT cell FROM probed)
+       |ORDER BY cosine DESC, r.vec_id ASC LIMIT 20""".stripMargin
   }
 
   // batched-ANN gate parameters — shared by the query and its oracle twin.
