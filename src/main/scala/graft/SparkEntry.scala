@@ -77,6 +77,7 @@ object SparkEntry {
     "d_sim_topk_ivf_q8" -> (q.LlmOps.simTopKIvfQ8 _),
     "d_sim_topk_pq" -> (q.LlmOps.simTopKPq _),
     "d_sim_topk_ivf_pq" -> (q.LlmOps.simTopKIvfPq _),
+    "d_ann_pq_rerank" -> (q.LlmOps.annPqRerank _),
     "d_ann_batch" -> (q.LlmOps.annBatch _),
     "d_ann_append" -> (q.LlmOps.annAppend _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "d_sim_topk_ivf_q8" -> q.LlmOps.simTopKIvfQ8Sql,
     "d_sim_topk_pq" -> q.LlmOps.simTopKPqSql,
     "d_sim_topk_ivf_pq" -> q.LlmOps.simTopKIvfPqSql,
+    "d_ann_pq_rerank" -> q.LlmOps.annPqRerankSql,
     "d_ann_batch" -> q.LlmOps.annBatchSql,
     "d_ann_append" -> q.LlmOps.annAppendSql,
     "d_knn_join" -> q.LlmOps.knnJoinSql,

@@ -97,6 +97,40 @@ object Pq {
     df.select(col(idCol), codesCol(col(vecCol), codebook, ksub).as("pqcodes"))
   }
 
+  /** Shortlist-then-rerank — the PQ DEPLOYMENT contract: within a cell,
+    * members share codes, so PQ ranks degrade at noise level; production
+    * search therefore takes a `shortlistK`-deep candidate list from the
+    * compressed index and re-ranks ONLY those rows against their
+    * full-precision vectors (Jégou et al. 2011's ADC + re-rank recipe).
+    *
+    * 100 TB shape: job 1 probes the 32×-compressed IVF-PQ index
+    * (partition-pruned to nprobe cells) and collects shortlistK IDS ONLY
+    * (k·O(1) longs — the bounded-collect discipline of the centroid
+    * fetches); job 2 fetches those rows from the full-precision store
+    * with an `isin` filter that reaches the parquet scan as a pushed
+    * predicate — against an id-sorted store, row-group min/max stats
+    * prune all but the touched groups, so the exact pass reads
+    * O(shortlistK) rows, not the corpus. */
+  def shortlistRerank(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: Seq[(Int, Seq[Float])], codebook: Seq[Seq[Float]], ksub: Int,
+      fullVectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, shortlistK: Int, nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(fullVectors.sparkSession)
+    val shortIds = Similarity.ivfTopKFromIndex(
+        spark, indexPath, centroids, idCol, vecCol, query, shortlistK, nprobe,
+        pq = Some((codebook, ksub)))
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    fullVectors
+      .filter(col(idCol).isin(shortIds: _*))
+      .select(
+        col(idCol),
+        GraftFunctions.cosineSim(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact-query-vs-quantized-corpus top-k (asymmetric distance): encode +
     * decode in-plan, cosine against the literal query, TakeOrdered — the
     * [[Similarity.bruteForceTopK]] shape over the 32×-compressed

@@ -875,6 +875,55 @@ object LlmOps {
        |ORDER BY cosine DESC, r.vec_id ASC LIMIT 20""".stripMargin
   }
 
+  // rerank-gate depths — shared by the query and its oracle twin
+  private val RerankShortlist = 40
+  private val RerankK = 10
+
+  /** PQ shortlist-then-rerank gate ([[Pq.shortlistRerank]]): the
+    * compressed IVF-PQ index yields a [[RerankShortlist]]-deep candidate
+    * list; the exact pass re-scores ONLY those rows at full precision —
+    * the deployment recipe that recovers exact-rank quality from
+    * noise-level within-cell PQ ranks. Both stages replay in the oracle
+    * (reconstruction ranking, then exact cosine over the shortlist), so
+    * the hash check is exact end-to-end. */
+  def annPqRerank(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_pq_rerank")
+    try {
+      val e = embeddings(s, dir)
+      val cb = Pq.trainCodebook(e, "vec_id", "embedding",
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        out.toString, nCells = 16, refineIters = IvfKmeansIters,
+        pq = Some((cb, PqKsub)))
+      Pq.shortlistRerank(s, out.toString, cents, cb, PqKsub,
+        e, "vec_id", "embedding", queryVector(s, dir),
+        k = RerankK, shortlistK = RerankShortlist, nprobe = 4)
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[annPqRerank]]: probed-cell shortlist ranked by
+    * reconstruction cosine (the [[simTopKIvfPqSql]] selection, LIMIT
+    * [[RerankShortlist]]), then the exact-cosine re-rank over exactly
+    * those ids. */
+  lazy val annPqRerankSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |$pqCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+       |probed AS (
+       |  SELECT c.cell FROM cent$f c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4),
+       |short AS (
+       |  SELECT r.vec_id FROM precon r JOIN assign USING (vec_id) CROSS JOIN q
+       |  WHERE assign.cell IN (SELECT cell FROM probed)
+       |  ORDER BY ${cosSql("r.rv", "q.qv")} DESC, r.vec_id ASC LIMIT $RerankShortlist)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT $RerankK""".stripMargin
+  }
+
   // batched-ANN gate parameters — shared by the query and its oracle twin.
   // Every AnnBatchQueryMod-th vector is a query: 10 queries at sf0.01,
   // 100 at sf0.1 — the gate's query COUNT scales with the corpus, pinning
@@ -1498,6 +1547,22 @@ object LlmOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Bloom-pre-filtered incremental ingest
+    * ([[graft.operators.Dedup.bloomDedupAgainstCorpus]]): a corpus bloom
+    * bitset probed inside the incoming scan routes definitely-new rows
+    * AROUND the anti-join; only bloom hits reach it. Admit semantics are
+    * identical to the plain anti-join — the oracle is the same predicate
+    * at a different batch split (mod 5), so the hash check proves the
+    * routing loses and invents nothing. */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.bloomDedupAgainstCorpus(
+      d.filter(pmod(col("doc_id"), lit(5)) === 0),
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "text", numBits = 1 << 16, numProbes = 4)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** NEAR-dup incremental ingest
     * ([[graft.operators.Dedup.nearDupAgainstCorpus]]): incoming slice =
     * doc_id ≡ 0 (mod 7) (the [[dedupIncremental]] convention), standing
@@ -1526,16 +1591,26 @@ object LlmOps {
        |WHERE d.doc_id % 7 = 0
        |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""".stripMargin
 
-  val dedupIncrementalSql: String =
+  /** The incremental-ingest admit predicate at batch split `doc_id ≡ 0
+    * (mod m)`: incoming docs whose 128-bit canonical fingerprint matches
+    * no corpus doc — the oracle for BOTH the plain anti-join
+    * ([[dedupIncremental]]) and its bloom-routed twin ([[dedupBloom]]),
+    * which by construction computes the identical set (the bloom only
+    * routes rows; the residual anti-join decides). */
+  private def dedupIncrementalSqlAt(m: Int): String =
     s"""WITH fp AS (
        |  SELECT doc_id, lang, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
        |  FROM (SELECT doc_id, lang,
        |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
        |        FROM documents))
        |SELECT i.doc_id, i.lang FROM fp i
-       |WHERE i.doc_id % 7 = 0 AND NOT EXISTS (
+       |WHERE i.doc_id % $m = 0 AND NOT EXISTS (
        |  SELECT 1 FROM fp c
-       |  WHERE c.doc_id % 7 <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)""".stripMargin
+       |  WHERE c.doc_id % $m <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)""".stripMargin
+
+  lazy val dedupIncrementalSql: String = dedupIncrementalSqlAt(7)
+
+  lazy val dedupBloomSql: String = dedupIncrementalSqlAt(5)
 
   // ---- float/hash-exact DuckDB oracles for the cosine & fingerprint ----
   // families. The gate hash-compares doubles at full precision, so these

@@ -183,4 +183,70 @@ class PqSpec extends SparkTestBase {
     assert(got2 == expected2, "append probe diverges")
     assert(got2.exists(_._1 % 2 == 1), "no appended (odd) vector in top-20")
   }
+
+  test("ivfTopKBatch over a PQ index ≡ per-query single probes") {
+    GraftFunctions.register(spark)
+    val cb = Pq.trainCodebook(embs, "vec_id", "embedding", M, Ksub, iters = 2)
+    val pq = Some((cb, Ksub))
+    val path = s"target/ivf_pq_batch_${System.nanoTime()}"
+    val cents = Similarity.writeIvfIndex(embs, "vec_id", "embedding", path,
+      nCells = 16, refineIters = 2, pq = pq)
+    val queries = embs.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val got = Similarity.ivfTopKBatch(spark, path, cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 4, pq = pq)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val qvecs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == qvecs.keySet)
+    qvecs.foreach { case (qid, qv) =>
+      val single = Similarity.ivfTopKFromIndex(
+          spark, path, cents, "vec_id", "embedding", qv, k = 5, nprobe = 4, pq = pq)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }.toSeq
+      assert(got(qid).sortBy(_._2).toSeq == single, s"query $qid diverges from single probe")
+    }
+  }
+
+  test("shortlistRerank: ≡ exact top-k restricted to the shortlist; full-depth shortlist recovers brute force; id filter pushes to the scan") {
+    GraftFunctions.register(spark)
+    val cb = Pq.trainCodebook(embs, "vec_id", "embedding", M, Ksub, iters = 2)
+    val path = s"target/pq_rerank_${System.nanoTime()}"
+    val cents = Similarity.writeIvfIndex(embs, "vec_id", "embedding", path,
+      nCells = 16, refineIters = 2, pq = Some((cb, Ksub)))
+    val got = Pq.shortlistRerank(spark, path, cents, cb, Ksub,
+        embs, "vec_id", "embedding", query, k = 10, shortlistK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the result is the exact cosine ranking over exactly the shortlist ids
+    val shortlist = Similarity.ivfTopKFromIndex(spark, path, cents,
+        "vec_id", "embedding", query, k = 30, nprobe = 4, pq = Some((cb, Ksub)))
+      .collect().map(_.getLong(0)).toSet
+    val expected = Similarity.bruteForceTopK(embs, "vec_id", "embedding", query, 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(p => shortlist.contains(p._1)).take(10).toSeq
+    assert(got == expected, "rerank diverges from exact ranking over the shortlist")
+    // rerank scores are FULL-precision cosines (not reconstruction cosines)
+    val exactScores = expected.toMap
+    got.foreach { case (id, c) => assert(c == exactScores(id)) }
+    // with the shortlist as deep as the probed cells, rerank ≡ the exact
+    // probe over those cells — the recall knob reaches exactness
+    val deep = Pq.shortlistRerank(spark, path, cents, cb, Ksub,
+        embs, "vec_id", "embedding", query, k = 10, shortlistK = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probed = Similarity.nearestCells(cents, query, 4)
+    val exactProbe = Similarity.withIvfCell(embs, "embedding", cents)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(deep == exactProbe, "full-depth rerank should equal the exact probe")
+    // the exact pass reads via a PUSHED id predicate, not a full unpruned scan
+    val ids = shortlist.toSeq.sorted
+    val plan = embs.filter(col("vec_id").isin(ids: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"shortlist id filter not pushed to the parquet scan:\n$plan")
+  }
 }
