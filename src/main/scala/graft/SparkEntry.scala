@@ -53,6 +53,7 @@ object SparkEntry {
     "r_scalar_funcs" -> (q.Relational.scalarFuncs _),
     "r_events_window" -> (q.Relational.eventsWindow _),
     "r_sessionize" -> (q.Relational.sessionize _),
+    "r_zorder_layout" -> (q.Relational.zorderLayout _),
     // LLM-pipeline operators (SURVEY §2.3 north-star)
     "d_text_stats" -> (q.LlmOps.textStats _),
     "d_lang_id" -> (q.LlmOps.langId _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "d_mixture_rebalance" -> (q.LlmOps.mixtureRebalance _),
     "d_pack_sequences" -> (q.LlmOps.packSequences _),
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
+    "d_dedup_bloom" -> (q.LlmOps.dedupBloom _),
     "d_neardup_incremental" -> (q.LlmOps.nearDupIncremental _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
@@ -157,6 +159,7 @@ object SparkEntry {
     "r_scalar_funcs" -> q.Relational.scalarFuncsSql,
     "r_events_window" -> q.Relational.eventsWindowSql,
     "r_sessionize" -> q.Relational.sessionizeSql,
+    "r_zorder_layout" -> q.Relational.zorderLayoutSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,
     "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,
@@ -198,6 +201,7 @@ object SparkEntry {
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,
     "d_pack_sequences" -> q.LlmOps.packSequencesSql,
     "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,
+    "d_dedup_bloom" -> q.LlmOps.dedupBloomSql,
     "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,

@@ -34,4 +34,31 @@ object Aggregators {
   /** Column form: weighted_avg(money, weight). */
   def weightedAvgCol(money: Column, weight: Column): Column =
     udaf(weightedAvg).apply(money, weight)
+
+  /** Bloom bitset over a 64-bit fingerprint column ([[BloomOps]]): each
+    * partition ORs its fingerprints' probe bits into a local m-bit buffer,
+    * partials merge by byte-wise OR — ONE aggregation job, no shuffle of
+    * positions, and the result is byte-identical on any partitioning
+    * (OR is commutative; probe positions depend only on the fingerprint).
+    * `numBits` must be a power of two (the probe mask is numBits−1). */
+  def bloomBuild(numBits: Int, k: Int): Aggregator[Long, Array[Byte], Array[Byte]] = {
+    require(numBits >= 8 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 8, got $numBits")
+    new Aggregator[Long, Array[Byte], Array[Byte]] {
+      override def zero: Array[Byte] = new Array[Byte](numBits >>> 3)
+      override def reduce(b: Array[Byte], fp: Long): Array[Byte] = {
+        BloomOps.set(b, fp, k); b
+      }
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        BloomOps.orInto(a, b); a
+      }
+      override def finish(r: Array[Byte]): Array[Byte] = r
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+  }
+
+  /** Column form: bloom_build(fp) → binary bitset. */
+  def bloomBuildCol(fp: Column, numBits: Int, k: Int): Column =
+    udaf(bloomBuild(numBits, k)).apply(fp)
 }

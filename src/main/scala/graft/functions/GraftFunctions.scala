@@ -64,6 +64,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_sized_member_pairs",
       es => SizedMemberPairs(es(0), es(1), es(2),
         es(3).eval().asInstanceOf[Number].doubleValue), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      es => BloomMightContain(es(0),
+        es(1).eval().asInstanceOf[Array[Byte]],
+        es(2).eval().asInstanceOf[Number].intValue), "built-in")
   }
 
   def fingerprint64(c: Column): Column = call_function("graft_fingerprint64", c)
@@ -100,6 +104,10 @@ object GraftFunctions {
     * array<int> code column or its packed binary form. */
   def pqDecode(codes: Column, codebook: Seq[Seq[Float]], ksub: Int): Column =
     call_function("graft_pq_decode", codes, typedLit(codebook), lit(ksub))
+  /** Bloom membership probe of a 64-bit fingerprint column against a
+    * constant bitset — scan-local, no join ([[BloomMightContain]]). */
+  def bloomContains(fp: Column, bloom: Array[Byte], k: Int): Column =
+    call_function("graft_bloom_contains", fp, lit(bloom), lit(k))
   /** int8 code array → one-byte-per-component binary (quantized ANN index
     * storage). */
   def packInt8(codes: Column): Column = call_function("graft_pack_int8", codes)

@@ -586,6 +586,32 @@ case class SizedMemberPairs(
     copy(first = f, second = s, third = t)
 }
 
+/** Bloom-filter membership probe of a 64-bit fingerprint column against a
+  * CONSTANT bloom bitset ([[BloomOps]]) — the scan-local pre-filter of the
+  * bloom-accelerated incremental dedup tier. The bitset is held as a plan
+  * reference object (`ctx.addReferenceObj`), NOT a codegen literal: a
+  * megabyte-scale array rides the serialized plan/broadcast exactly once
+  * and never inflates the generated Java source. k probes per row, no
+  * allocation. */
+case class BloomMightContain(child: Expression, bloom: Array[Byte], k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(LongType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override protected def nullSafeEval(fp: Any): Any =
+    BloomOps.mightContain(bloom, fp.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bloom, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomOps.mightContain($ref, $c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Minimal input-type validation shared by the custom expressions (stand-in
   * for ExpectsInputTypes, whose AbstractDataType is private[sql]). Nullable
   * array element flags are ignored on purpose. */

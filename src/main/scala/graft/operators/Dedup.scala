@@ -81,6 +81,56 @@ object Dedup {
       .drop("dedup_fp")
   }
 
+  /** Bloom bitset over a corpus fingerprint frame (the `dedup_fp.f1`
+    * 64-bit stream) — ONE aggregation job (per-partition bitsets, byte-OR
+    * merge), one `numBits/8`-byte row to the driver (the bounded-collect
+    * discipline of the centroid fetches). An ingest service builds this
+    * once per corpus snapshot and reuses it across every batch. */
+  def bloomOfCorpus(
+      corpusFp64: DataFrame, fpCol: String,
+      numBits: Int, numProbes: Int): Array[Byte] =
+    corpusFp64
+      .agg(graft.functions.Aggregators.bloomBuildCol(col(fpCol), numBits, numProbes)
+        .as("bloom"))
+      .head().getAs[Array[Byte]](0)
+
+  /** [[dedupAgainstCorpus]] with a Bloom pre-filter — the 100 TB shape of
+    * incremental ingest. The plain anti-join shuffles EVERY incoming
+    * fingerprint against the standing corpus' store; but ingest batches
+    * are mostly new content, so almost all of that join input is wasted
+    * motion. Here a bloom bitset of the corpus fingerprints (built by
+    * [[bloomOfCorpus]], O(m) bytes, reusable across batches) is probed
+    * INSIDE the incoming scan ([[graft.functions.BloomMightContain]],
+    * codegen, k probes/row, no join): rows whose fingerprint misses the
+    * bloom are definitely new (no false negatives) and bypass the join
+    * entirely; only the (1−e^(−kn/m))^k false-positive sliver plus true
+    * duplicates reach the exact anti-join. Final semantics are EXACTLY
+    * [[dedupAgainstCorpus]] — the bloom only routes rows, the residual
+    * join decides — so the gate oracle is the plain anti-join.
+    *
+    * Sizing: m bits serve n corpus keys at ~1.44·log2(1/fp) bits/key
+    * (10 bits/key ≈ 1% fp); the bitset rides the plan as ONE reference
+    * object per executor, not per task. Beyond driver-memory-sized
+    * corpora, shard the bloom by fingerprint prefix and union the routed
+    * slices — correctness never depends on m, so undersizing only grows
+    * the residual join. */
+  def bloomDedupAgainstCorpus(
+      incoming: DataFrame, corpus: DataFrame, textCol: String,
+      numBits: Int = 1 << 23, numProbes: Int = 5): DataFrame = {
+    GraftFunctions.register(incoming.sparkSession)
+    def withFp(df: DataFrame): DataFrame = df.withColumn("dedup_fp",
+      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
+    val corpusFp = withFp(corpus).select(col("dedup_fp"))
+    val bloom = bloomOfCorpus(
+      corpusFp.select(col("dedup_fp.f1").as("f1")), "f1", numBits, numProbes)
+    val incFp = withFp(incoming)
+    val hit = GraftFunctions.bloomContains(col("dedup_fp.f1"), bloom, numProbes)
+    val definitelyNew = incFp.filter(!hit)
+    val residual = incFp.filter(hit)
+      .join(corpusFp, Seq("dedup_fp"), "left_anti")
+    definitelyNew.unionByName(residual).drop("dedup_fp")
+  }
+
   /** NEAR-dup incremental ingest — the MinHash analog of
     * [[dedupAgainstCorpus]]: admit only incoming documents that share NO
     * LSH band bucket with the standing corpus (an S-curve recall gate at

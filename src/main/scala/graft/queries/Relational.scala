@@ -533,6 +533,48 @@ object Relational {
        |       COUNT(*) AS n_events
        |FROM s GROUP BY user_id, sess""".stripMargin
 
+  /** Z-order layout gate ([[graft.plans.Layout]]): lineitem is written
+    * z-ordered on (l_partkey, l_suppkey) into range-partitioned files,
+    * read BACK from disk, and the interleaved key recomputed over the
+    * round-tripped rows — so the hash check pins the quantize/interleave
+    * math AND the written artifact. The layout property itself (per-file
+    * hypercube locality, second-dimension row-group skipping) is pinned
+    * in LayoutSpec where file boundaries are observable. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder")
+    try {
+      val dims = Seq("l_partkey", "l_suppkey")
+      val ranges = graft.plans.Layout.zorderWrite(li, dims, out.toString, numFiles = 8)
+      s.read.parquet(out.toString)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.plans.Layout.zValue(dims, ranges).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[zorderLayout]]: integer floor-div quantization to 16 bits
+    * per dimension, bit i of dim d at key bit 2i+d. */
+  val zorderLayoutSql: String =
+    """WITH r AS (
+      |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+      |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem),
+      |q AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN pmx = pmn THEN 0
+      |         ELSE ((l_partkey - pmn) * 65535) // (pmx - pmn) END AS qp,
+      |    CASE WHEN smx = smn THEN 0
+      |         ELSE ((l_suppkey - smn) * 65535) // (smx - smn) END AS qs
+      |  FROM lineitem CROSS JOIN r)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(list_sum(list_transform(range(0, 16), i ->
+      |    (((qp >> i) & 1) << (2*i)) + (((qs >> i) & 1) << (2*i + 1))))
+      |    AS BIGINT) AS zval
+      |FROM q
+      |ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  SUM(l_quantity) AS sum_qty,
