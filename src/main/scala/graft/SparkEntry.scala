@@ -63,6 +63,7 @@ object SparkEntry {
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
     "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
     "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
+    "d_cluster_keep_best" -> (q.LlmOps.dedupClustersKeepBest _),
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
+    "d_source_cap" -> (q.LlmOps.sourceCap _),
     "d_mixture_rebalance" -> (q.LlmOps.mixtureRebalance _),
     "d_pack_sequences" -> (q.LlmOps.packSequences _),
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
@@ -198,6 +200,7 @@ object SparkEntry {
     "d_neardup_incremental" -> q.LlmOps.nearDupIncrementalSql,
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
+    "d_source_cap" -> q.LlmOps.sourceCapSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,
     "d_pack_sequences" -> q.LlmOps.packSequencesSql,
     "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,
@@ -207,6 +210,7 @@ object SparkEntry {
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,
     "d_dedup_clusters" -> q.LlmOps.dedupClustersSql,
+    "d_cluster_keep_best" -> q.LlmOps.dedupClustersKeepBestSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
     "d_pii_scan" -> q.LlmOps.piiScanSql,
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,

@@ -156,4 +156,31 @@ object Clusters {
       freeBlocks(edges)
     }
   }
+
+  /** [[resolve]] with a QUALITY-aware survivor choice: instead of the
+    * min-id representative keeping by accident of numbering, each cluster
+    * keeps its highest-`scoreCol` member (ties: min id) — the keep rule a
+    * curation pipeline actually wants, since near-dup clusters routinely
+    * contain one clean copy and N mangled ones.
+    *
+    * `scores` maps `idCol` → `scoreCol` (any per-doc score: the quality
+    * kernel, probe margins, …). Output: (id, cluster, score, keep) for
+    * every clustered doc. Cost over [[resolve]]: one keyed join with the
+    * score frame plus one per-cluster `row_number` window — cluster sizes
+    * are near-dup cliques (bounded by the pair caps upstream), so the
+    * window partition is small by construction. */
+  def resolveKeepBest(
+      pairs: DataFrame, aCol: String, bCol: String,
+      scores: DataFrame, idCol: String, scoreCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val labels = resolve(pairs, aCol, bCol, maxIters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("id").asc)
+    labels.select(col("id"), col("rep").as("cluster"))
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("id"), col("cluster"), col("score"),
+        (col("__rk") === 1).cast("int").as("keep"))
+  }
 }

@@ -32,6 +32,39 @@ object Sampling {
     df.filter(bucket(key) < lit(threshold(fraction)))
   }
 
+  /** Deterministic per-group cap (the RefinedWeb/C4-style per-domain
+    * limit): keep the first `maxN` rows of each group in
+    * (`orderCol`, `idCol`) order — with a content-stable hash as
+    * `orderCol`, an unbiased reproducible subsample of every
+    * over-represented source.
+    *
+    * 100 TB shape: a single `row_number` window sorts each group in ONE
+    * task, so a dominant domain (a third of the crawl is not unusual)
+    * becomes a straggler. This runs TWO bounded phases instead: per
+    * (group, salt) top-`maxN` — `salts` parallel tasks bound any group's
+    * sort at its salt-slice size — then top-`maxN` over the ≤ salts·maxN
+    * survivors. Phase-2 input is capped regardless of group size, and the
+    * result provably equals the single-window form: each group's global
+    * first-maxN rows all survive their salt slice (a row ahead of them in
+    * phase 1 is ahead globally). Equivalence + cap + partitioning
+    * invariance pinned in SamplingSpec; the `d_source_cap` oracle is the
+    * single-window form. */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, idCol: String,
+      orderCol: Column, maxN: Int, salts: Int = 8): DataFrame = {
+    require(maxN >= 1 && salts >= 1, s"need maxN, salts >= 1: $maxN, $salts")
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(orderCol.asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(orderCol.asc, col(idCol).asc)
+    df.withColumn("__salt", pmod(col(idCol).cast("long"), lit(salts.toLong)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= maxN)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= maxN)
+      .drop("__salt", "__r1", "__r2")
+  }
+
   /** Per-stratum fractions (strata not listed fall back to `default`) —
     * the content-stable analog of `DataFrameStatFunctions.sampleBy`. One
     * codegen'd filter, no shuffle, no RNG state. */

@@ -217,7 +217,10 @@ object LlmOps {
     * min-label propagation (`lab < v` prunes propagation that cannot lower
     * a node's minimum; the UNION dedup guarantees termination). Lazy:
     * [[dedupMinhashSql]] is declared later in this object. */
-  lazy val dedupClustersSql: String =
+  /** The `WITH RECURSIVE … lab` prefix shared by [[dedupClustersSql]] and
+    * [[dedupClustersKeepBestSql]]: pair list → symmetric edges → min-label
+    * closure. */
+  private lazy val clusterLabCtes: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT id_a, id_b FROM (
        |$dedupMinhashSql
@@ -230,12 +233,44 @@ object LlmOps {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id WHERE r.lab < e.v),
-       |lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+       |lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  lazy val dedupClustersSql: String =
+    s"""$clusterLabCtes,
        |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
        |SELECT lab.id AS doc_id, lab.cluster AS cluster,
        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
        |  CAST(lab.id = lab.cluster AS INT) AS keep
        |FROM lab JOIN sz USING (cluster)""".stripMargin
+
+  /** Quality-aware cluster resolution
+    * ([[graft.operators.Clusters.resolveKeepBest]]): the [[dedupClusters]]
+    * components, but each cluster keeps its highest-quality member (ties:
+    * min doc_id) instead of the min-id representative — the keep rule a
+    * curation pipeline wants. Quality is the [[textStats]] kernel, so the
+    * oracle reuses [[clusterLabCtes]] ∘ the quality expression and the
+    * hash check is exact (quality doubles are bit-identical cross-engine,
+    * the d_text_stats precedent). */
+  def dedupClustersKeepBest(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
+    val scores = d.select(col("doc_id"),
+      GraftFunctions.qualityScore(col("text")).as("q"))
+    Clusters.resolveKeepBest(pairs, "id_a", "id_b", scores, "doc_id", "q")
+      .select(col("id").as("doc_id"), col("cluster"),
+        col("score").as("quality"), col("keep"))
+  }
+
+  lazy val dedupClustersKeepBestSql: String =
+    s"""$clusterLabCtes,
+       |q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents)
+       |SELECT lab.id AS doc_id, lab.cluster AS cluster, q.quality AS quality,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY lab.cluster ORDER BY q.quality DESC, lab.id ASC) = 1
+       |    AS INT) AS keep
+       |FROM lab JOIN q ON q.doc_id = lab.id""".stripMargin
 
   /** Decontamination protocol shared by [[decontaminate]] and
     * [[curationPipeline]] (and their oracle builders): the doc_id
@@ -1457,6 +1492,33 @@ object LlmOps {
       docs(s, dir), col("doc_id"), col("lang"),
       sampleFractions.toMap, default = 0.1)
       .select(col("doc_id"), col("lang"))
+
+  /** Per-source document cap ([[graft.operators.Sampling.capPerGroup]]):
+    * at most [[SourceCapN]] docs per source, chosen by content-hash order
+    * (unbiased, reproducible) — the per-domain limit of the
+    * RefinedWeb/C4 recipes. The operator runs the salted two-phase form;
+    * the oracle is the single-window form they provably equal. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.operators.Sampling.capPerGroup(
+      docs(s, dir), "source", "doc_id",
+      GraftFunctions.fingerprint64(col("text")), maxN = SourceCapN, salts = 4)
+      .select(col("doc_id"), col("source"))
+  }
+
+  private val SourceCapN = 10
+
+  lazy val sourceCapSql: String = {
+    val signed = hugeToSignedSql("hu")
+    s"""WITH hh AS (
+       |  SELECT doc_id, source, ${fnvHugeSql("text")} AS hu FROM documents),
+       |h AS (SELECT doc_id, source, $signed AS h FROM hh),
+       |rk AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rk
+       |  FROM h)
+       |SELECT doc_id, source FROM rk WHERE rk <= $SourceCapN""".stripMargin
+  }
 
   val sampleStratifiedSql: String = {
     val cases = sampleFractions.map { case (lang, f) =>

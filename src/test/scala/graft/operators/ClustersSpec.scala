@@ -96,4 +96,25 @@ class ClustersSpec extends SparkTestBase {
       assert(rows.forall(r => r.getLong(0) > r.getLong(1)))
     }
   }
+
+  test("resolveKeepBest keeps the quality argmax, not the min id") {
+    import spark.implicits._
+    // two clusters: {1,2,3} (transitive via 2) and {10,11}; best members
+    // are 3 and 10 — one of them NOT the min-id representative
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val scores = Seq(
+      (1L, 0.2), (2L, 0.5), (3L, 0.9), (10L, 0.7), (11L, 0.7))
+      .toDF("doc_id", "q")
+    val got = Clusters.resolveKeepBest(pairs, "a", "b", scores, "doc_id", "q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // membership matches resolve(); exactly one keeper per cluster
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val keepers = got.filter(_._4 == 1).map(t => t._2 -> t._1).toMap
+    assert(keepers == Map(1L -> 3L, 10L -> 10L),
+      s"keepers must be the (quality, then min-id) argmax: $keepers")
+    assert(got.groupBy(_._2).values.forall(_.count(_._4 == 1) == 1),
+      "exactly one keeper per cluster")
+  }
 }

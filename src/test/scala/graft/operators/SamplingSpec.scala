@@ -127,4 +127,32 @@ class SamplingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("capPerGroup: salted two-phase ≡ single window, caps bind, partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups: one giant (600 rows), one at the cap boundary, one under
+    val rows = (0L until 600L).map(i => (i, "big", (i * 37) % 601)) ++
+      (600L until 605L).map(i => (i, "edge", i)) ++
+      (605L until 607L).map(i => (i, "small", i))
+    val df = rows.toDF("id", "grp", "ord")
+    val maxN = 5
+
+    def ids(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      d.select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val twoPhase = ids(Sampling.capPerGroup(df, "grp", "id", col("ord"), maxN, salts = 7))
+    val single = ids(df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("ord").asc, col("id").asc)))
+      .filter(col("rk") <= maxN).drop("rk"))
+    assert(twoPhase == single, "two-phase cap must equal the single-window form")
+
+    val byGroup = twoPhase.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGroup == Map("big" -> maxN, "edge" -> maxN, "small" -> 2),
+      s"cap must bind only on over-cap groups: $byGroup")
+
+    val repart = ids(Sampling.capPerGroup(
+      df.repartition(13), "grp", "id", col("ord"), maxN, salts = 7))
+    assert(repart == twoPhase, "cap must be partitioning-invariant")
+  }
 }
