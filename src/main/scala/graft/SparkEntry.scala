@@ -90,6 +90,7 @@ object SparkEntry {
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
     "d_source_cap" -> (q.LlmOps.sourceCap _),
+    "d_quality_calibrate" -> (q.LlmOps.qualityCalibrate _),
     "d_mixture_rebalance" -> (q.LlmOps.mixtureRebalance _),
     "d_pack_sequences" -> (q.LlmOps.packSequences _),
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "d_tfidf_topterms" -> q.LlmOps.tfidfTopTermsSql,
     "d_sample_stratified" -> q.LlmOps.sampleStratifiedSql,
     "d_source_cap" -> q.LlmOps.sourceCapSql,
+    "d_quality_calibrate" -> q.LlmOps.qualityCalibrateSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,
     "d_pack_sequences" -> q.LlmOps.packSequencesSql,
     "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,

@@ -1493,6 +1493,25 @@ object LlmOps {
       sampleFractions.toMap, default = 0.1)
       .select(col("doc_id"), col("lang"))
 
+  /** Quantile-calibrated quality filter
+    * ([[graft.operators.Calibrate.keepTopFraction]]): the cutoff is the
+    * corpus' own 30th quality percentile (keep the top 70%), computed in
+    * one agg job — not a magic constant. Oracle-exact because Spark's
+    * `percentile` interpolation ≡ DuckDB `quantile_cont` bit-for-bit (the
+    * r_percentiles precedent) over bit-exact quality doubles. */
+  def qualityCalibrate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.operators.Calibrate.keepTopFraction(
+      docs(s, dir).select(col("doc_id"),
+        GraftFunctions.qualityScore(col("text")).as("quality")),
+      col("quality"), keepFraction = 0.7)
+  }
+
+  lazy val qualityCalibrateSql: String =
+    s"""WITH q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
+       |c AS (SELECT quantile_cont(quality, 0.3) AS cut FROM q)
+       |SELECT doc_id, quality FROM q CROSS JOIN c WHERE quality >= cut""".stripMargin
+
   /** Per-source document cap ([[graft.operators.Sampling.capPerGroup]]):
     * at most [[SourceCapN]] docs per source, chosen by content-hash order
     * (unbiased, reproducible) — the per-domain limit of the
