@@ -121,6 +121,8 @@ object SparkEntry {
       streaming.EventPipeline.curationFilterSync(s, dir)),
     "s_stream_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.nearDupIngestSync(s, dir)),
+    "s_stream_bloom_ingest" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.bloomIngestSync(s, dir)),
     "s_stream_probe" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.probeScoreSync(s, dir)),
   )
@@ -237,6 +239,8 @@ object SparkEntry {
     "s_stream_quality" -> q.LlmOps.streamQualitySql,
     // per-doc decision vs the STATIC corpus index ⇒ stream ≡ batch
     "s_stream_ingest" -> q.LlmOps.nearDupIncrementalSql,
+    // the stream shares its batch twin's oracle: live ingest ≡ batch backfill
+    "s_stream_bloom_ingest" -> q.LlmOps.dedupBloomSql,
     "s_stream_probe" -> q.LlmOps.streamProbeSql,
   )
 }

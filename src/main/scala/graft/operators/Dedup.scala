@@ -118,16 +118,32 @@ object Dedup {
       incoming: DataFrame, corpus: DataFrame, textCol: String,
       numBits: Int = 1 << 23, numProbes: Int = 5): DataFrame = {
     GraftFunctions.register(incoming.sparkSession)
-    def withFp(df: DataFrame): DataFrame = df.withColumn("dedup_fp",
-      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
-    val corpusFp = withFp(corpus).select(col("dedup_fp"))
+    val corpusFp = corpus
+      .withColumn("dedup_fp",
+        GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
+      .select(col("dedup_fp"))
     val bloom = bloomOfCorpus(
       corpusFp.select(col("dedup_fp.f1").as("f1")), "f1", numBits, numProbes)
-    val incFp = withFp(incoming)
+    bloomDedupAgainstFingerprints(incoming, corpusFp, textCol, bloom, numProbes)
+  }
+
+  /** The routed admit step of [[bloomDedupAgainstCorpus]] against a
+    * PREBUILT corpus bloom + fingerprint store — the per-batch shape of a
+    * standing ingest service (and its streaming gate): the snapshot
+    * artifacts (bitset + `dedup_fp` frame) are built once and reused
+    * across every batch; each call costs one fingerprint projection over
+    * the batch, a scan-local bloom probe, and the residual anti-join over
+    * the bloom-hit sliver only. */
+  def bloomDedupAgainstFingerprints(
+      incoming: DataFrame, corpusFp: DataFrame, textCol: String,
+      bloom: Array[Byte], numProbes: Int): DataFrame = {
+    GraftFunctions.register(incoming.sparkSession)
+    val incFp = incoming.withColumn("dedup_fp",
+      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
     val hit = GraftFunctions.bloomContains(col("dedup_fp.f1"), bloom, numProbes)
     val definitelyNew = incFp.filter(!hit)
     val residual = incFp.filter(hit)
-      .join(corpusFp, Seq("dedup_fp"), "left_anti")
+      .join(corpusFp.select(col("dedup_fp")), Seq("dedup_fp"), "left_anti")
     definitelyNew.unionByName(residual).drop("dedup_fp")
   }
 

@@ -327,6 +327,64 @@ object EventPipeline {
   private val admittedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType)))
 
+  /** Bloom-routed EXACT-dedup ingest stream
+    * ([[graft.operators.Dedup.bloomDedupAgainstFingerprints]]): the
+    * standing corpus' snapshot artifacts — the bloom bitset and the
+    * 16-byte fingerprint store — are built ONCE outside the stream (the
+    * static-band-index discipline of [[nearDupIngestStream]]); each
+    * micro-batch probes the bloom inside its own scan, so
+    * definitely-new docs bypass the anti-join entirely and only the
+    * bloom-hit sliver joins the store. Admit decisions are per-document
+    * → output is independent of micro-batching; per-batch-id overwrite
+    * keeps the at-least-once `foreachBatch` contract idempotent. */
+  def bloomIngestStream(
+      docsStream: DataFrame, corpusFp: DataFrame, bloom: Array[Byte],
+      numProbes: Int, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        graft.operators.Dedup
+          .bloomDedupAgainstFingerprints(batch, corpusFp, "text", bloom, numProbes)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+
+  /** Synchronous gate run of [[bloomIngestStream]]: incoming slice
+    * doc_id ≡ 0 (mod 5) (the `d_dedup_bloom` convention — the stream
+    * shares its batch twin's oracle, which is the proof that live ingest
+    * ≡ batch backfill), the rest as the standing corpus whose bloom +
+    * fingerprint store are built once before the stream starts. */
+  def bloomIngestSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    graft.functions.GraftFunctions.register(s)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_bloom")
+    val corpusFp = s.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("dedup_fp", graft.functions.GraftFunctions.fingerprint128(
+        graft.functions.GraftFunctions.canonicalKey(col("text"))))
+      .select(col("dedup_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = graft.operators.Dedup.bloomOfCorpus(
+      corpusFp.select(col("dedup_fp.f1").as("f1")), "f1",
+      numBits = 1 << 16, numProbes = 4)
+    val in = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val q = bloomIngestStream(in, corpusFp, bloom, numProbes = 4, out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val admitted = s.read.schema(admittedSchema)
+      .option("recursiveFileLookup", "true").parquet(out.toString)
+      .localCheckpoint(true)
+    corpusFp.unpersist(false)
+    deleteRecursively(ckpt.toFile)
+    deleteRecursively(out.toFile)
+    admitted
+  }
+
   /** Synchronous gate run of [[nearDupIngestStream]]: the sf dir's
     * documents stream, incoming slice doc_id ≡ 0 (mod 7) filtered
     * in-stream, the rest as the static corpus (banded once, persisted).

@@ -138,6 +138,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("bloomIngestSync: bloom-routed streamed admission EQUALS the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.bloomIngestSync(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.bloomDedupAgainstCorpus(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "text", numBits = 1 << 16, numProbes = 4)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
