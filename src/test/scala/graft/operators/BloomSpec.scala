@@ -102,10 +102,13 @@ class BloomSpec extends SparkTestBase {
     val bloom = new Array[Byte](32)
     BloomOps.set(bloom, 42L, 3)
     import spark.implicits._
-    val got = Seq(42L, 43L).toDF("fp")
+    val probes = Seq(42L, 43L, 7L, -9L)
+    val got = probes.toDF("fp")
       .select(col("fp"), GraftFunctions.bloomContains(col("fp"), bloom, 3).as("hit"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the plan-side expression must agree with the kernel bit-for-bit
+    probes.foreach(p =>
+      assert(got(p) == BloomOps.mightContain(bloom, p, 3), s"probe $p diverges"))
     assert(got(42L))
-    assert(!got(43L) || BloomOps.mightContain(bloom, 43L, 3))
   }
 }
