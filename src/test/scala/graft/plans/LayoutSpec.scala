@@ -65,6 +65,27 @@ class LayoutSpec extends SparkTestBase {
     assert(lSupp > 0.8, s"linear layout cannot localize l_suppkey: $lSupp")
   }
 
+  test("three-dimension z-order localizes all three dims per file") {
+    val dims3 = Seq("l_partkey", "l_suppkey", "l_orderkey")
+    // reference-interleave agreement at D=3 (key uses 48 of 63 bits)
+    val ranges = Layout.dimRanges(li, dims3)
+    val sample = li.select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        Layout.zValue(dims3, ranges).as("z"))
+      .limit(50).collect()
+    sample.foreach { r =>
+      val qs = (0 until 3).map(i => (r.getLong(i), ranges(i))).map { case (v, (mn, mx)) =>
+        if (mx == mn) 0L else (v - mn) * 65535L / (mx - mn)
+      }
+      assert(r.getLong(3) == morton(qs, 16))
+    }
+    val zdir = s"target/zorder3_${System.nanoTime()}"
+    Layout.zorderWrite(li, dims3, zdir, numFiles = 8)
+    dims3.foreach { d =>
+      val span = avgSpan(zdir, d)
+      assert(span < 0.85, s"3-dim z layout does not localize $d: $span")
+    }
+  }
+
   /** Rows surviving parquet row-group pruning for `filter` over `dir`
     * (scan-node numOutputRows; AQE off so the executed tree is directly
     * traversable). */
