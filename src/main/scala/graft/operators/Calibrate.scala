@@ -31,7 +31,10 @@ object Calibrate {
       if (approxAccuracy > 0)
         percentile_approx(score, lit(p), lit(approxAccuracy))
       else call_function("percentile", score, lit(p))
-    df.agg(cut.cast("double").as("cut")).head().getDouble(0)
+    val row = df.agg(cut.cast("double").as("cut")).head()
+    require(!row.isNullAt(0),
+      "quantileThreshold: no non-null scores to calibrate against (empty input?)")
+    row.getDouble(0)
   }
 
   /** Rows whose `score` is at or above the [[quantileThreshold]] cutoff —

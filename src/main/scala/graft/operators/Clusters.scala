@@ -176,9 +176,13 @@ object Clusters {
     val labels = resolve(pairs, aCol, bCol, maxIters)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
-      .orderBy(col("score").desc, col("id").asc)
+      .orderBy(col("score").desc_nulls_last, col("id").asc)
+    // LEFT join: an unscored member must stay IN its cluster (silently
+    // dropping it would mis-state membership vs [[resolve]]); NULL scores
+    // order last, so an unscored member never beats a scored one for keep
     labels.select(col("id"), col("rep").as("cluster"))
-      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("score")),
+        Seq("id"), "left")
       .withColumn("__rk", row_number().over(w))
       .select(col("id"), col("cluster"), col("score"),
         (col("__rk") === 1).cast("int").as("keep"))

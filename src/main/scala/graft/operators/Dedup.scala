@@ -118,13 +118,21 @@ object Dedup {
       incoming: DataFrame, corpus: DataFrame, textCol: String,
       numBits: Int = 1 << 23, numProbes: Int = 5): DataFrame = {
     GraftFunctions.register(incoming.sparkSession)
+    // persisted: the bloom build and the residual anti-join both read the
+    // corpus fingerprints, and canonicalKey is the operator's dominant
+    // per-row cost — without this the corpus scans+fingerprints twice.
+    // (At scale callers hold a precomputed store and call
+    // [[bloomDedupAgainstFingerprints]] directly.)
     val corpusFp = corpus
       .withColumn("dedup_fp",
         GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
       .select(col("dedup_fp"))
-    val bloom = bloomOfCorpus(
-      corpusFp.select(col("dedup_fp.f1").as("f1")), "f1", numBits, numProbes)
-    bloomDedupAgainstFingerprints(incoming, corpusFp, textCol, bloom, numProbes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bloom = bloomOfCorpus(
+        corpusFp.select(col("dedup_fp.f1").as("f1")), "f1", numBits, numProbes)
+      bloomDedupAgainstFingerprints(incoming, corpusFp, textCol, bloom, numProbes)
+    } finally corpusFp.unpersist(blocking = false)
   }
 
   /** The routed admit step of [[bloomDedupAgainstCorpus]] against a
@@ -138,9 +146,30 @@ object Dedup {
       incoming: DataFrame, corpusFp: DataFrame, textCol: String,
       bloom: Array[Byte], numProbes: Int): DataFrame = {
     GraftFunctions.register(incoming.sparkSession)
+    // persisted: the two routing branches are independent subplans (no
+    // cross-branch CSE), and canonicalKey is the dominant per-row cost —
+    // unpersisted, every batch would scan + fingerprint twice. The result
+    // is materialized eagerly below so the batch-sized cache never
+    // outlives the call (the repeatedSpans discipline).
     val incFp = incoming.withColumn("dedup_fp",
-      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
-    val hit = GraftFunctions.bloomContains(col("dedup_fp.f1"), bloom, numProbes)
+        GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try bloomRouted(incFp, corpusFp, bloom, numProbes).localCheckpoint(true)
+    finally incFp.unpersist(blocking = false)
+  }
+
+  /** The lazy routing plan of [[bloomDedupAgainstFingerprints]] —
+    * package-visible so BloomSpec can pin its shape (exactly ONE join,
+    * on the residual branch). */
+  private[graft] def bloomRouted(
+      incFp: DataFrame, corpusFp: DataFrame,
+      bloom: Array[Byte], numProbes: Int): DataFrame = {
+    // NULL canonical keys fingerprint to NULL: the plain anti-join ADMITS
+    // them (a NULL key matches no corpus row), so the router must too —
+    // an un-coalesced NULL probe would fall through BOTH branches.
+    val hit = coalesce(
+      GraftFunctions.bloomContains(col("dedup_fp.f1"), bloom, numProbes),
+      lit(false))
     val definitelyNew = incFp.filter(!hit)
     val residual = incFp.filter(hit)
       .join(corpusFp.select(col("dedup_fp")), Seq("dedup_fp"), "left_anti")

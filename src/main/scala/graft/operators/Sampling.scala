@@ -57,7 +57,11 @@ object Sampling {
       .orderBy(orderCol.asc, col(idCol).asc)
     val w2 = Window.partitionBy(col(groupCol))
       .orderBy(orderCol.asc, col(idCol).asc)
-    df.withColumn("__salt", pmod(col(idCol).cast("long"), lit(salts.toLong)))
+    // hash-based salt: works for ANY id type (a long cast would go NULL on
+    // string ids and silently collapse every salt slice into one task —
+    // the exact straggler this function exists to prevent). The salt only
+    // routes rows; the phase-2 window makes the result salt-independent.
+    df.withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= maxN)
       .withColumn("__r2", row_number().over(w2))

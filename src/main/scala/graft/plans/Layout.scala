@@ -44,8 +44,15 @@ object Layout {
     val d = dims.length
     require(d >= 1 && d * bits <= 63, s"need 1 <= dims*bits <= 63, got $d x $bits")
     ranges.foreach { case (mn, mx) =>
-      require(mx - mn <= Long.MaxValue / ((1L << bits) - 1),
-        s"dimension range ${mx - mn} overflows the quantizer at $bits bits") }
+      require(mx >= mn, s"invalid range ($mn, $mx)")
+      // subtractExact: a signed domain wider than Long would otherwise wrap
+      // the range negative and slip PAST this guard into silent garbage keys
+      val range =
+        try Math.subtractExact(mx, mn)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      require(range <= Long.MaxValue / ((1L << bits) - 1),
+        s"dimension range [$mn, $mx] overflows the quantizer at $bits bits " +
+          "- pre-shift the column to a narrower domain") }
     val qs = dims.zip(ranges).map { case (n, (mn, mx)) => quantize(n, mn, mx, bits) }
     val terms = for {
       (q, dim) <- qs.zipWithIndex
@@ -60,7 +67,11 @@ object Layout {
     val aggs = dims.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    (0 until dims.length).map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    dims.indices.map { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"cannot z-order on '${dims(i)}': no non-null values (empty input?)")
+      (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }
   }
 
   /** Write `df` z-ordered on `dims` into `numFiles` range partitions of

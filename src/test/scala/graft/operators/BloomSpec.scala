@@ -74,12 +74,44 @@ class BloomSpec extends SparkTestBase {
     assert(nHits <= nDups + math.max(4, nIncoming / 20),
       s"false-positive sliver too large: $nHits hits for $nDups dups")
 
-    // exactly one join in the composed plan (the residual anti-join); the
-    // definitely-new branch reaches the union join-free
-    val plan = routed.queryExecution.executedPlan.toString
+    // exactly one join in the routing plan (the residual anti-join); the
+    // definitely-new branch reaches the union join-free. Pinned on the
+    // lazy plan (the shipped operator materializes through localCheckpoint,
+    // which hides the executed tree).
+    val incFp = incoming.withColumn("dedup_fp",
+      GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col("text"))))
+    val corpusFpFrame = corpus.withColumn("dedup_fp",
+        GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col("text"))))
+      .select(col("dedup_fp"))
+    val plan = Dedup.bloomRouted(incFp, corpusFpFrame, bloom, 4)
+      .queryExecution.executedPlan.toString
     val joins = "(?i)(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
       .findAllIn(plan).size
     assert(joins == 1, s"expected exactly the residual anti-join, found $joins:\n$plan")
+  }
+
+  test("null text is admitted, matching the plain anti-join contract") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a fresh document"),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, "shared text"))),
+      schema)
+    val corpus = Seq((10L, "shared text"), (11L, "corpus only")).toDF("doc_id", "text")
+    val plain = Dedup.dedupAgainstCorpus(incoming, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val routed = Dedup.bloomDedupAgainstCorpus(incoming, corpus, "text",
+        numBits = 1 << 10, numProbes = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L), "anti-join must admit the null-text row")
+    assert(routed == plain, "bloom routing must not lose null-fingerprint rows")
   }
 
   test("undersized bloom stays exact (correctness never depends on m)") {

@@ -39,6 +39,15 @@ class CalibrateSpec extends SparkTestBase {
     assert(a == b, s"exact percentile must not depend on partitioning: $a vs $b")
   }
 
+  test("empty or all-null input fails loudly, not with an opaque NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Calibrate.quantileThreshold(empty, col("score"), 0.5)
+    }
+    assert(e.getMessage.contains("no non-null scores"))
+  }
+
   test("approx path lands within the GK rank bound of the exact cutoff") {
     val acc = 100
     val exact = Calibrate.quantileThreshold(scored, col("score"), 0.7)

@@ -117,4 +117,18 @@ class ClustersSpec extends SparkTestBase {
     assert(got.groupBy(_._2).values.forall(_.count(_._4 == 1) == 1),
       "exactly one keeper per cluster")
   }
+
+  test("resolveKeepBest keeps unscored members in their cluster, never as keeper over a scored one") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val scores = Seq((2L, 0.4)).toDF("doc_id", "q") // 1 and 3 unscored
+    val got = Clusters.resolveKeepBest(pairs, "a", "b", scores, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L),
+      "unscored members must keep their cluster membership")
+    val keepers = got.filter(_._4 == 1)
+    assert(keepers.map(_._1).toSeq == Seq(2L),
+      s"the only scored member must be the keeper: ${keepers.toSeq}")
+  }
 }

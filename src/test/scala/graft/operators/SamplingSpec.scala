@@ -155,4 +155,18 @@ class SamplingSpec extends SparkTestBase {
       df.repartition(13), "grp", "id", col("ord"), maxN, salts = 7))
     assert(repart == twoPhase, "cap must be partitioning-invariant")
   }
+
+  test("capPerGroup works with string ids (hash salt, no silent salt collapse)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 200).map(i => (f"doc-$i%05d", "g", (i * 37) % 201))
+      .toDF("id", "grp", "ord")
+    val got = Sampling.capPerGroup(df, "grp", "id", col("ord"), maxN = 5, salts = 4)
+      .select("id").collect().map(_.getString(0)).toSet
+    val single = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("ord").asc, col("id").asc)))
+      .filter(col("rk") <= 5).select("id").collect().map(_.getString(0)).toSet
+    assert(got == single, "string-id cap must equal the single-window form")
+    assert(got.size == 5)
+  }
 }

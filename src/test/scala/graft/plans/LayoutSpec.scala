@@ -65,6 +65,18 @@ class LayoutSpec extends SparkTestBase {
     assert(lSupp > 0.8, s"linear layout cannot localize l_suppkey: $lSupp")
   }
 
+  test("overflow-wide ranges and empty inputs fail loudly") {
+    // a signed domain wider than Long must hit the guard, not wrap past it
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.zValue(Seq("x"), Seq((Long.MinValue / 2, Long.MaxValue / 2)))
+    }
+    assert(e1.getMessage.contains("overflows the quantizer"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.dimRanges(li.filter(col("l_orderkey") < 0), dims)
+    }
+    assert(e2.getMessage.contains("no non-null values"))
+  }
+
   test("three-dimension z-order localizes all three dims per file") {
     val dims3 = Seq("l_partkey", "l_suppkey", "l_orderkey")
     // reference-interleave agreement at D=3 (key uses 48 of 63 bits)
