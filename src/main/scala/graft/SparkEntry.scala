@@ -125,6 +125,8 @@ object SparkEntry {
       streaming.EventPipeline.bloomIngestSync(s, dir)),
     "s_stream_probe" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.probeScoreSync(s, dir)),
+    "s_stream_join" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.attributionJoinSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,5 +244,16 @@ object SparkEntry {
     // the stream shares its batch twin's oracle: live ingest ≡ batch backfill
     "s_stream_bloom_ingest" -> q.LlmOps.dedupBloomSql,
     "s_stream_probe" -> q.LlmOps.streamProbeSql,
+    // stream-stream inner join: membership is set by event times alone,
+    // so the streamed result equals the batch time-range join exactly
+    "s_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us,
+        |  p.value AS purchase_value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""".stripMargin,
   )
 }

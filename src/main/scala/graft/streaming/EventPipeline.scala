@@ -204,6 +204,63 @@ object EventPipeline {
       eventKey: String, dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey))
 
+  /** STREAM–STREAM attribution join — the remaining core Structured
+    * Streaming join shape (stream–static is [[enrichWithDim]]): each
+    * purchase is joined to the same user's click(s) within the preceding
+    * `windowMinutes`. Both sides are branches of the SAME event stream
+    * (a stream self-join), each carrying its own watermark, and the join
+    * condition bounds event time in BOTH directions — exactly the
+    * contract Spark needs to expire buffered rows: a click older than
+    * (watermark − window) can never match a future purchase, so join
+    * state is bounded by the watermark horizon, not the stream length.
+    * Inner-join matches emit as soon as both rows have arrived (no
+    * sentinel flush needed); at 100 TB/day the state store holds only
+    * the sliding horizon per side.
+    *
+    * Output is deterministic — (purchase, click) membership is set by
+    * event times alone, so stream output ≡ the batch time-range join,
+    * at any micro-batching (asserted in StreamingSpec; the driver gate's
+    * oracle IS the batch SQL). */
+  def attributionJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"),
+        col("purchase_value"))
+  }
+
+  /** Synchronous gate run of [[attributionJoin]]: streams the sf dir's
+    * events file through both branches of the self-join and the memory
+    * sink. Inner-join rows emit on arrival, so one `processAllAvailable`
+    * drains every match — no sentinel batches. Leak-free like
+    * [[windowedCountsSync]]. */
+  def attributionJoinSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val name = s"graft_stream_join_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val q = attributionJoin(
+        readEventStream(s, dir, globFilter = Some("events.parquet")))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
   /** Raw schema of the documents fixture (for the file-source stream). */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -154,6 +154,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("attributionJoinSync: stream-stream join EQUALS the batch time-range join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.attributionJoinSync(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // batch twin: the identical time-range join over the batch loader
+    val ev = graft.Tables.load(spark, dir, "events")
+    val batch = EventPipeline.attributionJoin(ev)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    assert(got.nonEmpty, "no attributed purchases — fixture should have ≥1 pair")
+    // window semantics: every gap is within [0, 30 min], boundary inclusive
+    assert(got.forall { case (_, _, _, gapUs, _) =>
+      gapUs >= 0 && gapUs <= 30L * 60 * 1000000 })
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
