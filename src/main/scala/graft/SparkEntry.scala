@@ -110,6 +110,7 @@ object SparkEntry {
     "d_bpe_tokenize" -> (q.LlmOps.bpeTokenize _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
+    "d_graph_pagerank" -> (q.LlmOps.graphPagerank _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),
@@ -200,6 +201,8 @@ object SparkEntry {
     "d_bpe_tokenize" -> q.LlmOps.bpeTokenizeSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
+    // all-integer power iteration → bit-exact across engines
+    "d_graph_pagerank" -> q.LlmOps.graphPagerankSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,
     "d_span_dedup_keep_one" -> q.LlmOps.spanDedupKeepOneSql,
     "d_neardup_incremental" -> q.LlmOps.nearDupIncrementalSql,

@@ -2555,4 +2555,63 @@ object LlmOps {
        |SELECT n.doc_id, ${cosSql("n.vec", "q.qv")} AS cosine
        |FROM normed n CROSS JOIN q
        |ORDER BY cosine DESC, n.doc_id ASC LIMIT 20""".stripMargin
+
+  /** Link-graph authority ([[graft.operators.Graph.pageRank]]) over the
+    * events click-graph: per-user consecutive transitions on the `props.k`
+    * item form the edges, five exact integer power-iteration rounds rank
+    * the items — the CommonCrawl-style domain-authority signal, gated
+    * hash-exact because every round is integer floor-division arithmetic
+    * (the probe/k-means reproducibility discipline). */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val edges = graft.operators.Graph.transitionEdges(
+      ev, "user_id", "ts", "event_id",
+      get_json_object(col("props"), "$.k").cast("long"))
+    graft.operators.Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+      .select(col("node").as("item"), col("rank_q"), col("rank_frac"))
+  }
+
+  /** Oracle: the five integer rounds unrolled as CTEs — share, contrib,
+    * dangling split, and the damping blend all in BIGINT floor-division
+    * (`//`, ≡ Spark's `div` for the non-negative values here), so every
+    * round is bit-identical to the operator on any engine. */
+  lazy val graphPagerankSql: String = {
+    val S = graft.operators.Graph.RankScale
+    val iters = 5
+    val rounds = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node, SUM((r.r * e.w) // o.ow) AS contrib
+         |  FROM edges e JOIN $p r ON e.src = r.node JOIN outw o ON e.src = o.src
+         |  GROUP BY 1),
+         |d$i AS (
+         |  SELECT COALESCE(
+         |      (SELECT SUM(r) FROM $p WHERE node NOT IN (SELECT src FROM outw)), 0)
+         |    // (SELECT n FROM nn) AS deach),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ($S - (85 * $S) // 100) // nn.n
+         |      + (85 * (COALESCE(c.contrib, 0) + d.deach)) // 100 AS r
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d
+         |  LEFT JOIN c$i c ON n.node = c.node)"""
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events),
+       |tr AS (
+       |  SELECT item,
+       |         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+       |  FROM ev),
+       |edges AS (SELECT src, item AS dst, COUNT(*) AS w FROM tr
+       |          WHERE src IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, $S // n AS r FROM nodes, nn),
+       |$rounds
+       |SELECT node AS item, r AS rank_q,
+       |       CAST(r AS DOUBLE) / $S.0 AS rank_frac
+       |FROM r$iters""".stripMargin
+  }
 }
