@@ -30,30 +30,28 @@ object EventPipeline {
   /** flatMapGroupsWithState state (public: Catalyst codegen instantiates it). */
   final case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
-  /** Raw parquet schema of the events files: ts is INT64 TIMESTAMP(NANOS),
-    * which Spark 4 only reads as a long (nanosAsLong). */
+  /** Raw parquet schema of the events files: ts is INT64 TIMESTAMP(MICROS)
+    * without timezone, which Spark reads as TIMESTAMP_NTZ. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files; nanosecond
-    * timestamps truncated to microseconds exactly like the batch loader.
-    * The nanos legacy conf comes from [[graft.Tables.nanosReadSession]]
-    * (the caller's session if it opted in — the sync-gate harness sessions
-    * do — else an isolated child), so the caller's conf is never mutated. */
+  /** File-source stream over a directory of events parquet files; the NTZ
+    * timestamp is cast to the session-zoned TIMESTAMP (sessions run UTC)
+    * exactly like the batch loader, so watermarks/windows see the same
+    * instants the batch twin does. */
   def readEventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None,
       globFilter: Option[String] = None): DataFrame = {
-    val s = graft.Tables.nanosReadSession(spark)
-    var r = s.readStream.schema(rawSchema)
+    var r = spark.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
     globFilter.foreach(g => r = r.option("pathGlobFilter", g))
     r.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Synchronous batch-equivalent run of [[windowedCounts]] for the driver
@@ -81,17 +79,15 @@ object EventPipeline {
   }
 
   /** Isolated child session for the sync gate harnesses: shares the
-    * SparkContext but not session state, so (a) the nanos-parquet legacy
-    * conf never leaks into the caller's session, and (b) stateful
-    * micro-batches run with a small shuffle-partition count — per
-    * micro-batch overhead is proportional to the number of state-store
-    * partitions, and the gate's state fits in a handful; a REAL streaming
-    * deployment sizes `spark.sql.shuffle.partitions` to its own state
-    * volume before starting the query. */
+    * SparkContext but not session state, so the small shuffle-partition
+    * count never leaks into the caller's session — per micro-batch overhead
+    * is proportional to the number of state-store partitions, and the
+    * gate's state fits in a handful; a REAL streaming deployment sizes
+    * `spark.sql.shuffle.partitions` to its own state volume before
+    * starting the query. */
   private def harnessSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s
   }
 
@@ -115,9 +111,9 @@ object EventPipeline {
     val inDir = tmp.resolve("in")
     Files.createDirectories(inDir)
     Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
-    val maxTsNs = hs.read.schema(rawSchema)
+    val maxTs = hs.read.schema(rawSchema)
       .parquet(inDir.resolve("part-a.parquet").toString)
-      .agg(max(col("ts"))).head().getLong(0)
+      .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
 
     val name = s"graft_stream_sess_${System.nanoTime()}"
     val q = sessionize(hs, readEventStream(hs, inDir.toString))
@@ -126,12 +122,13 @@ object EventPipeline {
     try {
       q.processAllAvailable()
       var n = 0
-      Seq(2L * 3600 * 1000000000L, 2L * 3600 * 1000000000L + 1000000000L)
-        .foreach { offsetNs =>
+      Seq(2L * 3600, 2L * 3600 + 1).foreach { offsetSec =>
           n += 1
           import hs.implicits._
           val stage = tmp.resolve(s"sentinel_$n")
-          Seq((-n.toLong, maxTsNs + offsetNs, -1L, "sentinel", 0.0, "{}"))
+          // LocalDateTime encodes as TIMESTAMP_NTZ — same physical type the
+          // file source's rawSchema expects back.
+          Seq((-n.toLong, maxTs.plusSeconds(offsetSec), -1L, "sentinel", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("overwrite").parquet(stage.toString)
           val part = stage.toFile.listFiles()

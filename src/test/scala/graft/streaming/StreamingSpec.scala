@@ -17,10 +17,10 @@ class StreamingSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(fs)
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val cut = events.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
-    // write back with nanos→micros already applied; re-encode ts as long ns
+    // write back in the raw file layout: ts re-encoded as TIMESTAMP_NTZ
     def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.select(
-          col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+          col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("overwrite").parquet(s"$inDir/../tmp_$name")
     dump(events.filter(col("ts").cast("double") <= cut), "a")
@@ -43,8 +43,6 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName("win_out").start()
     try { q.processAllAvailable() } finally q.stop()
 
-    // the stream binds to the nanos child session (the test session never
-    // opted into the legacy conf), so the memory sink lives in ITS catalog
     val got = stream.sparkSession.table("win_out")
       .select(col("hour"), col("event_type"), col("n"), col("total_value"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
