@@ -51,10 +51,29 @@ object Bench {
       }
     })
 
+    // Cross-query state reclaim (round-7 fix): many gates return frames
+    // materialized through localCheckpoint(true) — their RDD blocks are
+    // pinned in the block manager until the RDD is GC'd AND the async
+    // ContextCleaner runs, which across warm-up + 3 iters × ~100 gates
+    // accumulates enough storage pressure that late/heavy queries degrade
+    // (round-6 recorded d_curation_pipeline 18.9s vs 3.4–4.3s solo).
+    // clearCache() only drops SQL-cached plans, not checkpoint blocks, so
+    // explicitly unpersist every persistent RDD between samples. Safe:
+    // every timed sample rebuilds its plan from scratch, and no gate
+    // relies on cross-query cached state (each builder re-reads parquet).
+    def reclaim(): Unit = {
+      spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+
     // Warm-up pass: never timed, failures ignored (they fail again, timed, below).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      reclaim()
     }
     // Streaming queries (e.g. a warm-up that used a memory sink) must not keep
     // background threads or state-store maintenance alive into the timed pass.
@@ -82,6 +101,10 @@ object Bench {
       } catch {
         // failures report -1, never a partial elapsed time posing as a result
         case _: Throwable => (-1.0, -1.0)
+      } finally {
+        // outside the timed window (t2 already captured): free the sample's
+        // checkpoint blocks before the next sample builds its plan
+        reclaim()
       }
     }
 

@@ -82,6 +82,7 @@ object SparkEntry {
     "d_ann_pq_rerank" -> (q.LlmOps.annPqRerank _),
     "d_ann_batch" -> (q.LlmOps.annBatch _),
     "d_ann_append" -> (q.LlmOps.annAppend _),
+    "d_ann_delete" -> (q.LlmOps.annDelete _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
@@ -128,6 +129,8 @@ object SparkEntry {
       streaming.EventPipeline.probeScoreSync(s, dir)),
     "s_stream_join" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.attributionJoinSync(s, dir)),
+    "s_stream_join_outer" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.attributionJoinOuterSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,6 +187,7 @@ object SparkEntry {
     "d_ann_pq_rerank" -> q.LlmOps.annPqRerankSql,
     "d_ann_batch" -> q.LlmOps.annBatchSql,
     "d_ann_append" -> q.LlmOps.annAppendSql,
+    "d_ann_delete" -> q.LlmOps.annDeleteSql,
     "d_knn_join" -> q.LlmOps.knnJoinSql,
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
@@ -256,6 +260,19 @@ object SparkEntry {
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""".stripMargin,
+    // stream-stream LEFT OUTER join: match rows emit on arrival, click-less
+    // purchases emit (null click columns) at watermark close — the output
+    // SET equals the batch left join; the sync gate sentinel-flushes the
+    // watermark so the tail's unmatched purchases are present too
+    "s_stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""".stripMargin,
   )

@@ -26,32 +26,41 @@ object Clusters {
     * minimum of its neighborhood (including itself). Input edges may be in
     * any orientation; output edges are (hi, lo)-oriented and self-loop-free.
     *
-    * Skew bound: `collect_set` materializes a node's whole neighborhood in
-    * one aggregation buffer, so a hub node (a giant near-dup component's
-    * center) holds O(degree) ids in a single row — memory ∝ the largest
-    * degree, not the corpus. Upstream candidate caps ([[Dedup.minhashPairs]]
-    * `maxBucketSize`) bound degree ≤ bands·maxBucketSize by construction;
-    * feeding UNCAPPED pair lists from another source is where a
-    * degree-salted pre-aggregation would be needed first. */
+    * Skew bound (round-7 rewrite): the textbook formulation collects a
+    * node's whole neighborhood into one `collect_set` aggregation buffer —
+    * memory ∝ the LARGEST DEGREE, so a giant near-dup component's hub
+    * (millions of crawl snapshots of one page) materializes millions of
+    * ids in a single row at 100 TB. Instead, aggregate only the
+    * constant-size per-node minimum and JOIN it back to the edge list:
+    * `(w, m)` emissions stream through the join row-by-row, no per-node
+    * buffer exists anywhere, and a skewed `u` is just a skewed join key —
+    * which AQE's skew-join handling already splits. Semantics are
+    * IDENTICAL to the buffered form (same emitted set; the trailing
+    * `distinct` dedups either way), so resolve() results are bit-equal.
+    * Cost: one extra exchange of the (shrinking) edge list per round —
+    * the price of a degree-independent memory bound. */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    nbrs.groupBy(col("u"))
-      .agg(min(col("v")).as("mn"), collect_set(col("v")).as("ns"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"), col("ns"))
-      .select(col("u"), col("m"), explode(col("ns")).as("w"))
-      .filter(col("w") > col("u"))
-      .select(col("w").as("u"), col("m").as("v"))
+    val mins = nbrs.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    nbrs.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
       .distinct()
   }
 
   /** One small-star round over (hi, lo)-oriented edges: every node connects
-    * its smaller neighbors (and itself) to the minimum among them. */
+    * its smaller neighbors (and itself) to the minimum among them. Same
+    * join-based, buffer-free shape as [[largeStar]]: the `array(u)` element
+    * of the buffered form becomes the `mins` self-emission branch of the
+    * union. */
   private[operators] def smallStar(edges: DataFrame): DataFrame = {
-    edges.groupBy(col("u"))
-      .agg(min(col("v")).as("m"), collect_set(col("v")).as("ns"))
-      .select(col("u"), col("m"),
-        explode(array_union(col("ns"), array(col("u")))).as("w"))
+    val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    edges.join(mins, Seq("u"))
+      .select(col("v").as("w"), col("m"))
+      .union(mins.select(col("u").as("w"), col("m")))
       .filter(col("w") =!= col("m"))
       .select(col("w").as("u"), col("m").as("v"))
       .distinct()

@@ -334,6 +334,100 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  private def tombstoneDir(path: String): String = s"$path/_graft_tombstones"
+
+  /** DELETE from an on-disk IVF index, phase 1 — tombstones: append the ids
+    * to `<path>/_graft_tombstones/` (an underscore-prefixed directory, so
+    * parquet's file listing never mixes it into the index data). O(batch)
+    * cost, no standing-file touch — the redaction path (a PII hit, a
+    * dedup'd doc) acknowledges immediately; probes mask pending tombstones
+    * with a broadcast anti-join ([[readIndex]]), so a deleted vector stops
+    * matching the moment this returns, compacted or not. */
+  def tombstoneIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, ids: DataFrame): Unit =
+    ids.select(col(idCol).cast("long").as(idCol))
+      .write.mode("append").parquet(tombstoneDir(path))
+
+  /** Pending (un-compacted) tombstones of an index, if any. */
+  private def liveTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstoneDir(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select(col(idCol)).distinct())
+    else None
+  }
+
+  /** The index with pending deletes masked out — the ONE read used by every
+    * probe, so a tombstoned vector is invisible whether or not compaction
+    * has run. The tombstone side is the pending-delete batch (bounded by
+    * compaction cadence, never corpus-sized), so the anti-join broadcasts
+    * and the index side's `cell` partition pruning is undisturbed
+    * (plan-asserted in SimilaritySpec). */
+  private def readIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): DataFrame = {
+    val index = spark.read.parquet(path)
+    liveTombstones(spark, path, idCol) match {
+      case Some(t) => index.join(broadcast(t), Seq(idCol), "left_anti")
+      case None    => index
+    }
+  }
+
+  /** DELETE phase 2 — compaction: physically rewrite ONLY the cell
+    * partitions that hold a tombstoned row, then clear the tombstones.
+    * Affected cells are found with one semi-join (a driver list of cell
+    * ids — O(cells), never O(rows)); survivors of those cells are written
+    * to an underscore-staging directory (invisible to concurrent index
+    * reads) and swapped in per cell with O(affected-cells) filesystem
+    * renames. Untouched cells' files are never opened, let alone
+    * rewritten (asserted byte-identical in SimilaritySpec); a cell whose
+    * rows are ALL deleted has its directory removed. Works over every
+    * storage tier — rows are rewritten as stored (float32 / q8 / pq),
+    * no re-encode. Composes with [[appendToIvfIndex]]: the layout
+    * contract (partitioned by `cell`) is unchanged.
+    *
+    * Returns (rows deleted, affected cell ids). */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): (Long, Seq[Int]) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombP = new Path(tombstoneDir(path))
+    if (!fs.exists(tombP)) return (0L, Nil)
+    val tomb = spark.read.parquet(tombP.toString)
+      .select(col(idCol)).distinct()
+    val index = spark.read.parquet(path)
+    val affected = index.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) { fs.delete(tombP, true); return (0L, Nil) }
+
+    val before = index.filter(col("cell").isin(affected: _*)).count()
+    val survivors = index.filter(col("cell").isin(affected: _*))
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+    // count BEFORE the write (a fully-emptied staging dir has no schema to
+    // read back); the double scan is bounded by the affected cells' size
+    val after = survivors.count()
+    val staging = new Path(root, "_graft_compact_staging")
+    fs.delete(staging, true): Unit
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+
+    affected.foreach { c =>
+      val live = new Path(root, s"cell=$c")
+      val staged = new Path(staging, s"cell=$c")
+      fs.delete(live, true): Unit
+      // a fully-emptied cell has no staged directory: its live dir just goes
+      if (fs.exists(staged)) { fs.rename(staged, live): Unit }
+    }
+    fs.delete(staging, true): Unit
+    fs.delete(tombP, true): Unit
+    (before - after, affected)
+  }
+
   /** The float32 vector of an index row, whichever storage tier the index
     * was written with: dequantized from (qcodes, scale) for an int8 index,
     * PQ-reconstructed from pqcodes (needs the caller-persisted codebook,
@@ -505,7 +599,7 @@ object Similarity {
       pq: Option[(Seq[Seq[Float]], Int)] = None): DataFrame = {
     GraftFunctions.register(spark)
     val probed = nearestCells(centroids, query, nprobe)
-    val index = spark.read.parquet(path)
+    val index = readIndex(spark, path, idCol)
     index
       .filter(col("cell").isin(probed: _*))
       .select(
@@ -556,7 +650,7 @@ object Similarity {
         explode(GraftFunctions.ivfCellsTopN(
           col(queryVecCol), centroids.map(_._2), nprobe)).as("cell"))
       .filter(col("cell") >= 0)
-    val index = spark.read.parquet(path)
+    val index = readIndex(spark, path, idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -2097,6 +2097,58 @@ object LlmOps {
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
   }
 
+  /** ANN index DELETE lifecycle
+    * ([[graft.operators.Similarity.tombstoneIvfIndex]] +
+    * [[graft.operators.Similarity.compactIvfIndex]]): build the on-disk
+    * index over the whole corpus, tombstone a planted subset (vec_id ≡ 3
+    * mod 7 — the redaction batch a PII sweep produces), probe MASKED
+    * (tombstones pending, anti-joined in-probe), compact (only the
+    * affected cell partitions rewrite), probe again from the rewritten
+    * files, and `require` the two probes identical — both delete phases
+    * are load-bearing in the one gate. Hash-exact vs the oracle's
+    * frozen-centroid replica with the deleted ids excluded: centroids
+    * keep their full-corpus training (deletion must not re-shuffle
+    * standing cells), only row membership changes. */
+  def annDelete(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_delete")
+    try {
+      val e = embeddings(s, dir)
+      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        out.toString, nCells = 16, refineIters = IvfKmeansIters)
+      Similarity.tombstoneIvfIndex(s, out.toString, "vec_id",
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      def probe() = Similarity.ivfTopKFromIndex(s, out.toString, cents,
+        "vec_id", "embedding", queryVector(s, dir), k = 20, nprobe = 4)
+      val masked = probe().collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val (deleted, cells) = Similarity.compactIvfIndex(s, out.toString, "vec_id")
+      require(deleted > 0 && cells.nonEmpty,
+        "planted delete subset must hit the index")
+      val compacted = probe().localCheckpoint(true)
+      val after = compacted.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      require(masked == after,
+        "tombstone-masked probe and post-compaction probe must be identical")
+      compacted
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[annDelete]]: the [[kmeansAssignCtes]] full-corpus replica
+    * (frozen centroids — deletes don't retrain), deleted ids excluded
+    * from the ranked rows only. */
+  lazy val annDeleteSql: String = {
+    val f = IvfKmeansIters
+    s"""WITH $kmeansAssignCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+       |probed AS (
+       |  SELECT c.cell FROM cent$f c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
+       |WHERE assign.cell IN (SELECT cell FROM probed)
+       |  AND e.vec_id % 7 <> 3
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+  }
+
   /** PCA-reduced ANN ([[embedPca]] composed with top-k): nearest 20
     * vectors to vec 0 by squared euclidean distance IN THE REDUCED SPACE —
     * the search an index built over projections serves. Because the
@@ -2610,7 +2662,7 @@ object LlmOps {
        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
        |r0 AS (SELECT node, $S // n AS r FROM nodes, nn),
        |$rounds
-       |SELECT node AS item, r AS rank_q,
+       |SELECT node AS item, CAST(r AS BIGINT) AS rank_q,
        |       CAST(r AS DOUBLE) / $S.0 AS rank_frac
        |FROM r$iters""".stripMargin
   }

@@ -238,6 +238,98 @@ object EventPipeline {
         col("purchase_value"))
   }
 
+  /** LEFT-OUTER stream–stream attribution ([[attributionJoin]]'s
+    * reconciliation-grade variant): a purchase with NO click in the
+    * preceding `windowMinutes` is still emitted — with null click columns —
+    * once the watermark closes its match window, instead of silently
+    * vanishing from the attribution feed. This is the shape a revenue
+    * pipeline needs the first time it reconciles attributed totals against
+    * the order ledger: SUM(purchase_value) over the outer feed equals the
+    * ledger by construction; over the inner feed it double-counts
+    * multi-click purchases and drops click-less ones.
+    *
+    * Same bounded-state contract as the inner join (both sides
+    * watermarked, both time directions constrained); the ONLY behavioral
+    * delta is that an evicted-unmatched purchase row emits instead of
+    * dropping. Match rows still emit on arrival; unmatched rows emit at
+    * watermark close, so the stream's OUTPUT SET (not its timing) equals
+    * the batch left join — asserted in StreamingSpec, gated against the
+    * DuckDB batch LEFT JOIN oracle. */
+  def attributionJoinOuter(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+        "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"),
+        col("purchase_value"))
+  }
+
+  /** Synchronous gate run of [[attributionJoinOuter]]: stages the events
+    * file like [[sessionizeSync]], then advances BOTH branches' watermarks
+    * past every buffered purchase with two sentinel batches — each sentinel
+    * carries one far-future 'purchase' AND one 'click' row (the branch
+    * filters sit before the watermark operators, so a row must pass a
+    * branch's filter to advance that branch's watermark, and the global
+    * watermark is the MIN across branches), on a planted negative user so
+    * they can never join with real traffic. The flush turns every
+    * still-buffered click-less purchase into its null-click outer row;
+    * sentinels are filtered from the result (`user_id >= 0` — the sentinel
+    * purchase emits as its own unmatched row). Leak-free like
+    * [[windowedCountsSync]]. */
+  def attributionJoinOuterSync(spark: SparkSession, dir: String): DataFrame = {
+    val hs = harnessSession(spark)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_stream_joino")
+    val inDir = tmp.resolve("in")
+    Files.createDirectories(inDir)
+    Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+    val maxTs = hs.read.schema(rawSchema)
+      .parquet(inDir.resolve("part-a.parquet").toString)
+      .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+
+    val name = s"graft_stream_joino_${System.nanoTime()}"
+    val q = attributionJoinOuter(readEventStream(hs, inDir.toString))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      var n = 0
+      Seq(3L * 3600, 3L * 3600 + 1).foreach { offsetSec =>
+        n += 1
+        import hs.implicits._
+        val stage = tmp.resolve(s"sentinel_$n")
+        val ts = maxTs.plusSeconds(offsetSec)
+        Seq((-(2L * n), ts, -1L, "purchase", 0.0, "{}"),
+            (-(2L * n + 1), ts, -2L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val tmpTarget = tmp.resolve(s"part-z$n.parquet.staged")
+        Files.copy(part.toPath, tmpTarget, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmpTarget, inDir.resolve(s"part-z$n.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = hs.table(name).filter(col("user_id") >= 0).localCheckpoint(true)
+    hs.catalog.dropTempView(name)
+    deleteRecursively(tmp.toFile)
+    out
+  }
+
   /** Synchronous gate run of [[attributionJoin]]: streams the sf dir's
     * events file through both branches of the self-join and the memory
     * sink. Inner-join rows emit on arrival, so one `processAllAvailable`

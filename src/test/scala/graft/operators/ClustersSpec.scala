@@ -87,6 +87,33 @@ class ClustersSpec extends SparkTestBase {
     }
   }
 
+  test("planted hub (degree 100k) resolves without any per-node neighborhood buffer") {
+    import spark.implicits._
+    // a single giant near-dup component centered on a hub — the 100 TB
+    // skew case: node 0 pairs with 1..100000, plus a chain hanging off the
+    // last spoke so the component isn't already a star
+    val n = 100000L
+    val hub = (1L to n).map(i => (0L, i))
+    val chain = (0L until 50L).map(i => (n + i, n + i + 1))
+    val rounds = spark.sparkContext.longAccumulator("hub_rounds")
+    val labels = Clusters.resolve(
+      (hub ++ chain).toDF("a", "b"), "a", "b", rounds = Some(rounds))
+    assert(labels.filter(col("rep") =!= 0L).isEmpty,
+      "every node of the hub component must label to the minimum (0)")
+    assert(labels.count() == n + 51)
+    assert(rounds.value <= 20, s"took ${rounds.value} rounds")
+  }
+
+  test("star rounds are join-based: no collect_set/ObjectHashAggregate buffer in the plan") {
+    import spark.implicits._
+    val edges = Seq((5L, 2L), (9L, 2L), (9L, 7L)).toDF("u", "v")
+    for (step <- Seq(Clusters.largeStar(edges), Clusters.smallStar(edges))) {
+      val plan = step.queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_set") && !plan.contains("ObjectHashAggregate"),
+        s"star contraction must not materialize a per-node neighborhood buffer:\n$plan")
+    }
+  }
+
   test("largeStar/smallStar preserve (hi, lo) orientation") {
     import spark.implicits._
     val edges = Seq((5L, 2L), (9L, 2L), (9L, 7L), (4L, 3L))

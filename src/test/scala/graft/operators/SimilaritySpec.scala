@@ -58,6 +58,103 @@ class SimilaritySpec extends SparkTestBase {
     assert(probedScan < embs.count()) // strictly less data than a full scan
   }
 
+  test("delete lifecycle: tombstone masks immediately, compact rewrites ONLY affected cells, append composes") {
+    GraftFunctions.register(spark)
+    val path = s"target/ivf_delete_${System.nanoTime()}"
+    val centroids = Similarity.writeIvfIndex(embs, "vec_id", "embedding", path, nCells = 16)
+
+    // plant the delete set inside the probed cells so the probe result MUST change
+    val probedCells = Similarity.nearestCells(centroids, query, 4)
+    val pre = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val deleteIds = pre.map(_._1).take(5) // 5 of the current top-20
+    import spark.implicits._
+    Similarity.tombstoneIvfIndex(spark, path, "vec_id", deleteIds.toDF("vec_id"))
+
+    // phase 1 (tombstones pending): deleted ids are already invisible,
+    // and the brute-force oracle over the surviving rows agrees exactly
+    val masked = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+    val maskedRows = masked.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(maskedRows.map(_._1).toSet.intersect(deleteIds.toSet).isEmpty)
+    val oracle = Similarity.bruteForceTopK(
+      Similarity.withIvfCell(embs, "embedding", centroids)
+        .filter(col("cell").isin(probedCells: _*))
+        .filter(!col("vec_id").isin(deleteIds: _*)),
+      "vec_id", "embedding", query, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(maskedRows == oracle, "tombstone-masked probe must equal the surviving-row oracle")
+    // the mask is a broadcast anti-join: cell partition pruning is undisturbed
+    val plan = masked.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+
+    // snapshot per-cell file listings (name -> (len, mtime)) before compaction
+    def cellFiles(c: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$path/cell=$c")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val allCells = spark.read.parquet(path).select(col("cell").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val affectedExpected = Similarity.withIvfCell(embs, "embedding", centroids)
+      .filter(col("vec_id").isin(deleteIds: _*))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val beforeListing = allCells.map(c => c -> cellFiles(c)).toMap
+
+    // phase 2: compact — only the affected cell partitions rewrite
+    val (deleted, affected) = Similarity.compactIvfIndex(spark, path, "vec_id")
+    assert(deleted == deleteIds.size.toLong)
+    assert(affected == affectedExpected)
+    allCells.foreach { c =>
+      if (affected.contains(c))
+        assert(cellFiles(c) != beforeListing(c), s"affected cell $c must be rewritten")
+      else
+        assert(cellFiles(c) == beforeListing(c), s"untouched cell $c must keep its exact files")
+    }
+    assert(!new java.io.File(s"$path/_graft_tombstones").exists, "tombstones cleared")
+
+    // post-compaction probe ≡ the pending-tombstone probe
+    val compacted = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == maskedRows)
+
+    // composes with append: re-adding the deleted vectors restores the original top-20
+    Similarity.appendToIvfIndex(
+      embs.filter(col("vec_id").isin(deleteIds: _*)), "vec_id", "embedding",
+      path, centroids)
+    val restored = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(restored == pre, "append after compaction must restore the pre-delete probe")
+  }
+
+  test("compactIvfIndex: a fully-emptied cell's directory is removed; empty tombstone set is a no-op") {
+    GraftFunctions.register(spark)
+    val path = s"target/ivf_empty_${System.nanoTime()}"
+    val centroids = Similarity.writeIvfIndex(embs, "vec_id", "embedding", path, nCells = 16)
+    // no tombstones at all: no-op
+    assert(Similarity.compactIvfIndex(spark, path, "vec_id") == ((0L, Seq.empty[Int])))
+    // tombstone EVERY row of one cell
+    val victim = spark.read.parquet(path).select(col("cell").cast("int"))
+      .groupBy("cell").count().orderBy(col("count").asc, col("cell").asc)
+      .head().getInt(0)
+    val ids = spark.read.parquet(path).filter(col("cell") === victim)
+      .select(col("vec_id"))
+    val n = ids.count()
+    Similarity.tombstoneIvfIndex(spark, path, "vec_id", ids)
+    val (deleted, affected) = Similarity.compactIvfIndex(spark, path, "vec_id")
+    assert(deleted == n && affected == Seq(victim))
+    assert(!new java.io.File(s"$path/cell=$victim").exists,
+      "an emptied cell's partition directory must be removed")
+    // the rest of the index still reads and probes
+    assert(spark.read.parquet(path).filter(col("cell") === victim).isEmpty)
+    assert(Similarity.ivfTopKFromIndex(spark, path, centroids, "vec_id",
+      "embedding", query, k = 5, nprobe = 4).count() == 5)
+  }
+
   test("withIvfCell: fused argmax ≡ cosine-array formulation; plan holds ONE node at 1024 cells") {
     GraftFunctions.register(spark)
     val centroids = Similarity.ivfCentroids(embs, "vec_id", "embedding", 16)

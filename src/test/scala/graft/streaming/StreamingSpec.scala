@@ -172,6 +172,29 @@ class StreamingSpec extends SparkTestBase {
       gapUs >= 0 && gapUs <= 30L * 60 * 1000000 })
   }
 
+  test("attributionJoinOuterSync: outer stream-stream join EQUALS the batch LEFT join") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4))
+    val got = EventPipeline.attributionJoinOuterSync(spark, dir)
+      .collect().map(key).toSet
+    val ev = graft.Tables.load(spark, dir, "events")
+    val batch = EventPipeline.attributionJoinOuter(ev).collect().map(key).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    // the point of the outer variant: click-less purchases ARE present
+    val unmatched = got.filter(_._2.isEmpty)
+    assert(unmatched.nonEmpty,
+      "fixture should contain ≥1 click-less purchase emitted with null click columns")
+    // reconciliation invariant: one row per purchase-with-no-click, and every
+    // purchase id from the inner join is still here
+    val inner = EventPipeline.attributionJoin(ev)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1) == inner ++ unmatched.map(_._1))
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
