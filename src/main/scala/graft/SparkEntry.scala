@@ -107,6 +107,7 @@ object SparkEntry {
     "d_embed_quantize" -> (q.LlmOps.embedQuantize _),
     "d_embed_pca" -> (q.LlmOps.embedPca _),
     "d_sim_topk_pca" -> (q.LlmOps.simTopKPca _),
+    "d_sim_topk_pca_load" -> (q.LlmOps.simTopKPcaLoad _),
     "d_bpe_train" -> (q.LlmOps.bpeTrain _),
     "d_bpe_tokenize" -> (q.LlmOps.bpeTokenize _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
@@ -201,6 +202,9 @@ object SparkEntry {
     "d_embed_quantize" -> q.LlmOps.embedQuantizeSql,
     "d_embed_pca" -> q.LlmOps.embedPcaSql,
     "d_sim_topk_pca" -> q.LlmOps.simTopKPcaSql,
+    // the load-path gate shares the training-replay oracle: the persisted
+    // artifact round-trips bit-exactly, so load+project ≡ train+project
+    "d_sim_topk_pca_load" -> q.LlmOps.simTopKPcaSql,
     "d_bpe_train" -> q.LlmOps.bpeTrainSql,
     "d_bpe_tokenize" -> q.LlmOps.bpeTokenizeSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,

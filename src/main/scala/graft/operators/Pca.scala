@@ -103,6 +103,34 @@ object Pca {
     } finally { cached.unpersist(blocking = false): Unit }
   }
 
+  /** Persist (mean, components) as an on-disk artifact — the deployment
+    * split the probe/k-means tier already has: train ONCE batch-side,
+    * then every downstream composition (reduced-space search, an index
+    * build, a scoring stream) LOADS the frozen artifact instead of
+    * replaying training. One row per vector (`idx` −1 = the mean,
+    * 0..n−1 = components in order); doubles round-trip parquet
+    * bit-exactly, so load ∘ save is the identity (asserted in PcaSpec)
+    * and a loaded projection is bit-equal to a freshly-trained one. */
+  def saveComponents(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Seq[Double], comps: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    ((-1, m) +: comps.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("idx", "vector")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveComponents]] artifact: (mean, components). */
+  def loadComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Double], Seq[Seq[Double]]) = {
+    val rows = spark.read.parquet(path)
+      .select(col("idx"), col("vector")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    val comps = (0 until rows.size - 1).map(rows(_))
+    (rows(-1), comps)
+  }
+
   /** Project every row onto the components: p_c = (x − m)·c, the exact
     * fixed-order fold — a narrow in-plan map, no shuffle, no driver. */
   def project(

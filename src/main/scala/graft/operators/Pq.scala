@@ -79,6 +79,32 @@ object Pq {
     cb
   }
 
+  /** Persist a trained codebook next to its index — the artifact every
+    * PQ probe needs at serve time ([[graft.operators.Similarity]] probes
+    * take the codebook as a parameter; this is its durable form). One
+    * row per entry in subspace-major order, `ksub` carried per row;
+    * floats round-trip parquet bit-exactly, so a loaded codebook
+    * decodes identically to the trained one (asserted in PqSpec). */
+  def saveCodebook(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      codebook: Seq[Seq[Float]], ksub: Int): Unit = {
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (e, i) => (i, e, ksub) }
+      .toDF("idx", "entry", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebook]] artifact: (codebook, ksub). */
+  def loadCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Seq[Float]], Int) = {
+    val rows = spark.read.parquet(path)
+      .select(col("idx"), col("entry"), col("ksub")).collect()
+    require(rows.nonEmpty, s"empty pq codebook at $path")
+    val cb = rows.sortBy(_.getInt(0)).toSeq.map(_.getSeq[Float](1).toSeq)
+    (cb, rows.head.getInt(2))
+  }
+
   /** The packed PQ code column (binary, one byte per subspace) of a
     * float-vector column — the storage form. */
   def codesCol(vec: Column, codebook: Seq[Seq[Float]], ksub: Int): Column =

@@ -334,6 +334,28 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Persist an index's centroids as the on-disk artifact
+    * [[writeIvfIndex]] tells the caller to keep: the probe-side contract
+    * (cell geometry) made durable, so a serving process loads them
+    * instead of re-deriving (floats round-trip parquet bit-exactly;
+    * load ∘ save is the identity, asserted in SimilaritySpec). */
+  def saveCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Float])]): Unit = {
+    import spark.implicits._
+    centroids.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] artifact, densely ordered by cell. */
+  def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(path)
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq)
+      .sortBy(_._1).toSeq
+
   private def tombstoneDir(path: String): String = s"$path/_graft_tombstones"
 
   /** DELETE from an on-disk IVF index, phase 1 — tombstones: append the ids

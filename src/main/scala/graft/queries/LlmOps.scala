@@ -2171,6 +2171,35 @@ object LlmOps {
       .limit(20)
   }
 
+  /** The PRODUCTION shape of [[simTopKPca]]: train → persist the (mean,
+    * components) artifact ([[graft.operators.Pca.saveComponents]]) →
+    * LOAD it back → project + search from the loaded copy — the
+    * train-once / serve-many split a deployed reduced-space index runs
+    * (the gate's training exists only to produce the artifact; the
+    * search touches nothing but the loaded doubles). Parquet round-trips
+    * doubles bit-exactly, so this gate shares [[simTopKPcaSql]]'s
+    * training-replay oracle verbatim — a byte of artifact drift would
+    * hash-mismatch. */
+  def simTopKPcaLoad(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_pca_artifact")
+    try {
+      val e = embeddings(s, dir)
+      val (m0, c0) = graft.operators.Pca.components(
+        e, "embedding", PcaDim, PcaNComp, PcaIters)
+      graft.operators.Pca.saveComponents(s, out.toString, m0, c0)
+      val (m, comps) = graft.operators.Pca.loadComponents(s, out.toString)
+      val proj = graft.operators.Pca.project(e, "vec_id", "embedding", m, comps)
+      val q = proj.orderBy(col("vec_id").asc).limit(1).head()
+      val (q1, q2) = (q.getDouble(1), q.getDouble(2))
+      proj.select(col("vec_id"),
+          (((col("p1") - lit(q1)) * (col("p1") - lit(q1))) +
+            ((col("p2") - lit(q2)) * (col("p2") - lit(q2)))).as("dist2"))
+        .orderBy(col("dist2").asc, col("vec_id").asc)
+        .limit(20)
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
   /** Mirrors [[simTopKPca]]: the full PCA replay as a subquery, the
     * vec-0 projection re-derived in SQL (bit-equal to the collected
     * literals), the same fixed-order distance. */

@@ -10,6 +10,19 @@ class PcaSpec extends SparkTestBase {
   private lazy val embs =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("saveComponents/loadComponents round-trip bit-exactly; loaded projection ≡ trained projection") {
+    val (m, comps) = Pca.components(embs, "embedding", 64, nComponents = 2, iters = 3)
+    val path = s"target/pca_artifact_${System.nanoTime()}"
+    Pca.saveComponents(spark, path, m, comps)
+    val (m2, comps2) = Pca.loadComponents(spark, path)
+    assert(m2 == m && comps2 == comps, "artifact round-trip must be the identity on doubles")
+    val trained = Pca.project(embs, "vec_id", "embedding", m, comps)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val loaded = Pca.project(embs, "vec_id", "embedding", m2, comps2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(loaded == trained)
+  }
+
   test("components are bit-identical on any partitioning (quantized-sum power iteration)") {
     val a = Pca.components(embs, "embedding", 64, nComponents = 2, iters = 3)
     val b = Pca.components(embs.repartition(17), "embedding", 64, nComponents = 2, iters = 3)

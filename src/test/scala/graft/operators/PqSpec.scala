@@ -13,6 +13,21 @@ class PqSpec extends SparkTestBase {
   private val M = 8
   private val Ksub = 16
 
+  test("saveCodebook/loadCodebook round-trip bit-exactly; loaded codebook decodes identically") {
+    GraftFunctions.register(spark)
+    val cb = Pq.trainCodebook(embs, "vec_id", "embedding", M, Ksub, iters = 1)
+    val path = s"target/pq_artifact_${System.nanoTime()}"
+    Pq.saveCodebook(spark, path, cb, Ksub)
+    val (cb2, ksub2) = Pq.loadCodebook(spark, path)
+    assert(cb2 == cb && ksub2 == Ksub, "artifact round-trip must be the identity on floats")
+    val enc = Pq.encode(embs, "vec_id", "embedding", cb, Ksub)
+    val viaTrained = enc.select(col("vec_id"), Pq.decodeCol(col("pqcodes"), cb, Ksub).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val viaLoaded = enc.select(col("vec_id"), Pq.decodeCol(col("pqcodes"), cb2, ksub2).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    assert(viaLoaded == viaTrained)
+  }
+
   test("trainCodebook: bit-identical on any partitioning; subspace-major shape") {
     GraftFunctions.register(spark)
     val a = Pq.trainCodebook(embs, "vec_id", "embedding", M, Ksub, iters = 2)

@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(probedScan < embs.count()) // strictly less data than a full scan
   }
 
+  test("saveCentroids/loadCentroids round-trip bit-exactly; loaded centroids probe identically") {
+    GraftFunctions.register(spark)
+    val path = s"target/ivf_cent_${System.nanoTime()}"
+    val idx = s"target/ivf_cent_idx_${System.nanoTime()}"
+    val cents = Similarity.writeIvfIndex(embs, "vec_id", "embedding", idx, nCells = 16)
+    Similarity.saveCentroids(spark, path, cents)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded == cents, "artifact round-trip must be the identity")
+    val a = Similarity.ivfTopKFromIndex(spark, idx, cents, "vec_id", "embedding",
+      query, k = 10, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.ivfTopKFromIndex(spark, idx, loaded, "vec_id", "embedding",
+      query, k = 10, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("delete lifecycle: tombstone masks immediately, compact rewrites ONLY affected cells, append composes") {
     GraftFunctions.register(spark)
     val path = s"target/ivf_delete_${System.nanoTime()}"
