@@ -311,14 +311,20 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact percentiles (sort-based, interpolated) — matches DuckDB's
-    * quantile_cont bit-for-bit (verified incl. interpolated values). */
+    * quantile_cont bit-for-bit (verified incl. interpolated values).
+    * Round 7: computed by the DISTRIBUTED rank-select operator
+    * ([[graft.relational.Percentiles.exactInterpolated]]) instead of the
+    * builtin `percentile` aggregate, whose buffer holds every group
+    * member in memory with no spill path — the exact tier now has a
+    * 100 TB shape too (the GK twin remains the cheap path). Same doubles
+    * bit-for-bit (PercentilesSpec asserts ≡ builtin ≡ oracle). */
   def percentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
-        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
-        expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+    graft.relational.Percentiles.exactInterpolated(
+      t(s, dir, "lineitem"), "l_returnflag",
+      Seq(
+        ("l_quantity", 0.5, "qty_p50"),
+        ("l_quantity", 0.9, "qty_p90"),
+        ("l_extendedprice", 0.25, "price_p25")))
       .orderBy(col("l_returnflag"))
 
   val percentilesSql: String =
