@@ -132,6 +132,8 @@ object SparkEntry {
       streaming.EventPipeline.attributionJoinSync(s, dir)),
     "s_stream_join_outer" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.attributionJoinOuterSync(s, dir)),
+    "s_stream_ann_ingest" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.annIngestSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,6 +191,9 @@ object SparkEntry {
     "d_ann_batch" -> q.LlmOps.annBatchSql,
     "d_ann_append" -> q.LlmOps.annAppendSql,
     "d_ann_delete" -> q.LlmOps.annDeleteSql,
+    // streamed index ingest ≡ batch append under the same frozen centroids,
+    // so the stream shares the batch twin's oracle (the s_stream_ingest rule)
+    "s_stream_ann_ingest" -> q.LlmOps.annAppendSql,
     "d_knn_join" -> q.LlmOps.knnJoinSql,
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,

@@ -334,6 +334,66 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** IDEMPOTENT per-micro-batch append — the streaming-ingest form of
+    * [[appendToIvfIndex]], safe under `foreachBatch`'s at-least-once
+    * replay contract. The batch stages through an underscore directory
+    * (invisible to index reads), then its files move into the live cell
+    * partitions under DETERMINISTIC batch-tagged names and a commit
+    * marker is written last:
+    *
+    *   - a replay of a COMMITTED batch sees the marker and returns false
+    *     without touching the index;
+    *   - a replay of a CRASHED half-moved attempt overwrites the same
+    *     batch-tagged file names (cell assignment under frozen centroids
+    *     is deterministic, so the same cells are touched), leaving no
+    *     duplicate rows.
+    *
+    * Storage tier is detected from the standing schema like
+    * [[appendToIvfIndex]]; markers are tiny underscore files that never
+    * enter a data listing. */
+  def appendBatchToIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Seq[(Int, Seq[Float])],
+      batchTag: String,
+      pq: Option[(Seq[Seq[Float]], Int)] = None): Boolean = {
+    require(batchTag.matches("[A-Za-z0-9_-]+"), "batchTag must be filesystem-safe")
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_graft_ingest_$batchTag.committed")
+    if (fs.exists(marker)) return false
+    val standing = spark.read.parquet(path).schema.fieldNames
+    val quantized = standing.contains("qcodes")
+    if (standing.contains("pqcodes"))
+      require(pq.nonEmpty, "appending to a PQ index requires its codebook")
+    else
+      require(pq.isEmpty, s"index at $path is not PQ-coded; drop the codebook")
+    val staging = new Path(root, s"_graft_ingest_staging_$batchTag")
+    fs.delete(staging, true): Unit
+    val assigned = withIvfCell(df, vecCol, centroids)
+    storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq)
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val cellDirs = Option(fs.listStatus(staging)).getOrElse(Array.empty)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    cellDirs.foreach { st =>
+      val live = new Path(root, st.getPath.getName)
+      fs.mkdirs(live): Unit
+      // clear partials a previous crashed attempt of THIS batch left behind
+      Option(fs.listStatus(live)).getOrElse(Array.empty)
+        .filter(_.getPath.getName.startsWith(s"ingest-$batchTag-"))
+        .foreach(f => fs.delete(f.getPath, false): Unit)
+      val parts = Option(fs.listStatus(st.getPath)).getOrElse(Array.empty)
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        fs.rename(p.getPath, new Path(live, s"ingest-$batchTag-part$i.parquet")): Unit
+      }
+    }
+    fs.delete(staging, true): Unit
+    fs.create(marker).close()
+    true
+  }
+
   /** Persist an index's centroids as the on-disk artifact
     * [[writeIvfIndex]] tells the caller to keep: the probe-side contract
     * (cell geometry) made durable, so a serving process loads them

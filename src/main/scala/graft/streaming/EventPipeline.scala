@@ -562,6 +562,64 @@ object EventPipeline {
     admitted
   }
 
+  /** Raw schema of the embeddings fixture (for the file-source stream). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Live ANN-index ingest: each micro-batch of embedding vectors appends
+    * to the standing on-disk IVF index under its FROZEN centroids —
+    * [[graft.operators.Similarity.appendBatchToIvfIndex]] inside
+    * `foreachBatch`, the continuous-embedding-ingest production pattern
+    * (new corpus shards embedded upstream land in the vector index
+    * minutes later, no rebuild). Cell assignment is per-vector against
+    * the frozen centroids, so the resulting index is independent of
+    * micro-batching; the batch-tagged staged-rename append keeps
+    * `foreachBatch`'s at-least-once replays from ever duplicating rows. */
+  def annIngestStream(
+      embStream: DataFrame, indexPath: String,
+      centroids: Seq[(Int, Seq[Float])]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendBatchToIvfIndex(
+          batch, "vec_id", "embedding", indexPath, centroids, s"b$batchId"): Unit
+      }
+
+  /** Synchronous gate run of [[annIngestStream]]: the standing index is
+    * built from the even-id half with frozen centroids (the `d_ann_append`
+    * convention — the stream shares its batch twin's oracle, proving live
+    * ingest ≡ batch append), the odd-id half streams in through
+    * `foreachBatch`, and the probe runs against the on-disk union. */
+  def annIngestSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    graft.functions.GraftFunctions.register(s)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val idx = java.nio.file.Files.createTempDirectory("graft_stream_ann")
+    try {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val cents = graft.operators.Similarity.writeIvfIndex(
+        base, "vec_id", "embedding", idx.toString,
+        nCells = 16, refineIters = graft.queries.LlmOps.IvfKmeansIters)
+      val in = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val q = annIngestStream(in, idx.toString, cents)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val query = e.orderBy(col("vec_id").asc).limit(1)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.operators.Similarity.ivfTopKFromIndex(
+        s, idx.toString, cents, "vec_id", "embedding",
+        query, k = 20, nprobe = 4).localCheckpoint(true)
+    } finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(idx.toFile)
+    }
+  }
+
   /** Stateful gap sessionization (30-minute inactivity) via
     * flatMapGroupsWithState: per-user state holds the open session; closed
     * sessions are emitted as soon as a gap is observed in-batch, and the

@@ -195,6 +195,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.map(_._1) == inner ++ unmatched.map(_._1))
   }
 
+  test("annIngestSync: streamed index ingest ≡ batch appendToIvfIndex; replayed batches never duplicate") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.annIngestSync(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // batch twin: writeIvfIndex(even) + appendToIvfIndex(odd) + same probe
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_batch_twin")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val cents = graft.operators.Similarity.writeIvfIndex(
+        base, "vec_id", "embedding", idx.toString,
+        nCells = 16, refineIters = graft.queries.LlmOps.IvfKmeansIters)
+      graft.operators.Similarity.appendToIvfIndex(
+        odd, "vec_id", "embedding", idx.toString, cents)
+      val query = e.orderBy(col("vec_id").asc).limit(1)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val batch = graft.operators.Similarity.ivfTopKFromIndex(
+        spark, idx.toString, cents, "vec_id", "embedding", query, k = 20, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == batch, "streamed ingest must probe identically to the batch append")
+
+      // idempotency: replaying an already-committed batch tag is a no-op,
+      // and a fresh tag re-appending the same rows overwrites nothing
+      val before = spark.read.parquet(idx.toString).count()
+      graft.operators.Similarity.appendBatchToIvfIndex(
+        odd, "vec_id", "embedding", idx.toString, cents, "replay1")
+      val afterFirst = spark.read.parquet(idx.toString).count()
+      assert(afterFirst == before + odd.count())
+      val applied = graft.operators.Similarity.appendBatchToIvfIndex(
+        odd, "vec_id", "embedding", idx.toString, cents, "replay1")
+      assert(!applied, "a committed batch tag must be refused")
+      assert(spark.read.parquet(idx.toString).count() == afterFirst,
+        "replaying a committed batch must not change the index")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(idx.toFile)
+    }
+  }
+
   test("streaming sessionize emits sessions consistent with the batch operator") {
     prepareInput()
     val stream = EventPipeline.readEventStream(spark, inDir, maxFilesPerTrigger = Some(1))
