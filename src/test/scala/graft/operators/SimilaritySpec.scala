@@ -104,6 +104,16 @@ class SimilaritySpec extends SparkTestBase {
     val plan = masked.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
 
+    // the BATCH probe masks pending tombstones too (same readIndex path)
+    val queries2 = embs.orderBy(col("vec_id").asc).limit(2)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batchProbed = Similarity.ivfTopKBatch(
+      spark, path, centroids, queries2, "qid", "embedding",
+      "vec_id", "embedding", k = 20, nprobe = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(batchProbed.intersect(deleteIds.toSet).isEmpty,
+      "batch probe must not return tombstoned ids")
+
     // snapshot per-cell file listings (name -> (len, mtime)) before compaction
     def cellFiles(c: Int): Map[String, (Long, Long)] = {
       val d = new java.io.File(s"$path/cell=$c")
