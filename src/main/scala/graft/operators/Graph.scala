@@ -87,6 +87,12 @@ object Graph {
       try {
         val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the (edge, out-weight) join is ROUND-INVARIANT: materialize it
+        // once and every iteration joins only the (small) ranks table
+        // against it — one join per round instead of two
+        val ew = e.join(outw, "src")
+          .select(col("src"), col("dst"), col("w"), col("ow"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val n = nodes.count() // O(1) driver scalar: the node count
           require(n > 0, "pageRank over an empty edge list")
@@ -94,7 +100,7 @@ object Graph {
           var ranks = nodes.withColumn("r", lit(RankScale / n))
           var prev: Option[DataFrame] = None
           for (_ <- 0 until iters) {
-            val contrib = e.join(outw, "src")
+            val contrib = ew
               .join(ranks.withColumnRenamed("node", "src"), "src")
               .select(col("dst").as("node"), expr("(r * w) div ow").as("share"))
               .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
@@ -116,7 +122,10 @@ object Graph {
           }
           ranks.select(col("node"), col("r").as("rank_q"),
             (col("r").cast("double") / lit(RankScale.toDouble)).as("rank_frac"))
-        } finally outw.unpersist(blocking = false): Unit
+        } finally {
+          ew.unpersist(blocking = false): Unit
+          outw.unpersist(blocking = false): Unit
+        }
       } finally nodes.unpersist(blocking = false): Unit
     } finally e.unpersist(blocking = false): Unit
   }
