@@ -156,6 +156,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(restored == pre, "append after compaction must restore the pre-delete probe")
   }
 
+  test("delete + compaction on the quantized (q8) tier: rows rewritten as stored, probe stays bit-exact") {
+    GraftFunctions.register(spark)
+    val path = s"target/ivf_delete_q8_${System.nanoTime()}"
+    val centroids = Similarity.writeIvfIndex(
+      embs, "vec_id", "embedding", path, nCells = 16, quantize = true)
+    val pre = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val deleteIds = pre.map(_._1).take(4)
+    import spark.implicits._
+    Similarity.tombstoneIvfIndex(spark, path, "vec_id", deleteIds.toDF("vec_id"))
+    val masked = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (deleted, _) = Similarity.compactIvfIndex(spark, path, "vec_id")
+    assert(deleted == deleteIds.size.toLong)
+    // rewritten q8 rows must decode identically: post-compaction probe ==
+    // the tombstone-masked probe, and the storage schema is unchanged
+    val compacted = Similarity.ivfTopKFromIndex(
+      spark, path, centroids, "vec_id", "embedding", query, k = 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == masked)
+    val cols = spark.read.parquet(path).columns.toSet
+    assert(cols.contains("qcodes") && cols.contains("scale") && !cols.contains("embedding"),
+      s"compaction must preserve the quantized storage layout: $cols")
+  }
+
   test("compactIvfIndex: a fully-emptied cell's directory is removed; empty tombstone set is a no-op") {
     GraftFunctions.register(spark)
     val path = s"target/ivf_empty_${System.nanoTime()}"
