@@ -72,6 +72,7 @@ object SparkEntry {
     "d_vocab_coverage" -> (q.LlmOps.vocabCoverage _),
     "d_heavy_hitters" -> (q.LlmOps.heavyHitters _),
     "d_text_normalize" -> (q.LlmOps.textNormalize _),
+    "d_html_extract" -> (q.LlmOps.htmlExtract _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
     "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,
     "d_text_normalize" -> q.LlmOps.textNormalizeSql,
+    "d_html_extract" -> q.LlmOps.htmlExtractSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

@@ -377,6 +377,66 @@ object LlmOps {
        |  ${hugeToSignedSql("hr")} AS red_fp
        |FROM h""".stripMargin
 
+  /** HTML → text extraction ([[graft.operators.TextExtract.stripHtml]]):
+    * the curation tier's front door. The fixture text is plain, so each
+    * doc is deterministically wrapped in a realistic page first — title,
+    * style block, comment carrying the doc id, heading, paragraph with an
+    * attribute, an inline script whose body contains a bare `<`, and an
+    * entity-bearing tail — identically in [[htmlExtractSql]]; extraction
+    * must recover exactly (title, heading, body, decoded tail), pinned by
+    * length + token count + FNV fingerprint of the full extracted text. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val title = col("text").substr(1, 30)
+    val html = concat(
+      lit("<html><head><title>"), title,
+      lit("</title><style>p{margin:0}</style></head><body><!-- doc "),
+      col("doc_id").cast("string"), lit(" --><h1>"), title,
+      lit("</h1>\n<p class=\"x\">"), col("text"),
+      lit("</p><script type=\"text/javascript\">var a = 1 < 2;</script> &amp; &lt;tail&gt;</body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.operators.TextExtract.stripHtml(html).as("t"))
+      .select(
+        col("doc_id"),
+        length(col("t")).cast("long").as("ext_len"),
+        GraftFunctions.tokenCount(col("t")).cast("long").as("n_tokens"),
+        GraftFunctions.fingerprint64(col("t")).as("ext_fp"))
+  }
+
+  /** Mirrors [[htmlExtract]]: the same wrap concatenation, then the SAME
+    * regex chain strings in the SAME order ([[graft.operators.TextExtract]]
+    * single-sources them; Java ≡ RE2 on this subset), literal entity
+    * decodes with `&amp;` last, whitespace collapse, FNV pin. */
+  lazy val htmlExtractSql: String = {
+    val stripped = graft.operators.TextExtract.RegexSteps.foldLeft("html") {
+      case (acc, (p, r)) =>
+        s"regexp_replace($acc, '${p.replace("'", "''")}', '$r', 'g')"
+    }
+    val decoded = graft.operators.TextExtract.EntitySteps.foldLeft(stripped) {
+      case (acc, (e, r)) =>
+        s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+    }
+    s"""WITH hm AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || substr(text, 1, 30) ||
+       |    '</title><style>p{margin:0}</style></head><body><!-- doc ' ||
+       |    CAST(doc_id AS VARCHAR) || ' --><h1>' || substr(text, 1, 30) ||
+       |    '</h1>' || chr(10) || '<p class="x">' || text ||
+       |    '</p><script type="text/javascript">var a = 1 < 2;</script> &amp; &lt;tail&gt;</body></html>' AS html
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS t
+       |  FROM hm),
+       |h AS (SELECT doc_id, t, ${fnvHugeSql("t")} AS ht FROM ex)
+       |SELECT doc_id,
+       |  CAST(length(t) AS BIGINT) AS ext_len,
+       |  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+       |  ${hugeToSignedSql("ht")} AS ext_fp
+       |FROM h""".stripMargin
+  }
+
   /** Text normalization + character-shingle profile: the cleanup pass ahead
     * of tokenization/dedup. The fixture text is already clean, so each doc
     * is deterministically messed up first (leading/trailing runs of spaces,
