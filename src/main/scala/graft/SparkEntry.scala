@@ -43,6 +43,7 @@ object SparkEntry {
     "r_semi_join" -> (q.Relational.semiJoin _),
     "r_anti_join" -> (q.Relational.antiJoin _),
     "r_rollup_stats" -> (q.Relational.rollupStats _),
+    "r_grouping_sets" -> (q.Relational.groupingSetsStats _),
     "r_distinct_agg" -> (q.Relational.distinctAgg _),
     "r_approx_distinct" -> (q.Relational.approxDistinct _),
     "r_window_rank" -> (q.Relational.windowRank _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "d_text_stats" -> (q.LlmOps.textStats _),
     "d_lang_id" -> (q.LlmOps.langId _),
     "d_quality_repetition" -> (q.LlmOps.qualityRepetition _),
+    "d_quality_gopher" -> (q.LlmOps.qualityGopher _),
     "d_dedup_exact" -> (q.LlmOps.dedupExact _),
     "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
@@ -164,6 +166,7 @@ object SparkEntry {
     "r_semi_join" -> q.Relational.semiJoinSql,
     "r_anti_join" -> q.Relational.antiJoinSql,
     "r_rollup_stats" -> q.Relational.rollupStatsSql,
+    "r_grouping_sets" -> q.Relational.groupingSetsStatsSql,
     "r_distinct_agg" -> q.Relational.distinctAggSql,
     // r_approx_distinct: sketch values are engine-specific → rows-only check
     "r_window_rank" -> q.Relational.windowRankSql,
@@ -178,6 +181,7 @@ object SparkEntry {
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,
     "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,
+    "d_quality_gopher" -> q.LlmOps.qualityGopherSql,
     "d_dedup_exact" -> q.LlmOps.dedupExactSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
     // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a

@@ -53,6 +53,8 @@ object GraftFunctions {
       es => MarkerStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition_stats",
       es => RepetitionStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gopher_stats",
+      es => GopherStats(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_char_ngram_stats",
       es => CharNgramStats(es(0),
         es(1).eval().asInstanceOf[Number].intValue), "built-in")
@@ -242,5 +244,49 @@ object GraftFunctions {
       (n3 === 0 ||
         rs.getField("dup_3gram").cast("double") / n3.cast("double") <= dup3gramFrac) &&
       rs.getField("max_run") <= maxRun
+  }
+
+  /** Fused one-pass Gopher-rule statistics: struct(n_words, sum_word_chars,
+    * n_alpha_words, n_stop_distinct, n_hash, n_ellipsis, n_lines,
+    * n_bullet_lines, n_ellipsis_lines) as ONE codegen call — the counting
+    * tier of the published Gopher document filter (Rae et al. 2021,
+    * Appendix A1.1). Requires [[register]]. */
+  def gopherStats(text: Column): Column = call_function("graft_gopher_stats", text)
+
+  // Gopher A1.1 rule thresholds (the paper's published values). The word
+  // count lower bound is the only one adapted to the fixture corpus
+  // (docs run 10–120 words, vs Gopher's 50–100k-word web pages): the
+  // paper's 50 would also bind, but right at the fixture median — 30 keeps
+  // every rule active without halving the corpus on length alone. Shared
+  // with the oracle-SQL builders so thresholds can never drift.
+  val GopherMinWords: Int = 30
+  val GopherMaxWords: Int = 100000
+  val GopherMinMeanLen: Double = 3.0
+  val GopherMaxMeanLen: Double = 10.0
+  val GopherMaxSymbolRatio: Double = 0.1
+  val GopherMaxBulletFrac: Double = 0.9
+  val GopherMaxEllipsisFrac: Double = 0.3
+  val GopherMinAlphaFrac: Double = 0.8
+  val GopherMinStopDistinct: Int = 2
+
+  /** Gopher keep verdict from an ALREADY-COMPUTED [[gopherStats]] struct:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    * and required-word diversity — each a single division of exact integer
+    * counts compared to a literal, so the verdict is bit-identical across
+    * engines. */
+  def gopherOk(gs: Column): Column = {
+    val n = gs.getField("n_words").cast("double")
+    val nl = gs.getField("n_lines").cast("double")
+    val meanLen = gs.getField("sum_word_chars").cast("double") / n
+    val symbolRatio =
+      (gs.getField("n_hash") + gs.getField("n_ellipsis")).cast("double") / n
+    gs.getField("n_words").between(GopherMinWords, GopherMaxWords) &&
+      meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen &&
+      symbolRatio <= GopherMaxSymbolRatio &&
+      gs.getField("n_bullet_lines").cast("double") / nl <= GopherMaxBulletFrac &&
+      gs.getField("n_ellipsis_lines").cast("double") / nl <= GopherMaxEllipsisFrac &&
+      gs.getField("n_alpha_words").cast("double") / n >= GopherMinAlphaFrac &&
+      gs.getField("n_stop_distinct") >= GopherMinStopDistinct
   }
 }

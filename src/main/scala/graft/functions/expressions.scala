@@ -475,6 +475,39 @@ case class CharNgramStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fused one-pass Gopher-rule statistics of a raw string column:
+  * struct(n_words, sum_word_chars, n_alpha_words, n_stop_distinct, n_hash,
+  * n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines) — see
+  * TextGopher.stats. One codegen call over the raw bytes instead of the
+  * nine interpreted split/filter/regexp passes the Column formulation
+  * would need; every count replicates in the DuckDB oracle with plain
+  * string/list operations. */
+case class GopherStats(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_word_chars", IntegerType, nullable = false),
+    StructField("n_alpha_words", IntegerType, nullable = false),
+    StructField("n_stop_distinct", IntegerType, nullable = false),
+    StructField("n_hash", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet_lines", IntegerType, nullable = false),
+    StructField("n_ellipsis_lines", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_gopher_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextGopher.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextGopher.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
 /** Member-wise first-collision pair expansion for the banded dedup family
   * (MinHash band hashes / hyperplane LSH table buckets): members are
   * (id, keys) structs, `member` selects whose pairs this row emits, `band`

@@ -157,6 +157,111 @@ object LlmOps {
        |  CAST($repKeepSql AS INT) AS keep
        |FROM s""".stripMargin
 
+  /** The full Gopher rule set (Rae et al. 2021, Appendix A1.1) over
+    * deterministically "webified" documents. The fixture text is clean
+    * single-line word salad, so rules 3–6 (symbols, bullets, ellipses,
+    * lines) would be vacuous on it; each doc is first wrapped with
+    * doc_id-arithmetic page furniture — bullet blocks, `#` headings,
+    * `read more...` tails — identically in [[qualityGopherSql]] (the
+    * piiScan / htmlExtract convention), so every rule binds and every
+    * count, fraction, and the keep verdict is oracle-exact. All counts
+    * come from ONE [[GraftFunctions.gopherStats]] codegen call aliased
+    * once; the fractions are single integer divisions (bit-identical
+    * cross-engine). */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val id = col("doc_id")
+    val page = concat(
+      when(pmod(id, lit(17)) === 0, repeat(lit("• filler item\n"), 19))
+        .otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0,
+        concat(lit("• item "), pmod(id, lit(10)).cast("string"), lit("\n")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0,
+        concat(repeat(lit("#"), 15), lit(" section\n"))).otherwise(lit("")),
+      col("text"),
+      when(pmod(id, lit(5)) === 0, lit("\nread more...")).otherwise(lit("")),
+      when(pmod(id, lit(23)) === 0, lit("\nto be continued...")).otherwise(lit("")))
+    val gs = col("gs")
+    val n = gs.getField("n_words").cast("double")
+    val nl = gs.getField("n_lines").cast("double")
+    docs(s, dir)
+      .select(col("doc_id"), GraftFunctions.gopherStats(page).as("gs"))
+      .select(
+        col("doc_id"),
+        gs.getField("n_words").cast("long").as("n_words"),
+        gs.getField("n_lines").cast("long").as("n_lines"),
+        gs.getField("n_hash").cast("long").as("n_hash"),
+        gs.getField("n_ellipsis").cast("long").as("n_ellipsis"),
+        gs.getField("n_stop_distinct").cast("long").as("n_stop_distinct"),
+        (gs.getField("sum_word_chars").cast("double") / n).as("mean_word_len"),
+        ((gs.getField("n_hash") + gs.getField("n_ellipsis")).cast("double") / n)
+          .as("symbol_ratio"),
+        (gs.getField("n_bullet_lines").cast("double") / nl).as("bullet_frac"),
+        (gs.getField("n_ellipsis_lines").cast("double") / nl).as("ellipsis_frac"),
+        (gs.getField("n_alpha_words").cast("double") / n).as("alpha_frac"),
+        GraftFunctions.gopherOk(gs).cast("int").as("keep"))
+  }
+
+  /** Mirrors [[qualityGopher]]: identical page furniture arithmetic, then
+    * each kernel count as a plain string/list operation (split-on-single-
+    * separator words, replace-delta symbol counts, LIKE prefix/suffix line
+    * tests, the required-word lexicon as literals), the same divisions,
+    * the same thresholds. */
+  lazy val qualityGopherSql: String = {
+    import GraftFunctions._
+    val stops = graft.functions.TextGopher.requiredWords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN repeat('• filler item' || chr(10), 19) ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '• item ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN repeat('#', 15) || ' section' || chr(10) ELSE '' END ||
+       |    text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' ELSE '' END ||
+       |    CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS page
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, page,
+       |    string_split(replace(page, chr(10), ' '), ' ') AS ws,
+       |    string_split(page, chr(10)) AS lines
+       |  FROM p),
+       |c AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    length(page) - (len(ws) - 1) AS sum_chars,
+       |    len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+       |    len(list_filter([$stops], m -> list_contains(ws, m))) AS n_stop,
+       |    length(page) - length(replace(page, '#', '')) AS n_hash,
+       |    (length(page) - length(replace(page, '...', ''))) // 3 AS n_ellipsis,
+       |    len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '-%')) AS n_bullet,
+       |    len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_lines
+       |  FROM w)
+       |SELECT doc_id,
+       |  CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(n_hash AS BIGINT) AS n_hash,
+       |  CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+       |  CAST(n_stop AS BIGINT) AS n_stop_distinct,
+       |  CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       |  CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+       |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+       |  CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
+       |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+       |  CAST(
+       |    n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinMeanLen
+       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxMeanLen
+       |    AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxSymbolRatio
+       |    AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxBulletFrac
+       |    AND CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxEllipsisFrac
+       |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinAlphaFrac
+       |    AND n_stop >= $GopherMinStopDistinct
+       |  AS INT) AS keep
+       |FROM c""".stripMargin
+  }
+
   /** Exact canonical-key dedup: group by sorted distinct token set, keep the
     * smallest doc_id (deterministic survivor). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =

@@ -142,6 +142,35 @@ object Relational {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** Arbitrary GROUPING SETS over the same region→nation join — NOT a
+    * rollup chain: `{(r,n), (n), ()}` asks for per-nation totals without
+    * the per-region stratum, which neither ROLLUP nor CUBE can request.
+    * One Expand + one aggregate in the plan (no union of scans). */
+  def groupingSetsStats(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+    graft.relational.DynamicStats.stats(
+      joined,
+      Seq("r_name", "n_name"),
+      Seq(
+        graft.relational.DynamicStats.Measure("total_bal", sumMoney(col("c_acctbal"))),
+        graft.relational.DynamicStats.Measure("n_cust", count(lit(1))),
+        graft.relational.DynamicStats.Measure("gid", grouping_id().cast("long"))),
+      graft.relational.DynamicStats.Mode.GroupingSets(
+        Seq(Seq("r_name", "n_name"), Seq("n_name"), Seq())))
+  }
+
+  val groupingSetsStatsSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${sqlSumMoney("c_acctbal")} AS total_bal,
+       |  COUNT(*) AS n_cust,
+       |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())""".stripMargin
+
   /** Exact distinct aggregation (Spark expand+two-phase distinct count). */
   def distinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

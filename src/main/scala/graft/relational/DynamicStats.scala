@@ -21,6 +21,10 @@ object DynamicStats {
     case object Flat   extends Mode
     case object Rollup extends Mode
     case object Cube   extends Mode
+    /** Arbitrary GROUPING SETS — each inner Seq names the dimensions kept in
+      * that grouping (all must be members of `dims`). Rollup/Cube are the
+      * prefix-chain / power-set special cases; this is the general request. */
+    final case class GroupingSets(sets: Seq[Seq[String]]) extends Mode
   }
 
   final case class Measure(name: String, agg: Column)
@@ -36,6 +40,11 @@ object DynamicStats {
       case Mode.Flat   => df.groupBy(d: _*)
       case Mode.Rollup => df.rollup(d: _*)
       case Mode.Cube   => df.cube(d: _*)
+      case Mode.GroupingSets(sets) =>
+        require(sets.nonEmpty, "at least one grouping set required")
+        val unknown = sets.flatten.distinct.filterNot(dims.contains)
+        require(unknown.isEmpty, s"grouping-set dims not in dims: $unknown")
+        df.groupingSets(sets.map(_.map(col)), d: _*)
     }
     val aggs = measures.map(m => m.agg.as(m.name))
     grouped.agg(aggs.head, aggs.tail: _*)
