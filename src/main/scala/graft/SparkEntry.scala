@@ -67,6 +67,7 @@ object SparkEntry {
     "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
     "d_cluster_keep_best" -> (q.LlmOps.dedupClustersKeepBest _),
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
+    "d_decontaminate_fuzzy" -> (q.LlmOps.decontaminateFuzzy _),
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
     "d_strip_spans" -> (q.LlmOps.stripSpans _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "d_dedup_clusters" -> q.LlmOps.dedupClustersSql,
     "d_cluster_keep_best" -> q.LlmOps.dedupClustersKeepBestSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
+    "d_decontaminate_fuzzy" -> q.LlmOps.decontaminateFuzzySql,
     "d_pii_scan" -> q.LlmOps.piiScanSql,
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
     "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,

@@ -44,4 +44,66 @@ object Decontaminate {
       .agg(count_distinct(when(col("hit") === 1, col("gfp"))).as("n_overlap"))
       .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
   }
+
+  /** FUZZY decontamination: flag training documents NEAR-duplicating any
+    * eval document (MinHash-banded candidates, exact-Jaccard verified at
+    * `threshold`) — the protocol for eval leakage that survived paraphrase
+    * or light editing, where the exact-n-gram test of [[overlapNgrams]]
+    * goes blind. Thresholds here run well below dedup's (0.5 vs 0.8):
+    * sharing half the shingle mass with a benchmark item is leakage.
+    *
+    * Scale shape: the eval suite is MBs against a 100 TB corpus, so BOTH
+    * eval artifacts — its banded index and its shingle sets — ride
+    * broadcasts; the corpus side is one fused signature projection joined
+    * band-to-band against the broadcast index, and the per-doc report
+    * joins back into the corpus as another broadcast (matched docs only).
+    * No shuffle ever carries the training corpus.
+    *
+    * One row per `train` document: distinct eval matches at or above
+    * `threshold`, the best-matching eval doc (highest Jaccard, ties to the
+    * smallest eval id), and the contaminated verdict. */
+  def fuzzyOverlap(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 48,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    def shingleSets(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      array_distinct(GraftFunctions.wordShingles(col(textCol), shingleK)).as(s"sh_$as"))
+
+    val evalIdx = Dedup.bandedIndex(eval, idCol, textCol, shingleK, numHashes, bands, seed)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bucket"))
+    val cand = Dedup.bandedIndex(train, idCol, textCol, shingleK, numHashes, bands, seed)
+      .join(broadcast(evalIdx), Seq("band", "bucket"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+
+    val inter = size(array_intersect(col("sh_doc_id"), col("sh_eval_id"))).cast("double")
+    val union = (size(col("sh_doc_id")) + size(col("sh_eval_id"))).cast("double") - inter
+    val verified = cand
+      .join(shingleSets(train, "doc_id"), "doc_id")
+      .join(broadcast(shingleSets(eval, "eval_id")), "eval_id")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+
+    // best match = lexicographic max of (jaccard, -eval_id): highest
+    // similarity, ties to the smallest eval id — replicated verbatim by
+    // the oracle's struct_pack MAX
+    val report = verified.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_matches"),
+      max(struct(col("jaccard").as("j"), (-col("eval_id")).as("ne"))).as("best"))
+    train.select(col(idCol).as("doc_id"))
+      .join(broadcast(report), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (-col("best.ne")).as("best_eval_id"),
+        col("best.j").as("best_jaccard"),
+        col("n_matches").isNotNull.cast("int").as("contaminated"))
+  }
 }

@@ -424,6 +424,57 @@ object LlmOps {
        |SELECT doc_id, n_overlap, CAST(n_overlap > 0 AS INT) AS contaminated
        |FROM j""".stripMargin
 
+  /** Jaccard threshold of the FUZZY decontamination gate — intentionally far
+    * below dedup's 0.8: half-shared shingle mass with a benchmark item is
+    * leakage. */
+  val DecontFuzzyThreshold = 0.5
+
+  /** Fuzzy benchmark decontamination ([[Decontaminate.fuzzyOverlap]]): the
+    * same eval protocol as [[decontaminate]] (doc_id %[[DecontEvalMod]]
+    * slice), but flagging train docs that NEAR-duplicate an eval doc —
+    * MinHash-banded candidates (the [[dedupMinhash]] signature math),
+    * exact-Jaccard verified at [[DecontFuzzyThreshold]], with the
+    * best-matching eval doc as evidence. */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontaminate.fuzzyOverlap(
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) === 0),
+      "doc_id", "text",
+      shingleK = 3, numHashes = 48, bands = 16,
+      threshold = DecontFuzzyThreshold)
+  }
+
+  /** Mirrors [[decontaminateFuzzy]]: the SHARED signature/banding CTEs
+    * ([[minhashBandedCtes]] — same coefficients, same band slices as the
+    * minhash dedup oracle) split into eval/train by the
+    * %[[DecontEvalMod]] rule, distinct band collisions as candidates,
+    * the exact-Jaccard verify, and the struct_pack MAX best-match rule. */
+  lazy val decontaminateFuzzySql: String = {
+    val jac = "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / " +
+      "(CAST(len(ta.sh) + len(tb.sh) AS DOUBLE) - CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE))"
+    s"""WITH $minhashBandedCtes,
+       |e AS (SELECT doc_id AS eval_id, band, bucket FROM banded WHERE doc_id % $DecontEvalMod = 0),
+       |t AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id % $DecontEvalMod <> 0),
+       |cand AS (SELECT DISTINCT t.doc_id, e.eval_id FROM t JOIN e USING (band, bucket)),
+       |toks AS (SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents),
+       |ver AS (
+       |  SELECT c.doc_id, c.eval_id, $jac AS jaccard
+       |  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_id JOIN toks tb ON tb.doc_id = c.eval_id
+       |  WHERE $jac >= $DecontFuzzyThreshold),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_matches,
+       |    MAX(struct_pack(j := jaccard, ne := -eval_id)) AS best
+       |  FROM ver GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(agg.n_matches, 0) AS n_matches,
+       |  -(agg.best).ne AS best_eval_id,
+       |  (agg.best).j AS best_jaccard,
+       |  CAST(agg.doc_id IS NOT NULL AS INT) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $DecontEvalMod <> 0) d
+       |LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** PII scan + redaction over deterministically PII-salted text (the
     * fixtures are PII-free word salad, so emails / phone numbers / IPv4
     * addresses are woven in as pure doc_id arithmetic — identically in

@@ -65,4 +65,52 @@ class DecontaminateSpec extends SparkTestBase {
       "doc_id", "text", n = 5).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  // ---- fuzzyOverlap (MinHash-banded near-dup decontamination) ----
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+  test("fuzzy: a paraphrased eval doc is flagged with its best match; clean docs are not") {
+    val eval = Seq(
+      (19L, base),
+      (38L, "completely different benchmark prompt about other things entirely")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, base + " nu"), // near-dup of eval 19 (shares almost all 3-shingles)
+      (2L, "unrelated training document with its own distinct vocabulary")
+    ).toDF("doc_id", "text")
+
+    val rows = Decontaminate.fuzzyOverlap(train, eval, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(4) == 1)
+    assert(rows(1L).getLong(2) == 19L) // best_eval_id
+    assert(rows(1L).getDouble(3) > 0.5)
+    assert(rows(2L).getInt(4) == 0)
+    assert(rows(2L).getLong(1) == 0L && rows(2L).isNullAt(2))
+  }
+
+  test("fuzzy: best-match ties break to the smallest eval id") {
+    // two IDENTICAL eval docs → same jaccard against the train doc
+    val eval = Seq((7L, base), (3L, base)).toDF("doc_id", "text")
+    val train = Seq((1L, base)).toDF("doc_id", "text")
+    val r = Decontaminate.fuzzyOverlap(train, eval, "doc_id", "text",
+        threshold = 0.5).collect().head
+    assert(r.getLong(1) == 2L)   // both evals matched
+    assert(r.getLong(2) == 3L)   // tie → min eval id
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("fuzzy: every join against the corpus side is broadcast (no corpus shuffle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Decontaminate.fuzzyOverlap(
+      docs.filter(col("doc_id") % 19 =!= 0), docs.filter(col("doc_id") % 19 === 0),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    // eval index, eval shingles, and the per-doc report all ride broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the final train-corpus join must NOT be a sort-merge join
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
