@@ -68,6 +68,7 @@ object SparkEntry {
     "d_cluster_keep_best" -> (q.LlmOps.dedupClustersKeepBest _),
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_decontaminate_fuzzy" -> (q.LlmOps.decontaminateFuzzy _),
+    "d_importance_sample" -> (q.LlmOps.importanceSample _),
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
     "d_strip_spans" -> (q.LlmOps.stripSpans _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "d_heavy_hitters" -> (q.LlmOps.heavyHitters _),
     "d_text_normalize" -> (q.LlmOps.textNormalize _),
     "d_html_extract" -> (q.LlmOps.htmlExtract _),
+    "d_url_canonicalize" -> (q.LlmOps.urlCanonicalize _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -241,11 +243,13 @@ object SparkEntry {
     "d_cluster_keep_best" -> q.LlmOps.dedupClustersKeepBestSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
     "d_decontaminate_fuzzy" -> q.LlmOps.decontaminateFuzzySql,
+    "d_importance_sample" -> q.LlmOps.importanceSampleSql,
     "d_pii_scan" -> q.LlmOps.piiScanSql,
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
     "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,
     "d_text_normalize" -> q.LlmOps.textNormalizeSql,
     "d_html_extract" -> q.LlmOps.htmlExtractSql,
+    "d_url_canonicalize" -> q.LlmOps.urlCanonicalizeSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

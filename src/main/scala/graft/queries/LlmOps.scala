@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Clusters, Decontaminate, Dedup, Multimodal, Pii, Pq, Similarity, Spans}
+import graft.operators.{Clusters, Decontaminate, Dedup, Dsir, Multimodal, Pii, Pq, Similarity, Spans, Urls}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -475,6 +475,50 @@ object LlmOps {
        |LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** Feature-hash dimension of the DSIR gate (power of two for the
+    * unsigned-mod bucket identity). */
+  val DsirDim = 64
+
+  /** DSIR-style importance scoring ([[Dsir.importanceScores]]): hashed
+    * word-bigram models fit on the `lang = 'en'` slice (target) and the
+    * whole corpus (raw), every document scored by its mean target/raw
+    * likelihood ratio, threshold-selected at ratio ≥ 1 — the data-selection
+    * tier that upsamples target-looking documents. */
+  def importanceSample(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceScores(docs(s, dir), "doc_id", "text",
+      isTarget = col("lang") === "en", dim = DsirDim)
+
+  /** Mirrors [[importanceSample]]: same positioned hashed-bigram stream
+    * (FNV % dim buckets), same add-one smoothed count models with totals
+    * summed from the count tables, same three-division contribution tree,
+    * same position-ordered sequential fold (`list_sum(list(p ORDER BY
+    * pos))` ≡ the JVM left fold — the [[lmScoreSql]] posture). */
+  lazy val importanceSampleSql: String = {
+    val d = DsirDim
+    s"""WITH g0 AS (SELECT doc_id, lang, ${shingleSqlK(2)} AS gs FROM documents),
+       |gp AS (
+       |  SELECT doc_id, lang, u.p AS pos, u.g AS g FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(range(1, len(gs) + 1), i -> {p: i - 1, g: gs[i]})) AS u
+       |    FROM g0)),
+       |fb AS (SELECT doc_id, lang, pos, CAST(${fnvHugeSql("g")} % $d AS INT) AS b FROM gp),
+       |ct AS (SELECT b, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY b),
+       |cr AS (SELECT b, COUNT(*) AS c_r FROM fb GROUP BY b),
+       |tot AS (SELECT (SELECT SUM(c_t) FROM ct) AS t, (SELECT SUM(c_r) FROM cr) AS r),
+       |contrib AS (
+       |  SELECT doc_id, pos,
+       |    ((CAST(COALESCE(c_t, 0) AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + $d.0))
+       |      / ((CAST(COALESCE(c_r, 0) AS DOUBLE) + 1.0) / (CAST(r AS DOUBLE) + $d.0)) AS p
+       |  FROM fb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS imp_ratio
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, n_feats, imp_ratio,
+       |  CAST(imp_ratio >= 1.0 AS INT) AS selected
+       |FROM sc""".stripMargin
+  }
+
   /** PII scan + redaction over deterministically PII-salted text (the
     * fixtures are PII-free word salad, so emails / phone numbers / IPv4
     * addresses are woven in as pure doc_id arithmetic — identically in
@@ -592,6 +636,84 @@ object LlmOps {
        |  ${hugeToSignedSql("ht")} AS ext_fp
        |FROM h""".stripMargin
   }
+
+  /** URL canonicalization + URL-level dedup ([[Urls.canonicalize]]): each
+    * doc gets a deterministically messy URL built from doc_id arithmetic —
+    * mixed-case scheme/host, `WWW.` prefix, default and non-default ports,
+    * trailing slashes, `utm_*` tracking params ahead of real ones,
+    * fragments — identically in [[urlCanonicalizeSql]]; canonicalization
+    * collapses the cosmetic variants and the gate reports one row per
+    * canonical URL with its keeper (min doc_id), copy count, and host.
+    * The variants are DESIGNED to collide: ids differing only in the
+    * trailing-slash/port/utm/fragment mods canonicalize identically. */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://WWW."), col("source"), lit(".Example.COM"),
+      when(pmod(id, lit(6)) === 0, lit(":443"))
+        .when(pmod(id, lit(6)) === 3, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), pmod(id, lit(5)).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&a="), pmod(id, lit(4)).cast("string"),
+      when(pmod(id, lit(2)) === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+      when(pmod(id, lit(2)) === 1,
+        concat(lit("#sec"), pmod(id, lit(4)).cast("string"))).otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"), Urls.canonicalize(url).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .withColumn("host", Urls.canonicalHost(col("canonical")))
+  }
+
+  /** Mirrors [[urlCanonicalize]]: identical messy-URL arithmetic, then the
+    * SAME pattern strings in the SAME order as [[Urls.canonicalize]]
+    * (Java ≡ RE2 on this subset; DuckDB regexp_replace carries the 'g'
+    * flag to match Spark's always-global semantics), the same utm-filter +
+    * sort on the params, the same default-port and trailing-slash rules. */
+  val urlCanonicalizeSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END ||
+       |    '://WWW.' || source || '.Example.COM' ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ':443'
+       |         WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END ||
+       |    '/p/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+       |    '?utm_source=feed&a=' || CAST(doc_id % 4 AS VARCHAR) ||
+       |    CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+       |  FROM documents),
+       |p1 AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') AS rest
+       |  FROM u),
+       |p2 AS (
+       |  SELECT doc_id, scheme,
+       |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+       |    regexp_replace(rest, '^[^/?#]*', '', 'g') AS pathqf
+       |  FROM p1),
+       |p3 AS (
+       |  SELECT doc_id, scheme,
+       |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '', 'g') AS host,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |    regexp_replace(regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1), '/{2,}', '/', 'g'), '/+$$', '', 'g') AS path,
+       |    array_to_string(list_sort(list_filter(string_split(regexp_extract(pathqf, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+       |  FROM p2),
+       |c AS (
+       |  SELECT doc_id,
+       |    scheme || '://' || host ||
+       |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+       |              OR (scheme = 'http' AND port = '80') THEN ''
+       |         ELSE ':' || port END ||
+       |    path ||
+       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+       |  FROM p3)
+       |SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+       |  regexp_extract(canonical, '^https?://([^/:?]*)', 1) AS host
+       |FROM c GROUP BY canonical""".stripMargin
 
   /** Text normalization + character-shingle profile: the cleanup pass ahead
     * of tokenization/dedup. The fixture text is already clean, so each doc
