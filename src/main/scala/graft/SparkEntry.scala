@@ -54,6 +54,9 @@ object SparkEntry {
     "r_scalar_funcs" -> (q.Relational.scalarFuncs _),
     "r_events_window" -> (q.Relational.eventsWindow _),
     "r_sessionize" -> (q.Relational.sessionize _),
+    "r_funnel" -> (q.Relational.funnel _),
+    "r_cohort_retention" -> (q.Relational.cohortRetention _),
+    "r_gap_fill" -> (q.Relational.gapFill _),
     "r_zorder_layout" -> (q.Relational.zorderLayout _),
     // LLM-pipeline operators (SURVEY §2.3 north-star)
     "d_text_stats" -> (q.LlmOps.textStats _),
@@ -180,6 +183,9 @@ object SparkEntry {
     "r_scalar_funcs" -> q.Relational.scalarFuncsSql,
     "r_events_window" -> q.Relational.eventsWindowSql,
     "r_sessionize" -> q.Relational.sessionizeSql,
+    "r_funnel" -> q.Relational.funnelSql,
+    "r_cohort_retention" -> q.Relational.cohortRetentionSql,
+    "r_gap_fill" -> q.Relational.gapFillSql,
     "r_zorder_layout" -> q.Relational.zorderLayoutSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,

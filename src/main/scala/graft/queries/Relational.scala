@@ -610,6 +610,129 @@ object Relational {
       |FROM q
       |ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  /** Conversion-window microseconds of the [[funnel]] gate: each stage must
+    * land within 24h of the previous one or the user drops out. */
+  val FunnelWindowUs: Long = 24L * 3600 * 1000 * 1000
+
+  /** Ordered-funnel conversion over the events stream: users who signed up,
+    * then clicked within [[FunnelWindowUs]] AFTER signing up, then
+    * purchased within the window after that click — each stage the
+    * min-timestamp qualifying event. Gap math is integer microseconds on
+    * both engines (the sessionize discipline), so stage membership is
+    * exact. Three user-keyed min-aggregations chained by co-partitioned
+    * joins (every shuffle is on user_id, so AQE plans one exchange per
+    * stage and the stage tables shrink monotonically); the final counts
+    * are three 1-row aggregates unioned with stage literals. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def stage(typ: String) = ev.filter(col("event_type") === typ)
+      .select(col("user_id"), col("ts"))
+    def within(prev: String) = {
+      val gap = unix_micros(col("ts")) - unix_micros(col(prev))
+      gap > 0 && gap <= FunnelWindowUs
+    }
+    val signup = stage("signup").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val click = stage("click").join(signup, "user_id")
+      .filter(within("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val purchase = stage("purchase").join(click, "user_id")
+      .filter(within("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    signup.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+      .unionAll(click.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(purchase.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
+  val funnelSql: String = {
+    def gap(prev: String) =
+      s"epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us($prev)"
+    s"""WITH s1 AS (
+       |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (
+       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND ${gap("s1.t1")} > 0 AND ${gap("s1.t1")} <= $FunnelWindowUs
+       |  GROUP BY e.user_id),
+       |s3 AS (
+       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND ${gap("s2.t2")} > 0 AND ${gap("s2.t2")} <= $FunnelWindowUs
+       |  GROUP BY e.user_id)
+       |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+       |UNION ALL SELECT '2_click', COUNT(*) FROM s2
+       |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3""".stripMargin
+  }
+
+  /** Cohort retention: users grouped by first-activity date, distinct
+    * active users counted per (cohort, day-offset) cell — the standard
+    * retention triangle. Two user-keyed aggregations and one join, all
+    * shuffles on user_id; the triangle itself is a (cohort, offset)-keyed
+    * distinct count that partial-aggregates map-side. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    val activity = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_date
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events)
+      |SELECT c.cohort_date,
+      |  CAST(date_diff('day', c.cohort_date, a.d) AS INT) AS day_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-user daily time grid with forward fill: daily activity rolled up,
+    * the missing days of each user's [first, last] span generated in-plan
+    * (`sequence` + explode — per-user bounded, never a global calendar
+    * join), and the last seen daily total carried forward across the gaps.
+    * The fill is a running `last(ignoreNulls)` window — state is one value
+    * per partition, and every shuffle is on user_id. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("v"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+  }
+
+  val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       |    COUNT(*) AS n_events, ${sqlSumMoney("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+       |  FROM (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id))
+       |SELECT g.user_id, g.d,
+       |  COALESCE(daily.n_events, 0) AS n_events,
+       |  last_value(daily.v IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+       |FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d""".stripMargin
+
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  SUM(l_quantity) AS sum_qty,
