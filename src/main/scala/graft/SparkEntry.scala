@@ -108,6 +108,7 @@ object SparkEntry {
     "d_neardup_incremental" -> (q.LlmOps.nearDupIncremental _),
     "d_doc_vector_search" -> (q.LlmOps.docVectorSearch _),
     "d_bm25_search" -> (q.LlmOps.bm25Search _),
+    "d_hybrid_search" -> (q.LlmOps.hybridSearch _),
     "d_semantic_dedup" -> (q.LlmOps.semanticDedup _),
     "d_cluster_report" -> (q.LlmOps.clusterReport _),
     "d_quality_probe" -> (q.LlmOps.qualityProbe _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "d_sim_topk_pca_load" -> (q.LlmOps.simTopKPcaLoad _),
     "d_bpe_train" -> (q.LlmOps.bpeTrain _),
     "d_bpe_tokenize" -> (q.LlmOps.bpeTokenize _),
+    "d_bpe_tokenize_load" -> (q.LlmOps.bpeTokenizeLoad _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     "d_graph_pagerank" -> (q.LlmOps.graphPagerank _),
@@ -212,6 +214,7 @@ object SparkEntry {
     "d_embed_neardup" -> q.LlmOps.embedNearDupSql,
     "d_doc_vector_search" -> q.LlmOps.docVectorSearchSql,
     "d_bm25_search" -> q.LlmOps.bm25SearchSql,
+    "d_hybrid_search" -> q.LlmOps.hybridSearchSql,
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
     "d_cluster_report" -> q.LlmOps.clusterReportSql,
     "d_corpus_export" -> q.LlmOps.corpusExportSql,
@@ -226,6 +229,9 @@ object SparkEntry {
     "d_sim_topk_pca_load" -> q.LlmOps.simTopKPcaSql,
     "d_bpe_train" -> q.LlmOps.bpeTrainSql,
     "d_bpe_tokenize" -> q.LlmOps.bpeTokenizeSql,
+    // the load-path gate shares the training oracle: the persisted vocab
+    // round-trips bit-exactly, so load+tokenize ≡ train+tokenize
+    "d_bpe_tokenize_load" -> q.LlmOps.bpeTokenizeSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     // all-integer power iteration → bit-exact across engines

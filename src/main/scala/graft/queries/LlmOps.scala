@@ -1385,6 +1385,66 @@ object LlmOps {
   private val Bm25Terms = Seq("spark", "vector", "join", "query")
   private val Bm25K = 15
 
+  /** RRF constant of the hybrid gate (the standard 60 of Cormack et al.
+    * 2009, "Reciprocal Rank Fusion outperforms Condorcet..."). */
+  val RrfK = 60
+
+  /** Hybrid retrieval: the [[bm25Search]] keyword list and the
+    * [[docVectorSearch]] vector list fused by Reciprocal Rank Fusion —
+    * rrf = Σ 1/(60 + rank) over the lists a doc appears in, the standard
+    * lexical+dense fusion. Both input rankings are ALREADY oracle-exact
+    * gates; fusion only touches their integer ranks (1/(60+rank) in a
+    * fixed two-term fold), so the fused scores and order are hash-exact
+    * by construction. The join is ≤35 rows — fusion cost is nil next to
+    * the two retrievals, which each keep their own scale shape. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val kw = graft.operators.Bm25.topK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
+      .select(col("doc_id"), col("rank").cast("long").as("rank_kw"))
+    val vec = docVectorSearch(s, dir)
+      .withColumn("rank_vec",
+        row_number().over(W.orderBy(col("cosine").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    rrfFuse(kw, vec, limit = 10)
+  }
+
+  /** The RRF fusion step of [[hybridSearch]], testable on planted rank
+    * lists: full-outer join on doc_id, rrf = 1/(RrfK+rank_kw) +
+    * 1/(RrfK+rank_vec) with absent ranks contributing 0, top `limit` by
+    * (rrf DESC, doc_id ASC). */
+  private[graft] def rrfFuse(kw: DataFrame, vec: DataFrame, limit: Int): DataFrame = {
+    def term(rank: org.apache.spark.sql.Column) =
+      coalesce(lit(1d) / (lit(RrfK.toDouble) + rank.cast("double")), lit(0d))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", term(col("rank_kw")) + term(col("rank_vec")))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(limit)
+      .select(col("doc_id"), col("rank_kw"), col("rank_vec"), col("rrf"))
+  }
+
+  /** Mirrors [[hybridSearch]]: the two gates' FULL oracle SQL as
+    * subqueries (ranks re-derived with the same tie-break), the same
+    * two-term 1/(60+rank) fold, the same final order. */
+  lazy val hybridSearchSql: String =
+    s"""WITH kw AS (
+       |  SELECT doc_id, CAST(rank AS BIGINT) AS rank_kw FROM (
+       |$bm25SearchSql
+       |  )),
+       |vec AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank_vec
+       |  FROM (
+       |$docVectorSearchSql
+       |  )),
+       |f AS (
+       |  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, rank_kw, rank_vec
+       |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+       |SELECT doc_id, rank_kw, rank_vec,
+       |  COALESCE(1.0 / ($RrfK.0 + CAST(rank_kw AS DOUBLE)), 0.0)
+       |    + COALESCE(1.0 / ($RrfK.0 + CAST(rank_vec AS DOUBLE)), 0.0) AS rrf
+       |FROM f
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** BM25 keyword retrieval: top-15 documents for a fixed bag-of-words
     * query ([[graft.operators.Bm25.topK]]). Integer evidence (tf per term,
     * dl) is emitted; the score orders (its idf log is transcendental —
@@ -2594,6 +2654,25 @@ object LlmOps {
       .localCheckpoint(true)
     graft.operators.Bpe.freeVocab(vocab)
     out
+  }
+
+  /** The serve path of [[bpeTokenize]]: train, PERSIST the vocabulary
+    * artifact ([[graft.operators.Bpe.saveVocab]]), then tokenize with the
+    * LOADED artifact — the production shape, where tokenization jobs read
+    * an O(vocab) parquet instead of replaying the merge rounds. Shares
+    * [[bpeTokenizeSql]]: strings/longs round-trip parquet bit-exactly, so
+    * load + tokenize ≡ train + tokenize. */
+  def bpeTokenizeLoad(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = graft.operators.Bpe.trainMerges(
+      s, docs(s, dir), "text", BpeRounds)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_vocab")
+    try {
+      graft.operators.Bpe.saveVocab(vocab, tmp.toString)
+      graft.operators.Bpe.freeVocab(vocab)
+      val loaded = graft.operators.Bpe.loadVocab(s, tmp.toString)
+      graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", loaded)
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
   }
 
   /** Mirrors [[bpeTokenize]]: the shared [[bpeCtes]] replay to the final
