@@ -119,6 +119,21 @@ object Bpe {
     }
   }
 
+  /** Persist a trained vocabulary (word → merged symbol sequence +
+    * frequency) as an on-disk artifact — the train-once / serve-many
+    * split the PCA/PQ/centroid tiers already have: tokenization jobs and
+    * streams LOAD the frozen artifact instead of replaying the merge
+    * rounds. Strings and longs round-trip parquet bit-exactly, so
+    * load ∘ save is the identity and a loaded tokenization is row-equal
+    * to a freshly-trained one (asserted in BpeSpec). */
+  def saveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select(col("word"), col("f"), col("syms"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveVocab]] artifact for [[tokenize]]. */
+  def loadVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Tokenize a corpus with a trained vocab: each word looks up its merged
     * symbol sequence via a BROADCAST join of the (small) vocabulary — the
     * corpus is never re-folded per merge round. Returns one row per

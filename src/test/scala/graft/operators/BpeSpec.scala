@@ -59,6 +59,31 @@ class BpeSpec extends SparkTestBase {
     Bpe.freeVocab(vocab)
   }
 
+  test("vocab artifact round-trips; loaded tokenization equals trained tokenization") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab abc cd")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.trainMerges(spark, docs, "text", rounds = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_vocab_spec")
+    try {
+      Bpe.saveVocab(vocab, tmp.toString)
+      val loaded = Bpe.loadVocab(spark, tmp.toString)
+      // load ∘ save is the identity on the vocab table
+      val a = vocab.orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSeq
+      val b = loaded.orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSeq
+      assert(a === b)
+      // and the serve path tokenizes identically
+      val t1 = Bpe.tokenize(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id", "word_pos", "sym_pos").collect().toSeq
+      val t2 = Bpe.tokenize(docs, "doc_id", "text", loaded)
+        .orderBy("doc_id", "word_pos", "sym_pos").collect().toSeq
+      assert(t1 === t2)
+    } finally {
+      Bpe.freeVocab(vocab)
+      graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
+    }
+  }
+
   test("merges are partitioning-invariant (pure integer/string argmax)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(150)
     val (a, va) = Bpe.trainMerges(spark, docs, "text", rounds = 4)
