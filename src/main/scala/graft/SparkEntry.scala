@@ -145,6 +145,8 @@ object SparkEntry {
       streaming.EventPipeline.attributionJoinOuterSync(s, dir)),
     "s_stream_ann_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.annIngestSync(s, dir)),
+    "s_stream_funnel" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.funnelSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,6 +188,9 @@ object SparkEntry {
     "r_events_window" -> q.Relational.eventsWindowSql,
     "r_sessionize" -> q.Relational.sessionizeSql,
     "r_funnel" -> q.Relational.funnelSql,
+    // stream ≡ batch: in-order greedy stage choice equals the batch MIN
+    // choice, and the sync gate's sentinels flush every in-flight user
+    "s_stream_funnel" -> q.Relational.funnelSql,
     "r_cohort_retention" -> q.Relational.cohortRetentionSql,
     "r_gap_fill" -> q.Relational.gapFillSql,
     "r_zorder_layout" -> q.Relational.zorderLayoutSql,

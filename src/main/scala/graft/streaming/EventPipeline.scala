@@ -30,6 +30,10 @@ object EventPipeline {
   /** flatMapGroupsWithState state (public: Catalyst codegen instantiates it). */
   final case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
+  /** Per-user funnel progress (µs timestamps, −1 = stage not reached). */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelOut(user_id: Long, stage: Int)
+
   /** Raw parquet schema of the events files: ts is INT64 TIMESTAMP(MICROS)
     * without timezone, which Spark reads as TIMESTAMP_NTZ. */
   val rawSchema: StructType = StructType(Seq(
@@ -625,6 +629,133 @@ object EventPipeline {
     * sessions are emitted as soon as a gap is observed in-batch, and the
     * final open session is flushed on event-time timeout once the watermark
     * passes session end + gap. */
+  /** LIVE funnel-stage tracking: the streaming twin of the batch
+    * `r_funnel` operator. Per user, a three-field state machine follows
+    * signup → first qualifying click (within `windowUs` strictly after
+    * signup) → first qualifying purchase; a completed funnel emits
+    * immediately, a stalled one emits its reached stage when the
+    * event-time watermark passes its last possible progress deadline
+    * (previous stage + window) and the state is dropped — so state is one
+    * 3-long record per in-flight user, bounded by the watermark horizon
+    * like the sessionizer.
+    *
+    * In-order equivalence: within each micro-batch rows are sorted by
+    * (event time, event_id) and the greedy "first qualifying event"
+    * choice equals the batch operator's MIN-timestamp choice, so a
+    * single-batch (or in-order) stream produces EXACTLY the batch
+    * stages; watermark-late stragglers are dropped (the sessionize
+    * discipline). */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+      windowUs: Long): Dataset[FunnelOut] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def stageOf(s: FunnelState): Int =
+      if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2 else 1
+
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state: GroupState[FunnelState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(s => FunnelOut(userId, stageOf(s))).iterator
+            state.remove()
+            out
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val sorted = rows.filter(e => us(e.ts) >= wmUs)
+              .toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              e.event_type match {
+                case "signup" if s.t1 < 0 =>
+                  s = s.copy(t1 = t)
+                case "click" if s.t1 >= 0 && s.t2 < 0 &&
+                    t - s.t1 > 0 && t - s.t1 <= windowUs =>
+                  s = s.copy(t2 = t)
+                case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                    t - s.t2 > 0 && t - s.t2 <= windowUs =>
+                  s = s.copy(t3 = t)
+                case _ =>
+              }
+            }
+            if (s.t3 >= 0) {
+              // funnel complete: emit now, nothing left to wait for
+              if (state.exists) state.remove()
+              Iterator.single(FunnelOut(userId, 3))
+            } else if (s.t1 >= 0) {
+              state.update(s)
+              // no qualifying next-stage event can arrive once the
+              // watermark passes (reached stage's time + window)
+              val deadline = (if (s.t2 >= 0) s.t2 else s.t1) + windowUs
+              state.setTimeoutTimestamp(
+                math.max(deadline / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            } else Iterator.empty
+          }
+      }
+  }
+
+  /** Synchronous batch-equivalent run of [[funnelStages]] for the driver
+    * gate: one-batch stream + two sentinel batches pushing the watermark
+    * past every in-flight user's deadline (max event time + the funnel
+    * window + the watermark delay), then the flushed per-user stages
+    * aggregate to the batch gate's cumulative stage counts — sharing the
+    * batch `r_funnel` oracle. Leak-free like [[sessionizeSync]]. */
+  def funnelSync(spark: SparkSession, dir: String): DataFrame = {
+    val hs = harnessSession(spark)
+    val windowUs = graft.queries.Relational.FunnelWindowUs
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_stream_funnel")
+    val inDir = tmp.resolve("in")
+    Files.createDirectories(inDir)
+    Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+    val maxTs = hs.read.schema(rawSchema)
+      .parquet(inDir.resolve("part-a.parquet").toString)
+      .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+
+    val name = s"graft_stream_funnel_${System.nanoTime()}"
+    val q = funnelStages(hs, readEventStream(hs, inDir.toString), windowUs)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      // sentinel offset: window (24h) + watermark delay (30m) + slack
+      val base = windowUs / 1000000 + 3600
+      var n = 0
+      Seq(base, base + 1).foreach { offsetSec =>
+        n += 1
+        import hs.implicits._
+        val stage = tmp.resolve(s"sentinel_$n")
+        Seq((-n.toLong, maxTs.plusSeconds(offsetSec), -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val tmpTarget = tmp.resolve(s"part-z$n.parquet.staged")
+        Files.copy(part.toPath, tmpTarget, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmpTarget, inDir.resolve(s"part-z$n.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val per = hs.table(name).filter(col("user_id") >= 0)
+    val out = Seq(1 -> "1_signup", 2 -> "2_click", 3 -> "3_purchase")
+      .map { case (k, label) =>
+        per.filter(col("stage") >= k)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(label).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    hs.catalog.dropTempView(name)
+    deleteRecursively(tmp.toFile)
+    out
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._

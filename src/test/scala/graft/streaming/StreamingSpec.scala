@@ -91,6 +91,16 @@ class StreamingSpec extends SparkTestBase {
       s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
   }
 
+  test("funnelSync: sentinel-flushed stream EQUALS the batch funnel counts") {
+    val got = EventPipeline.funnelSync(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.Relational.funnel(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+    // and the window actually binds on the fixtures
+    assert(got("2_click") < got("1_signup"))
+  }
+
   test("curationFilterSync: streamed quality tier EQUALS the batch filters") {
     val got = EventPipeline.curationFilterSync(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
