@@ -48,6 +48,7 @@ object SparkEntry {
     "r_approx_distinct" -> (q.Relational.approxDistinct _),
     "r_window_rank" -> (q.Relational.windowRank _),
     "r_window_running" -> (q.Relational.windowRunning _),
+    "r_window_range" -> (q.Relational.windowRange _),
     "r_topk" -> (q.Relational.topK _),
     "r_set_ops" -> (q.Relational.setOps _),
     "r_dynamic_stats" -> (q.Relational.dynamicStats _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d_text_normalize" -> (q.LlmOps.textNormalize _),
     "d_html_extract" -> (q.LlmOps.htmlExtract _),
     "d_url_canonicalize" -> (q.LlmOps.urlCanonicalize _),
+    "d_compact_small_files" -> (q.LlmOps.compactSmallFiles _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -181,6 +183,7 @@ object SparkEntry {
     // r_approx_distinct: sketch values are engine-specific → rows-only check
     "r_window_rank" -> q.Relational.windowRankSql,
     "r_window_running" -> q.Relational.windowRunningSql,
+    "r_window_range" -> q.Relational.windowRangeSql,
     "r_topk" -> q.Relational.topKSql,
     "r_set_ops" -> q.Relational.setOpsSql,
     "r_dynamic_stats" -> q.Relational.dynamicStatsSql,
@@ -267,6 +270,7 @@ object SparkEntry {
     "d_text_normalize" -> q.LlmOps.textNormalizeSql,
     "d_html_extract" -> q.LlmOps.htmlExtractSql,
     "d_url_canonicalize" -> q.LlmOps.urlCanonicalizeSql,
+    "d_compact_small_files" -> q.LlmOps.compactSmallFilesSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

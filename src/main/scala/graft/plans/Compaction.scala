@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-files compaction — the table-maintenance pass every long-lived
+  * 100 TB dataset needs: streaming ingest, incremental appends and
+  * per-partition exports all accrete kilobyte-scale parquet files, and a
+  * scan's task count (and the namenode's metadata load) grows with FILE
+  * count, not byte count. Compaction rewrites a directory into
+  * target-sized files in one shuffle, optionally range-clustered on sort
+  * columns so post-compaction scans keep min/max row-group skipping.
+  *
+  * Content is preserved exactly (a row-level rewrite, no schema or value
+  * changes) — the gate pins the round-trip by fingerprint. The rewrite
+  * lands in a staging directory first and swaps in atomically-per-entry
+  * (the CorpusExport discipline), so a reader never observes a
+  * half-compacted directory.
+  */
+object Compaction {
+
+  final case class Report(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int, bytesAfter: Long)
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+
+  /** Rewrite the parquet files under `inDir` into ≈`targetBytes` files at
+    * `outDir`. With `sortCols`, rows are range-partitioned and sorted so
+    * each output file covers a disjoint key range (skipping-friendly);
+    * without, a round-robin repartition balances bytes. The output file
+    * count is sized from the INPUT bytes (compressed), so the default
+    * target yields ~128 MB files — the usual HDFS/S3 sweet spot. */
+  def compactParquet(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Report = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = new java.io.File(inDir)
+    val before = parquetFiles(in)
+    require(before.nonEmpty, s"no parquet files under $inDir")
+    val bytesBefore = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
+
+    val df = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.nonEmpty) {
+        val keys = sortCols.map(col)
+        df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      } else df.repartition(n)
+    val staging = outDir + ".staging"
+    shaped.write.mode("overwrite").parquet(staging)
+    val target = new java.io.File(outDir)
+    CorpusExport.deleteRecursively(target)
+    if (!new java.io.File(staging).renameTo(target))
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $outDir")
+    val after = parquetFiles(target)
+    Report(before.size, bytesBefore, after.size, after.map(_.length()).sum)
+  }
+}

@@ -715,6 +715,37 @@ object LlmOps {
        |  regexp_extract(canonical, '^https?://([^/:?]*)', 1) AS host
        |FROM c GROUP BY canonical""".stripMargin
 
+  /** Small-files compaction round-trip ([[graft.plans.Compaction]]): the
+    * corpus is first written as 64 splinter files (the streaming-ingest
+    * accretion shape), compacted to target-sized range-clustered files,
+    * and read BACK — the gate emits every doc's identity fingerprint from the
+    * compacted files, so the hash check pins that compaction moved bytes
+    * without touching a single row. File-count/clustering properties are
+    * pinned in CompactionSpec where file boundaries are observable. */
+  def compactSmallFiles(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    try {
+      val in = tmp.resolve("in").toString
+      val out = tmp.resolve("out").toString
+      docs(s, dir).repartition(64).write.mode("overwrite").parquet(in)
+      val report = graft.plans.Compaction.compactParquet(
+        s, in, out, targetBytes = 256L * 1024, sortCols = Seq("doc_id"))
+      require(report.filesAfter < report.filesBefore,
+        s"compaction must shrink the file count, got $report")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("n_chars"),
+          GraftFunctions.fingerprint64(col("text")).as("text_fp"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
+  }
+
+  /** Mirrors [[compactSmallFiles]]: compaction preserves content exactly,
+    * so the oracle is the identity fingerprint over the source table. */
+  lazy val compactSmallFilesSql: String =
+    s"""WITH h AS (SELECT doc_id, n_chars, ${fnvHugeSql("text")} AS hu FROM documents)
+       |SELECT doc_id, n_chars, ${hugeToSignedSql("hu")} AS text_fp FROM h""".stripMargin
+
   /** Text normalization + character-shingle profile: the cleanup pass ahead
     * of tokenization/dedup. The fixture text is already clean, so each doc
     * is deterministically messed up first (leading/trailing runs of spaces,

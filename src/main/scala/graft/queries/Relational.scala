@@ -610,6 +610,32 @@ object Relational {
       |FROM q
       |ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  /** RANGE-frame sliding window: per event, the count and exact money sum
+    * of the SAME user's events in the preceding hour — a time-range frame
+    * (all rows within the interval, however many), which a ROWS frame
+    * cannot express. The frame bound is integer microseconds on both
+    * engines, and ties (equal order values) are in-frame by RANGE
+    * semantics identically, so the gate is hash-exact. */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, 0)
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(dec2(col("value"))).over(w).cast("double").as("v_1h"))
+  }
+
+  val windowRangeSql: String =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_1h
+      |FROM events
+      |WINDOW w AS (
+      |  PARTITION BY user_id
+      |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Conversion-window microseconds of the [[funnel]] gate: each stage must
     * land within 24h of the previous one or the user drops out. */
   val FunnelWindowUs: Long = 24L * 3600 * 1000 * 1000
