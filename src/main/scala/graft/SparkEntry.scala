@@ -83,6 +83,7 @@ object SparkEntry {
     "d_html_extract" -> (q.LlmOps.htmlExtract _),
     "d_url_canonicalize" -> (q.LlmOps.urlCanonicalize _),
     "d_compact_small_files" -> (q.LlmOps.compactSmallFiles _),
+    "d_host_report" -> (q.LlmOps.hostReport _),
     "d_fingerprints" -> (q.LlmOps.fingerprints _),
     "d_embed_neardup" -> (q.LlmOps.embedNearDup _),
     "d_sim_topk_brute" -> (q.LlmOps.simTopKBrute _),
@@ -271,6 +272,7 @@ object SparkEntry {
     "d_html_extract" -> q.LlmOps.htmlExtractSql,
     "d_url_canonicalize" -> q.LlmOps.urlCanonicalizeSql,
     "d_compact_small_files" -> q.LlmOps.compactSmallFilesSql,
+    "d_host_report" -> q.LlmOps.hostReportSql,
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,

@@ -168,10 +168,11 @@ object LlmOps {
     * come from ONE [[GraftFunctions.gopherStats]] codegen call aliased
     * once; the fractions are single integer divisions (bit-identical
     * cross-engine). */
-  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
+  /** The "webified" page of the Gopher gates (doc_id-arithmetic furniture,
+    * single-sourced with [[gopherPageSql]]). */
+  private def gopherPage: org.apache.spark.sql.Column = {
     val id = col("doc_id")
-    val page = concat(
+    concat(
       when(pmod(id, lit(17)) === 0, repeat(lit("• filler item\n"), 19))
         .otherwise(lit("")),
       when(pmod(id, lit(7)) === 0,
@@ -182,11 +183,15 @@ object LlmOps {
       col("text"),
       when(pmod(id, lit(5)) === 0, lit("\nread more...")).otherwise(lit("")),
       when(pmod(id, lit(23)) === 0, lit("\nto be continued...")).otherwise(lit("")))
+  }
+
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val gs = col("gs")
     val n = gs.getField("n_words").cast("double")
     val nl = gs.getField("n_lines").cast("double")
     docs(s, dir)
-      .select(col("doc_id"), GraftFunctions.gopherStats(page).as("gs"))
+      .select(col("doc_id"), GraftFunctions.gopherStats(gopherPage).as("gs"))
       .select(
         col("doc_id"),
         gs.getField("n_words").cast("long").as("n_words"),
@@ -208,25 +213,31 @@ object LlmOps {
     * separator words, replace-delta symbol counts, LIKE prefix/suffix line
     * tests, the required-word lexicon as literals), the same divisions,
     * the same thresholds. */
-  lazy val qualityGopherSql: String = {
-    import GraftFunctions._
+  /** Mirrors [[gopherPage]] as a DuckDB expression over `documents`. */
+  private val gopherPageSql: String =
+    """CASE WHEN doc_id % 17 = 0 THEN repeat('• filler item' || chr(10), 19) ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '• item ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN repeat('#', 15) || ' section' || chr(10) ELSE '' END ||
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' ELSE '' END ||
+      |    CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'to be continued...' ELSE '' END""".stripMargin
+
+  /** Shared CTE chain `gop_p → gop_w → gop_c` replicating every
+    * [[graft.functions.TextGopher.stats]] count over [[gopherPageSql]] —
+    * used by [[qualityGopherSql]] and the host report. */
+  private lazy val gopherCountCtes: String = {
     val stops = graft.functions.TextGopher.requiredWords
       .map(w => s"'$w'").mkString(", ")
-    s"""WITH p AS (
+    s"""gop_p AS (
        |  SELECT doc_id,
-       |    CASE WHEN doc_id % 17 = 0 THEN repeat('• filler item' || chr(10), 19) ELSE '' END ||
-       |    CASE WHEN doc_id % 7 = 0 THEN '• item ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ELSE '' END ||
-       |    CASE WHEN doc_id % 11 = 0 THEN repeat('#', 15) || ' section' || chr(10) ELSE '' END ||
-       |    text ||
-       |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' ELSE '' END ||
-       |    CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS page
+       |    $gopherPageSql AS page
        |  FROM documents),
-       |w AS (
+       |gop_w AS (
        |  SELECT doc_id, page,
        |    string_split(replace(page, chr(10), ' '), ' ') AS ws,
        |    string_split(page, chr(10)) AS lines
-       |  FROM p),
-       |c AS (
+       |  FROM gop_p),
+       |gop_c AS (
        |  SELECT doc_id,
        |    len(ws) AS n_words,
        |    length(page) - (len(ws) - 1) AS sum_chars,
@@ -237,7 +248,25 @@ object LlmOps {
        |    len(lines) AS n_lines,
        |    len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '-%')) AS n_bullet,
        |    len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_lines
-       |  FROM w)
+       |  FROM gop_w)""".stripMargin
+  }
+
+  /** The Gopher keep verdict over `gop_c` columns — same divisions, same
+    * thresholds as [[GraftFunctions.gopherOk]]. */
+  private lazy val gopherKeepSql: String = {
+    import GraftFunctions._
+    s"""(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinMeanLen
+       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxMeanLen
+       |    AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxSymbolRatio
+       |    AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxBulletFrac
+       |    AND CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxEllipsisFrac
+       |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinAlphaFrac
+       |    AND n_stop >= $GopherMinStopDistinct)""".stripMargin
+  }
+
+  lazy val qualityGopherSql: String = {
+    s"""WITH $gopherCountCtes
        |SELECT doc_id,
        |  CAST(n_words AS BIGINT) AS n_words,
        |  CAST(n_lines AS BIGINT) AS n_lines,
@@ -249,17 +278,8 @@ object LlmOps {
        |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
        |  CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
        |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
-       |  CAST(
-       |    n_words BETWEEN $GopherMinWords AND $GopherMaxWords
-       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinMeanLen
-       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxMeanLen
-       |    AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxSymbolRatio
-       |    AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxBulletFrac
-       |    AND CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxEllipsisFrac
-       |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinAlphaFrac
-       |    AND n_stop >= $GopherMinStopDistinct
-       |  AS INT) AS keep
-       |FROM c""".stripMargin
+       |  CAST($gopherKeepSql AS INT) AS keep
+       |FROM gop_c""".stripMargin
   }
 
   /** Exact canonical-key dedup: group by sorted distinct token set, keep the
@@ -646,9 +666,11 @@ object LlmOps {
     * canonical URL with its keeper (min doc_id), copy count, and host.
     * The variants are DESIGNED to collide: ids differing only in the
     * trailing-slash/port/utm/fragment mods canonicalize identically. */
-  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministically messy URL of the URL gates (single-sourced with
+    * [[messyUrlSql]]). */
+  private def messyUrl: org.apache.spark.sql.Column = {
     val id = col("doc_id")
-    val url = concat(
+    concat(
       when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
       lit("://WWW."), col("source"), lit(".Example.COM"),
       when(pmod(id, lit(6)) === 0, lit(":443"))
@@ -659,20 +681,25 @@ object LlmOps {
       when(pmod(id, lit(2)) === 0, lit("&utm_campaign=x")).otherwise(lit("")),
       when(pmod(id, lit(2)) === 1,
         concat(lit("#sec"), pmod(id, lit(4)).cast("string"))).otherwise(lit("")))
+  }
+
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), Urls.canonicalize(url).as("canonical"))
+      .select(col("doc_id"), Urls.canonicalize(messyUrl).as("canonical"))
       .groupBy(col("canonical"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .withColumn("host", Urls.canonicalHost(col("canonical")))
-  }
 
   /** Mirrors [[urlCanonicalize]]: identical messy-URL arithmetic, then the
     * SAME pattern strings in the SAME order as [[Urls.canonicalize]]
     * (Java ≡ RE2 on this subset; DuckDB regexp_replace carries the 'g'
     * flag to match Spark's always-global semantics), the same utm-filter +
     * sort on the params, the same default-port and trailing-slash rules. */
-  val urlCanonicalizeSql: String =
-    s"""WITH u AS (
+  /** Shared CTE chain `url_u → … → url_c(doc_id, canonical)` replicating
+    * [[messyUrl]] + [[Urls.canonicalize]] — used by [[urlCanonicalizeSql]]
+    * and the host report. */
+  private val urlCanonCtes: String =
+    s"""url_u AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END ||
        |    '://WWW.' || source || '.Example.COM' ||
@@ -684,25 +711,25 @@ object LlmOps {
        |    CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END ||
        |    CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
        |  FROM documents),
-       |p1 AS (
+       |url_p1 AS (
        |  SELECT doc_id,
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') AS rest
-       |  FROM u),
-       |p2 AS (
+       |  FROM url_u),
+       |url_p2 AS (
        |  SELECT doc_id, scheme,
        |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
        |    regexp_replace(rest, '^[^/?#]*', '', 'g') AS pathqf
-       |  FROM p1),
-       |p3 AS (
+       |  FROM url_p1),
+       |url_p3 AS (
        |  SELECT doc_id, scheme,
        |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '', 'g') AS host,
        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
        |    regexp_replace(regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1), '/{2,}', '/', 'g'), '/+$$', '', 'g') AS path,
        |    array_to_string(list_sort(list_filter(string_split(regexp_extract(pathqf, '\\?([^#]*)', 1), '&'),
        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
-       |  FROM p2),
-       |c AS (
+       |  FROM url_p2),
+       |url_c AS (
        |  SELECT doc_id,
        |    scheme || '://' || host ||
        |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
@@ -710,10 +737,58 @@ object LlmOps {
        |         ELSE ':' || port END ||
        |    path ||
        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
-       |  FROM p3)
+       |  FROM url_p3)""".stripMargin
+
+  val urlCanonicalizeSql: String =
+    s"""WITH $urlCanonCtes
        |SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
        |  regexp_extract(canonical, '^https?://([^/:?]*)', 1) AS host
-       |FROM c GROUP BY canonical""".stripMargin
+       |FROM url_c GROUP BY canonical""".stripMargin
+
+  /** Host-level curation report — the composition the two front-door tiers
+    * exist for: every doc's canonical URL/host ([[Urls.canonicalize]] of
+    * [[messyUrl]]) joined with its Gopher keep verdict
+    * ([[GraftFunctions.gopherOk]] over [[gopherPage]]), aggregated per
+    * host — docs, distinct canonical URLs, kept docs, keep rate. The
+    * crawl-curation decision table: a host whose keep rate collapses gets
+    * delisted. Both per-doc signals are scan projections; the only
+    * shuffle is the host-keyed aggregate (map-side partial; distinct-URL
+    * count partial-aggregates the same way). */
+  def hostReport(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        Urls.canonicalize(messyUrl).as("canonical"),
+        GraftFunctions.gopherOk(GraftFunctions.gopherStats(gopherPage))
+          .cast("long").as("keep"))
+      .withColumn("host", Urls.canonicalHost(col("canonical")))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("canonical")).as("n_urls"),
+        sum(col("keep")).as("n_keep"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** Mirrors [[hostReport]]: the shared [[urlCanonCtes]] and
+    * [[gopherCountCtes]] joined on doc_id, the same keep condition, one
+    * host-keyed aggregate, one exact division. */
+  lazy val hostReportSql: String =
+    s"""WITH $urlCanonCtes,
+       |$gopherCountCtes,
+       |hk AS (
+       |  SELECT u.doc_id,
+       |    regexp_extract(u.canonical, '^https?://([^/:?]*)', 1) AS host,
+       |    u.canonical,
+       |    CAST($gopherKeepSql AS BIGINT) AS keep
+       |  FROM url_c u JOIN gop_c USING (doc_id))
+       |SELECT host, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT canonical) AS n_urls,
+       |  CAST(SUM(keep) AS BIGINT) AS n_keep,
+       |  CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+       |FROM hk GROUP BY host""".stripMargin
 
   /** Small-files compaction round-trip ([[graft.plans.Compaction]]): the
     * corpus is first written as 64 splinter files (the streaming-ingest

@@ -51,6 +51,20 @@ class UrlsSpec extends SparkTestBase {
       "https://H.COM/p/1?a=2#sec3").distinct.size === 1)
   }
 
+  test("host report: covers every doc, keep accounting is consistent per host") {
+    val rows = graft.queries.LlmOps.hostReport(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_urls") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate == r.getAs[Long]("n_keep").toDouble / r.getAs[Long]("n_docs").toDouble)
+    }
+    // the verdicts vary by host (the report is a decision table, not a constant)
+    assert(rows.map(_.getAs[Double]("keep_rate")).distinct.length > 1)
+  }
+
   test("gate: keeps one keeper per canonical and covers every doc") {
     val df = graft.queries.LlmOps.urlCanonicalize(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
