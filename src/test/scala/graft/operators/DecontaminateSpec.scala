@@ -102,6 +102,14 @@ class DecontaminateSpec extends SparkTestBase {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("fuzzy: report is partitioning-invariant (deterministic best-match tie-break)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) = Decontaminate.fuzzyOverlap(
+      d.filter(col("doc_id") % 19 =!= 0), d.filter(col("doc_id") % 19 === 0),
+      "doc_id", "text").collect().map(_.mkString("|")).toSet
+    assert(run(docs) === run(docs.repartition(11)))
+  }
+
   test("fuzzy: every join against the corpus side is broadcast (no corpus shuffle)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = Decontaminate.fuzzyOverlap(

@@ -84,6 +84,28 @@ class EventsAnalyticsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("n_events") == 0L))
   }
 
+  test("the trio is partitioning-invariant (bit-equal outputs at any parallelism)") {
+    // determinism contract: shuffling differently can never change a value
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val base = Seq(Relational.funnel _, Relational.cohortRetention _, Relational.gapFill _)
+      .map(q => canon(q(spark, dir)))
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val alt = Seq(Relational.funnel _, Relational.cohortRetention _, Relational.gapFill _)
+        .map(q => canon(q(spark, dir)))
+      assert(base === alt)
+    }
+  }
+
+  private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("plans: every exchange in the trio is user_id-keyed or a tiny stage union") {
     Seq(Relational.funnel _, Relational.cohortRetention _, Relational.gapFill _)
       .foreach { q =>
