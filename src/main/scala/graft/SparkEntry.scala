@@ -65,6 +65,7 @@ object SparkEntry {
     "d_quality_repetition" -> (q.LlmOps.qualityRepetition _),
     "d_quality_gopher" -> (q.LlmOps.qualityGopher _),
     "d_dedup_exact" -> (q.LlmOps.dedupExact _),
+    "d_line_dedup" -> (q.LlmOps.lineDedup _),
     "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
     "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
@@ -203,6 +204,7 @@ object SparkEntry {
     "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,
     "d_quality_gopher" -> q.LlmOps.qualityGopherSql,
     "d_dedup_exact" -> q.LlmOps.dedupExactSql,
+    "d_line_dedup" -> q.LlmOps.lineDedupSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
     // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a
     // replicate the JVM kernels bitwise — see LlmOps oracle section)

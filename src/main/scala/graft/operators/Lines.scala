@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level deduplication — the CCNet boilerplate pass (Wenzek et al.
+  * 2020, public): a line that recurs across many documents is template
+  * furniture (navigation, cookie banners, "read more" tails), not
+  * content; dropping recurring LINES removes boilerplate surgically where
+  * document-level dedup would either keep it or drop whole pages.
+  *
+  * Scale shape: one line-keyed count aggregation (map-side partial — the
+  * dominant boilerplate lines collapse to one row per partition before
+  * the exchange), one join of the positioned line stream against the
+  * boilerplate verdict, one doc-keyed re-assembly whose state is bounded
+  * by document length (position-sorted fold, the LangModel discipline).
+  * At corpus scale the join key would be the line's 64-bit fingerprint
+  * (the `exactCanonicalHashed` pattern) and the boilerplate SET — tiny by
+  * definition — a broadcast; the gate joins on the line string so the
+  * DuckDB oracle replicates it verbatim.
+  */
+object Lines {
+
+  /** Per-document line dedup report over an already-line-structured text
+    * column: total lines, lines dropped as boilerplate (recurring in ≥
+    * `minDocs` DISTINCT documents), and the surviving text re-assembled
+    * in line order (pinned by length + FNV fingerprint). Empty lines are
+    * kept verbatim — structure, not boilerplate. */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      minDocs: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val positioned = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+    val boiler = positioned
+      .groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs && col("line") =!= "")
+      .select(col("line"), lit(1).as("is_boiler"))
+    positioned
+      .join(broadcast(boiler), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler") === 1, 1L).otherwise(0L)).as("n_dropped"),
+        sort_array(collect_list(
+          when(col("is_boiler").isNull, struct(col("pos"), col("line")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        array_join(transform(col("kept"), k => k.getField("line")), "\n")
+          .as("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        length(col("kept_text")).cast("long").as("kept_len"),
+        GraftFunctions.fingerprint64(col("kept_text")).as("kept_fp"))
+  }
+}

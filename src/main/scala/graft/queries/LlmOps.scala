@@ -282,6 +282,47 @@ object LlmOps {
        |FROM gop_c""".stripMargin
   }
 
+  /** Boilerplate threshold of the line-dedup gate: a line in ≥ 3 distinct
+    * docs is template furniture. */
+  val LineDedupMinDocs = 3
+
+  /** CCNet-style line-level dedup ([[graft.operators.Lines.dedupLines]])
+    * over the SAME webified pages as the Gopher gate: the planted bullet
+    * filler and "read more..." tails recur across docs and are dropped as
+    * boilerplate; each doc's unique text line survives. The surviving
+    * text is pinned by length + FNV, so the gate proves the drop touched
+    * exactly the recurring lines. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lines.dedupLines(
+      docs(s, dir), "doc_id", gopherPage, minDocs = LineDedupMinDocs)
+
+  /** Mirrors [[lineDedup]]: the shared [[gopherPageSql]] page, positioned
+    * lines, the distinct-doc line counts, the same ≥-threshold verdict
+    * (empty lines exempt), and the position-ordered re-assembly. */
+  lazy val lineDedupSql: String =
+    s"""WITH lp AS (
+       |  SELECT doc_id, u.p AS pos, u.l AS line FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(ls) + 1), i -> {p: i - 1, l: ls[i]})) AS u
+       |    FROM (SELECT doc_id, string_split($gopherPageSql, chr(10)) AS ls FROM documents))),
+       |b AS (
+       |  SELECT line FROM (
+       |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lp GROUP BY line)
+       |  WHERE nd >= $LineDedupMinDocs AND line <> ''),
+       |k AS (
+       |  SELECT lp.doc_id, lp.pos, lp.line, b.line IS NOT NULL AS isb
+       |  FROM lp LEFT JOIN b ON b.line = lp.line),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_lines,
+       |    CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |    array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT isb), chr(10)) AS kept_text
+       |  FROM k GROUP BY doc_id),
+       |h AS (SELECT doc_id, n_lines, n_dropped, kept_text, ${fnvHugeSql("kept_text")} AS hu FROM agg)
+       |SELECT doc_id, n_lines, n_dropped,
+       |  CAST(length(kept_text) AS BIGINT) AS kept_len,
+       |  ${hugeToSignedSql("hu")} AS kept_fp
+       |FROM h""".stripMargin
+
   /** Exact canonical-key dedup: group by sorted distinct token set, keep the
     * smallest doc_id (deterministic survivor). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
