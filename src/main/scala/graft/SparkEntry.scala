@@ -74,6 +74,7 @@ object SparkEntry {
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_decontaminate_fuzzy" -> (q.LlmOps.decontaminateFuzzy _),
     "d_importance_sample" -> (q.LlmOps.importanceSample _),
+    "d_importance_resample" -> (q.LlmOps.importanceResample _),
     "d_pii_scan" -> (q.LlmOps.piiScan _),
     "d_repeated_spans" -> (q.LlmOps.repeatedSpans _),
     "d_strip_spans" -> (q.LlmOps.stripSpans _),
@@ -267,6 +268,7 @@ object SparkEntry {
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
     "d_decontaminate_fuzzy" -> q.LlmOps.decontaminateFuzzySql,
     "d_importance_sample" -> q.LlmOps.importanceSampleSql,
+    "d_importance_resample" -> q.LlmOps.importanceResampleSql,
     "d_pii_scan" -> q.LlmOps.piiScanSql,
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
     "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,

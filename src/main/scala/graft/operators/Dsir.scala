@@ -81,4 +81,51 @@ object Dsir {
           size(col("ps")).cast("double")).as("imp_ratio"))
       .withColumn("selected", (col("imp_ratio") >= 1d).cast("int"))
   }
+
+  /** The resampling half of DSIR, deterministically: SYSTEMATIC sampling
+    * over integer weights — lay every document's weight on a number line
+    * in doc-id order and select one representative at every `step =
+    * total/k` marks, so a document is drawn n_select = ⌊cum/step⌋ −
+    * ⌊(cum−w)/step⌋ times (heavy docs can be drawn repeatedly — that IS
+    * proportional-to-weight sampling, with zero RNG).
+    *
+    * Scale shape: the global prefix sum is two passes, never one global
+    * window — in-bucket running sums (id DIV `bucketSpan` buckets are
+    * CONTIGUOUS id ranges, so bucket order ≡ id order) plus a broadcast
+    * of the tiny per-bucket exclusive offsets. All arithmetic is 64-bit
+    * integer, so the two-pass sum is bit-equal to the oracle's flat
+    * window cumsum regardless of association order. */
+  def systematicResample(
+      scored: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      bucketSpan: Long = 1024L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val w = col(weightCol)
+    val bucketed = scored.select(id.as("doc_id"), w.as("w"),
+      expr(s"$idCol DIV $bucketSpan").as("bucket"))
+    val within = W.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val withCumIn = bucketed.withColumn("cum_in", sum(col("w")).over(within))
+    // tiny: one row per bucket; exclusive running offset over bucket order
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
+      .withColumn("offset",
+        coalesce(sum(col("bw")).over(
+          W.orderBy(col("bucket")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val total = bucketed.agg(sum(col("w")).as("total"))
+    withCumIn
+      .join(broadcast(offsets), "bucket")
+      .crossJoin(broadcast(total))
+      .withColumn("cum", col("offset") + col("cum_in"))
+      .withColumn("step", greatest(lit(1L), expr(s"total DIV $k")))
+      // integer floor-division throughout (weights are non-negative), so
+      // selection counts are exact on both engines
+      .selectExpr("doc_id", "w",
+        "CAST(cum DIV step - (cum - w) DIV step AS BIGINT) AS n_select")
+      .withColumn("selected", (col("n_select") > 0).cast("int"))
+  }
 }

@@ -580,6 +580,40 @@ object LlmOps {
        |FROM sc""".stripMargin
   }
 
+  /** Resample target of the DSIR systematic-sampling gate. */
+  val DsirResampleK = 100
+
+  /** The resampling half of DSIR ([[Dsir.systematicResample]]): the
+    * [[importanceSample]] scores become integer weights (⌊ratio·10⁶⌋) and
+    * documents are drawn proportional-to-weight by SYSTEMATIC sampling —
+    * one draw per `total/k` marks along the cumulative weight line, zero
+    * RNG. The two-pass integer prefix sum is bit-equal to the oracle's
+    * flat window cumsum because the arithmetic is all 64-bit integer. */
+  def importanceResample(s: SparkSession, dir: String): DataFrame = {
+    val scored = importanceSample(s, dir)
+      .select(col("doc_id"),
+        floor(col("imp_ratio") * lit(1000000.0)).as("w"))
+    Dsir.systematicResample(scored, "doc_id", "w", k = DsirResampleK)
+  }
+
+  /** Mirrors [[importanceResample]]: the full [[importanceSampleSql]] as a
+    * subquery, the same ⌊ratio·10⁶⌋ weights, a flat window cumsum in
+    * doc-id order, and the same integer floor-division draw count. */
+  lazy val importanceResampleSql: String =
+    s"""WITH sc AS (SELECT doc_id, imp_ratio FROM (
+       |$importanceSampleSql
+       |)),
+       |wt AS (SELECT doc_id, CAST(floor(imp_ratio * 1000000.0) AS BIGINT) AS w FROM sc),
+       |cw AS (
+       |  SELECT doc_id, w,
+       |    SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM wt),
+       |st AS (SELECT GREATEST(1, (SELECT SUM(w) FROM wt) // $DsirResampleK) AS step)
+       |SELECT doc_id, w,
+       |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_select,
+       |  CAST((cum // step - (cum - w) // step) > 0 AS INT) AS selected
+       |FROM cw CROSS JOIN st""".stripMargin
+
   /** PII scan + redaction over deterministically PII-salted text (the
     * fixtures are PII-free word salad, so emails / phone numbers / IPv4
     * addresses are woven in as pure doc_id arithmetic — identically in

@@ -59,6 +59,27 @@ class DsirSpec extends SparkTestBase {
     assert(others.forall(_ < scored("en")), scored.toString)
   }
 
+  test("systematic resample: draws are proportional, heavy docs draw repeatedly") {
+    // weights 1,1,1,1,96 with k=10 → step=10 → the heavy doc owns ~9-10 draws
+    val scored = Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 96L))
+      .toDF("doc_id", "w")
+    val out = Dsir.systematicResample(scored, "doc_id", "w", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.sum === 10L)
+    assert(out(4L) >= 9L)
+    assert(out.values.forall(_ >= 0L))
+  }
+
+  test("systematic resample: bucketSpan never changes the result (two-pass ≡ flat)") {
+    val scored = planted.select(col("doc_id"),
+      (col("doc_id") % 7 + 1).cast("long").as("w"))
+    def run(span: Long) =
+      Dsir.systematicResample(scored, "doc_id", "w", k = 3, bucketSpan = span)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(run(1L) === run(1024L))
+    assert(run(2L) === run(1024L))
+  }
+
   test("plan: the model rides broadcasts; the corpus is never sort-merge joined") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dsir.importanceScores(docs, "doc_id", "text", col("lang") === "en")
