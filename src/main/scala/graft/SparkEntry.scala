@@ -152,6 +152,8 @@ object SparkEntry {
       streaming.EventPipeline.annIngestSync(s, dir)),
     "s_stream_funnel" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.funnelSync(s, dir)),
+    "s_stream_line_filter" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.lineFilterSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,6 +208,8 @@ object SparkEntry {
     "d_quality_gopher" -> q.LlmOps.qualityGopherSql,
     "d_dedup_exact" -> q.LlmOps.dedupExactSql,
     "d_line_dedup" -> q.LlmOps.lineDedupSql,
+    // per-doc decisions vs the STATIC boilerplate set ⇒ stream ≡ batch
+    "s_stream_line_filter" -> q.LlmOps.streamLineFilterSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
     // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a
     // replicate the JVM kernels bitwise — see LlmOps oracle section)

@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Lines {
 
+  private def positioned(docs: DataFrame, idCol: String, textCol: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+
+  /** The boilerplate line set of a corpus: non-empty lines recurring in ≥
+    * `minDocs` DISTINCT documents. Tiny by definition — broadcast it into
+    * [[dropAgainst]] (batch backfill or per micro-batch in a stream). */
+  def boilerplate(
+      docs: DataFrame, idCol: String, textCol: Column, minDocs: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    positioned(docs, idCol, textCol)
+      .groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs && col("line") =!= "")
+      .select(col("line"), lit(1).as("is_boiler"))
+  }
+
   /** Per-document line dedup report over an already-line-structured text
     * column: total lines, lines dropped as boilerplate (recurring in ≥
     * `minDocs` DISTINCT documents), and the surviving text re-assembled
@@ -31,17 +48,21 @@ object Lines {
       docs: DataFrame,
       idCol: String,
       textCol: Column,
-      minDocs: Int): DataFrame = {
+      minDocs: Int): DataFrame =
+    dropAgainst(docs, idCol, textCol,
+      boilerplate(docs, idCol, textCol, minDocs))
+
+  /** Drop an ALREADY-BUILT boilerplate set from every document — per-doc
+    * decisions against a static set, so a stream applying this per
+    * micro-batch equals the batch backfill at any batching (the
+    * static-band-index discipline). */
+  def dropAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      boiler: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val positioned = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
-    val boiler = positioned
-      .groupBy(col("line"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs && col("line") =!= "")
-      .select(col("line"), lit(1).as("is_boiler"))
-    positioned
+    positioned(docs, idCol, textCol)
       .join(broadcast(boiler), Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(

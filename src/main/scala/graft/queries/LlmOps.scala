@@ -169,8 +169,9 @@ object LlmOps {
     * once; the fractions are single integer divisions (bit-identical
     * cross-engine). */
   /** The "webified" page of the Gopher gates (doc_id-arithmetic furniture,
-    * single-sourced with [[gopherPageSql]]). */
-  private def gopherPage: org.apache.spark.sql.Column = {
+    * single-sourced with [[gopherPageSql]]; `private[graft]` so the
+    * streaming line-filter gate scores the identical pages). */
+  private[graft] def gopherPage: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     concat(
       when(pmod(id, lit(17)) === 0, repeat(lit("• filler item\n"), 19))
@@ -296,10 +297,11 @@ object LlmOps {
     graft.operators.Lines.dedupLines(
       docs(s, dir), "doc_id", gopherPage, minDocs = LineDedupMinDocs)
 
-  /** Mirrors [[lineDedup]]: the shared [[gopherPageSql]] page, positioned
-    * lines, the distinct-doc line counts, the same ≥-threshold verdict
-    * (empty lines exempt), and the position-ordered re-assembly. */
-  lazy val lineDedupSql: String =
+  /** Mirrors the line-dedup pipeline with a parameterized corpus split:
+    * the boilerplate set comes from `boilerPred` docs, the report covers
+    * `outPred` docs — `TRUE/TRUE` is the batch gate, the standing/incoming
+    * split is the streaming gate's oracle. */
+  private def lineDedupSqlOver(boilerPred: String, outPred: String): String =
     s"""WITH lp AS (
        |  SELECT doc_id, u.p AS pos, u.l AS line FROM (
        |    SELECT doc_id,
@@ -307,11 +309,11 @@ object LlmOps {
        |    FROM (SELECT doc_id, string_split($gopherPageSql, chr(10)) AS ls FROM documents))),
        |b AS (
        |  SELECT line FROM (
-       |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lp GROUP BY line)
+       |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lp WHERE $boilerPred GROUP BY line)
        |  WHERE nd >= $LineDedupMinDocs AND line <> ''),
        |k AS (
        |  SELECT lp.doc_id, lp.pos, lp.line, b.line IS NOT NULL AS isb
-       |  FROM lp LEFT JOIN b ON b.line = lp.line),
+       |  FROM lp LEFT JOIN b ON b.line = lp.line WHERE $outPred),
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS n_lines,
        |    CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
@@ -322,6 +324,16 @@ object LlmOps {
        |  CAST(length(kept_text) AS BIGINT) AS kept_len,
        |  ${hugeToSignedSql("hu")} AS kept_fp
        |FROM h""".stripMargin
+
+  /** Mirrors [[lineDedup]] (whole-corpus boilerplate, whole-corpus
+    * report). */
+  lazy val lineDedupSql: String = lineDedupSqlOver("TRUE", "TRUE")
+
+  /** The streaming line-filter gate's oracle: boilerplate from the
+    * STANDING slice (doc_id % 4 ≠ 0), report over the INCOMING slice —
+    * per-doc decisions against the static set ⇒ stream ≡ batch. */
+  lazy val streamLineFilterSql: String =
+    lineDedupSqlOver("doc_id % 4 <> 0", "lp.doc_id % 4 = 0")
 
   /** Exact canonical-key dedup: group by sorted distinct token set, keep the
     * smallest doc_id (deterministic survivor). */

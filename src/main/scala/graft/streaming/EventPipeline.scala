@@ -566,6 +566,60 @@ object EventPipeline {
     admitted
   }
 
+  /** Streamed line-level boilerplate filter: the corpus's boilerplate line
+    * set ([[graft.operators.Lines.boilerplate]]) is built ONCE from the
+    * standing corpus (the static-band-index discipline); each micro-batch
+    * of incoming documents drops those lines via
+    * [[graft.operators.Lines.dropAgainst]] — per-document decisions
+    * against a static set, so output is independent of micro-batching and
+    * the stream shares the batch twin's oracle. */
+  def lineFilterStream(
+      docsStream: DataFrame, boiler: DataFrame,
+      textCol: org.apache.spark.sql.Column,
+      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Lines.dropAgainst(batch, "doc_id", textCol, boiler)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+
+  private val lineFilterSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_lines", LongType),
+    StructField("n_dropped", LongType), StructField("kept_len", LongType),
+    StructField("kept_fp", LongType)))
+
+  /** Synchronous gate run of [[lineFilterStream]]: incoming slice
+    * doc_id ≡ 0 (mod 4) streams against the boilerplate set of the
+    * standing rest, over the SAME webified pages as the batch
+    * `d_line_dedup` gate. */
+  def lineFilterSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    graft.functions.GraftFunctions.register(s)
+    val page = graft.queries.LlmOps.gopherPage
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_lines")
+    val boiler = graft.operators.Lines.boilerplate(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", page, minDocs = graft.queries.LlmOps.LineDedupMinDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val in = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+    val q = lineFilterStream(in, boiler, page, out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val filtered = s.read.schema(lineFilterSchema)
+      .option("recursiveFileLookup", "true").parquet(out.toString)
+      .localCheckpoint(true)
+    boiler.unpersist(false)
+    deleteRecursively(ckpt.toFile)
+    deleteRecursively(out.toFile)
+    filtered
+  }
+
   /** Raw schema of the embeddings fixture (for the file-source stream). */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

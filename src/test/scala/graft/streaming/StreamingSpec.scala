@@ -101,6 +101,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got("2_click") < got("1_signup"))
   }
 
+  test("lineFilterSync: streamed boilerplate drop EQUALS the batch operator") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.lineFilterSync(spark, dir)
+      .collect().map(_.mkString("|")).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val page = graft.queries.LlmOps.gopherPage
+    val boiler = graft.operators.Lines.boilerplate(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", page,
+      graft.queries.LlmOps.LineDedupMinDocs)
+    val batch = graft.operators.Lines.dropAgainst(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", page, boiler)
+      .collect().map(_.mkString("|")).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("curationFilterSync: streamed quality tier EQUALS the batch filters") {
     val got = EventPipeline.curationFilterSync(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
