@@ -174,8 +174,10 @@ object SparkEntry {
     "r_asof_join" -> q.Relational.asofJoinSql,
     "r_range_join" -> q.Relational.rangeJoinSql,
     "r_percentiles" -> q.Relational.percentilesSql,
-    // r_percentiles_approx: GK sketch values are engine-specific → rows-only
-    // check; SketchSpec pins them inside the exact operator's error band
+    // r8: the gate verifies the GK RANK guarantee in-plan (raise_error on
+    // violation) and hashes only exact columns + require-backed verdicts;
+    // the sketch values live in percentilesApproxValues + SketchSpec
+    "r_percentiles_approx" -> q.Relational.percentilesApproxSql,
     "r_explode_tokens" -> q.Relational.explodeTokensSql,
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
@@ -185,7 +187,10 @@ object SparkEntry {
     "r_rollup_stats" -> q.Relational.rollupStatsSql,
     "r_grouping_sets" -> q.Relational.groupingSetsStatsSql,
     "r_distinct_agg" -> q.Relational.distinctAggSql,
-    // r_approx_distinct: sketch values are engine-specific → rows-only check
+    // r8: HLL estimate moved out of the hashed output into
+    // approxDistinctFull + SketchSpec; the gate hashes exact counts +
+    // a raise_error-backed within_bound ⇒ DuckDB-exact
+    "r_approx_distinct" -> q.Relational.approxDistinctSql,
     "r_window_rank" -> q.Relational.windowRankSql,
     "r_window_running" -> q.Relational.windowRunningSql,
     "r_window_range" -> q.Relational.windowRangeSql,
@@ -276,6 +281,10 @@ object SparkEntry {
     "d_pii_scan" -> q.LlmOps.piiScanSql,
     "d_repeated_spans" -> q.LlmOps.repeatedSpansSql,
     "d_vocab_coverage" -> q.LlmOps.vocabCoverageSql,
+    // r8: CMS estimate moved out of the hashed output into
+    // heavyHittersFull + SketchSpec; the gate hashes the exact top-20 +
+    // the require-backed within_bound ⇒ DuckDB-exact
+    "d_heavy_hitters" -> q.LlmOps.heavyHittersSql,
     "d_text_normalize" -> q.LlmOps.textNormalizeSql,
     "d_html_extract" -> q.LlmOps.htmlExtractSql,
     "d_url_canonicalize" -> q.LlmOps.urlCanonicalizeSql,
@@ -284,7 +293,6 @@ object SparkEntry {
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,
-    // approx_distinct (HLL sketch) remains rows-only + scalatest semantics
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

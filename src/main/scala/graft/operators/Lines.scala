@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   * the exchange), one join of the positioned line stream against the
   * boilerplate verdict, one doc-keyed re-assembly whose state is bounded
   * by document length (position-sorted fold, the LangModel discipline).
-  * At corpus scale the join key would be the line's 64-bit fingerprint
-  * (the `exactCanonicalHashed` pattern) and the boilerplate SET — tiny by
-  * definition — a broadcast; the gate joins on the line string so the
-  * DuckDB oracle replicates it verbatim.
+  * The verdict join is keyed by the line's 128-bit fingerprint (the
+  * `exactCanonicalHashed` pattern) with NO forced broadcast hint: a web
+  * corpus's "lines recurring in ≥ minDocs documents" set is itself
+  * corpus-sized (billions of rows), so the join must degrade to a
+  * shuffle when AQE measures it large — a hint would OOM executors or
+  * abort past the broadcast limit instead. The exchange carries 16-byte
+  * keys, never full line text. The DuckDB oracle joins on the line
+  * string — equivalent because the 128-bit key makes a colliding pair
+  * of distinct lines a < 10⁻¹⁸ event (see `Dedup.exactCanonicalHashed`).
   */
 object Lines {
 
@@ -27,8 +32,10 @@ object Lines {
       posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
 
   /** The boilerplate line set of a corpus: non-empty lines recurring in ≥
-    * `minDocs` DISTINCT documents. Tiny by definition — broadcast it into
-    * [[dropAgainst]] (batch backfill or per micro-batch in a stream). */
+    * `minDocs` DISTINCT documents. Corpus-sized at web scale — feed it to
+    * [[dropAgainst]] (batch backfill or per micro-batch in a stream),
+    * which joins it by fingerprint and lets AQE pick broadcast vs
+    * shuffle from its measured size. */
   def boilerplate(
       docs: DataFrame, idCol: String, textCol: Column, minDocs: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -55,15 +62,22 @@ object Lines {
   /** Drop an ALREADY-BUILT boilerplate set from every document — per-doc
     * decisions against a static set, so a stream applying this per
     * micro-batch equals the batch backfill at any batching (the
-    * static-band-index discipline). */
+    * static-band-index discipline). The join is keyed by the line's
+    * 128-bit fingerprint, unforced: AQE broadcasts a genuinely small set
+    * and shuffles a corpus-sized one, and either way the exchange carries
+    * 16-byte keys instead of line text. */
   def dropAgainst(
       docs: DataFrame,
       idCol: String,
       textCol: Column,
       boiler: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    val verdict = boiler.select(
+      GraftFunctions.fingerprint128(col("line")).as("line_fp"),
+      col("is_boiler"))
     positioned(docs, idCol, textCol)
-      .join(broadcast(boiler), Seq("line"), "left")
+      .withColumn("line_fp", GraftFunctions.fingerprint128(col("line")))
+      .join(verdict, Seq("line_fp"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),

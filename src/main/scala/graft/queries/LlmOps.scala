@@ -317,7 +317,9 @@ object LlmOps {
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS n_lines,
        |    CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       |    array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT isb), chr(10)) AS kept_text
+       |    -- COALESCE: a doc whose every line is boilerplate keeps '' (as
+       |    -- Spark's null-skipping collect_list does), not NULL
+       |    COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT isb), chr(10)), '') AS kept_text
        |  FROM k GROUP BY doc_id),
        |h AS (SELECT doc_id, n_lines, n_dropped, kept_text, ${fnvHugeSql("kept_text")} AS hu FROM agg)
        |SELECT doc_id, n_lines, n_dropped,
@@ -1129,17 +1131,17 @@ object LlmOps {
   /** Heavy hitters via Count-Min sketch — the frequency member of the
     * sketch trio (HLL distinct `r_approx_distinct`, GK percentile
     * `r_percentiles_approx`, CMS frequency here): token frequencies at
-    * 100 TB without a vocabulary-sized exact aggregation. SELF-CHECKING
-    * like the HLL gate: the top-20 exact counts ride along; est ≥ exact
-    * is STRUCTURAL (CMS never underestimates) and enforced as-is, while
-    * the upper bound is enforced at 3× the eps·N slack — the theoretical
-    * bound only holds with confidence 1-delta PER QUERY, so requiring it
-    * raw for 20 tokens per run would abort a healthy sketch at a real
-    * rate (the same flake class the HLL gate's 3σ→5σ widening removed);
-    * both raw values are emitted so the actual gap stays visible.
-    * Sketch internals are engine-specific → rows-only driver check, with
-    * the error bound pinned here and in SketchSpec. */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    * 100 TB without a vocabulary-sized exact aggregation. SELF-CHECKING:
+    * the top-20 exact counts ride along; est ≥ exact is STRUCTURAL (CMS
+    * never underestimates) and enforced as-is, while the upper bound is
+    * enforced at 3× the eps·N slack — the theoretical bound only holds
+    * with confidence 1-delta PER QUERY, so requiring it raw for 20 tokens
+    * per run would abort a healthy sketch at a real rate (the same flake
+    * class the HLL gate's 3σ→5σ widening removed). This FULL form keeps
+    * the engine-specific estimate column for SketchSpec; the gate form
+    * ([[heavyHitters]]) projects it away so the hashed output is fully
+    * DuckDB-computable (rank, token, exact count, require-backed TRUE). */
+  def heavyHittersFull(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val toks = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
@@ -1169,6 +1171,32 @@ object LlmOps {
         org.apache.spark.sql.types.StructField("cms_estimate", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("within_bound", org.apache.spark.sql.types.BooleanType, nullable = false))))
   }
+
+  /** Gate form of [[heavyHittersFull]] — oracle-exact (round 8): the CMS
+    * estimate (engine-specific by construction) moves out of the hashed
+    * result into the in-query `require` + SketchSpec, which is where
+    * engine numbers belong; what the driver hashes is the exact top-20
+    * (rank, token, count) plus the require-backed `within_bound` — all of
+    * it DuckDB-computable. A broken sketch still fails loudly: the
+    * `require` in the full form aborts the gate before any row is
+    * emitted. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersFull(s, dir)
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("exact"), col("within_bound"))
+
+  val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (
+      |  SELECT token, COUNT(*) AS exact FROM toks
+      |  WHERE length(token) > 0 GROUP BY token),
+      |r AS (
+      |  SELECT token, exact,
+      |    row_number() OVER (ORDER BY exact DESC, token ASC) AS rank
+      |  FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, token, exact, TRUE AS within_bound
+      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   /** Vocabulary coverage (tokenizer-prep): the top-200 corpus tokens by
     * frequency with cumulative coverage fraction — the curve that sizes a

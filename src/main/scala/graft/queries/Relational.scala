@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.queries.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -186,16 +186,14 @@ object Relational {
       |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** HLL sketch next to the exact count it approximates — the query is
-    * SELF-CHECKING: `within_bound` asserts the sketch landed inside 5× its
-    * configured relative standard deviation (0.05), so the rows-only gate
-    * still catches a broken sketch without an engine-portable oracle
-    * (sketch internals are engine-specific by nature). 5σ because rsd is a
-    * STANDARD DEVIATION, not a bound: a healthy sketch lands outside 3σ
-    * ~0.3% of the time per group (a real gate-flake rate over rounds),
-    * outside 5σ ~6·10⁻⁷ — negligible, while a broken sketch (off by ≥25%)
-    * still fails loudly. */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+  /** HLL sketch next to the exact count it approximates. Both values, for
+    * SketchSpec's band assertions; the gate ([[approxDistinct]]) projects
+    * the engine-specific estimate away. The bound is 5× the configured
+    * relative standard deviation (0.05): rsd is a STANDARD DEVIATION, not
+    * a bound — a healthy sketch lands outside 3σ ~0.3% of the time per
+    * group (a real gate-flake rate over rounds), outside 5σ ~6·10⁻⁷ —
+    * negligible, while a broken sketch (off by ≥25%) still fails loudly. */
+  def approxDistinctFull(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -204,6 +202,32 @@ object Relational {
       .withColumn("within_bound",
         abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
           <= lit(5 * 0.05) * col("exact_parts").cast("double"))
+
+  /** Gate form of [[approxDistinctFull]] — oracle-exact (round 8): the
+    * hashed output carries only DuckDB-computable columns (the exact
+    * distinct counts) plus the `within_bound` verdict, whose truth is
+    * ENFORCED IN-QUERY — a sketch outside 5σ doesn't emit `false` (which
+    * a hash mismatch would merely flag), it aborts the job via
+    * `raise_error`, so the oracle can assert the literal TRUE. The HLL
+    * estimate itself (engine-specific by nature) lives in
+    * [[approxDistinctFull]] + SketchSpec, where engine numbers belong. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    approxDistinctFull(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        when(col("within_bound"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("HLL estimate outside 5*rsd for flag "), col("l_returnflag"),
+            lit(": approx="), col("approx_parts").cast("string"),
+            lit(" exact="), col("exact_parts").cast("string"))))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Window ranking: top-3 orders per customer (row_number + filter). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -369,13 +393,13 @@ object Relational {
   val PercentileAccuracy: Int = 10000
 
   /** Sketch twin of [[percentiles]] — the 100 TB scale path. The exact
-    * operator buffers every group member in its aggregation buffer (fine at
-    * sf0.1, executor-memory killer at 100×); `approx_percentile` keeps a
+    * operator materializes the group's rank space via a spillable sort
+    * (fine, but a full extra exchange); `approx_percentile` keeps a
     * bounded mergeable Greenwald-Khanna summary with rank error ≤
     * n/[[PercentileAccuracy]], so group state no longer grows with group
-    * size. Sketch internals are engine-specific → rows-only driver check;
-    * SketchSpec pins the values inside the exact operator's error band. */
-  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    * size. Raw sketch VALUES, for SketchSpec's band assertions; the gate
+    * ([[percentilesApprox]]) replaces them with rank-verified verdicts. */
+  def percentilesApproxValues(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -383,6 +407,63 @@ object Relational {
         expr(s"approx_percentile(l_quantity, 0.9, $PercentileAccuracy)").as("qty_p90"),
         expr(s"approx_percentile(l_extendedprice, 0.25, $PercentileAccuracy)").as("price_p25"))
       .orderBy(col("l_returnflag"))
+
+  /** Gate form of [[percentilesApproxValues]] — oracle-exact (round 8).
+    * The GK guarantee is about RANK, not value: the sketch returns an
+    * actual group member whose rank is within n/accuracy of the target
+    * p·n. So the gate VERIFIES exactly that, in-plan: broadcast the tiny
+    * per-group sketch row back into the lineitem scan, count members
+    * strictly below / at-or-below each returned value (the value's
+    * feasible rank interval [lt+1, le]), and demand that interval
+    * intersect [p·n − slack, p·n + slack] with slack = n/accuracy + 1
+    * (one rank absorbs the floor/ceil convention). A violated bound
+    * aborts via `raise_error` rather than emitting `false`, so the
+    * hashed output is fully DuckDB-computable: the group key, the exact
+    * group count, and three literal-TRUE verdicts. The sketch values
+    * themselves stay in [[percentilesApproxValues]] + SketchSpec.
+    * Scale shape: one extra pass over lineitem against a broadcast
+    * 3-row aggregate — no new shuffle of the fact table. */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val sketch = percentilesApproxValues(s, dir)
+    val counted = li.join(broadcast(sketch), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < col("qty_p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("qty_p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("qty_p90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_quantity") <= col("qty_p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_extendedprice") < col("price_p25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col("l_extendedprice") <= col("price_p25"), 1L).otherwise(0L)).as("le25"))
+    def verdict(name: String, p: Double, lt: Column, le: Column): Column = {
+      val n = col("n").cast("double")
+      val slack = n / lit(PercentileAccuracy.toDouble) + lit(1.0)
+      val target = lit(p) * n
+      val ok = (lt.cast("double") + lit(1.0) <= target + slack) &&
+        (le.cast("double") >= target - slack)
+      when(ok, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"GK rank bound violated for $name in flag "), col("l_returnflag"),
+          lit(": feasible ranks ["), (lt + lit(1L)).cast("string"),
+          lit(","), le.cast("string"),
+          lit("] vs target "), target.cast("string"),
+          lit(" +- "), slack.cast("string"))))
+        .as(name)
+    }
+    counted.select(
+      col("l_returnflag"), col("n"),
+      verdict("p50_ok", 0.5, col("lt50"), col("le50")),
+      verdict("p90_ok", 0.9, col("lt90"), col("le90")),
+      verdict("p25_ok", 0.25, col("lt25"), col("le25")))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val percentilesApproxSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok,
+      |  TRUE AS p25_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Generator/UDTF surface: explode documents into tokens, global top-20
     * token frequencies (deterministic tie-break). */

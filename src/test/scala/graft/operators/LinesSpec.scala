@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** CCNet-style line dedup ([[Lines.dedupLines]]): planted boilerplate
   * drops at the distinct-doc threshold, unique content and structure
-  * survive in order, and the boilerplate set rides a broadcast. */
+  * survive in order, and the verdict join is fingerprint-keyed with no
+  * forced broadcast (AQE picks the strategy from the measured set size —
+  * the boilerplate set is corpus-sized at web scale). */
 class LinesSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -46,12 +48,29 @@ class LinesSpec extends SparkTestBase {
     assert(out.values.forall(_._2 == 0L), out.toString)
   }
 
-  test("gate: boilerplate binds on fixtures and the set rides a broadcast") {
+  test("gate: boilerplate binds on fixtures; verdict join is fingerprint-keyed, unforced") {
     val df = graft.queries.LlmOps.lineDedup(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
     assert(rows.exists(_.getLong(2) > 0), "planted furniture must drop")
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the analyzed plan must carry NO forced broadcast hint (AQE may still
+    // CHOOSE broadcast at this SF — that is the point: choice, not force)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("Hint"), logical.take(2000))
+    // ...and the join key is the 128-bit line fingerprint, not line text
+    assert(df.queryExecution.optimizedPlan.toString.contains("line_fp"),
+      df.queryExecution.optimizedPlan.toString.take(2000))
+  }
+
+  test("all-boilerplate doc keeps empty text with kept_len 0 (null-skip contract)") {
+    val boiler = "cookie banner"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), // every line boilerplate
+      (4L, s"$boiler\nreal content"))
+    val out = Lines.dedupLines(docs.toDF("doc_id", "text"), "doc_id", col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) === 1L && out(1L).getLong(3) === 0L,
+      "fully-stripped doc must keep '' (len 0), not null")
+    assert(out(4L).getLong(3) === "real content".length.toLong)
   }
 }

@@ -33,7 +33,7 @@ class SketchSpec extends SparkTestBase {
       def at(rank: Double) = sorted(math.max(0, math.min(n - 1, rank.toInt)))
       (at(math.floor((p - eps) * n) - 1), at(math.ceil((p + eps) * n) + 1))
     }
-    val approx = Relational.percentilesApprox(spark, dir).collect()
+    val approx = Relational.percentilesApproxValues(spark, dir).collect()
     assert(approx.length == 3)
     approx.foreach { r =>
       val flag = r.getString(0)
@@ -50,11 +50,11 @@ class SketchSpec extends SparkTestBase {
   test("approx_count_distinct lands within HLL++ relative error of the exact counts") {
     val exact = Relational.distinctAgg(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Relational.approxDistinct(spark, dir).collect()
+    val approx = Relational.approxDistinctFull(spark, dir).collect()
     assert(approx.length == exact.size)
     approx.foreach { r =>
       val e = exact(r.getString(0)).toDouble
-      val a = r.getLong(1).toDouble
+      val a = r.getLong(r.fieldIndex("approx_parts")).toDouble
       // default HLL++ rsd is 5%; allow 5 sigma (rsd is a standard
       // deviation — 3σ flakes ~0.3% per group on a healthy sketch)
       assert(math.abs(a - e) / e <= 0.25,
@@ -70,7 +70,7 @@ class SketchSpec extends SparkTestBase {
     // the upper bound widened 3x because the theoretical eps*N bound only
     // holds with confidence 1-delta per query (the HLL 5-sigma precedent);
     // re-assert the emitted evidence and the structural properties here
-    val rows = graft.queries.LlmOps.heavyHitters(spark, dir).collect()
+    val rows = graft.queries.LlmOps.heavyHittersFull(spark, dir).collect()
     assert(rows.length == 20)
     rows.foreach { r =>
       val (exact, est) = (r.getLong(2), r.getLong(3))
@@ -81,7 +81,7 @@ class SketchSpec extends SparkTestBase {
     val exacts = rows.sortBy(_.getInt(0)).map(_.getLong(2)).toSeq
     assert(exacts == exacts.sorted.reverse, "ranks must follow exact counts")
     // determinism: fixed seed → identical estimates on a second run
-    val again = graft.queries.LlmOps.heavyHitters(spark, dir).collect()
+    val again = graft.queries.LlmOps.heavyHittersFull(spark, dir).collect()
       .map(r => r.getString(1) -> r.getLong(3)).toMap
     rows.foreach(r => assert(again(r.getString(1)) == r.getLong(3),
       "CMS estimates must be deterministic under the fixed seed"))
