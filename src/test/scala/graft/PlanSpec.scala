@@ -92,4 +92,17 @@ class PlanSpec extends SparkTestBase {
     val p = plan("d_chunk_windows")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("vocab coverage: top-200 via TakeOrderedAndProject, window only over the survivors") {
+    val p = plan("d_vocab_coverage")
+    // each partition keeps 200 rows; no task ever sorts the full vocab
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the one Window node must sit ABOVE the TakeOrdered (over <= 200
+    // rows), never directly over the vocab aggregate
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && topIdx >= 0 && winIdx < topIdx,
+      s"Window must consume the TakeOrdered output (formatted plans list " +
+        s"consumers first): win=$winIdx top=$topIdx\n$p")
+  }
 }
