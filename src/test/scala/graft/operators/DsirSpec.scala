@@ -80,6 +80,32 @@ class DsirSpec extends SparkTestBase {
     assert(run(2L) === run(1024L))
   }
 
+  test("resample: negative ids keep bucket order ≡ id order (floor bucketing)") {
+    val scored = Seq((-9L, 3L), (-5L, 2L), (-1L, 5L), (0L, 4L), (5L, 1L), (7L, 6L))
+      .toDF("doc_id", "w")
+    def run(span: Long) =
+      Dsir.systematicResample(scored, "doc_id", "w", k = 4, bucketSpan = span)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // span=1 is the trivially-exact flat cumsum; wider spans must agree
+    assert(run(4L) === run(1L))
+    assert(run(8L) === run(1L))
+  }
+
+  test("resample: a span that would overflow the offsets broadcast is refused; auto-span handles it") {
+    // id range ~3e9 wide: span=1024 would yield ~2.9M offset rows (> the
+    // 1M contract) — exactly the default that round-7 flagged as silently
+    // unbounded at 10^10 docs
+    val scored = Seq((0L, 5L), (1L, 3L), (3_000_000_000L, 7L)).toDF("doc_id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.systematicResample(scored, "doc_id", "w", k = 3, bucketSpan = 1024L)
+    }
+    assert(e.getMessage.contains("broadcast-sized"))
+    // auto-scale derives a safe span and still draws exactly k
+    val out = Dsir.systematicResample(scored, "doc_id", "w", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.values.sum === 3L, out.toString)
+  }
+
   test("plan: the model rides broadcasts; the corpus is never sort-merge joined") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dsir.importanceScores(docs, "doc_id", "text", col("lang") === "en")
