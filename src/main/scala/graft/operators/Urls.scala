@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   * form, so URL-level dedup and host-level stats group what is actually
   * the same page.
   *
-  * The rules are the standard RFC 3986 §6 syntax-based normalizations plus
-  * the universal crawl conventions (strip `utm_*` tracking params, drop
-  * fragments, strip `www.`):
+  * The rules are the case/port/slash subset of RFC 3986 §6's syntax-based
+  * normalizations plus the universal crawl conventions (strip `utm_*`
+  * tracking params, drop fragments, strip `www.`). Deliberately NOT
+  * implemented (they need per-character rewriting that neither engine's
+  * regexp surface expresses, so the oracle-exact contract would break):
+  * percent-encoding normalization (§6.2.2.1-2 — `/a%2Fb` and `/a%2fb`
+  * stay distinct) and dot-segment removal (§6.2.2.3 — `/a/./b` stays
+  * as-is); crawlers that emit those variants should normalize upstream.
+  * The implemented rules:
   *
   *   - scheme and host lowercased; `www.` prefix dropped;
   *   - `:443` dropped under https, `:80` under http (default ports);

@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * Content is preserved exactly (a row-level rewrite, no schema or value
   * changes) — the gate pins the round-trip by fingerprint. The rewrite
-  * lands in a staging directory first and swaps in atomically-per-entry
-  * (the CorpusExport discipline), so a reader never observes a
-  * half-compacted directory.
+  * lands in a staging directory first; the swap renames the OLD directory
+  * aside before renaming staging into place (and restores it if that
+  * second rename fails), so a reader never observes partially WRITTEN
+  * files and the no-directory window is two metadata renames, not a
+  * recursive delete. True atomic swap needs a transactional table layer
+  * (manifest indirection, the CorpusExport manifest discipline) — on a
+  * plain directory, rename-aside is the strongest contract available,
+  * and local-filesystem rename is what this targets (HDFS rename is
+  * likewise atomic per entry; cross-filesystem moves are out of scope).
   */
 object Compaction {
 
@@ -54,9 +60,18 @@ object Compaction {
     val staging = outDir + ".staging"
     shaped.write.mode("overwrite").parquet(staging)
     val target = new java.io.File(outDir)
-    CorpusExport.deleteRecursively(target)
-    if (!new java.io.File(staging).renameTo(target))
+    // swap: old → .bak, staging → target, delete .bak — the old data
+    // stays intact (and is restored) if the forward rename fails, and the
+    // target-absent window shrinks to two rename calls
+    val bak = new java.io.File(outDir + ".bak")
+    CorpusExport.deleteRecursively(bak)
+    if (target.exists() && !target.renameTo(bak))
+      throw new java.io.IOException(s"compaction swap failed: $outDir -> $bak")
+    if (!new java.io.File(staging).renameTo(target)) {
+      if (bak.exists()) bak.renameTo(target) // roll back
       throw new java.io.IOException(s"compaction swap failed: $staging -> $outDir")
+    }
+    CorpusExport.deleteRecursively(bak)
     val after = parquetFiles(target)
     Report(before.size, bytesBefore, after.size, after.map(_.length()).sum)
   }

@@ -691,7 +691,12 @@ object EventPipeline {
     * event-time watermark passes its last possible progress deadline
     * (previous stage + window) and the state is dropped — so state is one
     * 3-long record per in-flight user, bounded by the watermark horizon
-    * like the sessionizer.
+    * like the sessionizer. A COMPLETED funnel's state lingers as a
+    * tombstone (emitting nothing) until the watermark passes its purchase
+    * time + window, so a later signup from the same user inside that
+    * horizon cannot restart the funnel and emit a second row — each user
+    * converts at most once per horizon, the bounded-state rendering of
+    * the batch operator's one-funnel-per-user contract.
     *
     * In-order equivalence: within each micro-batch rows are sorted by
     * (event time, event_id) and the greedy "first qualifying event"
@@ -714,15 +719,19 @@ object EventPipeline {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, rows, state: GroupState[FunnelState]) =>
           if (rows.isEmpty && state.hasTimedOut) {
-            val out = state.getOption.map(s => FunnelOut(userId, stageOf(s))).iterator
+            // completed funnels (t3 >= 0) are TOMBSTONES: their row was
+            // emitted at completion, the timeout only reclaims the state
+            val out = state.getOption.filter(_.t3 < 0)
+              .map(s => FunnelOut(userId, stageOf(s))).iterator
             state.remove()
             out
           } else {
             val wmUs = state.getCurrentWatermarkMs() * 1000
             val sorted = rows.filter(e => us(e.ts) >= wmUs)
               .toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
-            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-            sorted.foreach { e =>
+            val prior = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var s = prior
+            if (s.t3 < 0) sorted.foreach { e =>
               val t = us(e.ts)
               e.event_type match {
                 case "signup" if s.t1 < 0 =>
@@ -736,18 +745,22 @@ object EventPipeline {
                 case _ =>
               }
             }
-            if (s.t3 >= 0) {
-              // funnel complete: emit now, nothing left to wait for
-              if (state.exists) state.remove()
-              Iterator.single(FunnelOut(userId, 3))
-            } else if (s.t1 >= 0) {
+            if (s.t3 >= 0 || s.t1 >= 0) {
               state.update(s)
-              // no qualifying next-stage event can arrive once the
-              // watermark passes (reached stage's time + window)
-              val deadline = (if (s.t2 >= 0) s.t2 else s.t1) + windowUs
+              // in-flight: no qualifying next-stage event can arrive once
+              // the watermark passes (reached stage's time + window).
+              // complete: state LINGERS as a tombstone to the same horizon
+              // so a later signup inside it can't restart the funnel and
+              // double-count the user (each user converts at most once per
+              // watermark+window horizon; the batch operator's one-funnel-
+              // per-user contract, bounded)
+              val deadline =
+                (if (s.t3 >= 0) s.t3 else if (s.t2 >= 0) s.t2 else s.t1) + windowUs
               state.setTimeoutTimestamp(
                 math.max(deadline / 1000 + 1, state.getCurrentWatermarkMs() + 1))
-              Iterator.empty
+              // emit exactly once, at the completing batch
+              if (s.t3 >= 0 && prior.t3 < 0) Iterator.single(FunnelOut(userId, 3))
+              else Iterator.empty
             } else Iterator.empty
           }
       }

@@ -101,6 +101,58 @@ class StreamingSpec extends SparkTestBase {
     assert(got("2_click") < got("1_signup"))
   }
 
+  test("funnelStages: a repeat signup inside the tombstone horizon cannot double-count") {
+    import spark.implicits._
+    val windowUs = 3600L * 1000000L // 1h funnel window
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_tomb")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 12, 0, 0)
+    def dump(target: String,
+        rows: Seq[(Long, java.time.LocalDateTime, Long, String, Double, String)]): Unit = {
+      val tmp = dir.resolve(s"tmp_$target")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val p = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(p.toPath, in.resolve(target))
+    }
+    // batch A: user 7 completes the funnel → one stage-3 row emits
+    dump("part-a.parquet", Seq(
+      (1L, t0, 7L, "signup", 0.0, "{}"),
+      (2L, t0.plusSeconds(60), 7L, "click", 0.0, "{}"),
+      (3L, t0.plusSeconds(120), 7L, "purchase", 5.0, "{}")))
+    val name = s"funnel_tomb_${System.nanoTime()}"
+    val q = EventPipeline.funnelStages(
+        spark, EventPipeline.readEventStream(spark, in.toString,
+          maxFilesPerTrigger = Some(1)), windowUs)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", dir.resolve("ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      // batch B: the SAME user signs up again inside the tombstone horizon
+      // (purchase + window) — without the tombstone this restarts the
+      // funnel and emits a second stage-3 row
+      dump("part-b.parquet", Seq(
+        (4L, t0.plusSeconds(600), 7L, "signup", 0.0, "{}"),
+        (5L, t0.plusSeconds(660), 7L, "click", 0.0, "{}"),
+        (6L, t0.plusSeconds(720), 7L, "purchase", 5.0, "{}")))
+      q.processAllAvailable()
+      // sentinels: watermark past every deadline → tombstone reclaimed
+      dump("part-c.parquet", Seq((-1L, t0.plusSeconds(3 * 3600), -1L, "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+      dump("part-d.parquet", Seq((-2L, t0.plusSeconds(3 * 3600 + 1), -1L, "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.toSeq === Seq((7L, 3)),
+        s"user 7 must convert exactly once, got ${rows.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("lineFilterSync: streamed boilerplate drop EQUALS the batch operator") {
     val dir = "/root/testdata/sf0.001"
     val got = EventPipeline.lineFilterSync(spark, dir)
