@@ -99,6 +99,7 @@ object SparkEntry {
     "d_ann_delete" -> (q.LlmOps.annDelete _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
+    "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
@@ -293,6 +294,8 @@ object SparkEntry {
     // multimodal: integer gate shape — byte counts recomputed from header
     // arithmetic, decode exactness pinned to theory (see LlmOps.multimodalSql)
     "d_multimodal" -> q.LlmOps.multimodalSql,
+    // PNG tier: pixel-side closed forms (deflated byte counts have none)
+    "d_multimodal_png" -> q.LlmOps.multimodalPngSql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -1,14 +1,15 @@
 package graft.operators
 
 /** Real, dependency-free media codecs for the multimodal tier: 24-bit
-  * uncompressed BMP (images) and 16-bit PCM WAV (audio) are pure
-  * header+payload formats, so they can be generated AND decoded with
-  * nothing but the JVM — which turns the multimodal pipeline from "stub
-  * codec behind real plumbing" into a real decode path. Compressed formats
-  * (JPEG/MP3/H.264) genuinely require third-party codec libraries and stay
-  * behind the documented stub fallback.
+  * uncompressed BMP (images), 16-bit PCM WAV (audio), and — round 8 —
+  * 8-bit RGB/RGBA PNG, whose only "library" need (zlib inflate/deflate)
+  * the JDK ships built-in (`java.util.zip`), the XlsxSink precedent. So
+  * the real decode surface is now BMP + PNG + WAV; JPEG/MP3/H.264
+  * genuinely require third-party codec libraries and stay behind the
+  * documented stub fallback.
   *
-  * All byte layouts are little-endian per the BMP/RIFF specifications.
+  * BMP/RIFF byte layouts are little-endian per those specifications; PNG
+  * chunk framing is big-endian per RFC 2083, every chunk CRC32-validated.
   */
 object MediaCodecs {
 
@@ -110,19 +111,19 @@ object MediaCodecs {
     BmpImage(width, height, px)
   }
 
-  /** Image feature vector (16 floats): mean R/G/B in [0,1], width, height,
-    * 11-bin normalized luminance histogram (Rec.601 luma). */
-  def bmpFeatures(payload: Array[Byte]): Array[Float] = {
-    val img = decodeBmp(payload)
+  /** Shared image feature kernel over row-major top-down RGB triples —
+    * single-sourced so the BMP and PNG paths produce BIT-IDENTICAL
+    * features for identical pixels (MediaCodecsSpec pins exactly that). */
+  private def rgbFeatureVector(width: Int, height: Int, pixels: Array[Byte]): Array[Float] = {
     val out = new Array[Float](16)
-    val n = img.width * img.height
+    val n = width * height
     var sr = 0L; var sg = 0L; var sb = 0L
     val hist = new Array[Float](11)
     var i = 0
     while (i < n) {
-      val r = img.pixels(i * 3) & 0xff
-      val g = img.pixels(i * 3 + 1) & 0xff
-      val b = img.pixels(i * 3 + 2) & 0xff
+      val r = pixels(i * 3) & 0xff
+      val g = pixels(i * 3 + 1) & 0xff
+      val b = pixels(i * 3 + 2) & 0xff
       sr += r; sg += g; sb += b
       val luma = (0.299 * r + 0.587 * g + 0.114 * b).toInt
       hist(math.min(10, luma * 11 / 256)) += 1f
@@ -131,11 +132,18 @@ object MediaCodecs {
     out(0) = sr.toFloat / n / 255f
     out(1) = sg.toFloat / n / 255f
     out(2) = sb.toFloat / n / 255f
-    out(3) = img.width.toFloat
-    out(4) = img.height.toFloat
+    out(3) = width.toFloat
+    out(4) = height.toFloat
     var h = 0
     while (h < 11) { out(5 + h) = hist(h) / n; h += 1 }
     out
+  }
+
+  /** Image feature vector (16 floats): mean R/G/B in [0,1], width, height,
+    * 11-bin normalized luminance histogram (Rec.601 luma). */
+  def bmpFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = decodeBmp(payload)
+    rgbFeatureVector(img.width, img.height, img.pixels)
   }
 
   /** Real nearest-neighbor resample: decodes, samples source pixels at the
@@ -165,6 +173,254 @@ object MediaCodecs {
       y += 1
     }
     out
+  }
+
+  // =================== PNG (8-bit RGB / RGBA) ===================
+
+  private def be4(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def readBe4(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One framed chunk: length + type + data + CRC32(type ++ data). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    be4(data.length) ++ t ++ data ++ be4(crc.getValue.toInt)
+  }
+
+  /** RFC 2083 Paeth predictor: the neighbor (left/above/upper-left)
+    * closest to the linear estimate a + b - c, ties broken a, b, c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode row-major top-down RGB triples as a spec-conforming PNG:
+    * 8-bit, color type 2 (RGB) or 6 (RGBA, alpha 255), no interlace, every
+    * scanline filtered with `filterType` (0=None 1=Sub 2=Up 3=Average
+    * 4=Paeth — exposed so tests can plant each decode path), IDAT
+    * deflated with the JDK zlib. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte],
+      filterType: Int = 4, withAlpha: Boolean = false): Array[Byte] = {
+    require(filterType >= 0 && filterType <= 4, s"bad filter type $filterType")
+    require(rgb.length == width * height * 3,
+      s"pixel buffer ${rgb.length} != ${width}x$height RGB")
+    val bpp = if (withAlpha) 4 else 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val prev = new Array[Byte](stride) // zero row above the image per spec
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        cur(x * bpp) = rgb(s)
+        cur(x * bpp + 1) = rgb(s + 1)
+        cur(x * bpp + 2) = rgb(s + 2)
+        if (withAlpha) cur(x * bpp + 3) = 0xff.toByte
+        x += 1
+      }
+      val rowOff = y * (stride + 1)
+      raw(rowOff) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val v = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val f = filterType match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 => v - paeth(a, b, c)
+        }
+        raw(rowOff + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be4(width) ++ be4(height) ++
+      Array[Byte](8, if (withAlpha) 6 else 2, 0, 0, 0)
+    PngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", zOut.toByteArray) ++ pngChunk("IEND", Array.empty)
+  }
+
+  /** Deterministic synthetic image with the SAME gradient formula as
+    * [[synthBmp]] (R=(7x+s)%256, G=(5y+s)%256, B=(x+y+s)%256), so the PNG
+    * and BMP decode paths can be pinned bit-equal against each other. The
+    * scanline filter rotates with the seed, so a corpus of doc-id-seeded
+    * payloads exercises all five decode paths. */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val s = (seed & 0xff).toInt
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        rgb(o) = (((x * 7 + s) % 256) & 0xff).toByte
+        rgb(o + 1) = (((y * 5 + s) % 256) & 0xff).toByte
+        rgb(o + 2) = (((x + y + s) % 256) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(width, height, rgb, filterType = ((seed % 5) + 5).toInt % 5)
+  }
+
+  final case class PngImage(width: Int, height: Int, pixels: Array[Byte]) {
+    /** pixels are row-major top-down RGB triples (alpha dropped). */
+    def rgb(x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * width + x) * 3
+      ((pixels(o) & 0xff), (pixels(o + 1) & 0xff), (pixels(o + 2) & 0xff))
+    }
+  }
+
+  /** Bounded zlib inflate: exactly `expected` bytes or a typed error —
+    * never an unbounded buffer from lying stream contents (this runs
+    * distributed over untrusted bytes, the decodeWav discipline). */
+  private def inflateExact(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    try {
+      var total = 0
+      while (total < expected && !inf.finished()) {
+        val n = inf.inflate(out, total, expected - total)
+        require(n > 0 || inf.finished(),
+          "truncated PNG pixel stream (inflater stalled before the expected size)")
+        total += n
+      }
+      require(total == expected,
+        s"PNG pixel stream too short: got $total of $expected bytes")
+      val probe = new Array[Byte](1)
+      require(inf.finished() || inf.inflate(probe, 0, 1) == 0,
+        s"PNG pixel stream longer than the header's geometry ($expected bytes)")
+      out
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt PNG IDAT stream: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** Real PNG parse: signature + chunk walk with per-chunk CRC32
+    * validation, IHDR geometry checks, concatenated-IDAT inflate bounded
+    * to the header's claimed size, and per-scanline unfiltering of all
+    * five RFC 2083 filter types. Supports 8-bit color types 2 (RGB) and
+    * 6 (RGBA, alpha dropped), no interlace. Corrupt framing, lying sizes,
+    * bad CRCs and unknown filter types raise IllegalArgumentException
+    * rather than crashing a task mid-row or allocating unbounded
+    * buffers. */
+  def decodePng(payload: Array[Byte]): PngImage = {
+    require(payload.length >= 8 &&
+      (0 until 8).forall(i => payload(i) == PngSignature(i)),
+      "not a PNG payload")
+    var off = 8
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(off + 8 <= payload.length, s"PNG truncated at chunk header (offset $off)")
+      val len = readBe4(payload, off)
+      require(len >= 0 && off + 12L + len <= payload.length,
+        s"corrupt PNG chunk at offset $off: length $len exceeds payload ${payload.length}")
+      val typ = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe4(payload, off + 8 + len),
+        s"PNG CRC mismatch in $typ chunk at offset $off")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, s"bad IHDR (len $len)")
+          w = readBe4(payload, off + 8)
+          h = readBe4(payload, off + 12)
+          val bitDepth = payload(off + 16) & 0xff
+          colorType = payload(off + 17) & 0xff
+          val compression = payload(off + 18) & 0xff
+          val filterMethod = payload(off + 19) & 0xff
+          val interlace = payload(off + 20) & 0xff
+          require(bitDepth == 8 && (colorType == 2 || colorType == 6) &&
+            compression == 0 && filterMethod == 0 && interlace == 0,
+            s"only 8-bit RGB/RGBA non-interlaced PNG supported, got " +
+              s"depth=$bitDepth color=$colorType comp=$compression " +
+              s"filter=$filterMethod interlace=$interlace")
+          require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20) &&
+            w.toLong * h <= (1L << 26),
+            s"invalid PNG dimensions ${w}x$h")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(payload, off + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) skipped per spec
+      }
+      off += 12 + len
+    }
+    require(seenIhdr, "missing IHDR chunk")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = w * bpp
+    val inflated = inflateExact(idat.toByteArray, (stride + 1) * h)
+    val px = new Array[Byte](w * h * 3)
+    val prev = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val ft = inflated(rowOff) & 0xff
+      require(ft <= 4, s"invalid PNG filter type $ft on scanline $y")
+      var i = 0
+      while (i < stride) {
+        val f = inflated(rowOff + 1 + i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case 4 => f + paeth(a, b, c)
+        }
+        cur(i) = (v & 0xff).toByte
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        px(d) = cur(x * bpp)
+        px(d + 1) = cur(x * bpp + 1)
+        px(d + 2) = cur(x * bpp + 2)
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    PngImage(w, h, px)
+  }
+
+  /** Image feature vector over a PNG payload — same 16-float kernel as
+    * [[bmpFeatures]], so identical pixels yield bit-identical features
+    * regardless of the container format. */
+  def pngFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = decodePng(payload)
+    rgbFeatureVector(img.width, img.height, img.pixels)
   }
 
   // =================== WAV (16-bit PCM mono) ===================

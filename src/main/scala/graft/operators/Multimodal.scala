@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, batching via `mapPartitions`
   * (the JVM analog of Python's `mapInPandas` batches), partition-friendly
-  * shapes, no driver collects. The codecs are REAL for the formats that
-  * need no third-party libraries — 24-bit BMP and PCM-16 WAV parse down to
-  * actual pixels and samples ([[MediaCodecs]]) — and a clearly-marked
-  * deterministic STUB ([[stubDecode]]) stands in only for compressed
-  * formats (JPEG/MP3/H.264) whose codecs this container cannot ship. */
+  * shapes, no driver collects. The codecs are REAL for the formats the
+  * bare JVM can decode — 24-bit BMP, 8-bit RGB/RGBA PNG (JDK zlib) and
+  * PCM-16 WAV parse down to actual pixels and samples ([[MediaCodecs]]) —
+  * and a clearly-marked deterministic STUB ([[stubDecode]]) stands in only
+  * for formats needing third-party codec libraries (JPEG/MP3/H.264). */
 object Multimodal {
 
   /** Typed per-media metadata carried alongside the payload. */
@@ -54,6 +54,22 @@ object Multimodal {
         .otherwise(lit("audio/wav")).as("mime"))
   }
 
+  /** Attach a REAL compressed payload to every doc: a deterministic
+    * doc_id-seeded PNG (deflated scanlines, CRC-framed chunks) whose
+    * pixel CONTENT matches the BMP gradient for the same id — the
+    * compressed-image twin of [[withMediaPayload]]. The seed-rotated
+    * scanline filter means a corpus exercises all five PNG unfilter
+    * paths. */
+  def withPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long) =>
+      MediaCodecs.synthPng(16 + (id % 16).toInt, 16 + (id % 12).toInt, id)
+    }
+    docs.select(
+      col("doc_id"),
+      gen(col("doc_id")).as("payload"),
+      lit("image/png").as("mime"))
+  }
+
   /** STUB decoder — stands in for compressed-format decode (JPEG/MP3),
     * whose codec libraries this container cannot ship. Deterministic:
     * 16-bin byte histogram, L1-normalized. Same shape as the real paths
@@ -89,10 +105,11 @@ object Multimodal {
     src.as[MediaRow]
   }
 
-  /** Per-payload decode dispatch: real pixel/sample features for BMP/WAV,
-    * stub histogram for opaque formats. */
+  /** Per-payload decode dispatch: real pixel/sample features for
+    * BMP/PNG/WAV, stub histogram for opaque formats. */
   def decodeOne(payload: Array[Byte], mime: String): Array[Float] = mime match {
     case "image/bmp" => MediaCodecs.bmpFeatures(payload)
+    case "image/png" => MediaCodecs.pngFeatures(payload)
     case "audio/wav" => MediaCodecs.wavFeatures(payload)
     case _ => stubDecode(payload)
   }
@@ -254,4 +271,48 @@ object Multimodal {
           .as("feat0_theory_exact"),
         bool_and(col("n_bytes") === theoryB(col("doc_id")))
           .as("bytes_theory_exact"))
+
+  /** Closed-form first feature of the synthetic PNG for doc `id`: the PNG
+    * pixel content is the SAME gradient as the even-id BMP (mean R channel
+    * independent of y), over (16+id%16)×(16+id%12) — one float expression
+    * replicating [[MediaCodecs.rgbFeatureVector]]'s fold order, for ALL
+    * ids (the PNG tier is not parity-split). */
+  def theoryPngFeature0(id: Long): Float = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + (id % 12).toInt
+    val s = (id & 0xff).toInt
+    var srRow = 0L
+    var x = 0
+    while (x < w) { srRow += (x * 7 + s) % 256; x += 1 }
+    (srRow * h).toFloat / (w * h) / 255f
+  }
+
+  private def theoryPngF = udf((id: Long) => theoryPngFeature0(id))
+
+  /** PNG gate aggregation: synth (deflate-compressed, CRC-framed, filter-
+    * rotated) → full chunk-walk + inflate + unfilter decode → per-source
+    * integer aggregation. No closed form exists for a DEFLATED byte count,
+    * so unlike [[featureGate]] the pinned facts are pixel-side: total
+    * decoded pixels (header geometry is closed-form in doc_id) and two
+    * all-docs-match counters — decoded feature[0] vs theory (bit-exact
+    * float) and decoded (width, height) vs the id formula. An external
+    * engine verifies every column from `documents.doc_id` alone. */
+  def pngGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = withPngPayload(spark, docs)
+    val feats = decodeFeatures(spark, media).toDF()
+    feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((element_at(col("feature"), 4) * element_at(col("feature"), 5))
+          .cast("long")).as("n_px"),
+        sum(when(element_at(col("feature"), 1) === theoryPngF(col("doc_id")), 1L)
+          .otherwise(0L)).as("n_feat0_exact"),
+        sum(when(
+          element_at(col("feature"), 4) ===
+            (pmod(col("doc_id"), lit(16)) + 16).cast("float") &&
+          element_at(col("feature"), 5) ===
+            (pmod(col("doc_id"), lit(12)) + 16).cast("float"), 1L)
+          .otherwise(0L)).as("n_dims_exact"))
+  }
 }

@@ -1750,6 +1750,23 @@ object LlmOps {
       |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_bytes_exact
       |FROM m GROUP BY source, mime""".stripMargin
 
+  /** PNG multimodal gate ([[Multimodal.pngGate]]): every doc carries a
+    * doc_id-seeded deflate-compressed PNG (scanline filter rotating over
+    * all five RFC 2083 types), decoded by the full chunk-walk + CRC +
+    * inflate + unfilter path. */
+  def multimodalPng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodalPng]]: pixel counts from the id →
+    * geometry formula; the exactness counts pinned to "every doc's decoded
+    * feature[0] and dimensions match theory" (a deflated BYTE count has no
+    * closed form, so the pins are pixel-side). */
+  val multimodalPngSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM((16 + doc_id % 16) * (16 + doc_id % 12)) AS BIGINT) AS n_px,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
+      |FROM documents GROUP BY source""".stripMargin
+
   /** End-to-end curation pipeline — the composition a training-data corpus
     * actually runs: quality gate → repetition gate → language agreement →
     * exact-canonical dedup survivors → benchmark decontamination (the

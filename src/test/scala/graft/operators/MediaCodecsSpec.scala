@@ -95,4 +95,97 @@ class MediaCodecsSpec extends AnyFunSuite {
     val audio = MediaCodecs.decodeWav(spliced)
     assert(audio.sampleRate == 8000 && audio.samples.length == 100)
   }
+
+  // =================== PNG ===================
+
+  private def gradientRgb(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val s = (seed & 0xff).toInt
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = (((x * 7 + s) % 256) & 0xff).toByte
+      px(o + 1) = (((y * 5 + s) % 256) & 0xff).toByte
+      px(o + 2) = (((x + y + s) % 256) & 0xff).toByte
+    }
+    px
+  }
+
+  test("PNG: encode → decode round-trips exact pixels under ALL FIVE filter types") {
+    val (w, h) = (23, 17) // non-multiple-of-4 width exercises odd strides
+    val px = gradientRgb(w, h, 9L)
+    for (ft <- 0 to 4) {
+      val img = MediaCodecs.decodePng(MediaCodecs.encodePng(w, h, px, filterType = ft))
+      assert(img.width == w && img.height == h, s"filter $ft geometry")
+      assert(java.util.Arrays.equals(img.pixels, px), s"filter $ft pixels differ")
+    }
+  }
+
+  test("PNG: RGBA (color type 6) round-trips with alpha dropped") {
+    val (w, h) = (11, 7)
+    val px = gradientRgb(w, h, 3L)
+    for (ft <- Seq(1, 4)) {
+      val img = MediaCodecs.decodePng(
+        MediaCodecs.encodePng(w, h, px, filterType = ft, withAlpha = true))
+      assert(java.util.Arrays.equals(img.pixels, px), s"RGBA filter $ft")
+    }
+  }
+
+  test("PNG ≡ BMP: same gradient, two container formats, bit-identical features") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 4L, 77L)) { // covers every rotated filter
+      val (w, h) = (16 + (seed % 16).toInt, 16 + (seed % 12).toInt)
+      val fPng = MediaCodecs.pngFeatures(MediaCodecs.synthPng(w, h, seed))
+      val fBmp = MediaCodecs.bmpFeatures(MediaCodecs.synthBmp(w, h, seed))
+      assert(fPng.toSeq == fBmp.toSeq, s"seed $seed: PNG and BMP features diverge")
+    }
+  }
+
+  test("PNG: ancillary chunks are skipped; IDAT may split across chunks") {
+    val base = MediaCodecs.encodePng(9, 5, gradientRgb(9, 5, 2L), filterType = 2)
+    // re-frame: signature + IHDR, then a tEXt chunk, then the IDAT split in two
+    def be4(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32; crc.update(t); crc.update(data)
+      be4(data.length) ++ t ++ data ++ be4(crc.getValue.toInt)
+    }
+    val ihdrLen = java.nio.ByteBuffer.wrap(base, 8, 4).getInt
+    val ihdrEnd = 8 + 12 + ihdrLen
+    val idatLen = java.nio.ByteBuffer.wrap(base, ihdrEnd, 4).getInt
+    val idat = base.slice(ihdrEnd + 8, ihdrEnd + 8 + idatLen)
+    val (i1, i2) = idat.splitAt(idatLen / 2)
+    val reframed = base.slice(0, ihdrEnd) ++
+      chunk("tEXt", "comment".getBytes("US-ASCII")) ++
+      chunk("IDAT", i1) ++ chunk("IDAT", i2) ++ chunk("IEND", Array.empty)
+    val img = MediaCodecs.decodePng(reframed)
+    assert(java.util.Arrays.equals(img.pixels, gradientRgb(9, 5, 2L)))
+  }
+
+  test("PNG: corrupt payloads raise bounded errors, never crash or hang") {
+    val good = MediaCodecs.synthPng(20, 16, 5L)
+    // flipped IDAT byte → CRC mismatch
+    val badCrc = good.clone()
+    badCrc(good.length - 20) = (badCrc(good.length - 20) ^ 0x41).toByte
+    val e1 = intercept[IllegalArgumentException] { MediaCodecs.decodePng(badCrc) }
+    assert(e1.getMessage.contains("CRC"))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(good.slice(0, good.length / 2))
+    }
+    // not a PNG at all
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(MediaCodecs.synthBmp(8, 8, 1L))
+    }
+    // header claims wrong geometry vs the deflated stream: rebuild IHDR
+    // with height+1 and a fresh CRC → inflate must stop at a typed error
+    def be4(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val lying = good.clone()
+    System.arraycopy(be4(17), 0, lying, 8 + 8 + 4, 4) // height 16 → 17
+    val crc = new java.util.zip.CRC32
+    crc.update(lying, 12, 4 + 13)
+    System.arraycopy(be4(crc.getValue.toInt), 0, lying, 8 + 8 + 13, 4)
+    val e2 = intercept[IllegalArgumentException] { MediaCodecs.decodePng(lying) }
+    assert(e2.getMessage.contains("pixel stream"), e2.getMessage)
+  }
 }
