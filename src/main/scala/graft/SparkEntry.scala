@@ -59,6 +59,7 @@ object SparkEntry {
     "r_cohort_retention" -> (q.Relational.cohortRetention _),
     "r_gap_fill" -> (q.Relational.gapFill _),
     "r_zorder_layout" -> (q.Relational.zorderLayout _),
+    "r_events_partitioned" -> (q.Relational.eventsPartitioned _),
     // LLM-pipeline operators (SURVEY §2.3 north-star)
     "d_text_stats" -> (q.LlmOps.textStats _),
     "d_lang_id" -> (q.LlmOps.langId _),
@@ -208,6 +209,9 @@ object SparkEntry {
     "r_cohort_retention" -> q.Relational.cohortRetentionSql,
     "r_gap_fill" -> q.Relational.gapFillSql,
     "r_zorder_layout" -> q.Relational.zorderLayoutSql,
+    // partition pruning is an execution strategy: the oracle replays the
+    // date-window probe as a plain filter over the flat events table
+    "r_events_partitioned" -> q.Relational.eventsPartitionedSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,
     "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,

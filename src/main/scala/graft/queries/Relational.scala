@@ -605,11 +605,17 @@ object Relational {
   /** Gap-based sessionization (30-min inactivity) with window functions —
     * the batch twin of the streaming session operator. Gap math is integer
     * microseconds on both engines so boundaries agree exactly. */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOver(t(s, dir, "events"))
+
+  /** The sessionizer over ANY events-shaped frame (user_id, event_id, ts)
+    * — single-sourced so the flat gate and the day-partitioned-layout gate
+    * ([[eventsPartitioned]]) can never test different gap semantics. */
+  private[graft] def sessionizeOver(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
@@ -626,13 +632,16 @@ object Relational {
     * the 30-minute gap rule and the (ts, event_id) tie-break, so the batch
     * and streaming gate queries can never silently test different
     * semantics. */
-  private val sessionizeCtes: String =
-    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      |g AS (SELECT *, CASE WHEN prev_us IS NULL
-      |                       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
-      |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
-      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)""".stripMargin
+  private def sessionizeCtesFrom(sourceCtes: String): String =
+    s"""WITH $sourceCtes,
+       |g AS (SELECT *, CASE WHEN prev_us IS NULL
+       |                       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+       |      FROM (SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
+       |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)""".stripMargin
+
+  private val sessionizeCtes: String = sessionizeCtesFrom(
+    "e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)")
 
   val sessionizeSql: String =
     s"""$sessionizeCtes
@@ -690,6 +699,42 @@ object Relational {
       |    AS BIGINT) AS zval
       |FROM q
       |ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  /** Day-partitioned events layout gate ([[graft.plans.EventsLayout]]):
+    * events are written hive-partitioned by UTC event date, then the
+    * flagship sessionizer runs over a TWO-DAY probe window read from that
+    * layout — the date predicate binds as `PartitionFilters`, so only the
+    * probed days' files are read (EventsLayoutSpec pins the pruning and
+    * the file counts; this gate pins the ANSWER against DuckDB's
+    * date-filtered replay over the flat table). The probe window is
+    * derived from the data (min event date + 1, two days wide) via one
+    * bounded 1-row action, so the gate self-scales to any fixture. */
+  def eventsPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_events_days")
+    try {
+      graft.plans.EventsLayout.writePartitionedByDay(ev, out.toString)
+      val d0 = ev.agg(min(to_date(col("ts")))).head().getDate(0).toLocalDate
+      val probe = graft.plans.EventsLayout.readDayWindow(
+        s, out.toString, d0.plusDays(1), days = 2)
+      sessionizeOver(probe).localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[eventsPartitioned]]: the same sessionize CTEs over the
+    * date-bounded slice — partition pruning is an EXECUTION strategy, so
+    * the oracle expresses the probe as a plain date filter. */
+  val eventsPartitionedSql: String =
+    sessionizeCtesFrom(
+      """md AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events CROSS JOIN md
+        |      WHERE CAST(ts AS DATE) >= d0 + 1 AND CAST(ts AS DATE) < d0 + 3)""".stripMargin) +
+      """
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin
 
   /** RANGE-frame sliding window: per event, the count and exact money sum
     * of the SAME user's events in the preceding hour — a time-range frame
