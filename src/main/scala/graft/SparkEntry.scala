@@ -98,6 +98,7 @@ object SparkEntry {
     "d_ann_batch" -> (q.LlmOps.annBatch _),
     "d_ann_append" -> (q.LlmOps.annAppend _),
     "d_ann_delete" -> (q.LlmOps.annDelete _),
+    "d_incremental_day" -> (q.LlmOps.incrementalDay _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
@@ -233,6 +234,9 @@ object SparkEntry {
     "d_ann_batch" -> q.LlmOps.annBatchSql,
     "d_ann_append" -> q.LlmOps.annAppendSql,
     "d_ann_delete" -> q.LlmOps.annDeleteSql,
+    // the orchestrated day: dedup -> frozen curation -> delta -> append,
+    // replayed stage-by-stage from documents + embeddings alone
+    "d_incremental_day" -> q.LlmOps.incrementalDaySql,
     // streamed index ingest ≡ batch append under the same frozen centroids,
     // so the stream shares the batch twin's oracle (the s_stream_ingest rule)
     "s_stream_ann_ingest" -> q.LlmOps.annAppendSql,

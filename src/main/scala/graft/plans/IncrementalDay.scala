@@ -1,0 +1,132 @@
+package graft.plans
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The orchestrated incremental day — ONE composition of the standing-
+  * artifact maintenance operators, end to end, the way a production
+  * ingest service runs them nightly:
+  *
+  *   new-day batch
+  *     → bloom-routed exact dedup vs the standing corpus
+  *       ([[graft.operators.Dedup.bloomDedupAgainstCorpus]])
+  *     → curation under FROZEN day-0 artifacts (the stateless quality
+  *       tier + the batch-trained probe weights — the exact transforms
+  *       the streaming deployment runs,
+  *       [[graft.streaming.EventPipeline.curationFilterStream]] /
+  *       `probeScoreStream`)
+  *     → split-partitioned DELTA export of the curated day
+  *     → idempotent ANN index append of the curated day's vectors
+  *       ([[graft.operators.Similarity.appendBatchToIvfIndex]]),
+  *       committed-replay refused in the same run.
+  *
+  * Every fact in the returned report is recomputed from the WRITTEN
+  * artifacts (delta files read back; the day's index rows read from
+  * their batch-tagged files), so the gate verifies the on-disk state,
+  * not the in-memory plan. An UNCHANGED day (every document's content
+  * already in the corpus) writes ZERO delta part files and ZERO index
+  * data files — the zero-work invariant IncrementalDaySpec pins.
+  *
+  * 100 TB shape: each stage keeps its own proven posture — scan-local
+  * bloom probe + residual anti-join on 16-byte keys, one stateless
+  * scoring projection, one split-partitioned write of only the day's
+  * survivors, one partition-local index append touching only the day's
+  * assigned cells. Nothing reprocesses the standing corpus beyond the
+  * fingerprint store and frozen artifacts it already maintains.
+  */
+object IncrementalDay {
+
+  /** Run one day's ingest; see the object doc. `splitRule` is the shared
+    * content-stable split expression
+    * ([[graft.queries.LlmOps.splitColumnFor]]); `embeddings` maps
+    * vec_id ≡ doc_id. Returns the per-(split, lang) manifest of the
+    * written delta with the day's index-row/cell facts alongside. */
+  def ingestDay(
+      s: SparkSession,
+      incoming: DataFrame,
+      standing: DataFrame,
+      probeWeights: Seq[Double],
+      probeMargin: Double,
+      splitRule: Column => Column,
+      embeddings: DataFrame,
+      indexPath: String,
+      centroids: Seq[(Int, Seq[Float])],
+      deltaPath: String,
+      dayTag: String,
+      bloomBits: Int = 1 << 23,
+      bloomProbes: Int = 5): DataFrame = {
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.EventPipeline
+    GraftFunctions.register(s)
+
+    // 1. ingest dedup: definitely-new rows bypass the anti-join via the
+    // corpus bloom; the residual join decides the sliver
+    val admitted = Dedup.bloomDedupAgainstCorpus(
+      incoming, standing, "text", bloomBits, bloomProbes)
+
+    // 2. curation under frozen artifacts — the same stateless transforms
+    // the streaming deployment binds, so day-batch and live-stream
+    // admission can never disagree
+    val quality = EventPipeline.curationFilterStream(admitted)
+    val probeOk = EventPipeline
+      .probeScoreStream(admitted, probeWeights, probeMargin)
+      .select(col("doc_id"))
+    // persisted: the delta write and the index append both consume it,
+    // and recomputing would re-run the bloom + anti-join + scoring
+    val curated = quality.join(probeOk, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 3. split-partitioned delta export of the curated day
+      curated
+        .join(incoming.select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("split", splitRule(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+          col("text"), col("split"))
+        .write.mode("overwrite").partitionBy("split").parquet(deltaPath)
+
+      // 4. idempotent ANN append of the curated day's vectors; the
+      // replay-refusal is part of the day's contract, proven in-run
+      val dayVecs = embeddings
+        .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
+      require(Similarity.appendBatchToIvfIndex(
+        dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag),
+        s"day $dayTag must commit on first ingest")
+      require(!Similarity.appendBatchToIvfIndex(
+        dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag),
+        s"replay of committed day $dayTag must be refused")
+
+      // 5. report — every fact from the WRITTEN artifacts
+      val deltaBack = s.read.schema(
+          "doc_id long, lang string, n_tokens long, quality double, " +
+            "text string, split string")
+        .parquet(deltaPath)
+      val idxFacts = dayIndexFacts(s, indexPath, dayTag)
+      deltaBack.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .crossJoin(broadcast(idxFacts))
+        .localCheckpoint(true)
+    } finally { curated.unpersist(blocking = false); () }
+  }
+
+  /** (day_index_rows, day_index_cells) read back from the day's
+    * batch-tagged index files — 1 row. An empty day has no such files
+    * (globStatus, not a throwing read), reporting (0, 0). */
+  private def dayIndexFacts(
+      s: SparkSession, indexPath: String, dayTag: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(
+      new Path(s"$indexPath/cell=*/ingest-$dayTag-*.parquet")))
+      .getOrElse(Array.empty)
+    if (matches.isEmpty)
+      s.range(1).select(lit(0L).as("day_index_rows"), lit(0L).as("day_index_cells"))
+    else
+      s.read.option("basePath", indexPath)
+        .parquet(matches.map(_.getPath.toString).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("day_index_rows"),
+          count_distinct(col("cell")).as("day_index_cells"))
+  }
+}

@@ -2084,12 +2084,20 @@ object LlmOps {
     * that test documents never drift into train between runs. The
     * content-stable bucket every split consumer shares ([[trainSplit]]'s
     * gate aggregate, the corpus export's partition column). */
+  /** The content-stable 80/10/10 split rule as a column expression — ONE
+    * definition shared by [[splitAssignments]] and the incremental-day
+    * delta export ([[graft.plans.IncrementalDay]]), so a day's delta can
+    * never be split differently than the base corpus. */
+  private[graft] def splitColumnFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(GraftFunctions.fingerprint64(id.cast("string")), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def splitAssignments(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val bucket = pmod(GraftFunctions.fingerprint64(col("doc_id").cast("string")), lit(100L))
     docs(s, dir)
       .select(col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        splitColumnFor(col("doc_id")).as("split"),
         GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
   }
 
@@ -2736,6 +2744,74 @@ object LlmOps {
        |WHERE assign.cell IN (SELECT cell FROM probed)
        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
   }
+
+  /** The orchestrated incremental-day gate
+    * ([[graft.plans.IncrementalDay.ingestDay]]): doc_id ≡ 0 (mod 4) plays
+    * the new day, the rest the standing corpus. Day-0 artifacts are built
+    * first (IVF index + frozen centroids over the standing embeddings,
+    * probe weights trained on the day-0 corpus), then the day flows
+    * end-to-end: bloom dedup → frozen-artifact curation → split-
+    * partitioned delta export → idempotent index append (replay refused
+    * in-run). The output is the delta manifest read back from the written
+    * files with the day's index-row/cell facts from the batch-tagged
+    * index files — all of it replayed by the oracle from `documents` +
+    * `embeddings` alone. */
+  def incrementalDay(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_day")
+    try {
+      val d = docs(s, dir)
+      val e = embeddings(s, dir)
+      val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val incoming = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val idx = s"$root/index"
+      val cents = Similarity.writeIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding",
+        idx, nCells = 16, refineIters = IvfKmeansIters)
+      graft.plans.IncrementalDay.ingestDay(
+        s, incoming, standing,
+        trainedProbeWeights(s, dir), ProbeGateMargin, splitColumnFor,
+        e, idx, cents, s"$root/delta", "day1",
+        bloomBits = 1 << 16, bloomProbes = 4)
+    } finally graft.plans.CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[incrementalDay]] stage by stage: the mod-4 anti-join admit
+    * predicate, the quality-tier and frozen-probe CTEs (probe trained on
+    * the day-0 corpus — the whole `documents` table, the s_stream_probe
+    * convention), the shared split rule, and the day's index facts via
+    * the frozen-centroid k-means replica over the STANDING embeddings
+    * (the annAppend convention at a mod-4 split). */
+  lazy val incrementalDaySql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |  FROM (SELECT doc_id,
+       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |        FROM documents)),
+       |admitted AS (
+       |  SELECT i.doc_id FROM fp i
+       |  WHERE i.doc_id % 4 = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM fp c
+       |    WHERE c.doc_id % 4 <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)),
+       |$scoredRepCtes,
+       |$probeTrainCtes,
+       |$probeGateCtes,
+       |curated AS (
+       |  SELECT s.doc_id, s.lang, s.n_tokens FROM scored s
+       |  JOIN rep USING (doc_id) JOIN admitted USING (doc_id)
+       |  JOIN pok USING (doc_id)
+       |  WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok),
+       |$splitAssignCtes,
+       |${kmeansAssignCtesOver("(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0)")},
+       |idx AS (
+       |  SELECT COUNT(*) AS day_index_rows,
+       |         COUNT(DISTINCT a.cell) AS day_index_cells
+       |  FROM curated c JOIN assign a ON a.vec_id = c.doc_id)
+       |SELECT sp.split, c.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
+       |  idx.day_index_rows, idx.day_index_cells
+       |FROM curated c JOIN sp ON sp.doc_id = c.doc_id CROSS JOIN idx
+       |GROUP BY sp.split, c.lang, idx.day_index_rows, idx.day_index_cells""".stripMargin
 
   /** ANN index DELETE lifecycle
     * ([[graft.operators.Similarity.tombstoneIvfIndex]] +

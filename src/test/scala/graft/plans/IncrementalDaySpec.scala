@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The orchestrated incremental day ([[IncrementalDay.ingestDay]]): the
+  * zero-work invariant (an unchanged day writes NO delta part files and
+  * NO index data files), the touched-cells bound (the append lands in
+  * exactly the cells the day's vectors are assigned to, nothing else),
+  * and in-run idempotence (replay refused) are pinned here; the answer
+  * itself is the oracle-exact d_incremental_day gate. */
+class IncrementalDaySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def countParquet(f: java.io.File): Long =
+    Option(f.listFiles()).getOrElse(Array.empty).map {
+      case d if d.isDirectory => countParquet(d)
+      case p if p.getName.endsWith(".parquet") => 1L
+      case _ => 0L
+    }.sum
+
+  test("an UNCHANGED day writes zero delta part files and zero index data files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_zero")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      // the "unchanged day": new ids, but every document's CONTENT is
+      // already in the standing corpus
+      val incoming = standing.limit(50)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val idx = s"$root/index"
+      val cents = graft.operators.Similarity.writeIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding",
+        idx, nCells = 16, refineIters = 2)
+      val idxFilesBefore = countParquet(new java.io.File(idx))
+
+      val report = IncrementalDay.ingestDay(
+        spark, incoming, standing,
+        probeWeights = Seq.fill(64)(0.0), probeMargin = -1.0, // probe admits all
+        splitRule = c => lit("train"),
+        embeddings = e, indexPath = idx, centroids = cents,
+        deltaPath = s"$root/delta", dayTag = "dayz",
+        bloomBits = 1 << 16, bloomProbes = 4)
+
+      assert(report.collect().isEmpty, "unchanged day must report an empty manifest")
+      assert(countParquet(new java.io.File(s"$root/delta")) === 0L,
+        "unchanged day must write zero delta part files")
+      assert(countParquet(new java.io.File(idx)) === idxFilesBefore,
+        "unchanged day must add zero index data files")
+      // the commit marker still lands, so the day is replay-refusable
+      assert(new java.io.File(idx, "_graft_ingest_dayz.committed").exists())
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a real day's append touches EXACTLY the cells its vectors are assigned to") {
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_cells")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val incoming = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val idx = s"$root/index"
+      val cents = graft.operators.Similarity.writeIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding",
+        idx, nCells = 16, refineIters = 2)
+      val w = Seq.fill(64)(0.0) // frozen probe admitting everything: the
+      // cell pin is about the APPEND, not the curation cut
+      val report = IncrementalDay.ingestDay(
+        spark, incoming, standing, w, probeMargin = -1.0,
+        splitRule = c => lit("train"),
+        embeddings = e, indexPath = idx, centroids = cents,
+        deltaPath = s"$root/delta", dayTag = "day1",
+        bloomBits = 1 << 16, bloomProbes = 4)
+      val nDocs = report.agg(sum(col("n_docs"))).head().getLong(0)
+      assert(nDocs > 0, "fixture day must admit documents")
+
+      // cells holding day files on disk == in-memory assignment of the
+      // day's vectors under the frozen centroids
+      val onDisk = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .filter(_.listFiles().exists(_.getName.startsWith("ingest-day1-")))
+        .map(_.getName.stripPrefix("cell=").toInt).toSet
+      val deltaIds = spark.read.schema(
+          "doc_id long, lang string, n_tokens long, quality double, " +
+            "text string, split string")
+        .parquet(s"$root/delta").select(col("doc_id").as("vec_id"))
+      val expected = graft.operators.Similarity
+        .withIvfCell(e.join(deltaIds, "vec_id"), "embedding", cents)
+        .select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(onDisk === expected,
+        s"append touched $onDisk but assignment says $expected")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+}
