@@ -63,6 +63,7 @@ object SparkEntry {
     // LLM-pipeline operators (SURVEY §2.3 north-star)
     "d_text_stats" -> (q.LlmOps.textStats _),
     "d_lang_id" -> (q.LlmOps.langId _),
+    "d_lang_id_ngram" -> (q.LlmOps.langIdNgram _),
     "d_quality_repetition" -> (q.LlmOps.qualityRepetition _),
     "d_quality_gopher" -> (q.LlmOps.qualityGopher _),
     "d_dedup_exact" -> (q.LlmOps.dedupExact _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "r_events_partitioned" -> q.Relational.eventsPartitionedSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,
+    "d_lang_id_ngram" -> q.LlmOps.langIdNgramSql,
     "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,
     "d_quality_gopher" -> q.LlmOps.qualityGopherSql,
     "d_dedup_exact" -> q.LlmOps.dedupExactSql,

@@ -85,6 +85,86 @@ object LlmOps {
        |  FROM (SELECT doc_id, lang, $hitDefs FROM documents))""".stripMargin
   }
 
+  /** Label set + bucket count of the n-gram language-ID gate. 4096
+    * buckets keep trigram hash collisions rare (the fixture corpus has a
+    * few thousand distinct trigrams) while the model stays a trivially
+    * broadcast 4096×5 integer table. */
+  private val LangIdLangs = Seq("de", "en", "es", "fr", "zh")
+  private val LangIdDim = 4096
+
+  /** Hashed char-trigram language identification
+    * ([[graft.operators.LangId.classify]]) — the model-based upgrade of
+    * the marker heuristic ([[langId]]): per-language trigram models
+    * trained in-plan from the corpus labels, argmax classification. The
+    * gate emits the CONFUSION MATRIX (true lang × predicted lang), so
+    * misclassification structure is pinned, not just an accuracy rate.
+    *
+    * Fixture caveat, measured: the synthetic corpus draws every document
+    * from ONE shared 31-word vocabulary regardless of label (zero
+    * language-exclusive tokens at sf0.01), so label and text are
+    * independent and the Bayes-optimal classifier is the majority class
+    * (43.6% here) — which this model attains exactly, where the marker
+    * heuristic scores 39.6% (below the prior). Real discrimination under
+    * real signal is proven by LangIdSpec's planted-corpora case; the
+    * relative bar (≥ markers) is pinned there too. */
+  def langIdNgram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LangId.classify(
+      docs(s, dir), "doc_id", "text", "lang", LangIdLangs, LangIdDim)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** Mirrors [[langIdNgram]]: normalize + trigram window arithmetic (the
+    * [[textNormalizeSql]] replicas), unsigned-FNV bucket mod, per-language
+    * integer counts and totals, the collapsed-rational mean probability
+    * (integer numerator / double denominator, one fixed op shape), argmax
+    * with lexicographic tie-break via the same sorted when-chain. */
+  lazy val langIdNgramSql: String = {
+    val d = LangIdDim
+    val ls = LangIdLangs.sorted
+    val cnts = ls.map(l =>
+      s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(",\n    ")
+    val tots = ls.map(l => s"SUM(c_$l) AS t_$l").mkString(", ")
+    val sums = ls.map(l => s"SUM(COALESCE(c_$l, 0)) AS s_$l").mkString(",\n    ")
+    val scores = ls.map(l =>
+      s"CAST(n_g + s_$l AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(t_$l + $d AS DOUBLE)) AS score_$l")
+      .mkString(",\n    ")
+    val mx = s"greatest(${ls.map(l => s"score_$l").mkString(", ")})"
+    val pred = ls.map(l => s"WHEN score_$l = $mx THEN '$l'").mkString("\n    ")
+    s"""WITH n AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    CAST(${fnvHugeSql("g")} % $d AS BIGINT) AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(CASE WHEN length(norm) <= 3 THEN [norm]
+       |        ELSE list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3))
+       |      END) AS g
+       |    FROM n)),
+       |model AS (
+       |  SELECT b,
+       |    $cnts
+       |  FROM f GROUP BY b),
+       |totals AS (SELECT $tots FROM model),
+       |perdoc AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_g,
+       |    $sums
+       |  FROM f LEFT JOIN model USING (b) GROUP BY doc_id, lang),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM perdoc CROSS JOIN totals),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE $pred END AS pred_lang
+       |  FROM scored)
+       |SELECT lang, pred_lang, COUNT(*) AS n_docs
+       |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
   /** Gopher/C4-style repetition quality gate over the fused
     * [[GraftFunctions.repetitionStats]] kernel: per-document exact counts
     * (max token frequency, duplicate word-3-grams, longest identical-token
@@ -2895,7 +2975,15 @@ object LlmOps {
     * search touches nothing but the loaded doubles). Parquet round-trips
     * doubles bit-exactly, so this gate shares [[simTopKPcaSql]]'s
     * training-replay oracle verbatim — a byte of artifact drift would
-    * hash-mismatch. */
+    * hash-mismatch.
+    *
+    * BENCH SHAPE: the recorded gate time covers training + artifact
+    * round-trip + serve, because the gate must CREATE the fixture it
+    * loads (7 fixed PCA jobs dominate, ~2s of the gate's wall time);
+    * the serve path alone — load + project + top-k — is what a deployed
+    * process pays per query, and it is the tail of this gate after the
+    * `loadComponents` call. Read the bench number as artifact-lifecycle
+    * cost, not query latency. */
   def simTopKPcaLoad(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_pca_artifact")
     try {
