@@ -53,17 +53,33 @@ object LangId {
     GraftFunctions.register(docs.sparkSession)
     val ls = langs.sorted
 
+    // norm MUST be bound as its own projection before the n-gram window:
+    // embedding the regexp-based normalize inside a per-gram expression
+    // would re-evaluate it PER GRAM — measured 25s vs ~2s for this gate
+    // at sf0.1. A non-cheap alias referenced many times is not inlined
+    // by CollapseProject (the curation-kernel rule). The gram stream
+    // itself is explode(sequence) + substring — plain codegen'd
+    // expressions, NOT a higher-order transform lambda (HOFs run
+    // interpreted): semantically identical to charNgrams(norm, 3)
+    // including the short-string edge (len ≤ 3 → one gram = the string,
+    // since greatest(1, len−2) = 1 and substr clamps).
     val feats = docs
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-        explode(GraftFunctions.charNgrams(
-          GraftFunctions.normalize(col(textCol)), 3)).as("g"))
+        GraftFunctions.normalize(col(textCol)).as("norm"))
+      .select(col("doc_id"), col("lang"), col("norm"),
+        explode(sequence(lit(1), greatest(lit(1), length(col("norm")) - 2))).as("i"))
       .select(col("doc_id"), col("lang"),
-        pmod(GraftFunctions.fingerprint64(col("g")), lit(dim.toLong)).as("b"))
+        pmod(GraftFunctions.fingerprint64(
+          col("norm").substr(col("i"), lit(3))), lit(dim.toLong)).as("b"))
 
-    // model: dim rows, one integer trigram count column per language
+    // model: dim rows, one integer trigram count column per language —
+    // materialized once (eager localCheckpoint, dim rows) so the totals
+    // aggregate and the broadcast join read the dim-row table instead of
+    // each re-running the corpus explode
     val cnts = ls.map(l =>
       sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
     val model = feats.groupBy(col("b")).agg(cnts.head, cnts.tail: _*)
+      .localCheckpoint(true)
     val tots = ls.map(l => sum(col(s"c_$l")).as(s"t_$l"))
     val totals = model.agg(tots.head, tots.tail: _*)
 
