@@ -46,6 +46,7 @@ object SparkEntry {
     "r_grouping_sets" -> (q.Relational.groupingSetsStats _),
     "r_distinct_agg" -> (q.Relational.distinctAgg _),
     "r_approx_distinct" -> (q.Relational.approxDistinct _),
+    "r_sketch_merge" -> (q.Relational.sketchMerge _),
     "r_window_rank" -> (q.Relational.windowRank _),
     "r_window_running" -> (q.Relational.windowRunning _),
     "r_window_range" -> (q.Relational.windowRange _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
+    "d_corpus_apply_delta" -> (q.LlmOps.corpusApplyDelta _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -195,6 +197,9 @@ object SparkEntry {
     // approxDistinctFull + SketchSpec; the gate hashes exact counts +
     // a raise_error-backed within_bound ⇒ DuckDB-exact
     "r_approx_distinct" -> q.Relational.approxDistinctSql,
+    // mergeable sketch columns: the hashed output is the slice count +
+    // exact distinct + raise_error-backed verdict (round-8 discipline)
+    "r_sketch_merge" -> q.Relational.sketchMergeSql,
     "r_window_rank" -> q.Relational.windowRankSql,
     "r_window_running" -> q.Relational.windowRunningSql,
     "r_window_range" -> q.Relational.windowRangeSql,
@@ -250,6 +255,9 @@ object SparkEntry {
     "d_semantic_dedup" -> q.LlmOps.semanticDedupSql,
     "d_cluster_report" -> q.LlmOps.clusterReportSql,
     "d_corpus_export" -> q.LlmOps.corpusExportSql,
+    // apply(base + delta) must equal the from-scratch export, so the
+    // lifecycle gate shares the export's oracle
+    "d_corpus_apply_delta" -> q.LlmOps.corpusExportSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,

@@ -29,9 +29,12 @@ object CorpusExport {
   /** Write corpus + manifest under `outPath`, then return the manifest
     * recomputed FROM THE WRITTEN CORPUS (read-back) — callers (and the
     * driver gate) therefore verify the on-disk artifact end to end, not
-    * the in-memory plan that produced it. */
-  def writeCurated(s: SparkSession, dir: String, outPath: String): DataFrame = {
-    val full = curatedFull(s, dir)
+    * the in-memory plan that produced it. `where` restricts the exported
+    * docs (post-curation) — the day-0-slice knob of the apply-delta
+    * lifecycle gate; the default exports everything. */
+  def writeCurated(s: SparkSession, dir: String, outPath: String,
+      where: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val full = curatedFull(s, dir).filter(where)
     Channels.multiSink(full)(Seq[DataFrame => Unit](
       df => df.write.mode("overwrite").partitionBy("split")
         .parquet(s"$outPath/corpus"),
@@ -113,5 +116,60 @@ object CorpusExport {
       diff.unpersist(blocking = false)
       manifest
     } finally { full.unpersist(blocking = false); () }
+  }
+
+  /** APPLY a written [[writeCuratedDelta]] to the base corpus in place —
+    * the compaction step that completes the delta lifecycle (base +
+    * delta + removals → new base, so the next day diffs against a clean
+    * snapshot instead of an ever-growing delta chain). Only AFFECTED
+    * split partitions rewrite: a split holding neither delta rows nor
+    * removed docs keeps its exact files (CorpusExportSpec pins the file
+    * listing untouched). Per-split swap uses the rename-aside discipline
+    * ([[Compaction]]): the new partition is fully written to a staging
+    * directory before the old moves away, and a failed forward rename
+    * rolls the old partition back.
+    *
+    * Returns the manifest recomputed from the UPDATED on-disk corpus —
+    * which must (and in the gate does) equal a from-scratch export's
+    * manifest. The affected-split list is a bounded driver collect
+    * (≤ 3 split names). 100 TB shape: with the corpus additionally
+    * partitioned by a finer key (e.g. export day), "affected partitions"
+    * shrinks from split-level to day-level; the swap logic is per
+    * partition directory either way. */
+  def applyDelta(s: SparkSession, outPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val corpusPath = s"$outPath/corpus"
+    val base = s.read.parquet(corpusPath)
+    val delta = s.read.schema(base.schema).parquet(s"$outPath/delta")
+    val removed = s.read.schema("doc_id long").json(s"$outPath/_removed")
+      .select(col("doc_id"))
+    val gone = delta.select(col("doc_id")).unionByName(removed).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: at most the distinct split values (≤ 3)
+      val affected = (
+        delta.select(col("split")).distinct().collect().map(_.getString(0)) ++
+        base.join(gone, "doc_id").select(col("split")).distinct()
+          .collect().map(_.getString(0))).toSet
+      affected.foreach { sp =>
+        val live = new java.io.File(s"$corpusPath/split=$sp")
+        val staging = new java.io.File(s"$corpusPath/.split=$sp.staging")
+        val bak = new java.io.File(s"$corpusPath/.split=$sp.bak")
+        deleteRecursively(staging); deleteRecursively(bak)
+        base.filter(col("split") === sp)
+          .join(gone, Seq("doc_id"), "left_anti")
+          .unionByName(delta.filter(col("split") === sp))
+          .drop("split")
+          .write.mode("overwrite").parquet(staging.getPath)
+        if (live.exists() && !live.renameTo(bak))
+          throw new java.io.IOException(s"applyDelta swap failed: $live -> $bak")
+        if (!staging.renameTo(live)) {
+          if (bak.exists()) bak.renameTo(live): Unit
+          throw new java.io.IOException(s"applyDelta swap failed: $staging -> $live")
+        }
+        deleteRecursively(bak)
+      }
+      manifestOf(s.read.parquet(corpusPath)).localCheckpoint(true)
+    } finally { gone.unpersist(blocking = false); () }
   }
 }

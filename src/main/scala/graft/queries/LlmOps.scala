@@ -2145,6 +2145,26 @@ object LlmOps {
     finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
+  /** The delta LIFECYCLE gate ([[graft.plans.CorpusExport.applyDelta]]):
+    * day-0 exports the corpus WITHOUT the doc_id ≡ 0 (mod 5) curated
+    * docs, the fresh full curation diffs against it
+    * ([[graft.plans.CorpusExport.writeCuratedDelta]] — the delta is
+    * exactly those docs), and APPLY merges the delta into the base in
+    * place, rewriting only affected split partitions. The returned
+    * manifest is recomputed from the UPDATED on-disk corpus, which must
+    * equal a from-scratch export's — so the gate shares
+    * [[corpusExportSql]]. CorpusExportSpec pins that unaffected split
+    * partitions keep their exact files. */
+  def corpusApplyDelta(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_apply_delta")
+    try {
+      graft.plans.CorpusExport.writeCurated(s, dir, out.toString,
+        where = pmod(col("doc_id"), lit(5)) =!= 0)
+      graft.plans.CorpusExport.writeCuratedDelta(s, dir, out.toString)
+      graft.plans.CorpusExport.applyDelta(s, out.toString)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
   /** Mirrors [[corpusExport]]: the curation subquery joined to the split
     * buckets, aggregated per (split, lang). */
   lazy val corpusExportSql: String =

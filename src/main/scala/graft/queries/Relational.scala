@@ -229,6 +229,61 @@ object Relational {
       |  TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** lgConfigK of the mergeable-sketch gate: 2^12 registers → relative
+    * standard error ≈ 1.04/√4096 ≈ 1.63%. Shared with the verdict bound
+    * (5σ, the [[approxDistinctFull]] flake-rate reasoning). */
+  val SketchMergeLgK: Int = 12
+
+  /** Mergeable sketch COLUMNS — the pre-aggregated sketch-table pattern
+    * that matters at 100 TB: a daily job maintains per-(flag, month) HLL
+    * sketches (Apache DataSketches via `hll_sketch_agg`), and any rollup
+    * UNIONS the standing sketches (`hll_union_agg`) instead of
+    * re-scanning the fact table — distinct counts over arbitrary slice
+    * unions at pre-aggregate cost. The fact-table pass here exists only
+    * to build the slices and the exact twin the verdict needs; a real
+    * deployment reads the sketch table. Gate form follows the round-8
+    * sketch discipline: the hashed output is DuckDB-computable (slice
+    * count, exact distinct) plus a `raise_error`-enforced verdict that
+    * the merged estimate landed within 5× the configured RSE; the
+    * estimate itself stays in [[sketchMergeFull]] + SketchSpec. */
+  def sketchMergeFull(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val slices = li
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(expr(s"hll_sketch_agg(l_partkey, $SketchMergeLgK)").as("sk"))
+    val merged = slices.groupBy(col("l_returnflag"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_slices"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    merged.join(exact, "l_returnflag")
+      .withColumn("within_bound",
+        abs(col("est").cast("double") - col("exact_parts").cast("double"))
+          <= lit(5 * 1.04 / math.sqrt((1 << SketchMergeLgK).toDouble))
+            * col("exact_parts").cast("double"))
+  }
+
+  /** Gate form of [[sketchMergeFull]] (see [[approxDistinct]]). */
+  def sketchMerge(s: SparkSession, dir: String): DataFrame =
+    sketchMergeFull(s, dir)
+      .select(
+        col("l_returnflag"), col("n_slices"), col("exact_parts"),
+        when(col("within_bound"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("merged HLL estimate outside 5*rse for flag "), col("l_returnflag"),
+            lit(": est="), col("est").cast("string"),
+            lit(" exact="), col("exact_parts").cast("string"))))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+
+  val sketchMergeSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT date_trunc('month', CAST(l_shipdate AS TIMESTAMP))) AS n_slices,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Window ranking: top-3 orders per customer (row_number + filter). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

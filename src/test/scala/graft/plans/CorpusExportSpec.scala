@@ -81,6 +81,35 @@ class CorpusExportSpec extends SparkTestBase {
         .collect().map(_.getLong(0)).toSeq
       assert(removedIds == Seq(999999999L), s"removed: $removedIds")
       assert(m2 == m0, s"repaired logical manifest drifted: $m2 != $m0")
+
+      // 4) APPLY the delta: the updated on-disk corpus equals the fresh
+      //    export logically, and splits untouched by the delta keep their
+      //    EXACT files (name + size + mtime)
+      def listing(sp: String): Set[(String, Long, Long)] = {
+        val d = new java.io.File(s"$out/corpus/split=$sp")
+        if (!d.exists()) Set.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }
+      val victimSplit = spark.read.parquet(s"$out/corpus")
+        .filter(col("doc_id") === victim).select("split")
+        .head().getString(0)
+      val staleSplit = spark.read.parquet(s"$out/corpus")
+        .filter(col("doc_id") === 999999999L).select("split")
+        .head().getString(0)
+      val untouched = Set("train", "val", "test") - victimSplit - staleSplit
+      val before = untouched.map(sp => sp -> listing(sp)).toMap
+      val m3 = manifestMap(CorpusExport.applyDelta(spark, out.toString))
+      assert(m3 == m0, s"applied corpus manifest drifted: $m3 != $m0")
+      untouched.foreach { sp =>
+        assert(listing(sp) == before(sp),
+          s"split=$sp was rewritten though the delta never touched it")
+      }
+      // the tampered doc is repaired and the stale doc gone ON DISK
+      val applied = spark.read.parquet(s"$out/corpus")
+      assert(applied.filter(col("doc_id") === 999999999L).isEmpty)
+      assert(applied.filter(col("doc_id") === victim)
+        .head().getAs[String]("text") != "tampered")
     } finally CorpusExport.deleteRecursively(out.toFile)
   }
 }

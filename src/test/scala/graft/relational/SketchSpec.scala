@@ -65,6 +65,21 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("merged per-slice HLL sketches estimate the whole within 5*rse (mergeability)") {
+    val full = Relational.sketchMergeFull(spark, dir).collect()
+    assert(full.length == 3)
+    val rse = 1.04 / math.sqrt((1 << Relational.SketchMergeLgK).toDouble)
+    full.foreach { r =>
+      val est = r.getLong(r.fieldIndex("est")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      assert(math.abs(est - exact) / exact <= 5 * rse,
+        s"${r.getString(0)}: merged est $est vs exact $exact")
+      assert(r.getBoolean(r.fieldIndex("within_bound")))
+      assert(r.getLong(r.fieldIndex("n_slices")) > 1,
+        "the merge must actually union multiple slice sketches")
+    }
+  }
+
   test("count_min_sketch estimates honor the one-sided CMS guarantee on the heavy hitters") {
     // the gate require()s exact <= est <= exact + 3*ceil(eps*N) per row —
     // the upper bound widened 3x because the theoretical eps*N bound only
