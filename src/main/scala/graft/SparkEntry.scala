@@ -140,6 +140,8 @@ object SparkEntry {
       streaming.EventPipeline.windowedCountsSync(s, dir)),
     "s_stream_sessionize" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.sessionizeSync(s, dir)),
+    "s_stream_session_window" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.sessionWindowSync(s, dir)),
     "s_stream_dedup" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.dedupSync(s, dir)),
     "s_stream_quality" -> ((s: SparkSession, dir: String) =>
@@ -321,6 +323,10 @@ object SparkEntry {
     // stream ≡ batch: the sentinel-flushed streaming sessionizer must equal
     // the batch gap-sessionization SQL exactly
     "s_stream_sessionize" -> q.Relational.streamSessionizeSql,
+    // the BUILT-IN session_window twin: session membership is a pure
+    // function of event times (gap tuned +1us to the <=-rule), so it
+    // shares the custom sessionizer's oracle verbatim
+    "s_stream_session_window" -> q.Relational.streamSessionizeSql,
     // streaming dedup gate: all duplicates co-arrive within the watermark
     // horizon, so the surviving KEY SET equals batch DISTINCT (the gate
     // projects away the nondeterministic surviving-row identity)

@@ -108,7 +108,44 @@ object EventPipeline {
     * batch N−1). Every open session flushes on its event-time timeout, so
     * the streamed result EQUALS the batch operator's sessions — not merely
     * a closed-session subset. Leak-free like [[windowedCountsSync]]. */
-  def sessionizeSync(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeSync(spark: SparkSession, dir: String): DataFrame =
+    sessionSyncOver(spark, dir)(hs => in => sessionize(hs, in).toDF())
+
+  /** Session-gap microseconds shared by the custom sessionizer, the batch
+    * twin and the built-in [[sessionWindow]] form (whose `session_window`
+    * gap is THIS + 1µs, because the builtin merges on `diff < gap` while
+    * the gap rule keeps a session on `diff ≤ 30min`). */
+  private val SessionGapUs = 1800000000L
+
+  /** The BUILT-IN gap sessionizer: Structured Streaming's
+    * `session_window` — the builtin-first twin of the custom
+    * flatMapGroupsWithState [[sessionize]], sharing its oracle verbatim:
+    * session membership is a pure function of event times, so
+    * min/max/count per (user, session) are identical however the engine
+    * carries session state. (The custom operator remains for semantics
+    * the builtin cannot express — per-event session payloads, early
+    * partials; when plain gap sessions suffice, THIS is the operator to
+    * deploy: merging-session state management comes from the engine.)
+    * `session_end` is max(ts), not window.end (which pads the gap). */
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${SessionGapUs + 1} microseconds"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+
+  /** Sync gate run of [[sessionWindow]] — same sentinel-flushed harness,
+    * same oracle as the custom sessionizer's gate. */
+  def sessionWindowSync(spark: SparkSession, dir: String): DataFrame =
+    sessionSyncOver(spark, dir)(_ => in => sessionWindow(in))
+
+  private def sessionSyncOver(spark: SparkSession, dir: String)(
+      op: SparkSession => DataFrame => DataFrame): DataFrame = {
     val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_stream_sess")
@@ -120,7 +157,7 @@ object EventPipeline {
       .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
 
     val name = s"graft_stream_sess_${System.nanoTime()}"
-    val q = sessionize(hs, readEventStream(hs, inDir.toString))
+    val q = op(hs)(readEventStream(hs, inDir.toString))
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {

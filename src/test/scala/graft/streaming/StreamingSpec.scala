@@ -91,6 +91,16 @@ class StreamingSpec extends SparkTestBase {
       s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
   }
 
+  test("builtin session_window EQUALS the custom flatMapGroupsWithState sessionizer") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val builtin = rows(EventPipeline.sessionWindowSync(spark, "/root/testdata/sf0.001"))
+    val custom = rows(EventPipeline.sessionizeSync(spark, "/root/testdata/sf0.001"))
+    assert(builtin == custom,
+      s"builtin≠custom: missing ${custom.diff(builtin).take(3)}, extra ${builtin.diff(custom).take(3)}")
+    assert(builtin.nonEmpty)
+  }
+
   test("funnelSync: sentinel-flushed stream EQUALS the batch funnel counts") {
     val got = EventPipeline.funnelSync(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
