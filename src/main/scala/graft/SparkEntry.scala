@@ -63,6 +63,7 @@ object SparkEntry {
     "r_events_partitioned" -> (q.Relational.eventsPartitioned _),
     // LLM-pipeline operators (SURVEY §2.3 north-star)
     "d_text_stats" -> (q.LlmOps.textStats _),
+    "d_profile" -> (q.LlmOps.profileDocs _),
     "d_lang_id" -> (q.LlmOps.langId _),
     "d_lang_id_ngram" -> (q.LlmOps.langIdNgram _),
     "d_quality_repetition" -> (q.LlmOps.qualityRepetition _),
@@ -162,6 +163,8 @@ object SparkEntry {
       streaming.EventPipeline.funnelSync(s, dir)),
     "s_stream_line_filter" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.lineFilterSync(s, dir)),
+    "s_stream_day_layout" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.dayLayoutSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -221,7 +224,11 @@ object SparkEntry {
     // partition pruning is an execution strategy: the oracle replays the
     // date-window probe as a plain filter over the flat events table
     "r_events_partitioned" -> q.Relational.eventsPartitionedSql,
+    // the STREAMED layout holds the same rows day-partitioned (file-sink
+    // exactly-once), so the streamed probe shares the batch gate's oracle
+    "s_stream_day_layout" -> q.Relational.eventsPartitionedSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
+    "d_profile" -> q.LlmOps.profileDocsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,
     "d_lang_id_ngram" -> q.LlmOps.langIdNgramSql,
     "d_quality_repetition" -> q.LlmOps.qualityRepetitionSql,

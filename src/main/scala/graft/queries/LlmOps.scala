@@ -165,6 +165,28 @@ object LlmOps {
        |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
+  /** Per-column data profile ([[graft.operators.Profile.profile]]) over
+    * the documents table — the source-onboarding report: one aggregation
+    * pass, exact distincts, native-type min/max stringified last. The
+    * gate columns are bigint/varchar so the string casts agree between
+    * engines byte-for-byte. */
+  def profileDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("column"))
+
+  val profileDocsSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** Gopher/C4-style repetition quality gate over the fused
     * [[GraftFunctions.repetitionStats]] kernel: per-document exact counts
     * (max token frequency, duplicate word-3-grams, longest identical-token

@@ -190,6 +190,45 @@ object EventPipeline {
     out
   }
 
+  /** LIVE maintenance of the day-partitioned events layout
+    * ([[graft.plans.EventsLayout]]): the event stream lands directly in
+    * `event_date=` partitions via the parquet FILE SINK — exactly-once
+    * through the sink's commit log (no foreachBatch bookkeeping needed),
+    * stateless (no watermark, no state store), and every batch touches
+    * only the days it carries. Readers get the same planning-time
+    * partition pruning as the batch-written layout; the gate runs the
+    * date-window sessionize probe over the STREAMED files against the
+    * flat-table oracle. */
+  def dayLayoutStream(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .partitionBy("event_date")
+
+  /** Sync gate run of [[dayLayoutStream]]: stream the sf events into a
+    * temp day layout, then run the two-day sessionize probe from the
+    * streamed files — sharing `r_events_partitioned`'s oracle. */
+  def dayLayoutSync(spark: SparkSession, dir: String): DataFrame = {
+    val hs = harnessSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_days")
+    try {
+      val q = dayLayoutStream(
+          readEventStream(hs, dir, globFilter = Some("events.parquet")),
+          tmp.resolve("days").toString)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val d0 = hs.read.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .agg(min(to_date(col("ts").cast("timestamp")))).head().getDate(0).toLocalDate
+      graft.queries.Relational.sessionizeOver(
+        graft.plans.EventsLayout.readDayWindow(
+          hs, tmp.resolve("days").toString, d0.plusDays(1), days = 2))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp.toFile)
+  }
+
   /** Tumbling one-hour windows per event type with a one-hour watermark
     * (late data beyond the watermark is dropped, state is bounded). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -91,6 +91,34 @@ class StreamingSpec extends SparkTestBase {
       s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
   }
 
+  test("streamed day layout: partitions equal the batch writer's content, pruning binds") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_day_layout_spec")
+    try {
+      val q = EventPipeline.dayLayoutStream(
+          EventPipeline.readEventStream(spark, dir, globFilter = Some("events.parquet")),
+          tmp.resolve("days").toString)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(tmp.resolve("days").toString)
+      val batch = graft.Tables.load(spark, dir, "events")
+      assert(streamed.count() === batch.count())
+      // per-day rows equal the batch date grouping
+      val sDays = streamed.groupBy(col("event_date")).count()
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val bDays = batch.groupBy(to_date(col("ts")).as("d")).count()
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(sDays === bDays)
+      // a one-day probe of the STREAMED layout is partition-pruned
+      val d0 = batch.agg(min(to_date(col("ts")))).head().getDate(0).toLocalDate
+      val probe = graft.plans.EventsLayout.readDayWindow(
+        spark, tmp.resolve("days").toString, d0.plusDays(1), 1)
+      val scan = probe.queryExecution.executedPlan
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scan.nonEmpty && scan.head.metadata("PartitionFilters").contains("event_date"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
   test("builtin session_window EQUALS the custom flatMapGroupsWithState sessionizer") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
