@@ -33,8 +33,17 @@ object CorpusExport {
     * docs (post-curation) — the day-0-slice knob of the apply-delta
     * lifecycle gate; the default exports everything. */
   def writeCurated(s: SparkSession, dir: String, outPath: String,
-      where: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val full = curatedFull(s, dir).filter(where)
+      where: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    writeCuratedFrom(s, curatedFull(s, dir).filter(where), outPath)
+
+  /** [[writeCurated]] over a PRECOMPUTED curated frame — the shared-
+    * materialization path: a caller staging several artifacts off one
+    * curation run (the apply-delta lifecycle gate) computes `curatedFull`
+    * once, persists it, and feeds both the base export and the delta,
+    * instead of re-running the full pipeline (probe training included)
+    * per artifact. */
+  private[graft] def writeCuratedFrom(
+      s: SparkSession, full: DataFrame, outPath: String): DataFrame = {
     Channels.multiSink(full)(Seq[DataFrame => Unit](
       df => df.write.mode("overwrite").partitionBy("split")
         .parquet(s"$outPath/corpus"),
@@ -46,7 +55,7 @@ object CorpusExport {
 
   /** The full curated frame an export writes: curation survivors joined to
     * their split assignment and raw text. */
-  private def curatedFull(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def curatedFull(s: SparkSession, dir: String): DataFrame = {
     val curated = graft.queries.LlmOps.curationPipeline(s, dir)
     val splits = graft.queries.LlmOps.splitAssignments(s, dir)
       .select(col("doc_id"), col("split"))
@@ -78,10 +87,19 @@ object CorpusExport {
     * payloads move only for the docs that actually changed. The curated
     * frame is computed ONCE (persisted across the diff and the delta
     * write, then freed). */
-  def writeCuratedDelta(s: SparkSession, dir: String, outPath: String): DataFrame = {
+  def writeCuratedDelta(s: SparkSession, dir: String, outPath: String): DataFrame =
+    writeCuratedDeltaFrom(s, curatedFull(s, dir), outPath)
+
+  /** [[writeCuratedDelta]] over a precomputed curated frame (see
+    * [[writeCuratedFrom]]); an already-persisted frame is not
+    * re-persisted (and not unpersisted — the caller owns its cache). */
+  private[graft] def writeCuratedDeltaFrom(
+      s: SparkSession, full0: DataFrame, outPath: String): DataFrame = {
     val base = s.read.parquet(s"$outPath/corpus")
-    val full = curatedFull(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val callerCached =
+      full0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val full = if (callerCached) full0
+      else full0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the narrow (id, status) diff is persisted too: three actions
       // consume it (delta write, removed-ids write, manifest read-back),
@@ -115,7 +133,9 @@ object CorpusExport {
         .localCheckpoint(true)
       diff.unpersist(blocking = false)
       manifest
-    } finally { full.unpersist(blocking = false); () }
+    } finally {
+      if (!callerCached) full.unpersist(blocking = false); ()
+    }
   }
 
   /** APPLY a written [[writeCuratedDelta]] to the base corpus in place —

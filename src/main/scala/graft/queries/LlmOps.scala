@@ -2179,12 +2179,20 @@ object LlmOps {
     * partitions keep their exact files. */
   def corpusApplyDelta(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_apply_delta")
+    // ONE curation materialization feeds both the day-0 export and the
+    // delta (a second full pipeline run — probe training included —
+    // would double the gate's cost for no extra verification)
+    val full = graft.plans.CorpusExport.curatedFull(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.plans.CorpusExport.writeCurated(s, dir, out.toString,
-        where = pmod(col("doc_id"), lit(5)) =!= 0)
-      graft.plans.CorpusExport.writeCuratedDelta(s, dir, out.toString)
+      graft.plans.CorpusExport.writeCuratedFrom(
+        s, full.filter(pmod(col("doc_id"), lit(5)) =!= 0), out.toString)
+      graft.plans.CorpusExport.writeCuratedDeltaFrom(s, full, out.toString)
       graft.plans.CorpusExport.applyDelta(s, out.toString)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+    } finally {
+      full.unpersist(blocking = false)
+      graft.plans.CorpusExport.deleteRecursively(out.toFile)
+    }
   }
 
   /** Mirrors [[corpusExport]]: the curation subquery joined to the split
