@@ -114,6 +114,7 @@ object SparkEntry {
     "d_source_cap" -> (q.LlmOps.sourceCap _),
     "d_quality_calibrate" -> (q.LlmOps.qualityCalibrate _),
     "d_mixture_rebalance" -> (q.LlmOps.mixtureRebalance _),
+    "d_topic_rebalance" -> (q.LlmOps.topicRebalance _),
     "d_pack_sequences" -> (q.LlmOps.packSequences _),
     "d_dedup_incremental" -> (q.LlmOps.dedupIncremental _),
     "d_dedup_bloom" -> (q.LlmOps.dedupBloom _),
@@ -293,6 +294,7 @@ object SparkEntry {
     "d_source_cap" -> q.LlmOps.sourceCapSql,
     "d_quality_calibrate" -> q.LlmOps.qualityCalibrateSql,
     "d_mixture_rebalance" -> q.LlmOps.mixtureRebalanceSql,
+    "d_topic_rebalance" -> q.LlmOps.topicRebalanceSql,
     "d_pack_sequences" -> q.LlmOps.packSequencesSql,
     "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,
     "d_dedup_bloom" -> q.LlmOps.dedupBloomSql,

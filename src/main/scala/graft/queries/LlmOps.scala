@@ -1385,6 +1385,40 @@ object LlmOps {
     * iteration-for-iteration in [[simTopKIvfSql]]). */
   val IvfKmeansIters = 2
 
+  /** Per-cluster document cap of the topic-balance gate. */
+  val TopicCapN = 25
+
+  /** Topic-balance pruning: cluster the corpus embeddings (the SAME
+    * k-means geometry the IVF/SemDeDup tiers use) and cap vectors per
+    * cluster — cluster-balanced selection, so an over-represented topic
+    * (a boilerplate cluster, an SEO farm) cannot dominate the mixture
+    * (the cluster-pruning recipe next to [[mixtureRebalance]]'s
+    * source-mixture form). Survivors are the lowest vec_ids per cell up
+    * to the cap, via the salted two-phase [[Sampling.capPerGroup]] (a
+    * giant topic cell never lands on one task); any quality column
+    * plugs into the same cap as the order. */
+  def topicRebalance(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = embeddings(s, dir)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      nCells = 16, iters = IvfKmeansIters)
+    val assigned = Similarity.withIvfCell(e, "embedding", cents)
+      .select(col("vec_id"), col("cell"))
+    graft.operators.Sampling
+      .capPerGroup(assigned, "cell", "vec_id", col("vec_id"), TopicCapN)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Mirrors [[topicRebalance]]: the shared full-corpus k-means replica
+    * + the single-window cap twin (the [[sourceCapSql]] equivalence). */
+  lazy val topicRebalanceSql: String =
+    s"""WITH $kmeansAssignCtes,
+       |r AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+       |  FROM assign)
+       |SELECT vec_id, cell FROM r WHERE rn <= $TopicCapN""".stripMargin
+
   def simTopKIvf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = embeddings(s, dir)
