@@ -38,6 +38,7 @@ object SparkEntry {
     "r_percentiles_approx" -> (q.Relational.percentilesApprox _),
     "r_explode_tokens" -> (q.Relational.explodeTokens _),
     "r_pivot" -> (q.Relational.pivotAgg _),
+    "r_unpivot" -> (q.Relational.unpivotMetrics _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
     "r_semi_join" -> (q.Relational.semiJoin _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
+    "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_corpus_apply_delta" -> (q.LlmOps.corpusApplyDelta _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
@@ -192,6 +194,7 @@ object SparkEntry {
     "r_percentiles_approx" -> q.Relational.percentilesApproxSql,
     "r_explode_tokens" -> q.Relational.explodeTokensSql,
     "r_pivot" -> q.Relational.pivotAggSql,
+    "r_unpivot" -> q.Relational.unpivotMetricsSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,
     "r_semi_join" -> q.Relational.semiJoinSql,
@@ -299,6 +302,8 @@ object SparkEntry {
     "d_dedup_incremental" -> q.LlmOps.dedupIncrementalSql,
     "d_dedup_bloom" -> q.LlmOps.dedupBloomSql,
     "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,
+    // single-pass observed metrics (Observation API) ≡ plain SQL counts
+    "d_curation_observed" -> q.LlmOps.curationObservedSql,
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,

@@ -1385,6 +1385,56 @@ object LlmOps {
     * iteration-for-iteration in [[simTopKIvfSql]]). */
   val IvfKmeansIters = 2
 
+  /** Single-pass pipeline observability via Spark's Observation API:
+    * the curation quality tier runs ONCE, and per-stage admit counts
+    * (quality / language / repetition / all-pass) ride the SAME job as
+    * observed metrics — no second pass, no accumulator plumbing, no
+    * count() per stage. This is how a production pipeline reports its
+    * per-stage attrition at 100 TB: the numbers fall out of the write
+    * job it was already running. The gate emits the observed metrics as
+    * a 1-row frame, oracle-replayed as plain SQL counts. */
+  def curationObserved(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val obs = org.apache.spark.sql.Observation()
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.repetitionStats(col("text")).as("rs"))
+      .select(col("doc_id"),
+        (GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5).as("q_ok"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("l_ok"),
+        GraftFunctions.repetitionOk(col("rs")).as("r_ok"))
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("l_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("r_ok"), 1L).otherwise(0L)).as("n_rep_ok"),
+        sum(when(col("q_ok") && col("l_ok") && col("r_ok"), 1L)
+          .otherwise(0L)).as("n_pass"))
+    // ONE action drives both the pipeline and the metrics; the survivors
+    // continue downstream in a real deployment — here the count IS the
+    // action (and doubles as a consistency pin against the metrics)
+    val survivors = scored.filter(col("q_ok") && col("l_ok") && col("r_ok")).count()
+    val m = obs.get
+    require(m("n_pass") == survivors,
+      s"observed n_pass ${m("n_pass")} != materialized survivors $survivors")
+    import s.implicits._
+    Seq((m("n_docs").asInstanceOf[Long], m("n_quality_ok").asInstanceOf[Long],
+      m("n_lang_ok").asInstanceOf[Long], m("n_rep_ok").asInstanceOf[Long],
+      m("n_pass").asInstanceOf[Long]))
+      .toDF("n_docs", "n_quality_ok", "n_lang_ok", "n_rep_ok", "n_pass")
+  }
+
+  /** Mirrors [[curationObserved]] over the shared scored/rep CTEs. */
+  lazy val curationObservedSql: String =
+    s"""WITH $scoredRepCtes
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       |  CAST(SUM(CASE WHEN s.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       |  CAST(SUM(CASE WHEN rep.rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+       |  CAST(SUM(CASE WHEN s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM scored s JOIN rep USING (doc_id)""".stripMargin
+
   /** Per-cluster document cap of the topic-balance gate. */
   val TopicCapN = 25
 

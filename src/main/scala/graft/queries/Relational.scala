@@ -284,6 +284,37 @@ object Relational {
       |  TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Unpivot/melt — the wide→long reshape (the inverse of [[pivotAgg]]):
+    * per-flag aggregates melted to (flag, metric, value) rows via the
+    * native `Dataset.unpivot` (Catalyst Expand, one pass, no join).
+    * Money math follows the Exact decimal convention so the doubles
+    * hash-match. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("qty"),
+        sumMoney(col("l_extendedprice")).as("price"),
+        count(lit(1)).cast("double").as("n"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("n")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val unpivotMetricsSql: String =
+    s"""WITH a AS (
+       |  SELECT l_returnflag,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+       |    ${sqlSumMoney("l_extendedprice")} AS price,
+       |    CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+       |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+       |  UNION ALL SELECT l_returnflag, 'n', n FROM a)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
   /** Window ranking: top-3 orders per customer (row_number + filter). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
