@@ -160,6 +160,8 @@ object SparkEntry {
       streaming.EventPipeline.attributionJoinSync(s, dir)),
     "s_stream_join_outer" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.attributionJoinOuterSync(s, dir)),
+    "s_stream_join_full" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.attributionJoinFullSync(s, dir)),
     "s_stream_ann_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.annIngestSync(s, dir)),
     "s_stream_funnel" -> ((s: SparkSession, dir: String) =>
@@ -373,6 +375,18 @@ object SparkEntry {
         |  p.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""".stripMargin,
+    // FULL outer: unmatched rows of BOTH sides emit at watermark close —
+    // the output SET equals the batch full join over the same condition
+    "s_stream_join_full" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  COALESCE(p.user_id, c.user_id) AS user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""".stripMargin,

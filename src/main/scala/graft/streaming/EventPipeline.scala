@@ -335,7 +335,8 @@ object EventPipeline {
     * watermark close, so the stream's OUTPUT SET (not its timing) equals
     * the batch left join — asserted in StreamingSpec, gated against the
     * DuckDB batch LEFT JOIN oracle. */
-  def attributionJoinOuter(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+  def attributionJoinOuter(events: DataFrame, windowMinutes: Int = 30,
+      joinType: String = "leftOuter"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
@@ -349,12 +350,24 @@ object EventPipeline {
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") -
           expr(s"INTERVAL $windowMinutes MINUTES"),
-        "leftOuter")
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        joinType)
+      // coalesce: under fullOuter an unmatched CLICK's only user id is
+      // the click side's (≡ user_id verbatim under leftOuter)
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("user_id"), col("click_user")).as("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("gap_us"),
         col("purchase_value"))
   }
+
+  /** FULL-outer watermarked stream-stream attribution — completes the
+    * join-type matrix (inner [[attributionJoin]], left-outer
+    * [[attributionJoinOuter]]): click-less purchases AND purchase-less
+    * clicks both emit with null other-side columns at watermark close.
+    * State retention is identical to the outer form (both sides already
+    * buffer watermark-bounded state); only emission changes. */
+  def attributionJoinFull(events: DataFrame, windowMinutes: Int = 30): DataFrame =
+    attributionJoinOuter(events, windowMinutes, joinType = "fullOuter")
 
   /** Synchronous gate run of [[attributionJoinOuter]]: stages the events
     * file like [[sessionizeSync]], then advances BOTH branches' watermarks
@@ -368,7 +381,18 @@ object EventPipeline {
     * sentinels are filtered from the result (`user_id >= 0` — the sentinel
     * purchase emits as its own unmatched row). Leak-free like
     * [[windowedCountsSync]]. */
-  def attributionJoinOuterSync(spark: SparkSession, dir: String): DataFrame = {
+  def attributionJoinOuterSync(spark: SparkSession, dir: String): DataFrame =
+    outerJoinSyncOver(spark, dir, "leftOuter")
+
+  /** Sync gate run of [[attributionJoinFull]] — same sentinel-flushed
+    * harness (both sides' watermarks advance, so unmatched rows of BOTH
+    * kinds flush; both sentinel rows emit unmatched and are filtered by
+    * the planted negative users). */
+  def attributionJoinFullSync(spark: SparkSession, dir: String): DataFrame =
+    outerJoinSyncOver(spark, dir, "fullOuter")
+
+  private def outerJoinSyncOver(
+      spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_stream_joino")
@@ -380,7 +404,8 @@ object EventPipeline {
       .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
 
     val name = s"graft_stream_joino_${System.nanoTime()}"
-    val q = attributionJoinOuter(readEventStream(hs, inDir.toString))
+    val q = attributionJoinOuter(readEventStream(hs, inDir.toString),
+        joinType = joinType)
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {
