@@ -39,6 +39,7 @@ object SparkEntry {
     "r_explode_tokens" -> (q.Relational.explodeTokens _),
     "r_pivot" -> (q.Relational.pivotAgg _),
     "r_unpivot" -> (q.Relational.unpivotMetrics _),
+    "r_sql_correlated" -> (q.Relational.sqlCorrelated _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
     "r_semi_join" -> (q.Relational.semiJoin _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "r_explode_tokens" -> q.Relational.explodeTokensSql,
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_unpivot" -> q.Relational.unpivotMetricsSql,
+    "r_sql_correlated" -> q.Relational.sqlCorrelatedSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,
     "r_semi_join" -> q.Relational.semiJoinSql,

@@ -284,6 +284,40 @@ object Relational {
       |  TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The raw-SQL front door: the engine's tables registered as views and
+    * an ANSI query with BOTH correlated-subquery forms — a correlated
+    * scalar subquery (per-customer order count) and a correlated NOT
+    * EXISTS (no order above the threshold) — answered by `spark.sql`.
+    * Catalyst DECORRELATES both: the scalar subquery becomes an
+    * aggregate + left outer join, the NOT EXISTS an anti join — no
+    * per-row re-execution anywhere (SqlFrontDoorSpec pins the join nodes
+    * and the absence of any remaining correlated predicate). A user of
+    * the reference's declaration surface and a SQL-speaking client hit
+    * the same engine. */
+  def sqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  (SELECT COUNT(*) FROM orders_v o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_v c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  val sqlCorrelatedSql: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** Unpivot/melt — the wide→long reshape (the inverse of [[pivotAgg]]):
     * per-flag aggregates melted to (flag, metric, value) rows via the
     * native `Dataset.unpivot` (Catalyst Expand, one pass, no join).

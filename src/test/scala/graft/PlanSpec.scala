@@ -93,6 +93,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("raw-SQL correlated subqueries fully decorrelate (aggregate join + anti join)") {
+    val p = plan("r_sql_correlated")
+    // the scalar subquery becomes an aggregate joined back; NOT EXISTS an
+    // anti join — and nothing survives as a per-row subquery
+    assert(p.contains("LeftAnti"), p)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
+    assert(!p.toLowerCase.contains("subquery") ||
+      !p.contains("InSubquery"), p)
+  }
+
   test("vocab coverage: top-200 via TakeOrderedAndProject, window only over the survivors") {
     val p = plan("d_vocab_coverage")
     // each partition keeps 200 rows; no task ever sorts the full vocab
