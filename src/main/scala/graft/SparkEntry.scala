@@ -109,6 +109,7 @@ object SparkEntry {
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
+    "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_corpus_apply_delta" -> (q.LlmOps.corpusApplyDelta _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
@@ -308,6 +309,8 @@ object SparkEntry {
     "d_curation_pipeline" -> q.LlmOps.curationPipelineSql,
     // single-pass observed metrics (Observation API) ≡ plain SQL counts
     "d_curation_observed" -> q.LlmOps.curationObservedSql,
+    // corruption planted by id ⇒ the oracle is plant arithmetic alone
+    "d_json_quarantine" -> q.LlmOps.jsonQuarantineSql,
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,

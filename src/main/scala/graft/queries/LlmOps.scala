@@ -1385,6 +1385,47 @@ object LlmOps {
     * iteration-for-iteration in [[simTopKIvfSql]]). */
   val IvfKmeansIters = 2
 
+  /** JSON quarantine ingestion
+    * ([[graft.sources.Sources.readJsonQuarantine]]): the documents table
+    * re-serialized as JSONL with DETERMINISTICALLY planted corruption
+    * (every doc_id ≡ 3 mod 17 line is truncated mid-object), read back
+    * PERMISSIVE — corrupt lines land in `_corrupt_record` with null data
+    * columns, clean rows parse fully. The gate aggregates per bucket
+    * (lang, or `__corrupt__`): a parser that dropped, double-counted or
+    * mis-quarantined any line breaks a count; a parser that corrupted a
+    * clean row's values breaks the chars sum. Oracle is closed-form from
+    * `documents` because the corruption is planted by id. */
+  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_json_quar")
+    try {
+      docs(s, dir)
+        .select(when(pmod(col("doc_id"), lit(17)) === 3,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", TRUNCATED")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(out.toString)
+      val back = graft.sources.Sources.readJsonQuarantine(
+        s, out.toString, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType))))
+      back
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+          .otherwise(col("lang")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[jsonQuarantine]] by plant arithmetic alone. */
+  val jsonQuarantineSql: String =
+    """SELECT CASE WHEN doc_id % 17 = 3 THEN '__corrupt__' ELSE lang END AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  CAST(COALESCE(SUM(CASE WHEN doc_id % 17 = 3 THEN NULL ELSE n_chars END), 0) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Single-pass pipeline observability via Spark's Observation API:
     * the curation quality tier runs ONCE, and per-stage admit counts
     * (quality / language / repetition / all-pass) ride the SAME job as

@@ -38,6 +38,25 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** PERMISSIVE JSON ingestion with corrupt-record QUARANTINE: rows that
+    * fail to parse land with the raw line in `_corrupt_record` and null
+    * data columns instead of killing the job — the ingestion-robustness
+    * posture a crawl pipeline needs (a single mangled line in a
+    * terabyte JSONL drop must cost one quarantined row, not the batch).
+    * The caller splits on `_corrupt_record IS NOT NULL`: clean rows flow
+    * on, quarantined lines go to a dead-letter sink for re-crawl.
+    * Requires the corrupt column declared in the schema (Spark drops it
+    * otherwise). */
+  def readJsonQuarantine(
+      spark: SparkSession, path: String, dataSchema: StructType): DataFrame = {
+    val withCorrupt = dataSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** ORC — the second columnar format Spark ships natively: same scan
     * machinery as parquet (column pruning, predicate pushdown, partition
     * pruning all apply; SourcesSpec asserts the pushdown). */
