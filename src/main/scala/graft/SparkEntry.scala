@@ -110,6 +110,7 @@ object SparkEntry {
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
+    "d_format_matrix" -> (q.LlmOps.formatMatrix _),
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_corpus_apply_delta" -> (q.LlmOps.corpusApplyDelta _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
@@ -311,6 +312,7 @@ object SparkEntry {
     "d_curation_observed" -> q.LlmOps.curationObservedSql,
     // corruption planted by id ⇒ the oracle is plant arithmetic alone
     "d_json_quarantine" -> q.LlmOps.jsonQuarantineSql,
+    "d_format_matrix" -> q.LlmOps.formatMatrixSql,
     "d_train_split" -> q.LlmOps.trainSplitSql,
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,

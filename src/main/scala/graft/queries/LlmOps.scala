@@ -1385,6 +1385,57 @@ object LlmOps {
     * iteration-for-iteration in [[simTopKIvfSql]]). */
   val IvfKmeansIters = 2
 
+  /** Cross-format integrity matrix: the SAME document slice written to
+    * all four native interchange formats (parquet, ORC, CSV, JSON) and
+    * read back; per format the gate emits the row count and the XOR of
+    * every row's content fingerprints (order-independent, overflow-free
+    * — `bit_xor` on both engines), which must be IDENTICAL across
+    * formats and equal to the source's: a format that silently mangles
+    * one character of one row (quoting, escaping, encoding, null
+    * round-trip) breaks its row. The oracle computes the source
+    * fingerprints once and expects them four times. */
+  def formatMatrix(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_format_matrix")
+    try {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val schema = d.schema
+      graft.sources.Sources.writeParquet(d, s"$out/parquet")
+      graft.sources.Sources.writeOrc(d, s"$out/orc")
+      graft.sources.Sources.writeCsv(d, s"$out/csv")
+      graft.sources.Sources.writeJson(d, s"$out/json")
+      val reads = Seq(
+        "csv" -> graft.sources.Sources.readCsv(s, s"$out/csv", schema),
+        "json" -> graft.sources.Sources.readJson(s, s"$out/json", schema),
+        "orc" -> graft.sources.Sources.readOrc(s, s"$out/orc"),
+        "parquet" -> graft.sources.Sources.readParquet(s, s"$out/parquet"))
+      reads.map { case (fmt, df) =>
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          bit_xor(GraftFunctions.fingerprint64(col("text"))).as("text_fp"),
+          bit_xor(GraftFunctions.fingerprint64(col("lang"))).as("lang_fp"))
+          .select(lit(fmt).as("format"), col("n_rows"),
+            col("text_fp"), col("lang_fp"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("format"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Mirrors [[formatMatrix]]: source fingerprints expected per format. */
+  lazy val formatMatrixSql: String =
+    s"""WITH fp AS (
+       |  SELECT ${fnvHugeSql("text")} AS ht, ${fnvHugeSql("lang")} AS hl
+       |  FROM documents),
+       |x AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |    bit_xor(${hugeToSignedSql("ht")}) AS text_fp,
+       |    bit_xor(${hugeToSignedSql("hl")}) AS lang_fp
+       |  FROM fp)
+       |SELECT f.format, x.n_rows, x.text_fp, x.lang_fp
+       |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(format)
+       |CROSS JOIN x ORDER BY f.format""".stripMargin
+
   /** JSON quarantine ingestion
     * ([[graft.sources.Sources.readJsonQuarantine]]): the documents table
     * re-serialized as JSONL with DETERMINISTICALLY planted corruption
