@@ -33,16 +33,6 @@ object Dsir {
     * inside Spark's broadcast regime and far below driver pressure. */
   val DsirMaxOffsetRows: Long = 1L << 20
 
-  /** ~offset-row count the given span yields over `base`'s id range —
-    * bounded 1-row action, used to `require` explicit spans honest. */
-  private def spanKeepsOffsetsBounded(base: DataFrame, span: Long): Boolean = {
-    val r = base.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
-    r.isNullAt(0) || {
-      val width = math.subtractExact(r.getLong(1), r.getLong(0)) + 1L
-      (width + span - 1L) / span <= DsirMaxOffsetRows
-    }
-  }
-
   /** Importance scores for every document: n_feats (hashed word-bigram
     * features, the whole text as one feature below 2 tokens), imp_ratio
     * (mean target/raw likelihood ratio, add-one smoothed over `dim`
@@ -135,20 +125,21 @@ object Dsir {
     val id = col(idCol)
     val w = col(weightCol)
     val base = scored.select(id.cast("long").as("doc_id"), w.as("w"))
-    val span = if (bucketSpan > 0) bucketSpan else {
-      // bounded 1-row action (the centroid-fetch discipline): the id range
-      // alone sizes the span; ids need not be dense
+    // ONE bounded 1-row action (the centroid-fetch discipline) feeds both
+    // the auto-derivation and the explicit-span bound check — the id
+    // range alone sizes the span; ids need not be dense
+    val span = {
       val r = base.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
-      if (r.isNullAt(0)) 1L
-      else {
-        val width = math.subtractExact(r.getLong(1), r.getLong(0)) + 1L
-        math.max(1L, (width + DsirMaxOffsetRows - 1L) / DsirMaxOffsetRows)
-      }
+      val width = if (r.isNullAt(0)) 1L
+        else math.subtractExact(r.getLong(1), r.getLong(0)) + 1L
+      if (bucketSpan > 0) {
+        require((width + bucketSpan - 1L) / bucketSpan <= DsirMaxOffsetRows,
+          s"bucketSpan=$bucketSpan yields more than $DsirMaxOffsetRows offset rows " +
+            "over this id range - the offsets table would no longer be " +
+            "broadcast-sized; pass bucketSpan=0 to auto-scale")
+        bucketSpan
+      } else math.max(1L, (width + DsirMaxOffsetRows - 1L) / DsirMaxOffsetRows)
     }
-    require(bucketSpan <= 0 || spanKeepsOffsetsBounded(base, span),
-      s"bucketSpan=$bucketSpan yields more than $DsirMaxOffsetRows offset rows " +
-        "over this id range - the offsets table would no longer be " +
-        "broadcast-sized; pass bucketSpan=0 to auto-scale")
     // floor-division bucketing from the resolved column: pmod >= 0 makes
     // (doc_id - pmod) exactly divisible, so DIV's truncation is moot
     val bucketed = base

@@ -61,8 +61,12 @@ object Multimodal {
     * scanline filter means a corpus exercises all five PNG unfilter
     * paths. */
   def withPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // floorMod: the geometry formula must agree with the gate's pmod
+    // columns for NEGATIVE ids too (Scala % truncates toward zero)
     val gen = udf { (id: Long) =>
-      MediaCodecs.synthPng(16 + (id % 16).toInt, 16 + (id % 12).toInt, id)
+      MediaCodecs.synthPng(
+        16 + java.lang.Math.floorMod(id, 16L).toInt,
+        16 + java.lang.Math.floorMod(id, 12L).toInt, id)
     }
     docs.select(
       col("doc_id"),
@@ -278,8 +282,8 @@ object Multimodal {
     * replicating [[MediaCodecs.rgbFeatureVector]]'s fold order, for ALL
     * ids (the PNG tier is not parity-split). */
   def theoryPngFeature0(id: Long): Float = {
-    val w = 16 + (id % 16).toInt
-    val h = 16 + (id % 12).toInt
+    val w = 16 + java.lang.Math.floorMod(id, 16L).toInt
+    val h = 16 + java.lang.Math.floorMod(id, 12L).toInt
     val s = (id & 0xff).toInt
     var srRow = 0L
     var x = 0

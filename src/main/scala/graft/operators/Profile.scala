@@ -22,17 +22,23 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // positional aggregate aliases + backtick-quoted references: a column
+    // named `user name` (or carrying quotes/dots) must profile, not crash
+    // the stack() parse; the display label is escaped as a SQL literal
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$i"),
         (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+         else approx_count_distinct(col(c))).as(s"nd_$i"),
+        min(col(c)).cast("string").as(s"mn_$i"),
+        max(col(c)).cast("string").as(s"mx_$i"))
     } :+ count(lit(1)).as("n_rows")
     val wide = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) =>
+        val label = c.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$label', `nn_$i`, `nd_$i`, `mn_$i`, `mx_$i`"
+      }
       .mkString(", ")
     wide.selectExpr("n_rows",
         s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_value, max_value)")

@@ -64,12 +64,20 @@ object Compaction {
     // stays intact (and is restored) if the forward rename fails, and the
     // target-absent window shrinks to two rename calls
     val bak = new java.io.File(outDir + ".bak")
+    // a stranded .bak with NO live target is a previous run's failed
+    // rollback still holding the only copy — refuse to destroy it
+    if (bak.exists() && !target.exists())
+      throw new java.io.IOException(
+        s"refusing to compact: a previous failed swap left the only copy at $bak; recover it first")
     CorpusExport.deleteRecursively(bak)
     if (target.exists() && !target.renameTo(bak))
       throw new java.io.IOException(s"compaction swap failed: $outDir -> $bak")
     if (!new java.io.File(staging).renameTo(target)) {
-      if (bak.exists()) bak.renameTo(target) // roll back
-      throw new java.io.IOException(s"compaction swap failed: $staging -> $outDir")
+      val restored = !bak.exists() || bak.renameTo(target)
+      throw new java.io.IOException(
+        s"compaction swap failed: $staging -> $outDir" +
+          (if (restored) " (old data restored)"
+           else s"; ROLLBACK ALSO FAILED — old data preserved at $bak"))
     }
     CorpusExport.deleteRecursively(bak)
     val after = parquetFiles(target)

@@ -175,6 +175,11 @@ object CorpusExport {
         val live = new java.io.File(s"$corpusPath/split=$sp")
         val staging = new java.io.File(s"$corpusPath/.split=$sp.staging")
         val bak = new java.io.File(s"$corpusPath/.split=$sp.bak")
+        // a stranded .bak with NO live partition is a previous run's
+        // failed rollback still holding the only copy — refuse
+        if (bak.exists() && !live.exists())
+          throw new java.io.IOException(
+            s"refusing applyDelta: a previous failed swap left the only copy at $bak; recover it first")
         deleteRecursively(staging); deleteRecursively(bak)
         base.filter(col("split") === sp)
           .join(gone, Seq("doc_id"), "left_anti")
@@ -184,8 +189,11 @@ object CorpusExport {
         if (live.exists() && !live.renameTo(bak))
           throw new java.io.IOException(s"applyDelta swap failed: $live -> $bak")
         if (!staging.renameTo(live)) {
-          if (bak.exists()) bak.renameTo(live): Unit
-          throw new java.io.IOException(s"applyDelta swap failed: $staging -> $live")
+          val restored = !bak.exists() || bak.renameTo(live)
+          throw new java.io.IOException(
+            s"applyDelta swap failed: $staging -> $live" +
+              (if (restored) " (old partition restored)"
+               else s"; ROLLBACK ALSO FAILED — old partition preserved at $bak"))
         }
         deleteRecursively(bak)
       }

@@ -1392,20 +1392,28 @@ object LlmOps {
     * — `bit_xor` on both engines), which must be IDENTICAL across
     * formats and equal to the source's: a format that silently mangles
     * one character of one row (quoting, escaping, encoding, null
-    * round-trip) breaks its row. The oracle computes the source
+    * round-trip) breaks its row. The text is made ADVERSARIAL first —
+    * every row gets a planted prefix holding the characters each format
+    * must escape (a double quote, a comma, a newline, a backslash) — so
+    * the gate exercises the escaping matrix instead of passing vacuously
+    * on clean fixture text (the CSV leg reads `multiLine`, without which
+    * the reader splits quoted embedded newlines into mangled extra
+    * rows). The oracle computes the same constructed strings' source
     * fingerprints once and expects them four times. */
   def formatMatrix(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val out = java.nio.file.Files.createTempDirectory("graft_format_matrix")
     try {
-      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        concat(lit("\"esc,\\\n"), col("text")).as("text"))
       val schema = d.schema
       graft.sources.Sources.writeParquet(d, s"$out/parquet")
       graft.sources.Sources.writeOrc(d, s"$out/orc")
       graft.sources.Sources.writeCsv(d, s"$out/csv")
       graft.sources.Sources.writeJson(d, s"$out/json")
       val reads = Seq(
-        "csv" -> graft.sources.Sources.readCsv(s, s"$out/csv", schema),
+        "csv" -> graft.sources.Sources.readCsv(s, s"$out/csv", schema,
+          multiLine = true),
         "json" -> graft.sources.Sources.readJson(s, s"$out/json", schema),
         "orc" -> graft.sources.Sources.readOrc(s, s"$out/orc"),
         "parquet" -> graft.sources.Sources.readParquet(s, s"$out/parquet"))
@@ -1422,11 +1430,15 @@ object LlmOps {
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
-  /** Mirrors [[formatMatrix]]: source fingerprints expected per format. */
+  /** Mirrors [[formatMatrix]]: the same adversarial prefix (quote,
+    * comma, backslash, newline), source fingerprints expected per
+    * format. */
   lazy val formatMatrixSql: String =
-    s"""WITH fp AS (
+    s"""WITH adv AS (
+       |  SELECT '"esc,\\' || chr(10) || text AS text, lang FROM documents),
+       |fp AS (
        |  SELECT ${fnvHugeSql("text")} AS ht, ${fnvHugeSql("lang")} AS hl
-       |  FROM documents),
+       |  FROM adv),
        |x AS (
        |  SELECT COUNT(*) AS n_rows,
        |    bit_xor(${hugeToSignedSql("ht")}) AS text_fp,
@@ -2041,7 +2053,7 @@ object LlmOps {
     * closed form, so the pins are pixel-side). */
   val multimodalPngSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM((16 + doc_id % 16) * (16 + doc_id % 12)) AS BIGINT) AS n_px,
+      |  CAST(SUM((16 + ((doc_id % 16) + 16) % 16) * (16 + ((doc_id % 12) + 12) % 12)) AS BIGINT) AS n_px,
       |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
       |FROM documents GROUP BY source""".stripMargin
 

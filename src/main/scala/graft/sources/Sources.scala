@@ -20,9 +20,13 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** `multiLine = true` is REQUIRED to round-trip text containing
+    * embedded newlines (the writer quotes them, but the default reader
+    * splits records on raw newlines before CSV parsing). */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("header", header.toString).csv(path)
+      header: Boolean = true, multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema).option("header", header.toString)
+      .option("multiLine", multiLine.toString).csv(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

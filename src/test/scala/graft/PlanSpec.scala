@@ -95,12 +95,13 @@ class PlanSpec extends SparkTestBase {
 
   test("raw-SQL correlated subqueries fully decorrelate (aggregate join + anti join)") {
     val p = plan("r_sql_correlated")
-    // the scalar subquery becomes an aggregate joined back; NOT EXISTS an
-    // anti join — and nothing survives as a per-row subquery
+    // NOT EXISTS → anti join; the correlated scalar COUNT → a grouped
+    // aggregate joined back LeftOuter
     assert(p.contains("LeftAnti"), p)
-    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
-    assert(!p.toLowerCase.contains("subquery") ||
-      !p.contains("InSubquery"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    // and nothing survives as a per-row subquery node of any kind
+    assert(!p.contains("Subquery") && !p.contains("subquery"), p)
   }
 
   test("vocab coverage: top-200 via TakeOrderedAndProject, window only over the survivors") {

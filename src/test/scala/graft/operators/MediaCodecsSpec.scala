@@ -161,6 +161,16 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(img.pixels, gradientRgb(9, 5, 2L)))
   }
 
+  test("PNG theory pins hold for NEGATIVE ids (floorMod geometry)") {
+    for (id <- Seq(-1L, -7L, -16L)) {
+      val w = 16 + java.lang.Math.floorMod(id, 16L).toInt
+      val h = 16 + java.lang.Math.floorMod(id, 12L).toInt
+      val f = MediaCodecs.pngFeatures(MediaCodecs.synthPng(w, h, id))
+      assert(f(0) == graft.operators.Multimodal.theoryPngFeature0(id), s"id $id feat0")
+      assert(f(3) == w.toFloat && f(4) == h.toFloat, s"id $id dims")
+    }
+  }
+
   test("PNG: corrupt payloads raise bounded errors, never crash or hang") {
     val good = MediaCodecs.synthPng(20, 16, 5L)
     // flipped IDAT byte → CRC mismatch

@@ -31,6 +31,14 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(p("n") - 3L) <= 1 && math.abs(p("s") - 2L) <= 1)
   }
 
+  test("non-identifier column names (spaces, quotes) profile instead of crashing") {
+    val weird = Seq((Some(1L), Some("x")), (None, Some("y")))
+      .toDF("user name", "it's")
+    val p = Profile.profile(weird, Seq("user name", "it's"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p("user name") == 1L && p("it's") == 0L)
+  }
+
   test("one aggregation pass: no join or repeated scan in the plan") {
     val plan = Profile.profile(df, Seq("n", "s")).queryExecution
       .optimizedPlan.toString
