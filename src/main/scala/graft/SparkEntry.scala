@@ -107,6 +107,8 @@ object SparkEntry {
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
+    "d_multimodal_jpeg" -> (q.LlmOps.multimodalJpeg _),
+    "d_multimodal_flac" -> (q.LlmOps.multimodalFlac _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -339,6 +341,8 @@ object SparkEntry {
     "d_multimodal" -> q.LlmOps.multimodalSql,
     // PNG tier: pixel-side closed forms (deflated byte counts have none)
     "d_multimodal_png" -> q.LlmOps.multimodalPngSql,
+    "d_multimodal_jpeg" -> q.LlmOps.multimodalJpegSql,
+    "d_multimodal_flac" -> q.LlmOps.multimodalFlacSql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -3,10 +3,11 @@ package graft.operators
 /** Real, dependency-free media codecs for the multimodal tier: 24-bit
   * uncompressed BMP (images), 16-bit PCM WAV (audio), and — round 8 —
   * 8-bit RGB/RGBA PNG, whose only "library" need (zlib inflate/deflate)
-  * the JDK ships built-in (`java.util.zip`), the XlsxSink precedent. So
-  * the real decode surface is now BMP + PNG + WAV; JPEG/MP3/H.264
-  * genuinely require third-party codec libraries and stay behind the
-  * documented stub fallback.
+  * the JDK ships built-in (`java.util.zip`), the XlsxSink precedent.
+  * Baseline JPEG (markers, Huffman, DCT) is implemented from arithmetic
+  * alone in [[JpegCodec]]. So the real decode surface is BMP + PNG +
+  * JPEG + WAV; MP3/H.264 genuinely require third-party codec libraries
+  * and stay behind the documented stub fallback.
   *
   * BMP/RIFF byte layouts are little-endian per those specifications; PNG
   * chunk framing is big-endian per RFC 2083, every chunk CRC32-validated.
@@ -112,9 +113,9 @@ object MediaCodecs {
   }
 
   /** Shared image feature kernel over row-major top-down RGB triples —
-    * single-sourced so the BMP and PNG paths produce BIT-IDENTICAL
+    * single-sourced so the BMP, PNG and JPEG paths produce BIT-IDENTICAL
     * features for identical pixels (MediaCodecsSpec pins exactly that). */
-  private def rgbFeatureVector(width: Int, height: Int, pixels: Array[Byte]): Array[Float] = {
+  private[operators] def rgbFeatureVector(width: Int, height: Int, pixels: Array[Byte]): Array[Float] = {
     val out = new Array[Float](16)
     val n = width * height
     var sr = 0L; var sg = 0L; var sb = 0L

@@ -74,7 +74,41 @@ object Multimodal {
       lit("image/png").as("mime"))
   }
 
-  /** STUB decoder — stands in for compressed-format decode (JPEG/MP3),
+  /** Attach a REAL baseline-JPEG payload to every doc: a deterministic
+    * doc_id-seeded block-flat grayscale fixture in the codec's
+    * exactly-representable subspace ([[JpegCodec.synthJpeg]]) — the full
+    * Huffman/DCT encode-decode path must reproduce every pixel
+    * bit-for-bit, so the gate's theory pins stay exact even though the
+    * codec is a genuine lossy baseline implementation. */
+  def withJpegPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long) =>
+      JpegCodec.synthJpeg(
+        16 + 8 * java.lang.Math.floorMod(id, 3L).toInt,
+        16 + 8 * java.lang.Math.floorMod(id, 2L).toInt, id)
+    }
+    docs.select(
+      col("doc_id"),
+      gen(col("doc_id")).as("payload"),
+      lit("image/jpeg").as("mime"))
+  }
+
+  /** Attach a REAL compressed-audio payload to every doc: a deterministic
+    * doc_id-seeded FLAC of the SAME sine as [[MediaCodecs.synthWav]]
+    * (fixed-predictor + Rice encode). FLAC is lossless, so the decoded
+    * samples — and therefore the features — must equal the WAV path's
+    * bit-for-bit for the same seed. */
+  def withFlacPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long) =>
+      FlacCodec.synthFlac(
+        2000 + java.lang.Math.floorMod(id, 1000L).toInt, 16000, id)
+    }
+    docs.select(
+      col("doc_id"),
+      gen(col("doc_id")).as("payload"),
+      lit("audio/flac").as("mime"))
+  }
+
+  /** STUB decoder — stands in for compressed-format decode (MP3/H.264),
     * whose codec libraries this container cannot ship. Deterministic:
     * 16-bin byte histogram, L1-normalized. Same shape as the real paths
     * (binary => fixed-width float vector). */
@@ -114,7 +148,9 @@ object Multimodal {
   def decodeOne(payload: Array[Byte], mime: String): Array[Float] = mime match {
     case "image/bmp" => MediaCodecs.bmpFeatures(payload)
     case "image/png" => MediaCodecs.pngFeatures(payload)
+    case "image/jpeg" => JpegCodec.jpegFeatures(payload)
     case "audio/wav" => MediaCodecs.wavFeatures(payload)
+    case "audio/flac" => FlacCodec.flacFeatures(payload)
     case _ => stubDecode(payload)
   }
 
@@ -292,6 +328,102 @@ object Multimodal {
   }
 
   private def theoryPngF = udf((id: Long) => theoryPngFeature0(id))
+
+  /** Closed-form first feature of the synthetic JPEG for doc `id`: the
+    * block-flat grayscale fixture decodes bit-exactly (DC-only blocks, see
+    * [[JpegCodec.synthJpeg]]), so feature[0] = mean R / 255 is the exact
+    * Long block sum replicated in [[MediaCodecs.rgbFeatureVector]]'s fold
+    * order — v(bx,by) = (7·bx + 5·by + id mod 256) mod 256 over the
+    * (16+8·(id mod 3)) x (16+8·(id mod 2)) geometry. */
+  def theoryJpegFeature0(id: Long): Float = {
+    val w = 16 + 8 * java.lang.Math.floorMod(id, 3L).toInt
+    val h = 16 + 8 * java.lang.Math.floorMod(id, 2L).toInt
+    val s = (id & 0xff).toInt
+    var sum = 0L
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        sum += 64L * ((bx * 7 + by * 5 + s) % 256)
+        bx += 1
+      }
+      by += 1
+    }
+    sum.toFloat / (w * h) / 255f
+  }
+
+  private def theoryJpegF = udf((id: Long) => theoryJpegFeature0(id))
+
+  /** Closed-form first feature (RMS) of the synthetic FLAC for doc `id`:
+    * the truncation-quantized sine replayed sample-by-sample in the exact
+    * fold order of [[FlacCodec.flacFeatures]] — valid because FLAC decode
+    * is LOSSLESS, so the decoded samples ARE the synth samples. */
+  def theoryFlacFeature0(id: Long): Float = {
+    val n = 2000 + java.lang.Math.floorMod(id, 1000L).toInt
+    val freq = 220.0 + java.lang.Math.floorMod(id, 220L).toDouble
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val v = (0.5 * 32767.0 * math.sin(2.0 * math.Pi * freq * i / 16000.0)).toInt
+      val s = v.toDouble / 32768.0
+      sumSq += s * s
+      i += 1
+    }
+    math.sqrt(sumSq / n).toFloat
+  }
+
+  private def theoryFlacF = udf((id: Long) => theoryFlacFeature0(id))
+
+  /** FLAC gate aggregation — the compressed-audio sibling of the JPEG/PNG
+    * gates: synth (fixed-predictor + Rice encode, CRC-8/CRC-16/MD5-framed)
+    * → real frame-walk entropy decode → per-source integer aggregation.
+    * An entropy-coded byte count has no closed form, so the pinned facts
+    * are sample-side: total decoded samples (recovered exactly from the
+    * duration feature: round(f3·16000) — n ≤ 3000 fits a float mantissa)
+    * and two all-docs-match counters — decoded RMS vs theory (bit-exact
+    * float, valid because FLAC is lossless) and the sample-rate feature. */
+  def flacGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = withFlacPayload(spark, docs)
+    val feats = decodeFeatures(spark, media).toDF()
+    feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(element_at(col("feature"), 4) * 16000f).cast("long"))
+          .as("total_samples"),
+        sum(when(element_at(col("feature"), 1) === theoryFlacF(col("doc_id")), 1L)
+          .otherwise(0L)).as("n_feat0_exact"),
+        sum(when(element_at(col("feature"), 3) === lit(16f), 1L)
+          .otherwise(0L)).as("n_rate_exact"))
+  }
+
+  /** JPEG gate aggregation — the compressed-image gate's DCT sibling:
+    * synth (full Huffman/DCT baseline encode) → real marker-walk +
+    * entropy-decode + dequant + IDCT → per-source integer aggregation.
+    * Like the PNG gate, an entropy-coded byte count has no closed form, so
+    * the pinned facts are pixel-side: total decoded pixels (header
+    * geometry is closed-form in doc_id) and two all-docs-match counters —
+    * decoded feature[0] vs theory (bit-exact float, possible because the
+    * fixtures live in the DC-only subspace where a REAL lossy codec is
+    * exact) and decoded (width, height) vs the id formula. */
+  def jpegGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = withJpegPayload(spark, docs)
+    val feats = decodeFeatures(spark, media).toDF()
+    feats.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((element_at(col("feature"), 4) * element_at(col("feature"), 5))
+          .cast("long")).as("n_px"),
+        sum(when(element_at(col("feature"), 1) === theoryJpegF(col("doc_id")), 1L)
+          .otherwise(0L)).as("n_feat0_exact"),
+        sum(when(
+          element_at(col("feature"), 4) ===
+            (pmod(col("doc_id"), lit(3)) * 8 + 16).cast("float") &&
+          element_at(col("feature"), 5) ===
+            (pmod(col("doc_id"), lit(2)) * 8 + 16).cast("float"), 1L)
+          .otherwise(0L)).as("n_dims_exact"))
+  }
 
   /** PNG gate aggregation: synth (deflate-compressed, CRC-framed, filter-
     * rotated) → full chunk-walk + inflate + unfilter decode → per-source

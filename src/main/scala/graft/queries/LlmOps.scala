@@ -2057,6 +2057,42 @@ object LlmOps {
       |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
       |FROM documents GROUP BY source""".stripMargin
 
+  /** JPEG multimodal gate ([[Multimodal.jpegGate]]): every doc carries a
+    * doc_id-seeded baseline JPEG (full Huffman/DCT encode), decoded by the
+    * real marker-walk + entropy-decode + dequant + IDCT path. The fixtures
+    * are block-flat (DC-only), so even a LOSSY codec must reproduce every
+    * pixel bit-for-bit — see [[graft.operators.JpegCodec]]. */
+  def multimodalJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodalJpeg]]: pixel counts from the id →
+    * geometry formula (w = 16+8·(id mod 3), h = 16+8·(id mod 2)); the
+    * exactness counts pinned to "every doc's decoded feature[0] and
+    * dimensions match theory" (an entropy-coded byte count has no closed
+    * form, so the pins are pixel-side, as with PNG). */
+  val multimodalJpegSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM((16 + 8 * (((doc_id % 3) + 3) % 3)) * (16 + 8 * (((doc_id % 2) + 2) % 2))) AS BIGINT) AS n_px,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** FLAC multimodal gate ([[Multimodal.flacGate]]): every doc carries a
+    * doc_id-seeded FLAC (fixed-predictor + Rice encode of the synthWav
+    * sine), decoded by the real frame-walk + Rice + CRC/MD5 path. FLAC is
+    * lossless, so the decoded-RMS theory pin is bit-exact over ALL
+    * fixtures — no representable-subspace trick needed. */
+  def multimodalFlac(s: SparkSession, dir: String): DataFrame =
+    Multimodal.flacGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodalFlac]]: sample counts from the id →
+    * length formula (n = 2000 + id mod 1000); exactness counts pinned to
+    * "every doc's decoded RMS and sample-rate feature match theory". */
+  val multimodalFlacSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(2000 + ((doc_id % 1000) + 1000) % 1000) AS BIGINT) AS total_samples,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_rate_exact
+      |FROM documents GROUP BY source""".stripMargin
+
   /** End-to-end curation pipeline — the composition a training-data corpus
     * actually runs: quality gate → repetition gate → language agreement →
     * exact-canonical dedup survivors → benchmark decontamination (the
