@@ -73,6 +73,7 @@ object SparkEntry {
     "d_dedup_exact" -> (q.LlmOps.dedupExact _),
     "d_line_dedup" -> (q.LlmOps.lineDedup _),
     "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
+    "d_edit_distance" -> (q.LlmOps.editDistance _),
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
     "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
     "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
@@ -250,6 +251,7 @@ object SparkEntry {
     // per-doc decisions vs the STATIC boilerplate set ⇒ stream ≡ batch
     "s_stream_line_filter" -> q.LlmOps.streamLineFilterSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
+    "d_edit_distance" -> q.LlmOps.editDistanceSql,
     // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a
     // replicate the JVM kernels bitwise — see LlmOps oracle section)
     "d_fingerprints" -> q.LlmOps.fingerprintsSql,

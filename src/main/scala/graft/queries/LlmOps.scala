@@ -463,6 +463,28 @@ object LlmOps {
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       |    / (CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.95""".stripMargin
 
+  /** Edit-distance near-dup pairs over a 16-char title slice, distance
+    * band [1, 2] (distance 0 is the exact tier's job). The Spark side runs
+    * PassJoin segment blocking + exact verify
+    * ([[Dedup.editDistancePairs]]); the ORACLE brute-forces all pairs —
+    * so a hash match proves the blocking lost NO pair, the strongest
+    * recall check a candidate-generation scheme can get. */
+  def editDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+      docs(s, dir).withColumn("title", substring(col("text"), 1, 16)),
+      "doc_id", "title", maxDist = 2)
+      .filter(col("dist") >= 1)
+
+  /** Brute-force twin of [[editDistance]]: every pair, exact levenshtein
+    * (identical unit-cost DP definition in both engines), same [1, 2]
+    * distance band. */
+  val editDistanceSql: String =
+    """WITH t AS (SELECT doc_id, substr(text, 1, 16) AS title FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2""".stripMargin
+
   /** MinHash+LSH near-dup pairs. Oracle-checked: [[dedupMinhashSql]]
     * replicates the full signature/banding pipeline in DuckDB — its
     * hard-coded 48/16/0.8/seed-42/cap-1000 literals must track the
