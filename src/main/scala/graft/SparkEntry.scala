@@ -50,6 +50,7 @@ object SparkEntry {
     "r_approx_distinct" -> (q.Relational.approxDistinct _),
     "r_sketch_merge" -> (q.Relational.sketchMerge _),
     "r_window_rank" -> (q.Relational.windowRank _),
+    "r_window_dist" -> (q.Relational.windowDist _),
     "r_window_running" -> (q.Relational.windowRunning _),
     "r_window_range" -> (q.Relational.windowRange _),
     "r_topk" -> (q.Relational.topK _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     "d_graph_pagerank" -> (q.LlmOps.graphPagerank _),
+    "d_graph_bfs" -> (q.LlmOps.graphBfs _),
     // structured streaming (run synchronously through the memory sink)
     "s_stream_window" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.windowedCountsSync(s, dir)),
@@ -219,6 +221,7 @@ object SparkEntry {
     // exact distinct + raise_error-backed verdict (round-8 discipline)
     "r_sketch_merge" -> q.Relational.sketchMergeSql,
     "r_window_rank" -> q.Relational.windowRankSql,
+    "r_window_dist" -> q.Relational.windowDistSql,
     "r_window_running" -> q.Relational.windowRunningSql,
     "r_window_range" -> q.Relational.windowRangeSql,
     "r_topk" -> q.Relational.topKSql,
@@ -299,6 +302,7 @@ object SparkEntry {
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     // all-integer power iteration → bit-exact across engines
     "d_graph_pagerank" -> q.LlmOps.graphPagerankSql,
+    "d_graph_bfs" -> q.LlmOps.graphBfsSql,
     "d_strip_spans" -> q.LlmOps.stripSpansSql,
     "d_span_dedup_keep_one" -> q.LlmOps.spanDedupKeepOneSql,
     "d_neardup_incremental" -> q.LlmOps.nearDupIncrementalSql,

@@ -130,6 +130,44 @@ object Graph {
     } finally e.unpersist(blocking = false): Unit
   }
 
+  /** Multi-source BFS: exact minimum hop distance from any seed node over
+    * a directed edge list, bounded at `maxDepth` levels. Frontier
+    * expansion — each round joins ONLY the newly-reached nodes against the
+    * (persisted, round-invariant) edge list and anti-joins the visited
+    * set, so per-round work is O(frontier · avg-degree), never O(V·E).
+    * Rounds are `localCheckpoint`ed (the [[pageRank]] discipline) so the
+    * plan stays flat across iterations; the loop count is a fixed literal,
+    * no data-dependent driver actions.
+    *
+    * The breadth order makes the first discovery the minimum: a node in
+    * frontier d has no path of length < d (it would have been discovered
+    * then and anti-joined away), so (node, dist) is exactly the shortest
+    * hop count ≤ maxDepth — the same answer as a recursive-CTE
+    * reachability with MIN(dist), which is how the oracle checks it. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16, s"maxDepth $maxDepth out of [1,16]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val f0 = seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(true)
+      val frontiers = scala.collection.mutable.ListBuffer(f0)
+      for (d <- 1 to maxDepth) {
+        val visited = frontiers.map(_.select(col("node"))).reduce(_ union _)
+        val next = frontiers.last.select(col("node").as("src"))
+          .join(e, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d.toLong))
+          .localCheckpoint(true)
+        frontiers += next
+      }
+      frontiers.map(_.select(col("node"), col("dist"))).reduce(_ unionByName _)
+    } finally e.unpersist(blocking = false): Unit
+  }
+
   /** Unpersist a superseded round's checkpoint blocks (the
     * [[Clusters]] cleanup discipline — without this a long-lived session
     * pins every round of every invocation until the context cleaner

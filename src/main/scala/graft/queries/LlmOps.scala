@@ -3771,6 +3771,50 @@ object LlmOps {
       .select(col("node").as("item"), col("rank_q"), col("rank_frac"))
   }
 
+  /** Multi-source BFS over the item-transition graph: minimum hop
+    * distance (≤ 4) from the seed set {nodes ≡ 0 mod 17} — the
+    * reachability/traversal query Spark has no recursive-CTE surface for,
+    * expressed as a fixed-depth frontier loop
+    * ([[graft.operators.Graph.bfsDistances]]) and oracled against DuckDB's
+    * actual WITH RECURSIVE. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val edges = graft.operators.Graph.transitionEdges(
+      ev, "user_id", "ts", "event_id",
+      get_json_object(col("props"), "$.k").cast("long"))
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .filter(pmod(col("node"), lit(17)) === 0)
+    graft.operators.Graph.bfsDistances(edges, "src", "dst", seeds, "node", maxDepth = 4)
+      .select(col("node").as("item"), col("dist"))
+  }
+
+  /** Recursive-CTE twin of [[graphBfs]]: same edge derivation as the
+    * PageRank oracle, then DuckDB's native WITH RECURSIVE with MIN(dist)
+    * — frontier-BFS first-discovery equals the recursive minimum. */
+  val graphBfsSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events),
+      |tr AS (
+      |  SELECT item,
+      |         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      |  FROM ev),
+      |edges AS (SELECT src, item AS dst FROM tr
+      |          WHERE src IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |seeds AS (SELECT node FROM nodes WHERE ((node % 17) + 17) % 17 = 0),
+      |r AS (
+      |  SELECT node, 0 AS dist FROM seeds
+      |  UNION
+      |  SELECT e.dst AS node, r.dist + 1 AS dist
+      |  FROM r JOIN edges e ON e.src = r.node
+      |  WHERE r.dist < 4)
+      |SELECT node AS item, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM r GROUP BY node""".stripMargin
+
   /** Oracle: the five integer rounds unrolled as CTEs — share, contrib,
     * dangling split, and the damping blend all in BIGINT floor-division
     * (`//`, ≡ Spark's `div` for the non-negative values here), so every

@@ -366,6 +366,38 @@ object Relational {
       |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       |  FROM orders) WHERE rn <= 3""".stripMargin
 
+  /** Distribution-family window functions over the same per-customer
+    * total order as [[windowRank]]: ntile quartiles, percent_rank,
+    * cume_dist, lead and first_value in one pass. The partition key is
+    * o_custkey (millions of small partitions at scale — never a global
+    * sort), and the ORDER BY ends in the unique o_orderkey so every rank
+    * — and therefore every (rank-1)/(n-1) double — is deterministic and
+    * engine-identical. Single-row partitions exercise the percent_rank=0 /
+    * cume_dist=1 degenerate definitions. */
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_totalprice")).over(w).as("top_price"))
+  }
+
+  val windowDistSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  FIRST_VALUE(o_totalprice) OVER w AS top_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
   /** Running total per supplier — exact decimal inside the frame so the
     * accumulation order can't change the double result. (l_orderkey,
     * l_linenumber) is NOT unique in the synthetic data, so the summand

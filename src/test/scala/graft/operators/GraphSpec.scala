@@ -89,4 +89,29 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((10L, 20L, 1L), (20L, 20L, 1L), (30L, 40L, 1L)))
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], depth: Int): Map[Long, Long] =
+    Graph.bfsDistances(
+      edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("node"), "node", depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsDistances: shortest hops on a chain with a shortcut, cycles safe") {
+    // 1→2→3→4→5 with shortcut 1→4 and back-edge 4→1 (cycle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (4L, 1L))
+    assert(bfs(edges, Seq(1L), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("bfsDistances: depth bound truncates, unreachable nodes are absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+    assert(bfs(edges, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // node 7/8 component unreachable from seed 1; 4 beyond depth 2
+  }
+
+  test("bfsDistances: multi-source takes the minimum over seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L))
+    assert(bfs(edges, Seq(1L, 9L), 3) ==
+      Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
 }
