@@ -51,6 +51,7 @@ object SparkEntry {
     "r_sketch_merge" -> (q.Relational.sketchMerge _),
     "r_window_rank" -> (q.Relational.windowRank _),
     "r_window_dist" -> (q.Relational.windowDist _),
+    "r_datetime_funcs" -> (q.Relational.datetimeFuncs _),
     "r_window_running" -> (q.Relational.windowRunning _),
     "r_window_range" -> (q.Relational.windowRange _),
     "r_topk" -> (q.Relational.topK _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
     "d_multimodal_jpeg" -> (q.LlmOps.multimodalJpeg _),
     "d_multimodal_flac" -> (q.LlmOps.multimodalFlac _),
+    "d_media_parity" -> (q.LlmOps.mediaParity _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -222,6 +224,7 @@ object SparkEntry {
     "r_sketch_merge" -> q.Relational.sketchMergeSql,
     "r_window_rank" -> q.Relational.windowRankSql,
     "r_window_dist" -> q.Relational.windowDistSql,
+    "r_datetime_funcs" -> q.Relational.datetimeFuncsSql,
     "r_window_running" -> q.Relational.windowRunningSql,
     "r_window_range" -> q.Relational.windowRangeSql,
     "r_topk" -> q.Relational.topKSql,
@@ -349,6 +352,7 @@ object SparkEntry {
     "d_multimodal_png" -> q.LlmOps.multimodalPngSql,
     "d_multimodal_jpeg" -> q.LlmOps.multimodalJpegSql,
     "d_multimodal_flac" -> q.LlmOps.multimodalFlacSql,
+    "d_media_parity" -> q.LlmOps.mediaParitySql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

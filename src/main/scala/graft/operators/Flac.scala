@@ -169,13 +169,15 @@ object FlacCodec {
     val out = new java.io.ByteArrayOutputStream(samples.length + 128)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO metadata block (last-metadata flag set, type 0, length 34)
+    // the min/max block-size fields EXCLUDE the final (possibly shorter)
+    // block per spec, so with fixed 4096 blocking both are 4096 unless the
+    // whole stream is one short block (then clamp to the spec floor of 16)
     val nBlocks = math.max(1, ceilDiv(samples.length, BlockSize))
-    val lastSize = if (samples.length == 0) 0
-      else samples.length - (nBlocks - 1) * BlockSize
-    val minBlock = if (nBlocks == 1) math.max(lastSize, 16) else math.min(BlockSize, lastSize)
+    val minBlock = if (nBlocks == 1) math.min(BlockSize, math.max(16, samples.length))
+      else BlockSize
     out.write(0x80); writeBe(out, 34, 3)
     val si = new BitWriter
-    si.writeBits(math.max(16, minBlock).toLong, 16) // min block size (spec floor 16)
+    si.writeBits(minBlock.toLong, 16)
     si.writeBits(BlockSize.toLong, 16)              // max block size
     si.writeBits(0L, 24); si.writeBits(0L, 24)      // min/max frame size unknown
     si.writeBits(sampleRate.toLong, 20)

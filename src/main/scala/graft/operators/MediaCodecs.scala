@@ -63,6 +63,34 @@ object MediaCodecs {
     out
   }
 
+  /** Encode row-major top-down RGB triples as a spec-conforming 24-bit
+    * BMP (the [[synthBmp]] layout, arbitrary pixel content). */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"pixel buffer ${rgb.length} != ${width}x$height RGB")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    System.arraycopy(synthBmp(1, 1, 0), 0, out, 0, 54) // header template
+    System.arraycopy(le4(54 + dataSize), 0, out, 2, 4)
+    System.arraycopy(le4(width), 0, out, 18, 4)
+    System.arraycopy(le4(height), 0, out, 22, 4)
+    System.arraycopy(le4(dataSize), 0, out, 34, 4)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        val o = rowOff + x * 3
+        out(o) = rgb(s + 2); out(o + 1) = rgb(s + 1); out(o + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   final case class BmpImage(width: Int, height: Int, pixels: Array[Byte]) {
     /** pixels are row-major top-down RGB triples. */
     def rgb(x: Int, y: Int): (Int, Int, Int) = {

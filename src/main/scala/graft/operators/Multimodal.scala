@@ -397,6 +397,59 @@ object Multimodal {
           .otherwise(0L)).as("n_rate_exact"))
   }
 
+  /** Cross-CODEC parity gate: the SAME block-flat grayscale pixel content
+    * encoded three ways — uncompressed BMP, deflate-compressed PNG
+    * (seed-rotated scanline filters) and Huffman/DCT baseline JPEG — then
+    * decoded by each format's full independent path. All three must yield
+    * BIT-IDENTICAL 16-float feature vectors (BMP is raw, PNG is lossless,
+    * and the block-flat content sits in JPEG's DC-only exact subspace), so
+    * `n_all_equal` counts docs whose three per-format feature hashes
+    * collapse to one, and `n_feat0_exact` pins the shared value to the
+    * closed-form theory. A one-bit divergence anywhere in any of the three
+    * codec stacks fails its doc. */
+  def mediaParityGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val w = 16 + 8 * java.lang.Math.floorMod(id, 3L).toInt
+      val h = 16 + 8 * java.lang.Math.floorMod(id, 2L).toInt
+      val s = (id & 0xff).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (((x / 8) * 7 + (y / 8) * 5 + s) % 256).toByte
+          val o = (y * w + x) * 3
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      Seq(
+        ("image/bmp", MediaCodecs.encodeBmp(w, h, rgb)),
+        ("image/png", MediaCodecs.encodePng(w, h, rgb,
+          filterType = java.lang.Math.floorMod(id, 5L).toInt)),
+        ("image/jpeg", JpegCodec.encodeJpeg(w, h, rgb, grayscale = true)))
+    }
+    val media = docs
+      .select(col("doc_id"), explode(gen(col("doc_id"))).as("fm"))
+      .select(col("doc_id"), col("fm._2").as("payload"), col("fm._1").as("mime"))
+    val feats = decodeFeatures(spark, media).toDF()
+    val perDoc = feats
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_formats"),
+        countDistinct(xxhash64(col("feature"))).as("n_distinct_feats"),
+        min(element_at(col("feature"), 1)).as("feat0"))
+    perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_formats") === 3 && col("n_distinct_feats") === 1, 1L)
+          .otherwise(0L)).as("n_all_equal"),
+        sum(when(col("feat0") === theoryJpegF(col("doc_id")), 1L)
+          .otherwise(0L)).as("n_feat0_exact"))
+  }
+
   /** JPEG gate aggregation — the compressed-image gate's DCT sibling:
     * synth (full Huffman/DCT baseline encode) → real marker-walk +
     * entropy-decode + dequant + IDCT → per-source integer aggregation.

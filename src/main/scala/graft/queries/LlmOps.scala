@@ -2115,6 +2115,19 @@ object LlmOps {
       |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_rate_exact
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Cross-codec media parity ([[Multimodal.mediaParityGate]]): the same
+    * pixels through BMP, PNG and JPEG must feature-hash identically —
+    * three independent codec stacks cross-checking each other per doc. */
+  def mediaParity(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaParityGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[mediaParity]]: every doc must report all three
+    * formats bit-equal and the shared feature[0] on theory. */
+  val mediaParitySql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(*) AS n_all_equal, COUNT(*) AS n_feat0_exact
+      |FROM documents GROUP BY source""".stripMargin
+
   /** End-to-end curation pipeline — the composition a training-data corpus
     * actually runs: quality gate → repetition gate → language agreement →
     * exact-canonical dedup survivors → benchmark decontamination (the

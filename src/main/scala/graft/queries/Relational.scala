@@ -497,6 +497,38 @@ object Relational {
       |  'order-' || o_orderkey AS tag
       |FROM orders""".stripMargin
 
+  /** Date/time scalar-function surface: truncation, month arithmetic with
+    * end-of-month clamping, day diffs, Monday-based weekday, quarter and
+    * date construction — the calendar half of the scalar tier
+    * ([[scalarFuncs]] covers the string/numeric half). Engine-parity
+    * notes: Spark's `weekday` (0 = Monday) is DuckDB's `isodow - 1`;
+    * `add_months` and `date + INTERVAL` share Postgres end-of-month
+    * clamping; everything is computed on DATE (the timestamp column is
+    * midnight-valued UTC, [[graft.Tables]] guards the session zone). */
+  def datetimeFuncs(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      trunc(d, "month").as("month_start"),
+      add_months(d, 3).as("plus3m"),
+      last_day(d).as("month_end"),
+      datediff(d, lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+      weekday(d).cast("long").as("dow_mon0"),
+      quarter(d).cast("long").as("qtr"),
+      make_date(year(d) + 1, lit(1), lit(1)).as("next_jan1"))
+  }
+
+  val datetimeFuncsSql: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+      |  CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS dow_mon0,
+      |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+      |  make_date(YEAR(o_orderdate) + 1, 1, 1) AS next_jan1
+      |FROM orders""".stripMargin
+
   /** Typed UDAF (Aggregator with map-side partial merge): quantity-weighted
     * average price per return flag, integer-cents buffer for bit-exactness. */
   def udafWavg(s: SparkSession, dir: String): DataFrame =
