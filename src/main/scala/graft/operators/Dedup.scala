@@ -638,10 +638,14 @@ object Dedup {
     // short tier: strings of length <= 2k can pair with strings their
     // pigeonhole segments cannot reach; brute-pair them (value domain is
     // alphabet^(2k)-bounded; see docstring for the exact-dedup-first rule)
+    // equi-join shape (hash join, never a nested-loop): the left side
+    // fans out to its ±k target lengths and joins on length equality
     val shorts = titled.filter(col("len") <= 2 * k)
-    val shortPairs = shorts.select(col("doc_id").as("id_a"), col("len").as("la"))
-      .join(shorts.select(col("doc_id").as("id_b"), col("len").as("lb")),
-        col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= k)
+    val shortPairs = shorts
+      .select(col("doc_id").as("id_a"), col("len").as("la"),
+        explode(sequence(greatest(col("len") - k, lit(0)), col("len") + k)).as("lb"))
+      .join(shorts.select(col("doc_id").as("id_b"), col("len").as("lb")), Seq("lb"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
 
     candidates.unionByName(shortPairs).distinct()

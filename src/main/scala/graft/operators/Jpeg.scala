@@ -450,6 +450,8 @@ object JpegCodec {
               val diff = q(0) - dcPred(c)
               dcPred(c) = q(0)
               val ds = category(diff)
+              require(ds <= 11,
+                s"DC difference $diff too wide for the standard Huffman tables — raise the quantization table")
               bw.write(dcEnc(t).codeOf(ds), dcEnc(t).sizeOf(ds))
               if (ds > 0)
                 bw.write(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
@@ -465,6 +467,8 @@ object JpegCodec {
                     run -= 16
                   }
                   val s = category(v)
+                  require(s <= 10,
+                    s"AC coefficient $v too wide for the standard Huffman tables — raise the quantization table")
                   val sym = (run << 4) | s
                   bw.write(acEnc(t).codeOf(sym), acEnc(t).sizeOf(sym))
                   bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
