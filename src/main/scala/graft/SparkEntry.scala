@@ -76,6 +76,7 @@ object SparkEntry {
     "d_line_dedup" -> (q.LlmOps.lineDedup _),
     "d_ngram_jaccard" -> (q.LlmOps.ngramJaccard _),
     "d_edit_distance" -> (q.LlmOps.editDistance _),
+    "d_edit_clusters" -> (q.LlmOps.editClusters _),
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
     "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
     "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
@@ -258,6 +259,7 @@ object SparkEntry {
     "s_stream_line_filter" -> q.LlmOps.streamLineFilterSql,
     "d_ngram_jaccard" -> q.LlmOps.ngramJaccardSql,
     "d_edit_distance" -> q.LlmOps.editDistanceSql,
+    "d_edit_clusters" -> q.LlmOps.editClustersSql,
     // float/hash-exact SQL twins (sequential double folds + HUGEINT FNV-1a
     // replicate the JVM kernels bitwise — see LlmOps oracle section)
     "d_fingerprints" -> q.LlmOps.fingerprintsSql,

@@ -485,6 +485,47 @@ object LlmOps {
       |FROM t a JOIN t b ON a.doc_id < b.doc_id
       |WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2""".stripMargin
 
+  /** Edit-distance pair list → connected components → per-cluster keeper
+    * (min doc_id): the [[dedupClusters]] composition over the PassJoin
+    * tier, distance ≤ 2 INCLUDING exact ties — typo-variant titles
+    * collapse to one canonical doc. Star-contraction resolution
+    * ([[Clusters.resolve]]) vs the oracle's recursive min-label closure
+    * over a brute-forced pair list. */
+  def editClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.editDistancePairs(
+      docs(s, dir).withColumn("title", substring(col("text"), 1, 16)),
+      "doc_id", "title", maxDist = 2)
+    val labels = graft.operators.Clusters.resolve(pairs, "id_a", "id_b")
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster"),
+        col("cluster_size"),
+        (col("id") === col("rep")).cast("int").as("keep"))
+  }
+
+  /** Brute-force pairs + recursive min-label closure, the
+    * [[dedupClustersSql]] shape over levenshtein ≤ 2. */
+  val editClustersSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 16) AS title FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE levenshtein(a.title, b.title) <= 2),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id WHERE r.lab < e.v),
+      |lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+      |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      |SELECT lab.id AS doc_id, lab.cluster AS cluster,
+      |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(lab.id = lab.cluster AS INT) AS keep
+      |FROM lab JOIN sz USING (cluster)""".stripMargin
+
   /** MinHash+LSH near-dup pairs. Oracle-checked: [[dedupMinhashSql]]
     * replicates the full signature/banding pipeline in DuckDB — its
     * hard-coded 48/16/0.8/seed-42/cap-1000 literals must track the

@@ -139,6 +139,15 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeBmp: arbitrary pixel content round-trips exactly (incl. padded odd widths)") {
+    for ((w, h) <- Seq((16, 12), (15, 3), (7, 9))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 17) % 256).toByte)
+      val img = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(w, h, rgb))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.sameElements(rgb), s"${w}x$h")
+    }
+  }
+
   test("PNG: ancillary chunks are skipped; IDAT may split across chunks") {
     val base = MediaCodecs.encodePng(9, 5, gradientRgb(9, 5, 2L), filterType = 2)
     // re-frame: signature + IHDR, then a tEXt chunk, then the IDAT split in two
