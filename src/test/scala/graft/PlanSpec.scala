@@ -53,6 +53,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("edit-distance blocking joins are hash-shaped (no nested-loop anywhere)") {
+    // every join in the PassJoin pipeline — candidate key join, short-tier
+    // length join, verify joins — must be equi (hash/sort-merge), never a
+    // BroadcastNestedLoopJoin: at corpus scale a nested loop is quadratic
+    val p = plan("d_edit_distance")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q1_agg")
     // two HashAggregate nodes: partial then final
