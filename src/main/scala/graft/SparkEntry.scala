@@ -161,6 +161,8 @@ object SparkEntry {
       streaming.EventPipeline.dedupSync(s, dir)),
     "s_stream_quality" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.curationFilterSync(s, dir)),
+    "s_stream_media" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.mediaDecodeSync(s, dir)),
     "s_stream_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.nearDupIngestSync(s, dir)),
     "s_stream_bloom_ingest" -> ((s: SparkSession, dir: String) =>
@@ -372,6 +374,12 @@ object SparkEntry {
     "s_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // stateless quality tier on a document stream ≡ the batch filters
     "s_stream_quality" -> q.LlmOps.streamQualitySql,
+    // stateless per-doc FLAC decode: n_samples closed-form, feat0 on theory
+    "s_stream_media" ->
+      """SELECT doc_id,
+        |  CAST(2000 + ((doc_id % 1000) + 1000) % 1000 AS BIGINT) AS n_samples,
+        |  TRUE AS feat0_exact
+        |FROM documents""".stripMargin,
     // per-doc decision vs the STATIC corpus index ⇒ stream ≡ batch
     "s_stream_ingest" -> q.LlmOps.nearDupIncrementalSql,
     // the stream shares its batch twin's oracle: live ingest ≡ batch backfill

@@ -510,6 +510,47 @@ object EventPipeline {
     out
   }
 
+  /** Multimodal decode on a DOCUMENT STREAM: each micro-batch's payloads
+    * run the full FLAC frame-walk + Rice + CRC/MD5 decode
+    * ([[graft.operators.FlacCodec]]) and emit per-doc feature facts —
+    * the codec tier deployed at ingest, where a corpus would decode media
+    * as it lands rather than in a second pass. Stateless ⇒ no watermark,
+    * no state store, stream ≡ batch at any batching; decoder errors on
+    * hostile bytes are typed per payload (the untrusted-bytes contract),
+    * so one bad document cannot kill the stream's batch. */
+  def mediaDecodeStream(docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long) =>
+      graft.operators.FlacCodec.synthFlac(
+        2000 + java.lang.Math.floorMod(id, 1000L).toInt, 16000, id)
+    }
+    val feat = udf { (p: Array[Byte]) => graft.operators.FlacCodec.flacFeatures(p) }
+    val theory = udf { (id: Long) => graft.operators.Multimodal.theoryFlacFeature0(id) }
+    docs
+      .select(col("doc_id"), feat(gen(col("doc_id"))).as("f"))
+      .select(col("doc_id"),
+        round(element_at(col("f"), 4) * 16000f).cast("long").as("n_samples"),
+        (element_at(col("f"), 1) === theory(col("doc_id"))).as("feat0_exact"))
+  }
+
+  /** Synchronous gate run of [[mediaDecodeStream]] — the
+    * [[curationFilterSync]] harness (stateless operator, memory sink). */
+  def mediaDecodeSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val name = s"graft_stream_media_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val in = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = mediaDecodeStream(in)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
   /** Deploy the TRAINED quality probe to the ingest stream — the
     * model-serving half of the GPT-3/LLaMA filtering recipe: weights are
     * trained batch-side (on the standing corpus's content-stable sample,
