@@ -358,7 +358,12 @@ object FlacCodec {
         require(bps == 16, s"only 16-bit FLAC supported, got $bps bits")
         totalSamples = br.readBits(36)
         require(sampleRate > 0, "invalid sample rate")
-        require(totalSamples <= (1L << 32), s"implausible total samples $totalSamples")
+        // bound the decode allocation from the 36-bit header field: 2^28
+        // samples = 512 MB of shorts is already past any sane payload, and
+        // the bound keeps .toInt exact (a hostile 42-byte header must not
+        // drive a negative-size or multi-GB allocation)
+        require(totalSamples >= 0 && totalSamples <= (1L << 28),
+          s"implausible total samples $totalSamples")
         streamMd5 = java.util.Arrays.copyOfRange(payload, off + 22, off + 38)
         first = false
       }

@@ -147,10 +147,15 @@ object Graph {
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 16, s"maxDepth $maxDepth out of [1,16]")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // null endpoints are dropped: a null "node" would re-enter every
+    // frontier (anti-join equality is null-unsafe) and has no graph meaning
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val f0 = seeds.select(col(seedCol).as("node")).distinct()
+        .filter(col("node").isNotNull)
         .withColumn("dist", lit(0L))
         .localCheckpoint(true)
       val frontiers = scala.collection.mutable.ListBuffer(f0)

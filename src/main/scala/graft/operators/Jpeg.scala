@@ -299,8 +299,12 @@ object JpegCodec {
   def encodeJpeg(width: Int, height: Int, rgb: Array[Byte],
       grayscale: Boolean = true, subsample420: Boolean = false,
       qtab: Array[Int] = FlatQ8, restartInterval: Int = 0): Array[Byte] = {
-    require(width > 0 && height > 0, s"invalid dimensions ${width}x$height")
-    require(rgb.length == width * height * 3,
+    // SOF geometry fields are 16-bit; the area bound (matching the
+    // decoder's) keeps every derived Int product overflow-free
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535 &&
+      width.toLong * height <= (1L << 26),
+      s"invalid dimensions ${width}x$height (16-bit SOF fields, area <= 2^26)")
+    require(rgb.length.toLong == width.toLong * height * 3,
       s"pixel buffer ${rgb.length} != ${width}x$height RGB")
     require(qtab.length == 64 && qtab.forall(q => q >= 1 && q <= 255),
       "quantization table must be 64 entries in [1,255]")
@@ -612,6 +616,13 @@ object JpegCodec {
               (sampH.toSeq == Seq(2, 1, 1) && sampV.toSeq == Seq(2, 1, 1)),
               s"only 4:4:4 or 2x2 4:2:0 sampling supported, got " +
                 sampH.zip(sampV).map { case (h, v) => s"${h}x$v" }.mkString(","))
+          else {
+            // T.81: a single-component scan is NON-interleaved — one 8x8
+            // data unit per MCU, the SOF sampling factors are ignored (a
+            // grayscale file may legally declare 2x2; libjpeg normalizes
+            // it the same way)
+            sampH(0) = 1; sampV(0) = 1
+          }
           sofSeen = true
           off = bodyOff + bodyLen
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
@@ -789,15 +800,14 @@ object JpegCodec {
     MediaCodecs.rgbFeatureVector(img.width, img.height, img.pixels)
   }
 
-  /** Deterministic synthetic fixture in the exactly-representable subspace
-    * (see object docstring): a grayscale image whose 8x8 blocks are each
-    * constant at v(bx,by) = (7·bx + 5·by + s) mod 256 with s = seed mod
-    * 256 — the full Huffman/DCT encode-decode path must reproduce every
-    * pixel bit-for-bit because flat blocks are DC-only and [[FlatQ8]]'s
-    * DC step 8 is exact. Width and height must be multiples of 8. */
-  def synthJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
-    require(width % 8 == 0 && height % 8 == 0,
-      s"synthJpeg requires block-aligned dimensions, got ${width}x$height")
+  /** The SINGLE source of the block-flat fixture content: a grayscale RGB
+    * buffer whose 8x8 blocks are each constant at
+    * v(bx,by) = (7·bx + 5·by + seed mod 256) mod 256. Everything that
+    * relies on this formula ([[synthJpeg]], the cross-codec parity gate,
+    * JpegCodecSpec, and the closed-form
+    * [[Multimodal.theoryJpegFeature0]] sum) derives from or mirrors THIS
+    * definition. */
+  def blockFlatPixels(width: Int, height: Int, seed: Long): Array[Byte] = {
     val s = (seed & 0xff).toInt
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
@@ -811,6 +821,18 @@ object JpegCodec {
       }
       y += 1
     }
-    encodeJpeg(width, height, rgb, grayscale = true, qtab = FlatQ8)
+    rgb
+  }
+
+  /** Deterministic synthetic fixture in the exactly-representable subspace
+    * (see object docstring): [[blockFlatPixels]] content — the full
+    * Huffman/DCT encode-decode path must reproduce every pixel
+    * bit-for-bit because flat blocks are DC-only and [[FlatQ8]]'s DC
+    * step 8 is exact. Width and height must be multiples of 8. */
+  def synthJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"synthJpeg requires block-aligned dimensions, got ${width}x$height")
+    encodeJpeg(width, height, blockFlatPixels(width, height, seed),
+      grayscale = true, qtab = FlatQ8)
   }
 }

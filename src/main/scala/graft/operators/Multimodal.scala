@@ -411,19 +411,7 @@ object Multimodal {
     val gen = udf { (id: Long) =>
       val w = 16 + 8 * java.lang.Math.floorMod(id, 3L).toInt
       val h = 16 + 8 * java.lang.Math.floorMod(id, 2L).toInt
-      val s = (id & 0xff).toInt
-      val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = (((x / 8) * 7 + (y / 8) * 5 + s) % 256).toByte
-          val o = (y * w + x) * 3
-          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-          x += 1
-        }
-        y += 1
-      }
+      val rgb = JpegCodec.blockFlatPixels(w, h, id)
       Seq(
         ("image/bmp", MediaCodecs.encodeBmp(w, h, rgb)),
         ("image/png", MediaCodecs.encodePng(w, h, rgb,

@@ -3857,7 +3857,7 @@ object LlmOps {
       |         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
       |  FROM ev),
       |edges AS (SELECT src, item AS dst FROM tr
-      |          WHERE src IS NOT NULL GROUP BY 1, 2),
+      |          WHERE src IS NOT NULL AND item IS NOT NULL GROUP BY 1, 2),
       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       |seeds AS (SELECT node FROM nodes WHERE ((node % 17) + 17) % 17 = 0),
       |r AS (

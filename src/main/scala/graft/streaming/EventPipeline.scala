@@ -515,9 +515,11 @@ object EventPipeline {
     * ([[graft.operators.FlacCodec]]) and emit per-doc feature facts —
     * the codec tier deployed at ingest, where a corpus would decode media
     * as it lands rather than in a second pass. Stateless ⇒ no watermark,
-    * no state store, stream ≡ batch at any batching; decoder errors on
-    * hostile bytes are typed per payload (the untrusted-bytes contract),
-    * so one bad document cannot kill the stream's batch. */
+    * no state store, stream ≡ batch at any batching. A hostile payload
+    * raises the codec's typed IllegalArgumentException naming the defect,
+    * which fails that micro-batch LOUDLY (quarantine-before-decode — e.g.
+    * [[graft.sources.Sources.readJsonQuarantine]]'s pattern — is the
+    * production shape for untrusted feeds). */
   def mediaDecodeStream(docs: DataFrame): DataFrame = {
     val gen = udf { (id: Long) =>
       graft.operators.FlacCodec.synthFlac(

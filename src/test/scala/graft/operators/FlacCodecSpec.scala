@@ -98,6 +98,24 @@ class FlacCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile totalSamples header values are typed errors, never giant or negative allocations") {
+    val fl = FlacCodec.encodeFlac(sine(100, 1L), 16000)
+    // the 36-bit total-samples field: low nibble of byte 21 + bytes 22..25
+    def withTotal(total: Long): Array[Byte] = {
+      val c = fl.clone
+      c(21) = ((c(21) & 0xf0) | ((total >> 32) & 0x0f)).toByte
+      c(22) = ((total >> 24) & 0xff).toByte
+      c(23) = ((total >> 16) & 0xff).toByte
+      c(24) = ((total >> 8) & 0xff).toByte
+      c(25) = (total & 0xff).toByte
+      c
+    }
+    for (total <- Seq(3000000000L, 1L << 32, Int.MaxValue.toLong, (1L << 28) + 1)) {
+      val e = intercept[IllegalArgumentException](FlacCodec.decodeFlac(withTotal(total)))
+      assert(e.getMessage.contains("implausible"), s"total=$total: ${e.getMessage}")
+    }
+  }
+
   test("unsupported shapes are typed errors with actionable messages") {
     // craft a stereo STREAMINFO by flipping the channels-1 field
     val fl = FlacCodec.encodeFlac(sine(100, 1L), 16000)

@@ -9,15 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * corruption totality over untrusted bytes. */
 class JpegCodecSpec extends AnyFunSuite {
 
-  private def blockFlatGray(w: Int, h: Int, seed: Int): Array[Byte] = {
-    val rgb = new Array[Byte](w * h * 3)
-    for (y <- 0 until h; x <- 0 until w) {
-      val v = (((x / 8) * 7 + (y / 8) * 5 + seed) % 256).toByte
-      val o = (y * w + x) * 3
-      rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-    }
-    rgb
-  }
+  private def blockFlatGray(w: Int, h: Int, seed: Int): Array[Byte] =
+    JpegCodec.blockFlatPixels(w, h, seed.toLong)
 
   test("grayscale block-flat images round-trip BIT-EXACTLY through the full Huffman/DCT path") {
     for (id <- Seq(0L, 1L, 5L, 17L, 123L, 254L, 255L, -7L)) {
@@ -130,6 +123,28 @@ class JpegCodecSpec extends AnyFunSuite {
         JpegCodec.decodeJpeg(java.util.Arrays.copyOf(jp, len))
       }
     }
+  }
+
+  test("grayscale with declared 2x2 sampling decodes non-interleaved per T.81 (factors ignored)") {
+    val jp = JpegCodec.synthJpeg(16, 16, 9L)
+    val sof = jp.indices.dropRight(1).find(i =>
+      (jp(i) & 0xff) == 0xff && (jp(i + 1) & 0xff) == 0xc0).get
+    // component list starts at sof+10 (marker+len+precision+h+w+ncomp);
+    // sampling byte of component 1 is at sof+11
+    assert((jp(sof + 11) & 0xff) == 0x11)
+    val declared22 = jp.clone
+    declared22(sof + 11) = 0x22.toByte
+    val img = JpegCodec.decodeJpeg(declared22)
+    val ref = JpegCodec.decodeJpeg(jp)
+    assert(img.pixels.sameElements(ref.pixels),
+      "single-component scan must ignore SOF sampling factors")
+  }
+
+  test("encoder rejects SOF-overflowing dimensions as typed errors") {
+    intercept[IllegalArgumentException](
+      JpegCodec.encodeJpeg(70000, 1, new Array[Byte](0)))
+    intercept[IllegalArgumentException](
+      JpegCodec.encodeJpeg(65535, 65535, new Array[Byte](0))) // area cap
   }
 
   test("unsupported modes are typed errors: progressive SOF2 and missing-scan streams") {
