@@ -2156,6 +2156,46 @@ object LlmOps {
       |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_rate_exact
       |FROM documents GROUP BY source""".stripMargin
 
+  /** WARC container round trip ([[graft.sources.Warc]]): the corpus
+    * written as spec-conforming `.warc.gz` crawl files (warcinfo +
+    * response records, per-record gzip members, embedded HTTP responses)
+    * executor-side, then read back through the binaryFile-source parser —
+    * every document's body must survive byte-exactly with its HTTP
+    * status and MIME intact. The ingestion path a Common-Crawl-shaped
+    * corpus arrives through. */
+  def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_warc")
+    try {
+      val d = docs(s, dir)
+      graft.sources.Warc.writeWarc(
+        d.select(col("doc_id"),
+          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+          col("text"))
+          .repartition(4, col("doc_id")),
+        out.toString)
+      val back = graft.sources.Warc.readWarc(s, out.toString)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
+          decode(col("body"), "UTF-8").as("body_text"),
+          col("http_status"), col("mime"))
+      back.join(d.select(col("doc_id"), col("source"), col("text")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("body_text") === col("text") &&
+            col("http_status") === 200 &&
+            col("mime") === "text/plain; charset=utf-8", 1L)
+            .otherwise(0L)).as("n_roundtrip_exact"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Closed-form twin of [[warcRoundtrip]]: every doc must come back. */
+  val warcRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_exact
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Cross-codec media parity ([[Multimodal.mediaParityGate]]): the same
     * pixels through BMP, PNG and JPEG must feature-hash identically —
     * three independent codec stacks cross-checking each other per doc. */
