@@ -115,6 +115,7 @@ object SparkEntry {
     "d_multimodal_flac" -> (q.LlmOps.multimodalFlac _),
     "d_media_parity" -> (q.LlmOps.mediaParity _),
     "d_warc_roundtrip" -> (q.LlmOps.warcRoundtrip _),
+    "d_unicode_normalize" -> (q.LlmOps.unicodeNormalize _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -359,6 +360,7 @@ object SparkEntry {
     "d_multimodal_flac" -> q.LlmOps.multimodalFlacSql,
     "d_media_parity" -> q.LlmOps.mediaParitySql,
     "d_warc_roundtrip" -> q.LlmOps.warcRoundtripSql,
+    "d_unicode_normalize" -> q.LlmOps.unicodeNormalizeSql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -18,6 +18,8 @@ object GraftFunctions {
       es => Fingerprint64Alt(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
@@ -80,6 +82,9 @@ object GraftFunctions {
     struct(call_function("graft_fingerprint64", c).as("f1"),
       call_function("graft_fingerprint64_alt", c).as("f2"))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  /** Unicode NFC canonical composition (ASCII fast path) — normalize
+    * before fingerprinting so composed/decomposed variants share keys. */
+  def nfc(c: Column): Column = call_function("graft_nfc", c)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -152,4 +152,23 @@ object TextHash {
     }
     out
   }
+
+  /** Unicode NFC (canonical composition) with an ASCII fast path: pure
+    * ASCII bytes are already in NFC, so the Normalizer (and the
+    * UTF8String→String→UTF8String round trip) only runs when a byte ≥
+    * 0x80 is present. Called from the [[NfcNormalize]] codegen. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        val str = s.toString
+        val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+        return if (norm == str) s
+          else org.apache.spark.unsafe.types.UTF8String.fromString(norm)
+      }
+      i += 1
+    }
+    s
+  }
 }

@@ -53,6 +53,28 @@ case class Fingerprint64Alt(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — canonical
+  * composition so visually-identical strings (é vs e+◌́) share one dedup
+  * key, the CCNet normalize-before-hash step. ASCII fast path: a string
+  * with no code point ≥ 0x80 is returned untouched without the Normalizer
+  * call (the overwhelmingly common case in a web corpus). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExprChecks.expect(prettyName, Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash signature of a token array column. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

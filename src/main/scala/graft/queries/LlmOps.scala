@@ -2156,6 +2156,42 @@ object LlmOps {
       |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_rate_exact
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Unicode NFC normalization ([[GraftFunctions.nfc]], a codegen
+    * Catalyst expression over java.text.Normalizer with an ASCII fast
+    * path): every doc gets a COMPOSED suffix (é ñ 한) and its fully
+    * DECOMPOSED twin (e+◌́, n+◌̃, jamo ᄒ+ᅡ+ᆫ); after NFC both must be
+    * byte-identical and share a fingerprint — the normalize-before-hash
+    * step (CCNet) that stops visually-identical variants from defeating
+    * exact dedup. Oracled against DuckDB's independent nfc_normalize. */
+  def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val composed = concat(col("text"), lit(" é ñ 한"))
+    val decomposed = concat(col("text"),
+      lit(" é ñ 한"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.nfc(composed).as("n1"),
+        GraftFunctions.nfc(decomposed).as("n2"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n1") === col("n2"), 1L).otherwise(0L)).as("n_collapsed"),
+        sum(when(GraftFunctions.fingerprint64(col("n1")) ===
+          GraftFunctions.fingerprint64(col("n2")), 1L).otherwise(0L)).as("n_fp_equal"))
+  }
+
+  /** DuckDB twin via its own nfc_normalize (pure-ASCII SQL through
+    * chr()); fingerprint equality reduces to string equality. */
+  val unicodeNormalizeSql: String =
+    """WITH v AS (SELECT source,
+      |  nfc_normalize(text || ' ' || chr(233) || ' ' || chr(241) || ' ' || chr(54620)) AS n1,
+      |  nfc_normalize(text || ' e' || chr(769) || ' n' || chr(771) || ' ' || chr(4370) || chr(4449) || chr(4523)) AS n2
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
+      |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_equal
+      |FROM v GROUP BY source""".stripMargin
+
   /** WARC container round trip ([[graft.sources.Warc]]): the corpus
     * written as spec-conforming `.warc.gz` crawl files (warcinfo +
     * response records, per-record gzip members, embedded HTTP responses)

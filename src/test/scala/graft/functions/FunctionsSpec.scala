@@ -26,6 +26,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(plan.contains("Project [codegen id"), plan)
   }
 
+  test("nfc: composed/decomposed collapse, ASCII untouched, codegen matches Normalizer") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq(
+      "plain ascii stays",                 // fast path
+      "café",                         // composed é
+      "café",                        // decomposed e + combining acute
+      "ñ and 한",    // decomposed ñ and Hangul jamo
+      "")
+    val got = cases.toDF("s")
+      .select(col("s"), GraftFunctions.nfc(col("s")).as("n")).collect()
+    got.foreach { r =>
+      val expected = java.text.Normalizer.normalize(r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == expected, s"input ${r.getString(0)}")
+    }
+    // the two café spellings share one normalized key (and fingerprint)
+    val keys = cases.toDF("s")
+      .select(GraftFunctions.fingerprint64(GraftFunctions.nfc(col("s"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(keys(1) == keys(2))
+    // null-safe
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(GraftFunctions.nfc(col("s"))).head().isNullAt(0))
+  }
+
   test("simhash64: identical token arrays agree; permuted tokens agree; disjoint differ") {
     GraftFunctions.register(spark)
     import spark.implicits._
