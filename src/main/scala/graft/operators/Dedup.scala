@@ -561,10 +561,14 @@ object Dedup {
     * pair are probed, and a short tier brute-pairs the ≤ 2k-length
     * stragglers so the guarantee is total).
     *
-    * 100 TB posture: no all-pairs anywhere — the only shuffles are the
-    * (length, segIdx, piece)-keyed candidate join (pieces are ~len/(k+1)
-    * chars), a pair-distinct, and the verify joins. Probe fan-out is a
-    * constant (2k+1)·(k+1)·(2k+1) entries per string (~75 at k=2).
+    * 100 TB posture: DISTINCT-FIRST — the probe fan-out, candidate join
+    * and every levenshtein run once per distinct VALUE (duplicate-heavy
+    * title domains pay the expensive tier on their value domain), with
+    * member expansion by two string-keyed joins afterwards. No all-pairs
+    * anywhere — the only shuffles are the (length, segIdx, piece)-keyed
+    * candidate join (pieces are ~len/(k+1) chars), a pair-distinct, and
+    * the expansion joins. Probe fan-out is a constant
+    * (2k+1)·(k+1)·(2k+1) entries per distinct string (~75 at k=2).
     * Distance-0 cliques emit quadratic TRUE pairs by definition — for web
     * corpora run [[exactByKey]] first and feed this tier the survivors.
     *
@@ -578,9 +582,17 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist $maxDist out of the sane band [1,8]")
     val k = maxDist
     val m = k + 1
-    val titled = df.select(col(idCol).cast("long").as("doc_id"), col(strCol).as("str"))
-      .withColumn("len", length(col("str")).cast("int"))
+    val members = df.select(col(idCol).cast("long").as("doc_id"), col(strCol).as("str"))
       .filter(col("str").isNotNull)
+    // DISTINCT-FIRST: candidate generation, the probe fan-out and every
+    // levenshtein evaluation run once per distinct VALUE, not per row — a
+    // duplicate-heavy corpus (the normal case for titles) pays the
+    // expensive tier on its value domain, and member pairs are expanded
+    // back afterwards by two string-keyed joins
+    val titled = members.groupBy(col("str"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("str"))
+      .withColumn("len", length(col("str")).cast("int"))
 
     // deterministic even partition of a length-L string into m segments:
     // first m-rem of width base, the rest base+1 (same formula both sides)
@@ -648,11 +660,30 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
 
-    candidates.unionByName(shortPairs).distinct()
+    // verified pairs between distinct VALUES (dist >= 1 by construction —
+    // equal strings collapsed to one representative above)
+    val valuePairs = candidates.unionByName(shortPairs).distinct()
       .join(titled.select(col("doc_id").as("id_a"), col("str").as("s_a")), "id_a")
       .join(titled.select(col("doc_id").as("id_b"), col("str").as("s_b")), "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("dist") <= k)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("s_a"), col("s_b"), col("dist"))
+
+    // expand back to members: every member of value A pairs with every
+    // member of value B at A/B's distance; plus the within-value
+    // distance-0 cliques (quadratic TRUE output by contract — see the
+    // exact-dedup-first rule in the docstring)
+    val cross = valuePairs
+      .join(members.select(col("doc_id").as("id_x"), col("str").as("s_a")), "s_a")
+      .join(members.select(col("doc_id").as("id_y"), col("str").as("s_b")), "s_b")
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("dist"))
+    val zero = members.select(col("doc_id").as("id_a"), col("str"))
+      .join(members.select(col("doc_id").as("id_b"), col("str")), Seq("str"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
+    cross.unionByName(zero)
   }
 }
