@@ -65,17 +65,22 @@ object Warc {
   /** Write `df` (doc_id, url, text) as spec-conforming `.warc.gz` files,
     * one file per partition, executor-side (the parallel write a crawl
     * exporter runs — nothing is collected). Each file opens with a
-    * warcinfo record; each record is its own gzip member. */
+    * warcinfo record; each record is its own gzip member. Files go
+    * through the Hadoop FileSystem API, so `outDir` may be any supported
+    * scheme (hdfs://, s3a://, file:…) — executors never assume a shared
+    * local disk. */
   def writeWarc(df: DataFrame, outDir: String): Unit = {
-    new java.io.File(outDir).mkdirs()
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("doc_id").cast("long"), col("url"), col("text"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val buffered = rows.buffered
         if (buffered.hasNext) {
           val name = f"part-$pid%05d.warc.gz"
-          val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(new java.io.File(outDir, name)))
+          val path = new org.apache.hadoop.fs.Path(outDir, name)
+          val fs = path.getFileSystem(hadoopConf.value)
+          val out = new java.io.BufferedOutputStream(fs.create(path, true))
           try {
             out.write(buildWarcinfoRecord(name, gzip = true))
             buffered.foreach { r =>
