@@ -116,6 +116,7 @@ object SparkEntry {
     "d_media_parity" -> (q.LlmOps.mediaParity _),
     "d_warc_roundtrip" -> (q.LlmOps.warcRoundtrip _),
     "d_unicode_normalize" -> (q.LlmOps.unicodeNormalize _),
+    "d_curation_reasons" -> (q.LlmOps.curationReasons _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -361,6 +362,7 @@ object SparkEntry {
     "d_media_parity" -> q.LlmOps.mediaParitySql,
     "d_warc_roundtrip" -> q.LlmOps.warcRoundtripSql,
     "d_unicode_normalize" -> q.LlmOps.unicodeNormalizeSql,
+    "d_curation_reasons" -> q.LlmOps.curationReasonsSql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -2378,6 +2378,82 @@ object LlmOps {
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
+  /** Per-doc curation AUDIT: which stage drops each document — the
+    * provenance question a corpus operation answers constantly ("why did
+    * volume fall 40% for source X?"). One scan computes the per-doc
+    * kernels; the set-membership stages (dedup survivorship,
+    * decontamination, LM) left-join their flags; a single CASE assigns
+    * the FIRST failing stage in the pipeline's order (eval slice →
+    * quality → lang → repetition → duplicate → contaminated → lm → kept,
+    * the heuristic tier — the trained-probe stage is scored by its own
+    * gates). Aggregated to (source, reason) counts. */
+  def curationReasons(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val scored = d.select(
+        col("doc_id"), col("source"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.repetitionStats(col("text")).as("rs"))
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
+        GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
+    val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"), lit(1).as("sv"))
+    val cont = decontOverlap(d).select(col("doc_id"), col("contaminated"))
+    val lm = graft.operators.LangModel
+      .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
+      .select(col("doc_id"), col("lm_ok"))
+    scored
+      .join(survivors, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(pmod(col("doc_id"), lit(DecontEvalMod)) === 0, "eval_slice")
+          .when(col("quality") < 0.5, "quality")
+          .when(!col("lang_ok"), "lang")
+          .when(!col("rep_ok"), "repetition")
+          .when(col("sv").isNull, "duplicate")
+          .when(col("contaminated") === 1, "contaminated")
+          .when(col("lm_ok").isNull || !col("lm_ok"), "lm")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Assembled from the SAME factored CTEs as [[curationPipelineSql]]
+    * (scored/rep kernels, dedup fingerprints, decontamination, LM), with
+    * the CASE in the identical stage order. */
+  lazy val curationReasonsSql: String =
+    s"""WITH $scoredRepCtes,
+       |survivors AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |    FROM (SELECT doc_id,
+       |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |          FROM documents))
+       |  GROUP BY f1, f2),
+       |cont AS (SELECT doc_id, contaminated FROM (
+       |$decontaminateSql
+       |  )),
+       |$lmCtes,
+       |r AS (
+       |  SELECT s.source,
+       |    CASE WHEN ((s.doc_id % $DecontEvalMod) + $DecontEvalMod) % $DecontEvalMod = 0 THEN 'eval_slice'
+       |         WHEN s.quality < 0.5 THEN 'quality'
+       |         WHEN NOT s.lang_ok THEN 'lang'
+       |         WHEN NOT rep.rep_ok THEN 'repetition'
+       |         WHEN sv.doc_id IS NULL THEN 'duplicate'
+       |         WHEN c.contaminated = 1 THEN 'contaminated'
+       |         WHEN l.doc_id IS NULL OR NOT (l.mean_p >= $LmMinMeanP) THEN 'lm'
+       |         ELSE 'kept' END AS reason
+       |  FROM scored s JOIN rep USING (doc_id)
+       |    LEFT JOIN survivors sv ON s.doc_id = sv.doc_id
+       |    LEFT JOIN cont c ON s.doc_id = c.doc_id
+       |    LEFT JOIN lmdoc l ON s.doc_id = l.doc_id)
+       |SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM r GROUP BY source, reason""".stripMargin
+
   // chunking gate parameters — shared by the query and its oracle twin
   private val ChunkMaxTokens = 40
   private val ChunkStride = 32
