@@ -117,6 +117,7 @@ object SparkEntry {
     "d_warc_roundtrip" -> (q.LlmOps.warcRoundtrip _),
     "d_unicode_normalize" -> (q.LlmOps.unicodeNormalize _),
     "d_curation_reasons" -> (q.LlmOps.curationReasons _),
+    "d_warc_ingest" -> (q.LlmOps.warcIngest _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -363,6 +364,9 @@ object SparkEntry {
     "d_warc_roundtrip" -> q.LlmOps.warcRoundtripSql,
     "d_unicode_normalize" -> q.LlmOps.unicodeNormalizeSql,
     "d_curation_reasons" -> q.LlmOps.curationReasonsSql,
+    // the WARC round trip is byte-exact, so ingestion ≡ the quality tier
+    // over the original table — shared oracle
+    "d_warc_ingest" -> q.LlmOps.streamQualitySql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -2354,6 +2354,36 @@ object LlmOps {
        |FROM scored s JOIN rep USING (doc_id)
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
 
+  /** WARC → curation ingestion composition: the corpus lands as crawl
+    * files ([[graft.sources.Warc.writeWarc]]), is read back through the
+    * real container parser, re-keyed from its URLs, joined to the
+    * metadata sidecar (lang — crawl archives carry bytes, not labels),
+    * and pushed through the stateless quality tier — the first mile of a
+    * Common-Crawl-shaped pipeline as ONE declarative job. Because the
+    * WARC round trip is byte-exact (d_warc_roundtrip), the output must
+    * equal the quality tier over the original table, so this SHARES
+    * [[streamQualitySql]]'s oracle verbatim. */
+  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_warc_ing")
+    try {
+      val d = docs(s, dir)
+      graft.sources.Warc.writeWarc(
+        d.select(col("doc_id"),
+          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+          col("text")).repartition(4, col("doc_id")),
+        out.toString)
+      val fromWarc = graft.sources.Warc.readWarc(s, out.toString)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
+          decode(col("body"), "UTF-8").as("text"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      graft.streaming.EventPipeline.curationFilterStream(fromWarc)
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
   lazy val curationPipelineSql: String = {
     s"""WITH $scoredRepCtes,
        |survivors AS (
