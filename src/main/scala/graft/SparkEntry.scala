@@ -52,6 +52,7 @@ object SparkEntry {
     "r_window_rank" -> (q.Relational.windowRank _),
     "r_window_dist" -> (q.Relational.windowDist _),
     "r_datetime_funcs" -> (q.Relational.datetimeFuncs _),
+    "r_expectations" -> (q.Relational.expectations _),
     "r_window_running" -> (q.Relational.windowRunning _),
     "r_window_range" -> (q.Relational.windowRange _),
     "r_topk" -> (q.Relational.topK _),
@@ -232,6 +233,7 @@ object SparkEntry {
     "r_window_rank" -> q.Relational.windowRankSql,
     "r_window_dist" -> q.Relational.windowDistSql,
     "r_datetime_funcs" -> q.Relational.datetimeFuncsSql,
+    "r_expectations" -> q.Relational.expectationsSql,
     "r_window_running" -> q.Relational.windowRunningSql,
     "r_window_range" -> q.Relational.windowRangeSql,
     "r_topk" -> q.Relational.topKSql,

@@ -529,6 +529,54 @@ object Relational {
       |  make_date(YEAR(o_orderdate) + 1, 1, 1) AS next_jan1
       |FROM orders""".stripMargin
 
+  /** Declarative data-quality expectations over lineitem
+    * ([[graft.operators.Expectations.check]]): range, enum membership, completeness in ONE aggregation pass, plus a
+    * key-uniqueness check — a mix chosen so the report contains real
+    * violations (the synthetic (l_orderkey, l_linenumber) is NOT unique,
+    * and the tight discount bound fails on purpose), proving the counts
+    * are measured, not vacuous. */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    check(t(s, dir, "lineitem"), Seq(
+      Satisfies("qty_in_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      Satisfies("tax_range", col("l_tax") >= 0 && col("l_tax") <= 0.08),
+      Satisfies("returnflag_enum", col("l_returnflag").isin("A", "N", "R")),
+      Satisfies("discount_tight", col("l_discount") <= 0.05),
+      NotNull("orderkey_notnull", "l_orderkey"),
+      Unique("pk_unique", Seq("l_orderkey", "l_linenumber"))))
+  }
+
+  val expectationsSql: String =
+    """SELECT 'qty_in_range' AS check_name, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  SUM(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) = 0 AS pass
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'tax_range', COUNT(*),
+      |  CAST(SUM(CASE WHEN NOT coalesce(l_tax BETWEEN 0 AND 0.08, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN NOT coalesce(l_tax BETWEEN 0 AND 0.08, FALSE) THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'returnflag_enum', COUNT(*),
+      |  CAST(SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_tight', COUNT(*),
+      |  CAST(SUM(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orderkey_notnull', COUNT(*),
+      |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'pk_unique', CAST(SUM(n) AS BIGINT),
+      |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT),
+      |  SUM(CASE WHEN n > 1 THEN n ELSE 0 END) = 0
+      |FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)""".stripMargin
+
   /** Typed UDAF (Aggregator with map-side partial merge): quantity-weighted
     * average price per return flag, integer-cents buffer for bit-exactness. */
   def udafWavg(s: SparkSession, dir: String): DataFrame =
