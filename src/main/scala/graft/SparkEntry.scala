@@ -53,6 +53,7 @@ object SparkEntry {
     "r_window_dist" -> (q.Relational.windowDist _),
     "r_datetime_funcs" -> (q.Relational.datetimeFuncs _),
     "r_expectations" -> (q.Relational.expectations _),
+    "r_outliers" -> (q.Relational.outliers _),
     "r_window_running" -> (q.Relational.windowRunning _),
     "r_window_range" -> (q.Relational.windowRange _),
     "r_topk" -> (q.Relational.topK _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "d_unicode_normalize" -> (q.LlmOps.unicodeNormalize _),
     "d_curation_reasons" -> (q.LlmOps.curationReasons _),
     "d_warc_ingest" -> (q.LlmOps.warcIngest _),
+    "d_schema_evolution" -> (q.LlmOps.schemaEvolution _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -234,6 +236,7 @@ object SparkEntry {
     "r_window_dist" -> q.Relational.windowDistSql,
     "r_datetime_funcs" -> q.Relational.datetimeFuncsSql,
     "r_expectations" -> q.Relational.expectationsSql,
+    "r_outliers" -> q.Relational.outliersSql,
     "r_window_running" -> q.Relational.windowRunningSql,
     "r_window_range" -> q.Relational.windowRangeSql,
     "r_topk" -> q.Relational.topKSql,
@@ -369,6 +372,7 @@ object SparkEntry {
     // the WARC round trip is byte-exact, so ingestion ≡ the quality tier
     // over the original table — shared oracle
     "d_warc_ingest" -> q.LlmOps.streamQualitySql,
+    "d_schema_evolution" -> q.LlmOps.schemaEvolutionSql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -2192,6 +2192,50 @@ object LlmOps {
       |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_equal
       |FROM v GROUP BY source""".stripMargin
 
+  /** Parquet schema evolution: an early corpus generation (doc_id, text)
+    * and a later one that ADDED a column (doc_id, text, lang) live in one
+    * dataset; `mergeSchema` reads the union schema with nulls for the
+    * early files — the additive-evolution contract a long-lived corpus
+    * depends on (new extraction fields must not force a rewrite of
+    * petabytes of old generations). The gate verifies both generations'
+    * rows and the null/pushdown behavior on the merged frame. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_schema_evo")
+    try {
+      val d = docs(s, dir)
+      // generation 0: half the corpus, before `lang` existed
+      d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+        .write.parquet(s"$out/gen=0")
+      // generation 1: the other half, with the added column
+      d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.parquet(s"$out/gen=1")
+      val merged = s.read.option("mergeSchema", "true").parquet(out.toString)
+      merged
+        .join(d.select(col("doc_id"), col("source"),
+          col("lang").as("lang_orig"), col("text").as("text_orig")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text") === col("text_orig"), 1L).otherwise(0L))
+            .as("n_text_exact"),
+          sum(when(col("gen") === 0 && col("lang").isNull, 1L)
+            .otherwise(0L)).as("n_gen0_null_lang"),
+          sum(when(col("gen") === 1 && col("lang") === col("lang_orig"), 1L)
+            .otherwise(0L)).as("n_gen1_lang_exact"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Closed-form twin of [[schemaEvolution]]: every doc returns, text
+    * exact, gen-0 (even ids) all null-lang, gen-1 (odd ids) lang exact. */
+  val schemaEvolutionSql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_text_exact,
+      |  CAST(SUM(CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen0_null_lang,
+      |  CAST(SUM(CASE WHEN ((doc_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1_lang_exact
+      |FROM documents GROUP BY source""".stripMargin
+
   /** WARC container round trip ([[graft.sources.Warc]]): the corpus
     * written as spec-conforming `.warc.gz` crawl files (warcinfo +
     * response records, per-record gzip members, embedded HTTP responses)

@@ -5,6 +5,7 @@ import graft.queries.Exact._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator inventory (SURVEY.md §2.2) expressed Spark-first.
   *
@@ -528,6 +529,48 @@ object Relational {
       |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
       |  make_date(YEAR(o_orderdate) + 1, 1, 1) AS next_jan1
       |FROM orders""".stripMargin
+
+  /** Per-group outlier detection WITHOUT floating point: |x−μ| > 1.5σ
+    * decided as 4·(n·x − S)² > 9·(n·SS − S²) — all integer-cents decimal
+    * arithmetic (μ and σ never materialize, no sqrt, no doubles), so the
+    * verdict is EXACT and engine-identical. The group stats are a
+    * broadcast (one row per return flag); the verdict rides the scan
+    * projection. The z-score-outlier sweep a feature-QA pass runs, in the
+    * engine's bit-exact house style. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      (dec2(col("l_extendedprice")) * 100).cast(DecimalType(38, 0)).as("c"))
+    val stats = li.groupBy(col("flag")).agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("c")).cast(DecimalType(38, 0)).as("s"),
+      sum(col("c") * col("c")).cast(DecimalType(38, 0)).as("ss"))
+    val dev = col("n") * col("c") - col("s")
+    li.join(broadcast(stats), "flag")
+      .select(col("flag"),
+        (lit(4) * dev * dev > lit(9) * (col("n") * col("ss") - col("s") * col("s")))
+          .as("is_out"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Mirrors [[outliers]] in HUGEINT (exact to 1.7e38; the products top
+    * out near 1e24): same cents quantization, same no-sqrt inequality. The
+    * 1.5σ band is non-vacuous on the uniform synthetic prices (a 3σ band
+    * catches nothing under max |z| = √3). */
+  val outliersSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(c) AS HUGEINT) AS s, CAST(SUM(c * c) AS HUGEINT) AS ss
+      |  FROM c GROUP BY flag)
+      |SELECT c.flag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN 4 * (st.n * c.c - st.s) * (st.n * c.c - st.s)
+      |         > 9 * (st.n * st.ss - st.s * st.s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN st USING (flag) GROUP BY c.flag""".stripMargin
 
   /** Declarative data-quality expectations over lineitem
     * ([[graft.operators.Expectations.check]]): range, enum membership, completeness in ONE aggregation pass, plus a
