@@ -158,10 +158,10 @@ object TextHash {
     * UTF8String→String→UTF8String round trip) only runs when a byte ≥
     * 0x80 is present. Called from the [[NfcNormalize]] codegen. */
   def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    val bytes = s.getBytes
+    val n = s.numBytes()
     var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0x80) != 0) {
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) {
         val str = s.toString
         val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
         return if (norm == str) s

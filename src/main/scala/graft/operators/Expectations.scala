@@ -48,7 +48,9 @@ object Expectations {
     if (rowLevel.nonEmpty) {
       val aggs = count(lit(1)).as("n_rows") +:
         rowLevel.map { case (n, viol) =>
-          sum(when(viol, 1L).otherwise(0L)).as(s"v_$n")
+          // coalesce: an EMPTY batch must report 0 violations / pass=true
+          // (a NULL verdict silently vanishes from a filter(pass) consumer)
+          coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(s"v_$n")
         }
       val one = df.agg(aggs.head, aggs.tail: _*)
       reports += one.select(explode(array(rowLevel.map { case (n, _) =>
@@ -80,6 +82,8 @@ object Expectations {
       case NotNull(n, c) => n -> col(c).isNull
     }
     require(rowLevel.nonEmpty, "quarantine needs at least one row-level expectation")
+    require(!df.columns.contains("failed"),
+      "input already has a 'failed' column — rename it before quarantine()")
     val failed = filter(
       array(rowLevel.map { case (n, viol) =>
         when(viol, lit(n)).otherwise(lit(null))

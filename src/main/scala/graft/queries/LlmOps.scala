@@ -2166,8 +2166,10 @@ object LlmOps {
   def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val composed = concat(col("text"), lit(" é ñ 한"))
+    // NFD via explicit escapes: an NFC-normalizing editor must not be able
+    // to silently recompose the fixture into the composed form
     val decomposed = concat(col("text"),
-      lit(" é ñ 한"))
+      lit(" e\u0301 n\u0303 \u1112\u1161\u11AB"))
     docs(s, dir)
       .select(col("doc_id"), col("source"),
         GraftFunctions.nfc(composed).as("n1"),
@@ -2243,22 +2245,32 @@ object LlmOps {
     * every document's body must survive byte-exactly with its HTTP
     * status and MIME intact. The ingestion path a Common-Crawl-shaped
     * corpus arrives through. */
+  /** Shared by [[warcRoundtrip]] and [[warcIngest]]: export the corpus as
+    * crawl files into `out`, read it back through the container parser,
+    * re-key doc ids from the URLs. Single-sourced so the two gates' URL
+    * shape, partitioning and charset can never drift apart. */
+  private def writeAndReadBackWarc(
+      s: SparkSession, d: DataFrame, out: String): DataFrame = {
+    graft.sources.Warc.writeWarc(
+      d.select(col("doc_id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+        col("text"))
+        .repartition(4, col("doc_id")),
+      out)
+    graft.sources.Warc.readWarc(s, out)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
+        decode(col("body"), "UTF-8").as("text"),
+        col("http_status"), col("mime"))
+  }
+
   def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_warc")
     try {
       val d = docs(s, dir)
-      graft.sources.Warc.writeWarc(
-        d.select(col("doc_id"),
-          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
-          col("text"))
-          .repartition(4, col("doc_id")),
-        out.toString)
-      val back = graft.sources.Warc.readWarc(s, out.toString)
-        .filter(col("warc_type") === "response")
-        .select(
-          regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
-          decode(col("body"), "UTF-8").as("body_text"),
-          col("http_status"), col("mime"))
+      val back = writeAndReadBackWarc(s, d, out.toString)
+        .withColumnRenamed("text", "body_text")
       back.join(d.select(col("doc_id"), col("source"), col("text")), "doc_id")
         .groupBy(col("source"))
         .agg(
@@ -2412,16 +2424,8 @@ object LlmOps {
     val out = java.nio.file.Files.createTempDirectory("graft_warc_ing")
     try {
       val d = docs(s, dir)
-      graft.sources.Warc.writeWarc(
-        d.select(col("doc_id"),
-          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
-          col("text")).repartition(4, col("doc_id")),
-        out.toString)
-      val fromWarc = graft.sources.Warc.readWarc(s, out.toString)
-        .filter(col("warc_type") === "response")
-        .select(
-          regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
-          decode(col("body"), "UTF-8").as("text"))
+      val fromWarc = writeAndReadBackWarc(s, d, out.toString)
+        .select(col("doc_id"), col("text"))
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
       graft.streaming.EventPipeline.curationFilterStream(fromWarc)
         .localCheckpoint(true)
@@ -4059,9 +4063,13 @@ object LlmOps {
     * actual WITH RECURSIVE. */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
+    // null-free edge list BEFORE seed derivation: the node universe must
+    // match the oracle's (whose edges CTE drops null-dst rows), or a node
+    // whose only edge points at null would seed Spark-side but not there
     val edges = graft.operators.Graph.transitionEdges(
       ev, "user_id", "ts", "event_id",
       get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val seeds = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()

@@ -105,7 +105,10 @@ object Warc {
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes), 1 << 16)
-        val bos = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        // initial capacity only — the stream grows as needed; the Long
+        // math avoids the Int overflow a >=512 MiB segment would hit
+        val bos = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length.toLong * 4, 1L << 26).toInt)
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
         while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
@@ -121,8 +124,11 @@ object Warc {
         val (headers, bodyStart) = parseHeaderBlock(raw, off)
         require(headers.getOrElse("__version__", "").startsWith("WARC/"),
           s"not a WARC record at offset $off")
-        val len = headers.getOrElse("content-length",
-          throw new IllegalArgumentException(s"WARC record at $off missing Content-Length")).trim.toLong
+        val lenStr = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(s"WARC record at $off missing Content-Length")).trim
+        require(lenStr.nonEmpty && lenStr.forall(_.isDigit) && lenStr.length <= 18,
+          s"WARC record at $off has malformed Content-Length '$lenStr'")
+        val len = lenStr.toLong
         require(len >= 0 && bodyStart + len <= raw.length,
           s"WARC record at $off claims $len payload bytes beyond file end")
         val payload = java.util.Arrays.copyOfRange(raw, bodyStart, bodyStart + len.toInt)
@@ -179,7 +185,11 @@ object Warc {
     val (headers, bodyStart) = parseHeaderBlock(payload, 0)
     val statusLine = headers("__version__")
     require(statusLine.startsWith("HTTP/"), s"not an HTTP response: $statusLine")
-    val status = statusLine.split(" ")(1).toInt
+    val parts = statusLine.split(" ")
+    require(parts.length >= 2 && parts(1).nonEmpty &&
+      parts(1).forall(_.isDigit) && parts(1).length <= 3,
+      s"malformed HTTP status line: $statusLine")
+    val status = parts(1).toInt
     (status, headers.getOrElse("content-type", ""),
       java.util.Arrays.copyOfRange(payload, bodyStart, payload.length))
   }
