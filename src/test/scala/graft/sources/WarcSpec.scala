@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 /** [[Warc]] parser/builder: ISO 28500 framing pins, Content-Length-driven
   * payload extraction (bodies may contain CRLFs and binary bytes), gzip
@@ -45,6 +46,28 @@ class WarcSpec extends AnyFunSuite {
     assert(parsed.size == 2)
     assert(parsed.head.body.sameElements(tricky))
     assert(new String(parsed(1).body) == "next")
+  }
+
+  test("Spark write -> read: multi-partition .warc.gz via the Hadoop FS path, bodies byte-exact") {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("warc_spec")
+    try {
+      val d = (0L until 37L).map(i => (i, s"https://ex.com/doc/$i", s"body of $i with ünïcode"))
+        .toDF("doc_id", "url", "text")
+      Warc.writeWarc(d.repartition(5, col("doc_id")), out.toString)
+      val files = new java.io.File(out.toString).listFiles().filter(_.getName.endsWith(".warc.gz"))
+      assert(files.length >= 2, "expected multiple part files")
+      val back = Warc.readWarc(spark, out.toString)
+      assert(back.filter(col("warc_type") === "warcinfo").count() == files.length)
+      val rows = back.filter(col("warc_type") === "response")
+        .select(col("url"), decode(col("body"), "UTF-8").as("text"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.size == 37)
+      (0L until 37L).foreach { i =>
+        assert(rows(s"https://ex.com/doc/$i") == s"body of $i with ünïcode", s"doc $i")
+      }
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
   test("hostile bytes are typed errors: lying Content-Length, truncation, junk") {
