@@ -121,6 +121,7 @@ object SparkEntry {
     "d_curation_reasons" -> (q.LlmOps.curationReasons _),
     "d_warc_ingest" -> (q.LlmOps.warcIngest _),
     "d_schema_evolution" -> (q.LlmOps.schemaEvolution _),
+    "d_source_overlap" -> (q.LlmOps.sourceOverlap _),
     "d_curation_pipeline" -> (q.LlmOps.curationPipeline _),
     "d_curation_observed" -> (q.LlmOps.curationObserved _),
     "d_json_quarantine" -> (q.LlmOps.jsonQuarantine _),
@@ -373,6 +374,7 @@ object SparkEntry {
     // over the original table — shared oracle
     "d_warc_ingest" -> q.LlmOps.streamQualitySql,
     "d_schema_evolution" -> q.LlmOps.schemaEvolutionSql,
+    "d_source_overlap" -> q.LlmOps.sourceOverlapSql,
     "s_stream_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  COUNT(*) AS n, ${q.Exact.sqlSumMoney("value")} AS total_value

@@ -2456,6 +2456,50 @@ object LlmOps {
        |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
   }
 
+  /** Source-pair vocabulary overlap — the mixture-design diagnostic
+    * ("how redundant are my ingest sources?"): exact token-set Jaccard
+    * for every source pair, computed WITHOUT any all-pairs document work.
+    * The (source, token) distinct set is token-keyed; joining it to
+    * itself on token emits at most sources² rows per token (a bounded
+    * domain — source/domain counts are thousands, never corpus-sized),
+    * and the per-source distinct counts broadcast back onto the ~S²/2
+    * result rows. The division is one double op over identical integers,
+    * so it is engine-identical. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val t = docs(s, dir)
+      .select(col("source"), explode(GraftFunctions.tokens(col("text"))).as("token"))
+      .distinct()
+    val n = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    t.select(col("source").as("source_a"), col("token"))
+      .join(t.select(col("source").as("source_b"), col("token")), "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(n.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(n.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
+  /** Mirrors [[sourceOverlap]]: same distinct (source, token) set, same
+    * token-keyed pair counting, same single division. */
+  val sourceOverlapSql: String =
+    s"""WITH t AS (
+       |  SELECT DISTINCT source, unnest($tsSql) AS token FROM documents),
+       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM t a JOIN t b USING (token)
+       |  WHERE a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_common,
+       |  CAST(p.n_common AS DOUBLE) / CAST(na.n + nb.n - p.n_common AS DOUBLE) AS jaccard
+       |FROM p JOIN n na ON p.source_a = na.source
+       |       JOIN n nb ON p.source_b = nb.source""".stripMargin
+
   /** Per-doc curation AUDIT: which stage drops each document — the
     * provenance question a corpus operation answers constantly ("why did
     * volume fall 40% for source X?"). One scan computes the per-doc
