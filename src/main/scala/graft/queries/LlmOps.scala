@@ -2251,17 +2251,22 @@ object LlmOps {
     * shape, partitioning and charset can never drift apart. */
   private def writeAndReadBackWarc(
       s: SparkSession, d: DataFrame, out: String): DataFrame = {
+    // chunkEvery=3: every third record's HTTP body ships with chunked
+    // transfer-encoding, so the round trip proves the reader de-frames
+    // chunked payloads (real crawl responses are routinely chunked) —
+    // the oracle is unchanged because de-chunking must be lossless.
     graft.sources.Warc.writeWarc(
       d.select(col("doc_id"),
         concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
         col("text"))
         .repartition(4, col("doc_id")),
-      out)
+      out, chunkEvery = 3)
     graft.sources.Warc.readWarc(s, out)
       .filter(col("warc_type") === "response")
       .select(
         regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
-        decode(col("body"), "UTF-8").as("text"),
+        // charset-honoring decode from the parser (here utf-8 by header)
+        col("body_text").as("text"),
         col("http_status"), col("mime"))
   }
 
