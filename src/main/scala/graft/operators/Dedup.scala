@@ -580,6 +580,7 @@ object Dedup {
       strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist $maxDist out of the sane band [1,8]")
+    GraftFunctions.register(df.sparkSession) // fingerprint128 expansion keys
     val k = maxDist
     val m = k + 1
     val members = df.select(col(idCol).cast("long").as("doc_id"), col(strCol).as("str"))
@@ -588,9 +589,14 @@ object Dedup {
     // levenshtein evaluation run once per distinct VALUE, not per row — a
     // duplicate-heavy corpus (the normal case for titles) pays the
     // expensive tier on its value domain, and member pairs are expanded
-    // back afterwards by two string-keyed joins
-    val titled = members.groupBy(col("str"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    // back afterwards by fingerprint-keyed joins. The distinct itself
+    // also keys on the 128-bit fingerprint (16-byte shuffle keys, the
+    // exactCanonicalHashed rule); min(str) recovers the group's single
+    // value — every member of an fp group carries the same string.
+    val titled = members
+      .withColumn("fp", GraftFunctions.fingerprint128(col("str")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("str")).as("str"))
       .select(col("doc_id"), col("str"))
       .withColumn("len", length(col("str")).cast("int"))
 
@@ -672,16 +678,26 @@ object Dedup {
     // expand back to members: every member of value A pairs with every
     // member of value B at A/B's distance; plus the within-value
     // distance-0 cliques (quadratic TRUE output by contract — see the
-    // exact-dedup-first rule in the docstring)
-    val cross = valuePairs
-      .join(members.select(col("doc_id").as("id_x"), col("str").as("s_a")), "s_a")
-      .join(members.select(col("doc_id").as("id_y"), col("str").as("s_b")), "s_b")
+    // exact-dedup-first rule in the docstring). The expansion joins key
+    // on the 128-bit [[GraftFunctions.fingerprint128]] of the string, not
+    // the string itself — the exchanges carry 16-byte keys instead of
+    // full document text (the exactCanonicalHashed rule); the exact
+    // levenshtein verification above already ran on the real strings.
+    val fpMembers = members.select(col("doc_id"),
+      GraftFunctions.fingerprint128(col("str")).as("fp"))
+    val fpPairs = valuePairs.select(
+      GraftFunctions.fingerprint128(col("s_a")).as("fp_a"),
+      GraftFunctions.fingerprint128(col("s_b")).as("fp_b"),
+      col("dist"))
+    val cross = fpPairs
+      .join(fpMembers.select(col("doc_id").as("id_x"), col("fp").as("fp_a")), "fp_a")
+      .join(fpMembers.select(col("doc_id").as("id_y"), col("fp").as("fp_b")), "fp_b")
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
         col("dist"))
-    val zero = members.select(col("doc_id").as("id_a"), col("str"))
-      .join(members.select(col("doc_id").as("id_b"), col("str")), Seq("str"))
+    val zero = fpMembers.select(col("doc_id").as("id_a"), col("fp"))
+      .join(fpMembers.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
     cross.unionByName(zero)

@@ -2241,7 +2241,8 @@ object LlmOps {
   /** WARC container round trip ([[graft.sources.Warc]]): the corpus
     * written as spec-conforming `.warc.gz` crawl files (warcinfo +
     * response records, per-record gzip members, embedded HTTP responses)
-    * executor-side, then read back through the binaryFile-source parser —
+    * executor-side, then read back through the streaming record-iterator
+    * parser (one Hadoop-FS-opened segment per task, O(record) memory) —
     * every document's body must survive byte-exactly with its HTTP
     * status and MIME intact. The ingestion path a Common-Crawl-shaped
     * corpus arrives through. */
@@ -2253,14 +2254,18 @@ object LlmOps {
       s: SparkSession, d: DataFrame, out: String): DataFrame = {
     // chunkEvery=3: every third record's HTTP body ships with chunked
     // transfer-encoding, so the round trip proves the reader de-frames
-    // chunked payloads (real crawl responses are routinely chunked) —
-    // the oracle is unchanged because de-chunking must be lossless.
+    // chunked payloads (real crawl responses are routinely chunked).
+    // charsetEvery=5: every fifth record is written and declared as
+    // UTF-16BE, so the charset-honoring decode path runs on real gate
+    // data too (ids divisible by 15 are chunked AND non-UTF-8). Both
+    // knobs leave the oracle unchanged: de-chunking and the UTF-16BE
+    // round trip are lossless for arbitrary corpus text.
     graft.sources.Warc.writeWarc(
       d.select(col("doc_id"),
         concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
         col("text"))
         .repartition(4, col("doc_id")),
-      out, chunkEvery = 3)
+      out, chunkEvery = 3, charsetEvery = 5)
     graft.sources.Warc.readWarc(s, out)
       .filter(col("warc_type") === "response")
       .select(
@@ -2282,7 +2287,11 @@ object LlmOps {
           count(lit(1)).as("n_docs"),
           sum(when(col("body_text") === col("text") &&
             col("http_status") === 200 &&
-            col("mime") === "text/plain; charset=utf-8", 1L)
+            // the declared charset must match the writer's doc_id knob
+            // exactly: every fifth doc utf-16be, the rest utf-8
+            col("mime") === concat(lit("text/plain; charset="),
+              when(pmod(col("doc_id"), lit(5)) === 0, "utf-16be")
+                .otherwise("utf-8")), 1L)
             .otherwise(0L)).as("n_roundtrip_exact"))
         .localCheckpoint(true)
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)

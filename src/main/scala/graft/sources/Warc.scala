@@ -121,9 +121,15 @@ object Warc {
     * passes its wall-clock; fixtures keep the deterministic default).
     * `chunkEvery` > 0 writes every Nth record's HTTP body with chunked
     * transfer-encoding — fixture knob so the gate oracles exercise the
-    * de-chunking read path on real round-trip data. */
+    * de-chunking read path on real round-trip data. `charsetEvery` > 0
+    * writes every Nth record's body as UTF-16BE with a matching
+    * `charset=utf-16be` Content-Type declaration — same idea for the
+    * charset-honoring decode path (UTF-16BE covers all of Unicode, so
+    * the round trip stays lossless for arbitrary corpus text and the
+    * byte-exact oracles hold unchanged). */
   def writeWarc(df: DataFrame, outDir: String,
-      date: String = FixtureDate, chunkEvery: Int = 0): Unit = {
+      date: String = FixtureDate, chunkEvery: Int = 0,
+      charsetEvery: Int = 0): Unit = {
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("doc_id").cast("long"), col("url"), col("text"))
@@ -139,11 +145,13 @@ object Warc {
             out.write(buildWarcinfoRecord(name, gzip = true, date = date))
             buffered.foreach { r =>
               val id = r.getLong(0)
+              val nonUtf8 = charsetEvery > 0 && id % charsetEvery == 0
+              val cs = if (nonUtf8) "utf-16be" else "utf-8"
               out.write(buildResponseRecord(
-                r.getString(1), r.getString(2).getBytes("UTF-8"),
+                r.getString(1), r.getString(2).getBytes(cs),
                 recordId = f"doc-$id%016x", gzip = true,
                 chunked = chunkEvery > 0 && id % chunkEvery == 0,
-                date = date))
+                charset = cs, date = date))
             }
           } finally out.close()
         }
@@ -240,12 +248,17 @@ object Warc {
 
   /** Read exactly `n` payload bytes or die typed — a premature EOF means
     * the record's Content-Length lies past the file end (truncated or
-    * hostile segment). */
+    * hostile segment). Allocation is bounded by bytes ACTUALLY received
+    * (amortized-doubling growth from a 1 MiB seed, capped at `n`), never
+    * by the untrusted Content-Length itself — a tiny hostile record
+    * claiming a 2 GiB payload costs ~1 MiB before the typed error. */
   private def readExactly(in: java.io.InputStream, n: Int, at: Long): Array[Byte] = {
-    val buf = new Array[Byte](n)
+    var buf = new Array[Byte](math.min(n, 1 << 20))
     var off = 0
     while (off < n) {
-      val r = in.read(buf, off, n - off)
+      if (off == buf.length) // grow only once bytes have actually arrived
+        buf = java.util.Arrays.copyOf(buf, math.min(n.toLong, buf.length * 2L).toInt)
+      val r = in.read(buf, off, buf.length - off)
       if (r < 0) throw new IllegalArgumentException(
         s"WARC record at $at claims $n payload bytes beyond file end (got $off)")
       off += r
@@ -266,8 +279,11 @@ object Warc {
     var lines = 0
     var carry = firstByte
     while (lines < MaxHeaderLines) {
-      val sb = new java.lang.StringBuilder(64)
-      if (carry >= 0) { sb.append(carry.toChar); carry = -1 }
+      // accumulate raw BYTES per line and decode the line as UTF-8 —
+      // WARC header values (WARC-Target-URI IRIs in real crawls) are
+      // UTF-8; a per-byte toChar decode would mojibake non-ASCII urls
+      val sb = new java.io.ByteArrayOutputStream(64)
+      if (carry >= 0) { sb.write(carry); carry = -1 }
       var c = in.read()
       var prevCr = false
       var eol = false
@@ -276,16 +292,16 @@ object Warc {
           s"WARC header block truncated (no CRLF after offset $at)")
         if (prevCr && c == '\n') eol = true
         else {
-          if (prevCr) sb.append('\r')
+          if (prevCr) sb.write('\r')
           prevCr = c == '\r'
-          if (!prevCr) sb.append(c.toChar)
+          if (!prevCr) sb.write(c)
           c = in.read()
         }
-        require(sb.length <= MaxHeaderLine,
+        require(sb.size <= MaxHeaderLine,
           s"WARC header line exceeds $MaxHeaderLine bytes at offset $at")
       }
       lines += 1
-      val line = sb.toString
+      val line = new String(sb.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       if (line.isEmpty) return headers
       if (first) { headers += ("__version__" -> line); first = false }
       else if (line.charAt(0) == ' ' || line.charAt(0) == '\t') {
@@ -334,7 +350,10 @@ object Warc {
       else rest
     val mime = headers.getOrElse("content-type", "")
     val charset = charsetOf(mime)
-    val text = try new String(body, charset)
+    // resolve through Charset.forName — it is what actually throws the
+    // typed charset exceptions (String's charset-NAME constructor throws
+    // UnsupportedEncodingException instead and would dodge these clauses)
+    val cs = try java.nio.charset.Charset.forName(charset)
     catch {
       case e: java.nio.charset.UnsupportedCharsetException =>
         throw new IllegalArgumentException(
@@ -343,7 +362,7 @@ object Warc {
         throw new IllegalArgumentException(
           s"HTTP response declares malformed charset '$charset'", e)
     }
-    (status, mime, charset.toLowerCase, body, text)
+    (status, mime, charset.toLowerCase, body, new String(body, cs))
   }
 
   /** `charset=` parameter from a Content-Type value (case-insensitive,
@@ -375,15 +394,19 @@ object Warc {
       require(hexPart.nonEmpty && hexPart.length <= 8 &&
         hexPart.forall(c => Character.digit(c, 16) >= 0),
         s"malformed chunk size line: '$sizeLine'")
-      val n = java.lang.Integer.parseInt(hexPart, 16)
-      if (n == 0) {
+      // parse as Long and bound-check in Long arithmetic: 8 hex digits
+      // reach 0xFFFFFFFF (> Int.MaxValue), and p + n + 2 can wrap Int —
+      // either would turn the typed framing error into a raw overflow
+      val nL = java.lang.Long.parseLong(hexPart, 16)
+      if (nL == 0) {
         // trailer section: zero or more header lines, then the blank line
         var t = readLine()
         while (t.nonEmpty) t = readLine()
         return out.toByteArray
       }
-      require(p + n + 2 <= framed.length,
-        s"chunk claims $n bytes beyond body end")
+      require(p.toLong + nL + 2 <= framed.length,
+        s"chunk claims $nL bytes beyond body end")
+      val n = nL.toInt
       out.write(framed, p, n)
       p += n
       require(framed(p) == '\r' && framed(p + 1) == '\n',
@@ -398,7 +421,10 @@ object Warc {
     * API (any scheme), ONE Spark task per file (crawl segments are the
     * unit of parallelism), each parsed by the streaming [[recordIterator]]
     * with O(record) memory. Hidden files (`_SUCCESS`, dotfiles) are
-    * skipped; gzip is detected by magic, not extension. */
+    * skipped; gzip is detected by magic, not extension. The listing is
+    * single-level: a directory path lists its immediate files; NESTED
+    * layouts (crawl=… over segment=… subdirectories) must pass the glob
+    * form (a star per directory level) — `listStatus` does not recurse. */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
@@ -419,9 +445,22 @@ object Warc {
       .repartition(files.size) // one segment per task
       .mapPartitions { paths =>
         val conf = hadoopConf.value
+        // recordIterator closes its stream on exhaustion/parse error, but
+        // an ABANDONED iterator (limit/take, task kill) never exhausts —
+        // close the in-flight file handle at task completion instead of
+        // leaking it on a long-lived executor (close is a no-op if the
+        // iterator already closed it)
+        var openStream: java.io.InputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (openStream != null)
+            try openStream.close() catch { case _: Throwable => () }
+        }
         paths.flatMap { p =>
           val fp = new org.apache.hadoop.fs.Path(p)
-          recordIterator(fp.getFileSystem(conf).open(fp))
+          val raw = fp.getFileSystem(conf).open(fp)
+          openStream = raw
+          recordIterator(raw)
         }
       }
       .toDF()

@@ -86,4 +86,18 @@ class EditDistanceSpec extends SparkTestBase {
     val got = run(strs, 1)
     assert(got == Set((0L, 1L, 0L), (0L, 2L, 1L), (1L, 2L, 1L)))
   }
+
+  test("member-expansion joins exchange on 128-bit fingerprints, never raw strings") {
+    val strs: Seq[(Long, String)] = (0L until 40L).map(i => i -> s"title number ${i % 9}")
+    val df = spark.createDataFrame(strs).toDF("doc_id", "title")
+    val plan = graft.operators.Dedup.editDistancePairs(df, "doc_id", "title", 2)
+      .queryExecution.executedPlan.toString
+    // the candidate join legitimately partitions on (len, i, piece); the
+    // EXPANSION tier must key on the fp struct — a raw-string exchange
+    // would ship document text as shuffle keys
+    assert(!plan.matches("(?s).*hashpartitioning\\((s_a|s_b|str)#.*"),
+      s"expansion exchange still keyed on raw strings:\n$plan")
+    assert(plan.contains("fp_a") && plan.contains("fp_b"),
+      s"fingerprint join keys missing from plan:\n$plan")
+  }
 }

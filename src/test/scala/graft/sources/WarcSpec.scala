@@ -70,6 +70,195 @@ class WarcSpec extends AnyFunSuite {
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
+  // ---- raw-record builders for paths buildResponseRecord cannot emit ----
+
+  /** WARC response record around an arbitrary pre-built HTTP payload. */
+  private def rawResponseRecord(http: Array[Byte],
+      url: String = "https://example.com/r"): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:t>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: $url\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+      http ++ "\r\n\r\n".getBytes("UTF-8")
+
+  /** HTTP/1.1 200 payload with caller-supplied header lines + raw body. */
+  private def httpPayload(headerLines: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\n$headerLines\r\n").getBytes("UTF-8") ++ body
+
+  test("chunked round-trip: multi-chunk body >4KiB de-frames byte-exactly") {
+    val body = (0 until 600).map(i => s"row $i é中文 payload").mkString("\n")
+      .getBytes("UTF-8")
+    assert(body.length > 8192, "fixture must span >2 chunks")
+    val rec = Warc.buildResponseRecord(
+      "https://example.com/big", body, "r1", gzip = false, chunked = true)
+    val r = Warc.parseWarcFile(rec).head
+    assert(r.http_status == 200)
+    assert(r.body.sameElements(body), "de-chunked body must be byte-exact")
+    assert(r.body_text == new String(body, "UTF-8"))
+  }
+
+  test("chunked: chunk extensions and trailer headers are parsed and ignored") {
+    val framed = ("4;ext=\"quoted\"\r\nWiki\r\n5 ; name\r\npedia\r\n0\r\n" +
+      "X-Trailer: seen\r\nX-Other: also\r\n\r\n").getBytes("UTF-8")
+    val http = httpPayload(
+      "Content-Type: text/plain; charset=utf-8\r\nTransfer-Encoding: chunked\r\n",
+      framed)
+    val r = Warc.parseWarcFile(rawResponseRecord(http)).head
+    assert(r.body_text == "Wikipedia")
+  }
+
+  test("hostile chunk framing is a typed error: bad hex, bad CRLF, truncation, lying size") {
+    def rec(framed: String): Array[Byte] = rawResponseRecord(httpPayload(
+      "Transfer-Encoding: chunked\r\n", framed.getBytes("UTF-8")))
+    val badHex = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec("zz\r\ndata\r\n0\r\n\r\n")))
+    assert(badHex.getMessage.contains("malformed chunk size"))
+    val badCrlf = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec("4\r\nWikiXX5\r\npedia\r\n0\r\n\r\n")))
+    assert(badCrlf.getMessage.contains("not CRLF-terminated"))
+    val truncated = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec("4\r\nWi")))
+    assert(truncated.getMessage.contains("truncated") ||
+      truncated.getMessage.contains("beyond body end"))
+    val lying = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec("ffffff\r\nWiki\r\n0\r\n\r\n")))
+    assert(lying.getMessage.contains("beyond body end"))
+    // 8 hex digits reach past Int.MaxValue — must stay the typed error,
+    // not an integer-overflow NumberFormatException/IndexOutOfBounds
+    val huge = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec("ffffffff\r\nWiki\r\n0\r\n\r\n")))
+    assert(huge.getMessage.contains("beyond body end"))
+  }
+
+  test("charset honored: windows-1252 body decodes exactly") {
+    val text = "café €100 — naïve"
+    val body = text.getBytes("windows-1252")
+    assert(!body.sameElements(text.getBytes("UTF-8")), "fixture must be non-UTF-8")
+    val http = httpPayload(
+      s"Content-Type: text/html; charset=windows-1252\r\nContent-Length: ${body.length}\r\n",
+      body)
+    val r = Warc.parseWarcFile(rawResponseRecord(http)).head
+    assert(r.charset == "windows-1252")
+    assert(r.body_text == text)
+  }
+
+  test("no charset declared defaults to ISO-8859-1 (HTTP/1.1), not UTF-8") {
+    val body = Array[Byte](0xE9.toByte, 0x20, 0xFC.toByte) // é ü in latin-1
+    val http = httpPayload(
+      s"Content-Type: text/html\r\nContent-Length: ${body.length}\r\n", body)
+    val r = Warc.parseWarcFile(rawResponseRecord(http)).head
+    assert(r.charset == "iso-8859-1")
+    assert(r.body_text == "é ü")
+  }
+
+  test("unsupported and malformed charset declarations are typed errors") {
+    def rec(cs: String): Array[Byte] = rawResponseRecord(httpPayload(
+      s"Content-Type: text/plain; charset=$cs\r\nContent-Length: 2\r\n",
+      "hi".getBytes))
+    val unsupported = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec("x-no-such-charset-xyz")))
+    assert(unsupported.getMessage.contains("unsupported charset"))
+    val malformed = intercept[IllegalArgumentException](
+      Warc.parseWarcFile(rec(".bad")))
+    assert(malformed.getMessage.contains("malformed charset"))
+  }
+
+  test("folded (SP/TAB-continued) header lines unfold onto the previous header") {
+    val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: https://example.com/very\r\n" +
+      " long/path\r\n" + // folded continuation
+      "Content-Type: text/x-fixture\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes("UTF-8")
+    val r = Warc.parseWarcFile(rec).head
+    assert(r.url == "https://example.com/very long/path")
+    assert(new String(r.body) == "hi")
+  }
+
+  test("non-ASCII WARC header values decode as UTF-8 (IRI target URIs)") {
+    val url = "https://example.com/café/中文?q=naïve"
+    val rec = Warc.buildResponseRecord(url, "x".getBytes, "r", gzip = false)
+    assert(Warc.parseWarcFile(rec).head.url == url)
+  }
+
+  test("header geometry bounds: oversized line and oversized block are typed errors") {
+    val longLine = ("WARC/1.0\r\nX-Evil: " + "a" * 70000 + "\r\n").getBytes("UTF-8")
+    val lineErr = intercept[IllegalArgumentException](Warc.parseWarcFile(longLine))
+    assert(lineErr.getMessage.contains("header line exceeds"))
+    val manyLines = ("WARC/1.0\r\n" +
+      (1 to 1100).map(i => s"X-$i: v\r\n").mkString).getBytes("UTF-8")
+    val blockErr = intercept[IllegalArgumentException](Warc.parseWarcFile(manyLines))
+    assert(blockErr.getMessage.contains("exceeds 1024 lines"))
+  }
+
+  test("lying 100MB Content-Length over a tiny stream errors fast without a 100MB allocation") {
+    val tail = "\r\n\r\nHTTP tiny"
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${100 * 1024 * 1024}$tail").getBytes("UTF-8")
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](Warc.parseWarcFile(rec))
+    assert(e.getMessage.contains("beyond file end"))
+    assert((System.nanoTime() - t0) < 2e9, "bounded-allocation path must fail fast")
+  }
+
+  /** Serves `chunk` repeated `repeats` times, counting bytes handed out —
+    * the probe for the laziness pin below. */
+  private final class CycleStream(chunk: Array[Byte], repeats: Long)
+      extends java.io.InputStream {
+    var served = 0L
+    private val total = chunk.length.toLong * repeats
+    override def read(): Int =
+      if (served >= total) -1
+      else { val b = chunk((served % chunk.length).toInt) & 0xff; served += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (served >= total) return -1
+      val n = math.min(len.toLong, total - served).toInt
+      var i = 0
+      while (i < n) {
+        b(off + i) = chunk(((served + i) % chunk.length).toInt); i += 1
+      }
+      served += n
+      n
+    }
+  }
+
+  test("recordIterator is lazy: first records of a ~500MB stream cost O(buffer), not O(stream)") {
+    val one = Warc.buildResponseRecord(
+      "https://example.com/cycle", ("b" * 800).getBytes, "r", gzip = false)
+    val repeats = (500L * 1024 * 1024) / one.length + 1
+    val probe = new CycleStream(one, repeats)
+    val it = Warc.recordIterator(probe)
+    val first3 = it.take(3).toVector
+    assert(first3.size == 3 && first3.forall(_.body.length == 800))
+    // BufferedInputStream fills at most 64 KiB per read-ahead; three ~1KB
+    // records must not pull more than two fills from the raw stream
+    assert(probe.served <= (1 << 17),
+      s"streaming parse consumed ${probe.served} bytes for 3 records — not lazy")
+  }
+
+  test("writeWarc charsetEvery: every Nth record declared+encoded UTF-16BE, decode lossless") {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("warc_cs")
+    try {
+      val d = (0L until 10L).map(i => (i, s"https://ex.com/d/$i", s"doc $i é中"))
+        .toDF("doc_id", "url", "text")
+      Warc.writeWarc(d.repartition(2, col("doc_id")), out.toString, charsetEvery = 5)
+      val rows = Warc.readWarc(spark, out.toString)
+        .filter(col("warc_type") === "response")
+        .select("url", "mime", "charset", "body_text")
+        .collect().map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3))))
+        .toMap
+      assert(rows.size == 10)
+      (0L until 10L).foreach { i =>
+        val (mime, cs, text) = rows(s"https://ex.com/d/$i")
+        val expectCs = if (i % 5 == 0) "utf-16be" else "utf-8"
+        assert(cs == expectCs && mime == s"text/plain; charset=$expectCs", s"doc $i")
+        assert(text == s"doc $i é中", s"doc $i decode")
+      }
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
   test("hostile bytes are typed errors: lying Content-Length, truncation, junk") {
     val good = Warc.buildResponseRecord("u", "abc".getBytes, "r", gzip = false)
     // lying length: patch the WARC Content-Length digits up
