@@ -70,7 +70,7 @@ object EventPipeline {
   def windowedCountsSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_win_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
     val q = windowedCounts(
         readEventStream(s, dir, globFilter = Some("events.parquet")))
       .writeStream.outputMode("complete").format("memory").queryName(name)
@@ -91,8 +91,29 @@ object EventPipeline {
     * starting the query. */
   private def harnessSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 2, not 8: every micro-batch loads+commits EVERY state-store
+    // partition (a stream-stream join carries four stores per
+    // partition), so per-batch fixed cost scales with the partition
+    // count while the gates' state is a few thousand rows. A real
+    // deployment sizes this to its state volume; the harness sizes it
+    // to the gates'.
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     s
+  }
+
+  /** Scratch root for the sync-gate harnesses (checkpoint dirs, staged
+    * inputs, throwaway sinks): RAM-backed tmpfs when the host has one,
+    * else the default temp dir. Structured Streaming writes offset,
+    * commit and state-delta FILES per micro-batch per partition — on a
+    * disk-backed /tmp that metadata I/O dominates the tiny gates' cost.
+    * Everything written here is deleted by the harness before returning;
+    * a REAL deployment's checkpoint must of course live on durable
+    * storage — this root is only for the ephemeral gate runs. */
+  private def harnessTmpDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -148,7 +169,7 @@ object EventPipeline {
       op: SparkSession => DataFrame => DataFrame): DataFrame = {
     val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory("graft_stream_sess")
+    val tmp = harnessTmpDir("graft_stream_sess")
     val inDir = tmp.resolve("in")
     Files.createDirectories(inDir)
     Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
@@ -212,7 +233,7 @@ object EventPipeline {
     * streamed files — sharing `r_events_partitioned`'s oracle. */
   def dayLayoutSync(spark: SparkSession, dir: String): DataFrame = {
     val hs = harnessSession(spark)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_days")
+    val tmp = harnessTmpDir("graft_stream_days")
     try {
       val q = dayLayoutStream(
           readEventStream(hs, dir, globFilter = Some("events.parquet")),
@@ -261,7 +282,7 @@ object EventPipeline {
   def dedupSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_dedup_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
     val q = dedupWithinWatermark(
         readEventStream(s, dir, globFilter = Some("events.parquet")),
         Seq("user_id", "event_type"))
@@ -395,7 +416,7 @@ object EventPipeline {
       spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory("graft_stream_joino")
+    val tmp = harnessTmpDir("graft_stream_joino")
     val inDir = tmp.resolve("in")
     Files.createDirectories(inDir)
     Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
@@ -443,7 +464,7 @@ object EventPipeline {
   def attributionJoinSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_join_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
     val q = attributionJoin(
         readEventStream(s, dir, globFilter = Some("events.parquet")))
       .writeStream.outputMode("append").format("memory").queryName(name)
@@ -496,7 +517,7 @@ object EventPipeline {
   def curationFilterSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_cur_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
     val in = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -539,7 +560,7 @@ object EventPipeline {
   def mediaDecodeSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_media_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
     val in = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -580,7 +601,7 @@ object EventPipeline {
     val w = graft.queries.LlmOps.trainedProbeWeights(spark, dir)
     val s = harnessSession(spark)
     val name = s"graft_stream_probe_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
     val in = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -652,8 +673,8 @@ object EventPipeline {
   def bloomIngestSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     graft.functions.GraftFunctions.register(s)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_bloom")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val out = harnessTmpDir("graft_stream_bloom")
     val corpusFp = s.read.parquet(s"$dir/documents.parquet")
       .filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .withColumn("dedup_fp", graft.functions.GraftFunctions.fingerprint128(
@@ -687,8 +708,8 @@ object EventPipeline {
     * error. */
   def nearDupIngestSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val out = harnessTmpDir("graft_stream_ingest")
     val corpusIndex = graft.operators.Dedup.bandedIndex(
         s.read.parquet(s"$dir/documents.parquet")
           .filter(pmod(col("doc_id"), lit(7)) =!= 0),
@@ -741,8 +762,8 @@ object EventPipeline {
     val s = harnessSession(spark)
     graft.functions.GraftFunctions.register(s)
     val page = graft.queries.LlmOps.gopherPage
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_lines")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val out = harnessTmpDir("graft_stream_lines")
     val boiler = graft.operators.Lines.boilerplate(
         s.read.parquet(s"$dir/documents.parquet")
           .filter(pmod(col("doc_id"), lit(4)) =!= 0),
@@ -796,8 +817,8 @@ object EventPipeline {
   def annIngestSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     graft.functions.GraftFunctions.register(s)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
-    val idx = java.nio.file.Files.createTempDirectory("graft_stream_ann")
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val idx = harnessTmpDir("graft_stream_ann")
     try {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -920,7 +941,7 @@ object EventPipeline {
     val hs = harnessSession(spark)
     val windowUs = graft.queries.Relational.FunnelWindowUs
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory("graft_stream_funnel")
+    val tmp = harnessTmpDir("graft_stream_funnel")
     val inDir = tmp.resolve("in")
     Files.createDirectories(inDir)
     Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
