@@ -151,9 +151,11 @@ object SparkEntry {
     "d_embed_pca" -> (q.LlmOps.embedPca _),
     "d_sim_topk_pca" -> (q.LlmOps.simTopKPca _),
     "d_sim_topk_pca_load" -> (q.LlmOps.simTopKPcaLoad _),
+    "d_sim_topk_pca_serve" -> (q.LlmOps.simTopKPcaServe _),
     "d_bpe_train" -> (q.LlmOps.bpeTrain _),
     "d_bpe_tokenize" -> (q.LlmOps.bpeTokenize _),
     "d_bpe_tokenize_load" -> (q.LlmOps.bpeTokenizeLoad _),
+    "d_bpe_tokenize_serve" -> (q.LlmOps.bpeTokenizeServe _),
     "d_lm_score" -> (q.LlmOps.lmScore _),
     "d_chunk_windows" -> (q.LlmOps.chunkWindows _),
     "d_graph_pagerank" -> (q.LlmOps.graphPagerank _),
@@ -310,11 +312,15 @@ object SparkEntry {
     // the load-path gate shares the training-replay oracle: the persisted
     // artifact round-trips bit-exactly, so load+project ≡ train+project
     "d_sim_topk_pca_load" -> q.LlmOps.simTopKPcaSql,
+    // serve lane: artifact cached per JVM, timed body = load+project+top-k
+    "d_sim_topk_pca_serve" -> q.LlmOps.simTopKPcaSql,
     "d_bpe_train" -> q.LlmOps.bpeTrainSql,
     "d_bpe_tokenize" -> q.LlmOps.bpeTokenizeSql,
     // the load-path gate shares the training oracle: the persisted vocab
     // round-trips bit-exactly, so load+tokenize ≡ train+tokenize
     "d_bpe_tokenize_load" -> q.LlmOps.bpeTokenizeSql,
+    // serve lane: vocab artifact cached per JVM, timed body = load+tokenize
+    "d_bpe_tokenize_serve" -> q.LlmOps.bpeTokenizeSql,
     "d_lm_score" -> q.LlmOps.lmScoreSql,
     "d_chunk_windows" -> q.LlmOps.chunkWindowsSql,
     // all-integer power iteration → bit-exact across engines

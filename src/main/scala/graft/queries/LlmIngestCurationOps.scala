@@ -1,0 +1,995 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Clusters, Decontaminate, Dedup, Dsir, Multimodal, Pii, Pq, Similarity, Spans, Urls}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LlmOps module: ingestion and corpus curation — multimodal decode
+  * gates, Unicode normalization, schema evolution, the WARC container
+  * round trip, the end-to-end curation pipeline and its reports,
+  * source caps/mixtures/splits/sampling, sequence packing, corpus
+  * export/diff, and incremental (bloom-routed) dedup ingest. */
+trait LlmIngestCurationOps { this: LlmOps.type =>
+
+  /** Multimodal payload → batch decode → per-(source, modality) aggregates,
+    * in the oracle-able integer shape ([[Multimodal.featureGate]]): the
+    * oracle recomputes `total_bytes` from file-format header arithmetic and
+    * pins the theory-exactness counts to n_docs, so the real BMP/WAV
+    * synth → encode → parse → feature path is externally verified without
+    * the oracle needing a codec. */
+  def multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodal]]: byte counts from the BMP/WAV
+    * header arithmetic ([[Multimodal.theoryByteCount]] in SQL); the
+    * exactness counts pinned to "every doc matches theory". */
+  val multimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 54 + ((((16 + doc_id % 16) * 3 + 3) // 4) * 4) * (16 + doc_id % 12)
+      |      ELSE 44 + 2 * (2000 + doc_id % 1000) END AS nb
+      |  FROM documents)
+      |SELECT source, mime, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS total_bytes,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_bytes_exact
+      |FROM m GROUP BY source, mime""".stripMargin
+
+  /** PNG multimodal gate ([[Multimodal.pngGate]]): every doc carries a
+    * doc_id-seeded deflate-compressed PNG (scanline filter rotating over
+    * all five RFC 2083 types), decoded by the full chunk-walk + CRC +
+    * inflate + unfilter path. */
+  def multimodalPng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodalPng]]: pixel counts from the id →
+    * geometry formula; the exactness counts pinned to "every doc's decoded
+    * feature[0] and dimensions match theory" (a deflated BYTE count has no
+    * closed form, so the pins are pixel-side). */
+  val multimodalPngSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM((16 + ((doc_id % 16) + 16) % 16) * (16 + ((doc_id % 12) + 12) % 12)) AS BIGINT) AS n_px,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** JPEG multimodal gate ([[Multimodal.jpegGate]]): every doc carries a
+    * doc_id-seeded baseline JPEG (full Huffman/DCT encode), decoded by the
+    * real marker-walk + entropy-decode + dequant + IDCT path. The fixtures
+    * are block-flat (DC-only), so even a LOSSY codec must reproduce every
+    * pixel bit-for-bit — see [[graft.operators.JpegCodec]]. */
+  def multimodalJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodalJpeg]]: pixel counts from the id →
+    * geometry formula (w = 16+8·(id mod 3), h = 16+8·(id mod 2)); the
+    * exactness counts pinned to "every doc's decoded feature[0] and
+    * dimensions match theory" (an entropy-coded byte count has no closed
+    * form, so the pins are pixel-side, as with PNG). */
+  val multimodalJpegSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM((16 + 8 * (((doc_id % 3) + 3) % 3)) * (16 + 8 * (((doc_id % 2) + 2) % 2))) AS BIGINT) AS n_px,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** FLAC multimodal gate ([[Multimodal.flacGate]]): every doc carries a
+    * doc_id-seeded FLAC (fixed-predictor + Rice encode of the synthWav
+    * sine), decoded by the real frame-walk + Rice + CRC/MD5 path. FLAC is
+    * lossless, so the decoded-RMS theory pin is bit-exact over ALL
+    * fixtures — no representable-subspace trick needed. */
+  def multimodalFlac(s: SparkSession, dir: String): DataFrame =
+    Multimodal.flacGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[multimodalFlac]]: sample counts from the id →
+    * length formula (n = 2000 + id mod 1000); exactness counts pinned to
+    * "every doc's decoded RMS and sample-rate feature match theory". */
+  val multimodalFlacSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(2000 + ((doc_id % 1000) + 1000) % 1000) AS BIGINT) AS total_samples,
+      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_rate_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** Unicode NFC normalization ([[GraftFunctions.nfc]], a codegen
+    * Catalyst expression over java.text.Normalizer with an ASCII fast
+    * path): every doc gets a COMPOSED suffix (é ñ 한) and its fully
+    * DECOMPOSED twin (e+◌́, n+◌̃, jamo ᄒ+ᅡ+ᆫ); after NFC both must be
+    * byte-identical and share a fingerprint — the normalize-before-hash
+    * step (CCNet) that stops visually-identical variants from defeating
+    * exact dedup. Oracled against DuckDB's independent nfc_normalize. */
+  def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val composed = concat(col("text"), lit(" é ñ 한"))
+    // NFD via explicit escapes: an NFC-normalizing editor must not be able
+    // to silently recompose the fixture into the composed form
+    val decomposed = concat(col("text"),
+      lit(" e\u0301 n\u0303 \u1112\u1161\u11AB"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.nfc(composed).as("n1"),
+        GraftFunctions.nfc(decomposed).as("n2"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n1") === col("n2"), 1L).otherwise(0L)).as("n_collapsed"),
+        sum(when(GraftFunctions.fingerprint64(col("n1")) ===
+          GraftFunctions.fingerprint64(col("n2")), 1L).otherwise(0L)).as("n_fp_equal"))
+  }
+
+  /** DuckDB twin via its own nfc_normalize (pure-ASCII SQL through
+    * chr()); fingerprint equality reduces to string equality. */
+  val unicodeNormalizeSql: String =
+    """WITH v AS (SELECT source,
+      |  nfc_normalize(text || ' ' || chr(233) || ' ' || chr(241) || ' ' || chr(54620)) AS n1,
+      |  nfc_normalize(text || ' e' || chr(769) || ' n' || chr(771) || ' ' || chr(4370) || chr(4449) || chr(4523)) AS n2
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
+      |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_equal
+      |FROM v GROUP BY source""".stripMargin
+
+  /** Parquet schema evolution: an early corpus generation (doc_id, text)
+    * and a later one that ADDED a column (doc_id, text, lang) live in one
+    * dataset; `mergeSchema` reads the union schema with nulls for the
+    * early files — the additive-evolution contract a long-lived corpus
+    * depends on (new extraction fields must not force a rewrite of
+    * petabytes of old generations). The gate verifies both generations'
+    * rows and the null/pushdown behavior on the merged frame. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_schema_evo")
+    try {
+      val d = docs(s, dir)
+      // generation 0: half the corpus, before `lang` existed
+      d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+        .write.parquet(s"$out/gen=0")
+      // generation 1: the other half, with the added column
+      d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.parquet(s"$out/gen=1")
+      val merged = s.read.option("mergeSchema", "true").parquet(out.toString)
+      merged
+        .join(d.select(col("doc_id"), col("source"),
+          col("lang").as("lang_orig"), col("text").as("text_orig")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text") === col("text_orig"), 1L).otherwise(0L))
+            .as("n_text_exact"),
+          sum(when(col("gen") === 0 && col("lang").isNull, 1L)
+            .otherwise(0L)).as("n_gen0_null_lang"),
+          sum(when(col("gen") === 1 && col("lang") === col("lang_orig"), 1L)
+            .otherwise(0L)).as("n_gen1_lang_exact"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Closed-form twin of [[schemaEvolution]]: every doc returns, text
+    * exact, gen-0 (even ids) all null-lang, gen-1 (odd ids) lang exact. */
+  val schemaEvolutionSql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_text_exact,
+      |  CAST(SUM(CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen0_null_lang,
+      |  CAST(SUM(CASE WHEN ((doc_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1_lang_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** WARC container round trip ([[graft.sources.Warc]]): the corpus
+    * written as spec-conforming `.warc.gz` crawl files (warcinfo +
+    * response records, per-record gzip members, embedded HTTP responses)
+    * executor-side, then read back through the streaming record-iterator
+    * parser (one Hadoop-FS-opened segment per task, O(record) memory) —
+    * every document's body must survive byte-exactly with its HTTP
+    * status and MIME intact. The ingestion path a Common-Crawl-shaped
+    * corpus arrives through. */
+  /** Shared by [[warcRoundtrip]] and [[warcIngest]]: export the corpus as
+    * crawl files into `out`, read it back through the container parser,
+    * re-key doc ids from the URLs. Single-sourced so the two gates' URL
+    * shape, partitioning and charset can never drift apart. */
+  private[queries] def writeAndReadBackWarc(
+      s: SparkSession, d: DataFrame, out: String): DataFrame = {
+    // chunkEvery=3: every third record's HTTP body ships with chunked
+    // transfer-encoding, so the round trip proves the reader de-frames
+    // chunked payloads (real crawl responses are routinely chunked).
+    // charsetEvery=5: every fifth record is written and declared as
+    // UTF-16BE, so the charset-honoring decode path runs on real gate
+    // data too (ids divisible by 15 are chunked AND non-UTF-8). Both
+    // knobs leave the oracle unchanged: de-chunking and the UTF-16BE
+    // round trip are lossless for arbitrary corpus text.
+    graft.sources.Warc.writeWarc(
+      d.select(col("doc_id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+        col("text"))
+        .repartition(4, col("doc_id")),
+      out, chunkEvery = 3, charsetEvery = 5)
+    graft.sources.Warc.readWarc(s, out)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
+        // charset-honoring decode from the parser (here utf-8 by header)
+        col("body_text").as("text"),
+        col("http_status"), col("mime"))
+  }
+
+  def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_warc")
+    try {
+      val d = docs(s, dir)
+      val back = writeAndReadBackWarc(s, d, out.toString)
+        .withColumnRenamed("text", "body_text")
+      back.join(d.select(col("doc_id"), col("source"), col("text")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("body_text") === col("text") &&
+            col("http_status") === 200 &&
+            // the declared charset must match the writer's doc_id knob
+            // exactly: every fifth doc utf-16be, the rest utf-8
+            col("mime") === concat(lit("text/plain; charset="),
+              when(pmod(col("doc_id"), lit(5)) === 0, "utf-16be")
+                .otherwise("utf-8")), 1L)
+            .otherwise(0L)).as("n_roundtrip_exact"))
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Closed-form twin of [[warcRoundtrip]]: every doc must come back. */
+  val warcRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** Cross-codec media parity ([[Multimodal.mediaParityGate]]): the same
+    * pixels through BMP, PNG and JPEG must feature-hash identically —
+    * three independent codec stacks cross-checking each other per doc. */
+  def mediaParity(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaParityGate(s, docs(s, dir))
+
+  /** Closed-form twin of [[mediaParity]]: every doc must report all three
+    * formats bit-equal and the shared feature[0] on theory. */
+  val mediaParitySql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(*) AS n_all_equal, COUNT(*) AS n_feat0_exact
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** End-to-end curation pipeline — the composition a training-data corpus
+    * actually runs: quality gate → repetition gate → language agreement →
+    * exact-canonical dedup survivors → benchmark decontamination (the
+    * doc_id %19==0 slice plays the held-out eval suite: its docs are
+    * excluded from the training output, and training docs sharing any
+    * 5-gram with it drop) → LM predictability → trained-probe scoring
+    * (train on weak labels → score corpus → threshold, the GPT-3/LLaMA
+    * classifier-filtering recipe). Operator composition (each stage is its
+    * own oracle-proven operator); one declarative plan, no intermediate
+    * materialization — the probe trainer's dim+1-longs-per-round fetches
+    * are the only driver round-trips. Dedup uses the HASHED canonical key
+    * (128-bit fingerprint struct), so the widest shuffle in the flagship
+    * pipeline carries 16-byte keys, not document-sized canonical strings.
+    *
+    * The two fused text kernels ([[GraftFunctions.markerStats]],
+    * [[GraftFunctions.repetitionStats]]) are each aliased ONCE in a narrow
+    * projection and all scoring derives from the structs — an expensive
+    * alias referenced more than once is not inlined by CollapseProject, so
+    * each kernel runs once per row regardless of how many scoring columns
+    * read it (round 4's shape re-evaluated MarkerStats per call site from
+    * three derivations; see SCALE.md). */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    // probe-scoring stage (the GPT-3/LLaMA recipe end-to-end): train the
+    // linear probe on the corpus's sampled weak labels, score every doc by
+    // margin, keep the confidently-good. Training is the pipeline's only
+    // driver round-trips — dim+1 longs per GD round, bit-reproducible on
+    // any partitioning, so the oracle replays the weights AND the margins.
+    // Scoring happens INLINE in the scan projection (the weights are
+    // driver literals by then) — no second corpus scan, no doc_id join.
+    curationAssembled(s, dir, Some(trainedProbe(s, dir)))
+  }
+
+  /** Every curation stage EXCEPT the probe (heuristic quality/repetition/
+    * language gates, dedup, decontamination, LM) — package-visible so the
+    * integration spec can prove the probe stage binds. */
+  private[graft] def curationCore(s: SparkSession, dir: String): DataFrame =
+    curationAssembled(s, dir, None)
+
+  private[queries] def curationAssembled(
+      s: SparkSession, dir: String, probeW: Option[Seq[Double]]): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    // each fused kernel (markerStats, repetitionStats, hashedTfVector)
+    // aliased ONCE; every scoring column derives from the aliases
+    val kernels = Seq(
+      col("doc_id"), col("lang"),
+      GraftFunctions.markerStats(col("text")).as("ms"),
+      GraftFunctions.repetitionStats(col("text")).as("rs")) ++
+      probeW.map(w =>
+        GraftFunctions.hashedTfVector(split(col("text"), " "), w.length).as("pv"))
+    val scoring = Seq(
+      col("doc_id"), col("lang"),
+      col("ms").getField("n_tokens").cast("long").as("n_tokens"),
+      GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+      (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
+      GraftFunctions.repetitionOk(col("rs")).as("rep_ok")) ++
+      probeW.map(w =>
+        (w.indices.map(j => col("pv").getItem(j) * lit(w(j))).reduce(_ + _)
+          >= ProbeGateMargin).as("probe_ok"))
+    val scored = d.select(kernels: _*).select(scoring: _*)
+    val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val clean = decontOverlap(d)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"))
+    // LM predictability stage (CCNet tier): self-trained bigram model;
+    // docs too short to score (< 2 tokens) fail the gate by construction
+    val lmOk = graft.operators.LangModel
+      .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
+      .filter(col("lm_ok"))
+      .select(col("doc_id"))
+    val keep = col("quality") >= 0.5 && col("lang_ok") && col("rep_ok") &&
+      probeW.map(_ => col("probe_ok")).getOrElse(lit(true))
+    scored.join(survivors, "doc_id").join(clean, "doc_id").join(lmOk, "doc_id")
+      .filter(keep)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+  }
+
+  /** The quality/repetition/language scoring CTEs (`scored`, `rep`) shared
+    * by [[curationPipelineSql]] and the streaming gate's oracle — the
+    * filters are the same kernels in both execution modes, so their oracle
+    * text is single-sourced too. */
+  private[queries] lazy val scoredRepCtes: String = {
+    val hits = GraftFunctions.langMarkers.map { case (lang, _) => lang -> s"h_$lang" }
+    val hitDefs = GraftFunctions.langMarkers
+      .map { case (lang, ms) => s"${hitsSql(ms)} AS h_$lang" }.mkString(",\n  ")
+    val best = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val cases = hits.map { case (lang, h) =>
+      s"WHEN $h > 0 AND $h = $best THEN '$lang'"
+    }.mkString("\n    ")
+    s"""scored AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len($tsSql) AS BIGINT) AS n_tokens,
+       |    $qualityExprSql AS quality,
+       |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
+       |  FROM (SELECT doc_id, lang, source, text, $hitDefs FROM documents)),
+       |rep AS (
+       |  SELECT doc_id, $repKeepSql AS rep_ok FROM (
+       |  $repStatsSql))""".stripMargin
+  }
+
+  /** Mirrors [[graft.streaming.EventPipeline.curationFilterStream]] (the
+    * stateless quality/repetition/language tier, stream ≡ batch). */
+  lazy val streamQualitySql: String =
+    s"""WITH $scoredRepCtes
+       |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+       |FROM scored s JOIN rep USING (doc_id)
+       |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
+
+  /** WARC → curation ingestion composition: the corpus lands as crawl
+    * files ([[graft.sources.Warc.writeWarc]]), is read back through the
+    * real container parser, re-keyed from its URLs, joined to the
+    * metadata sidecar (lang — crawl archives carry bytes, not labels),
+    * and pushed through the stateless quality tier — the first mile of a
+    * Common-Crawl-shaped pipeline as ONE declarative job. Because the
+    * WARC round trip is byte-exact (d_warc_roundtrip), the output must
+    * equal the quality tier over the original table, so this SHARES
+    * [[streamQualitySql]]'s oracle verbatim. */
+  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_warc_ing")
+    try {
+      val d = docs(s, dir)
+      val fromWarc = writeAndReadBackWarc(s, d, out.toString)
+        .select(col("doc_id"), col("text"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      graft.streaming.EventPipeline.curationFilterStream(fromWarc)
+        .localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  lazy val curationPipelineSql: String = {
+    s"""WITH $scoredRepCtes,
+       |survivors AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |    FROM (SELECT doc_id,
+       |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |          FROM documents))
+       |  GROUP BY f1, f2),
+       |clean AS (
+       |  SELECT doc_id FROM (
+       |$decontaminateSql
+       |  ) WHERE contaminated = 0),
+       |$lmCtes,
+       |lmok AS (SELECT doc_id FROM lmdoc WHERE mean_p >= $LmMinMeanP),
+       |$probeTrainCtes,
+       |$probeGateCtes
+       |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+       |FROM scored s JOIN survivors USING (doc_id) JOIN rep USING (doc_id)
+       |  JOIN clean USING (doc_id) JOIN lmok USING (doc_id)
+       |  JOIN pok USING (doc_id)
+       |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
+  }
+
+  /** Source-pair vocabulary overlap — the mixture-design diagnostic
+    * ("how redundant are my ingest sources?"): exact token-set Jaccard
+    * for every source pair, computed WITHOUT any all-pairs document work.
+    * The (source, token) distinct set is token-keyed; joining it to
+    * itself on token emits at most sources² rows per token (a bounded
+    * domain — source/domain counts are thousands, never corpus-sized),
+    * and the per-source distinct counts broadcast back onto the ~S²/2
+    * result rows. The division is one double op over identical integers,
+    * so it is engine-identical. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val t = docs(s, dir)
+      .select(col("source"), explode(GraftFunctions.tokens(col("text"))).as("token"))
+      .distinct()
+    val n = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    t.select(col("source").as("source_a"), col("token"))
+      .join(t.select(col("source").as("source_b"), col("token")), "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(n.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(n.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
+  /** Mirrors [[sourceOverlap]]: same distinct (source, token) set, same
+    * token-keyed pair counting, same single division. */
+  val sourceOverlapSql: String =
+    s"""WITH t AS (
+       |  SELECT DISTINCT source, unnest($tsSql) AS token FROM documents),
+       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM t a JOIN t b USING (token)
+       |  WHERE a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_common,
+       |  CAST(p.n_common AS DOUBLE) / CAST(na.n + nb.n - p.n_common AS DOUBLE) AS jaccard
+       |FROM p JOIN n na ON p.source_a = na.source
+       |       JOIN n nb ON p.source_b = nb.source""".stripMargin
+
+  /** Per-doc curation AUDIT: which stage drops each document — the
+    * provenance question a corpus operation answers constantly ("why did
+    * volume fall 40% for source X?"). One scan computes the per-doc
+    * kernels; the set-membership stages (dedup survivorship,
+    * decontamination, LM) left-join their flags; a single CASE assigns
+    * the FIRST failing stage in the pipeline's order (eval slice →
+    * quality → lang → repetition → duplicate → contaminated → lm → kept,
+    * the heuristic tier — the trained-probe stage is scored by its own
+    * gates). Aggregated to (source, reason) counts. */
+  def curationReasons(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val scored = d.select(
+        col("doc_id"), col("source"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.repetitionStats(col("text")).as("rs"))
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
+        GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
+    val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"), lit(1).as("sv"))
+    val cont = decontOverlap(d).select(col("doc_id"), col("contaminated"))
+    val lm = graft.operators.LangModel
+      .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
+      .select(col("doc_id"), col("lm_ok"))
+    scored
+      .join(survivors, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(pmod(col("doc_id"), lit(DecontEvalMod)) === 0, "eval_slice")
+          .when(col("quality") < 0.5, "quality")
+          .when(!col("lang_ok"), "lang")
+          .when(!col("rep_ok"), "repetition")
+          .when(col("sv").isNull, "duplicate")
+          .when(col("contaminated") === 1, "contaminated")
+          .when(col("lm_ok").isNull || !col("lm_ok"), "lm")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Assembled from the SAME factored CTEs as [[curationPipelineSql]]
+    * (scored/rep kernels, dedup fingerprints, decontamination, LM), with
+    * the CASE in the identical stage order. */
+  lazy val curationReasonsSql: String =
+    s"""WITH $scoredRepCtes,
+       |survivors AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |    FROM (SELECT doc_id,
+       |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |          FROM documents))
+       |  GROUP BY f1, f2),
+       |cont AS (SELECT doc_id, contaminated FROM (
+       |$decontaminateSql
+       |  )),
+       |$lmCtes,
+       |r AS (
+       |  SELECT s.source,
+       |    CASE WHEN ((s.doc_id % $DecontEvalMod) + $DecontEvalMod) % $DecontEvalMod = 0 THEN 'eval_slice'
+       |         WHEN s.quality < 0.5 THEN 'quality'
+       |         WHEN NOT s.lang_ok THEN 'lang'
+       |         WHEN NOT rep.rep_ok THEN 'repetition'
+       |         WHEN sv.doc_id IS NULL THEN 'duplicate'
+       |         WHEN c.contaminated = 1 THEN 'contaminated'
+       |         WHEN l.doc_id IS NULL OR NOT (l.mean_p >= $LmMinMeanP) THEN 'lm'
+       |         ELSE 'kept' END AS reason
+       |  FROM scored s JOIN rep USING (doc_id)
+       |    LEFT JOIN survivors sv ON s.doc_id = sv.doc_id
+       |    LEFT JOIN cont c ON s.doc_id = c.doc_id
+       |    LEFT JOIN lmdoc l ON s.doc_id = l.doc_id)
+       |SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM r GROUP BY source, reason""".stripMargin
+
+  // chunking gate parameters — shared by the query and its oracle twin
+  private[queries] val ChunkMaxTokens = 40
+  private[queries] val ChunkStride = 32
+
+  /** Context-window chunking ([[graft.operators.Chunking.slidingWindows]]):
+    * 40-token windows at stride 32 (8-token overlap) over every document. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingWindows(
+      docs(s, dir), "doc_id", "text", ChunkMaxTokens, ChunkStride)
+
+  /** Mirrors [[chunkWindows]]: same start offsets (0 ≤ w·stride < n), same
+    * clamped slice, same single-space re-join. */
+  lazy val chunkWindowsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(u.st // $ChunkStride AS INT) AS chunk_id,
+       |  CAST(least($ChunkMaxTokens, len(ts) - u.st) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(ts, u.st + 1, u.st + $ChunkMaxTokens), ' ') AS chunk
+       |FROM (
+       |  SELECT doc_id, ts, unnest(list_transform(range(0, len(ts), $ChunkStride), s -> {st: s})) AS u
+       |  FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
+
+  /** Per-source corpus health report — the observability query a corpus
+    * operation runs per ingest source/domain: volume (docs, tokens),
+    * quality mean (floor-quantized micro-units → ORDER-INDEPENDENT exact
+    * aggregate, the [[graft.operators.Similarity.clusterReport]] device),
+    * language-agreement count, and exact-duplicate involvement (docs whose
+    * canonical 128-bit fingerprint occurs more than once corpus-wide).
+    * One scan + one tiny fingerprint-keyed side-aggregation; every output
+    * is exact across engines. */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val scored = d.select(
+        col("doc_id"), col("source"), col("lang"),
+        GraftFunctions.markerStats(col("text")).as("ms"),
+        GraftFunctions.fingerprint128(
+          GraftFunctions.canonicalKey(col("text"))).as("fp"))
+      .select(col("doc_id"), col("source"), col("fp"),
+        col("ms").getField("n_tokens").cast("long").as("n_tokens"),
+        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
+        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"))
+    val dupFps = scored.groupBy(col("fp")).count()
+      .filter(col("count") > 1).select(col("fp"))
+    scored
+      .join(dupFps.withColumn("is_dup", lit(1L)), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(floor(col("quality") * lit(1000000.0)).cast("long")).as("sum_quality_q6"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("sum_quality_q6").cast("double") / col("n_docs").cast("double")
+          / lit(1000000.0)).as("mean_quality_q"),
+        col("n_lang_ok"), col("n_dup_docs"))
+  }
+
+  /** Mirrors [[sourceReport]] on the shared scored CTEs: same quality
+    * expression, same language case chain, same two-stream FNV canonical
+    * fingerprint, same quantized quality sum. */
+  lazy val sourceReportSql: String =
+    s"""WITH $scoredRepCtes,
+       |fp AS (
+       |  SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |  FROM (SELECT doc_id,
+       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |        FROM documents)),
+       |dupfp AS (
+       |  SELECT f1, f2 FROM fp GROUP BY f1, f2 HAVING COUNT(*) > 1),
+       |dupdoc AS (
+       |  SELECT fp.doc_id, 1 AS is_dup FROM fp JOIN dupfp USING (f1, f2))
+       |SELECT s.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(floor(s.quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_quality_q,
+       |  CAST(SUM(CASE WHEN s.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       |  CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS n_dup_docs
+       |FROM scored s LEFT JOIN dupdoc d USING (doc_id)
+       |GROUP BY s.source""".stripMargin
+
+  /** Int8 embedding quantization gate
+    * ([[graft.operators.Similarity.quantizeInt8]]): per vector — the exact
+    * scale plus integer digests of the quantized codes (sum and L1), every
+    * output engine-portable exact. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qvec"), lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+        aggregate(col("qvec"), lit(0L), (acc, q) => acc + abs(q.cast("long"))).as("q_l1"))
+
+  /** Mirrors [[embedQuantize]]: same max-abs scale, same
+    * floor(x·127/s + 0.5) round-half-up, same sequential integer folds. */
+  lazy val embedQuantizeSql: String =
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, scale,
+       |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+       |         ELSE list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT))
+       |    END AS qvec
+       |  FROM sc)
+       |SELECT vec_id, scale,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(qvec, v -> CAST(v AS BIGINT))), (a, b) -> a + b) AS q_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(qvec, v -> abs(CAST(v AS BIGINT)))), (a, b) -> a + b) AS q_l1
+       |FROM q""".stripMargin
+
+  /** Corpus snapshot diff ([[graft.operators.Versioning.diff]]): v2 is a
+    * deterministic synthetic revision of the fixture corpus — drop
+    * doc_id ≡ 0 (mod 13), append " rev2" to surviving doc_id ≡ 0 (mod 11),
+    * re-add doc_id ≡ 0 (mod 17) under id+1,000,000 — identically in the
+    * oracle, so every added/removed/modified/unchanged verdict is pinned. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val v2 = d.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.Versioning.diff(d, v2, "doc_id", "text")
+  }
+
+  /** Mirrors [[corpusDiff]]: same synthetic v2, same two-stream raw-text
+    * fingerprints, same full-outer classification. */
+  lazy val corpusDiffSql: String =
+    s"""WITH oldc AS (
+       |  SELECT doc_id, ${fnvHugeSql("text")} AS f1, ${fnvAltHugeSql("text")} AS f2
+       |  FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+       |newc AS (
+       |  SELECT doc_id, ${fnvHugeSql("text")} AS f1, ${fnvAltHugeSql("text")} AS f2
+       |  FROM v2)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN n.doc_id IS NULL THEN 'removed'
+       |       WHEN o.doc_id IS NULL THEN 'added'
+       |       WHEN o.f1 = n.f1 AND o.f2 = n.f2 THEN 'unchanged'
+       |       ELSE 'modified' END AS status
+       |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin
+
+  /** Corpus export gate ([[graft.plans.CorpusExport.writeCurated]]): the
+    * curated corpus written split-partitioned to a temp dir, manifest
+    * recomputed from the WRITTEN files — the oracle therefore checks the
+    * on-disk artifact, xlsx-roundtrip style. */
+  def corpusExport(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus_export")
+    // the manifest is a 3-row aggregate: materialize it off the written
+    // files, then reclaim the temp corpus (finally: a failed write in a
+    // bench loop must not strand an iteration's multi-MB export either)
+    try graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
+      .localCheckpoint(true)
+    finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** The delta LIFECYCLE gate ([[graft.plans.CorpusExport.applyDelta]]):
+    * day-0 exports the corpus WITHOUT the doc_id ≡ 0 (mod 5) curated
+    * docs, the fresh full curation diffs against it
+    * ([[graft.plans.CorpusExport.writeCuratedDelta]] — the delta is
+    * exactly those docs), and APPLY merges the delta into the base in
+    * place, rewriting only affected split partitions. The returned
+    * manifest is recomputed from the UPDATED on-disk corpus, which must
+    * equal a from-scratch export's — so the gate shares
+    * [[corpusExportSql]]. CorpusExportSpec pins that unaffected split
+    * partitions keep their exact files. */
+  def corpusApplyDelta(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_apply_delta")
+    // ONE curation materialization feeds both the day-0 export and the
+    // delta (a second full pipeline run — probe training included —
+    // would double the gate's cost for no extra verification)
+    val full = graft.plans.CorpusExport.curatedFull(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.plans.CorpusExport.writeCuratedFrom(
+        s, full.filter(pmod(col("doc_id"), lit(5)) =!= 0), out.toString)
+      graft.plans.CorpusExport.writeCuratedDeltaFrom(s, full, out.toString)
+      graft.plans.CorpusExport.applyDelta(s, out.toString)
+    } finally {
+      full.unpersist(blocking = false)
+      graft.plans.CorpusExport.deleteRecursively(out.toFile)
+    }
+  }
+
+  /** Mirrors [[corpusExport]]: the curation subquery joined to the split
+    * buckets, aggregated per (split, lang). */
+  lazy val corpusExportSql: String =
+    s"""WITH cur AS (
+       |$curationPipelineSql
+       |),
+       |$splitAssignCtes
+       |SELECT sp.split, cur.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(cur.n_tokens) AS BIGINT) AS total_tokens
+       |FROM cur JOIN sp USING (doc_id)
+       |GROUP BY sp.split, cur.lang""".stripMargin
+
+  /** Per-document deterministic train/val/test assignment: bucket =
+    * FNV-1a(doc_id) mod 100 → 80/10/10. Hash-based (not sampled) so the
+    * assignment is reproducible under any partitioning, any engine, and
+    * any subset of the corpus — the property a training pipeline needs so
+    * that test documents never drift into train between runs. The
+    * content-stable bucket every split consumer shares ([[trainSplit]]'s
+    * gate aggregate, the corpus export's partition column). */
+  /** The content-stable 80/10/10 split rule as a column expression — ONE
+    * definition shared by [[splitAssignments]] and the incremental-day
+    * delta export ([[graft.plans.IncrementalDay]]), so a day's delta can
+    * never be split differently than the base corpus. */
+  private[graft] def splitColumnFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(GraftFunctions.fingerprint64(id.cast("string")), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  def splitAssignments(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        splitColumnFor(col("doc_id")).as("split"),
+        GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
+    splitAssignments(s, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
+  /** Shared split-assignment CTEs (`sp(doc_id, n_tokens, split)`) — ONE
+    * replica of the FNV-signed-pmod 80/10/10 bucket, bound by both the
+    * split gate and the corpus-export gate (mirroring the Scala side's
+    * single [[splitAssignments]]). */
+  private[queries] lazy val splitAssignCtes: String = {
+    // pmod over the SIGNED fingerprint: Spark's pmod(x, 100) = ((x % 100) + 100) % 100
+    val signed = hugeToSignedSql("h")
+    s"""sph AS (
+       |  SELECT doc_id, ${fnvHugeSql("CAST(doc_id AS VARCHAR)")} AS h,
+       |    CAST(len($tsSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |spb AS (
+       |  SELECT doc_id, n_tokens, (($signed % 100) + 100) % 100 AS bucket FROM sph),
+       |sp AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM spb)""".stripMargin
+  }
+
+  lazy val trainSplitSql: String =
+    s"""WITH $splitAssignCtes
+       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM sp GROUP BY split""".stripMargin
+
+  /** Content-stable stratified sample: per-language fractions over the
+    * ALT hash stream (independent of the train-split stream). */
+  val sampleFractions: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.05)
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      docs(s, dir), col("doc_id"), col("lang"),
+      sampleFractions.toMap, default = 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  /** Quantile-calibrated quality filter
+    * ([[graft.operators.Calibrate.keepTopFraction]]): the cutoff is the
+    * corpus' own 30th quality percentile (keep the top 70%), computed in
+    * one agg job — not a magic constant. Oracle-exact because Spark's
+    * `percentile` interpolation ≡ DuckDB `quantile_cont` bit-for-bit (the
+    * r_percentiles precedent) over bit-exact quality doubles. */
+  def qualityCalibrate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.operators.Calibrate.keepTopFraction(
+      docs(s, dir).select(col("doc_id"),
+        GraftFunctions.qualityScore(col("text")).as("quality")),
+      col("quality"), keepFraction = 0.7)
+  }
+
+  lazy val qualityCalibrateSql: String =
+    s"""WITH q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
+       |c AS (SELECT quantile_cont(quality, 0.3) AS cut FROM q)
+       |SELECT doc_id, quality FROM q CROSS JOIN c WHERE quality >= cut""".stripMargin
+
+  /** Per-source document cap ([[graft.operators.Sampling.capPerGroup]]):
+    * at most [[SourceCapN]] docs per source, chosen by content-hash order
+    * (unbiased, reproducible) — the per-domain limit of the
+    * RefinedWeb/C4 recipes. The operator runs the salted two-phase form;
+    * the oracle is the single-window form they provably equal. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.operators.Sampling.capPerGroup(
+      docs(s, dir), "source", "doc_id",
+      GraftFunctions.fingerprint64(col("text")), maxN = SourceCapN, salts = 4)
+      .select(col("doc_id"), col("source"))
+  }
+
+  private[queries] val SourceCapN = 10
+
+  lazy val sourceCapSql: String = {
+    val signed = hugeToSignedSql("hu")
+    s"""WITH hh AS (
+       |  SELECT doc_id, source, ${fnvHugeSql("text")} AS hu FROM documents),
+       |h AS (SELECT doc_id, source, $signed AS h FROM hh),
+       |rk AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rk
+       |  FROM h)
+       |SELECT doc_id, source FROM rk WHERE rk <= $SourceCapN""".stripMargin
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = sampleFractions.map { case (lang, f) =>
+      s"WHEN '$lang' THEN ${graft.operators.Sampling.threshold(f)}"
+    }.mkString(" ")
+    val signed = hugeToSignedSql("h")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, (($signed % 1000000) + 1000000) % 1000000 AS bucket FROM h)
+       |SELECT doc_id, lang FROM b
+       |WHERE bucket < CASE lang $cases ELSE ${graft.operators.Sampling.threshold(0.1)} END""".stripMargin
+  }
+
+  /** Target domain mixture for [[mixtureRebalance]] (shared with the oracle
+    * builder so the weights can never drift between engines). */
+  val mixtureWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+
+  /** Domain-mixture rebalancing: downsample each language to the target
+    * mixture ([[graft.operators.Sampling.rebalanceToMixture]] — largest
+    * corpus consistent with the weights, thresholds computed in-plan,
+    * content-stable hash membership), reported as achieved per-language
+    * counts. */
+  def mixtureRebalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.rebalanceToMixture(
+      docs(s, dir), col("doc_id"), col("lang"), mixtureWeights.toMap)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
+  /** Mirrors [[mixtureRebalance]]: same weight literals, same fixed
+    * double-association order for n_total and the thresholds, same
+    * ALT-stream FNV bucket as [[sampleStratifiedSql]]. */
+  val mixtureRebalanceSql: String = {
+    val cases = mixtureWeights.map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+    val signed = hugeToSignedSql("hu")
+    s"""WITH c AS (
+       |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_g FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n_g, CASE lang $cases ELSE NULL END AS w_g FROM c),
+       |ww AS (SELECT lang, n_g, w_g FROM w WHERE w_g IS NOT NULL),
+       |t AS (SELECT MIN(n_g / w_g) AS n_total FROM ww),
+       |thr AS (
+       |  SELECT lang,
+       |    CASE WHEN n_g / w_g = n_total THEN 1000000
+       |         ELSE CAST(FLOOR(((n_total * w_g) / n_g) * 1000000.0) AS BIGINT) END AS thr
+       |  FROM ww CROSS JOIN t),
+       |h AS (
+       |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS hu
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, (($signed % 1000000) + 1000000) % 1000000 AS bucket FROM h),
+       |kept AS (SELECT b.lang FROM b JOIN thr USING (lang) WHERE b.bucket < thr.thr)
+       |SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang""".stripMargin
+  }
+
+  /** Sequence packing: documents → ≤2048-token bins per language
+    * (cumulative-offset binning in doc_id order), reported per (lang, bin). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.operators.Sampling.packByTokenBudget(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      order = col("doc_id"), nTokens = col("n_tokens"), part = col("lang"),
+      budget = 2048)
+    packed.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, CAST(len($tsSql) AS BIGINT) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n,
+       |    SUM(n) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+       |b AS (
+       |  SELECT lang, CAST(floor((cum - n) / CAST(2048 AS DOUBLE)) AS BIGINT) AS bin, n
+       |  FROM c)
+       |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+       |FROM b GROUP BY lang, bin""".stripMargin
+
+  /** Incremental ingest dedup: the doc_id %7==0 slice plays the incoming
+    * batch, the rest the standing corpus; survivors are incoming docs whose
+    * canonical content is new. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupAgainstCorpus(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0),
+      d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      "text")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Bloom-pre-filtered incremental ingest
+    * ([[graft.operators.Dedup.bloomDedupAgainstCorpus]]): a corpus bloom
+    * bitset probed inside the incoming scan routes definitely-new rows
+    * AROUND the anti-join; only bloom hits reach it. Admit semantics are
+    * identical to the plain anti-join — the oracle is the same predicate
+    * at a different batch split (mod 5), so the hash check proves the
+    * routing loses and invents nothing. */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.bloomDedupAgainstCorpus(
+      d.filter(pmod(col("doc_id"), lit(5)) === 0),
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "text", numBits = 1 << 16, numProbes = 4)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** NEAR-dup incremental ingest
+    * ([[graft.operators.Dedup.nearDupAgainstCorpus]]): incoming slice =
+    * doc_id ≡ 0 (mod 7) (the [[dedupIncremental]] convention), standing
+    * corpus = the rest; admitted = incoming docs sharing no MinHash band
+    * bucket with the corpus. */
+  def nearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.nearDupAgainstCorpus(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0),
+      d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Mirrors [[nearDupIncremental]] on the shared banding CTEs:
+    * signatures are per-doc, so banding the whole corpus then splitting by
+    * the slice predicate ≡ banding each side separately. */
+  lazy val nearDupIncrementalSql: String =
+    s"""WITH $minhashBandedCtes,
+       |flagged AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM banded i JOIN banded c
+       |    ON i.band = c.band AND i.bucket = c.bucket
+       |   AND i.doc_id % 7 = 0 AND c.doc_id % 7 <> 0)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 7 = 0
+       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""".stripMargin
+
+  /** The incremental-ingest admit predicate at batch split `doc_id ≡ 0
+    * (mod m)`: incoming docs whose 128-bit canonical fingerprint matches
+    * no corpus doc — the oracle for BOTH the plain anti-join
+    * ([[dedupIncremental]]) and its bloom-routed twin ([[dedupBloom]]),
+    * which by construction computes the identical set (the bloom only
+    * routes rows; the residual anti-join decides). */
+  private[queries] def dedupIncrementalSqlAt(m: Int): String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, lang, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |  FROM (SELECT doc_id, lang,
+       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |        FROM documents))
+       |SELECT i.doc_id, i.lang FROM fp i
+       |WHERE i.doc_id % $m = 0 AND NOT EXISTS (
+       |  SELECT 1 FROM fp c
+       |  WHERE c.doc_id % $m <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)""".stripMargin
+
+  lazy val dedupIncrementalSql: String = dedupIncrementalSqlAt(7)
+
+  lazy val dedupBloomSql: String = dedupIncrementalSqlAt(5)
+}

@@ -13,4195 +13,5 @@ import org.apache.spark.sql.functions._
   * hash/LSH/float families are deterministic but engine-specific, so the
   * driver records their rows-only check and scalatest verifies their
   * semantics against exact references. */
-object LlmOps {
-
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-
-  // SQL fragments kept in lockstep with GraftFunctions definitions
-  private val tsSql = "string_split(text, ' ')"
-  private def hitsSql(markers: Seq[String]): String =
-    s"len(list_filter($tsSql, t -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], t)))"
-
-  /** Per-document text statistics + quality score — every count reads from
-    * the fused one-pass [[GraftFunctions.markerStats]] kernel (identical
-    * integer values to the former array passes, so the oracle's double
-    * arithmetic is unchanged). */
-  def textStats(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val ms = col("ms")
-    val n = ms.getField("n_tokens").cast("double")
-    docs(s, dir)
-      .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"),
-        GraftFunctions.markerStats(col("text")).as("ms"))
-      .select(
-        col("doc_id"),
-        col("lang"),
-        ms.getField("n_tokens").cast("long").as("n_tokens"),
-        ms.getField("n_distinct").cast("long").as("n_distinct"),
-        (ms.getField("n_distinct").cast("double") / n).as("uniq_ratio"),
-        ((col("text_len") - (ms.getField("n_tokens") - 1)).cast("double") / n)
-          .as("avg_token_len"),
-        GraftFunctions.qualityScoreFrom(ms).as("quality"))
-  }
-
-  val textStatsSql: String = {
-    s"""SELECT doc_id, lang,
-       |  CAST(len($tsSql) AS BIGINT) AS n_tokens,
-       |  CAST(len(list_distinct($tsSql)) AS BIGINT) AS n_distinct,
-       |  CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE) AS uniq_ratio,
-       |  CAST(length(text) - (len($tsSql) - 1) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE) AS avg_token_len,
-       |  $qualityExprSql AS quality
-       |FROM documents""".stripMargin
-  }
-
-  /** Language-ID heuristic vs the labeled lang column. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    docs(s, dir).select(
-      col("doc_id"),
-      col("lang"),
-      GraftFunctions.langId(col("text")).as("lang_pred"))
-      .withColumn("agree", (col("lang_pred") === col("lang")).cast("int"))
-  }
-
-  val langIdSql: String = {
-    val hits = GraftFunctions.langMarkers
-      .map { case (lang, ms) => lang -> s"h_$lang" }
-    val hitDefs = GraftFunctions.langMarkers
-      .map { case (lang, ms) => s"${hitsSql(ms)} AS h_$lang" }.mkString(",\n  ")
-    val best = s"greatest(${hits.map(_._2).mkString(", ")})"
-    val cases = hits.map { case (lang, h) =>
-      s"WHEN $h > 0 AND $h = $best THEN '$lang'"
-    }.mkString("\n    ")
-    s"""SELECT doc_id, lang, lang_pred,
-       |  CAST(lang_pred = lang AS INT) AS agree
-       |FROM (
-       |  SELECT doc_id, lang,
-       |    CASE $cases
-       |    ELSE 'und' END AS lang_pred
-       |  FROM (SELECT doc_id, lang, $hitDefs FROM documents))""".stripMargin
-  }
-
-  /** Label set + bucket count of the n-gram language-ID gate. 4096
-    * buckets keep trigram hash collisions rare (the fixture corpus has a
-    * few thousand distinct trigrams) while the model stays a trivially
-    * broadcast 4096×5 integer table. */
-  private val LangIdLangs = Seq("de", "en", "es", "fr", "zh")
-  private val LangIdDim = 4096
-
-  /** Hashed char-trigram language identification
-    * ([[graft.operators.LangId.classify]]) — the model-based upgrade of
-    * the marker heuristic ([[langId]]): per-language trigram models
-    * trained in-plan from the corpus labels, argmax classification. The
-    * gate emits the CONFUSION MATRIX (true lang × predicted lang), so
-    * misclassification structure is pinned, not just an accuracy rate.
-    *
-    * Fixture caveat, measured: the synthetic corpus draws every document
-    * from ONE shared 31-word vocabulary regardless of label (zero
-    * language-exclusive tokens at sf0.01), so label and text are
-    * independent and the Bayes-optimal classifier is the majority class
-    * (43.6% here) — which this model attains exactly, where the marker
-    * heuristic scores 39.6% (below the prior). Real discrimination under
-    * real signal is proven by LangIdSpec's planted-corpora case; the
-    * relative bar (≥ markers) is pinned there too. */
-  def langIdNgram(s: SparkSession, dir: String): DataFrame =
-    graft.operators.LangId.classify(
-      docs(s, dir), "doc_id", "text", "lang", LangIdLangs, LangIdDim)
-      .groupBy(col("lang"), col("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("pred_lang"))
-
-  /** Mirrors [[langIdNgram]]: normalize + trigram window arithmetic (the
-    * [[textNormalizeSql]] replicas), unsigned-FNV bucket mod, per-language
-    * integer counts and totals, the collapsed-rational mean probability
-    * (integer numerator / double denominator, one fixed op shape), argmax
-    * with lexicographic tie-break via the same sorted when-chain. */
-  lazy val langIdNgramSql: String = {
-    val d = LangIdDim
-    val ls = LangIdLangs.sorted
-    val cnts = ls.map(l =>
-      s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(",\n    ")
-    val tots = ls.map(l => s"SUM(c_$l) AS t_$l").mkString(", ")
-    val sums = ls.map(l => s"SUM(COALESCE(c_$l, 0)) AS s_$l").mkString(",\n    ")
-    val scores = ls.map(l =>
-      s"CAST(n_g + s_$l AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(t_$l + $d AS DOUBLE)) AS score_$l")
-      .mkString(",\n    ")
-    val mx = s"greatest(${ls.map(l => s"score_$l").mkString(", ")})"
-    val pred = ls.map(l => s"WHEN score_$l = $mx THEN '$l'").mkString("\n    ")
-    s"""WITH n AS (
-       |  SELECT doc_id, lang,
-       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-       |  FROM documents),
-       |f AS (
-       |  SELECT doc_id, lang,
-       |    CAST(${fnvHugeSql("g")} % $d AS BIGINT) AS b
-       |  FROM (
-       |    SELECT doc_id, lang,
-       |      unnest(CASE WHEN length(norm) <= 3 THEN [norm]
-       |        ELSE list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3))
-       |      END) AS g
-       |    FROM n)),
-       |model AS (
-       |  SELECT b,
-       |    $cnts
-       |  FROM f GROUP BY b),
-       |totals AS (SELECT $tots FROM model),
-       |perdoc AS (
-       |  SELECT doc_id, lang, COUNT(*) AS n_g,
-       |    $sums
-       |  FROM f LEFT JOIN model USING (b) GROUP BY doc_id, lang),
-       |scored AS (
-       |  SELECT doc_id, lang,
-       |    $scores
-       |  FROM perdoc CROSS JOIN totals),
-       |pred AS (
-       |  SELECT doc_id, lang,
-       |    CASE $pred END AS pred_lang
-       |  FROM scored)
-       |SELECT lang, pred_lang, COUNT(*) AS n_docs
-       |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
-  }
-
-  /** Per-column data profile ([[graft.operators.Profile.profile]]) over
-    * the documents table — the source-onboarding report: one aggregation
-    * pass, exact distincts, native-type min/max stringified last. The
-    * gate columns are bigint/varchar so the string casts agree between
-    * engines byte-for-byte. */
-  def profileDocs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profile.profile(
-      docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
-      .orderBy(col("column"))
-
-  val profileDocsSql: String = {
-    def one(c: String) =
-      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
-         |  COUNT(*) - COUNT($c) AS n_nulls,
-         |  COUNT(DISTINCT $c) AS n_distinct,
-         |  CAST(MIN($c) AS VARCHAR) AS min_value,
-         |  CAST(MAX($c) AS VARCHAR) AS max_value
-         |FROM documents""".stripMargin
-    Seq("doc_id", "lang", "source", "n_chars").map(one)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-  }
-
-  /** Gopher/C4-style repetition quality gate over the fused
-    * [[GraftFunctions.repetitionStats]] kernel: per-document exact counts
-    * (max token frequency, duplicate word-3-grams, longest identical-token
-    * run), the derived fractions, and the keep verdict
-    * ([[GraftFunctions.repetitionOk]]). The kernel is aliased ONCE in a
-    * narrow projection and every output column derives from the struct, so
-    * the one-pass kernel runs exactly once per row. */
-  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val withRs = docs(s, dir).select(
-      col("doc_id"),
-      GraftFunctions.repetitionStats(col("text")).as("rs"))
-    val rs = col("rs")
-    val n = rs.getField("n_tokens").cast("double")
-    val n3 = rs.getField("n_3gram")
-    withRs.select(
-      col("doc_id"),
-      rs.getField("n_tokens").cast("long").as("n_tokens"),
-      rs.getField("max_freq").cast("long").as("max_freq"),
-      rs.getField("n_3gram").cast("long").as("n_3gram"),
-      rs.getField("dup_3gram").cast("long").as("dup_3gram"),
-      rs.getField("max_run").cast("long").as("max_run"),
-      (rs.getField("max_freq").cast("double") / n).as("max_freq_frac"),
-      when(n3 === 0, lit(0.0))
-        .otherwise(rs.getField("dup_3gram").cast("double") / n3.cast("double"))
-        .as("dup_3gram_frac"),
-      GraftFunctions.repetitionOk(rs).cast("int").as("keep"))
-  }
-
-  // DuckDB list-op twins of the TextQuality counts (the kernel was designed
-  // so every count replicates with list operations verbatim):
-  //   max_freq — histogram max over the distinct tokens;
-  //   3-grams  — materialized positionally, dup = total − distinct;
-  //   max_run  — gaps between consecutive run-start positions (a start is
-  //              i=1 or ts[i] ≠ ts[i-1]), closed with sentinel n+1.
-  private val repStatsSql: String =
-    s"""SELECT doc_id,
-       |    len(ts) AS n,
-       |    list_max(list_transform(list_distinct(ts), d -> len(list_filter(ts, x -> x = d)))) AS max_freq,
-       |    len(g3) AS n3,
-       |    len(g3) - len(list_distinct(g3)) AS dup3,
-       |    list_max(list_transform(range(1, len(runs)), j -> runs[j+1] - runs[j])) AS max_run
-       |  FROM (
-       |    SELECT doc_id, ts,
-       |      CASE WHEN len(ts) >= 3
-       |        THEN list_transform(range(1, len(ts)-1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-       |        ELSE []::VARCHAR[] END AS g3,
-       |      list_append(list_filter(range(1, len(ts)+1), i -> i = 1 OR ts[i] <> ts[i-1]), len(ts)+1) AS runs
-       |    FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
-
-  /** The keep verdict on [[repStatsSql]] columns — same divisions, same
-    * thresholds ([[GraftFunctions.RepMaxFreqFrac]] etc.) as
-    * [[GraftFunctions.repetitionOk]]. */
-  private val repKeepSql: String =
-    s"""(CAST(max_freq AS DOUBLE) / CAST(n AS DOUBLE) <= ${GraftFunctions.RepMaxFreqFrac}
-       |    AND (n3 = 0 OR CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE) <= ${GraftFunctions.RepDup3gramFrac})
-       |    AND max_run <= ${GraftFunctions.RepMaxRun})""".stripMargin
-
-  val qualityRepetitionSql: String =
-    s"""WITH s AS (
-       |  $repStatsSql)
-       |SELECT doc_id,
-       |  CAST(n AS BIGINT) AS n_tokens,
-       |  CAST(max_freq AS BIGINT) AS max_freq,
-       |  CAST(n3 AS BIGINT) AS n_3gram,
-       |  CAST(dup3 AS BIGINT) AS dup_3gram,
-       |  CAST(max_run AS BIGINT) AS max_run,
-       |  CAST(max_freq AS DOUBLE) / CAST(n AS DOUBLE) AS max_freq_frac,
-       |  CASE WHEN n3 = 0 THEN 0.0 ELSE CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE) END AS dup_3gram_frac,
-       |  CAST($repKeepSql AS INT) AS keep
-       |FROM s""".stripMargin
-
-  /** The full Gopher rule set (Rae et al. 2021, Appendix A1.1) over
-    * deterministically "webified" documents. The fixture text is clean
-    * single-line word salad, so rules 3–6 (symbols, bullets, ellipses,
-    * lines) would be vacuous on it; each doc is first wrapped with
-    * doc_id-arithmetic page furniture — bullet blocks, `#` headings,
-    * `read more...` tails — identically in [[qualityGopherSql]] (the
-    * piiScan / htmlExtract convention), so every rule binds and every
-    * count, fraction, and the keep verdict is oracle-exact. All counts
-    * come from ONE [[GraftFunctions.gopherStats]] codegen call aliased
-    * once; the fractions are single integer divisions (bit-identical
-    * cross-engine). */
-  /** The "webified" page of the Gopher gates (doc_id-arithmetic furniture,
-    * single-sourced with [[gopherPageSql]]; `private[graft]` so the
-    * streaming line-filter gate scores the identical pages). */
-  private[graft] def gopherPage: org.apache.spark.sql.Column = {
-    val id = col("doc_id")
-    concat(
-      when(pmod(id, lit(17)) === 0, repeat(lit("• filler item\n"), 19))
-        .otherwise(lit("")),
-      when(pmod(id, lit(7)) === 0,
-        concat(lit("• item "), pmod(id, lit(10)).cast("string"), lit("\n")))
-        .otherwise(lit("")),
-      when(pmod(id, lit(11)) === 0,
-        concat(repeat(lit("#"), 15), lit(" section\n"))).otherwise(lit("")),
-      col("text"),
-      when(pmod(id, lit(5)) === 0, lit("\nread more...")).otherwise(lit("")),
-      when(pmod(id, lit(23)) === 0, lit("\nto be continued...")).otherwise(lit("")))
-  }
-
-  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val gs = col("gs")
-    val n = gs.getField("n_words").cast("double")
-    val nl = gs.getField("n_lines").cast("double")
-    docs(s, dir)
-      .select(col("doc_id"), GraftFunctions.gopherStats(gopherPage).as("gs"))
-      .select(
-        col("doc_id"),
-        gs.getField("n_words").cast("long").as("n_words"),
-        gs.getField("n_lines").cast("long").as("n_lines"),
-        gs.getField("n_hash").cast("long").as("n_hash"),
-        gs.getField("n_ellipsis").cast("long").as("n_ellipsis"),
-        gs.getField("n_stop_distinct").cast("long").as("n_stop_distinct"),
-        (gs.getField("sum_word_chars").cast("double") / n).as("mean_word_len"),
-        ((gs.getField("n_hash") + gs.getField("n_ellipsis")).cast("double") / n)
-          .as("symbol_ratio"),
-        (gs.getField("n_bullet_lines").cast("double") / nl).as("bullet_frac"),
-        (gs.getField("n_ellipsis_lines").cast("double") / nl).as("ellipsis_frac"),
-        (gs.getField("n_alpha_words").cast("double") / n).as("alpha_frac"),
-        GraftFunctions.gopherOk(gs).cast("int").as("keep"))
-  }
-
-  /** Mirrors [[qualityGopher]]: identical page furniture arithmetic, then
-    * each kernel count as a plain string/list operation (split-on-single-
-    * separator words, replace-delta symbol counts, LIKE prefix/suffix line
-    * tests, the required-word lexicon as literals), the same divisions,
-    * the same thresholds. */
-  /** Mirrors [[gopherPage]] as a DuckDB expression over `documents`. */
-  private val gopherPageSql: String =
-    """CASE WHEN doc_id % 17 = 0 THEN repeat('• filler item' || chr(10), 19) ELSE '' END ||
-      |    CASE WHEN doc_id % 7 = 0 THEN '• item ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ELSE '' END ||
-      |    CASE WHEN doc_id % 11 = 0 THEN repeat('#', 15) || ' section' || chr(10) ELSE '' END ||
-      |    text ||
-      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' ELSE '' END ||
-      |    CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'to be continued...' ELSE '' END""".stripMargin
-
-  /** Shared CTE chain `gop_p → gop_w → gop_c` replicating every
-    * [[graft.functions.TextGopher.stats]] count over [[gopherPageSql]] —
-    * used by [[qualityGopherSql]] and the host report. */
-  private lazy val gopherCountCtes: String = {
-    val stops = graft.functions.TextGopher.requiredWords
-      .map(w => s"'$w'").mkString(", ")
-    s"""gop_p AS (
-       |  SELECT doc_id,
-       |    $gopherPageSql AS page
-       |  FROM documents),
-       |gop_w AS (
-       |  SELECT doc_id, page,
-       |    string_split(replace(page, chr(10), ' '), ' ') AS ws,
-       |    string_split(page, chr(10)) AS lines
-       |  FROM gop_p),
-       |gop_c AS (
-       |  SELECT doc_id,
-       |    len(ws) AS n_words,
-       |    length(page) - (len(ws) - 1) AS sum_chars,
-       |    len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
-       |    len(list_filter([$stops], m -> list_contains(ws, m))) AS n_stop,
-       |    length(page) - length(replace(page, '#', '')) AS n_hash,
-       |    (length(page) - length(replace(page, '...', ''))) // 3 AS n_ellipsis,
-       |    len(lines) AS n_lines,
-       |    len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '-%')) AS n_bullet,
-       |    len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_lines
-       |  FROM gop_w)""".stripMargin
-  }
-
-  /** The Gopher keep verdict over `gop_c` columns — same divisions, same
-    * thresholds as [[GraftFunctions.gopherOk]]. */
-  private lazy val gopherKeepSql: String = {
-    import GraftFunctions._
-    s"""(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
-       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinMeanLen
-       |    AND CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxMeanLen
-       |    AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxSymbolRatio
-       |    AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxBulletFrac
-       |    AND CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= $GopherMaxEllipsisFrac
-       |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinAlphaFrac
-       |    AND n_stop >= $GopherMinStopDistinct)""".stripMargin
-  }
-
-  lazy val qualityGopherSql: String = {
-    s"""WITH $gopherCountCtes
-       |SELECT doc_id,
-       |  CAST(n_words AS BIGINT) AS n_words,
-       |  CAST(n_lines AS BIGINT) AS n_lines,
-       |  CAST(n_hash AS BIGINT) AS n_hash,
-       |  CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
-       |  CAST(n_stop AS BIGINT) AS n_stop_distinct,
-       |  CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
-       |  CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
-       |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
-       |  CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
-       |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
-       |  CAST($gopherKeepSql AS INT) AS keep
-       |FROM gop_c""".stripMargin
-  }
-
-  /** Boilerplate threshold of the line-dedup gate: a line in ≥ 3 distinct
-    * docs is template furniture. */
-  val LineDedupMinDocs = 3
-
-  /** CCNet-style line-level dedup ([[graft.operators.Lines.dedupLines]])
-    * over the SAME webified pages as the Gopher gate: the planted bullet
-    * filler and "read more..." tails recur across docs and are dropped as
-    * boilerplate; each doc's unique text line survives. The surviving
-    * text is pinned by length + FNV, so the gate proves the drop touched
-    * exactly the recurring lines. */
-  def lineDedup(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Lines.dedupLines(
-      docs(s, dir), "doc_id", gopherPage, minDocs = LineDedupMinDocs)
-
-  /** Mirrors the line-dedup pipeline with a parameterized corpus split:
-    * the boilerplate set comes from `boilerPred` docs, the report covers
-    * `outPred` docs — `TRUE/TRUE` is the batch gate, the standing/incoming
-    * split is the streaming gate's oracle. */
-  private def lineDedupSqlOver(boilerPred: String, outPred: String): String =
-    s"""WITH lp AS (
-       |  SELECT doc_id, u.p AS pos, u.l AS line FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(range(1, len(ls) + 1), i -> {p: i - 1, l: ls[i]})) AS u
-       |    FROM (SELECT doc_id, string_split($gopherPageSql, chr(10)) AS ls FROM documents))),
-       |b AS (
-       |  SELECT line FROM (
-       |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lp WHERE $boilerPred GROUP BY line)
-       |  WHERE nd >= $LineDedupMinDocs AND line <> ''),
-       |k AS (
-       |  SELECT lp.doc_id, lp.pos, lp.line, b.line IS NOT NULL AS isb
-       |  FROM lp LEFT JOIN b ON b.line = lp.line WHERE $outPred),
-       |agg AS (
-       |  SELECT doc_id, COUNT(*) AS n_lines,
-       |    CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       |    -- COALESCE: a doc whose every line is boilerplate keeps '' (as
-       |    -- Spark's null-skipping collect_list does), not NULL
-       |    COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT isb), chr(10)), '') AS kept_text
-       |  FROM k GROUP BY doc_id),
-       |h AS (SELECT doc_id, n_lines, n_dropped, kept_text, ${fnvHugeSql("kept_text")} AS hu FROM agg)
-       |SELECT doc_id, n_lines, n_dropped,
-       |  CAST(length(kept_text) AS BIGINT) AS kept_len,
-       |  ${hugeToSignedSql("hu")} AS kept_fp
-       |FROM h""".stripMargin
-
-  /** Mirrors [[lineDedup]] (whole-corpus boilerplate, whole-corpus
-    * report). */
-  lazy val lineDedupSql: String = lineDedupSqlOver("TRUE", "TRUE")
-
-  /** The streaming line-filter gate's oracle: boilerplate from the
-    * STANDING slice (doc_id % 4 ≠ 0), report over the INCOMING slice —
-    * per-doc decisions against the static set ⇒ stream ≡ batch. */
-  lazy val streamLineFilterSql: String =
-    lineDedupSqlOver("doc_id % 4 <> 0", "lp.doc_id % 4 = 0")
-
-  /** Exact canonical-key dedup: group by sorted distinct token set, keep the
-    * smallest doc_id (deterministic survivor). */
-  def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactCanonical(docs(s, dir), col("doc_id"), col("text"))
-
-  val dedupExactSql: String =
-    """SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS dedup_key,
-      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY 1""".stripMargin
-
-  /** Exact token-set Jaccard near-dup pairs, blocked by language. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "lang", threshold = 0.95)
-
-  val ngramJaccardSql: String =
-    """WITH k AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
-      |           FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |    / (CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard
-      |FROM k a JOIN k b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |    / (CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.95""".stripMargin
-
-  /** Edit-distance near-dup pairs over a 16-char title slice, distance
-    * band [1, 2] (distance 0 is the exact tier's job). The Spark side runs
-    * PassJoin segment blocking + exact verify
-    * ([[Dedup.editDistancePairs]]); the ORACLE brute-forces all pairs —
-    * so a hash match proves the blocking lost NO pair, the strongest
-    * recall check a candidate-generation scheme can get. */
-  def editDistance(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(
-      docs(s, dir).withColumn("title", substring(col("text"), 1, 16)),
-      "doc_id", "title", maxDist = 2)
-      .filter(col("dist") >= 1)
-
-  /** Brute-force twin of [[editDistance]]: every pair, exact levenshtein
-    * (identical unit-cost DP definition in both engines), same [1, 2]
-    * distance band. */
-  val editDistanceSql: String =
-    """WITH t AS (SELECT doc_id, substr(text, 1, 16) AS title FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
-      |FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2""".stripMargin
-
-  /** Edit-distance pair list → connected components → per-cluster keeper
-    * (min doc_id): the [[dedupClusters]] composition over the PassJoin
-    * tier, distance ≤ 2 INCLUDING exact ties — typo-variant titles
-    * collapse to one canonical doc. Star-contraction resolution
-    * ([[Clusters.resolve]]) vs the oracle's recursive min-label closure
-    * over a brute-forced pair list. */
-  def editClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.editDistancePairs(
-      docs(s, dir).withColumn("title", substring(col("text"), 1, 16)),
-      "doc_id", "title", maxDist = 2)
-    val labels = graft.operators.Clusters.resolve(pairs, "id_a", "id_b")
-    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
-      .select(col("id").as("doc_id"), col("rep").as("cluster"),
-        col("cluster_size"),
-        (col("id") === col("rep")).cast("int").as("keep"))
-  }
-
-  /** Brute-force pairs + recursive min-label closure, the
-    * [[dedupClustersSql]] shape over levenshtein ≤ 2. */
-  val editClustersSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 16) AS title FROM documents),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |  WHERE levenshtein(a.title, b.title) <= 2),
-      |edges AS (
-      |  SELECT id_a AS u, id_b AS v FROM pairs
-      |  UNION SELECT id_b, id_a FROM pairs),
-      |nodes AS (SELECT DISTINCT u AS id FROM edges),
-      |reach(id, lab) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id WHERE r.lab < e.v),
-      |lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
-      |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
-      |SELECT lab.id AS doc_id, lab.cluster AS cluster,
-      |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
-      |  CAST(lab.id = lab.cluster AS INT) AS keep
-      |FROM lab JOIN sz USING (cluster)""".stripMargin
-
-  /** MinHash+LSH near-dup pairs. Oracle-checked: [[dedupMinhashSql]]
-    * replicates the full signature/banding pipeline in DuckDB — its
-    * hard-coded 48/16/0.8/seed-42/cap-1000 literals must track the
-    * parameters here. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
-      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
-
-  /** SimHash near-dup pairs. Oracle-checked: [[dedupSimhashSql]] replicates
-    * the bit-voting/chunk-banding pipeline in DuckDB (maxHamming 3,
-    * cap 1000 mirrored there). */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
-  }
-
-  /** Near-dup CLUSTER resolution: the [[dedupMinhash]] pair list collapsed
-    * to transitive connected components ([[Clusters.resolve]], alternating
-    * star contraction), one row per clustered document with its component
-    * representative (min doc_id), the component size, and the keep verdict
-    * (representatives survive, other members drop). */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
-      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
-    val labels = Clusters.resolve(pairs, "id_a", "id_b")
-    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
-      .select(col("id").as("doc_id"), col("rep").as("cluster"),
-        col("cluster_size"),
-        (col("id") === col("rep")).cast("int").as("keep"))
-  }
-
-  /** Transitive closure of [[dedupMinhashSql]]'s pair list via recursive
-    * min-label propagation (`lab < v` prunes propagation that cannot lower
-    * a node's minimum; the UNION dedup guarantees termination). Lazy:
-    * [[dedupMinhashSql]] is declared later in this object. */
-  /** The `WITH RECURSIVE … lab` prefix shared by [[dedupClustersSql]] and
-    * [[dedupClustersKeepBestSql]]: pair list → symmetric edges → min-label
-    * closure. */
-  private lazy val clusterLabCtes: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT id_a, id_b FROM (
-       |$dedupMinhashSql
-       |  )),
-       |edges AS (
-       |  SELECT id_a AS u, id_b AS v FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT u AS id FROM edges),
-       |reach(id, lab) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id WHERE r.lab < e.v),
-       |lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
-
-  lazy val dedupClustersSql: String =
-    s"""$clusterLabCtes,
-       |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
-       |SELECT lab.id AS doc_id, lab.cluster AS cluster,
-       |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
-       |  CAST(lab.id = lab.cluster AS INT) AS keep
-       |FROM lab JOIN sz USING (cluster)""".stripMargin
-
-  /** Quality-aware cluster resolution
-    * ([[graft.operators.Clusters.resolveKeepBest]]): the [[dedupClusters]]
-    * components, but each cluster keeps its highest-quality member (ties:
-    * min doc_id) instead of the min-id representative — the keep rule a
-    * curation pipeline wants. Quality is the [[textStats]] kernel, so the
-    * oracle reuses [[clusterLabCtes]] ∘ the quality expression and the
-    * hash check is exact (quality doubles are bit-identical cross-engine,
-    * the d_text_stats precedent). */
-  def dedupClustersKeepBest(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val d = docs(s, dir)
-    val pairs = Dedup.minhashPairs(d, "doc_id", "text",
-      shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8)
-    val scores = d.select(col("doc_id"),
-      GraftFunctions.qualityScore(col("text")).as("q"))
-    Clusters.resolveKeepBest(pairs, "id_a", "id_b", scores, "doc_id", "q")
-      .select(col("id").as("doc_id"), col("cluster"),
-        col("score").as("quality"), col("keep"))
-  }
-
-  lazy val dedupClustersKeepBestSql: String =
-    s"""$clusterLabCtes,
-       |q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents)
-       |SELECT lab.id AS doc_id, lab.cluster AS cluster, q.quality AS quality,
-       |  CAST(row_number() OVER (
-       |    PARTITION BY lab.cluster ORDER BY q.quality DESC, lab.id ASC) = 1
-       |    AS INT) AS keep
-       |FROM lab JOIN q ON q.doc_id = lab.id""".stripMargin
-
-  /** Decontamination protocol shared by [[decontaminate]] and
-    * [[curationPipeline]] (and their oracle builders): the doc_id
-    * %[[DecontEvalMod]]==0 slice plays the held-out eval suite; overlap
-    * unit is the word-[[DecontGramK]]-gram. */
-  val DecontEvalMod = 19
-  val DecontGramK = 5
-
-  private def decontOverlap(d: DataFrame): DataFrame =
-    Decontaminate.overlapNgrams(
-      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) =!= 0),
-      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) === 0),
-      "doc_id", "text", n = DecontGramK)
-
-  /** Benchmark decontamination: each training doc reports how many distinct
-    * word-5-gram fingerprints it shares with the eval slice and the
-    * contaminated verdict ([[Decontaminate.overlapNgrams]] — broadcast
-    * eval-fingerprint set, no corpus-side shuffle before the per-doc agg). */
-  def decontaminate(s: SparkSession, dir: String): DataFrame =
-    decontOverlap(docs(s, dir))
-
-  /** Word k-shingles of a single-space-tokenized text as DuckDB SQL,
-    * mirroring [[GraftFunctions.wordShingles]] incl. the <k degenerate
-    * case (whole text as one gram). */
-  private def shingleSqlK(k: Int): String = {
-    val ts = "string_split(text,' ')"
-    val parts = (0 until k).map(j => s"$ts[i+$j]").mkString(", ' ', ")
-    s"""CASE WHEN len($ts) < $k THEN [text]
-       |     ELSE list_transform(range(1, len($ts) - ${k - 2}), i -> concat($parts))
-       |END""".stripMargin
-  }
-
-  /** Mirrors [[decontaminate]]: same 5-gram unit, same FNV-1a fingerprints
-    * (signed-BIGINT join keys), COUNT(DISTINCT) over the hit fingerprints. */
-  val decontaminateSql: String =
-    s"""WITH g AS (
-       |  SELECT doc_id, unnest(list_distinct(${shingleSqlK(DecontGramK)})) AS g FROM documents),
-       |hh AS (SELECT doc_id, ${fnvHugeSql("g")} AS hu FROM g),
-       |h AS (SELECT doc_id, ${hugeToSignedSql("hu")} AS h FROM hh),
-       |e AS (SELECT DISTINCT h FROM h WHERE doc_id % $DecontEvalMod = 0),
-       |t AS (SELECT doc_id, h FROM h WHERE doc_id % $DecontEvalMod <> 0),
-       |j AS (
-       |  SELECT t.doc_id,
-       |    COUNT(DISTINCT CASE WHEN e.h IS NOT NULL THEN t.h END) AS n_overlap
-       |  FROM t LEFT JOIN e USING (h) GROUP BY t.doc_id)
-       |SELECT doc_id, n_overlap, CAST(n_overlap > 0 AS INT) AS contaminated
-       |FROM j""".stripMargin
-
-  /** Jaccard threshold of the FUZZY decontamination gate — intentionally far
-    * below dedup's 0.8: half-shared shingle mass with a benchmark item is
-    * leakage. */
-  val DecontFuzzyThreshold = 0.5
-
-  /** Fuzzy benchmark decontamination ([[Decontaminate.fuzzyOverlap]]): the
-    * same eval protocol as [[decontaminate]] (doc_id %[[DecontEvalMod]]
-    * slice), but flagging train docs that NEAR-duplicate an eval doc —
-    * MinHash-banded candidates (the [[dedupMinhash]] signature math),
-    * exact-Jaccard verified at [[DecontFuzzyThreshold]], with the
-    * best-matching eval doc as evidence. */
-  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Decontaminate.fuzzyOverlap(
-      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) =!= 0),
-      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) === 0),
-      "doc_id", "text",
-      shingleK = 3, numHashes = 48, bands = 16,
-      threshold = DecontFuzzyThreshold)
-  }
-
-  /** Mirrors [[decontaminateFuzzy]]: the SHARED signature/banding CTEs
-    * ([[minhashBandedCtes]] — same coefficients, same band slices as the
-    * minhash dedup oracle) split into eval/train by the
-    * %[[DecontEvalMod]] rule, distinct band collisions as candidates,
-    * the exact-Jaccard verify, and the struct_pack MAX best-match rule. */
-  lazy val decontaminateFuzzySql: String = {
-    val jac = "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / " +
-      "(CAST(len(ta.sh) + len(tb.sh) AS DOUBLE) - CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE))"
-    s"""WITH $minhashBandedCtes,
-       |e AS (SELECT doc_id AS eval_id, band, bucket FROM banded WHERE doc_id % $DecontEvalMod = 0),
-       |t AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id % $DecontEvalMod <> 0),
-       |cand AS (SELECT DISTINCT t.doc_id, e.eval_id FROM t JOIN e USING (band, bucket)),
-       |toks AS (SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents),
-       |ver AS (
-       |  SELECT c.doc_id, c.eval_id, $jac AS jaccard
-       |  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_id JOIN toks tb ON tb.doc_id = c.eval_id
-       |  WHERE $jac >= $DecontFuzzyThreshold),
-       |agg AS (
-       |  SELECT doc_id, COUNT(*) AS n_matches,
-       |    MAX(struct_pack(j := jaccard, ne := -eval_id)) AS best
-       |  FROM ver GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  COALESCE(agg.n_matches, 0) AS n_matches,
-       |  -(agg.best).ne AS best_eval_id,
-       |  (agg.best).j AS best_jaccard,
-       |  CAST(agg.doc_id IS NOT NULL AS INT) AS contaminated
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % $DecontEvalMod <> 0) d
-       |LEFT JOIN agg USING (doc_id)""".stripMargin
-  }
-
-  /** Feature-hash dimension of the DSIR gate (power of two for the
-    * unsigned-mod bucket identity). */
-  val DsirDim = 64
-
-  /** DSIR-style importance scoring ([[Dsir.importanceScores]]): hashed
-    * word-bigram models fit on the `lang = 'en'` slice (target) and the
-    * whole corpus (raw), every document scored by its mean target/raw
-    * likelihood ratio, threshold-selected at ratio ≥ 1 — the data-selection
-    * tier that upsamples target-looking documents. */
-  def importanceSample(s: SparkSession, dir: String): DataFrame =
-    Dsir.importanceScores(docs(s, dir), "doc_id", "text",
-      isTarget = col("lang") === "en", dim = DsirDim)
-
-  /** Mirrors [[importanceSample]]: same positioned hashed-bigram stream
-    * (FNV % dim buckets), same add-one smoothed count models with totals
-    * summed from the count tables, same three-division contribution tree,
-    * same position-ordered sequential fold (`list_sum(list(p ORDER BY
-    * pos))` ≡ the JVM left fold — the [[lmScoreSql]] posture). */
-  lazy val importanceSampleSql: String = {
-    val d = DsirDim
-    s"""WITH g0 AS (SELECT doc_id, lang, ${shingleSqlK(2)} AS gs FROM documents),
-       |gp AS (
-       |  SELECT doc_id, lang, u.p AS pos, u.g AS g FROM (
-       |    SELECT doc_id, lang,
-       |      unnest(list_transform(range(1, len(gs) + 1), i -> {p: i - 1, g: gs[i]})) AS u
-       |    FROM g0)),
-       |fb AS (SELECT doc_id, lang, pos, CAST(${fnvHugeSql("g")} % $d AS INT) AS b FROM gp),
-       |ct AS (SELECT b, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY b),
-       |cr AS (SELECT b, COUNT(*) AS c_r FROM fb GROUP BY b),
-       |tot AS (SELECT (SELECT SUM(c_t) FROM ct) AS t, (SELECT SUM(c_r) FROM cr) AS r),
-       |contrib AS (
-       |  SELECT doc_id, pos,
-       |    ((CAST(COALESCE(c_t, 0) AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + $d.0))
-       |      / ((CAST(COALESCE(c_r, 0) AS DOUBLE) + 1.0) / (CAST(r AS DOUBLE) + $d.0)) AS p
-       |  FROM fb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tot),
-       |sc AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-       |    list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS imp_ratio
-       |  FROM contrib GROUP BY doc_id)
-       |SELECT doc_id, n_feats, imp_ratio,
-       |  CAST(imp_ratio >= 1.0 AS INT) AS selected
-       |FROM sc""".stripMargin
-  }
-
-  /** Resample target of the DSIR systematic-sampling gate. */
-  val DsirResampleK = 100
-
-  /** The resampling half of DSIR ([[Dsir.systematicResample]]): the
-    * [[importanceSample]] scores become integer weights (⌊ratio·10⁶⌋) and
-    * documents are drawn proportional-to-weight by SYSTEMATIC sampling —
-    * one draw per `total/k` marks along the cumulative weight line, zero
-    * RNG. The two-pass integer prefix sum is bit-equal to the oracle's
-    * flat window cumsum because the arithmetic is all 64-bit integer. */
-  def importanceResample(s: SparkSession, dir: String): DataFrame = {
-    val scored = importanceSample(s, dir)
-      .select(col("doc_id"),
-        floor(col("imp_ratio") * lit(1000000.0)).as("w"))
-    Dsir.systematicResample(scored, "doc_id", "w", k = DsirResampleK)
-  }
-
-  /** Mirrors [[importanceResample]]: the full [[importanceSampleSql]] as a
-    * subquery, the same ⌊ratio·10⁶⌋ weights, a flat window cumsum in
-    * doc-id order, and the same integer floor-division draw count. */
-  lazy val importanceResampleSql: String =
-    s"""WITH sc AS (SELECT doc_id, imp_ratio FROM (
-       |$importanceSampleSql
-       |)),
-       |wt AS (SELECT doc_id, CAST(floor(imp_ratio * 1000000.0) AS BIGINT) AS w FROM sc),
-       |cw AS (
-       |  SELECT doc_id, w,
-       |    SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM wt),
-       |st AS (SELECT GREATEST(1, (SELECT SUM(w) FROM wt) // $DsirResampleK) AS step)
-       |SELECT doc_id, w,
-       |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_select,
-       |  CAST((cum // step - (cum - w) // step) > 0 AS INT) AS selected
-       |FROM cw CROSS JOIN st""".stripMargin
-
-  /** PII scan + redaction over deterministically PII-salted text (the
-    * fixtures are PII-free word salad, so emails / phone numbers / IPv4
-    * addresses are woven in as pure doc_id arithmetic — identically in
-    * [[piiScanSql]] — making every count and the full redacted text
-    * oracle-checkable). Counts per category plus the redacted text pinned
-    * by length + FNV fingerprint ([[Pii.scan]]). */
-  def piiScan(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val id = col("doc_id")
-    val salted = concat(
-      col("text"),
-      when(pmod(id, lit(3)) === 0,
-        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
-        .otherwise(lit("")),
-      when(pmod(id, lit(4)) === 0,
-        concat(lit(" call (555) 010-"),
-          lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
-        .otherwise(lit("")),
-      when(pmod(id, lit(5)) === 0,
-        concat(lit(" from 10."), pmod(id, lit(256)).cast("string"),
-          lit(".0."), pmod(id, lit(100)).cast("string")))
-        .otherwise(lit("")))
-    Pii.scan(docs(s, dir).select(id, salted.as("pii_text")),
-      col("doc_id"), col("pii_text"))
-  }
-
-  /** Mirrors [[piiScan]]: same salt arithmetic, same regexes (the shared
-    * [[Pii]] constants — a Java/RE2-agreeing subset), same replace order,
-    * FNV fingerprint of the redacted text. */
-  val piiScanSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    text ||
-       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-       |    CASE WHEN doc_id % 4 = 0 THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-       |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
-       |  FROM documents),
-       |s1 AS (
-       |  SELECT doc_id, t,
-       |    regexp_replace(t, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g') AS r1
-       |  FROM t),
-       |s2 AS (
-       |  SELECT doc_id, t, r1,
-       |    regexp_replace(r1, '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS r2
-       |  FROM s1),
-       |s3 AS (
-       |  SELECT doc_id, t, r1, r2,
-       |    regexp_replace(r2, '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g') AS red
-       |  FROM s2),
-       |h AS (SELECT doc_id, t, r1, r2, red, ${fnvHugeSql("red")} AS hr FROM s3)
-       |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
-       |  CAST(len(regexp_extract_all(r1, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
-       |  CAST(len(regexp_extract_all(r2, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
-       |  CAST(length(red) AS BIGINT) AS red_len,
-       |  ${hugeToSignedSql("hr")} AS red_fp
-       |FROM h""".stripMargin
-
-  /** HTML → text extraction ([[graft.operators.TextExtract.stripHtml]]):
-    * the curation tier's front door. The fixture text is plain, so each
-    * doc is deterministically wrapped in a realistic page first — title,
-    * style block, comment carrying the doc id, heading, paragraph with an
-    * attribute, an inline script whose body contains a bare `<`, and an
-    * entity-bearing tail — identically in [[htmlExtractSql]]; extraction
-    * must recover exactly (title, heading, body, decoded tail), pinned by
-    * length + token count + FNV fingerprint of the full extracted text. */
-  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val title = col("text").substr(1, 30)
-    val html = concat(
-      lit("<html><head><title>"), title,
-      lit("</title><style>p{margin:0}</style></head><body><!-- doc "),
-      col("doc_id").cast("string"), lit(" --><h1>"), title,
-      lit("</h1>\n<p class=\"x\">"), col("text"),
-      lit("</p><script type=\"text/javascript\">var a = 1 < 2;</script> &amp; &lt;tail&gt;</body></html>"))
-    docs(s, dir)
-      .select(col("doc_id"),
-        graft.operators.TextExtract.stripHtml(html).as("t"))
-      .select(
-        col("doc_id"),
-        length(col("t")).cast("long").as("ext_len"),
-        GraftFunctions.tokenCount(col("t")).cast("long").as("n_tokens"),
-        GraftFunctions.fingerprint64(col("t")).as("ext_fp"))
-  }
-
-  /** Mirrors [[htmlExtract]]: the same wrap concatenation, then the SAME
-    * regex chain strings in the SAME order ([[graft.operators.TextExtract]]
-    * single-sources them; Java ≡ RE2 on this subset), literal entity
-    * decodes with `&amp;` last, whitespace collapse, FNV pin. */
-  lazy val htmlExtractSql: String = {
-    val stripped = graft.operators.TextExtract.RegexSteps.foldLeft("html") {
-      case (acc, (p, r)) =>
-        s"regexp_replace($acc, '${p.replace("'", "''")}', '$r', 'g')"
-    }
-    val decoded = graft.operators.TextExtract.EntitySteps.foldLeft(stripped) {
-      case (acc, (e, r)) =>
-        s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
-    }
-    s"""WITH hm AS (
-       |  SELECT doc_id,
-       |    '<html><head><title>' || substr(text, 1, 30) ||
-       |    '</title><style>p{margin:0}</style></head><body><!-- doc ' ||
-       |    CAST(doc_id AS VARCHAR) || ' --><h1>' || substr(text, 1, 30) ||
-       |    '</h1>' || chr(10) || '<p class="x">' || text ||
-       |    '</p><script type="text/javascript">var a = 1 < 2;</script> &amp; &lt;tail&gt;</body></html>' AS html
-       |  FROM documents),
-       |ex AS (
-       |  SELECT doc_id,
-       |    trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS t
-       |  FROM hm),
-       |h AS (SELECT doc_id, t, ${fnvHugeSql("t")} AS ht FROM ex)
-       |SELECT doc_id,
-       |  CAST(length(t) AS BIGINT) AS ext_len,
-       |  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
-       |  ${hugeToSignedSql("ht")} AS ext_fp
-       |FROM h""".stripMargin
-  }
-
-  /** URL canonicalization + URL-level dedup ([[Urls.canonicalize]]): each
-    * doc gets a deterministically messy URL built from doc_id arithmetic —
-    * mixed-case scheme/host, `WWW.` prefix, default and non-default ports,
-    * trailing slashes, `utm_*` tracking params ahead of real ones,
-    * fragments — identically in [[urlCanonicalizeSql]]; canonicalization
-    * collapses the cosmetic variants and the gate reports one row per
-    * canonical URL with its keeper (min doc_id), copy count, and host.
-    * The variants are DESIGNED to collide: ids differing only in the
-    * trailing-slash/port/utm/fragment mods canonicalize identically. */
-  /** The deterministically messy URL of the URL gates (single-sourced with
-    * [[messyUrlSql]]). */
-  private def messyUrl: org.apache.spark.sql.Column = {
-    val id = col("doc_id")
-    concat(
-      when(pmod(id, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
-      lit("://WWW."), col("source"), lit(".Example.COM"),
-      when(pmod(id, lit(6)) === 0, lit(":443"))
-        .when(pmod(id, lit(6)) === 3, lit(":8080")).otherwise(lit("")),
-      lit("/p/"), pmod(id, lit(5)).cast("string"),
-      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=feed&a="), pmod(id, lit(4)).cast("string"),
-      when(pmod(id, lit(2)) === 0, lit("&utm_campaign=x")).otherwise(lit("")),
-      when(pmod(id, lit(2)) === 1,
-        concat(lit("#sec"), pmod(id, lit(4)).cast("string"))).otherwise(lit("")))
-  }
-
-  def urlCanonicalize(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), Urls.canonicalize(messyUrl).as("canonical"))
-      .groupBy(col("canonical"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .withColumn("host", Urls.canonicalHost(col("canonical")))
-
-  /** Mirrors [[urlCanonicalize]]: identical messy-URL arithmetic, then the
-    * SAME pattern strings in the SAME order as [[Urls.canonicalize]]
-    * (Java ≡ RE2 on this subset; DuckDB regexp_replace carries the 'g'
-    * flag to match Spark's always-global semantics), the same utm-filter +
-    * sort on the params, the same default-port and trailing-slash rules. */
-  /** Shared CTE chain `url_u → … → url_c(doc_id, canonical)` replicating
-    * [[messyUrl]] + [[Urls.canonicalize]] — used by [[urlCanonicalizeSql]]
-    * and the host report. */
-  private val urlCanonCtes: String =
-    s"""url_u AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END ||
-       |    '://WWW.' || source || '.Example.COM' ||
-       |    CASE WHEN doc_id % 6 = 0 THEN ':443'
-       |         WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END ||
-       |    '/p/' || CAST(doc_id % 5 AS VARCHAR) ||
-       |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
-       |    '?utm_source=feed&a=' || CAST(doc_id % 4 AS VARCHAR) ||
-       |    CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END ||
-       |    CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
-       |  FROM documents),
-       |url_p1 AS (
-       |  SELECT doc_id,
-       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') AS rest
-       |  FROM url_u),
-       |url_p2 AS (
-       |  SELECT doc_id, scheme,
-       |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
-       |    regexp_replace(rest, '^[^/?#]*', '', 'g') AS pathqf
-       |  FROM url_p1),
-       |url_p3 AS (
-       |  SELECT doc_id, scheme,
-       |    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '', 'g') AS host,
-       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-       |    regexp_replace(regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1), '/{2,}', '/', 'g'), '/+$$', '', 'g') AS path,
-       |    array_to_string(list_sort(list_filter(string_split(regexp_extract(pathqf, '\\?([^#]*)', 1), '&'),
-       |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
-       |  FROM url_p2),
-       |url_c AS (
-       |  SELECT doc_id,
-       |    scheme || '://' || host ||
-       |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-       |              OR (scheme = 'http' AND port = '80') THEN ''
-       |         ELSE ':' || port END ||
-       |    path ||
-       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
-       |  FROM url_p3)""".stripMargin
-
-  val urlCanonicalizeSql: String =
-    s"""WITH $urlCanonCtes
-       |SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
-       |  regexp_extract(canonical, '^https?://([^/:?]*)', 1) AS host
-       |FROM url_c GROUP BY canonical""".stripMargin
-
-  /** Host-level curation report — the composition the two front-door tiers
-    * exist for: every doc's canonical URL/host ([[Urls.canonicalize]] of
-    * [[messyUrl]]) joined with its Gopher keep verdict
-    * ([[GraftFunctions.gopherOk]] over [[gopherPage]]), aggregated per
-    * host — docs, distinct canonical URLs, kept docs, keep rate. The
-    * crawl-curation decision table: a host whose keep rate collapses gets
-    * delisted. Both per-doc signals are scan projections; the only
-    * shuffle is the host-keyed aggregate (map-side partial; distinct-URL
-    * count partial-aggregates the same way). */
-  def hostReport(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    docs(s, dir)
-      .select(
-        col("doc_id"),
-        Urls.canonicalize(messyUrl).as("canonical"),
-        GraftFunctions.gopherOk(GraftFunctions.gopherStats(gopherPage))
-          .cast("long").as("keep"))
-      .withColumn("host", Urls.canonicalHost(col("canonical")))
-      .groupBy(col("host"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        count_distinct(col("canonical")).as("n_urls"),
-        sum(col("keep")).as("n_keep"))
-      .withColumn("keep_rate",
-        col("n_keep").cast("double") / col("n_docs").cast("double"))
-  }
-
-  /** Mirrors [[hostReport]]: the shared [[urlCanonCtes]] and
-    * [[gopherCountCtes]] joined on doc_id, the same keep condition, one
-    * host-keyed aggregate, one exact division. */
-  lazy val hostReportSql: String =
-    s"""WITH $urlCanonCtes,
-       |$gopherCountCtes,
-       |hk AS (
-       |  SELECT u.doc_id,
-       |    regexp_extract(u.canonical, '^https?://([^/:?]*)', 1) AS host,
-       |    u.canonical,
-       |    CAST($gopherKeepSql AS BIGINT) AS keep
-       |  FROM url_c u JOIN gop_c USING (doc_id))
-       |SELECT host, COUNT(*) AS n_docs,
-       |  COUNT(DISTINCT canonical) AS n_urls,
-       |  CAST(SUM(keep) AS BIGINT) AS n_keep,
-       |  CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
-       |FROM hk GROUP BY host""".stripMargin
-
-  /** Small-files compaction round-trip ([[graft.plans.Compaction]]): the
-    * corpus is first written as 64 splinter files (the streaming-ingest
-    * accretion shape), compacted to target-sized range-clustered files,
-    * and read BACK — the gate emits every doc's identity fingerprint from the
-    * compacted files, so the hash check pins that compaction moved bytes
-    * without touching a single row. File-count/clustering properties are
-    * pinned in CompactionSpec where file boundaries are observable. */
-  def compactSmallFiles(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
-    try {
-      val in = tmp.resolve("in").toString
-      val out = tmp.resolve("out").toString
-      docs(s, dir).repartition(64).write.mode("overwrite").parquet(in)
-      val report = graft.plans.Compaction.compactParquet(
-        s, in, out, targetBytes = 256L * 1024, sortCols = Seq("doc_id"))
-      require(report.filesAfter < report.filesBefore,
-        s"compaction must shrink the file count, got $report")
-      s.read.parquet(out)
-        .select(col("doc_id"), col("n_chars"),
-          GraftFunctions.fingerprint64(col("text")).as("text_fp"))
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
-  }
-
-  /** Mirrors [[compactSmallFiles]]: compaction preserves content exactly,
-    * so the oracle is the identity fingerprint over the source table. */
-  lazy val compactSmallFilesSql: String =
-    s"""WITH h AS (SELECT doc_id, n_chars, ${fnvHugeSql("text")} AS hu FROM documents)
-       |SELECT doc_id, n_chars, ${hugeToSignedSql("hu")} AS text_fp FROM h""".stripMargin
-
-  /** Text normalization + character-shingle profile: the cleanup pass ahead
-    * of tokenization/dedup. The fixture text is already clean, so each doc
-    * is deterministically messed up first (leading/trailing runs of spaces,
-    * an uppercased prefix) — identically in [[textNormalizeSql]] — and the
-    * gate pins [[GraftFunctions.normalize]]'s full output by length + FNV
-    * fingerprint plus the [[GraftFunctions.charNgrams]] profile of the
-    * normalized text. */
-  def textNormalize(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val messy = concat(lit("  "), upper(col("text").substr(1, 40)),
-      lit("   "), col("text"), lit(" "))
-    docs(s, dir)
-      .select(col("doc_id"), GraftFunctions.normalize(messy).as("norm"))
-      .select(
-        col("doc_id"),
-        length(col("norm")).cast("long").as("norm_len"),
-        GraftFunctions.tokenCount(col("norm")).cast("long").as("n_tokens"),
-        GraftFunctions.charNgramStats(col("norm"), 3)
-          .getField("n_distinct").cast("long").as("n_char3"),
-        GraftFunctions.fingerprint64(col("norm")).as("norm_fp"))
-  }
-
-  /** Mirrors [[textNormalize]]: same mess-up arithmetic, lower/trim/
-    * whitespace-collapse (`\s+` agrees between Java and RE2 on this ASCII
-    * corpus), same 3-gram window arithmetic, FNV pin of the full result. */
-  val textNormalizeSql: String =
-    s"""WITH m AS (
-       |  SELECT doc_id,
-       |    '  ' || upper(substr(text, 1, 40)) || '   ' || text || ' ' AS t
-       |  FROM documents),
-       |n AS (
-       |  SELECT doc_id, trim(regexp_replace(lower(t), '\\s+', ' ', 'g')) AS norm
-       |  FROM m),
-       |g AS (
-       |  SELECT doc_id, norm,
-       |    CASE WHEN length(norm) <= 3 THEN [norm]
-       |         ELSE list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3))
-       |    END AS grams
-       |  FROM n),
-       |h AS (SELECT doc_id, norm, grams, ${fnvHugeSql("norm")} AS hn FROM g)
-       |SELECT doc_id,
-       |  CAST(length(norm) AS BIGINT) AS norm_len,
-       |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
-       |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_char3,
-       |  ${hugeToSignedSql("hn")} AS norm_fp
-       |FROM h""".stripMargin
-
-  /** Repeated-span detection (exact-substring-dedup counting tier): maximal
-    * per-document extents of word-8-gram windows that occur in ≥2 distinct
-    * documents ([[Spans.repeatedSpans]] — the ranges a trainer would excise
-    * rather than dropping whole documents). */
-  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
-    Spans.repeatedSpans(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2)
-
-  /** Mirrors [[repeatedSpans]]: positional 8-grams, FNV fingerprints,
-    * multi-doc HAVING, and the identical interval-union window. */
-  val repeatedSpansSql: String = {
-    val k = 8
-    val parts = (1 to k).map(j => s"ts[i+${j - 1}]").mkString(", ' ', ")
-    val pme = "max(e) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text,' ') AS ts FROM documents
-       |  WHERE len(string_split(text,' ')) >= $k),
-       |s AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(range(1, len(ts) - ${k - 2}),
-       |      i -> {p: i - 1, g: concat($parts)})) AS u
-       |  FROM d),
-       |g AS (SELECT doc_id, u.p AS p, u.g AS g FROM s),
-       |hh AS (SELECT doc_id, p, ${fnvHugeSql("g")} AS hu FROM g),
-       |ps AS (SELECT doc_id, p, ${hugeToSignedSql("hu")} AS h FROM hh),
-       |md AS (SELECT h FROM ps GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-       |rep AS (SELECT ps.doc_id, ps.p, ps.p + ${k - 1} AS e FROM ps JOIN md USING (h)),
-       |isl AS (
-       |  SELECT doc_id, p, e,
-       |    CASE WHEN $pme IS NULL OR p > $pme + 1 THEN 1 ELSE 0 END AS new_ext
-       |  FROM rep),
-       |ext AS (
-       |  SELECT doc_id, p, e,
-       |    SUM(new_ext) OVER (PARTITION BY doc_id ORDER BY p) AS ext
-       |  FROM isl)
-       |SELECT doc_id,
-       |  CAST(MIN(p) AS BIGINT) AS span_start,
-       |  CAST(MAX(e) AS BIGINT) AS span_end,
-       |  CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
-       |FROM ext GROUP BY doc_id, ext""".stripMargin
-  }
-
-  /** Span REMOVAL ([[Spans.stripRepeatedSpans]]): the cut half of the
-    * substring-dedup tier — every repeated extent excised, cleaned text
-    * pinned by length + fingerprint. */
-  def stripSpans(s: SparkSession, dir: String): DataFrame =
-    Spans.stripRepeatedSpans(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2)
-
-  /** Mirrors [[stripSpans]]: the [[repeatedSpansSql]] extents inlined as a
-    * subquery, sorted per doc, same 0-based inclusive membership test,
-    * same single-space re-join, same FNV pin. */
-  lazy val stripSpansSql: String =
-    s"""WITH spans AS ($repeatedSpansSql),
-       |ag AS (
-       |  SELECT doc_id,
-       |    list_sort(list({s: span_start, e: span_end})) AS exts,
-       |    SUM(span_tokens) AS n_removed
-       |  FROM spans GROUP BY doc_id),
-       |base AS (SELECT doc_id, $tsSql AS ts FROM documents),
-       |cleaned AS (
-       |  SELECT b.doc_id,
-       |    CAST(len(b.ts) AS BIGINT) AS n_tokens,
-       |    CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
-       |    array_to_string(
-       |      list_transform(
-       |        list_filter(range(1, len(b.ts) + 1),
-       |          i -> len(list_filter(COALESCE(a.exts, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
-       |                 x -> (i - 1) >= x.s AND (i - 1) <= x.e)) = 0),
-       |        i -> b.ts[i]), ' ') AS clean0
-       |  FROM base b LEFT JOIN ag a USING (doc_id)),
-       |coalesced AS (
-       |  -- a fully-stripped doc: DuckDB's array_to_string([]) is NULL,
-       |  -- Spark's array_join([]) is '' — align on ''
-       |  SELECT doc_id, n_tokens, n_removed, COALESCE(clean0, '') AS clean
-       |  FROM cleaned),
-       |h AS (SELECT doc_id, n_tokens, n_removed, clean, ${fnvHugeSql("clean")} AS hc FROM coalesced)
-       |SELECT doc_id, n_tokens, n_removed,
-       |  CAST(length(clean) AS BIGINT) AS clean_len,
-       |  ${hugeToSignedSql("hc")} AS clean_fp
-       |FROM h""".stripMargin
-
-  /** Keep-one-occurrence substring dedup ([[Spans.dedupRepeatedSpans]]):
-    * every repeated 8-token window survives exactly at its corpus-wide
-    * minimum-(doc_id, pos) witness; all other occurrences are excised.
-    * Same output posture as [[stripSpans]] (counts + clean text pinned by
-    * length + fingerprint). */
-  def spanDedupKeepOne(s: SparkSession, dir: String): DataFrame =
-    Spans.dedupRepeatedSpans(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2)
-
-  /** The island-merge (interval-union) CTE chain over a (doc_id, p, e)
-    * window source, ending in per-doc sorted extent arrays
-    * `${tag}_ag(doc_id, exts)` — the SQL replica of `Spans.mergeExtents` +
-    * the collect_list aggregation, shared by both witness and removable
-    * extent sets in [[spanDedupKeepOneSql]]. */
-  private def extentAggCtes(src: String, tag: String): String = {
-    val pme = "max(e) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-    s"""${tag}_isl AS (
-       |  SELECT doc_id, p, e,
-       |    CASE WHEN $pme IS NULL OR p > $pme + 1 THEN 1 ELSE 0 END AS new_ext
-       |  FROM $src),
-       |${tag}_ext AS (
-       |  SELECT doc_id, p, e,
-       |    SUM(new_ext) OVER (PARTITION BY doc_id ORDER BY p) AS ext
-       |  FROM ${tag}_isl),
-       |${tag}_sp AS (
-       |  SELECT doc_id, MIN(p) AS s, MAX(e) AS e
-       |  FROM ${tag}_ext GROUP BY doc_id, ext),
-       |${tag}_ag AS (
-       |  SELECT doc_id, list_sort(list({s: s, e: e})) AS exts
-       |  FROM ${tag}_sp GROUP BY doc_id)""".stripMargin
-  }
-
-  /** Mirrors [[spanDedupKeepOne]]: the positional-fingerprint CTEs of
-    * [[repeatedSpansSql]], the witness as row_number 1 over (doc_id, p)
-    * per fingerprint (≡ the operator's min-struct), separate island-merges
-    * for witness and removable windows, and the keep rule
-    * `NOT covered-by-removable OR covered-by-witness` per token. */
-  lazy val spanDedupKeepOneSql: String = {
-    val k = 8
-    val parts = (1 to k).map(j => s"ts[i+${j - 1}]").mkString(", ' ', ")
-    val noExts = "CAST([] AS STRUCT(s BIGINT, e BIGINT)[])"
-    def coveredSql(src: String): String =
-      s"len(list_filter(COALESCE($src, $noExts), x -> (i - 1) >= x.s AND (i - 1) <= x.e)) > 0"
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text,' ') AS ts FROM documents
-       |  WHERE len(string_split(text,' ')) >= $k),
-       |s AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(range(1, len(ts) - ${k - 2}),
-       |      i -> {p: i - 1, g: concat($parts)})) AS u
-       |  FROM d),
-       |g AS (SELECT doc_id, u.p AS p, u.g AS g FROM s),
-       |hh AS (SELECT doc_id, p, ${fnvHugeSql("g")} AS hu FROM g),
-       |ps AS (SELECT doc_id, p, ${hugeToSignedSql("hu")} AS h FROM hh),
-       |md AS (SELECT h FROM ps GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-       |occ AS (
-       |  SELECT ps.doc_id, ps.p, ps.p + ${k - 1} AS e,
-       |    row_number() OVER (PARTITION BY ps.h ORDER BY ps.doc_id, ps.p) AS rn
-       |  FROM ps JOIN md USING (h)),
-       |${extentAggCtes("(SELECT doc_id, p, e FROM occ WHERE rn > 1)", "rem")},
-       |${extentAggCtes("(SELECT doc_id, p, e FROM occ WHERE rn = 1)", "wit")},
-       |base AS (SELECT doc_id, $tsSql AS ts FROM documents),
-       |cleaned AS (
-       |  SELECT b.doc_id,
-       |    CAST(len(b.ts) AS BIGINT) AS n_tokens,
-       |    list_transform(
-       |      list_filter(range(1, len(b.ts) + 1),
-       |        i -> NOT (${coveredSql("r.exts")}) OR (${coveredSql("w.exts")})),
-       |      i -> b.ts[i]) AS kept
-       |  FROM base b
-       |  LEFT JOIN rem_ag r USING (doc_id)
-       |  LEFT JOIN wit_ag w USING (doc_id)),
-       |fin AS (
-       |  -- a fully-stripped doc: DuckDB's array_to_string([]) is NULL,
-       |  -- Spark's array_join([]) is '' — align on ''
-       |  SELECT doc_id, n_tokens,
-       |    CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
-       |    COALESCE(array_to_string(kept, ' '), '') AS clean
-       |  FROM cleaned),
-       |h AS (SELECT doc_id, n_tokens, n_removed, clean, ${fnvHugeSql("clean")} AS hc FROM fin)
-       |SELECT doc_id, n_tokens, n_removed, clean,
-       |  CAST(length(clean) AS BIGINT) AS clean_len,
-       |  ${hugeToSignedSql("hc")} AS clean_fp
-       |FROM h""".stripMargin
-  }
-
-  // heavy-hitter sketch parameters (relative error eps over total tokens,
-  // confidence 1-delta, fixed seed → deterministic sketch)
-  private val CmsEps = 0.001
-  private val CmsConfidence = 0.99
-  private val CmsSeed = 42
-
-  /** Heavy hitters via Count-Min sketch — the frequency member of the
-    * sketch trio (HLL distinct `r_approx_distinct`, GK percentile
-    * `r_percentiles_approx`, CMS frequency here): token frequencies at
-    * 100 TB without a vocabulary-sized exact aggregation. SELF-CHECKING:
-    * the top-20 exact counts ride along; est ≥ exact is STRUCTURAL (CMS
-    * never underestimates) and enforced as-is, while the upper bound is
-    * enforced at 3× the eps·N slack — the theoretical bound only holds
-    * with confidence 1-delta PER QUERY, so requiring it raw for 20 tokens
-    * per run would abort a healthy sketch at a real rate (the same flake
-    * class the HLL gate's 3σ→5σ widening removed). This FULL form keeps
-    * the engine-specific estimate column for SketchSpec; the gate form
-    * ([[heavyHitters]]) projects it away so the hashed output is fully
-    * DuckDB-computable (rank, token, exact count, require-backed TRUE). */
-  def heavyHittersFull(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val toks = docs(s, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-    val sketchRow = toks.agg(
-      expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
-      count(lit(1)).as("n")).head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchRow.getAs[Array[Byte]](0)))
-    val n = sketchRow.getLong(1)
-    val slack = math.ceil(CmsEps * n).toLong
-    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("token").asc)
-      .limit(20).collect()
-    val rows = top.zipWithIndex.map { case (r, i) =>
-      val est = cms.estimateCount(r.getString(0))
-      require(est >= r.getLong(1) && est <= r.getLong(1) + 3 * slack,
-        s"CMS bound violated for '${r.getString(0)}': exact=${r.getLong(1)} est=$est slack=$slack")
-      Row(i + 1, r.getString(0), r.getLong(1), est, true)
-    }
-    s.createDataFrame(
-      s.sparkContext.parallelize(rows.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("exact", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cms_estimate", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("within_bound", org.apache.spark.sql.types.BooleanType, nullable = false))))
-  }
-
-  /** Gate form of [[heavyHittersFull]] — oracle-exact (round 8): the CMS
-    * estimate (engine-specific by construction) moves out of the hashed
-    * result into the in-query `require` + SketchSpec, which is where
-    * engine numbers belong; what the driver hashes is the exact top-20
-    * (rank, token, count) plus the require-backed `within_bound` — all of
-    * it DuckDB-computable. A broken sketch still fails loudly: the
-    * `require` in the full form aborts the gate before any row is
-    * emitted. */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame =
-    heavyHittersFull(s, dir)
-      .select(col("rank").cast("long").as("rank"), col("token"),
-        col("exact"), col("within_bound"))
-
-  val heavyHittersSql: String =
-    """WITH toks AS (
-      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-      |c AS (
-      |  SELECT token, COUNT(*) AS exact FROM toks
-      |  WHERE length(token) > 0 GROUP BY token),
-      |r AS (
-      |  SELECT token, exact,
-      |    row_number() OVER (ORDER BY exact DESC, token ASC) AS rank
-      |  FROM c)
-      |SELECT CAST(rank AS BIGINT) AS rank, token, exact, TRUE AS within_bound
-      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
-
-  /** Vocabulary coverage (tokenizer-prep): the top-200 corpus tokens by
-    * frequency with cumulative coverage fraction — the curve that sizes a
-    * vocabulary. One explode + one aggregation, then the top 200 via
-    * orderBy().limit(200) — Catalyst compiles that to
-    * TakeOrderedAndProject (each partition keeps 200 rows, the driver
-    * merges), so NO task ever sorts the full vocab: a web-scale vocab
-    * (typos, URLs, numbers) is itself billions of rows, and the previous
-    * unpartitioned-window form was a single-task global sort over it
-    * (round-7 VERDICT weak #2). The cumulative window then runs over the
-    * 200 surviving rows only; the corpus total rides along as a 1-row
-    * broadcast agg, so the output is bit-identical to the old form. */
-  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val counts = docs(s, dir)
-      .select(explode(GraftFunctions.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(200)
-    val w = W.orderBy(col("cnt").desc, col("token").asc)
-    top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum_frac",
-        (sum(col("cnt")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-          .cast("double") / col("total").cast("double")))
-      .select(col("rank").cast("long").as("rank"), col("token"),
-        col("cnt"), col("cum_frac"))
-  }
-
-  val vocabCoverageSql: String =
-    """WITH c AS (
-      |  SELECT token, COUNT(*) AS cnt FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-      |  GROUP BY token),
-      |t AS (SELECT SUM(cnt) AS total FROM c),
-      |r AS (
-      |  SELECT token, cnt,
-      |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
-      |    SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |  FROM c)
-      |SELECT CAST(rank AS BIGINT) AS rank, token, cnt,
-      |  CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_frac
-      |FROM r CROSS JOIN t WHERE rank <= 200""".stripMargin
-
-  /** Document fingerprints via the native Fingerprint64 expression
-    * (rows-only; cross-checked interpreted-vs-codegen in FunctionsSpec). */
-  def fingerprints(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    docs(s, dir).select(
-      col("doc_id"),
-      GraftFunctions.fingerprint64(col("text")).as("fp"),
-      GraftFunctions.fingerprint64(GraftFunctions.canonicalKey(col("text")))
-        .as("canonical_fp"))
-  }
-
-  /** Embedding near-duplicate candidates via hyperplane LSH + cosine
-    * re-rank. The synthetic embeddings are near-orthogonal (max pairwise
-    * cosine ≈ 0.51), so rather than a high threshold that matches nothing,
-    * the query reports the 50 most similar LSH-candidate pairs; the
-    * thresholded dedup operator itself is exercised (with a planted
-    * duplicate) in DedupSpec. */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Dedup.embeddingNearDupPairs(embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, threshold = -1.0, planesPerTable = 8, tables = 4)
-      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
-      .limit(50)
-  }
-
-  private def queryVector(s: SparkSession, dir: String): Seq[Float] =
-    embeddings(s, dir).orderBy(col("vec_id").asc).limit(1)
-      .select(col("embedding")).head().getSeq[Float](0)
-
-  /** Brute-force cosine top-k (exact ANN baseline). */
-  def simTopKBrute(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding",
-      queryVector(s, dir), k = 20)
-  }
-
-  /** IVF-probed approximate top-k over K-MEANS-REFINED centroids (the
-    * production scale path: Lloyd refinement of the first-n seeds, mirrored
-    * iteration-for-iteration in [[simTopKIvfSql]]). */
-  val IvfKmeansIters = 2
-
-  /** Cross-format integrity matrix: the SAME document slice written to
-    * all four native interchange formats (parquet, ORC, CSV, JSON) and
-    * read back; per format the gate emits the row count and the XOR of
-    * every row's content fingerprints (order-independent, overflow-free
-    * — `bit_xor` on both engines), which must be IDENTICAL across
-    * formats and equal to the source's: a format that silently mangles
-    * one character of one row (quoting, escaping, encoding, null
-    * round-trip) breaks its row. The text is made ADVERSARIAL first —
-    * every row gets a planted prefix holding the characters each format
-    * must escape (a double quote, a comma, a newline, a backslash) — so
-    * the gate exercises the escaping matrix instead of passing vacuously
-    * on clean fixture text (the CSV leg reads `multiLine`, without which
-    * the reader splits quoted embedded newlines into mangled extra
-    * rows). The oracle computes the same constructed strings' source
-    * fingerprints once and expects them four times. */
-  def formatMatrix(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_format_matrix")
-    try {
-      val d = docs(s, dir).select(col("doc_id"), col("lang"),
-        concat(lit("\"esc,\\\n"), col("text")).as("text"))
-      val schema = d.schema
-      graft.sources.Sources.writeParquet(d, s"$out/parquet")
-      graft.sources.Sources.writeOrc(d, s"$out/orc")
-      graft.sources.Sources.writeCsv(d, s"$out/csv")
-      graft.sources.Sources.writeJson(d, s"$out/json")
-      val reads = Seq(
-        "csv" -> graft.sources.Sources.readCsv(s, s"$out/csv", schema,
-          multiLine = true),
-        "json" -> graft.sources.Sources.readJson(s, s"$out/json", schema),
-        "orc" -> graft.sources.Sources.readOrc(s, s"$out/orc"),
-        "parquet" -> graft.sources.Sources.readParquet(s, s"$out/parquet"))
-      reads.map { case (fmt, df) =>
-        df.agg(
-          count(lit(1)).as("n_rows"),
-          bit_xor(GraftFunctions.fingerprint64(col("text"))).as("text_fp"),
-          bit_xor(GraftFunctions.fingerprint64(col("lang"))).as("lang_fp"))
-          .select(lit(fmt).as("format"), col("n_rows"),
-            col("text_fp"), col("lang_fp"))
-      }.reduce(_ unionByName _)
-        .orderBy(col("format"))
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[formatMatrix]]: the same adversarial prefix (quote,
-    * comma, backslash, newline), source fingerprints expected per
-    * format. */
-  lazy val formatMatrixSql: String =
-    s"""WITH adv AS (
-       |  SELECT '"esc,\\' || chr(10) || text AS text, lang FROM documents),
-       |fp AS (
-       |  SELECT ${fnvHugeSql("text")} AS ht, ${fnvHugeSql("lang")} AS hl
-       |  FROM adv),
-       |x AS (
-       |  SELECT COUNT(*) AS n_rows,
-       |    bit_xor(${hugeToSignedSql("ht")}) AS text_fp,
-       |    bit_xor(${hugeToSignedSql("hl")}) AS lang_fp
-       |  FROM fp)
-       |SELECT f.format, x.n_rows, x.text_fp, x.lang_fp
-       |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(format)
-       |CROSS JOIN x ORDER BY f.format""".stripMargin
-
-  /** JSON quarantine ingestion
-    * ([[graft.sources.Sources.readJsonQuarantine]]): the documents table
-    * re-serialized as JSONL with DETERMINISTICALLY planted corruption
-    * (every doc_id ≡ 3 mod 17 line is truncated mid-object), read back
-    * PERMISSIVE — corrupt lines land in `_corrupt_record` with null data
-    * columns, clean rows parse fully. The gate aggregates per bucket
-    * (lang, or `__corrupt__`): a parser that dropped, double-counted or
-    * mis-quarantined any line breaks a count; a parser that corrupted a
-    * clean row's values breaks the chars sum. Oracle is closed-form from
-    * `documents` because the corruption is planted by id. */
-  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_json_quar")
-    try {
-      docs(s, dir)
-        .select(when(pmod(col("doc_id"), lit(17)) === 3,
-            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", TRUNCATED")))
-          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
-          .as("value"))
-        .write.mode("overwrite").text(out.toString)
-      val back = graft.sources.Sources.readJsonQuarantine(
-        s, out.toString, org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType))))
-      back
-        .groupBy(when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
-          .otherwise(col("lang")).as("bucket"))
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
-        .orderBy(col("bucket"))
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[jsonQuarantine]] by plant arithmetic alone. */
-  val jsonQuarantineSql: String =
-    """SELECT CASE WHEN doc_id % 17 = 3 THEN '__corrupt__' ELSE lang END AS bucket,
-      |  COUNT(*) AS n_rows,
-      |  CAST(COALESCE(SUM(CASE WHEN doc_id % 17 = 3 THEN NULL ELSE n_chars END), 0) AS BIGINT) AS total_chars
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Single-pass pipeline observability via Spark's Observation API:
-    * the curation quality tier runs ONCE, and per-stage admit counts
-    * (quality / language / repetition / all-pass) ride the SAME job as
-    * observed metrics — no second pass, no accumulator plumbing, no
-    * count() per stage. This is how a production pipeline reports its
-    * per-stage attrition at 100 TB: the numbers fall out of the write
-    * job it was already running. The gate emits the observed metrics as
-    * a 1-row frame, oracle-replayed as plain SQL counts. */
-  def curationObserved(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val obs = org.apache.spark.sql.Observation()
-    val scored = docs(s, dir)
-      .select(col("doc_id"), col("lang"),
-        GraftFunctions.markerStats(col("text")).as("ms"),
-        GraftFunctions.repetitionStats(col("text")).as("rs"))
-      .select(col("doc_id"),
-        (GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5).as("q_ok"),
-        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("l_ok"),
-        GraftFunctions.repetitionOk(col("rs")).as("r_ok"))
-      .observe(obs,
-        count(lit(1)).as("n_docs"),
-        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
-        sum(when(col("l_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
-        sum(when(col("r_ok"), 1L).otherwise(0L)).as("n_rep_ok"),
-        sum(when(col("q_ok") && col("l_ok") && col("r_ok"), 1L)
-          .otherwise(0L)).as("n_pass"))
-    // ONE action drives both the pipeline and the metrics; the survivors
-    // continue downstream in a real deployment — here the count IS the
-    // action (and doubles as a consistency pin against the metrics)
-    val survivors = scored.filter(col("q_ok") && col("l_ok") && col("r_ok")).count()
-    val m = obs.get
-    require(m("n_pass") == survivors,
-      s"observed n_pass ${m("n_pass")} != materialized survivors $survivors")
-    import s.implicits._
-    Seq((m("n_docs").asInstanceOf[Long], m("n_quality_ok").asInstanceOf[Long],
-      m("n_lang_ok").asInstanceOf[Long], m("n_rep_ok").asInstanceOf[Long],
-      m("n_pass").asInstanceOf[Long]))
-      .toDF("n_docs", "n_quality_ok", "n_lang_ok", "n_rep_ok", "n_pass")
-  }
-
-  /** Mirrors [[curationObserved]] over the shared scored/rep CTEs. */
-  lazy val curationObservedSql: String =
-    s"""WITH $scoredRepCtes
-       |SELECT COUNT(*) AS n_docs,
-       |  CAST(SUM(CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
-       |  CAST(SUM(CASE WHEN s.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
-       |  CAST(SUM(CASE WHEN rep.rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
-       |  CAST(SUM(CASE WHEN s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-       |FROM scored s JOIN rep USING (doc_id)""".stripMargin
-
-  /** Per-cluster document cap of the topic-balance gate. */
-  val TopicCapN = 25
-
-  /** Topic-balance pruning: cluster the corpus embeddings (the SAME
-    * k-means geometry the IVF/SemDeDup tiers use) and cap vectors per
-    * cluster — cluster-balanced selection, so an over-represented topic
-    * (a boilerplate cluster, an SEO farm) cannot dominate the mixture
-    * (the cluster-pruning recipe next to [[mixtureRebalance]]'s
-    * source-mixture form). Survivors are the lowest vec_ids per cell up
-    * to the cap, via the salted two-phase [[Sampling.capPerGroup]] (a
-    * giant topic cell never lands on one task); any quality column
-    * plugs into the same cap as the order. */
-  def topicRebalance(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = embeddings(s, dir)
-    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
-      nCells = 16, iters = IvfKmeansIters)
-    val assigned = Similarity.withIvfCell(e, "embedding", cents)
-      .select(col("vec_id"), col("cell"))
-    graft.operators.Sampling
-      .capPerGroup(assigned, "cell", "vec_id", col("vec_id"), TopicCapN)
-      .select(col("vec_id"), col("cell"))
-  }
-
-  /** Mirrors [[topicRebalance]]: the shared full-corpus k-means replica
-    * + the single-window cap twin (the [[sourceCapSql]] equivalence). */
-  lazy val topicRebalanceSql: String =
-    s"""WITH $kmeansAssignCtes,
-       |r AS (
-       |  SELECT vec_id, cell,
-       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
-       |  FROM assign)
-       |SELECT vec_id, cell FROM r WHERE rn <= $TopicCapN""".stripMargin
-
-  def simTopKIvf(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = embeddings(s, dir)
-    Similarity.ivfTopKWith(e, "vec_id", "embedding",
-      Similarity.kmeansCentroids(e, "vec_id", "embedding",
-        nCells = 16, iters = IvfKmeansIters),
-      queryVector(s, dir), k = 20, nprobe = 4)
-  }
-
-  /** Quantized-index IVF probe gate: the SAME refined centroids as
-    * [[simTopKIvf]], but the on-disk index stores the int8 tier
-    * ([[Similarity.writeIvfIndex]] `quantize = true` — packed one-byte
-    * codes + per-row scale, ~4× smaller) and the probe dequantizes
-    * in-kernel at scan time. The gate probes the WRITTEN index
-    * (xlsx-roundtrip posture: the on-disk artifact is what's verified),
-    * and the oracle replays quantize → dequantize → cosine exactly —
-    * round-half-up floor quantization and the q·s/127 reconstruction are
-    * rational arithmetic, so the hash check is exact, not a recall bound
-    * (the ≥0.8 recall-vs-exact pin lives in SimilaritySpec). */
-  def simTopKIvfQ8(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_ivf_q8")
-    try {
-      val e = embeddings(s, dir)
-      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
-        out.toString, nCells = 16, refineIters = IvfKmeansIters, quantize = true)
-      Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
-        queryVector(s, dir), k = 20, nprobe = 4).localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[simTopKIvfQ8]] on the shared k-means CTEs: same refined
-    * centroids and cell membership, the corpus side dequantized through
-    * the identical floor(x/s·127 + 0.5) → q·s/127 → float32 chain, the
-    * query at full precision (as the probe leaves it). */
-  lazy val simTopKIvfQ8Sql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |probed AS (
-       |  SELECT c.cell FROM cent$f c CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4),
-       |sc AS (
-       |  SELECT vec_id, embedding,
-       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
-       |  FROM embeddings),
-       |dq AS (
-       |  SELECT vec_id,
-       |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
-       |         ELSE list_transform(embedding, x ->
-       |           CAST(CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)
-       |                * scale / 127.0 AS FLOAT))
-       |    END AS vec
-       |  FROM sc)
-       |SELECT dq.vec_id, ${cosSql("dq.vec", "q.qv")} AS cosine
-       |FROM dq JOIN assign USING (vec_id) CROSS JOIN q
-       |WHERE assign.cell IN (SELECT cell FROM probed)
-       |ORDER BY cosine DESC, dq.vec_id ASC LIMIT 20""".stripMargin
-  }
-
-  // PQ hyperparameters — shared by the gates, their oracle twins, and the
-  // specs: 64-dim vectors → 8 subspaces of 8 components, 16 sub-centroids
-  // each → 8 one-byte codes per vector (32× smaller than float32), 2
-  // Lloyd rounds per subspace (the coarse-k-means iteration budget).
-  private[graft] val PqM = 8
-  private[graft] val PqKsub = 16
-  private[graft] val PqIters = 2
-
-  /** Product-quantization top-k gate ([[Pq.pqTopK]]): codebook trained
-    * per-subspace with quantized-integer-sum Lloyd updates, the corpus
-    * scored as cosine(query, reconstruction). The oracle replays the
-    * per-subspace k-means bit-for-bit (the [[simTopKIvfSql]] discipline
-    * one level down), so the hash check is exact — the recall-vs-exact
-    * bound lives in PqSpec. */
-  def simTopKPq(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = embeddings(s, dir)
-    val cb = Pq.trainCodebook(e, "vec_id", "embedding",
-      m = PqM, ksub = PqKsub, iters = PqIters)
-    Pq.pqTopK(e, "vec_id", "embedding", cb, PqKsub, queryVector(s, dir), k = 20)
-  }
-
-  /** Squared-L2 distance of two dsub-wide float sub-vectors as an
-    * index-ordered double fold — (x−c)·(x−c) per component, exactly
-    * [[graft.functions.VectorOps.pqAssign]]'s inner loop. */
-  private def l2Sql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, ${64 / PqM + 1}), i -> " +
-      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
-      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-
-  /** Shared PQ CTE fragment: `pq_sv` (per-vector per-subspace slices) →
-    * seeded sub-codebooks → [[PqIters]] unrolled per-subspace Lloyd rounds
-    * (argmin-L2 assignment with first-min/code-ASC tie-break; floor-
-    * quantized BIGINT-sum mean updates, empty codes keep their centroid —
-    * [[Pq.trainCodebook]] exactly) → `precon(vec_id, rv)`: the
-    * reconstruction as the s-ordered concatenation of coded sub-centroids
-    * ([[graft.functions.VectorOps.pqDecode]]). Integer sums are order-
-    * independent, so the replay is bit-exact on any partitioning. */
-  private def pqCtes: String = {
-    val dsub = 64 / PqM
-    val q = Similarity.CentroidQuanta
-    val avgs = (1 to dsub)
-      .map(i => s"CAST(CAST(SUM(CAST(floor(CAST(v.sv[$i] AS DOUBLE) * $q) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $q AS FLOAT)")
-      .mkString("[", ", ", "]")
-    def round(t: Int): String =
-      s"""prc$t AS (
-         |  SELECT v.vec_id, v.s, c.code, ${l2Sql("v.sv", "c.cv")} AS d2
-         |  FROM pq_sv v JOIN pcent$t c USING (s)),
-         |pa$t AS (
-         |  SELECT vec_id, s, code FROM (
-         |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
-         |    FROM prc$t) WHERE rn = 1),
-         |pup$t AS (
-         |  SELECT a.s, a.code, $avgs AS cv
-         |  FROM pa$t a JOIN pq_sv v USING (vec_id, s) GROUP BY a.s, a.code),
-         |pcent${t + 1} AS (
-         |  SELECT c.s, c.code, COALESCE(u.cv, c.cv) AS cv
-         |  FROM pcent$t c LEFT JOIN pup$t u ON u.s = c.s AND u.code = c.code)""".stripMargin
-    val rounds = (0 until PqIters).map(round).mkString(",\n")
-    val f = PqIters
-    s"""pq_sv AS (
-       |  SELECT vec_id, CAST(u AS INT) AS s,
-       |    list_slice(embedding, u*$dsub + 1, u*$dsub + $dsub) AS sv
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range($PqM)) AS u)),
-       |pcent0 AS (
-       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code, sv AS cv
-       |  FROM pq_sv
-       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKsub)),
-       |$rounds,
-       |prcF AS (
-       |  SELECT v.vec_id, v.s, c.code, ${l2Sql("v.sv", "c.cv")} AS d2
-       |  FROM pq_sv v JOIN pcent$f c USING (s)),
-       |paF AS (
-       |  SELECT vec_id, s, code FROM (
-       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
-       |    FROM prcF) WHERE rn = 1),
-       |precon AS (
-       |  SELECT a.vec_id, flatten(list(c.cv ORDER BY a.s)) AS rv
-       |  FROM paF a JOIN pcent$f c ON c.s = a.s AND c.code = a.code
-       |  GROUP BY a.vec_id)""".stripMargin
-  }
-
-  /** Mirrors [[simTopKPq]] on [[pqCtes]]: cosine of the full-precision
-    * query against each reconstruction, top-20. */
-  lazy val simTopKPqSql: String =
-    s"""WITH $pqCtes,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
-       |SELECT r.vec_id, ${cosSql("r.rv", "q.qv")} AS cosine
-       |FROM precon r CROSS JOIN q
-       |ORDER BY cosine DESC, r.vec_id ASC LIMIT 20""".stripMargin
-
-  /** IVF-PQ gate: the coarse k-means cell directory of [[simTopKIvf]] with
-    * the PQ storage tier inside each cell — the billion-vector IVF-PQ
-    * layout (partition pruning from the coarse index, 32× payload shrink
-    * from the fine quantizer). The gate probes the WRITTEN index and the
-    * oracle composes the two shared CTE replicas (coarse cells +
-    * sub-quantizer reconstruction), both bit-exact. */
-  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_ivf_pq")
-    try {
-      val e = embeddings(s, dir)
-      val cb = Pq.trainCodebook(e, "vec_id", "embedding",
-        m = PqM, ksub = PqKsub, iters = PqIters)
-      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
-        out.toString, nCells = 16, refineIters = IvfKmeansIters,
-        pq = Some((cb, PqKsub)))
-      Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
-        queryVector(s, dir), k = 20, nprobe = 4,
-        pq = Some((cb, PqKsub))).localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[simTopKIvfPq]]: the [[kmeansAssignCtes]] cell membership
-    * and probe-cell selection, scored against the [[pqCtes]]
-    * reconstructions. */
-  lazy val simTopKIvfPqSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |$pqCtes,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |probed AS (
-       |  SELECT c.cell FROM cent$f c CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
-       |SELECT r.vec_id, ${cosSql("r.rv", "q.qv")} AS cosine
-       |FROM precon r JOIN assign USING (vec_id) CROSS JOIN q
-       |WHERE assign.cell IN (SELECT cell FROM probed)
-       |ORDER BY cosine DESC, r.vec_id ASC LIMIT 20""".stripMargin
-  }
-
-  // rerank-gate depths — shared by the query and its oracle twin
-  private val RerankShortlist = 40
-  private val RerankK = 10
-
-  /** PQ shortlist-then-rerank gate ([[Pq.shortlistRerank]]): the
-    * compressed IVF-PQ index yields a [[RerankShortlist]]-deep candidate
-    * list; the exact pass re-scores ONLY those rows at full precision —
-    * the deployment recipe that recovers exact-rank quality from
-    * noise-level within-cell PQ ranks. Both stages replay in the oracle
-    * (reconstruction ranking, then exact cosine over the shortlist), so
-    * the hash check is exact end-to-end. */
-  def annPqRerank(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_pq_rerank")
-    try {
-      val e = embeddings(s, dir)
-      val cb = Pq.trainCodebook(e, "vec_id", "embedding",
-        m = PqM, ksub = PqKsub, iters = PqIters)
-      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
-        out.toString, nCells = 16, refineIters = IvfKmeansIters,
-        pq = Some((cb, PqKsub)))
-      Pq.shortlistRerank(s, out.toString, cents, cb, PqKsub,
-        e, "vec_id", "embedding", queryVector(s, dir),
-        k = RerankK, shortlistK = RerankShortlist, nprobe = 4)
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[annPqRerank]]: probed-cell shortlist ranked by
-    * reconstruction cosine (the [[simTopKIvfPqSql]] selection, LIMIT
-    * [[RerankShortlist]]), then the exact-cosine re-rank over exactly
-    * those ids. */
-  lazy val annPqRerankSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |$pqCtes,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |probed AS (
-       |  SELECT c.cell FROM cent$f c CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4),
-       |short AS (
-       |  SELECT r.vec_id FROM precon r JOIN assign USING (vec_id) CROSS JOIN q
-       |  WHERE assign.cell IN (SELECT cell FROM probed)
-       |  ORDER BY ${cosSql("r.rv", "q.qv")} DESC, r.vec_id ASC LIMIT $RerankShortlist)
-       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
-       |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
-       |ORDER BY cosine DESC, e.vec_id ASC LIMIT $RerankK""".stripMargin
-  }
-
-  // batched-ANN gate parameters — shared by the query and its oracle twin.
-  // Every AnnBatchQueryMod-th vector is a query: 10 queries at sf0.01,
-  // 100 at sf0.1 — the gate's query COUNT scales with the corpus, pinning
-  // "one job, N queries" at every SF.
-  private val AnnBatchQueryMod = 50
-  private val AnnBatchK = 10
-
-  /** Batched ANN probe gate ([[Similarity.ivfTopKBatch]]): a DataFrame of
-    * query vectors probed against the on-disk IVF index in ONE job —
-    * in-plan top-nprobe cell assignment (fused [[graft.functions
-    * .IvfCellsTopN]] kernel), cell join, per-query top-k window. Replaces
-    * the engine's last per-query driver-loop pattern. */
-  def annBatch(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_ann_batch")
-    try {
-      val e = embeddings(s, dir)
-      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
-        out.toString, nCells = 16, refineIters = IvfKmeansIters)
-      val queries = e.filter(pmod(col("vec_id"), lit(AnnBatchQueryMod)) === 0)
-      Similarity.ivfTopKBatch(s, out.toString, cents, queries,
-        "vec_id", "embedding", "vec_id", "embedding",
-        k = AnnBatchK, nprobe = 4).localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[annBatch]] on the shared k-means CTEs: per query, the
-    * 4-nearest refined centroids by (cosine DESC, cell ASC) — exactly the
-    * fused kernel's strict-greater ascending-cell selection — then the
-    * cell-joined candidates ranked per query by exact cosine. */
-  lazy val annBatchSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |q AS (
-       |  SELECT vec_id AS query_id, embedding AS qv
-       |  FROM embeddings WHERE vec_id % $AnnBatchQueryMod = 0),
-       |pr AS (
-       |  SELECT query_id, cell FROM (
-       |    SELECT q.query_id, c.cell,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
-       |    FROM q CROSS JOIN cent$f c) WHERE rn <= 4),
-       |cand AS (SELECT pr.query_id, a.vec_id FROM pr JOIN assign a USING (cell)),
-       |scored AS (
-       |  SELECT c.query_id, c.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
-       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
-       |  JOIN q ON q.query_id = c.query_id)
-       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
-       |FROM (
-       |  SELECT query_id, vec_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-       |  FROM scored)
-       |WHERE rank <= $AnnBatchK""".stripMargin
-  }
-
-  /** Top-5 TF-IDF terms per document. The gate query drops the raw tfidf
-    * double: JVM Math.log and DuckDB ln disagree by 1 ulp on rare idf
-    * arguments (measured: 1 of 5550 across sf0.001–0.1 corpus sizes), so
-    * the scale-robust oracle pins the exact RANKING plus the integer
-    * tf/df counts; the double-precision score itself is pinned by
-    * TfIdfSpec's exact-math test. */
-  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 5)
-      .drop("tfidf")
-
-  val tfidfTopTermsSql: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-      |dfreq AS (SELECT token, COUNT(*) AS df
-      |          FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
-      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM documents),
-      |scored AS (
-      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-      |    CAST(tf.tf AS DOUBLE)
-      |      * (ln((n.corpus_n + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0) AS tfidf
-      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
-      |SELECT doc_id, CAST(rank AS INT) AS rank, token,
-      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
-      |FROM (
-      |  SELECT doc_id, token, tf, df,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
-      |  FROM scored)
-      |WHERE rank <= 5""".stripMargin
-
-  // BM25 gate parameters — shared by the query and its oracle twin
-  private val Bm25Terms = Seq("spark", "vector", "join", "query")
-  private val Bm25K = 15
-
-  /** RRF constant of the hybrid gate (the standard 60 of Cormack et al.
-    * 2009, "Reciprocal Rank Fusion outperforms Condorcet..."). */
-  val RrfK = 60
-
-  /** Hybrid retrieval: the [[bm25Search]] keyword list and the
-    * [[docVectorSearch]] vector list fused by Reciprocal Rank Fusion —
-    * rrf = Σ 1/(60 + rank) over the lists a doc appears in, the standard
-    * lexical+dense fusion. Both input rankings are ALREADY oracle-exact
-    * gates; fusion only touches their integer ranks (1/(60+rank) in a
-    * fixed two-term fold), so the fused scores and order are hash-exact
-    * by construction. The join is ≤35 rows — fusion cost is nil next to
-    * the two retrievals, which each keep their own scale shape. */
-  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val kw = graft.operators.Bm25.topK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
-      .select(col("doc_id"), col("rank").cast("long").as("rank_kw"))
-    val vec = docVectorSearch(s, dir)
-      .withColumn("rank_vec",
-        row_number().over(W.orderBy(col("cosine").desc, col("doc_id").asc)).cast("long"))
-      .select(col("doc_id"), col("rank_vec"))
-    rrfFuse(kw, vec, limit = 10)
-  }
-
-  /** The RRF fusion step of [[hybridSearch]], testable on planted rank
-    * lists: full-outer join on doc_id, rrf = 1/(RrfK+rank_kw) +
-    * 1/(RrfK+rank_vec) with absent ranks contributing 0, top `limit` by
-    * (rrf DESC, doc_id ASC). */
-  private[graft] def rrfFuse(kw: DataFrame, vec: DataFrame, limit: Int): DataFrame = {
-    def term(rank: org.apache.spark.sql.Column) =
-      coalesce(lit(1d) / (lit(RrfK.toDouble) + rank.cast("double")), lit(0d))
-    kw.join(vec, Seq("doc_id"), "full_outer")
-      .withColumn("rrf", term(col("rank_kw")) + term(col("rank_vec")))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-      .limit(limit)
-      .select(col("doc_id"), col("rank_kw"), col("rank_vec"), col("rrf"))
-  }
-
-  /** Mirrors [[hybridSearch]]: the two gates' FULL oracle SQL as
-    * subqueries (ranks re-derived with the same tie-break), the same
-    * two-term 1/(60+rank) fold, the same final order. */
-  lazy val hybridSearchSql: String =
-    s"""WITH kw AS (
-       |  SELECT doc_id, CAST(rank AS BIGINT) AS rank_kw FROM (
-       |$bm25SearchSql
-       |  )),
-       |vec AS (
-       |  SELECT doc_id,
-       |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank_vec
-       |  FROM (
-       |$docVectorSearchSql
-       |  )),
-       |f AS (
-       |  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, rank_kw, rank_vec
-       |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
-       |SELECT doc_id, rank_kw, rank_vec,
-       |  COALESCE(1.0 / ($RrfK.0 + CAST(rank_kw AS DOUBLE)), 0.0)
-       |    + COALESCE(1.0 / ($RrfK.0 + CAST(rank_vec AS DOUBLE)), 0.0) AS rrf
-       |FROM f
-       |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
-
-  /** BM25 keyword retrieval: top-15 documents for a fixed bag-of-words
-    * query ([[graft.operators.Bm25.topK]]). Integer evidence (tf per term,
-    * dl) is emitted; the score orders (its idf log is transcendental —
-    * same output posture as [[tfidfTopTermsSql]]). */
-  def bm25Search(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bm25.topK(docs(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
-
-  /** Mirrors [[bm25Search]] operation-for-operation: same conditional-sum
-    * tf/df shape, same exact-integer avgdl ratio, same FIXED left-fold
-    * order over the four per-term contributions (doubles agree bitwise
-    * when the operation trees agree). */
-  lazy val bm25SearchSql: String = {
-    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    def tfDef(i: Int) =
-      s"CAST(SUM(CASE WHEN term = '${Bm25Terms(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
-    def dfDef(i: Int) =
-      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
-    def contrib(i: Int) =
-      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
-         | * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
-         | / (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-         |    + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
-        .stripMargin.replace("\n", "")
-    val score = Bm25Terms.indices.map(contrib).mkString(" + ")
-    s"""WITH stats AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |         CAST(SUM(len($tsSql)) AS BIGINT) AS total_dl
-       |  FROM documents),
-       |hits AS (
-       |  SELECT doc_id, CAST(len($tsSql) AS BIGINT) AS dl,
-       |         unnest(list_filter($tsSql, t -> t IN ($inList))) AS term
-       |  FROM documents),
-       |perdoc AS (
-       |  SELECT doc_id, MIN(dl) AS dl, ${Bm25Terms.indices.map(tfDef).mkString(", ")}
-       |  FROM hits GROUP BY doc_id),
-       |dfx AS (SELECT ${Bm25Terms.indices.map(dfDef).mkString(", ")} FROM perdoc),
-       |scored AS (
-       |  SELECT p.doc_id, p.dl, ${Bm25Terms.indices.map(i => s"p.tf_$i").mkString(", ")},
-       |         $score AS score
-       |  FROM perdoc p CROSS JOIN stats CROSS JOIN dfx)
-       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
-       |  doc_id, dl,
-       |  ${Bm25Terms.zipWithIndex.map { case (t, i) => s"tf_$i AS tf_$t" }.mkString(", ")}
-       |FROM scored ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
-  }
-
-  /** Text → hashed feature vectors → ANN composition: 20 nearest documents
-    * to doc 0 by cosine over feature-hashed tf vectors. */
-  def docVectorSearch(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val vecs = graft.operators.TfIdf.hashedVectors(s, docs(s, dir), "doc_id", "text")
-    val query = vecs.orderBy(col("doc_id").asc).limit(1)
-      .select(col("vector")).head().getSeq[Float](0)
-    Similarity.bruteForceTopK(vecs, "doc_id", "vector", query, k = 20)
-  }
-
-  /** Multimodal payload → batch decode → per-(source, modality) aggregates,
-    * in the oracle-able integer shape ([[Multimodal.featureGate]]): the
-    * oracle recomputes `total_bytes` from file-format header arithmetic and
-    * pins the theory-exactness counts to n_docs, so the real BMP/WAV
-    * synth → encode → parse → feature path is externally verified without
-    * the oracle needing a codec. */
-  def multimodal(s: SparkSession, dir: String): DataFrame =
-    Multimodal.featureGate(s, docs(s, dir))
-
-  /** Closed-form twin of [[multimodal]]: byte counts from the BMP/WAV
-    * header arithmetic ([[Multimodal.theoryByteCount]] in SQL); the
-    * exactness counts pinned to "every doc matches theory". */
-  val multimodalSql: String =
-    """WITH m AS (
-      |  SELECT doc_id, source,
-      |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
-      |    CASE WHEN doc_id % 2 = 0
-      |      THEN 54 + ((((16 + doc_id % 16) * 3 + 3) // 4) * 4) * (16 + doc_id % 12)
-      |      ELSE 44 + 2 * (2000 + doc_id % 1000) END AS nb
-      |  FROM documents)
-      |SELECT source, mime, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS total_bytes,
-      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_bytes_exact
-      |FROM m GROUP BY source, mime""".stripMargin
-
-  /** PNG multimodal gate ([[Multimodal.pngGate]]): every doc carries a
-    * doc_id-seeded deflate-compressed PNG (scanline filter rotating over
-    * all five RFC 2083 types), decoded by the full chunk-walk + CRC +
-    * inflate + unfilter path. */
-  def multimodalPng(s: SparkSession, dir: String): DataFrame =
-    Multimodal.pngGate(s, docs(s, dir))
-
-  /** Closed-form twin of [[multimodalPng]]: pixel counts from the id →
-    * geometry formula; the exactness counts pinned to "every doc's decoded
-    * feature[0] and dimensions match theory" (a deflated BYTE count has no
-    * closed form, so the pins are pixel-side). */
-  val multimodalPngSql: String =
-    """SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM((16 + ((doc_id % 16) + 16) % 16) * (16 + ((doc_id % 12) + 12) % 12)) AS BIGINT) AS n_px,
-      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
-      |FROM documents GROUP BY source""".stripMargin
-
-  /** JPEG multimodal gate ([[Multimodal.jpegGate]]): every doc carries a
-    * doc_id-seeded baseline JPEG (full Huffman/DCT encode), decoded by the
-    * real marker-walk + entropy-decode + dequant + IDCT path. The fixtures
-    * are block-flat (DC-only), so even a LOSSY codec must reproduce every
-    * pixel bit-for-bit — see [[graft.operators.JpegCodec]]. */
-  def multimodalJpeg(s: SparkSession, dir: String): DataFrame =
-    Multimodal.jpegGate(s, docs(s, dir))
-
-  /** Closed-form twin of [[multimodalJpeg]]: pixel counts from the id →
-    * geometry formula (w = 16+8·(id mod 3), h = 16+8·(id mod 2)); the
-    * exactness counts pinned to "every doc's decoded feature[0] and
-    * dimensions match theory" (an entropy-coded byte count has no closed
-    * form, so the pins are pixel-side, as with PNG). */
-  val multimodalJpegSql: String =
-    """SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM((16 + 8 * (((doc_id % 3) + 3) % 3)) * (16 + 8 * (((doc_id % 2) + 2) % 2))) AS BIGINT) AS n_px,
-      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_dims_exact
-      |FROM documents GROUP BY source""".stripMargin
-
-  /** FLAC multimodal gate ([[Multimodal.flacGate]]): every doc carries a
-    * doc_id-seeded FLAC (fixed-predictor + Rice encode of the synthWav
-    * sine), decoded by the real frame-walk + Rice + CRC/MD5 path. FLAC is
-    * lossless, so the decoded-RMS theory pin is bit-exact over ALL
-    * fixtures — no representable-subspace trick needed. */
-  def multimodalFlac(s: SparkSession, dir: String): DataFrame =
-    Multimodal.flacGate(s, docs(s, dir))
-
-  /** Closed-form twin of [[multimodalFlac]]: sample counts from the id →
-    * length formula (n = 2000 + id mod 1000); exactness counts pinned to
-    * "every doc's decoded RMS and sample-rate feature match theory". */
-  val multimodalFlacSql: String =
-    """SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM(2000 + ((doc_id % 1000) + 1000) % 1000) AS BIGINT) AS total_samples,
-      |  COUNT(*) AS n_feat0_exact, COUNT(*) AS n_rate_exact
-      |FROM documents GROUP BY source""".stripMargin
-
-  /** Unicode NFC normalization ([[GraftFunctions.nfc]], a codegen
-    * Catalyst expression over java.text.Normalizer with an ASCII fast
-    * path): every doc gets a COMPOSED suffix (é ñ 한) and its fully
-    * DECOMPOSED twin (e+◌́, n+◌̃, jamo ᄒ+ᅡ+ᆫ); after NFC both must be
-    * byte-identical and share a fingerprint — the normalize-before-hash
-    * step (CCNet) that stops visually-identical variants from defeating
-    * exact dedup. Oracled against DuckDB's independent nfc_normalize. */
-  def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val composed = concat(col("text"), lit(" é ñ 한"))
-    // NFD via explicit escapes: an NFC-normalizing editor must not be able
-    // to silently recompose the fixture into the composed form
-    val decomposed = concat(col("text"),
-      lit(" e\u0301 n\u0303 \u1112\u1161\u11AB"))
-    docs(s, dir)
-      .select(col("doc_id"), col("source"),
-        GraftFunctions.nfc(composed).as("n1"),
-        GraftFunctions.nfc(decomposed).as("n2"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("n1") === col("n2"), 1L).otherwise(0L)).as("n_collapsed"),
-        sum(when(GraftFunctions.fingerprint64(col("n1")) ===
-          GraftFunctions.fingerprint64(col("n2")), 1L).otherwise(0L)).as("n_fp_equal"))
-  }
-
-  /** DuckDB twin via its own nfc_normalize (pure-ASCII SQL through
-    * chr()); fingerprint equality reduces to string equality. */
-  val unicodeNormalizeSql: String =
-    """WITH v AS (SELECT source,
-      |  nfc_normalize(text || ' ' || chr(233) || ' ' || chr(241) || ' ' || chr(54620)) AS n1,
-      |  nfc_normalize(text || ' e' || chr(769) || ' n' || chr(771) || ' ' || chr(4370) || chr(4449) || chr(4523)) AS n2
-      |  FROM documents)
-      |SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
-      |  CAST(SUM(CASE WHEN n1 = n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_equal
-      |FROM v GROUP BY source""".stripMargin
-
-  /** Parquet schema evolution: an early corpus generation (doc_id, text)
-    * and a later one that ADDED a column (doc_id, text, lang) live in one
-    * dataset; `mergeSchema` reads the union schema with nulls for the
-    * early files — the additive-evolution contract a long-lived corpus
-    * depends on (new extraction fields must not force a rewrite of
-    * petabytes of old generations). The gate verifies both generations'
-    * rows and the null/pushdown behavior on the merged frame. */
-  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_schema_evo")
-    try {
-      val d = docs(s, dir)
-      // generation 0: half the corpus, before `lang` existed
-      d.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .select(col("doc_id"), col("text"))
-        .write.parquet(s"$out/gen=0")
-      // generation 1: the other half, with the added column
-      d.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .select(col("doc_id"), col("text"), col("lang"))
-        .write.parquet(s"$out/gen=1")
-      val merged = s.read.option("mergeSchema", "true").parquet(out.toString)
-      merged
-        .join(d.select(col("doc_id"), col("source"),
-          col("lang").as("lang_orig"), col("text").as("text_orig")), "doc_id")
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("text") === col("text_orig"), 1L).otherwise(0L))
-            .as("n_text_exact"),
-          sum(when(col("gen") === 0 && col("lang").isNull, 1L)
-            .otherwise(0L)).as("n_gen0_null_lang"),
-          sum(when(col("gen") === 1 && col("lang") === col("lang_orig"), 1L)
-            .otherwise(0L)).as("n_gen1_lang_exact"))
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Closed-form twin of [[schemaEvolution]]: every doc returns, text
-    * exact, gen-0 (even ids) all null-lang, gen-1 (odd ids) lang exact. */
-  val schemaEvolutionSql: String =
-    """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_text_exact,
-      |  CAST(SUM(CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen0_null_lang,
-      |  CAST(SUM(CASE WHEN ((doc_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1_lang_exact
-      |FROM documents GROUP BY source""".stripMargin
-
-  /** WARC container round trip ([[graft.sources.Warc]]): the corpus
-    * written as spec-conforming `.warc.gz` crawl files (warcinfo +
-    * response records, per-record gzip members, embedded HTTP responses)
-    * executor-side, then read back through the streaming record-iterator
-    * parser (one Hadoop-FS-opened segment per task, O(record) memory) —
-    * every document's body must survive byte-exactly with its HTTP
-    * status and MIME intact. The ingestion path a Common-Crawl-shaped
-    * corpus arrives through. */
-  /** Shared by [[warcRoundtrip]] and [[warcIngest]]: export the corpus as
-    * crawl files into `out`, read it back through the container parser,
-    * re-key doc ids from the URLs. Single-sourced so the two gates' URL
-    * shape, partitioning and charset can never drift apart. */
-  private def writeAndReadBackWarc(
-      s: SparkSession, d: DataFrame, out: String): DataFrame = {
-    // chunkEvery=3: every third record's HTTP body ships with chunked
-    // transfer-encoding, so the round trip proves the reader de-frames
-    // chunked payloads (real crawl responses are routinely chunked).
-    // charsetEvery=5: every fifth record is written and declared as
-    // UTF-16BE, so the charset-honoring decode path runs on real gate
-    // data too (ids divisible by 15 are chunked AND non-UTF-8). Both
-    // knobs leave the oracle unchanged: de-chunking and the UTF-16BE
-    // round trip are lossless for arbitrary corpus text.
-    graft.sources.Warc.writeWarc(
-      d.select(col("doc_id"),
-        concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
-        col("text"))
-        .repartition(4, col("doc_id")),
-      out, chunkEvery = 3, charsetEvery = 5)
-    graft.sources.Warc.readWarc(s, out)
-      .filter(col("warc_type") === "response")
-      .select(
-        regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
-        // charset-honoring decode from the parser (here utf-8 by header)
-        col("body_text").as("text"),
-        col("http_status"), col("mime"))
-  }
-
-  def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_warc")
-    try {
-      val d = docs(s, dir)
-      val back = writeAndReadBackWarc(s, d, out.toString)
-        .withColumnRenamed("text", "body_text")
-      back.join(d.select(col("doc_id"), col("source"), col("text")), "doc_id")
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("body_text") === col("text") &&
-            col("http_status") === 200 &&
-            // the declared charset must match the writer's doc_id knob
-            // exactly: every fifth doc utf-16be, the rest utf-8
-            col("mime") === concat(lit("text/plain; charset="),
-              when(pmod(col("doc_id"), lit(5)) === 0, "utf-16be")
-                .otherwise("utf-8")), 1L)
-            .otherwise(0L)).as("n_roundtrip_exact"))
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Closed-form twin of [[warcRoundtrip]]: every doc must come back. */
-  val warcRoundtripSql: String =
-    """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_exact
-      |FROM documents GROUP BY source""".stripMargin
-
-  /** Cross-codec media parity ([[Multimodal.mediaParityGate]]): the same
-    * pixels through BMP, PNG and JPEG must feature-hash identically —
-    * three independent codec stacks cross-checking each other per doc. */
-  def mediaParity(s: SparkSession, dir: String): DataFrame =
-    Multimodal.mediaParityGate(s, docs(s, dir))
-
-  /** Closed-form twin of [[mediaParity]]: every doc must report all three
-    * formats bit-equal and the shared feature[0] on theory. */
-  val mediaParitySql: String =
-    """SELECT source, COUNT(*) AS n_docs,
-      |  COUNT(*) AS n_all_equal, COUNT(*) AS n_feat0_exact
-      |FROM documents GROUP BY source""".stripMargin
-
-  /** End-to-end curation pipeline — the composition a training-data corpus
-    * actually runs: quality gate → repetition gate → language agreement →
-    * exact-canonical dedup survivors → benchmark decontamination (the
-    * doc_id %19==0 slice plays the held-out eval suite: its docs are
-    * excluded from the training output, and training docs sharing any
-    * 5-gram with it drop) → LM predictability → trained-probe scoring
-    * (train on weak labels → score corpus → threshold, the GPT-3/LLaMA
-    * classifier-filtering recipe). Operator composition (each stage is its
-    * own oracle-proven operator); one declarative plan, no intermediate
-    * materialization — the probe trainer's dim+1-longs-per-round fetches
-    * are the only driver round-trips. Dedup uses the HASHED canonical key
-    * (128-bit fingerprint struct), so the widest shuffle in the flagship
-    * pipeline carries 16-byte keys, not document-sized canonical strings.
-    *
-    * The two fused text kernels ([[GraftFunctions.markerStats]],
-    * [[GraftFunctions.repetitionStats]]) are each aliased ONCE in a narrow
-    * projection and all scoring derives from the structs — an expensive
-    * alias referenced more than once is not inlined by CollapseProject, so
-    * each kernel runs once per row regardless of how many scoring columns
-    * read it (round 4's shape re-evaluated MarkerStats per call site from
-    * three derivations; see SCALE.md). */
-  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    // probe-scoring stage (the GPT-3/LLaMA recipe end-to-end): train the
-    // linear probe on the corpus's sampled weak labels, score every doc by
-    // margin, keep the confidently-good. Training is the pipeline's only
-    // driver round-trips — dim+1 longs per GD round, bit-reproducible on
-    // any partitioning, so the oracle replays the weights AND the margins.
-    // Scoring happens INLINE in the scan projection (the weights are
-    // driver literals by then) — no second corpus scan, no doc_id join.
-    curationAssembled(s, dir, Some(trainedProbe(s, dir)))
-  }
-
-  /** Every curation stage EXCEPT the probe (heuristic quality/repetition/
-    * language gates, dedup, decontamination, LM) — package-visible so the
-    * integration spec can prove the probe stage binds. */
-  private[graft] def curationCore(s: SparkSession, dir: String): DataFrame =
-    curationAssembled(s, dir, None)
-
-  private def curationAssembled(
-      s: SparkSession, dir: String, probeW: Option[Seq[Double]]): DataFrame = {
-    GraftFunctions.register(s)
-    val d = docs(s, dir)
-    // each fused kernel (markerStats, repetitionStats, hashedTfVector)
-    // aliased ONCE; every scoring column derives from the aliases
-    val kernels = Seq(
-      col("doc_id"), col("lang"),
-      GraftFunctions.markerStats(col("text")).as("ms"),
-      GraftFunctions.repetitionStats(col("text")).as("rs")) ++
-      probeW.map(w =>
-        GraftFunctions.hashedTfVector(split(col("text"), " "), w.length).as("pv"))
-    val scoring = Seq(
-      col("doc_id"), col("lang"),
-      col("ms").getField("n_tokens").cast("long").as("n_tokens"),
-      GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
-      (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
-      GraftFunctions.repetitionOk(col("rs")).as("rep_ok")) ++
-      probeW.map(w =>
-        (w.indices.map(j => col("pv").getItem(j) * lit(w(j))).reduce(_ + _)
-          >= ProbeGateMargin).as("probe_ok"))
-    val scored = d.select(kernels: _*).select(scoring: _*)
-    val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
-      .select(col("keep_id").as("doc_id"))
-    val clean = decontOverlap(d)
-      .filter(col("contaminated") === 0)
-      .select(col("doc_id"))
-    // LM predictability stage (CCNet tier): self-trained bigram model;
-    // docs too short to score (< 2 tokens) fail the gate by construction
-    val lmOk = graft.operators.LangModel
-      .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
-      .filter(col("lm_ok"))
-      .select(col("doc_id"))
-    val keep = col("quality") >= 0.5 && col("lang_ok") && col("rep_ok") &&
-      probeW.map(_ => col("probe_ok")).getOrElse(lit(true))
-    scored.join(survivors, "doc_id").join(clean, "doc_id").join(lmOk, "doc_id")
-      .filter(keep)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
-  }
-
-  /** The quality/repetition/language scoring CTEs (`scored`, `rep`) shared
-    * by [[curationPipelineSql]] and the streaming gate's oracle — the
-    * filters are the same kernels in both execution modes, so their oracle
-    * text is single-sourced too. */
-  private lazy val scoredRepCtes: String = {
-    val hits = GraftFunctions.langMarkers.map { case (lang, _) => lang -> s"h_$lang" }
-    val hitDefs = GraftFunctions.langMarkers
-      .map { case (lang, ms) => s"${hitsSql(ms)} AS h_$lang" }.mkString(",\n  ")
-    val best = s"greatest(${hits.map(_._2).mkString(", ")})"
-    val cases = hits.map { case (lang, h) =>
-      s"WHEN $h > 0 AND $h = $best THEN '$lang'"
-    }.mkString("\n    ")
-    s"""scored AS (
-       |  SELECT doc_id, lang, source,
-       |    CAST(len($tsSql) AS BIGINT) AS n_tokens,
-       |    $qualityExprSql AS quality,
-       |    (CASE $cases ELSE 'und' END) = lang AS lang_ok
-       |  FROM (SELECT doc_id, lang, source, text, $hitDefs FROM documents)),
-       |rep AS (
-       |  SELECT doc_id, $repKeepSql AS rep_ok FROM (
-       |  $repStatsSql))""".stripMargin
-  }
-
-  /** Mirrors [[graft.streaming.EventPipeline.curationFilterStream]] (the
-    * stateless quality/repetition/language tier, stream ≡ batch). */
-  lazy val streamQualitySql: String =
-    s"""WITH $scoredRepCtes
-       |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
-       |FROM scored s JOIN rep USING (doc_id)
-       |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
-
-  /** WARC → curation ingestion composition: the corpus lands as crawl
-    * files ([[graft.sources.Warc.writeWarc]]), is read back through the
-    * real container parser, re-keyed from its URLs, joined to the
-    * metadata sidecar (lang — crawl archives carry bytes, not labels),
-    * and pushed through the stateless quality tier — the first mile of a
-    * Common-Crawl-shaped pipeline as ONE declarative job. Because the
-    * WARC round trip is byte-exact (d_warc_roundtrip), the output must
-    * equal the quality tier over the original table, so this SHARES
-    * [[streamQualitySql]]'s oracle verbatim. */
-  def warcIngest(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_warc_ing")
-    try {
-      val d = docs(s, dir)
-      val fromWarc = writeAndReadBackWarc(s, d, out.toString)
-        .select(col("doc_id"), col("text"))
-        .join(d.select(col("doc_id"), col("lang")), "doc_id")
-      graft.streaming.EventPipeline.curationFilterStream(fromWarc)
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  lazy val curationPipelineSql: String = {
-    s"""WITH $scoredRepCtes,
-       |survivors AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM (
-       |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
-       |    FROM (SELECT doc_id,
-       |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
-       |          FROM documents))
-       |  GROUP BY f1, f2),
-       |clean AS (
-       |  SELECT doc_id FROM (
-       |$decontaminateSql
-       |  ) WHERE contaminated = 0),
-       |$lmCtes,
-       |lmok AS (SELECT doc_id FROM lmdoc WHERE mean_p >= $LmMinMeanP),
-       |$probeTrainCtes,
-       |$probeGateCtes
-       |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
-       |FROM scored s JOIN survivors USING (doc_id) JOIN rep USING (doc_id)
-       |  JOIN clean USING (doc_id) JOIN lmok USING (doc_id)
-       |  JOIN pok USING (doc_id)
-       |WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok""".stripMargin
-  }
-
-  /** Source-pair vocabulary overlap — the mixture-design diagnostic
-    * ("how redundant are my ingest sources?"): exact token-set Jaccard
-    * for every source pair, computed WITHOUT any all-pairs document work.
-    * The (source, token) distinct set is token-keyed; joining it to
-    * itself on token emits at most sources² rows per token (a bounded
-    * domain — source/domain counts are thousands, never corpus-sized),
-    * and the per-source distinct counts broadcast back onto the ~S²/2
-    * result rows. The division is one double op over identical integers,
-    * so it is engine-identical. */
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val t = docs(s, dir)
-      .select(col("source"), explode(GraftFunctions.tokens(col("text"))).as("token"))
-      .distinct()
-    val n = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    t.select(col("source").as("source_a"), col("token"))
-      .join(t.select(col("source").as("source_b"), col("token")), "token")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(n.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
-      .join(broadcast(n.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
-      .select(col("source_a"), col("source_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
-  }
-
-  /** Mirrors [[sourceOverlap]]: same distinct (source, token) set, same
-    * token-keyed pair counting, same single division. */
-  val sourceOverlapSql: String =
-    s"""WITH t AS (
-       |  SELECT DISTINCT source, unnest($tsSql) AS token FROM documents),
-       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY source),
-       |p AS (
-       |  SELECT a.source AS source_a, b.source AS source_b,
-       |    CAST(COUNT(*) AS BIGINT) AS n_common
-       |  FROM t a JOIN t b USING (token)
-       |  WHERE a.source < b.source
-       |  GROUP BY 1, 2)
-       |SELECT p.source_a, p.source_b, p.n_common,
-       |  CAST(p.n_common AS DOUBLE) / CAST(na.n + nb.n - p.n_common AS DOUBLE) AS jaccard
-       |FROM p JOIN n na ON p.source_a = na.source
-       |       JOIN n nb ON p.source_b = nb.source""".stripMargin
-
-  /** Per-doc curation AUDIT: which stage drops each document — the
-    * provenance question a corpus operation answers constantly ("why did
-    * volume fall 40% for source X?"). One scan computes the per-doc
-    * kernels; the set-membership stages (dedup survivorship,
-    * decontamination, LM) left-join their flags; a single CASE assigns
-    * the FIRST failing stage in the pipeline's order (eval slice →
-    * quality → lang → repetition → duplicate → contaminated → lm → kept,
-    * the heuristic tier — the trained-probe stage is scored by its own
-    * gates). Aggregated to (source, reason) counts. */
-  def curationReasons(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val d = docs(s, dir)
-    val scored = d.select(
-        col("doc_id"), col("source"), col("lang"),
-        GraftFunctions.markerStats(col("text")).as("ms"),
-        GraftFunctions.repetitionStats(col("text")).as("rs"))
-      .select(col("doc_id"), col("source"),
-        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
-        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"),
-        GraftFunctions.repetitionOk(col("rs")).as("rep_ok"))
-    val survivors = Dedup.exactCanonicalHashed(d, col("doc_id"), col("text"))
-      .select(col("keep_id").as("doc_id"), lit(1).as("sv"))
-    val cont = decontOverlap(d).select(col("doc_id"), col("contaminated"))
-    val lm = graft.operators.LangModel
-      .scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
-      .select(col("doc_id"), col("lm_ok"))
-    scored
-      .join(survivors, Seq("doc_id"), "left")
-      .join(cont, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
-      .withColumn("reason",
-        when(pmod(col("doc_id"), lit(DecontEvalMod)) === 0, "eval_slice")
-          .when(col("quality") < 0.5, "quality")
-          .when(!col("lang_ok"), "lang")
-          .when(!col("rep_ok"), "repetition")
-          .when(col("sv").isNull, "duplicate")
-          .when(col("contaminated") === 1, "contaminated")
-          .when(col("lm_ok").isNull || !col("lm_ok"), "lm")
-          .otherwise("kept"))
-      .groupBy(col("source"), col("reason"))
-      .agg(count(lit(1)).as("n_docs"))
-  }
-
-  /** Assembled from the SAME factored CTEs as [[curationPipelineSql]]
-    * (scored/rep kernels, dedup fingerprints, decontamination, LM), with
-    * the CASE in the identical stage order. */
-  lazy val curationReasonsSql: String =
-    s"""WITH $scoredRepCtes,
-       |survivors AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM (
-       |    SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
-       |    FROM (SELECT doc_id,
-       |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
-       |          FROM documents))
-       |  GROUP BY f1, f2),
-       |cont AS (SELECT doc_id, contaminated FROM (
-       |$decontaminateSql
-       |  )),
-       |$lmCtes,
-       |r AS (
-       |  SELECT s.source,
-       |    CASE WHEN ((s.doc_id % $DecontEvalMod) + $DecontEvalMod) % $DecontEvalMod = 0 THEN 'eval_slice'
-       |         WHEN s.quality < 0.5 THEN 'quality'
-       |         WHEN NOT s.lang_ok THEN 'lang'
-       |         WHEN NOT rep.rep_ok THEN 'repetition'
-       |         WHEN sv.doc_id IS NULL THEN 'duplicate'
-       |         WHEN c.contaminated = 1 THEN 'contaminated'
-       |         WHEN l.doc_id IS NULL OR NOT (l.mean_p >= $LmMinMeanP) THEN 'lm'
-       |         ELSE 'kept' END AS reason
-       |  FROM scored s JOIN rep USING (doc_id)
-       |    LEFT JOIN survivors sv ON s.doc_id = sv.doc_id
-       |    LEFT JOIN cont c ON s.doc_id = c.doc_id
-       |    LEFT JOIN lmdoc l ON s.doc_id = l.doc_id)
-       |SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
-       |FROM r GROUP BY source, reason""".stripMargin
-
-  // chunking gate parameters — shared by the query and its oracle twin
-  private val ChunkMaxTokens = 40
-  private val ChunkStride = 32
-
-  /** Context-window chunking ([[graft.operators.Chunking.slidingWindows]]):
-    * 40-token windows at stride 32 (8-token overlap) over every document. */
-  def chunkWindows(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Chunking.slidingWindows(
-      docs(s, dir), "doc_id", "text", ChunkMaxTokens, ChunkStride)
-
-  /** Mirrors [[chunkWindows]]: same start offsets (0 ≤ w·stride < n), same
-    * clamped slice, same single-space re-join. */
-  lazy val chunkWindowsSql: String =
-    s"""SELECT doc_id,
-       |  CAST(u.st // $ChunkStride AS INT) AS chunk_id,
-       |  CAST(least($ChunkMaxTokens, len(ts) - u.st) AS BIGINT) AS n_chunk_tokens,
-       |  array_to_string(list_slice(ts, u.st + 1, u.st + $ChunkMaxTokens), ' ') AS chunk
-       |FROM (
-       |  SELECT doc_id, ts, unnest(list_transform(range(0, len(ts), $ChunkStride), s -> {st: s})) AS u
-       |  FROM (SELECT doc_id, $tsSql AS ts FROM documents))""".stripMargin
-
-  /** Per-source corpus health report — the observability query a corpus
-    * operation runs per ingest source/domain: volume (docs, tokens),
-    * quality mean (floor-quantized micro-units → ORDER-INDEPENDENT exact
-    * aggregate, the [[graft.operators.Similarity.clusterReport]] device),
-    * language-agreement count, and exact-duplicate involvement (docs whose
-    * canonical 128-bit fingerprint occurs more than once corpus-wide).
-    * One scan + one tiny fingerprint-keyed side-aggregation; every output
-    * is exact across engines. */
-  def sourceReport(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val d = docs(s, dir)
-    val scored = d.select(
-        col("doc_id"), col("source"), col("lang"),
-        GraftFunctions.markerStats(col("text")).as("ms"),
-        GraftFunctions.fingerprint128(
-          GraftFunctions.canonicalKey(col("text"))).as("fp"))
-      .select(col("doc_id"), col("source"), col("fp"),
-        col("ms").getField("n_tokens").cast("long").as("n_tokens"),
-        GraftFunctions.qualityScoreFrom(col("ms")).as("quality"),
-        (GraftFunctions.langIdFrom(col("ms")) === col("lang")).as("lang_ok"))
-    val dupFps = scored.groupBy(col("fp")).count()
-      .filter(col("count") > 1).select(col("fp"))
-    scored
-      .join(dupFps.withColumn("is_dup", lit(1L)), Seq("fp"), "left")
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(floor(col("quality") * lit(1000000.0)).cast("long")).as("sum_quality_q6"),
-        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
-      .select(col("source"), col("n_docs"), col("total_tokens"),
-        (col("sum_quality_q6").cast("double") / col("n_docs").cast("double")
-          / lit(1000000.0)).as("mean_quality_q"),
-        col("n_lang_ok"), col("n_dup_docs"))
-  }
-
-  /** Mirrors [[sourceReport]] on the shared scored CTEs: same quality
-    * expression, same language case chain, same two-stream FNV canonical
-    * fingerprint, same quantized quality sum. */
-  lazy val sourceReportSql: String =
-    s"""WITH $scoredRepCtes,
-       |fp AS (
-       |  SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
-       |  FROM (SELECT doc_id,
-       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
-       |        FROM documents)),
-       |dupfp AS (
-       |  SELECT f1, f2 FROM fp GROUP BY f1, f2 HAVING COUNT(*) > 1),
-       |dupdoc AS (
-       |  SELECT fp.doc_id, 1 AS is_dup FROM fp JOIN dupfp USING (f1, f2))
-       |SELECT s.source,
-       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
-       |  CAST(SUM(CAST(floor(s.quality * 1000000.0) AS BIGINT)) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_quality_q,
-       |  CAST(SUM(CASE WHEN s.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
-       |  CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS n_dup_docs
-       |FROM scored s LEFT JOIN dupdoc d USING (doc_id)
-       |GROUP BY s.source""".stripMargin
-
-  /** Int8 embedding quantization gate
-    * ([[graft.operators.Similarity.quantizeInt8]]): per vector — the exact
-    * scale plus integer digests of the quantized codes (sum and L1), every
-    * output engine-portable exact. */
-  def embedQuantize(s: SparkSession, dir: String): DataFrame =
-    Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
-      .select(col("vec_id"), col("scale"),
-        aggregate(col("qvec"), lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
-        aggregate(col("qvec"), lit(0L), (acc, q) => acc + abs(q.cast("long"))).as("q_l1"))
-
-  /** Mirrors [[embedQuantize]]: same max-abs scale, same
-    * floor(x·127/s + 0.5) round-half-up, same sequential integer folds. */
-  lazy val embedQuantizeSql: String =
-    s"""WITH sc AS (
-       |  SELECT vec_id, embedding,
-       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
-       |  FROM embeddings),
-       |q AS (
-       |  SELECT vec_id, scale,
-       |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
-       |         ELSE list_transform(embedding,
-       |           x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT))
-       |    END AS qvec
-       |  FROM sc)
-       |SELECT vec_id, scale,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(qvec, v -> CAST(v AS BIGINT))), (a, b) -> a + b) AS q_sum,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(qvec, v -> abs(CAST(v AS BIGINT)))), (a, b) -> a + b) AS q_l1
-       |FROM q""".stripMargin
-
-  /** Corpus snapshot diff ([[graft.operators.Versioning.diff]]): v2 is a
-    * deterministic synthetic revision of the fixture corpus — drop
-    * doc_id ≡ 0 (mod 13), append " rev2" to surviving doc_id ≡ 0 (mod 11),
-    * re-add doc_id ≡ 0 (mod 17) under id+1,000,000 — identically in the
-    * oracle, so every added/removed/modified/unchanged verdict is pinned. */
-  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val v2 = d.filter(pmod(col("doc_id"), lit(13)) =!= 0)
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")))
-      .unionByName(d.filter(pmod(col("doc_id"), lit(17)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    graft.operators.Versioning.diff(d, v2, "doc_id", "text")
-  }
-
-  /** Mirrors [[corpusDiff]]: same synthetic v2, same two-stream raw-text
-    * fingerprints, same full-outer classification. */
-  lazy val corpusDiffSql: String =
-    s"""WITH oldc AS (
-       |  SELECT doc_id, ${fnvHugeSql("text")} AS f1, ${fnvAltHugeSql("text")} AS f2
-       |  FROM documents),
-       |v2 AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
-       |  FROM documents WHERE doc_id % 13 <> 0
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
-       |newc AS (
-       |  SELECT doc_id, ${fnvHugeSql("text")} AS f1, ${fnvAltHugeSql("text")} AS f2
-       |  FROM v2)
-       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-       |  CASE WHEN n.doc_id IS NULL THEN 'removed'
-       |       WHEN o.doc_id IS NULL THEN 'added'
-       |       WHEN o.f1 = n.f1 AND o.f2 = n.f2 THEN 'unchanged'
-       |       ELSE 'modified' END AS status
-       |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin
-
-  /** Corpus export gate ([[graft.plans.CorpusExport.writeCurated]]): the
-    * curated corpus written split-partitioned to a temp dir, manifest
-    * recomputed from the WRITTEN files — the oracle therefore checks the
-    * on-disk artifact, xlsx-roundtrip style. */
-  def corpusExport(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_corpus_export")
-    // the manifest is a 3-row aggregate: materialize it off the written
-    // files, then reclaim the temp corpus (finally: a failed write in a
-    // bench loop must not strand an iteration's multi-MB export either)
-    try graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
-      .localCheckpoint(true)
-    finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** The delta LIFECYCLE gate ([[graft.plans.CorpusExport.applyDelta]]):
-    * day-0 exports the corpus WITHOUT the doc_id ≡ 0 (mod 5) curated
-    * docs, the fresh full curation diffs against it
-    * ([[graft.plans.CorpusExport.writeCuratedDelta]] — the delta is
-    * exactly those docs), and APPLY merges the delta into the base in
-    * place, rewriting only affected split partitions. The returned
-    * manifest is recomputed from the UPDATED on-disk corpus, which must
-    * equal a from-scratch export's — so the gate shares
-    * [[corpusExportSql]]. CorpusExportSpec pins that unaffected split
-    * partitions keep their exact files. */
-  def corpusApplyDelta(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_apply_delta")
-    // ONE curation materialization feeds both the day-0 export and the
-    // delta (a second full pipeline run — probe training included —
-    // would double the gate's cost for no extra verification)
-    val full = graft.plans.CorpusExport.curatedFull(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      graft.plans.CorpusExport.writeCuratedFrom(
-        s, full.filter(pmod(col("doc_id"), lit(5)) =!= 0), out.toString)
-      graft.plans.CorpusExport.writeCuratedDeltaFrom(s, full, out.toString)
-      graft.plans.CorpusExport.applyDelta(s, out.toString)
-    } finally {
-      full.unpersist(blocking = false)
-      graft.plans.CorpusExport.deleteRecursively(out.toFile)
-    }
-  }
-
-  /** Mirrors [[corpusExport]]: the curation subquery joined to the split
-    * buckets, aggregated per (split, lang). */
-  lazy val corpusExportSql: String =
-    s"""WITH cur AS (
-       |$curationPipelineSql
-       |),
-       |$splitAssignCtes
-       |SELECT sp.split, cur.lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(cur.n_tokens) AS BIGINT) AS total_tokens
-       |FROM cur JOIN sp USING (doc_id)
-       |GROUP BY sp.split, cur.lang""".stripMargin
-
-  /** Per-document deterministic train/val/test assignment: bucket =
-    * FNV-1a(doc_id) mod 100 → 80/10/10. Hash-based (not sampled) so the
-    * assignment is reproducible under any partitioning, any engine, and
-    * any subset of the corpus — the property a training pipeline needs so
-    * that test documents never drift into train between runs. The
-    * content-stable bucket every split consumer shares ([[trainSplit]]'s
-    * gate aggregate, the corpus export's partition column). */
-  /** The content-stable 80/10/10 split rule as a column expression — ONE
-    * definition shared by [[splitAssignments]] and the incremental-day
-    * delta export ([[graft.plans.IncrementalDay]]), so a day's delta can
-    * never be split differently than the base corpus. */
-  private[graft] def splitColumnFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bucket = pmod(GraftFunctions.fingerprint64(id.cast("string")), lit(100L))
-    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-  }
-
-  def splitAssignments(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    docs(s, dir)
-      .select(col("doc_id"),
-        splitColumnFor(col("doc_id")).as("split"),
-        GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-  }
-
-  def trainSplit(s: SparkSession, dir: String): DataFrame =
-    splitAssignments(s, dir)
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-
-  /** Shared split-assignment CTEs (`sp(doc_id, n_tokens, split)`) — ONE
-    * replica of the FNV-signed-pmod 80/10/10 bucket, bound by both the
-    * split gate and the corpus-export gate (mirroring the Scala side's
-    * single [[splitAssignments]]). */
-  private lazy val splitAssignCtes: String = {
-    // pmod over the SIGNED fingerprint: Spark's pmod(x, 100) = ((x % 100) + 100) % 100
-    val signed = hugeToSignedSql("h")
-    s"""sph AS (
-       |  SELECT doc_id, ${fnvHugeSql("CAST(doc_id AS VARCHAR)")} AS h,
-       |    CAST(len($tsSql) AS BIGINT) AS n_tokens
-       |  FROM documents),
-       |spb AS (
-       |  SELECT doc_id, n_tokens, (($signed % 100) + 100) % 100 AS bucket FROM sph),
-       |sp AS (
-       |  SELECT doc_id, n_tokens,
-       |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-       |  FROM spb)""".stripMargin
-  }
-
-  lazy val trainSplitSql: String =
-    s"""WITH $splitAssignCtes
-       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-       |FROM sp GROUP BY split""".stripMargin
-
-  /** Content-stable stratified sample: per-language fractions over the
-    * ALT hash stream (independent of the train-split stream). */
-  val sampleFractions: Seq[(String, Double)] = Seq(
-    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.05)
-
-  def sampleStratified(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.stratifiedSample(
-      docs(s, dir), col("doc_id"), col("lang"),
-      sampleFractions.toMap, default = 0.1)
-      .select(col("doc_id"), col("lang"))
-
-  /** Quantile-calibrated quality filter
-    * ([[graft.operators.Calibrate.keepTopFraction]]): the cutoff is the
-    * corpus' own 30th quality percentile (keep the top 70%), computed in
-    * one agg job — not a magic constant. Oracle-exact because Spark's
-    * `percentile` interpolation ≡ DuckDB `quantile_cont` bit-for-bit (the
-    * r_percentiles precedent) over bit-exact quality doubles. */
-  def qualityCalibrate(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    graft.operators.Calibrate.keepTopFraction(
-      docs(s, dir).select(col("doc_id"),
-        GraftFunctions.qualityScore(col("text")).as("quality")),
-      col("quality"), keepFraction = 0.7)
-  }
-
-  lazy val qualityCalibrateSql: String =
-    s"""WITH q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
-       |c AS (SELECT quantile_cont(quality, 0.3) AS cut FROM q)
-       |SELECT doc_id, quality FROM q CROSS JOIN c WHERE quality >= cut""".stripMargin
-
-  /** Per-source document cap ([[graft.operators.Sampling.capPerGroup]]):
-    * at most [[SourceCapN]] docs per source, chosen by content-hash order
-    * (unbiased, reproducible) — the per-domain limit of the
-    * RefinedWeb/C4 recipes. The operator runs the salted two-phase form;
-    * the oracle is the single-window form they provably equal. */
-  def sourceCap(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    graft.operators.Sampling.capPerGroup(
-      docs(s, dir), "source", "doc_id",
-      GraftFunctions.fingerprint64(col("text")), maxN = SourceCapN, salts = 4)
-      .select(col("doc_id"), col("source"))
-  }
-
-  private val SourceCapN = 10
-
-  lazy val sourceCapSql: String = {
-    val signed = hugeToSignedSql("hu")
-    s"""WITH hh AS (
-       |  SELECT doc_id, source, ${fnvHugeSql("text")} AS hu FROM documents),
-       |h AS (SELECT doc_id, source, $signed AS h FROM hh),
-       |rk AS (
-       |  SELECT doc_id, source,
-       |    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rk
-       |  FROM h)
-       |SELECT doc_id, source FROM rk WHERE rk <= $SourceCapN""".stripMargin
-  }
-
-  val sampleStratifiedSql: String = {
-    val cases = sampleFractions.map { case (lang, f) =>
-      s"WHEN '$lang' THEN ${graft.operators.Sampling.threshold(f)}"
-    }.mkString(" ")
-    val signed = hugeToSignedSql("h")
-    s"""WITH h AS (
-       |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS h
-       |  FROM documents),
-       |b AS (SELECT doc_id, lang, (($signed % 1000000) + 1000000) % 1000000 AS bucket FROM h)
-       |SELECT doc_id, lang FROM b
-       |WHERE bucket < CASE lang $cases ELSE ${graft.operators.Sampling.threshold(0.1)} END""".stripMargin
-  }
-
-  /** Target domain mixture for [[mixtureRebalance]] (shared with the oracle
-    * builder so the weights can never drift between engines). */
-  val mixtureWeights: Seq[(String, Double)] = Seq(
-    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
-
-  /** Domain-mixture rebalancing: downsample each language to the target
-    * mixture ([[graft.operators.Sampling.rebalanceToMixture]] — largest
-    * corpus consistent with the weights, thresholds computed in-plan,
-    * content-stable hash membership), reported as achieved per-language
-    * counts. */
-  def mixtureRebalance(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.rebalanceToMixture(
-      docs(s, dir), col("doc_id"), col("lang"), mixtureWeights.toMap)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-
-  /** Mirrors [[mixtureRebalance]]: same weight literals, same fixed
-    * double-association order for n_total and the thresholds, same
-    * ALT-stream FNV bucket as [[sampleStratifiedSql]]. */
-  val mixtureRebalanceSql: String = {
-    val cases = mixtureWeights.map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
-    val signed = hugeToSignedSql("hu")
-    s"""WITH c AS (
-       |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_g FROM documents GROUP BY lang),
-       |w AS (
-       |  SELECT lang, n_g, CASE lang $cases ELSE NULL END AS w_g FROM c),
-       |ww AS (SELECT lang, n_g, w_g FROM w WHERE w_g IS NOT NULL),
-       |t AS (SELECT MIN(n_g / w_g) AS n_total FROM ww),
-       |thr AS (
-       |  SELECT lang,
-       |    CASE WHEN n_g / w_g = n_total THEN 1000000
-       |         ELSE CAST(FLOOR(((n_total * w_g) / n_g) * 1000000.0) AS BIGINT) END AS thr
-       |  FROM ww CROSS JOIN t),
-       |h AS (
-       |  SELECT doc_id, lang, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS hu
-       |  FROM documents),
-       |b AS (SELECT doc_id, lang, (($signed % 1000000) + 1000000) % 1000000 AS bucket FROM h),
-       |kept AS (SELECT b.lang FROM b JOIN thr USING (lang) WHERE b.bucket < thr.thr)
-       |SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang""".stripMargin
-  }
-
-  /** Sequence packing: documents → ≤2048-token bins per language
-    * (cumulative-offset binning in doc_id order), reported per (lang, bin). */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
-    val packed = graft.operators.Sampling.packByTokenBudget(
-      docs(s, dir).select(col("doc_id"), col("lang"),
-        GraftFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
-      order = col("doc_id"), nTokens = col("n_tokens"), part = col("lang"),
-      budget = 2048)
-    packed.groupBy(col("lang"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-  }
-
-  val packSequencesSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, lang, CAST(len($tsSql) AS BIGINT) AS n FROM documents),
-       |c AS (
-       |  SELECT doc_id, lang, n,
-       |    SUM(n) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
-       |b AS (
-       |  SELECT lang, CAST(floor((cum - n) / CAST(2048 AS DOUBLE)) AS BIGINT) AS bin, n
-       |  FROM c)
-       |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
-       |FROM b GROUP BY lang, bin""".stripMargin
-
-  /** Incremental ingest dedup: the doc_id %7==0 slice plays the incoming
-    * batch, the rest the standing corpus; survivors are incoming docs whose
-    * canonical content is new. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.dedupAgainstCorpus(
-      d.filter(pmod(col("doc_id"), lit(7)) === 0),
-      d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
-      "text")
-      .select(col("doc_id"), col("lang"))
-  }
-
-  /** Bloom-pre-filtered incremental ingest
-    * ([[graft.operators.Dedup.bloomDedupAgainstCorpus]]): a corpus bloom
-    * bitset probed inside the incoming scan routes definitely-new rows
-    * AROUND the anti-join; only bloom hits reach it. Admit semantics are
-    * identical to the plain anti-join — the oracle is the same predicate
-    * at a different batch split (mod 5), so the hash check proves the
-    * routing loses and invents nothing. */
-  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.bloomDedupAgainstCorpus(
-      d.filter(pmod(col("doc_id"), lit(5)) === 0),
-      d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      "text", numBits = 1 << 16, numProbes = 4)
-      .select(col("doc_id"), col("lang"))
-  }
-
-  /** NEAR-dup incremental ingest
-    * ([[graft.operators.Dedup.nearDupAgainstCorpus]]): incoming slice =
-    * doc_id ≡ 0 (mod 7) (the [[dedupIncremental]] convention), standing
-    * corpus = the rest; admitted = incoming docs sharing no MinHash band
-    * bucket with the corpus. */
-  def nearDupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.nearDupAgainstCorpus(
-      d.filter(pmod(col("doc_id"), lit(7)) === 0),
-      d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
-      "doc_id", "text")
-      .select(col("doc_id"), col("lang"))
-  }
-
-  /** Mirrors [[nearDupIncremental]] on the shared banding CTEs:
-    * signatures are per-doc, so banding the whole corpus then splitting by
-    * the slice predicate ≡ banding each side separately. */
-  lazy val nearDupIncrementalSql: String =
-    s"""WITH $minhashBandedCtes,
-       |flagged AS (
-       |  SELECT DISTINCT i.doc_id
-       |  FROM banded i JOIN banded c
-       |    ON i.band = c.band AND i.bucket = c.bucket
-       |   AND i.doc_id % 7 = 0 AND c.doc_id % 7 <> 0)
-       |SELECT d.doc_id, d.lang FROM documents d
-       |WHERE d.doc_id % 7 = 0
-       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""".stripMargin
-
-  /** The incremental-ingest admit predicate at batch split `doc_id ≡ 0
-    * (mod m)`: incoming docs whose 128-bit canonical fingerprint matches
-    * no corpus doc — the oracle for BOTH the plain anti-join
-    * ([[dedupIncremental]]) and its bloom-routed twin ([[dedupBloom]]),
-    * which by construction computes the identical set (the bloom only
-    * routes rows; the residual anti-join decides). */
-  private def dedupIncrementalSqlAt(m: Int): String =
-    s"""WITH fp AS (
-       |  SELECT doc_id, lang, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
-       |  FROM (SELECT doc_id, lang,
-       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
-       |        FROM documents))
-       |SELECT i.doc_id, i.lang FROM fp i
-       |WHERE i.doc_id % $m = 0 AND NOT EXISTS (
-       |  SELECT 1 FROM fp c
-       |  WHERE c.doc_id % $m <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)""".stripMargin
-
-  lazy val dedupIncrementalSql: String = dedupIncrementalSqlAt(7)
-
-  lazy val dedupBloomSql: String = dedupIncrementalSqlAt(5)
-
-  // ---- float/hash-exact DuckDB oracles for the cosine & fingerprint ----
-  // families. The gate hash-compares doubles at full precision, so these
-  // SQL twins replicate the JVM kernels' exact operation order:
-  // `list_sum(list_transform(...))` is a sequential left-to-right double
-  // fold — bitwise equal to VectorOps' while-loops (validated element-wise
-  // on the fixtures; DuckDB's own list_cosine_similarity differs in ulps
-  // and is NOT used).
-
-  /** Sequential double dot-product fold over the min length, mirroring
-    * [[graft.functions.VectorOps.dot]]. */
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, least(len($a), len($b))+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
-  private def normSql(a: String): String =
-    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))"
-
-  /** d / sqrt(na·nb) with 0.0 on zero norms — [[graft.functions.VectorOps.cosine]]. */
-  private def cosSql(a: String, b: String): String =
-    s"""(CASE WHEN ${normSql(a)} = 0 OR ${normSql(b)} = 0 THEN 0.0
-       | ELSE ${dotSql(a, b)} / sqrt(${normSql(a)} * ${normSql(b)}) END)""".stripMargin
-
-  /** FNV-1a 64 over the (ASCII) bytes of `t` as an unsigned HUGEINT in
-    * [0, 2^64) — [[graft.functions.TextHash.fnv1a64]] with mod-2^64
-    * wraparound made explicit. */
-  private def fnvHugeSql(t: String): String =
-    fnvHugeFromSql(t, "14695981039346656037")
-
-  /** The second, domain-separated FNV stream —
-    * [[graft.functions.TextHash.fnv1a64Alt]] (basis embedded from the JVM
-    * constant). */
-  private def fnvAltHugeSql(t: String): String =
-    fnvHugeFromSql(t,
-      java.lang.Long.toUnsignedString(graft.functions.TextHash.Fnv1a64AltBasis))
-
-  private def fnvHugeFromSql(t: String, basis: String): String =
-    s"""list_reduce(
-       |      list_prepend(CAST($basis AS HUGEINT),
-       |        list_transform(range(1, length($t)+1), i -> CAST(unicode(substr($t, i, 1)) AS HUGEINT))),
-       |      (a, b) -> (xor(a, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
-
-  /** Reinterpret the unsigned fold result as the JVM's signed Long. */
-  private def hugeToSignedSql(h: String): String =
-    s"CAST(CASE WHEN $h >= CAST(9223372036854775808 AS HUGEINT) THEN $h - CAST(18446744073709551616 AS HUGEINT) ELSE $h END AS BIGINT)"
-
-  val fingerprintsSql: String =
-    s"""WITH base AS (
-       |  SELECT doc_id, text,
-       |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
-       |  FROM documents),
-       |h AS (
-       |  SELECT doc_id, ${fnvHugeSql("text")} AS hf, ${fnvHugeSql("ck")} AS hc
-       |  FROM base)
-       |SELECT doc_id, ${hugeToSignedSql("hf")} AS fp, ${hugeToSignedSql("hc")} AS canonical_fp
-       |FROM h""".stripMargin
-
-  val simTopKBruteSql: String =
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
-       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
-       |FROM embeddings e CROSS JOIN q
-       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
-
-  /** Mirrors [[graft.operators.Similarity.kmeansCentroids]] +
-    * `ivfTopKWith`: seeds = first 16 vectors by id; [[IvfKmeansIters]]
-    * UNROLLED Lloyd rounds, each an assignment (first-index argmax of
-    * cosine ≡ row_number with cell ASC tie-break) + a per-dimension
-    * quantized-integer-sum mean update — floor(x·10⁹) BIGINT sums / count
-    * / 10⁹, cast to float32, exactly the kernel's [[Similarity
-    * .CentroidQuanta]] arithmetic (empty cells keep their centroid, like
-    * the kernel's `getOrElse(c, old)`); then the 4-nearest-cell probe.
-    * Integer sums are order-independent, so the replay is BIT-EXACT on any
-    * partitioning and any engine — the former AVG()-cast-float32
-    * formulation's documented ~10⁻⁵/run summation-order flake class is
-    * gone (same fix that made the probe's GD training reproducible). */
-  /** Shared CTE fragment: cent0 seeds (first-16 by id) → [[IvfKmeansIters]]
-    * unrolled Lloyd rounds → `cent$IvfKmeansIters` (the refined centroid
-    * table) and `assign(vec_id, cell)` (final first-index-argmax
-    * assignment). Used by the IVF probe oracle, the semantic-dedup oracle,
-    * the cluster-report oracle and the batched-ANN oracle, so all gates
-    * exercise the SAME replicated k-means. */
-  private def kmeansAssignCtes: String = kmeansAssignCtesOver("embeddings")
-
-  /** [[kmeansAssignCtes]] with the TRAINING corpus parameterized (seed +
-    * every Lloyd round read `train`; the final `assign` always covers the
-    * whole embeddings table) — the incremental-index oracle trains on the
-    * base slice and assigns base + appended alike, mirroring
-    * `appendToIvfIndex`'s frozen-centroid contract. */
-  private def kmeansAssignCtesOver(train: String): String = {
-    val dim = 64
-    val q = graft.operators.Similarity.CentroidQuanta
-    val avgs = (1 to dim)
-      .map(i => s"CAST(CAST(SUM(CAST(floor(CAST(e.embedding[$i] AS DOUBLE) * $q) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $q AS FLOAT)")
-      .mkString("[", ", ", "]")
-    def round(t: Int): String =
-      s"""rc$t AS (
-         |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
-         |  FROM $train e CROSS JOIN cent$t c),
-         |a$t AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
-         |    FROM rc$t) WHERE rn = 1),
-         |up$t AS (
-         |  SELECT a.cell, $avgs AS cv
-         |  FROM a$t a JOIN $train e USING (vec_id) GROUP BY a.cell),
-         |cent${t + 1} AS (
-         |  SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
-         |  FROM cent$t c LEFT JOIN up$t u ON u.cell = c.cell)""".stripMargin
-    val rounds = (0 until IvfKmeansIters).map(round).mkString(",\n")
-    val f = IvfKmeansIters
-    s"""cent0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
-       |  FROM (SELECT vec_id, embedding FROM $train ORDER BY vec_id LIMIT 16)),
-       |$rounds,
-       |rcF AS (
-       |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cv")} AS cs
-       |  FROM embeddings e CROSS JOIN cent$f c),
-       |assign AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
-       |    FROM rcF) WHERE rn = 1)""".stripMargin
-  }
-
-  lazy val simTopKIvfSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |probed AS (
-       |  SELECT c.cell FROM cent$f c CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
-       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
-       |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
-       |WHERE assign.cell IN (SELECT cell FROM probed)
-       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
-  }
-
-  /** LM-gate threshold: the fixture corpus self-scores mean_p in
-    * [0.0299, 0.0383] (5th pct ≈ 0.0322), so 0.032 gates the genuinely
-    * least-predictable tail without emptying the corpus at any SF. */
-  private val LmMinMeanP = 0.032
-
-  /** CCNet-flavored LM predictability scoring
-    * ([[graft.operators.LangModel.scoreBigram]], self-scored: the corpus
-    * is its own reference model). mean_p is emitted EXACTLY — rational
-    * count arithmetic + position-ordered folds, no transcendentals. */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    graft.operators.LangModel.scoreBigram(d, d, "doc_id", "text", LmMinMeanP)
-  }
-
-  /** Bigram-LM CTE fragment (`lmdoc(doc_id, n_bigrams, mean_p)`) shared by
-    * the standalone [[lmScoreSql]] gate and the curation pipeline's LM
-    * stage — one replica of the model in the oracle corpus, like
-    * [[scoredRepCtes]] for the quality kernels. */
-  private lazy val lmCtes: String =
-    s"""lm_ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |lm_uni AS (SELECT t AS token, COUNT(*) AS c_uni FROM (SELECT unnest(toks) AS t FROM lm_ts) GROUP BY t),
-       |lm_vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lm_uni),
-       |lm_bipos AS (
-       |  SELECT doc_id, u.p AS pos, u.prev AS prev, u.bg AS bg FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-       |      i -> {p: i - 1, prev: toks[i], bg: toks[i] || ' ' || toks[i+1]})) AS u
-       |    FROM lm_ts)),
-       |lm_bi AS (SELECT bg, COUNT(*) AS c_bi FROM lm_bipos GROUP BY bg),
-       |lm_contrib AS (
-       |  -- LEFT joins + COALESCE mirror LangModel.scoreBigram for ANY
-       |  -- reference corpus: an unseen bigram/unigram smooths to
-       |  -- (0+1)/(0+V) instead of silently dropping the position (inner
-       |  -- joins only coincide under self-scoring, where every scored
-       |  -- bigram exists in the reference)
-       |  SELECT doc_id, pos,
-       |    (CAST(COALESCE(c_bi, 0) AS DOUBLE) + 1.0)
-       |      / (CAST(COALESCE(c_uni, 0) AS DOUBLE) + CAST(v AS DOUBLE)) AS p
-       |  FROM lm_bipos LEFT JOIN lm_bi USING (bg)
-       |  LEFT JOIN lm_uni ON lm_uni.token = lm_bipos.prev CROSS JOIN lm_vocab),
-       |lmdoc AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |    list_sum(list(p ORDER BY pos)) / CAST(COUNT(*) AS DOUBLE) AS mean_p
-       |  FROM lm_contrib GROUP BY doc_id)""".stripMargin
-
-  /** Mirrors [[lmScore]]: same add-one-smoothed counts, same 0-based
-    * positions, same position-ordered sequential fold (list_sum over an
-    * ORDER BY pos list ≡ the JVM left fold — the [[cosSql]] precedent). */
-  lazy val lmScoreSql: String =
-    s"""WITH $lmCtes
-       |SELECT doc_id, n_bigrams, mean_p, mean_p >= $LmMinMeanP AS lm_ok
-       |FROM lmdoc""".stripMargin
-
-  /** Clustering-quality report
-    * ([[graft.operators.Similarity.clusterReport]]) over the SAME refined
-    * centroids as the IVF and semantic-dedup gates. */
-  def clusterReport(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = embeddings(s, dir)
-    Similarity.clusterReport(e, "vec_id", "embedding",
-      Similarity.kmeansCentroids(e, "vec_id", "embedding",
-        nCells = 16, iters = IvfKmeansIters))
-  }
-
-  /** Mirrors [[clusterReport]] on the shared k-means CTEs: same
-    * assignment, same cosine fold, same floor-quantized integer sum (the
-    * mean is order-independent by construction, so no ordered-fold CTE is
-    * needed). */
-  lazy val clusterReportSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |m AS (
-       |  SELECT a.cell, ${cosSql("e.embedding", "c.cv")} AS cs
-       |  FROM assign a JOIN embeddings e USING (vec_id)
-       |  JOIN cent$f c ON c.cell = a.cell)
-       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
-       |  MIN(cs) AS min_cos, MAX(cs) AS max_cos,
-       |  CAST(SUM(CAST(floor(cs * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_cos_q6,
-       |  CAST(SUM(CAST(floor(cs * 1000000.0) AS BIGINT)) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_cos_q
-       |FROM m GROUP BY cell""".stripMargin
-  }
-
-  // probe-gate hyperparameters — shared by the query and its oracle twin
-  private val ProbeIters = 3
-  private val ProbeLr = 0.5
-  private val ProbeDim = 64
-
-  /** Fraction of the corpus the probe TRAINS on (ALT-hash deterministic
-    * sample — independent of the split stream); scoring covers everything.
-    * Training a 64-dim linear probe needs thousands of examples, not the
-    * corpus: at 100 TB this is the difference between 3 sampled-scan
-    * aggregations and 3 full-corpus passes per GD round. */
-  private val ProbeTrainFrac = 0.25
-
-  /** Margin threshold for the curation pipeline's probe-scoring stage.
-    * The probe is trained to predict the weak label (quality ≥ 0.5 → 1.0),
-    * so 0.6 asks for "confidently good": measured against the fixture
-    * corpora it cuts a small real slice of the heuristic survivors
-    * (3/118 at sf0.001, 2/138 at sf0.01, 16/1090 at sf0.1) — the docs the
-    * classifier disagrees with the hand rules about, which is the point
-    * of the GPT-3/LLaMA probe-filtering recipe. */
-  private[graft] val ProbeGateMargin = 0.6
-
-  /** Hashed-tf features + weak labels → trained probe weights: the
-    * shared trainer behind the weights gate ([[qualityProbe]]), the
-    * curation pipeline's inline scoring stage, and the streaming
-    * deployment. */
-  private def trainedProbe(s: SparkSession, dir: String): Seq[Double] = {
-    GraftFunctions.register(s)
-    // the deployed recipe's shape: TRAIN on a content-stable sample
-    // (hash-membership filter pushed into the scan — at 100 TB you never
-    // full-batch-GD over the whole corpus), SCORE everything. Vector and
-    // weak label come from ONE projection off the sampled scan — a doc_id
-    // self-join here would shuffle rows that already sit side by side.
-    val training = graft.operators.Sampling
-      .deterministicSample(docs(s, dir), col("doc_id"), ProbeTrainFrac)
-      .select(
-        GraftFunctions.hashedTfVector(split(col("text"), " "), ProbeDim).as("vector"),
-        GraftFunctions.markerStats(col("text")).as("ms"))
-      .select(col("vector"),
-        when(GraftFunctions.qualityScoreFrom(col("ms")) >= 0.5, 1.0)
-          .otherwise(0.0).as("y"))
-    graft.operators.Probe.trainLinear(
-      training, "vector", "y", ProbeDim, ProbeIters, ProbeLr)
-  }
-
-  /** Linear quality probe trained in-plan
-    * ([[graft.operators.Probe.trainLinear]]): hashed-tf features, weak
-    * labels from the quality kernel, 3 unrolled full-batch GD rounds with
-    * integer-quantized gradient aggregation — the weights are
-    * bit-reproducible on any partitioning, so the oracle can replay
-    * training exactly. */
-  def qualityProbe(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Probe.weightsDF(s, trainedProbe(s, dir))
-
-  /** The trained weight vector alone — the batch-side artifact the
-    * streaming deployment ([[graft.streaming.EventPipeline.probeScoreStream]])
-    * freezes into its plan. */
-  private[graft] def trainedProbeWeights(s: SparkSession, dir: String): Seq[Double] =
-    trainedProbe(s, dir)
-
-  /** The probe-training CTE chain — [[hashedVectorCtes]], weak labels,
-    * and the GD rounds UNROLLED (the k-means oracle pattern): per round,
-    * one quantized-integer gradient aggregate and one weight-update row;
-    * every double operation tree (fixed-order 64-term prediction sum,
-    * err·x·1e9 floor, g/n/1e9 update) matches the JVM driver arithmetic
-    * operation for operation. Ends in `w$ProbeIters(w0..w63)` — bound by
-    * the weights gate and by [[curationPipelineSql]]'s scoring stage. */
-  private lazy val probeTrainCtes: String = {
-    val dims = 0 until ProbeDim
-    // prediction under the iteration-t weight row (w0 ≡ all-zero literals)
-    def predSql(t: Int): String =
-      if (t == 0) dims.map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * 0.0").mkString(" + ")
-      else dims.map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * w$t.w$j").mkString(" + ")
-    def dataCte(t: Int): String = {
-      val from = if (t == 0) "normed d JOIN lab USING (doc_id) JOIN ptrain USING (doc_id)"
-      else s"normed d JOIN lab USING (doc_id) JOIN ptrain USING (doc_id) CROSS JOIN w$t"
-      s"""d$t AS (
-         |  SELECT d.vec AS vec, (${predSql(t)}) - lab.y AS err
-         |  FROM $from)""".stripMargin
-    }
-    def gradCte(t: Int): String = {
-      val q = graft.operators.Probe.QuantScale
-      val gs = dims.map(j =>
-        s"SUM(CAST(floor(err * CAST(vec[${j + 1}] AS DOUBLE) * $q) AS BIGINT)) AS g$j")
-        .mkString(",\n    ")
-      s"""g${t + 1} AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $gs FROM d$t)""".stripMargin
-    }
-    def weightCte(t: Int): String = {
-      val prev = if (t == 0) (_: Int) => "0.0" else (j: Int) => s"w$t.w$j"
-      val from = if (t == 0) s"g${t + 1}" else s"g${t + 1} CROSS JOIN w$t"
-      val q = graft.operators.Probe.QuantScale
-      val ws = dims.map(j =>
-        s"${prev(j)} - $ProbeLr * (CAST(g${t + 1}.g$j AS DOUBLE) / CAST(g${t + 1}.n AS DOUBLE) / $q) AS w$j")
-        .mkString(",\n    ")
-      s"""w${t + 1} AS (
-         |  SELECT $ws FROM $from)""".stripMargin
-    }
-    val rounds = (0 until ProbeIters)
-      .map(t => s"${dataCte(t)},\n${gradCte(t)},\n${weightCte(t)}").mkString(",\n")
-    // training-sample membership: the ALT-stream FNV bucket, the exact
-    // [[sampleStratifiedSql]] replica at the probe's fraction
-    val signed = hugeToSignedSql("hu")
-    val trainCte =
-      s"""ptrain AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, (($signed % 1000000) + 1000000) % 1000000 AS bucket
-         |    FROM (SELECT doc_id, ${fnvAltHugeSql("CAST(doc_id AS VARCHAR)")} AS hu
-         |          FROM documents))
-         |  WHERE bucket < ${graft.operators.Sampling.threshold(ProbeTrainFrac)})""".stripMargin
-    s"""$hashedVectorCtes,
-       |lab AS (
-       |  SELECT doc_id, CASE WHEN $qualityExprSql >= 0.5 THEN 1.0 ELSE 0.0 END AS y
-       |  FROM documents),
-       |$trainCte,
-       |$rounds""".stripMargin
-  }
-
-  /** Per-doc margin under the trained weights — `pok(doc_id)`, the docs the
-    * probe rates ≥ [[ProbeGateMargin]]. The margin is the same fixed-order
-    * 64-term sum as the training prediction ([[graft.operators.Probe.score]]
-    * left-folds identically), so the double compares exactly. */
-  private lazy val probeGateCtes: String = {
-    val margin = (0 until ProbeDim)
-      .map(j => s"CAST(d.vec[${j + 1}] AS DOUBLE) * w$ProbeIters.w$j").mkString(" + ")
-    s"""pmarg AS (
-       |  SELECT d.doc_id, ($margin) AS margin
-       |  FROM normed d CROSS JOIN w$ProbeIters),
-       |pok AS (SELECT doc_id FROM pmarg WHERE margin >= $ProbeGateMargin)""".stripMargin
-  }
-
-  /** Mirrors [[qualityProbe]]: the [[probeTrainCtes]] replay, weights
-    * unpivoted to the (dim, weight) gate shape. */
-  lazy val qualityProbeSql: String = {
-    val wList = (0 until ProbeDim).map(j => s"w$ProbeIters.w$j").mkString("[", ", ", "]")
-    s"""WITH $probeTrainCtes
-       |SELECT CAST(u.j AS INT) AS dim, $wList[u.j + 1] AS weight
-       |FROM w$ProbeIters, (SELECT unnest(range(0, $ProbeDim)) AS j) u""".stripMargin
-  }
-
-  /** Mirrors [[graft.streaming.EventPipeline.probeScoreStream]] (stream ≡
-    * batch for a stateless scorer): the [[probeTrainCtes]] replay + the
-    * margin projection, emitting the admitted docs WITH their exact-double
-    * margins. */
-  lazy val streamProbeSql: String =
-    s"""WITH $probeTrainCtes,
-       |$probeGateCtes
-       |SELECT d.doc_id, d.lang, p.margin
-       |FROM documents d JOIN pmarg p USING (doc_id)
-       |WHERE p.margin >= $ProbeGateMargin""".stripMargin
-
-  /** Incremental IVF index maintenance
-    * ([[graft.operators.Similarity.appendToIvfIndex]]): build the index
-    * from the even-id half (centroids trained there and FROZEN — the
-    * index's contract), append the odd-id half as a partition-local
-    * append (no rebuild, no standing-cell rewrite), then probe the union
-    * from disk. The probe result is hash-exact against the oracle's
-    * frozen-centroid replica. */
-  def annAppend(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_ivf_append")
-    try {
-      val e = embeddings(s, dir)
-      val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val incr = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
-      val cents = Similarity.writeIvfIndex(base, "vec_id", "embedding",
-        out.toString, nCells = 16, refineIters = IvfKmeansIters)
-      Similarity.appendToIvfIndex(incr, "vec_id", "embedding", out.toString, cents)
-      Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
-        queryVector(s, dir), k = 20, nprobe = 4).localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[annAppend]]: k-means trained on the even-id slice only
-    * (the frozen-centroid contract), assignment over EVERYTHING — base
-    * and appended rows probe identically. */
-  lazy val annAppendSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH ${kmeansAssignCtesOver("(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)")},
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |probed AS (
-       |  SELECT c.cell FROM cent$f c CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
-       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
-       |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
-       |WHERE assign.cell IN (SELECT cell FROM probed)
-       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
-  }
-
-  /** The orchestrated incremental-day gate
-    * ([[graft.plans.IncrementalDay.ingestDay]]): doc_id ≡ 0 (mod 4) plays
-    * the new day, the rest the standing corpus. Day-0 artifacts are built
-    * first (IVF index + frozen centroids over the standing embeddings,
-    * probe weights trained on the day-0 corpus), then the day flows
-    * end-to-end: bloom dedup → frozen-artifact curation → split-
-    * partitioned delta export → idempotent index append (replay refused
-    * in-run). The output is the delta manifest read back from the written
-    * files with the day's index-row/cell facts from the batch-tagged
-    * index files — all of it replayed by the oracle from `documents` +
-    * `embeddings` alone. */
-  def incrementalDay(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val root = java.nio.file.Files.createTempDirectory("graft_incr_day")
-    try {
-      val d = docs(s, dir)
-      val e = embeddings(s, dir)
-      val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
-      val incoming = d.filter(pmod(col("doc_id"), lit(4)) === 0)
-      val idx = s"$root/index"
-      val cents = Similarity.writeIvfIndex(
-        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding",
-        idx, nCells = 16, refineIters = IvfKmeansIters)
-      graft.plans.IncrementalDay.ingestDay(
-        s, incoming, standing,
-        trainedProbeWeights(s, dir), ProbeGateMargin, splitColumnFor,
-        e, idx, cents, s"$root/delta", "day1",
-        bloomBits = 1 << 16, bloomProbes = 4)
-    } finally graft.plans.CorpusExport.deleteRecursively(root.toFile)
-  }
-
-  /** Mirrors [[incrementalDay]] stage by stage: the mod-4 anti-join admit
-    * predicate, the quality-tier and frozen-probe CTEs (probe trained on
-    * the day-0 corpus — the whole `documents` table, the s_stream_probe
-    * convention), the shared split rule, and the day's index facts via
-    * the frozen-centroid k-means replica over the STANDING embeddings
-    * (the annAppend convention at a mod-4 split). */
-  lazy val incrementalDaySql: String =
-    s"""WITH fp AS (
-       |  SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
-       |  FROM (SELECT doc_id,
-       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
-       |        FROM documents)),
-       |admitted AS (
-       |  SELECT i.doc_id FROM fp i
-       |  WHERE i.doc_id % 4 = 0 AND NOT EXISTS (
-       |    SELECT 1 FROM fp c
-       |    WHERE c.doc_id % 4 <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)),
-       |$scoredRepCtes,
-       |$probeTrainCtes,
-       |$probeGateCtes,
-       |curated AS (
-       |  SELECT s.doc_id, s.lang, s.n_tokens FROM scored s
-       |  JOIN rep USING (doc_id) JOIN admitted USING (doc_id)
-       |  JOIN pok USING (doc_id)
-       |  WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok),
-       |$splitAssignCtes,
-       |${kmeansAssignCtesOver("(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0)")},
-       |idx AS (
-       |  SELECT COUNT(*) AS day_index_rows,
-       |         COUNT(DISTINCT a.cell) AS day_index_cells
-       |  FROM curated c JOIN assign a ON a.vec_id = c.doc_id)
-       |SELECT sp.split, c.lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
-       |  idx.day_index_rows, idx.day_index_cells
-       |FROM curated c JOIN sp ON sp.doc_id = c.doc_id CROSS JOIN idx
-       |GROUP BY sp.split, c.lang, idx.day_index_rows, idx.day_index_cells""".stripMargin
-
-  /** ANN index DELETE lifecycle
-    * ([[graft.operators.Similarity.tombstoneIvfIndex]] +
-    * [[graft.operators.Similarity.compactIvfIndex]]): build the on-disk
-    * index over the whole corpus, tombstone a planted subset (vec_id ≡ 3
-    * mod 7 — the redaction batch a PII sweep produces), probe MASKED
-    * (tombstones pending, anti-joined in-probe), compact (only the
-    * affected cell partitions rewrite), probe again from the rewritten
-    * files, and `require` the two probes identical — both delete phases
-    * are load-bearing in the one gate. Hash-exact vs the oracle's
-    * frozen-centroid replica with the deleted ids excluded: centroids
-    * keep their full-corpus training (deletion must not re-shuffle
-    * standing cells), only row membership changes. */
-  def annDelete(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_ivf_delete")
-    try {
-      val e = embeddings(s, dir)
-      val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
-        out.toString, nCells = 16, refineIters = IvfKmeansIters)
-      Similarity.tombstoneIvfIndex(s, out.toString, "vec_id",
-        e.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
-      def probe() = Similarity.ivfTopKFromIndex(s, out.toString, cents,
-        "vec_id", "embedding", queryVector(s, dir), k = 20, nprobe = 4)
-      val masked = probe().collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val (deleted, cells) = Similarity.compactIvfIndex(s, out.toString, "vec_id")
-      require(deleted > 0 && cells.nonEmpty,
-        "planted delete subset must hit the index")
-      val compacted = probe().localCheckpoint(true)
-      val after = compacted.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      require(masked == after,
-        "tombstone-masked probe and post-compaction probe must be identical")
-      compacted
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[annDelete]]: the [[kmeansAssignCtes]] full-corpus replica
-    * (frozen centroids — deletes don't retrain), deleted ids excluded
-    * from the ranked rows only. */
-  lazy val annDeleteSql: String = {
-    val f = IvfKmeansIters
-    s"""WITH $kmeansAssignCtes,
-       |q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-       |probed AS (
-       |  SELECT c.cell FROM cent$f c CROSS JOIN q
-       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC LIMIT 4)
-       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
-       |FROM embeddings e JOIN assign USING (vec_id) CROSS JOIN q
-       |WHERE assign.cell IN (SELECT cell FROM probed)
-       |  AND e.vec_id % 7 <> 3
-       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
-  }
-
-  /** PCA-reduced ANN ([[embedPca]] composed with top-k): nearest 20
-    * vectors to vec 0 by squared euclidean distance IN THE REDUCED SPACE —
-    * the search an index built over projections serves. Because the
-    * projections are exact doubles ([[embedPcaSql]]'s replay), the
-    * distances — fixed-order two-term sums — are too, so the whole
-    * composition is hash-exact, not a recall bound. The query projection
-    * is a 1-row driver fetch (the accepted single-query-ANN shape; the
-    * batch shape is [[annBatch]]'s). */
-  def simTopKPca(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-    val (m, comps) = graft.operators.Pca.components(
-      e, "embedding", PcaDim, PcaNComp, PcaIters)
-    val proj = graft.operators.Pca.project(e, "vec_id", "embedding", m, comps)
-    val q = proj.orderBy(col("vec_id").asc).limit(1).head()
-    val (q1, q2) = (q.getDouble(1), q.getDouble(2))
-    proj.select(col("vec_id"),
-        (((col("p1") - lit(q1)) * (col("p1") - lit(q1))) +
-          ((col("p2") - lit(q2)) * (col("p2") - lit(q2)))).as("dist2"))
-      .orderBy(col("dist2").asc, col("vec_id").asc)
-      .limit(20)
-  }
-
-  /** The PRODUCTION shape of [[simTopKPca]]: train → persist the (mean,
-    * components) artifact ([[graft.operators.Pca.saveComponents]]) →
-    * LOAD it back → project + search from the loaded copy — the
-    * train-once / serve-many split a deployed reduced-space index runs
-    * (the gate's training exists only to produce the artifact; the
-    * search touches nothing but the loaded doubles). Parquet round-trips
-    * doubles bit-exactly, so this gate shares [[simTopKPcaSql]]'s
-    * training-replay oracle verbatim — a byte of artifact drift would
-    * hash-mismatch.
-    *
-    * BENCH SHAPE: the recorded gate time covers training + artifact
-    * round-trip + serve, because the gate must CREATE the fixture it
-    * loads (7 fixed PCA jobs dominate, ~2s of the gate's wall time);
-    * the serve path alone — load + project + top-k — is what a deployed
-    * process pays per query, and it is the tail of this gate after the
-    * `loadComponents` call. Read the bench number as artifact-lifecycle
-    * cost, not query latency. */
-  def simTopKPcaLoad(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_pca_artifact")
-    try {
-      val e = embeddings(s, dir)
-      val (m0, c0) = graft.operators.Pca.components(
-        e, "embedding", PcaDim, PcaNComp, PcaIters)
-      graft.operators.Pca.saveComponents(s, out.toString, m0, c0)
-      val (m, comps) = graft.operators.Pca.loadComponents(s, out.toString)
-      val proj = graft.operators.Pca.project(e, "vec_id", "embedding", m, comps)
-      val q = proj.orderBy(col("vec_id").asc).limit(1).head()
-      val (q1, q2) = (q.getDouble(1), q.getDouble(2))
-      proj.select(col("vec_id"),
-          (((col("p1") - lit(q1)) * (col("p1") - lit(q1))) +
-            ((col("p2") - lit(q2)) * (col("p2") - lit(q2)))).as("dist2"))
-        .orderBy(col("dist2").asc, col("vec_id").asc)
-        .limit(20)
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
-  }
-
-  /** Mirrors [[simTopKPca]]: the full PCA replay as a subquery, the
-    * vec-0 projection re-derived in SQL (bit-equal to the collected
-    * literals), the same fixed-order distance. */
-  lazy val simTopKPcaSql: String =
-    s"""WITH pca AS (
-       |$embedPcaSql
-       |),
-       |q AS (SELECT p1 AS q1, p2 AS q2 FROM pca ORDER BY vec_id LIMIT 1)
-       |SELECT vec_id,
-       |  ((pca.p1 - q.q1) * (pca.p1 - q.q1)) + ((pca.p2 - q.q2) * (pca.p2 - q.q2)) AS dist2
-       |FROM pca CROSS JOIN q
-       |ORDER BY dist2 ASC, vec_id ASC LIMIT 20""".stripMargin
-
-  // BPE-gate hyperparameters — shared by the query and its oracle twin
-  private val BpeRounds = 8
-
-  /** BPE merge training ([[graft.operators.Bpe.trainMerges]]): 8 rounds of
-    * most-frequent-adjacent-pair merging over the word-frequency vocab.
-    * Output is the trained merge table — all integers and ASCII strings,
-    * hash-exact by construction. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val (table, vocab) = graft.operators.Bpe.trainMerges(
-      s, docs(s, dir), "text", BpeRounds)
-    graft.operators.Bpe.freeVocab(vocab)
-    table
-  }
-
-  /** Mirrors [[bpeTrain]] with the merge rounds UNROLLED: per round, the
-    * pair argmax (count DESC, lhs ASC, rhs ASC — bytewise on ASCII, same
-    * order both engines) and the greedy non-overlapping merge replayed via
-    * gaps-and-islands windows (taken = odd rank within a consecutive-match
-    * island ≡ the operator's left-to-right fold; a position following a
-    * taken one is absorbed). The oracle presumes each round finds a pair —
-    * true for any natural-language corpus at 8 rounds (the operator stops
-    * early on exhaustion; a degenerate corpus would need fewer rounds). */
-  lazy val bpeTrainSql: String = {
-    val out = (0 until BpeRounds)
-      .map(t => s"SELECT ${t + 1} AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM top$t")
-      .mkString("\nUNION ALL\n")
-    s"""WITH $bpeCtes
-       |SELECT CAST(round AS INT) AS round, lhs, rhs, pair_count FROM ($out)""".stripMargin
-  }
-
-  /** BPE tokenization with the trained vocab
-    * ([[graft.operators.Bpe.tokenize]]): every (doc, word position) maps
-    * to its merged symbol sequence via the broadcast vocab — the trained
-    * artifact applied to the corpus, one scan, no per-round re-fold.
-    * Output is one row per (doc, word_pos, sym_pos, token) — all
-    * integers/strings, hash-exact. */
-  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val (_, vocab) = graft.operators.Bpe.trainMerges(
-      s, docs(s, dir), "text", BpeRounds)
-    val out = graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", vocab)
-      .localCheckpoint(true)
-    graft.operators.Bpe.freeVocab(vocab)
-    out
-  }
-
-  /** The serve path of [[bpeTokenize]]: train, PERSIST the vocabulary
-    * artifact ([[graft.operators.Bpe.saveVocab]]), then tokenize with the
-    * LOADED artifact — the production shape, where tokenization jobs read
-    * an O(vocab) parquet instead of replaying the merge rounds. Shares
-    * [[bpeTokenizeSql]]: strings/longs round-trip parquet bit-exactly, so
-    * load + tokenize ≡ train + tokenize. */
-  def bpeTokenizeLoad(s: SparkSession, dir: String): DataFrame = {
-    val (_, vocab) = graft.operators.Bpe.trainMerges(
-      s, docs(s, dir), "text", BpeRounds)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_vocab")
-    try {
-      graft.operators.Bpe.saveVocab(vocab, tmp.toString)
-      graft.operators.Bpe.freeVocab(vocab)
-      val loaded = graft.operators.Bpe.loadVocab(s, tmp.toString)
-      graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", loaded)
-        .localCheckpoint(true)
-    } finally graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
-  }
-
-  /** Mirrors [[bpeTokenize]]: the shared [[bpeCtes]] replay to the final
-    * vocab, then word positions (pre-filter positions, empties dropped
-    * after — ≡ posexplode-then-filter) joined to the merged symbol
-    * sequences. */
-  lazy val bpeTokenizeSql: String =
-    s"""WITH $bpeCtes,
-       |base AS (
-       |  SELECT doc_id, u.p AS word_pos, u.w AS word FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(range(1, len(ws) + 1), i -> {p: i - 1, w: ws[i]})) AS u
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-       |  WHERE len(u.w) > 0),
-       |tok AS (
-       |  SELECT b.doc_id, b.word_pos,
-       |    unnest(list_transform(range(1, len(v.syms) + 1), i -> {p: i - 1, s: v.syms[i]})) AS u2
-       |  FROM base b JOIN v$BpeRounds v USING (word))
-       |SELECT doc_id, CAST(word_pos AS INT) AS word_pos,
-       |  CAST(u2.p AS INT) AS sym_pos, u2.s AS token
-       |FROM tok""".stripMargin
-
-  /** The BPE training CTE chain — word-frequency vocab `w`, char-split
-    * `v0`, and [[BpeRounds]] unrolled merge rounds ending in
-    * `v$BpeRounds(word, f, syms)` + per-round `top$t(l, r, cnt)` — shared
-    * by the merge-table gate and the tokenization gate. */
-  private lazy val bpeCtes: String = {
-    def round(t: Int): String =
-      s"""pr$t AS (
-         |  SELECT f, syms, unnest(range(1, len(syms))) AS i FROM v$t),
-         |pc$t AS (
-         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(f) AS BIGINT) AS cnt
-         |  FROM pr$t GROUP BY 1, 2),
-         |top$t AS MATERIALIZED (SELECT l, r, cnt FROM pc$t ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |ps$t AS (
-         |  SELECT v.word, unnest(range(1, len(v.syms))) AS i, v.syms AS syms
-         |  FROM v$t v),
-         |mt$t AS (
-         |  SELECT p.word, p.i FROM ps$t p CROSS JOIN top$t
-         |  WHERE p.syms[p.i] = top$t.l AND p.syms[p.i + 1] = top$t.r),
-         |isl$t AS (
-         |  SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
-         |  FROM mt$t),
-         |tk$t AS (
-         |  SELECT word, i FROM (
-         |    SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
-         |    FROM isl$t)
-         |  WHERE rn % 2 = 1),
-         |ap$t AS (
-         |  SELECT word, f, syms, unnest(range(1, len(syms) + 1)) AS i FROM v$t),
-         |v${t + 1} AS MATERIALIZED (
-         |  SELECT word, f, list(s ORDER BY i) AS syms FROM (
-         |    SELECT a.word, a.f, a.i,
-         |      CASE WHEN t1.i IS NOT NULL THEN top$t.l || top$t.r ELSE a.syms[a.i] END AS s
-         |    FROM ap$t a CROSS JOIN top$t
-         |    LEFT JOIN tk$t t1 ON t1.word = a.word AND t1.i = a.i
-         |    LEFT JOIN tk$t t2 ON t2.word = a.word AND t2.i = a.i - 1
-         |    WHERE t2.i IS NULL)
-         |  GROUP BY word, f)""".stripMargin
-    val rounds = (0 until BpeRounds).map(round).mkString(",\n")
-    s"""w AS (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE len(word) > 0 GROUP BY word),
-       |v0 AS MATERIALIZED (SELECT word, f, string_split(word, '') AS syms FROM w),
-       |$rounds""".stripMargin
-  }
-
-  // PCA-gate hyperparameters — shared by the query and its oracle twin
-  private val PcaDim = 64
-  private val PcaIters = 3
-  private val PcaNComp = 2
-
-  /** Deterministic power-iteration PCA over the embeddings
-    * ([[graft.operators.Pca.components]]): quantized-integer matrix
-    * applications make the components bit-reproducible on any
-    * partitioning, so the oracle replays the whole training — mean,
-    * every power round, deflation — and the gate emits every vector's
-    * EXACT projection onto the top two components. */
-  def embedPca(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-    val (m, comps) = graft.operators.Pca.components(
-      e, "embedding", PcaDim, PcaNComp, PcaIters)
-    graft.operators.Pca.project(e, "vec_id", "embedding", m, comps)
-  }
-
-  /** Mirrors [[embedPca]] with mean, power rounds, and deflation all
-    * UNROLLED in CTEs (the probe-GD replay pattern): identical quantized
-    * floor-sums, identical fixed-order folds, IEEE sqrt/divide — the
-    * projections compare as exact doubles. */
-  lazy val embedPcaSql: String = {
-    val q = graft.operators.Pca.Quanta // renders 1.0E9, a DOUBLE literal
-    val dims = 0 until PcaDim
-    // centered coordinates: z[j+1] = CAST(embedding[j+1] AS DOUBLE) - m_j
-    val xcList = dims.map(j =>
-      s"CAST(e.embedding[${j + 1}] AS DOUBLE) - m.m$j").mkString("[", ", ", "]")
-    // fixed-order left fold of z against a (prefix, j)-named weight row
-    def dotSql(vOf: Int => String): String =
-      dims.map(j => s"z[${j + 1}] * ${vOf(j)}").mkString(" + ")
-    val seed = 1.0 / math.sqrt(PcaDim.toDouble) // 0.125 — exact literal
-    // one power round for component `p` over its deflated base `base`
-    def round(p: Int, t: Int, base: String): String = {
-      val dot = if (t == 0) dotSql(_ => seed.toString)
-      else dotSql(j => s"c${p}v$t.v$j")
-      val from = if (t == 0) base else s"$base CROSS JOIN c${p}v$t"
-      val us = dims.map(j =>
-        s"SUM(CAST(floor(dt * z[${j + 1}] * $q) AS BIGINT)) AS u$j").mkString(",\n    ")
-      val sq = dims.map(j => s"(CAST(u$j AS DOUBLE) * CAST(u$j AS DOUBLE))")
-        .mkString(" + ")
-      val vs = dims.map(j => s"CAST(u$j AS DOUBLE) / no AS v$j").mkString(",\n    ")
-      s"""c${p}d$t AS (SELECT z, ($dot) AS dt FROM $from),
-         |c${p}u$t AS (SELECT $us FROM c${p}d$t),
-         |c${p}n$t AS (SELECT *, sqrt($sq) AS no FROM c${p}u$t),
-         |c${p}v${t + 1} AS (SELECT $vs FROM c${p}n$t)""".stripMargin
-    }
-    def rounds(p: Int, base: String): String =
-      (0 until PcaIters).map(t => round(p, t, base)).mkString(",\n")
-    // deflation base for component 2: z ← z − (z·c1)·c1, the scalar d
-    // aliased once (the operator's projection-pair shape)
-    val deflList = dims.map(j => s"z[${j + 1}] - d * v$j").mkString("[", ", ", "]")
-    val meanSums = dims.map(j =>
-      s"SUM(CAST(floor(CAST(embedding[${j + 1}] AS DOUBLE) * $q) AS BIGINT)) AS s$j")
-      .mkString(",\n    ")
-    val means = dims.map(j =>
-      s"CAST(s$j AS DOUBLE) / CAST(n AS DOUBLE) / $q AS m$j").mkString(",\n    ")
-    def projSql(p: Int): String =
-      dims.map(j => s"xc.z[${j + 1}] * c${p}v$PcaIters.v$j").mkString(" + ")
-    s"""WITH ms AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $meanSums FROM embeddings),
-       |m AS (SELECT $means FROM ms),
-       |xc AS (SELECT e.vec_id, $xcList AS z FROM embeddings e CROSS JOIN m),
-       |${rounds(1, "xc")},
-       |c2p AS (
-       |  SELECT z, (${dotSql(j => s"c1v$PcaIters.v$j")}) AS d,
-       |    ${dims.map(j => s"c1v$PcaIters.v$j AS v$j").mkString(", ")}
-       |  FROM xc CROSS JOIN c1v$PcaIters),
-       |c2b AS (SELECT $deflList AS z FROM c2p),
-       |${rounds(2, "c2b")}
-       |SELECT xc.vec_id, (${projSql(1)}) AS p1, (${projSql(2)}) AS p2
-       |FROM xc CROSS JOIN c1v$PcaIters CROSS JOIN c2v$PcaIters""".stripMargin
-  }
-
-  /** The quality-score formula as a SQL expression over `documents` rows
-    * (the [[GraftFunctions.qualityScore]] twin used inline by
-    * [[textStatsSql]]/[[scoredRepCtes]]). */
-  private lazy val qualityExprSql: String = {
-    val allMarkers = GraftFunctions.langMarkers.flatMap(_._2)
-    s"""0.5 * (CAST(len(list_distinct($tsSql)) AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))
-       |    + 0.3 * least(1.0, CAST(len($tsSql) AS DOUBLE) / 64.0)
-       |    + 0.2 * (1.0 - CAST(${hitsSql(allMarkers)} AS DOUBLE) / CAST(len($tsSql) AS DOUBLE))"""
-      .stripMargin.replace("\n", " ")
-  }
-
-  /** Cosine threshold for the semantic-dedup gate — chosen against the
-    * fixture embedding distribution (near-orthogonal synthetic vectors:
-    * cross-pair cosines top out ≈ 0.51), so the drop set is non-trivial at
-    * every SF. */
-  private val SemDedupTau = 0.38
-
-  /** SemDeDup semantic dedup gate
-    * ([[graft.operators.Similarity.semanticDedupDrops]]): k-means cells
-    * from the SAME refined centroids as the IVF gate, within-cell
-    * witnesses at cosine ≥ τ, minimum-id keep rule. Output is the drop
-    * list with its evidence (witness id + exact cosine). */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = embeddings(s, dir)
-    Similarity.semanticDedupDrops(e, "vec_id", "embedding",
-      Similarity.kmeansCentroids(e, "vec_id", "embedding",
-        nCells = 16, iters = IvfKmeansIters),
-      tau = SemDedupTau)
-  }
-
-  /** Mirrors [[semanticDedup]] on the shared k-means CTEs: same
-    * assignment, same within-cell pair generation, same sequential-fold
-    * cosine, same min-witness window. */
-  lazy val semanticDedupSql: String =
-    s"""WITH $kmeansAssignCtes,
-       |pairs0 AS (
-       |  SELECT a.vec_id, a.cell, b.vec_id AS kept_by,
-       |    ${cosSql("ea.embedding", "eb.embedding")} AS cosine
-       |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
-       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
-       |pairs AS (SELECT * FROM pairs0 WHERE cosine >= $SemDedupTau)
-       |SELECT vec_id, CAST(cell AS INT) AS cell, kept_by, cosine
-       |FROM (
-       |  SELECT vec_id, cell, kept_by, cosine,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY kept_by ASC) AS rn
-       |  FROM pairs)
-       |WHERE rn = 1""".stripMargin
-
-  /** Shared CTE body mirroring [[graft.operators.Dedup.embeddingNearDupPairs]]
-    * with the SAME hyperplanes embedded as double literals (generated by the
-    * identical [[graft.operators.Similarity.planes]] call, exact
-    * shortest-repr round-trip): yields `scored(id_a, id_b, cosine)` — every
-    * LSH-candidate pair (a < b) with its exact cosine. */
-  private def lshScoredCte(planesPerTable: Int, tables: Int): String = {
-    val all = Similarity.planes(planesPerTable * tables, 64, 42L)
-    val values = all.zipWithIndex.map { case (pv, i) =>
-      val t = i / planesPerTable; val p = i % planesPerTable
-      s"($t, $p, [${pv.map(_.toDouble.toString).mkString(",")}]::DOUBLE[])"
-    }.mkString(",\n    ")
-    s"""planes(tbl, p, pv) AS (VALUES
-       |    $values),
-       |dots AS (
-       |  SELECT e.vec_id, pl.tbl, pl.p,
-       |    list_sum(list_transform(range(1, least(len(e.embedding), len(pl.pv))+1),
-       |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])) AS d
-       |  FROM embeddings e CROSS JOIN planes pl),
-       |buck AS (
-       |  SELECT vec_id, tbl,
-       |    SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
-       |  FROM dots GROUP BY vec_id, tbl),
-       |pairs AS (
-       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM buck a JOIN buck b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |scored AS (
-       |  SELECT p.id_a, p.id_b, ${cosSql("va.embedding", "vb.embedding")} AS cosine
-       |  FROM pairs p
-       |  JOIN embeddings va ON va.vec_id = p.id_a
-       |  JOIN embeddings vb ON vb.vec_id = p.id_b)""".stripMargin
-  }
-
-  val embedNearDupSql: String =
-    s"""WITH ${lshScoredCte(8, 4)}
-       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= -1.0
-       |ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""".stripMargin
-
-  /** Mirrors [[knnJoin]]: the same candidate CTE, symmetrized, ranked per
-    * row by (cosine DESC, neighbor ASC). The `cosine >= -1.0` predicate
-    * mirrors the operator exactly ([[Similarity.lshKnnJoin]] calls
-    * `embeddingNearDupPairs` with threshold = -1.0): a NaN cosine or a
-    * rounding one ulp below -1 is dropped by BOTH engines, never just one. */
-  val knnJoinSql: String =
-    s"""WITH ${lshScoredCte(8, 4)},
-       |sym AS (
-       |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored WHERE cosine >= -1.0
-       |  UNION ALL
-       |  SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored WHERE cosine >= -1.0),
-       |ranked AS (
-       |  SELECT vec_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM sym)
-       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
-       |FROM ranked WHERE rank <= 5""".stripMargin
-
-  /** Batch kNN join over the embeddings table: each vector's 5 nearest
-    * LSH-candidate neighbors ([[Similarity.lshKnnJoin]]). */
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Similarity.lshKnnJoin(embeddings(s, dir), "vec_id", "embedding",
-      dim = 64, k = 5, planesPerTable = 8, tables = 4)
-  }
-
-  // word-3-shingles of a single-space-tokenized text, as DuckDB SQL
-  // (mirrors GraftFunctions.wordShingles semantics incl. the <k degenerate case)
-  private val shingleSql: String =
-    """CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
-      |     ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
-      |            i -> concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1], ' ', string_split(text,' ')[i+2]))
-      |END""".stripMargin
-
-  /** Mirrors [[graft.operators.Dedup.simhashPairs]] end to end: FNV-1a bit
-    * voting per token, pigeonhole banding on the 16-bit chunks, bucket cap,
-    * hamming ≤ 3 — every step is integer arithmetic, so the replica is
-    * bit-exact. */
-  val dedupSimhashSql: String = {
-    val votes = (0 until 64).map { b =>
-      s"SUM(CASE WHEN (h // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS c$b"
-    }.mkString(",\n    ")
-    val assemble = (0 until 64).map { b =>
-      s"(CASE WHEN c$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
-    }.mkString(" + ")
-    val chunkSelects = (0 until 4).map { c =>
-      s"  SELECT doc_id, sig, $c AS chunk, CAST((hu // CAST(${BigInt(1) << (16 * c)} AS HUGEINT)) % 65536 AS INT) AS key FROM sigs"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-       |th AS (SELECT doc_id, ${fnvHugeSql("t")} AS h FROM tok),
-       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
-       |asm AS (SELECT doc_id, $assemble AS hu FROM votes),
-       |sigs AS (SELECT doc_id, ${hugeToSignedSql("hu")} AS sig, hu FROM asm),
-       |chunked AS (
-       |$chunkSelects
-       |),
-       |bsz AS (SELECT chunk, key, COUNT(*) AS n FROM chunked GROUP BY chunk, key),
-       |coll AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.chunk, a.key,
-       |    bit_count(xor(a.sig, b.sig)) AS hamming
-       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id),
-       |firstc AS (
-       |  SELECT id_a, id_b, chunk, key, hamming,
-       |    row_number() OVER (PARTITION BY id_a, id_b ORDER BY chunk) AS rn
-       |  FROM coll)
-       |SELECT f.id_a, f.id_b, CAST(f.hamming AS INT) AS hamming
-       |FROM firstc f JOIN bsz ON bsz.chunk = f.chunk AND bsz.key = f.key
-       |WHERE f.rn = 1 AND bsz.n <= 1000 AND f.hamming <= 3""".stripMargin
-  }
-
-  /** Mirrors [[graft.operators.Dedup.minhashPairs]] end to end: the
-    * universal-hash coefficients come from the SAME
-    * [[graft.functions.TextHash.minhashCoeffs]] call and are embedded as
-    * literals; banding groups on the raw signature slices (as the operator
-    * does), so candidates — and therefore the exact-jaccard output — are
-    * engine-identical. */
-  /** Shared MinHash signature/banding CTEs (`sh` → `hm` → `sig` →
-    * `banded(doc_id, band, bucket)`) — the DuckDB replica of the fused
-    * `MinHashSig` + band-slice pipeline, used by the pair gate AND the
-    * incremental near-dup gate so both bind the same signature math. */
-  private lazy val minhashBandedCtes: String = {
-    val (a, b) = graft.functions.TextHash.minhashCoeffs(48, 42L)
-    val mins = (0 until 48).map { i =>
-      s"MIN((${a(i)} * hm + ${b(i)}) % 2147483647) AS s$i"
-    }.mkString(",\n    ")
-    val bandSelects = (0 until 16).map { bd =>
-      s"  SELECT doc_id, $bd AS band, [s${bd * 3}, s${bd * 3 + 1}, s${bd * 3 + 2}] AS bucket FROM sig"
-    }.mkString("\n  UNION ALL\n")
-    s"""sh AS (
-       |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS s FROM documents),
-       |hm AS (
-       |  SELECT doc_id, CAST((${fnvHugeSql("s")} % CAST(9223372036854775808 AS HUGEINT)) % 2147483647 AS BIGINT) AS hm
-       |  FROM sh),
-       |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
-       |banded AS (
-       |$bandSelects
-       |)""".stripMargin
-  }
-
-  lazy val dedupMinhashSql: String = {
-    val jac = "CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / " +
-      "(CAST(len(ta.sh) + len(tb.sh) AS DOUBLE) - CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE))"
-    s"""WITH $minhashBandedCtes,
-       |bsz AS (SELECT band, bucket, COUNT(*) AS n FROM banded GROUP BY band, bucket),
-       |coll AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band, a.bucket
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |firstb AS (
-       |  SELECT id_a, id_b, band, bucket,
-       |    row_number() OVER (PARTITION BY id_a, id_b ORDER BY band) AS rn
-       |  FROM coll),
-       |cand AS (
-       |  SELECT f.id_a, f.id_b
-       |  FROM firstb f JOIN bsz ON bsz.band = f.band AND bsz.bucket = f.bucket
-       |  WHERE f.rn = 1 AND bsz.n <= 1000),
-       |toks AS (SELECT doc_id, list_distinct($shingleSql) AS sh FROM documents)
-       |SELECT c.id_a, c.id_b, $jac AS jaccard
-       |FROM cand c JOIN toks ta ON ta.doc_id = c.id_a JOIN toks tb ON tb.doc_id = c.id_b
-       |WHERE $jac >= 0.8""".stripMargin
-  }
-
-  /** Shared hashed-tf-vector CTEs (`normed(doc_id, vec)` — the
-    * [[graft.operators.TfIdf.hashedVectors]] replica: FNV bucket, unsigned
-    * mod 64 ≡ the kernel's signed-mod-then-fix for a power-of-two dim;
-    * dense 64-bucket counts in bucket order; L2 normalization rounded to
-    * float32). Used by the doc-vector-search gate (which adds the cosine
-    * fold) and the linear-probe trainer's oracle. */
-  private lazy val hashedVectorCtes: String =
-    s"""tb AS (
-       |  SELECT doc_id, CAST(${fnvHugeSql("t")} % 64 AS INT) AS bucket
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-       |cnt AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM tb GROUP BY doc_id, bucket),
-       |dense AS (
-       |  SELECT d.doc_id, b.b AS bucket, COALESCE(cnt.c, 0.0) AS c
-       |  FROM (SELECT DISTINCT doc_id FROM documents) d
-       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
-       |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bucket = b.b),
-       |raw AS (SELECT doc_id, list(c ORDER BY bucket) AS rv FROM dense GROUP BY doc_id),
-       |normed AS (
-       |  SELECT doc_id,
-       |    CASE WHEN s > 0 THEN list_transform(rv, x -> CAST(x / s AS FLOAT))
-       |         ELSE list_transform(rv, x -> CAST(x AS FLOAT)) END AS vec
-       |  FROM (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, y -> y*y))) AS s FROM raw))""".stripMargin
-
-  lazy val docVectorSearchSql: String =
-    s"""WITH $hashedVectorCtes,
-       |q AS (SELECT vec AS qv FROM normed ORDER BY doc_id LIMIT 1)
-       |SELECT n.doc_id, ${cosSql("n.vec", "q.qv")} AS cosine
-       |FROM normed n CROSS JOIN q
-       |ORDER BY cosine DESC, n.doc_id ASC LIMIT 20""".stripMargin
-
-  /** Link-graph authority ([[graft.operators.Graph.pageRank]]) over the
-    * events click-graph: per-user consecutive transitions on the `props.k`
-    * item form the edges, five exact integer power-iteration rounds rank
-    * the items — the CommonCrawl-style domain-authority signal, gated
-    * hash-exact because every round is integer floor-division arithmetic
-    * (the probe/k-means reproducibility discipline). */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    val edges = graft.operators.Graph.transitionEdges(
-      ev, "user_id", "ts", "event_id",
-      get_json_object(col("props"), "$.k").cast("long"))
-    graft.operators.Graph.pageRank(edges, "src", "dst", "w", iters = 5)
-      .select(col("node").as("item"), col("rank_q"), col("rank_frac"))
-  }
-
-  /** Multi-source BFS over the item-transition graph: minimum hop
-    * distance (≤ 4) from the seed set {nodes ≡ 0 mod 17} — the
-    * reachability/traversal query Spark has no recursive-CTE surface for,
-    * expressed as a fixed-depth frontier loop
-    * ([[graft.operators.Graph.bfsDistances]]) and oracled against DuckDB's
-    * actual WITH RECURSIVE. */
-  def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    // null-free edge list BEFORE seed derivation: the node universe must
-    // match the oracle's (whose edges CTE drops null-dst rows), or a node
-    // whose only edge points at null would seed Spark-side but not there
-    val edges = graft.operators.Graph.transitionEdges(
-      ev, "user_id", "ts", "event_id",
-      get_json_object(col("props"), "$.k").cast("long"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-    val seeds = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst")))
-      .distinct()
-      .filter(pmod(col("node"), lit(17)) === 0)
-    graft.operators.Graph.bfsDistances(edges, "src", "dst", seeds, "node", maxDepth = 4)
-      .select(col("node").as("item"), col("dist"))
-  }
-
-  /** Recursive-CTE twin of [[graphBfs]]: same edge derivation as the
-    * PageRank oracle, then DuckDB's native WITH RECURSIVE with MIN(dist)
-    * — frontier-BFS first-discovery equals the recursive minimum. */
-  val graphBfsSql: String =
-    """WITH RECURSIVE ev AS (
-      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-      |  FROM events),
-      |tr AS (
-      |  SELECT item,
-      |         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
-      |  FROM ev),
-      |edges AS (SELECT src, item AS dst FROM tr
-      |          WHERE src IS NOT NULL AND item IS NOT NULL GROUP BY 1, 2),
-      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      |seeds AS (SELECT node FROM nodes WHERE ((node % 17) + 17) % 17 = 0),
-      |r AS (
-      |  SELECT node, 0 AS dist FROM seeds
-      |  UNION
-      |  SELECT e.dst AS node, r.dist + 1 AS dist
-      |  FROM r JOIN edges e ON e.src = r.node
-      |  WHERE r.dist < 4)
-      |SELECT node AS item, CAST(MIN(dist) AS BIGINT) AS dist
-      |FROM r GROUP BY node""".stripMargin
-
-  /** Oracle: the five integer rounds unrolled as CTEs — share, contrib,
-    * dangling split, and the damping blend all in BIGINT floor-division
-    * (`//`, ≡ Spark's `div` for the non-negative values here), so every
-    * round is bit-identical to the operator on any engine. */
-  lazy val graphPagerankSql: String = {
-    val S = graft.operators.Graph.RankScale
-    val iters = 5
-    val rounds = (1 to iters).map { i =>
-      val p = s"r${i - 1}"
-      s"""c$i AS (
-         |  SELECT e.dst AS node, SUM((r.r * e.w) // o.ow) AS contrib
-         |  FROM edges e JOIN $p r ON e.src = r.node JOIN outw o ON e.src = o.src
-         |  GROUP BY 1),
-         |d$i AS (
-         |  SELECT COALESCE(
-         |      (SELECT SUM(r) FROM $p WHERE node NOT IN (SELECT src FROM outw)), 0)
-         |    // (SELECT n FROM nn) AS deach),
-         |r$i AS (
-         |  SELECT n.node,
-         |    ($S - (85 * $S) // 100) // nn.n
-         |      + (85 * (COALESCE(c.contrib, 0) + d.deach)) // 100 AS r
-         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d
-         |  LEFT JOIN c$i c ON n.node = c.node)"""
-    }.mkString(",\n")
-    s"""WITH ev AS (
-       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-       |  FROM events),
-       |tr AS (
-       |  SELECT item,
-       |         lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
-       |  FROM ev),
-       |edges AS (SELECT src, item AS dst, COUNT(*) AS w FROM tr
-       |          WHERE src IS NOT NULL GROUP BY 1, 2),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
-       |r0 AS (SELECT node, $S // n AS r FROM nodes, nn),
-       |$rounds
-       |SELECT node AS item, CAST(r AS BIGINT) AS rank_q,
-       |       CAST(r AS DOUBLE) / $S.0 AS rank_frac
-       |FROM r$iters""".stripMargin
-  }
-}
+object LlmOps extends LlmTextDedupOps with LlmSketchAnnOps
+  with LlmIngestCurationOps with LlmModelInfraOps
