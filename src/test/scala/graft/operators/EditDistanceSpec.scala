@@ -87,6 +87,23 @@ class EditDistanceSpec extends SparkTestBase {
     assert(got == Set((0L, 1L, 0L), (0L, 2L, 1L), (1L, 2L, 1L)))
   }
 
+  test("multi-match-aware probe windows keep exact recall on a dense random corpus") {
+    // small alphabet + short lengths force MANY true near pairs across
+    // every (length diff, segment, offset) combination — the adversarial
+    // shape for the tightened PassJoin position windows
+    val r = new scala.util.Random(421)
+    val strs: Seq[(Long, String)] = (0L until 300L).map { i =>
+      val len = r.nextInt(13)
+      i -> (0 until len).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+    }
+    for (k <- Seq(1, 2, 3)) {
+      val got = run(strs, k)
+      val want = brute(strs, k)
+      assert((want -- got).isEmpty, s"k=$k lost pairs: ${(want -- got).take(5)}")
+      assert((got -- want).isEmpty, s"k=$k phantom pairs: ${(got -- want).take(5)}")
+    }
+  }
+
   test("member-expansion joins exchange on 128-bit fingerprints, never raw strings") {
     val strs: Seq[(Long, String)] = (0L until 40L).map(i => i -> s"title number ${i % 9}")
     val df = spark.createDataFrame(strs).toDF("doc_id", "title")
