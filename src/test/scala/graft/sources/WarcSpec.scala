@@ -259,6 +259,53 @@ class WarcSpec extends AnyFunSuite {
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
+  test("random chunk geometries round-trip: 1-byte chunks, ragged sizes, extension noise") {
+    val r = new scala.util.Random(99)
+    (0 until 30).foreach { trial =>
+      val body = (0 until 50 + r.nextInt(3000)).map(_ => (32 + r.nextInt(90)).toChar)
+        .mkString.getBytes("UTF-8")
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      while (off < body.length) {
+        val n = 1 + r.nextInt(511)
+        val take = math.min(n, body.length - off)
+        val ext = if (r.nextBoolean()) s";x=${r.nextInt(9)}" else ""
+        out.write(s"${take.toHexString}$ext\r\n".getBytes("US-ASCII"))
+        out.write(body, off, take)
+        out.write("\r\n".getBytes("US-ASCII"))
+        off += take
+      }
+      out.write("0\r\n\r\n".getBytes("US-ASCII"))
+      val http = httpPayload(
+        "Content-Type: text/plain; charset=utf-8\r\nTransfer-Encoding: chunked\r\n",
+        out.toByteArray)
+      val got = Warc.parseWarcFile(rawResponseRecord(http)).head
+      assert(got.body.sameElements(body), s"trial $trial")
+    }
+  }
+
+  test("fuzz: random byte corruption parses or dies typed — never a raw runtime exception") {
+    val base = Warc.buildResponseRecord(
+      "https://example.com/fuzz", ("payload line é 中\n" * 20).getBytes("UTF-8"),
+      "r", gzip = false, chunked = true)
+    val r = new scala.util.Random(7)
+    (0 until 600).foreach { trial =>
+      val b = base.clone()
+      (0 to r.nextInt(3)).foreach { _ =>
+        // offsets >= 2: flipping the first two bytes to the gzip magic
+        // legitimately routes the stream to the JDK inflater, whose
+        // IOExceptions are the decompressor's contract, not the parser's
+        b(2 + r.nextInt(b.length - 2)) = r.nextInt(256).toByte
+      }
+      try { Warc.parseWarcFile(b); () }
+      catch {
+        case _: IllegalArgumentException => () // the parser's typed error
+        case e: Throwable =>
+          fail(s"trial $trial: untyped ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("hostile bytes are typed errors: lying Content-Length, truncation, junk") {
     val good = Warc.buildResponseRecord("u", "abc".getBytes, "r", gzip = false)
     // lying length: patch the WARC Content-Length digits up
