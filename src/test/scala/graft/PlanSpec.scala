@@ -53,6 +53,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no exchange hash-partitions on a raw document-content column, inventory-wide") {
+    // the exactCanonicalHashed discipline, pinned globally: shuffles key
+    // on 128-bit fingerprints (or ids, or bounded-domain values — tokens,
+    // hosts, langs), never on full document text. A text-keyed exchange
+    // ships the corpus itself as shuffle keys and is invisible at gate
+    // scale while dominating at 100 TB.
+    val forbidden = "hashpartitioning\\((text|body_text|str|s_a|s_b|ck|canonical_key)#".r
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      val hit = forbidden.findFirstIn(p)
+      assert(hit.isEmpty, s"$name exchanges on raw document text ($hit):\n$p")
+    }
+  }
+
   test("edit-distance blocking joins are hash-shaped (no nested-loop anywhere)") {
     // every join in the PassJoin pipeline — candidate key join, short-tier
     // length join, verify joins — must be equi (hash/sort-merge), never a
