@@ -45,6 +45,53 @@ object Decontaminate {
       .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
   }
 
+  /** Contamination SPAN localization — the surgical tier of the n-gram
+    * protocol: instead of dropping every contaminated document on
+    * [[overlapNgrams]]'s verdict, emit the exact token extents where the
+    * training text overlaps the eval suite, so curation can excise the
+    * leaked passage and keep the rest of the document (the find/cut split
+    * of Lee et al. 2022's ExactSubstr applied to decontamination).
+    *
+    * Scale shape: the eval fingerprint set broadcasts exactly as in
+    * [[overlapNgrams]]; the train side pays one posexplode into positioned
+    * 8-byte window fingerprints (never text) whose broadcast-join
+    * survivors — a tiny fraction of any healthy corpus — feed the per-doc
+    * interval-union window ([[Spans.mergeExtents]]). No shuffle carries
+    * the corpus. Documents shorter than `n` tokens contribute their whole
+    * text as one degenerate gram (nothing silently exempt), with the span
+    * end clamped to the real token count.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — token
+    * positions 0-based inclusive; overlapping/adjacent matched windows
+    * merge into maximal extents. */
+  def contaminationSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    val evalFps = eval
+      .select(explode(array_distinct(
+        GraftFunctions.wordShingles(col(textCol), n))).as("g"))
+      .select(GraftFunctions.fingerprint64(col("g")).as("gfp"))
+      .distinct()
+    val positioned = train
+      .select(col(idCol).as("doc_id"),
+        (size(GraftFunctions.tokens(col(textCol))) - 1).as("last_tok"),
+        posexplode(GraftFunctions.wordShingles(col(textCol), n)).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), col("last_tok"),
+        GraftFunctions.fingerprint64(col("g")).as("gfp"))
+    val matched = positioned.join(broadcast(evalFps), "gfp")
+      .select(col("doc_id"), col("p"),
+        least(col("p") + n - 1, col("last_tok")).as("e"))
+    Spans.mergeExtents(matched)
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+
   /** FUZZY decontamination: flag training documents NEAR-duplicating any
     * eval document (MinHash-banded candidates, exact-Jaccard verified at
     * `threshold`) — the protocol for eval leakage that survived paraphrase

@@ -86,8 +86,10 @@ object Spans {
 
   /** Interval union per doc over (doc_id, p, e) window rows: a window starts
     * a new extent iff it begins after every earlier window's end + 1
-    * (adjacency merges). Returns (doc_id, span_start, span_end). */
-  private def mergeExtents(windows: DataFrame): DataFrame = {
+    * (adjacency merges). Returns (doc_id, span_start, span_end).
+    * `private[operators]`: [[Decontaminate.contaminationSpans]] reuses the
+    * same union for eval-overlap extents. */
+  private[operators] def mergeExtents(windows: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val prevMaxEnd = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
     windows

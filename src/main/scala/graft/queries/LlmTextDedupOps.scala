@@ -661,6 +661,59 @@ trait LlmTextDedupOps { this: LlmOps.type =>
        |SELECT doc_id, n_overlap, CAST(n_overlap > 0 AS INT) AS contaminated
        |FROM j""".stripMargin
 
+  /** Contamination span localization ([[Decontaminate.contaminationSpans]]):
+    * the surgical tier of the same eval protocol — for every train doc the
+    * maximal token extents overlapping the eval slice's word-5-grams, so
+    * leaked passages can be excised instead of dropping whole documents.
+    * Broadcast eval fingerprints, positioned window fingerprints on the
+    * train side, per-doc interval union over the matched minority. */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontaminate.contaminationSpans(
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) === 0),
+      "doc_id", "text", n = DecontGramK)
+  }
+
+  /** Closed-form twin of [[decontaminateSpans]]: positioned 5-gram
+    * fingerprints (degenerate whole-text gram below 5 tokens, end clamped
+    * to the doc's last token), eval set from the %[[DecontEvalMod]] slice,
+    * gaps-and-islands interval union — the [[repeatedSpansSql]] machinery
+    * pointed at the eval-overlap set. */
+  lazy val decontaminateSpansSql: String = {
+    val k = DecontGramK
+    val parts = (1 to k).map(j => s"ts[i+${j - 1}]").mkString(", ' ', ")
+    val pme = "max(e) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text,' ') AS ts FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(ts) - 1 AS last_tok,
+       |    unnest(CASE WHEN len(ts) < $k THEN [{p: 0, g: text}]
+       |           ELSE list_transform(range(1, len(ts) - ${k - 2}),
+       |             i -> {p: i - 1, g: concat($parts)}) END) AS u
+       |  FROM d),
+       |g AS (SELECT doc_id, last_tok, u.p AS p, u.g AS g FROM s),
+       |hh AS (SELECT doc_id, last_tok, p, ${fnvHugeSql("g")} AS hu FROM g),
+       |ps AS (SELECT doc_id, last_tok, p, ${hugeToSignedSql("hu")} AS h FROM hh),
+       |e AS (SELECT DISTINCT h FROM ps WHERE doc_id % $DecontEvalMod = 0),
+       |rep AS (
+       |  SELECT ps.doc_id, ps.p, least(ps.p + ${k - 1}, ps.last_tok) AS e
+       |  FROM ps JOIN e USING (h) WHERE ps.doc_id % $DecontEvalMod <> 0),
+       |isl AS (
+       |  SELECT doc_id, p, e,
+       |    CASE WHEN $pme IS NULL OR p > $pme + 1 THEN 1 ELSE 0 END AS new_ext
+       |  FROM rep),
+       |ext AS (
+       |  SELECT doc_id, p, e,
+       |    SUM(new_ext) OVER (PARTITION BY doc_id ORDER BY p) AS ext
+       |  FROM isl)
+       |SELECT doc_id,
+       |  CAST(MIN(p) AS BIGINT) AS span_start,
+       |  CAST(MAX(e) AS BIGINT) AS span_end,
+       |  CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
+       |FROM ext GROUP BY doc_id, ext""".stripMargin
+  }
+
   /** Jaccard threshold of the FUZZY decontamination gate — intentionally far
     * below dedup's 0.8: half-shared shingle mass with a benchmark item is
     * leakage. */

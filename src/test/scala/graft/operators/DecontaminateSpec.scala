@@ -121,4 +121,58 @@ class DecontaminateSpec extends SparkTestBase {
     // the final train-corpus join must NOT be a sort-merge join
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  private def spansOf(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+      n: Int = 3): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Decontaminate.contaminationSpans(
+      train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+      "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("spans: a planted eval passage localizes to its exact token extent") {
+    val eval = Seq(100L -> "the secret eval answer is forty two")
+    val train = Seq(
+      // tokens 0-2 clean, 3-9 = the planted 7-token passage, 10-11 clean
+      1L -> "some clean prose the secret eval answer is forty two more clean",
+      2L -> "completely unrelated training text with no leak at all")
+    assert(spansOf(train, eval) == Set((1L, 3L, 9L, 7L)))
+  }
+
+  test("spans: overlapping and adjacent matched windows merge into one maximal extent") {
+    val eval = Seq(
+      100L -> "alpha beta gamma",
+      101L -> "gamma delta epsilon") // chained: overlapping leak windows
+    val train = Seq(1L -> "x alpha beta gamma delta epsilon y")
+    // windows [1,3] and [3,5] overlap -> one extent tokens 1..5
+    assert(spansOf(train, eval) == Set((1L, 1L, 5L, 5L)))
+  }
+
+  test("spans: disjoint leaks in one doc stay separate extents") {
+    val eval = Seq(100L -> "alpha beta gamma", 101L -> "one two three")
+    val train = Seq(1L -> "alpha beta gamma z z z z one two three")
+    assert(spansOf(train, eval) ==
+      Set((1L, 0L, 2L, 3L), (1L, 7L, 9L, 3L)))
+  }
+
+  test("spans: short documents match through the degenerate whole-text gram, end clamped") {
+    val eval = Seq(100L -> "tiny leak") // 2 tokens < n=3: degenerate gram
+    val train = Seq(1L -> "tiny leak", 2L -> "tiny difference")
+    // whole-text grams equal; span must clamp to the real last token (1)
+    assert(spansOf(train, eval) == Set((1L, 0L, 1L, 2L)))
+  }
+
+  test("spans: clean corpus emits nothing; matched side never sort-merge-joins the corpus") {
+    val eval = Seq(100L -> "alpha beta gamma")
+    val clean = Seq(1L -> "totally different words here entirely")
+    assert(spansOf(clean, eval).isEmpty)
+    import spark.implicits._
+    val plan = Decontaminate.contaminationSpans(
+      clean.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+      "doc_id", "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
