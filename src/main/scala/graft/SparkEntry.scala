@@ -85,6 +85,7 @@ object SparkEntry {
     "d_cluster_keep_best" -> (q.LlmOps.dedupClustersKeepBest _),
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_decontaminate_spans" -> (q.LlmOps.decontaminateSpans _),
+    "d_decontaminate_strip" -> (q.LlmOps.decontaminateStrip _),
     "d_decontaminate_fuzzy" -> (q.LlmOps.decontaminateFuzzy _),
     "d_importance_sample" -> (q.LlmOps.importanceSample _),
     "d_importance_resample" -> (q.LlmOps.importanceResample _),
@@ -352,6 +353,7 @@ object SparkEntry {
     "d_cluster_keep_best" -> q.LlmOps.dedupClustersKeepBestSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
     "d_decontaminate_spans" -> q.LlmOps.decontaminateSpansSql,
+    "d_decontaminate_strip" -> q.LlmOps.decontaminateStripSql,
     "d_decontaminate_fuzzy" -> q.LlmOps.decontaminateFuzzySql,
     "d_importance_sample" -> q.LlmOps.importanceSampleSql,
     "d_importance_resample" -> q.LlmOps.importanceResampleSql,

@@ -92,6 +92,21 @@ object Decontaminate {
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
   }
 
+  /** The CUT composed with the find: training docs with every
+    * eval-overlap extent ([[contaminationSpans]]) excised — the deployed
+    * decontamination that keeps the document and removes the leak.
+    * One row per train doc: token counts before/removed plus the cleaned
+    * text pinned by length + fingerprint ([[Spans.stripExtents]], the
+    * same cut the repeated-span tier runs). */
+  def stripContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    Spans.stripExtents(train, idCol, textCol,
+      contaminationSpans(train, eval, idCol, textCol, n))
+
   /** FUZZY decontamination: flag training documents NEAR-duplicating any
     * eval document (MinHash-banded candidates, exact-Jaccard verified at
     * `threshold`) — the protocol for eval leakage that survived paraphrase

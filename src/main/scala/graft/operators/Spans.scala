@@ -199,8 +199,23 @@ object Spans {
       idCol: String,
       textCol: String,
       k: Int,
-      minDocs: Int = 2): DataFrame = {
-    val exts = repeatedSpans(df, idCol, textCol, k, minDocs)
+      minDocs: Int = 2): DataFrame =
+    stripExtents(df, idCol, textCol, repeatedSpans(df, idCol, textCol, k, minDocs))
+
+  /** The generic CUT half over ANY extents frame (doc_id, span_start,
+    * span_end, span_tokens): every token inside an extent is dropped;
+    * output per input doc is token counts plus the cleaned text pinned by
+    * length + fingerprint. Shared by [[stripRepeatedSpans]] and
+    * [[Decontaminate.stripContamination]] — the find tiers differ, the
+    * cut is one operator. The extents join back doc-keyed (tiny rows);
+    * per-token membership is O(tokens × extents) per document, extents
+    * being merged intervals (typically few). */
+  private[operators] def stripExtents(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      extents: DataFrame): DataFrame = {
+    val exts = extents
       .groupBy(col("doc_id"))
       .agg(
         sort_array(collect_list(

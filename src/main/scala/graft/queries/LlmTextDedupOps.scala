@@ -714,6 +714,49 @@ trait LlmTextDedupOps { this: LlmOps.type =>
        |FROM ext GROUP BY doc_id, ext""".stripMargin
   }
 
+  /** Surgical decontamination ([[Decontaminate.stripContamination]]): the
+    * cut composed with the find — every train doc with its eval-overlap
+    * extents excised, cleaned text pinned by length + fingerprint. */
+  def decontaminateStrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontaminate.stripContamination(
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(DecontEvalMod)) === 0),
+      "doc_id", "text", n = DecontGramK)
+  }
+
+  /** Mirrors [[decontaminateStrip]]: [[decontaminateSpansSql]]'s extents
+    * fed through the [[stripSpansSql]] removal replay, over the train
+    * slice only. */
+  lazy val decontaminateStripSql: String =
+    s"""WITH spans AS ($decontaminateSpansSql),
+       |ag AS (
+       |  SELECT doc_id,
+       |    list_sort(list({s: span_start, e: span_end})) AS exts,
+       |    SUM(span_tokens) AS n_removed
+       |  FROM spans GROUP BY doc_id),
+       |base AS (SELECT doc_id, $tsSql AS ts FROM documents
+       |         WHERE doc_id % $DecontEvalMod <> 0),
+       |cleaned AS (
+       |  SELECT b.doc_id,
+       |    CAST(len(b.ts) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |    array_to_string(
+       |      list_transform(
+       |        list_filter(range(1, len(b.ts) + 1),
+       |          i -> len(list_filter(COALESCE(a.exts, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+       |                 x -> (i - 1) >= x.s AND (i - 1) <= x.e)) = 0),
+       |        i -> b.ts[i]), ' ') AS clean0
+       |  FROM base b LEFT JOIN ag a USING (doc_id)),
+       |coalesced AS (
+       |  SELECT doc_id, n_tokens, n_removed, COALESCE(clean0, '') AS clean
+       |  FROM cleaned),
+       |h AS (SELECT doc_id, n_tokens, n_removed, clean, ${fnvHugeSql("clean")} AS hc FROM coalesced)
+       |SELECT doc_id, n_tokens, n_removed,
+       |  CAST(length(clean) AS BIGINT) AS clean_len,
+       |  ${hugeToSignedSql("hc")} AS clean_fp
+       |FROM h""".stripMargin
+
   /** Jaccard threshold of the FUZZY decontamination gate — intentionally far
     * below dedup's 0.8: half-shared shingle mass with a benchmark item is
     * leakage. */

@@ -164,6 +164,28 @@ class DecontaminateSpec extends SparkTestBase {
     assert(spansOf(train, eval) == Set((1L, 0L, 1L, 2L)))
   }
 
+  test("strip: the leaked passage is excised, surrounding text survives verbatim") {
+    import spark.implicits._
+    val eval = Seq(100L -> "the secret eval answer is forty two").toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "some clean prose the secret eval answer is forty two more clean",
+      2L -> "nothing leaked here at all",
+      3L -> "tiny").toDF("doc_id", "text") // shorter than n, no overlap
+    val got = Decontaminate.stripContamination(train, eval, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 12 tokens, 7 removed (tokens 3..9); clean = "some clean prose more clean"
+    assert(got(1L) == ((12L, 7L, "some clean prose more clean".length.toLong)))
+    assert(got(2L) == ((5L, 0L, "nothing leaked here at all".length.toLong)))
+    assert(got(3L) == ((1L, 0L, 4L)))
+    // a fully-contaminated doc strips to the empty string
+    val all = Decontaminate.stripContamination(
+      Seq(9L -> "the secret eval answer is forty two").toDF("doc_id", "text"),
+      eval, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(all == ((7L, 7L, 0L)))
+  }
+
   test("spans: clean corpus emits nothing; matched side never sort-merge-joins the corpus") {
     val eval = Seq(100L -> "alpha beta gamma")
     val clean = Seq(1L -> "totally different words here entirely")
