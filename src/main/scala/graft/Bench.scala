@@ -153,16 +153,22 @@ object Bench {
       s""""plan_sec":$plans,"failures":$failures,"iters":$iters,""" +
       s""""cpus":"$cpus","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullDoc + "\n")
-      System.err.println(s"[bench] full per-query document -> $outPath")
-    } catch { case e: Throwable =>
-      // a read-only cwd must not kill the run: fall back to stderr, which
-      // at least surfaces in full logs
-      System.err.println(s"[bench] could not write $outPath (${e.getMessage}); full doc follows")
-      System.err.println(fullDoc)
-    }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"queries_file":"$outPath","sf":"$sfDir"}""")
+    val wrote =
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullDoc + "\n")
+        System.err.println(s"[bench] full per-query document -> $outPath")
+        true
+      } catch { case e: Throwable =>
+        // a read-only cwd must not kill the run: fall back to stderr, which
+        // at least surfaces in full logs
+        System.err.println(s"[bench] could not write $outPath (${e.getMessage}); full doc follows")
+        System.err.println(fullDoc)
+        false
+      }
+    // the pointer must only name a file this run actually wrote — a stale
+    // BENCH_FULL.json from an earlier run must never be read as current
+    val ptr = if (wrote) s""""queries_file":"$outPath"""" else """"queries_file":null"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,$ptr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -204,7 +204,8 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
       .filter(col("warc_type") === "response")
       .select(
         regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
-        // charset-honoring decode from the parser (here utf-8 by header)
+        // charset-honoring decode from the parser (utf-8 or utf-16be per
+        // the record's written Content-Type — see charsetEvery above)
         col("body_text").as("text"),
         col("http_status"), col("mime"))
   }

@@ -617,9 +617,15 @@ trait LlmModelInfraOps { this: LlmOps.type =>
   def simTopKPcaServe(s: SparkSession, dir: String): DataFrame = {
     val art = artifactCache.computeIfAbsent("pca:" + dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_pca_serve")
-      val (m0, c0) = graft.operators.Pca.components(
-        embeddings(s, dir), "embedding", PcaDim, PcaNComp, PcaIters)
-      graft.operators.Pca.saveComponents(s, out.toString, m0, c0)
+      try {
+        val (m0, c0) = graft.operators.Pca.components(
+          embeddings(s, dir), "embedding", PcaDim, PcaNComp, PcaIters)
+        graft.operators.Pca.saveComponents(s, out.toString, m0, c0)
+      } catch { case e: Throwable =>
+        // a failed build must not leak a half-written artifact dir — the
+        // exception propagates uncached, so a retry rebuilds from scratch
+        graft.plans.CorpusExport.deleteRecursively(out.toFile); throw e
+      }
       out.toString
     })
     val (m, comps) = graft.operators.Pca.loadComponents(s, art)
@@ -722,8 +728,12 @@ trait LlmModelInfraOps { this: LlmOps.type =>
       val (_, vocab) = graft.operators.Bpe.trainMerges(
         s, docs(s, dir), "text", BpeRounds)
       val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_serve")
-      graft.operators.Bpe.saveVocab(vocab, tmp.toString)
-      graft.operators.Bpe.freeVocab(vocab)
+      try {
+        graft.operators.Bpe.saveVocab(vocab, tmp.toString)
+        graft.operators.Bpe.freeVocab(vocab)
+      } catch { case e: Throwable =>
+        graft.plans.CorpusExport.deleteRecursively(tmp.toFile); throw e
+      }
       tmp.toString
     })
     val loaded = graft.operators.Bpe.loadVocab(s, art)

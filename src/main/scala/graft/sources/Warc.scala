@@ -335,7 +335,10 @@ object Warc {
       payload: Array[Byte]): (Int, String, String, Array[Byte], String) = {
     val in = new java.io.ByteArrayInputStream(payload)
     val headers = readHeaderBlock(in, 0L)
-    val statusLine = headers("__version__")
+    // getOrElse, not apply: a payload that OPENS with a blank line yields
+    // an empty header map, and the missing status line must stay a typed
+    // error (the require below), not a NoSuchElementException
+    val statusLine = headers.getOrElse("__version__", "")
     require(statusLine.startsWith("HTTP/"), s"not an HTTP response: $statusLine")
     val parts = statusLine.split(" ")
     require(parts.length >= 2 && parts(1).nonEmpty &&

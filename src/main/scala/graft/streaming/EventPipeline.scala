@@ -111,8 +111,14 @@ object EventPipeline {
     * storage — this root is only for the ephemeral gate runs. */
   private def harnessTmpDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
+    // capacity guard: a default Docker /dev/shm is 64 MiB — writable but
+    // far too small for staged parquet + state checkpoints; only prefer
+    // the tmpfs when it has real headroom, else fall back to the default
+    // temp dir exactly as before
+    val shmUsable = java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm) &&
+      shm.toFile.getUsableSpace >= (2L << 30)
+    if (shmUsable) java.nio.file.Files.createTempDirectory(shm, prefix)
     else java.nio.file.Files.createTempDirectory(prefix)
   }
 

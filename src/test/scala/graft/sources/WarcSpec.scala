@@ -259,6 +259,12 @@ class WarcSpec extends AnyFunSuite {
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
+  test("HTTP payload opening with a blank line is a typed error, not a missing-key crash") {
+    val rec = rawResponseRecord("\r\nHTTP/1.1 200 OK\r\n\r\nbody".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Warc.parseWarcFile(rec))
+    assert(e.getMessage.contains("not an HTTP response"))
+  }
+
   test("random chunk geometries round-trip: 1-byte chunks, ragged sizes, extension noise") {
     val r = new scala.util.Random(99)
     (0 until 30).foreach { trial =>
