@@ -164,6 +164,30 @@ class DecontaminateSpec extends SparkTestBase {
     assert(spansOf(train, eval) == Set((1L, 0L, 1L, 2L)))
   }
 
+  test("spans scale-stress: 50k docs, 1% planted leaks — every leak localized, nothing else") {
+    import spark.implicits._
+    val evalPassage = "zq1 zq2 zq3 zq4 zq5" // 5 tokens, vocabulary disjoint from filler
+    val eval = Seq(999999L -> evalPassage).toDF("doc_id", "text")
+    val train = spark.range(0, 50000).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 14).map(j => concat(lit(s"w$j"), pmod(col("id") * (j + 3), lit(97)))): _*)
+        .as("filler"))
+      .select(col("doc_id"),
+        // every 100th doc: the leak planted at token offset 4
+        when(pmod(col("doc_id"), lit(100)) === 0,
+          concat_ws(" ",
+            substring_index(col("filler"), " ", 4),
+            lit(evalPassage),
+            substring_index(col("filler"), " ", -10)))
+          .otherwise(col("filler")).as("text"))
+    val got = Decontaminate.contaminationSpans(train, eval, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 500, s"expected 500 leaks, got ${got.length}")
+    assert(got.forall { case (id, s, e, t) =>
+      id % 100 == 0 && s == 4 && e == 8 && t == 5
+    }, s"mislocalized: ${got.filterNot(g => g._2 == 4 && g._3 == 8).take(5).toSeq}")
+  }
+
   test("strip: the leaked passage is excised, surrounding text survives verbatim") {
     import spark.implicits._
     val eval = Seq(100L -> "the secret eval answer is forty two").toDF("doc_id", "text")
