@@ -312,6 +312,23 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip-member corruption surfaces as the inflater's IOException or a typed error — never other exception kinds") {
+    val base = Warc.buildResponseRecord(
+      "https://example.com/gz", ("gz body " * 40).getBytes, "r", gzip = true)
+    val r = new scala.util.Random(11)
+    (0 until 200).foreach { trial =>
+      val b = base.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      try { Warc.parseWarcFile(b); () }
+      catch {
+        case _: IllegalArgumentException => () // parser's typed error
+        case _: java.io.IOException => ()      // inflater's contract (ZipException et al.)
+        case e: Throwable =>
+          fail(s"trial $trial: unexpected ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("hostile bytes are typed errors: lying Content-Length, truncation, junk") {
     val good = Warc.buildResponseRecord("u", "abc".getBytes, "r", gzip = false)
     // lying length: patch the WARC Content-Length digits up
