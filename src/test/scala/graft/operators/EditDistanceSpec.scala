@@ -104,6 +104,23 @@ class EditDistanceSpec extends SparkTestBase {
     }
   }
 
+  test("multi-match-aware windows stay exact at high k (4, 5) on longer strings") {
+    // the window algebra [max(-i, Δ-(k-i)), min(i, Δ+(k-i))] must hold for
+    // every (i, Δ) combination — higher k exercises corners the k<=3
+    // sweeps cannot reach
+    val r = new scala.util.Random(1234)
+    val strs: Seq[(Long, String)] = (0L until 120L).map { i =>
+      val len = 8 + r.nextInt(16)
+      i -> (0 until len).map(_ => ('a' + r.nextInt(4)).toChar).mkString
+    }
+    for (k <- Seq(4, 5)) {
+      val got = run(strs, k)
+      val want = brute(strs, k)
+      assert((want -- got).isEmpty, s"k=$k lost pairs: ${(want -- got).take(5)}")
+      assert((got -- want).isEmpty, s"k=$k phantom pairs: ${(got -- want).take(5)}")
+    }
+  }
+
   test("member-expansion joins exchange on 128-bit fingerprints, never raw strings") {
     val strs: Seq[(Long, String)] = (0L until 40L).map(i => i -> s"title number ${i % 9}")
     val df = spark.createDataFrame(strs).toDF("doc_id", "title")
