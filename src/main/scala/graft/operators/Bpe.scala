@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoint.Ops
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -62,12 +63,7 @@ object Bpe {
     * with it (the merges table is driver-held and independent). */
   def freeVocab(vocab: DataFrame): Unit = freeBlocks(vocab)
 
-  private def freeBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+  private def freeBlocks(df: DataFrame): Unit = graft.core.Checkpoint.free(df)
 
   /** Train `rounds` merges. Returns (merge table, final vocab): the table
     * is (round, lhs, rhs, pair_count) — the trained tokenizer artifact —
@@ -77,7 +73,7 @@ object Bpe {
   def trainMerges(
       spark: SparkSession, docs: DataFrame, textCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
-    var vocab = initialVocab(docs, textCol).localCheckpoint(true)
+    var vocab = initialVocab(docs, textCol).graftCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var r = 0
@@ -99,7 +95,7 @@ object Bpe {
           merges += ((r + 1, a, b, cnt))
           val next = vocab
             .select(col("word"), col("f"), mergeStep(col("syms"), a, b).as("syms"))
-            .localCheckpoint(true)
+            .graftCheckpoint()
           freeBlocks(vocab)
           vocab = next
           r += 1

@@ -82,12 +82,7 @@ object Clusters {
     * (a curation service, a bench loop) accumulates every round of every
     * invocation in the block manager until the context cleaner happens to
     * run. */
-  private def freeBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+  private def freeBlocks(df: DataFrame): Unit = graft.core.Checkpoint.free(df)
 
   /** Resolve pairs into clusters: returns one row per node that appears in
     * `pairs`, with `rep` = the minimum id of its connected component. The
@@ -99,10 +94,12 @@ object Clusters {
     * doubles every round and analysis cost explodes). Checkpoints are LAZY:
     * each round's convergence-signature aggregation doubles as its
     * materializing action, so a round costs one job, not two. The default
-    * `localCheckpoint(false)` is right for local mode and tests; on a real
-    * cluster pass `_.checkpoint(false)` with a reliable checkpoint dir so a
-    * lost executor doesn't kill a 20-round job (superseded rounds are freed
-    * as the loop advances, so recompute can't reach back anyway).
+    * strategy follows the session's [[graft.core.Checkpoint]] conf:
+    * `local` for local mode and tests; on a real cluster set
+    * `spark.graft.checkpoint.mode=reliable` (+ a DFS dir) so a lost
+    * executor doesn't kill a 20-round job (superseded rounds are freed
+    * as the loop advances, so recompute can't reach back anyway). Tests
+    * may still inject any strategy through the `checkpoint` parameter.
     *
     * Convergence is detected by a cheap per-round (count, hash-sum)
     * signature and then CONFIRMED by the exact star-forest predicate, so a
@@ -114,7 +111,7 @@ object Clusters {
       aCol: String,
       bCol: String,
       maxIters: Int = 30,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint(false),
+      checkpoint: DataFrame => DataFrame = graft.core.Checkpoint(_, eager = false),
       rounds: Option[LongAccumulator] = None): DataFrame = {
     // materialize the pair list ONCE: nodes and the initial edge set both
     // read it, and the final label join reads nodes — without this the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoint.Ops
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -154,7 +155,7 @@ object Dedup {
     val incFp = incoming.withColumn("dedup_fp",
         GraftFunctions.fingerprint128(GraftFunctions.canonicalKey(col(textCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try bloomRouted(incFp, corpusFp, bloom, numProbes).localCheckpoint(true)
+    try bloomRouted(incFp, corpusFp, bloom, numProbes).graftCheckpoint()
     finally incFp.unpersist(blocking = false)
   }
 
@@ -342,6 +343,12 @@ object Dedup {
         GraftFunctions.keyedMemberPairs(col("ms"), col("i"), col("band"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
+    // Skew posture of the verify join: a boilerplate doc colliding with
+    // thousands makes id_a/id_b power-law hot, but the RIGHT side here is
+    // the corpus itself — salting is wrong (it replicates the right side
+    // per salt value). The deployed answer is AQE's runtime skew split
+    // (skewJoin.enabled, pinned on the engine's session builders), proven
+    // to fire on exactly this join shape by SkewSpec's hot-id pin.
     val withSh = candidates
       .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoint.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -115,7 +116,7 @@ object Graph {
                 (lit(base) + expr(
                   s"($dampNum * (coalesce(contrib, 0L) + deach)) div $dampDen"))
                   .as("r"))
-              .localCheckpoint(true)
+              .graftCheckpoint()
             prev.foreach(freeBlocks)
             prev = Some(next)
             ranks = next
@@ -157,7 +158,7 @@ object Graph {
       val f0 = seeds.select(col(seedCol).as("node")).distinct()
         .filter(col("node").isNotNull)
         .withColumn("dist", lit(0L))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       val frontiers = scala.collection.mutable.ListBuffer(f0)
       for (d <- 1 to maxDepth) {
         val visited = frontiers.map(_.select(col("node"))).reduce(_ union _)
@@ -166,7 +167,7 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(d.toLong))
-          .localCheckpoint(true)
+          .graftCheckpoint()
         frontiers += next
       }
       frontiers.map(_.select(col("node"), col("dist"))).reduce(_ unionByName _)
@@ -177,10 +178,5 @@ object Graph {
     * [[Clusters]] cleanup discipline — without this a long-lived session
     * pins every round of every invocation until the context cleaner
     * runs). */
-  private def freeBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+  private def freeBlocks(df: DataFrame): Unit = graft.core.Checkpoint.free(df)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoint.Ops
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -79,7 +80,7 @@ object LangId {
     val cnts = ls.map(l =>
       sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
     val model = feats.groupBy(col("b")).agg(cnts.head, cnts.tail: _*)
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val tots = ls.map(l => sum(col(s"c_$l")).as(s"t_$l"))
     val totals = model.agg(tots.head, tots.tail: _*)
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoint.Ops
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -593,7 +594,7 @@ object Similarity {
         val keptCells = sizes.filter(_.getLong(1) <= maxCellSize).map(_.getInt(0))
         droppedCells.foreach(_.add(sizes.length - keptCells.length))
         dropsOver(assignedAll.filter(col("cell").isin(keptCells.toSeq: _*)))
-          .localCheckpoint(true)
+          .graftCheckpoint()
       } finally { assignedAll.unpersist(blocking = false): Unit }
     }
   }

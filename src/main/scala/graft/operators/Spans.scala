@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoint.Ops
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -68,7 +69,7 @@ object Spans {
           col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"),
           (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally positioned.unpersist(blocking = false)
   }
 
@@ -165,7 +166,7 @@ object Spans {
       val exts = extArray(occ.filter(!col("is_wit")), "rem_exts")
         .join(extArray(occ.filter(col("is_wit")), "wit_exts"),
           Seq("doc_id"), "full_outer")
-        .localCheckpoint(true)
+        .graftCheckpoint()
 
       val ts = GraftFunctions.tokens(col("text"))
       val noExts = array().cast("array<struct<s:int,e:int>>")

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Checkpoint.Ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -130,7 +131,7 @@ object CorpusExport {
       // both caches free before the manifest is returned
       val manifest = manifestOf(
         base.join(gone, Seq("doc_id"), "left_anti").unionByName(delta))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       diff.unpersist(blocking = false)
       manifest
     } finally {
@@ -197,7 +198,7 @@ object CorpusExport {
         }
         deleteRecursively(bak)
       }
-      manifestOf(s.read.parquet(corpusPath)).localCheckpoint(true)
+      manifestOf(s.read.parquet(corpusPath)).graftCheckpoint()
     } finally { gone.unpersist(blocking = false); () }
   }
 }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.core.Checkpoint.Ops
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -106,7 +107,7 @@ object IncrementalDay {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
         .crossJoin(broadcast(idxFacts))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally { curated.unpersist(blocking = false); () }
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoint.Ops
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Clusters, Decontaminate, Dedup, Dsir, Multimodal, Pii, Pq, Similarity, Spans, Urls}
@@ -160,7 +161,7 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
             .otherwise(0L)).as("n_gen0_null_lang"),
           sum(when(col("gen") === 1 && col("lang") === col("lang_orig"), 1L)
             .otherwise(0L)).as("n_gen1_lang_exact"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -184,22 +185,27 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     * crawl files into `out`, read it back through the container parser,
     * re-key doc ids from the URLs. Single-sourced so the two gates' URL
     * shape, partitioning and charset can never drift apart. */
+  /** Writer knob shared by [[writeAndReadBackWarc]] (which declares every
+    * `CharsetEvery`-th record UTF-16BE) and [[warcRoundtrip]]'s mime-check
+    * predicate — one constant so the writer and the check can't drift. */
+  private val CharsetEvery = 5
+
   private[queries] def writeAndReadBackWarc(
       s: SparkSession, d: DataFrame, out: String): DataFrame = {
     // chunkEvery=3: every third record's HTTP body ships with chunked
     // transfer-encoding, so the round trip proves the reader de-frames
     // chunked payloads (real crawl responses are routinely chunked).
-    // charsetEvery=5: every fifth record is written and declared as
-    // UTF-16BE, so the charset-honoring decode path runs on real gate
-    // data too (ids divisible by 15 are chunked AND non-UTF-8). Both
-    // knobs leave the oracle unchanged: de-chunking and the UTF-16BE
+    // charsetEvery (CharsetEvery=5): every fifth record is written and
+    // declared as UTF-16BE, so the charset-honoring decode path runs on
+    // real gate data too (ids divisible by 15 are chunked AND non-UTF-8).
+    // Both knobs leave the oracle unchanged: de-chunking and the UTF-16BE
     // round trip are lossless for arbitrary corpus text.
     graft.sources.Warc.writeWarc(
       d.select(col("doc_id"),
         concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
         col("text"))
         .repartition(4, col("doc_id")),
-      out, chunkEvery = 3, charsetEvery = 5)
+      out, chunkEvery = 3, charsetEvery = CharsetEvery)
     graft.sources.Warc.readWarc(s, out)
       .filter(col("warc_type") === "response")
       .select(
@@ -223,12 +229,12 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
           sum(when(col("body_text") === col("text") &&
             col("http_status") === 200 &&
             // the declared charset must match the writer's doc_id knob
-            // exactly: every fifth doc utf-16be, the rest utf-8
+            // exactly: every CharsetEvery-th doc utf-16be, the rest utf-8
             col("mime") === concat(lit("text/plain; charset="),
-              when(pmod(col("doc_id"), lit(5)) === 0, "utf-16be")
+              when(pmod(col("doc_id"), lit(CharsetEvery)) === 0, "utf-16be")
                 .otherwise("utf-8")), 1L)
             .otherwise(0L)).as("n_roundtrip_exact"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -377,7 +383,7 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
         .select(col("doc_id"), col("text"))
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
       graft.streaming.EventPipeline.curationFilterStream(fromWarc)
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -686,7 +692,7 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     // files, then reclaim the temp corpus (finally: a failed write in a
     // bench loop must not strand an iteration's multi-MB export either)
     try graft.plans.CorpusExport.writeCurated(s, dir, out.toString)
-      .localCheckpoint(true)
+      .graftCheckpoint()
     finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 

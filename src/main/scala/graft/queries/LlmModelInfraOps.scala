@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoint.Ops
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Clusters, Decontaminate, Dedup, Dsir, Multimodal, Pii, Pq, Similarity, Spans, Urls}
@@ -397,7 +398,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
         out.toString, nCells = 16, refineIters = IvfKmeansIters)
       Similarity.appendToIvfIndex(incr, "vec_id", "embedding", out.toString, cents)
       Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
-        queryVector(s, dir), k = 20, nprobe = 4).localCheckpoint(true)
+        queryVector(s, dir), k = 20, nprobe = 4).graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -512,7 +513,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
       val (deleted, cells) = Similarity.compactIvfIndex(s, out.toString, "vec_id")
       require(deleted > 0 && cells.nonEmpty,
         "planted delete subset must hit the index")
-      val compacted = probe().localCheckpoint(true)
+      val compacted = probe().graftCheckpoint()
       val after = compacted.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       require(masked == after,
         "tombstone-masked probe and post-compaction probe must be identical")
@@ -592,7 +593,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
             ((col("p2") - lit(q2)) * (col("p2") - lit(q2)))).as("dist2"))
         .orderBy(col("dist2").asc, col("vec_id").asc)
         .limit(20)
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -603,9 +604,20 @@ trait LlmModelInfraOps { this: LlmOps.type =>
     * serve lane can time what a deployed process pays per query. The
     * artifact dirs live for the JVM (bench/verify processes are
     * short-lived); artifacts are deterministic, so cache hits serve
-    * byte-identical doubles. */
+    * byte-identical doubles. A JVM shutdown hook sweeps the cached dirs
+    * so repeated bench/verify processes don't strand artifact trees in
+    * the system temp dir. */
   private[queries] val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      artifactCache.values().forEach { d =>
+        try graft.plans.CorpusExport.deleteRecursively(new java.io.File(d))
+        catch { case _: Exception => () } // exit path: best-effort only
+      }
+    }, "graft-artifact-cache-sweeper"))
+  }
 
   /** SERVE lane of [[simTopKPcaLoad]] (the round-8 bench split): the
     * PCA artifact is built once per JVM — a bench warm-up or a verify
@@ -638,7 +650,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
           ((col("p2") - lit(q2)) * (col("p2") - lit(q2)))).as("dist2"))
       .orderBy(col("dist2").asc, col("vec_id").asc)
       .limit(20)
-      .localCheckpoint(true)
+      .graftCheckpoint()
   }
 
   /** Mirrors [[simTopKPca]]: the full PCA replay as a subquery, the
@@ -694,7 +706,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
     val (_, vocab) = graft.operators.Bpe.trainMerges(
       s, docs(s, dir), "text", BpeRounds)
     val out = graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", vocab)
-      .localCheckpoint(true)
+      .graftCheckpoint()
     graft.operators.Bpe.freeVocab(vocab)
     out
   }
@@ -714,7 +726,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
       graft.operators.Bpe.freeVocab(vocab)
       val loaded = graft.operators.Bpe.loadVocab(s, tmp.toString)
       graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", loaded)
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
   }
 
@@ -738,7 +750,7 @@ trait LlmModelInfraOps { this: LlmOps.type =>
     })
     val loaded = graft.operators.Bpe.loadVocab(s, art)
     graft.operators.Bpe.tokenize(docs(s, dir), "doc_id", "text", loaded)
-      .localCheckpoint(true)
+      .graftCheckpoint()
   }
 
   /** Mirrors [[bpeTokenize]]: the shared [[bpeCtes]] replay to the final

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoint.Ops
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Clusters, Decontaminate, Dedup, Dsir, Multimodal, Pii, Pq, Similarity, Spans, Urls}
@@ -33,7 +34,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
       s.read.parquet(out)
         .select(col("doc_id"), col("n_chars"),
           GraftFunctions.fingerprint64(col("text")).as("text_fp"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(tmp.toFile)
   }
 
@@ -457,7 +458,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
             col("text_fp"), col("lang_fp"))
       }.reduce(_ unionByName _)
         .orderBy(col("format"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -509,7 +510,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
         .agg(count(lit(1)).as("n_rows"),
           coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
         .orderBy(col("bucket"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -631,7 +632,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
       val cents = Similarity.writeIvfIndex(e, "vec_id", "embedding",
         out.toString, nCells = 16, refineIters = IvfKmeansIters, quantize = true)
       Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
-        queryVector(s, dir), k = 20, nprobe = 4).localCheckpoint(true)
+        queryVector(s, dir), k = 20, nprobe = 4).graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -773,7 +774,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
         pq = Some((cb, PqKsub)))
       Similarity.ivfTopKFromIndex(s, out.toString, cents, "vec_id", "embedding",
         queryVector(s, dir), k = 20, nprobe = 4,
-        pq = Some((cb, PqKsub))).localCheckpoint(true)
+        pq = Some((cb, PqKsub))).graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -818,7 +819,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
       Pq.shortlistRerank(s, out.toString, cents, cb, PqKsub,
         e, "vec_id", "embedding", queryVector(s, dir),
         k = RerankK, shortlistK = RerankShortlist, nprobe = 4)
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -865,7 +866,7 @@ trait LlmSketchAnnOps { this: LlmOps.type =>
       val queries = e.filter(pmod(col("vec_id"), lit(AnnBatchQueryMod)) === 0)
       Similarity.ivfTopKBatch(s, out.toString, cents, queries,
         "vec_id", "embedding", "vec_id", "embedding",
-        k = AnnBatchK, nprobe = 4).localCheckpoint(true)
+        k = AnnBatchK, nprobe = 4).graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Checkpoint.Ops
 import graft.Tables
 import graft.queries.Exact._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -951,7 +952,7 @@ object Relational {
           graft.plans.Layout.zValue(dims, ranges).as("zval"))
         .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
@@ -992,7 +993,7 @@ object Relational {
       val d0 = ev.agg(min(to_date(col("ts")))).head().getDate(0).toLocalDate
       val probe = graft.plans.EventsLayout.readDayWindow(
         s, out.toString, d0.plusDays(1), days = 2)
-      sessionizeOver(probe).localCheckpoint(true)
+      sessionizeOver(probe).graftCheckpoint()
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 

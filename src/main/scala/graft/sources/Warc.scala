@@ -44,6 +44,12 @@ object Warc {
     * streaming parser buffer unboundedly: no header LINE above 64 KiB,
     * no header BLOCK above 1024 lines. Real WARC/HTTP headers are tiny. */
   private val MaxHeaderLine = 1 << 16
+
+  /** Read-ahead buffer size of [[recordIterator]]'s raw and gzip streams.
+    * Public so the laziness pin in WarcSpec can bound its byte-count
+    * assertion by THIS value instead of a hard-coded guess that drifts
+    * if the buffer is ever retuned. */
+  val ReadBufferSize: Int = 1 << 16
   private val MaxHeaderLines = 1024
 
   /** One spec-conforming response record: WARC headers + an embedded HTTP
@@ -178,13 +184,13 @@ object Warc {
     * parse error. */
   def recordIterator(in: java.io.InputStream): Iterator[WarcRecord] = {
     val pb = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(in, 1 << 16), 2)
+      new java.io.BufferedInputStream(in, ReadBufferSize), 2)
     val b0 = pb.read(); val b1 = if (b0 >= 0) pb.read() else -1
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)
     val stream: java.io.InputStream =
       if (b0 == 0x1f && b1 == 0x8b)
-        new java.util.zip.GZIPInputStream(pb, 1 << 16)
+        new java.util.zip.GZIPInputStream(pb, ReadBufferSize)
       else pb
 
     new Iterator[WarcRecord] {

@@ -1,0 +1,106 @@
+package graft.core
+
+import graft.SparkTestBase
+import graft.operators.Clusters
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+
+/** The session-configurable checkpoint strategy every iterative path runs
+  * through. The reliable tests drive a REAL `DataFrame.checkpoint` against
+  * a local directory standing in for DFS — the deployment path a cluster
+  * on preemptible nodes depends on. */
+class CheckpointSpec extends SparkTestBase {
+
+  private def ckptFilesUnder(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p =>
+        java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-")).toList
+    } finally s.close()
+  }
+
+  test("local mode (default) truncates lineage in-memory") {
+    val s = spark.newSession()
+    import s.implicits._
+    val out = Checkpoint((1 to 100).toDF("n").filter($"n" % 2 === 0))
+    assert(out.queryExecution.analyzed.isInstanceOf[LogicalRDD])
+    assert(out.count() === 50)
+    val rdd = out.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd
+    assert(rdd.getCheckpointFile.isEmpty, "local mode must not write files")
+    Checkpoint.free(out)
+  }
+
+  test("reliable mode writes replicated-style checkpoint files; free deletes them") {
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    try {
+      s.conf.set(Checkpoint.ModeKey, "reliable")
+      s.conf.set(Checkpoint.DirKey, dir.toString)
+      val out = Checkpoint((1 to 100).toDF("n").withColumn("sq", $"n" * $"n"))
+      assert(out.count() === 100)
+      val rdd = out.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd
+      assert(rdd.getCheckpointFile.nonEmpty, "reliable mode must checkpoint to the dir")
+      assert(rdd.getCheckpointFile.get.contains(dir.getFileName.toString))
+      assert(ckptFilesUnder(dir).nonEmpty, "checkpoint part files must exist on disk")
+      // result survives independent of any upstream state
+      assert(out.agg(sum($"sq")).head().getLong(0) === (1 to 100).map(n => n.toLong * n).sum)
+      Checkpoint.free(out)
+      assert(ckptFilesUnder(dir).isEmpty, "free() must delete a superseded reliable checkpoint")
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+      dir.toFile.delete(): Unit
+    }
+  }
+
+  test("reliable mode without a directory fails loudly") {
+    // fresh session; the context-level checkpoint dir may already be set by
+    // the test above (SparkContext state is shared), so only assert when not
+    val s = spark.newSession()
+    s.conf.set(Checkpoint.ModeKey, "reliable")
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      import s.implicits._
+      val ex = intercept[GraftAnalysisException](Checkpoint((1 to 3).toDF("n")))
+      assert(ex.getMessage.contains(Checkpoint.DirKey))
+    }
+  }
+
+  test("unknown mode fails loudly") {
+    val s = spark.newSession()
+    s.conf.set(Checkpoint.ModeKey, "ssd")
+    import s.implicits._
+    val ex = intercept[GraftAnalysisException](Checkpoint((1 to 3).toDF("n")))
+    assert(ex.getMessage.contains("ssd"))
+  }
+
+  test("iterative operators honor the strategy end-to-end: resolve under reliable ≡ local") {
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_resolve")
+    try {
+      // chain 0-1-2-3, pair (10,11), isolated self-pair (20,20)
+      val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+        .toDF("a", "b")
+      val expected = Clusters.resolve(pairs, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      s.conf.set(Checkpoint.ModeKey, "reliable")
+      s.conf.set(Checkpoint.DirKey, dir.toString)
+      val pairsR = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+        .toDF("a", "b")
+      val got = Clusters.resolve(pairsR, "a", "b").as[(Long, Long)].collect().toSet
+      assert(got === expected)
+      assert(got === Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+        (10L, 10L), (11L, 10L), (20L, 20L)))
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+      dir.toFile.delete(): Unit
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+}

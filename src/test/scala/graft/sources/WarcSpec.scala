@@ -230,9 +230,11 @@ class WarcSpec extends AnyFunSuite {
     val it = Warc.recordIterator(probe)
     val first3 = it.take(3).toVector
     assert(first3.size == 3 && first3.forall(_.body.length == 800))
-    // BufferedInputStream fills at most 64 KiB per read-ahead; three ~1KB
-    // records must not pull more than two fills from the raw stream
-    assert(probe.served <= (1 << 17),
+    // the read-ahead fills at most Warc.ReadBufferSize per pull; three
+    // ~1KB records must cost O(buffer) from the raw stream, never
+    // O(stream). The 4× slack absorbs a JDK wrapper fill or two without
+    // ever letting a truly eager parse (500 MB) slip through.
+    assert(probe.served <= 4L * Warc.ReadBufferSize,
       s"streaming parse consumed ${probe.served} bytes for 3 records — not lazy")
   }
 
