@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time one named SparkEntry query — the single-query loop of
   * [[Bench]] (same warm-up + median-of-iters + toRdd methodology) for
@@ -13,18 +12,8 @@ object BenchOne {
     val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query> [iters]"))
     val iters = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // explicit: the hot corpus joins (minhash/simhash verify) depend
-      // on AQE's runtime skew split for their 100 TB posture (SkewSpec pin)
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.core.Sessions.local(cpus)
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warm-up
     spark.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }

@@ -102,10 +102,10 @@ object CorpusExport {
     val full = if (callerCached) full0
       else full0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the narrow (id, status) diff is persisted too: three actions
-      // consume it (delta write, removed-ids write, manifest read-back),
-      // and without the cache each would re-run the full-outer
-      // fingerprint join AND re-scan + re-fingerprint the base corpus
+      // the narrow (id, status) diff is persisted too: two actions
+      // consume it (delta write, removed-ids write), and without the
+      // cache each would re-run the full-outer fingerprint join AND
+      // re-scan + re-fingerprint the base corpus
       val diff = graft.operators.Versioning.diff(
         base.select(col("doc_id"), col("text")),
         full.select(col("doc_id"), col("text")), "doc_id", "text")
@@ -118,22 +118,24 @@ object CorpusExport {
         .write.mode("overwrite").partitionBy("split")
         .parquet(s"$outPath/delta")
       removed.write.mode("overwrite").json(s"$outPath/_removed")
+      diff.unpersist(blocking = false)
 
-      // logical corpus = base rows still current + the written delta; an
-      // explicit schema on the delta read-back because an empty delta has
-      // no part files to infer from
-      val gone = changed.unionByName(
-        s.read.schema("doc_id long").json(s"$outPath/_removed")
-          .select(col("doc_id")))
+      // logical corpus = base rows still current + the written delta.
+      // Every input is a WRITTEN artifact (delta ids ARE the changed set;
+      // removed ids come back from _removed), so the manifest is a LAZY
+      // plan over on-disk files only — a caller that never reads it (the
+      // apply-delta lifecycle, which returns applyDelta's own read-back
+      // manifest instead) pays nothing, and a caller that does (the
+      // incremental-export gate, the spec) verifies purely the artifact.
+      // Explicit schema on the delta read-back because an empty delta has
+      // no part files to infer from.
       val delta = s.read.schema(base.schema)
         .parquet(s"$outPath/delta")
-      // localCheckpoint(eager) is the last action over the cached frames;
-      // both caches free before the manifest is returned
-      val manifest = manifestOf(
+      val gone = delta.select(col("doc_id")).unionByName(
+        s.read.schema("doc_id long").json(s"$outPath/_removed")
+          .select(col("doc_id")))
+      manifestOf(
         base.join(gone, Seq("doc_id"), "left_anti").unionByName(delta))
-        .graftCheckpoint()
-      diff.unpersist(blocking = false)
-      manifest
     } finally {
       if (!callerCached) full.unpersist(blocking = false); ()
     }
@@ -145,10 +147,13 @@ object CorpusExport {
     * snapshot instead of an ever-growing delta chain). Only AFFECTED
     * split partitions rewrite: a split holding neither delta rows nor
     * removed docs keeps its exact files (CorpusExportSpec pins the file
-    * listing untouched). Per-split swap uses the rename-aside discipline
-    * ([[Compaction]]): the new partition is fully written to a staging
-    * directory before the old moves away, and a failed forward rename
-    * rolls the old partition back.
+    * listing untouched). ALL affected partitions rewrite in ONE Spark job
+    * (dynamic `partitionBy` into a hidden staging root — a sequential
+    * per-partition loop of jobs would serialize a finer-keyed corpus's
+    * rewrite on the driver); the swap then uses the rename-aside
+    * discipline ([[Compaction]]) per partition: metadata-only renames,
+    * the old partition recoverable until its replacement is in place,
+    * and a failed forward rename rolls the old partition back.
     *
     * Returns the manifest recomputed from the UPDATED on-disk corpus —
     * which must (and in the gate does) equal a from-scratch export's
@@ -172,21 +177,42 @@ object CorpusExport {
         delta.select(col("split")).distinct().collect().map(_.getString(0)) ++
         base.join(gone, "doc_id").select(col("split")).distinct()
           .collect().map(_.getString(0))).toSet
+
+      // ONE job rewrites every affected partition into a hidden staging
+      // root (partition discovery skips dot-dirs, so concurrent readers of
+      // the live corpus never see it). One job, not one per partition:
+      // with a finer partition key (export day) "affected" can be
+      // hundreds of directories, and a sequential per-partition loop of
+      // Spark jobs serializes the whole rewrite on the driver.
+      val stagingRoot = new java.io.File(s"$corpusPath/.apply_delta.staging")
+      deleteRecursively(stagingRoot)
+      if (affected.nonEmpty) {
+        val affectedCol = affected.toSeq.map(lit)
+        base.filter(col("split").isin(affectedCol: _*))
+          .join(gone, Seq("doc_id"), "left_anti")
+          .unionByName(delta.filter(col("split").isin(affectedCol: _*)))
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(stagingRoot.getPath)
+      }
+
+      // per-partition swap stays the rename-aside discipline: metadata-only
+      // renames after the data job, old partition recoverable until its
+      // replacement is in place
       affected.foreach { sp =>
         val live = new java.io.File(s"$corpusPath/split=$sp")
-        val staging = new java.io.File(s"$corpusPath/.split=$sp.staging")
+        val staging = new java.io.File(stagingRoot, s"split=$sp")
         val bak = new java.io.File(s"$corpusPath/.split=$sp.bak")
         // a stranded .bak with NO live partition is a previous run's
         // failed rollback still holding the only copy — refuse
         if (bak.exists() && !live.exists())
           throw new java.io.IOException(
             s"refusing applyDelta: a previous failed swap left the only copy at $bak; recover it first")
-        deleteRecursively(staging); deleteRecursively(bak)
-        base.filter(col("split") === sp)
-          .join(gone, Seq("doc_id"), "left_anti")
-          .unionByName(delta.filter(col("split") === sp))
-          .drop("split")
-          .write.mode("overwrite").parquet(staging.getPath)
+        deleteRecursively(bak)
+        // a partition whose every doc was removed writes no staged dir at
+        // all (dynamic partitionBy emits only non-empty partitions): swap
+        // in an empty directory, same net state the per-split overwrite
+        // produced
+        if (!staging.exists()) staging.mkdirs(): Unit
         if (live.exists() && !live.renameTo(bak))
           throw new java.io.IOException(s"applyDelta swap failed: $live -> $bak")
         if (!staging.renameTo(live)) {
@@ -198,6 +224,7 @@ object CorpusExport {
         }
         deleteRecursively(bak)
       }
+      deleteRecursively(stagingRoot)
       manifestOf(s.read.parquet(corpusPath)).graftCheckpoint()
     } finally { gone.unpersist(blocking = false); () }
   }

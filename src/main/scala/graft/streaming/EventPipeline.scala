@@ -99,6 +99,14 @@ object EventPipeline {
     // deployment sizes this to its state volume; the harness sizes it
     // to the gates'.
     s.conf.set("spark.sql.shuffle.partitions", "2")
+    // no-data micro-batches exist so an IDLE production stream still
+    // evicts state when its watermark advances; the sync harness never
+    // idles — every watermark advance arrives ON a sentinel batch, which
+    // therefore performs the eviction/timeout work itself — so the extra
+    // empty batch after each sentinel is pure fixed cost here. The gates'
+    // stream ≡ batch oracles hold either way (StreamingSpec + the s_*
+    // correctness gates run with this set).
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // the state-store BACKEND is a deployment property (RocksDB when
     // state outgrows executor heap — the 100 TB posture; the HDFS-backed
     // default for heap-sized state): newSession() drops session confs,

@@ -99,6 +99,48 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("every iterative family honors reliable mode: pageRank, BFS, BPE ≡ local results") {
+    import org.apache.spark.sql.functions._
+    val sLocal = spark.newSession()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_iter")
+    val sRel = spark.newSession()
+    sRel.conf.set(Checkpoint.ModeKey, "reliable")
+    sRel.conf.set(Checkpoint.DirKey, dir.toString)
+    try {
+      def edges(s: org.apache.spark.sql.SparkSession) = {
+        import s.implicits._
+        Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L), (4L, 1L, 5L))
+          .toDF("src", "dst", "w")
+      }
+      def docs(s: org.apache.spark.sql.SparkSession) = {
+        import s.implicits._
+        Seq((1L, "low lower lowest"), (2L, "new newer newest"), (3L, "low new"))
+          .toDF("doc_id", "text")
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+      val prL = rows(graft.operators.Graph.pageRank(edges(sLocal), "src", "dst", "w"))
+      val prR = rows(graft.operators.Graph.pageRank(edges(sRel), "src", "dst", "w"))
+      assert(prR === prL)
+
+      val bfsL = rows(graft.operators.Graph.bfsDistances(
+        edges(sLocal), "src", "dst", edges(sLocal).select(col("src")).limit(1), "src", 3))
+      val bfsR = rows(graft.operators.Graph.bfsDistances(
+        edges(sRel), "src", "dst", edges(sRel).select(col("src")).limit(1), "src", 3))
+      assert(bfsR === bfsL)
+
+      val (mL, vL) = graft.operators.Bpe.trainMerges(sLocal, docs(sLocal), "text", 3)
+      val (mR, vR) = graft.operators.Bpe.trainMerges(sRel, docs(sRel), "text", 3)
+      assert(rows(mR) === rows(mL))
+      assert(rows(vR) === rows(vL))
+      assert(rows(mL).nonEmpty && rows(vL).nonEmpty)
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+      dir.toFile.delete(): Unit
+    }
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
