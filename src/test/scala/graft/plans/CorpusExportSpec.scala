@@ -112,4 +112,75 @@ class CorpusExportSpec extends SparkTestBase {
         .head().getAs[String]("text") != "tampered")
     } finally CorpusExport.deleteRecursively(out.toFile)
   }
+
+  /** The design point of the ONE-JOB apply rewrite: a corpus keyed finer
+    * than train/val/test (here 40 day-like partitions, 25 of them touched
+    * by the delta) must rewrite all affected partitions in one Spark data
+    * job — a per-partition loop would launch ~25 sequential jobs and
+    * serialize a real corpus's rewrite on the driver. Job count is
+    * observed via a listener; untouched partitions keep their exact
+    * files; the applied state equals base − removed + delta exactly. */
+  test("applyDelta rewrites 25 affected partitions in O(1) jobs, not O(partitions)") {
+    val s = spark.newSession()
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_apply_many")
+    try {
+      // 40-partition corpus: split = d00..d39, 10 docs each
+      def mk(ids: Seq[Long]) = ids.map { i =>
+        (i, "en", 10L + i % 7, s"doc $i body", f"d${i % 40}%02d")
+      }.toDF("doc_id", "lang", "n_tokens", "text", "split")
+      mk(0L until 400L).write.mode("overwrite")
+        .partitionBy("split").parquet(s"$out/corpus")
+
+      // delta: modified text for docs ≡ 0 (mod 16) in splits d00..d24 →
+      // 25 affected partitions; plus 5 removals confined to those splits
+      val deltaIds = (0L until 400L).filter(i => i % 16 == 0 && (i % 40) < 25)
+      mk(deltaIds).withColumn("text", concat(col("text"), lit(" v2")))
+        .write.mode("overwrite").partitionBy("split").parquet(s"$out/delta")
+      val removedIds = Seq(1L, 2L, 3L, 4L, 5L) // splits d01..d05 (< 25)
+      removedIds.toDF("doc_id").coalesce(1)
+        .write.mode("overwrite").json(s"$out/_removed")
+
+      def listing(sp: String): Set[String] =
+        Option(new java.io.File(s"$out/corpus/split=$sp").listFiles())
+          .map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .getOrElse(Set.empty)
+      val untouched = (25 until 40).map(i => f"d$i%02d")
+      val before = untouched.map(sp => sp -> listing(sp)).toMap
+
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        CorpusExport.applyDelta(s, out.toString).collect(): Unit
+        Thread.sleep(200) // listener delivery is async; jobs only undercount
+      } finally s.sparkContext.removeSparkListener(listener)
+
+      // fixed job count: 2 affected-split collects + 1 staged write + the
+      // manifest checkpoint, each fanned into a few AQE stage-jobs
+      // (measured 16 here) — NEVER one data job per affected partition
+      // (a per-partition loop would exceed 25 before the manifest runs)
+      assert(jobs.get() < 25,
+        s"applyDelta launched ${jobs.get()} jobs for 25 affected partitions — per-partition loop?")
+
+      untouched.foreach { sp =>
+        assert(listing(sp) == before(sp), s"untouched split=$sp was rewritten")
+      }
+      assert(!new java.io.File(s"$out/corpus/.apply_delta.staging").exists(),
+        "staging root must not survive the apply")
+
+      // applied state ≡ base − removed + delta (modified docs carry ' v2')
+      val applied = s.read.parquet(s"$out/corpus")
+      assert(applied.count() === 400L - removedIds.length)
+      assert(applied.filter(col("doc_id").isin(removedIds: _*)).isEmpty)
+      val modified = applied.filter(col("text").endsWith(" v2"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(modified === deltaIds.toSet)
+    } finally CorpusExport.deleteRecursively(out.toFile)
+  }
 }
