@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: dump a subset of SparkEntry queries (comma-separated names) to
   * parquet + their oracle SQL, for a local DuckDB compare without running

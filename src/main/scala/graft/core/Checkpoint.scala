@@ -32,6 +32,12 @@ import org.apache.spark.sql.execution.LogicalRDD
   * manager blocks always; reliable-mode checkpoint FILES too (best-effort
   * DFS delete) — without that, a 20-round resolve leaves 20 dead rdd-*
   * directories for the cleaner to maybe find.
+  *
+  * TERMINAL checkpoints (a gate result's lineage cut, a mid-plan
+  * artifact) have no free() site — in reliable mode their DFS files are
+  * reclaimed by the ContextCleaner after the RDD is GC'd, which requires
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` at context
+  * creation (Spark defaults it OFF; [[Sessions.graftBuilder]] sets it).
   */
 object Checkpoint {
 
@@ -51,11 +57,20 @@ object Checkpoint {
       case "local" => df.localCheckpoint(eager)
       case "reliable" =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = conf.getOption(DirKey).getOrElse(throw GraftAnalysisException(Seq(
-            s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
-              "(a DFS path) or SparkContext.setCheckpointDir before running")))
-          sc.setCheckpointDir(dir)
+        conf.getOption(DirKey) match {
+          // THIS session's DirKey always wins: the context-level dir is
+          // shared mutable state another session may have set — silently
+          // landing this session's checkpoints under someone else's dir
+          // means their cleanup deletes our live files. (The context dir
+          // is process-global, so two sessions checkpointing CONCURRENTLY
+          // with different DirKeys can still interleave — give them the
+          // same dir, or separate contexts.) Resetting per call is a
+          // conf write + mkdir: noise next to a DFS checkpoint.
+          case Some(dir) => sc.setCheckpointDir(dir)
+          case None =>
+            if (sc.getCheckpointDir.isEmpty) throw GraftAnalysisException(Seq(
+              s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
+                "(a DFS path) or SparkContext.setCheckpointDir before running"))
         }
         df.checkpoint(eager)
       case other => throw GraftAnalysisException(Seq(

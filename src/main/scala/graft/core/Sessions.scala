@@ -33,6 +33,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // reliable-checkpoint hygiene (context-level, so it must be set at
+      // session creation): iterative loops free superseded rounds
+      // deterministically via Checkpoint.free, but TERMINAL checkpoints
+      // (a returned result's lineage cut) have no free() site — the
+      // ContextCleaner deletes their DFS files once the RDD is GC'd, and
+      // only when this is on (Spark defaults it OFF)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   /** The bundled mains' session: local master with `cpus` threads, UI
     * off, WARN logs — the engine posture over [[graftBuilder]]. */

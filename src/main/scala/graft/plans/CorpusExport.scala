@@ -93,9 +93,34 @@ object CorpusExport {
 
   /** [[writeCuratedDelta]] over a precomputed curated frame (see
     * [[writeCuratedFrom]]); an already-persisted frame is not
-    * re-persisted (and not unpersisted — the caller owns its cache). */
+    * re-persisted (and not unpersisted — the caller owns its cache).
+    * The returned manifest is MATERIALIZED (lineage cut) before return,
+    * so it stays readable after a later [[applyDelta]] mutates the very
+    * partition files a lazy plan would still point at. */
   private[graft] def writeCuratedDeltaFrom(
       s: SparkSession, full0: DataFrame, outPath: String): DataFrame = {
+    writeCuratedDeltaArtifacts(s, full0, outPath)
+    // logical corpus = base rows still current + the written delta.
+    // Every input is a WRITTEN artifact (delta ids ARE the changed set;
+    // removed ids come back from _removed). Explicit schema on the delta
+    // read-back because an empty delta has no part files to infer from.
+    val base = s.read.parquet(s"$outPath/corpus")
+    val delta = s.read.schema(base.schema)
+      .parquet(s"$outPath/delta")
+    val gone = delta.select(col("doc_id")).unionByName(
+      s.read.schema("doc_id long").json(s"$outPath/_removed")
+        .select(col("doc_id")))
+    manifestOf(
+      base.join(gone, Seq("doc_id"), "left_anti").unionByName(delta))
+      .graftCheckpoint()
+  }
+
+  /** The delta ARTIFACTS alone (`outPath/delta` + `_removed`), no
+    * manifest job — the apply-delta lifecycle calls this: it returns
+    * [[applyDelta]]'s own read-back manifest, so computing the logical
+    * manifest here would be a discarded full pass over the base. */
+  private[graft] def writeCuratedDeltaArtifacts(
+      s: SparkSession, full0: DataFrame, outPath: String): Unit = {
     val base = s.read.parquet(s"$outPath/corpus")
     val callerCached =
       full0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
@@ -119,23 +144,6 @@ object CorpusExport {
         .parquet(s"$outPath/delta")
       removed.write.mode("overwrite").json(s"$outPath/_removed")
       diff.unpersist(blocking = false)
-
-      // logical corpus = base rows still current + the written delta.
-      // Every input is a WRITTEN artifact (delta ids ARE the changed set;
-      // removed ids come back from _removed), so the manifest is a LAZY
-      // plan over on-disk files only — a caller that never reads it (the
-      // apply-delta lifecycle, which returns applyDelta's own read-back
-      // manifest instead) pays nothing, and a caller that does (the
-      // incremental-export gate, the spec) verifies purely the artifact.
-      // Explicit schema on the delta read-back because an empty delta has
-      // no part files to infer from.
-      val delta = s.read.schema(base.schema)
-        .parquet(s"$outPath/delta")
-      val gone = delta.select(col("doc_id")).unionByName(
-        s.read.schema("doc_id long").json(s"$outPath/_removed")
-          .select(col("doc_id")))
-      manifestOf(
-        base.join(gone, Seq("doc_id"), "left_anti").unionByName(delta))
     } finally {
       if (!callerCached) full.unpersist(blocking = false); ()
     }
@@ -178,6 +186,27 @@ object CorpusExport {
         base.join(gone, "doc_id").select(col("split")).distinct()
           .collect().map(_.getString(0))).toSet
 
+      // Directory names use Spark's partition-path escaping: the live
+      // corpus was written by partitionBy, so a split value carrying a
+      // path-special char (':', '%', space, …) lives under its ESCAPED
+      // dir name — addressing it raw would miss both the live and the
+      // staged dir, and the all-docs-removed fallback below would then
+      // silently swap the real partition away.
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      def liveDir(sp: String) =
+        new java.io.File(s"$corpusPath/split=${escapePathName(sp)}")
+      def bakDir(sp: String) =
+        new java.io.File(s"$corpusPath/.split=${escapePathName(sp)}.bak")
+
+      // the stranded-.bak refusal scans BEFORE any data job: a previous
+      // run's failed rollback holding the only copy must stop the apply
+      // before it pays for — and half-swaps — a full rewrite
+      affected.foreach { sp =>
+        if (bakDir(sp).exists() && !liveDir(sp).exists())
+          throw new java.io.IOException(
+            s"refusing applyDelta: a previous failed swap left the only copy at ${bakDir(sp)}; recover it first")
+      }
+
       // ONE job rewrites every affected partition into a hidden staging
       // root (partition discovery skips dot-dirs, so concurrent readers of
       // the live corpus never see it). One job, not one per partition:
@@ -186,46 +215,46 @@ object CorpusExport {
       // Spark jobs serializes the whole rewrite on the driver.
       val stagingRoot = new java.io.File(s"$corpusPath/.apply_delta.staging")
       deleteRecursively(stagingRoot)
-      if (affected.nonEmpty) {
-        val affectedCol = affected.toSeq.map(lit)
-        base.filter(col("split").isin(affectedCol: _*))
-          .join(gone, Seq("doc_id"), "left_anti")
-          .unionByName(delta.filter(col("split").isin(affectedCol: _*)))
-          .write.mode("overwrite").partitionBy("split")
-          .parquet(stagingRoot.getPath)
-      }
-
-      // per-partition swap stays the rename-aside discipline: metadata-only
-      // renames after the data job, old partition recoverable until its
-      // replacement is in place
-      affected.foreach { sp =>
-        val live = new java.io.File(s"$corpusPath/split=$sp")
-        val staging = new java.io.File(stagingRoot, s"split=$sp")
-        val bak = new java.io.File(s"$corpusPath/.split=$sp.bak")
-        // a stranded .bak with NO live partition is a previous run's
-        // failed rollback still holding the only copy — refuse
-        if (bak.exists() && !live.exists())
-          throw new java.io.IOException(
-            s"refusing applyDelta: a previous failed swap left the only copy at $bak; recover it first")
-        deleteRecursively(bak)
-        // a partition whose every doc was removed writes no staged dir at
-        // all (dynamic partitionBy emits only non-empty partitions): swap
-        // in an empty directory, same net state the per-split overwrite
-        // produced
-        if (!staging.exists()) staging.mkdirs(): Unit
-        if (live.exists() && !live.renameTo(bak))
-          throw new java.io.IOException(s"applyDelta swap failed: $live -> $bak")
-        if (!staging.renameTo(live)) {
-          val restored = !bak.exists() || bak.renameTo(live)
-          throw new java.io.IOException(
-            s"applyDelta swap failed: $staging -> $live" +
-              (if (restored) " (old partition restored)"
-               else s"; ROLLBACK ALSO FAILED — old partition preserved at $bak"))
+      try {
+        if (affected.nonEmpty) {
+          val affectedCol = affected.toSeq.map(lit)
+          base.filter(col("split").isin(affectedCol: _*))
+            .join(gone, Seq("doc_id"), "left_anti")
+            .unionByName(delta.filter(col("split").isin(affectedCol: _*)))
+            .write.mode("overwrite").partitionBy("split")
+            .parquet(stagingRoot.getPath)
         }
-        deleteRecursively(bak)
-      }
-      deleteRecursively(stagingRoot)
-      manifestOf(s.read.parquet(corpusPath)).graftCheckpoint()
+
+        // per-partition swap stays the rename-aside discipline:
+        // metadata-only renames after the data job, old partition
+        // recoverable until its replacement is in place
+        affected.foreach { sp =>
+          val live = liveDir(sp)
+          val staging =
+            new java.io.File(stagingRoot, s"split=${escapePathName(sp)}")
+          val bak = bakDir(sp)
+          deleteRecursively(bak)
+          // a partition whose every doc was removed writes no staged dir
+          // at all (dynamic partitionBy emits only non-empty partitions):
+          // swap in an empty directory, same net state the per-split
+          // overwrite produced
+          if (!staging.exists()) staging.mkdirs(): Unit
+          if (live.exists() && !live.renameTo(bak))
+            throw new java.io.IOException(s"applyDelta swap failed: $live -> $bak")
+          if (!staging.renameTo(live)) {
+            val restored = !bak.exists() || bak.renameTo(live)
+            throw new java.io.IOException(
+              s"applyDelta swap failed: $staging -> $live" +
+                (if (restored) " (old partition restored)"
+                 else s"; ROLLBACK ALSO FAILED — old partition preserved at $bak"))
+          }
+          deleteRecursively(bak)
+        }
+      } finally deleteRecursively(stagingRoot) // never strand a staged rewrite
+      // schema pinned: a fully-emptied corpus (every doc removed) leaves
+      // only fileless partition dirs, which schema INFERENCE rejects —
+      // the manifest must come back empty there, not crash
+      manifestOf(s.read.schema(base.schema).parquet(corpusPath)).graftCheckpoint()
     } finally { gone.unpersist(blocking = false); () }
   }
 }

@@ -716,7 +716,7 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     try {
       graft.plans.CorpusExport.writeCuratedFrom(
         s, full.filter(pmod(col("doc_id"), lit(5)) =!= 0), out.toString)
-      graft.plans.CorpusExport.writeCuratedDeltaFrom(s, full, out.toString)
+      graft.plans.CorpusExport.writeCuratedDeltaArtifacts(s, full, out.toString)
       graft.plans.CorpusExport.applyDelta(s, out.toString)
     } finally {
       full.unpersist(blocking = false)

@@ -71,16 +71,32 @@ object EventPipeline {
   def windowedCountsSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_win_${System.nanoTime()}"
+    runToTable(s, name) { ckpt =>
+      windowedCounts(
+          readEventStream(s, dir, globFilter = Some("events.parquet")))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+    }()
+  }
+
+  /** The memory-sink gate skeleton: start the query against a scratch
+    * checkpoint dir, drain it, detach the sink table, clean up. The
+    * scratch dir is deleted in a FINALLY — a gate that dies mid-stream
+    * must release its tmpfs bytes AND its [[liveShmDirs]] reserve, or
+    * every later gate in the process over-reserves and falls back to
+    * disk tmp for nothing. */
+  private def runToTable(
+      s: SparkSession, name: String)(
+      start: java.nio.file.Path => org.apache.spark.sql.streaming.StreamingQuery)(
+      finish: DataFrame => DataFrame = identity): DataFrame = {
     val ckpt = harnessTmpDir("graft_stream_ckpt")
-    val q = windowedCounts(
-        readEventStream(s, dir, globFilter = Some("events.parquet")))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).graftCheckpoint()
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+    try {
+      val q = start(ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val out = finish(s.table(name)).graftCheckpoint()
+      s.catalog.dropTempView(name)
+      out
+    } finally deleteRecursively(ckpt.toFile)
   }
 
   /** Isolated child session for the sync gate harnesses: shares the
@@ -217,36 +233,37 @@ object EventPipeline {
     val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = harnessTmpDir("graft_stream_sess")
-    val inDir = tmp.resolve("in")
-    Files.createDirectories(inDir)
-    Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
-    val maxTs = stagedMaxTs(hs, inDir.resolve("part-a.parquet"))
-
-    val name = s"graft_stream_sess_${System.nanoTime()}"
-    val q = op(hs)(readEventStream(hs, inDir.toString))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {
-      q.processAllAvailable()
-      var n = 0
-      Seq(2L * 3600, 2L * 3600 + 1).foreach { offsetSec =>
-          n += 1
-          // driver-written sentinel (SentinelFiles: no Spark job), staged
-          // OUTSIDE the polled dir and moved in atomically so a listing can
-          // never observe a half-written parquet (footerless file ⇒ query
-          // death)
-          val staged = tmp.resolve(s"part-z$n.parquet.staged")
-          SentinelFiles.writeEvents(staged, Seq(
-            (-n.toLong, maxTs.plusSeconds(offsetSec), -1L, "sentinel", 0.0, "{}")))
-          Files.move(staged, inDir.resolve(s"part-z$n.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-          q.processAllAvailable()
-        }
-    } finally q.stop()
-    val out = hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
-    hs.catalog.dropTempView(name)
-    deleteRecursively(tmp.toFile)
-    out
+      val inDir = tmp.resolve("in")
+      Files.createDirectories(inDir)
+      Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+      val maxTs = stagedMaxTs(hs, inDir.resolve("part-a.parquet"))
+
+      val name = s"graft_stream_sess_${System.nanoTime()}"
+      val q = op(hs)(readEventStream(hs, inDir.toString))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try {
+        q.processAllAvailable()
+        var n = 0
+        Seq(2L * 3600, 2L * 3600 + 1).foreach { offsetSec =>
+            n += 1
+            // driver-written sentinel (SentinelFiles: no Spark job), staged
+            // OUTSIDE the polled dir and moved in atomically so a listing
+            // can never observe a half-written parquet (footerless file ⇒
+            // query death)
+            val staged = tmp.resolve(s"part-z$n.parquet.staged")
+            SentinelFiles.writeEvents(staged, Seq(
+              (-n.toLong, maxTs.plusSeconds(offsetSec), -1L, "sentinel", 0.0, "{}")))
+            Files.move(staged, inDir.resolve(s"part-z$n.parquet"),
+              StandardCopyOption.ATOMIC_MOVE)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+      val out = hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
+      hs.catalog.dropTempView(name)
+      out
+    } finally deleteRecursively(tmp.toFile)
   }
 
   /** LIVE maintenance of the day-partitioned events layout
@@ -320,18 +337,14 @@ object EventPipeline {
   def dedupSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_dedup_${System.nanoTime()}"
-    val ckpt = harnessTmpDir("graft_stream_ckpt")
-    val q = dedupWithinWatermark(
-        readEventStream(s, dir, globFilter = Some("events.parquet")),
-        Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).graftCheckpoint()
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+    runToTable(s, name) { ckpt =>
+      dedupWithinWatermark(
+          readEventStream(s, dir, globFilter = Some("events.parquet")),
+          Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+    }()
   }
 
   /** Stream–static enrichment join: the static dimension is joined to every
@@ -455,37 +468,38 @@ object EventPipeline {
     val hs = harnessSession(spark)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = harnessTmpDir("graft_stream_joino")
-    val inDir = tmp.resolve("in")
-    Files.createDirectories(inDir)
-    Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
-    val maxTs = stagedMaxTs(hs, inDir.resolve("part-a.parquet"))
-
-    val name = s"graft_stream_joino_${System.nanoTime()}"
-    val q = attributionJoinOuter(readEventStream(hs, inDir.toString),
-        joinType = joinType)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {
-      q.processAllAvailable()
-      var n = 0
-      Seq(3L * 3600, 3L * 3600 + 1).foreach { offsetSec =>
-        n += 1
-        val ts = maxTs.plusSeconds(offsetSec)
-        // driver-written sentinel pair (one per join branch), atomic move —
-        // see sessionSyncOver
-        val staged = tmp.resolve(s"part-z$n.parquet.staged")
-        SentinelFiles.writeEvents(staged, Seq(
-          (-(2L * n), ts, -1L, "purchase", 0.0, "{}"),
-          (-(2L * n + 1), ts, -2L, "click", 0.0, "{}")))
-        Files.move(staged, inDir.resolve(s"part-z$n.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+      val inDir = tmp.resolve("in")
+      Files.createDirectories(inDir)
+      Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+      val maxTs = stagedMaxTs(hs, inDir.resolve("part-a.parquet"))
+
+      val name = s"graft_stream_joino_${System.nanoTime()}"
+      val q = attributionJoinOuter(readEventStream(hs, inDir.toString),
+          joinType = joinType)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try {
         q.processAllAvailable()
-      }
-    } finally q.stop()
-    val out = hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
-    hs.catalog.dropTempView(name)
-    deleteRecursively(tmp.toFile)
-    out
+        var n = 0
+        Seq(3L * 3600, 3L * 3600 + 1).foreach { offsetSec =>
+          n += 1
+          val ts = maxTs.plusSeconds(offsetSec)
+          // driver-written sentinel pair (one per join branch), atomic
+          // move — see sessionSyncOver
+          val staged = tmp.resolve(s"part-z$n.parquet.staged")
+          SentinelFiles.writeEvents(staged, Seq(
+            (-(2L * n), ts, -1L, "purchase", 0.0, "{}"),
+            (-(2L * n + 1), ts, -2L, "click", 0.0, "{}")))
+          Files.move(staged, inDir.resolve(s"part-z$n.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
+      hs.catalog.dropTempView(name)
+      out
+    } finally deleteRecursively(tmp.toFile)
   }
 
   /** Synchronous gate run of [[attributionJoin]]: streams the sf dir's
@@ -496,16 +510,12 @@ object EventPipeline {
   def attributionJoinSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_join_${System.nanoTime()}"
-    val ckpt = harnessTmpDir("graft_stream_ckpt")
-    val q = attributionJoin(
-        readEventStream(s, dir, globFilter = Some("events.parquet")))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).graftCheckpoint()
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+    runToTable(s, name) { ckpt =>
+      attributionJoin(
+          readEventStream(s, dir, globFilter = Some("events.parquet")))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+    }()
   }
 
   /** Raw schema of the documents fixture (for the file-source stream). */
@@ -549,18 +559,14 @@ object EventPipeline {
   def curationFilterSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_cur_${System.nanoTime()}"
-    val ckpt = harnessTmpDir("graft_stream_ckpt")
-    val in = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    val q = curationFilterStream(in)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).graftCheckpoint()
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+    runToTable(s, name) { ckpt =>
+      val in = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      curationFilterStream(in)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+    }()
   }
 
   /** Multimodal decode on a DOCUMENT STREAM: each micro-batch's payloads
@@ -592,18 +598,14 @@ object EventPipeline {
   def mediaDecodeSync(spark: SparkSession, dir: String): DataFrame = {
     val s = harnessSession(spark)
     val name = s"graft_stream_media_${System.nanoTime()}"
-    val ckpt = harnessTmpDir("graft_stream_ckpt")
-    val in = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    val q = mediaDecodeStream(in)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).graftCheckpoint()
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+    runToTable(s, name) { ckpt =>
+      val in = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      mediaDecodeStream(in)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+    }()
   }
 
   /** Deploy the TRAINED quality probe to the ingest stream — the
@@ -646,18 +648,14 @@ object EventPipeline {
       d => graft.queries.LlmOps.trainedProbeWeights(spark, d))
     val s = harnessSession(spark)
     val name = s"graft_stream_probe_${System.nanoTime()}"
-    val ckpt = harnessTmpDir("graft_stream_ckpt")
-    val in = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    val q = probeScoreStream(in, w, graft.queries.LlmOps.ProbeGateMargin)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).graftCheckpoint()
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
-    out
+    runToTable(s, name) { ckpt =>
+      val in = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      probeScoreStream(in, w, graft.queries.LlmOps.ProbeGateMargin)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString).start()
+    }()
   }
 
   /** Live near-dup ingest gate: a DOCUMENT STREAM admitted against the
@@ -726,23 +724,25 @@ object EventPipeline {
         graft.functions.GraftFunctions.canonicalKey(col("text"))))
       .select(col("dedup_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = graft.operators.Dedup.bloomOfCorpus(
-      corpusFp.select(col("dedup_fp.f1").as("f1")), "f1",
-      numBits = 1 << 16, numProbes = 4)
-    val in = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(pmod(col("doc_id"), lit(5)) === 0)
-    val q = bloomIngestStream(in, corpusFp, bloom, numProbes = 4, out.toString)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val admitted = s.read.schema(admittedSchema)
-      .option("recursiveFileLookup", "true").parquet(out.toString)
-      .graftCheckpoint()
-    corpusFp.unpersist(false)
-    deleteRecursively(ckpt.toFile)
-    deleteRecursively(out.toFile)
-    admitted
+    try {
+      val bloom = graft.operators.Dedup.bloomOfCorpus(
+        corpusFp.select(col("dedup_fp.f1").as("f1")), "f1",
+        numBits = 1 << 16, numProbes = 4)
+      val in = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      val q = bloomIngestStream(in, corpusFp, bloom, numProbes = 4, out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.schema(admittedSchema)
+        .option("recursiveFileLookup", "true").parquet(out.toString)
+        .graftCheckpoint()
+    } finally {
+      corpusFp.unpersist(false)
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(out.toFile)
+    }
   }
 
   /** Synchronous gate run of [[nearDupIngestStream]]: the sf dir's
@@ -760,20 +760,22 @@ object EventPipeline {
           .filter(pmod(col("doc_id"), lit(7)) =!= 0),
         "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val in = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(pmod(col("doc_id"), lit(7)) === 0)
-    val q = nearDupIngestStream(in, corpusIndex, out.toString)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val admitted = s.read.schema(admittedSchema)
-      .option("recursiveFileLookup", "true").parquet(out.toString)
-      .graftCheckpoint()
-    corpusIndex.unpersist(false)
-    deleteRecursively(ckpt.toFile)
-    deleteRecursively(out.toFile)
-    admitted
+    try {
+      val in = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+      val q = nearDupIngestStream(in, corpusIndex, out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.schema(admittedSchema)
+        .option("recursiveFileLookup", "true").parquet(out.toString)
+        .graftCheckpoint()
+    } finally {
+      corpusIndex.unpersist(false)
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(out.toFile)
+    }
   }
 
   /** Streamed line-level boilerplate filter: the corpus's boilerplate line
@@ -814,20 +816,22 @@ object EventPipeline {
           .filter(pmod(col("doc_id"), lit(4)) =!= 0),
         "doc_id", page, minDocs = graft.queries.LlmOps.LineDedupMinDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val in = s.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(pmod(col("doc_id"), lit(4)) === 0)
-    val q = lineFilterStream(in, boiler, page, out.toString)
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val filtered = s.read.schema(lineFilterSchema)
-      .option("recursiveFileLookup", "true").parquet(out.toString)
-      .graftCheckpoint()
-    boiler.unpersist(false)
-    deleteRecursively(ckpt.toFile)
-    deleteRecursively(out.toFile)
-    filtered
+    try {
+      val in = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+      val q = lineFilterStream(in, boiler, page, out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.schema(lineFilterSchema)
+        .option("recursiveFileLookup", "true").parquet(out.toString)
+        .graftCheckpoint()
+    } finally {
+      boiler.unpersist(false)
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(out.toFile)
+    }
   }
 
   /** Raw schema of the embeddings fixture (for the file-source stream). */
@@ -987,43 +991,44 @@ object EventPipeline {
     val windowUs = graft.queries.Relational.FunnelWindowUs
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = harnessTmpDir("graft_stream_funnel")
-    val inDir = tmp.resolve("in")
-    Files.createDirectories(inDir)
-    Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
-    val maxTs = stagedMaxTs(hs, inDir.resolve("part-a.parquet"))
-
-    val name = s"graft_stream_funnel_${System.nanoTime()}"
-    val q = funnelStages(hs, readEventStream(hs, inDir.toString), windowUs)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
     try {
-      q.processAllAvailable()
-      // sentinel offset: window (24h) + watermark delay (30m) + slack
-      val base = windowUs / 1000000 + 3600
-      var n = 0
-      Seq(base, base + 1).foreach { offsetSec =>
-        n += 1
-        // driver-written sentinel, atomic move — see sessionSyncOver
-        val staged = tmp.resolve(s"part-z$n.parquet.staged")
-        SentinelFiles.writeEvents(staged, Seq(
-          (-n.toLong, maxTs.plusSeconds(offsetSec), -1L, "sentinel", 0.0, "{}")))
-        Files.move(staged, inDir.resolve(s"part-z$n.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+      val inDir = tmp.resolve("in")
+      Files.createDirectories(inDir)
+      Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+      val maxTs = stagedMaxTs(hs, inDir.resolve("part-a.parquet"))
+
+      val name = s"graft_stream_funnel_${System.nanoTime()}"
+      val q = funnelStages(hs, readEventStream(hs, inDir.toString), windowUs)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try {
         q.processAllAvailable()
-      }
-    } finally q.stop()
-    val per = hs.table(name).filter(col("user_id") >= 0)
-    val out = Seq(1 -> "1_signup", 2 -> "2_click", 3 -> "3_purchase")
-      .map { case (k, label) =>
-        per.filter(col("stage") >= k)
-          .agg(count(lit(1)).as("n_users"))
-          .select(lit(label).as("stage"), col("n_users"))
-      }
-      .reduce(_ unionAll _)
-      .graftCheckpoint()
-    hs.catalog.dropTempView(name)
-    deleteRecursively(tmp.toFile)
-    out
+        // sentinel offset: window (24h) + watermark delay (30m) + slack
+        val base = windowUs / 1000000 + 3600
+        var n = 0
+        Seq(base, base + 1).foreach { offsetSec =>
+          n += 1
+          // driver-written sentinel, atomic move — see sessionSyncOver
+          val staged = tmp.resolve(s"part-z$n.parquet.staged")
+          SentinelFiles.writeEvents(staged, Seq(
+            (-n.toLong, maxTs.plusSeconds(offsetSec), -1L, "sentinel", 0.0, "{}")))
+          Files.move(staged, inDir.resolve(s"part-z$n.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val per = hs.table(name).filter(col("user_id") >= 0)
+      val out = Seq(1 -> "1_signup", 2 -> "2_click", 3 -> "3_purchase")
+        .map { case (k, label) =>
+          per.filter(col("stage") >= k)
+            .agg(count(lit(1)).as("n_users"))
+            .select(lit(label).as("stage"), col("n_users"))
+        }
+        .reduce(_ unionAll _)
+        .graftCheckpoint()
+      hs.catalog.dropTempView(name)
+      out
+    } finally deleteRecursively(tmp.toFile)
   }
 
   def sessionize(spark: SparkSession, events: DataFrame,

@@ -77,14 +77,27 @@ private[streaming] object SentinelFiles {
   }
 
   /** max(ts) of a single events parquet file from its FOOTER statistics
-    * (every row group's ts max), `None` when any row group lacks stats —
-    * callers fall back to the Spark aggregate then. */
+    * (every row group's ts max), `None` when any row group lacks stats OR
+    * the ts column is not annotated micros-NTZ — a millis-encoded INT64
+    * read as micros would aim the sentinels ~1000× too early and the
+    * watermark would silently never flush; callers fall back to the
+    * Spark aggregate then. */
   def maxTsFromFooter(file: java.nio.file.Path): Option[LocalDateTime] = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toString), new Configuration())
     val reader = ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val tsIsMicrosNtz = fileSchema.getFields.asScala.exists { f =>
+        f.getName == "ts" && f.isPrimitive &&
+          (f.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS && !t.isAdjustedToUTC
+            case _ => false
+          })
+      }
+      if (!tsIsMicrosNtz) return None
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val maxes = blocks.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == "ts").flatMap { c =>

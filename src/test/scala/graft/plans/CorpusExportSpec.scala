@@ -132,12 +132,13 @@ class CorpusExportSpec extends SparkTestBase {
       mk(0L until 400L).write.mode("overwrite")
         .partitionBy("split").parquet(s"$out/corpus")
 
-      // delta: modified text for docs ≡ 0 (mod 16) in splits d00..d24 →
-      // 25 affected partitions; plus 5 removals confined to those splits
-      val deltaIds = (0L until 400L).filter(i => i % 16 == 0 && (i % 40) < 25)
+      // delta: docs 0..24 modified — their splits are d00..d24, so 25
+      // affected partitions; plus 5 removals confined to those splits
+      // (distinct docs 41..45 → splits d01..d05, already affected)
+      val deltaIds = (0L until 25L).toSeq
       mk(deltaIds).withColumn("text", concat(col("text"), lit(" v2")))
         .write.mode("overwrite").partitionBy("split").parquet(s"$out/delta")
-      val removedIds = Seq(1L, 2L, 3L, 4L, 5L) // splits d01..d05 (< 25)
+      val removedIds = Seq(41L, 42L, 43L, 44L, 45L)
       removedIds.toDF("doc_id").coalesce(1)
         .write.mode("overwrite").json(s"$out/_removed")
 
@@ -181,6 +182,77 @@ class CorpusExportSpec extends SparkTestBase {
       val modified = applied.filter(col("text").endsWith(" v2"))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(modified === deltaIds.toSet)
+
+      // crash-safety refusal: a stranded .bak whose live partition is GONE
+      // is a previous run's failed rollback still holding the only copy —
+      // applyDelta must refuse loudly instead of rewriting over it, and
+      // BEFORE paying for the staged rewrite (no staging root appears)
+      val sp = "d07"
+      val live = new java.io.File(s"$out/corpus/split=$sp")
+      val bak = new java.io.File(s"$out/corpus/.split=$sp.bak")
+      assert(live.renameTo(bak), "test setup: simulate the failed rollback")
+      val ex = intercept[java.io.IOException](CorpusExport.applyDelta(s, out.toString))
+      assert(ex.getMessage.contains("recover it first"))
+      assert(bak.exists(), "the only copy must survive the refusal")
+      assert(!new java.io.File(s"$out/corpus/.apply_delta.staging").exists(),
+        "the refusal must fire before any rewrite job")
+      assert(bak.renameTo(live), "manual recovery restores the partition")
+    } finally CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Partition values that Spark ESCAPES in directory names (':' → %3A
+    * etc): the live corpus and the staged rewrite both use the escaped
+    * form, so applyDelta must address partitions through the same
+    * escaping — a raw-name lookup would miss the staged dir, take the
+    * all-docs-removed fallback, and silently swap the partition away. */
+  test("applyDelta is partition-path-escaping-safe (split values with ':' and ' ')") {
+    val s = spark.newSession()
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_apply_escape")
+    try {
+      def mk(ids: Seq[Long], text: Long => String) = ids.map { i =>
+        (i, "en", 5L, text(i), if (i % 2 == 0) "day:1" else "part a/b")
+      }.toDF("doc_id", "lang", "n_tokens", "text", "split")
+      mk(0L until 20L, i => s"doc $i").write.mode("overwrite")
+        .partitionBy("split").parquet(s"$out/corpus")
+      // delta modifies docs 0 and 1 — one per escaped partition
+      mk(Seq(0L, 1L), i => s"doc $i v2").write.mode("overwrite")
+        .partitionBy("split").parquet(s"$out/delta")
+      Seq(2L).toDF("doc_id").coalesce(1)
+        .write.mode("overwrite").json(s"$out/_removed")
+
+      val manifest = CorpusExport.applyDelta(s, out.toString)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+      // 19 docs survive: 10 even − 1 removed in day:1, 10 odd in "part a/b"
+      assert(manifest === Set(("day:1", 9L, 45L), ("part a/b", 10L, 50L)))
+      val applied = s.read.parquet(s"$out/corpus")
+      assert(applied.count() === 19)
+      assert(applied.filter(col("doc_id") === 2L).isEmpty)
+      assert(applied.filter(col("text") === "doc 0 v2").count() === 1)
+      assert(applied.filter(col("text") === "doc 1 v2").count() === 1)
+    } finally CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** A delta that removes EVERY remaining document leaves only fileless
+    * partition dirs — the manifest must come back EMPTY (schema pinned
+    * from the pre-apply base), not die in parquet schema inference. */
+  test("applyDelta survives a fully-emptied corpus: empty manifest, no inference crash") {
+    val s = spark.newSession()
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_apply_empty")
+    try {
+      val all = (0L until 12L).toSeq
+      all.map(i => (i, "en", 3L, s"doc $i", s"d${i % 3}"))
+        .toDF("doc_id", "lang", "n_tokens", "text", "split")
+        .write.mode("overwrite").partitionBy("split").parquet(s"$out/corpus")
+      // empty delta (zero rows, schema-carrying write) + remove everything
+      s.read.parquet(s"$out/corpus").limit(0)
+        .write.mode("overwrite").partitionBy("split").parquet(s"$out/delta")
+      all.toDF("doc_id").coalesce(1)
+        .write.mode("overwrite").json(s"$out/_removed")
+
+      val manifest = CorpusExport.applyDelta(s, out.toString)
+      assert(manifest.isEmpty, "manifest of an emptied corpus must be empty")
     } finally CorpusExport.deleteRecursively(out.toFile)
   }
 }

@@ -54,6 +54,40 @@ class SentinelFilesSpec extends SparkTestBase {
     }
   }
 
+  test("a millis-annotated ts column is rejected (None), never misread as micros") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    val milliSchema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MILLIS))
+      .named("ts")
+      .named("spark_schema")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sentinel_millis")
+    val f = dir.resolve("part-m.parquet")
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(milliSchema, conf)
+      val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+        .withConf(conf).withType(milliSchema).build()
+      try {
+        val g = new SimpleGroup(milliSchema)
+        g.add("ts", 1709294415123L) // millis — ÷1000 off if read as micros
+        w.write(g)
+      } finally w.close()
+      // a millis max misread as micros would aim a watermark sentinel
+      // ~1000× too early; the guard must force the Spark-aggregate
+      // fallback instead
+      assert(SentinelFiles.maxTsFromFooter(f) === None)
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(x => x.delete(): Unit))
+      dir.toFile.delete(): Unit
+    }
+  }
+
   test("footer max also holds for the driver-generated events fixture (the staged file)") {
     val staged = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
     val viaFooter = SentinelFiles.maxTsFromFooter(staged)
