@@ -23,10 +23,13 @@ import org.apache.spark.sql.execution.LogicalRDD
   *   - `spark.graft.checkpoint.dir`  = DFS path for `reliable` mode
   *     (falls back to an already-set `SparkContext.setCheckpointDir`)
   *
-  * Eagerness is a per-call-site decision and is preserved: loops whose
-  * next action doubles as the materializer pass `eager = false` (one job
-  * per round, not two); result hand-offs that must outlive freed inputs
-  * pass `eager = true`.
+  * Eagerness is a per-call-site decision and is preserved IN LOCAL MODE:
+  * loops whose next action doubles as the materializer pass
+  * `eager = false` (one job per round, not two); result hand-offs that
+  * must outlive freed inputs pass `eager = true`. Reliable mode is
+  * always eager (see [[apply]]): Spark writes only the TOPMOST marked
+  * RDD per job, so laziness there would silently skip the very
+  * checkpoint the mode exists for.
   *
   * [[free]] releases a SUPERSEDED checkpoint no matter the mode: block
   * manager blocks always; reliable-mode checkpoint FILES too (best-effort
@@ -50,7 +53,24 @@ object Checkpoint {
   /** Checkpoint `df` under the session's configured strategy, truncating
     * plan lineage. `eager = false` defers materialization to the caller's
     * next action over the result (which must happen before any input
-    * frames are freed). */
+    * frames are freed); it is honored in LOCAL mode only — see the
+    * reliable branch for why.
+    *
+    * The reliable branch is ALWAYS eager, through a transient cache:
+    *   - `eager = false` cannot be honored there: Spark checkpoints only
+    *     the TOPMOST marked RDD per job
+    *     (`spark.checkpoint.checkpointAllMarkedAncestors` defaults
+    *     false), so a lazily-marked frame whose successor also
+    *     checkpoints — every round of an iterative loop — would NEVER be
+    *     written: no files, no lineage cut, silently unprotected, and
+    *     its upstream plan recomputed per consuming job;
+    *   - without the cache, `checkpoint(eager = true)` computes the plan
+    *     TWICE (the materializing count, then the uncached DFS write
+    *     job). Persist → checkpoint → unpersist computes once and writes
+    *     from the cache; the returned frame reads the checkpoint FILES,
+    *     independent of the freed cache.
+    * A reliable round therefore costs one compute + one cache-read write
+    * — the price of surviving a lost executor. */
   def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
     val conf = df.sparkSession.conf
     conf.get(ModeKey, "local") match {
@@ -61,18 +81,29 @@ object Checkpoint {
           // THIS session's DirKey always wins: the context-level dir is
           // shared mutable state another session may have set — silently
           // landing this session's checkpoints under someone else's dir
-          // means their cleanup deletes our live files. (The context dir
-          // is process-global, so two sessions checkpointing CONCURRENTLY
-          // with different DirKeys can still interleave — give them the
-          // same dir, or separate contexts.) Resetting per call is a
-          // conf write + mkdir: noise next to a DFS checkpoint.
-          case Some(dir) => sc.setCheckpointDir(dir)
+          // means their cleanup deletes our live files. Reset ONLY when
+          // the context dir isn't already under DirKey: setCheckpointDir
+          // mkdirs a fresh UUID subdirectory per call, and free()/the
+          // cleaner delete only rdd-N dirs inside it, so per-call resets
+          // would strand one empty UUID dir per checkpoint forever.
+          // (The context dir is process-global, so two sessions
+          // checkpointing CONCURRENTLY with different DirKeys can still
+          // interleave — give them the same dir, or separate contexts.)
+          case Some(dir) =>
+            val target = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+            val already = sc.getCheckpointDir.exists { c =>
+              val p = new org.apache.hadoop.fs.Path(c).getParent
+              p != null && p.toUri.getPath == target
+            }
+            if (!already) sc.setCheckpointDir(dir)
           case None =>
             if (sc.getCheckpointDir.isEmpty) throw GraftAnalysisException(Seq(
               s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
                 "(a DFS path) or SparkContext.setCheckpointDir before running"))
         }
-        df.checkpoint(eager)
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally { cached.unpersist(blocking = false); () }
       case other => throw GraftAnalysisException(Seq(
         s"unknown $ModeKey '$other' (expected 'local' or 'reliable')"))
     }

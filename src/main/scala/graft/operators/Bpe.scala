@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * argmax (a single row to the driver) plus one narrow projection applying
   * the merge as a greedy left-to-right fold INSIDE a higher-order
   * `aggregate` expression — no explode, no shuffle, no per-round corpus
-  * pass. Rounds checkpoint through `localCheckpoint` with eager
-  * block-freeing (the [[Clusters.resolve]] loop discipline), so the plan
-  * and the block manager stay O(1) in the round count.
+  * pass. Rounds checkpoint through the session's
+  * [[graft.core.Checkpoint]] strategy with eager block-freeing (the
+  * [[Clusters.resolve]] loop discipline), so the plan and the block
+  * manager stay O(1) in the round count — and `mode=reliable` makes the
+  * rounds survive a lost executor.
   *
   * Determinism: every value is an integer count or an ASCII-ordered
   * string; ties in the argmax break by (count DESC, left ASC, right ASC),

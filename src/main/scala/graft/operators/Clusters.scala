@@ -91,9 +91,12 @@ object Clusters {
     * small (id, rep) table, not the whole contraction history.
     *
     * `checkpoint` truncates the per-round plan lineage (without it the plan
-    * doubles every round and analysis cost explodes). Checkpoints are LAZY:
-    * each round's convergence-signature aggregation doubles as its
-    * materializing action, so a round costs one job, not two. The default
+    * doubles every round and analysis cost explodes). Checkpoints are LAZY
+    * in local mode: each round's convergence-signature aggregation doubles
+    * as its materializing action, so a round costs one job, not two.
+    * (Reliable mode is always eager — Spark writes only the topmost marked
+    * RDD per job, so laziness would skip the checkpoint entirely; a round
+    * there pays one compute plus a cache-read DFS write.) The default
     * strategy follows the session's [[graft.core.Checkpoint]] conf:
     * `local` for local mode and tests; on a real cluster set
     * `spark.graft.checkpoint.mode=reliable` (+ a DFS dir) so a lost

@@ -136,9 +136,10 @@ object Graph {
     * expansion — each round joins ONLY the newly-reached nodes against the
     * (persisted, round-invariant) edge list and anti-joins the visited
     * set, so per-round work is O(frontier · avg-degree), never O(V·E).
-    * Rounds are `localCheckpoint`ed (the [[pageRank]] discipline) so the
-    * plan stays flat across iterations; the loop count is a fixed literal,
-    * no data-dependent driver actions.
+    * Rounds checkpoint through the session's [[graft.core.Checkpoint]]
+    * strategy (the [[pageRank]] discipline) so the plan stays flat across
+    * iterations; the loop count is a fixed literal, no data-dependent
+    * driver actions.
     *
     * The breadth order makes the first discovery the minimum: a node in
     * frontier d has no path of length < d (it would have been discovered

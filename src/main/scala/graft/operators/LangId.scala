@@ -74,7 +74,7 @@ object LangId {
           col("norm").substr(col("i"), lit(3))), lit(dim.toLong)).as("b"))
 
     // model: dim rows, one integer trigram count column per language —
-    // materialized once (eager localCheckpoint, dim rows) so the totals
+    // materialized once (eager graftCheckpoint, dim rows) so the totals
     // aggregate and the broadcast join read the dim-row table instead of
     // each re-running the corpus explode
     val cnts = ls.map(l =>

@@ -55,6 +55,50 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("reliable mode is ALWAYS eager — a lazy request still writes files immediately") {
+    // Spark checkpoints only the TOPMOST marked RDD per job: honoring
+    // eager=false in reliable mode would let an iterative loop mark every
+    // round and WRITE none of them (no files, no lineage cut). The
+    // contract is therefore: reliable ⇒ files exist when apply() returns.
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_lazy")
+    try {
+      s.conf.set(Checkpoint.ModeKey, "reliable")
+      s.conf.set(Checkpoint.DirKey, dir.toString)
+      val out = Checkpoint((1 to 50).toDF("n").filter($"n" > 10), eager = false)
+      val rdd = out.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd
+      assert(rdd.getCheckpointFile.nonEmpty,
+        "reliable-mode checkpoint must be written before apply() returns")
+      assert(ckptFilesUnder(dir).nonEmpty)
+      assert(out.count() === 40)
+      Checkpoint.free(out)
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+      dir.toFile.delete(): Unit
+    }
+  }
+
+  test("repeated reliable checkpoints reuse one context dir (no per-call UUID-dir leak)") {
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_reuse")
+    try {
+      s.conf.set(Checkpoint.ModeKey, "reliable")
+      s.conf.set(Checkpoint.DirKey, dir.toString)
+      val frames = (1 to 3).map(i => Checkpoint((1 to 10).toDF("n").withColumn("i", lit(i))))
+      // setCheckpointDir mkdirs a UUID subdir per CALL — three checkpoints
+      // must share one, not strand two empties free() can never reach
+      val uuidDirs = Option(dir.toFile.listFiles()).toSeq.flatten.filter(_.isDirectory)
+      assert(uuidDirs.length === 1,
+        s"expected one shared UUID dir, found ${uuidDirs.length}")
+      frames.foreach(Checkpoint.free)
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+      dir.toFile.delete(): Unit
+    }
+  }
+
   test("reliable mode without a directory fails loudly") {
     // fresh session; the context-level checkpoint dir may already be set by
     // the test above (SparkContext state is shared), so only assert when not
