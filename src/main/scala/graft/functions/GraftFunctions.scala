@@ -198,9 +198,14 @@ object GraftFunctions {
       lang -> ms.getField("lang_hits").getItem(i)
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+    val decided = hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
       when(h > 0 && h === best, lit(lang)).otherwise(elseCol)
     }
+    // NULL text must stay NULL (the qualityScore convention) — the when
+    // chain's conditions all evaluate NULL-falsy there, which would
+    // silently count the null document as a real 'und' one in every
+    // language-distribution aggregate
+    when(ms.isNull, lit(null).cast("string")).otherwise(decided)
   }
 
   /** [[langIdFrom]] over a raw text column (single-call-site convenience). */

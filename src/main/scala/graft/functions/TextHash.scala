@@ -58,6 +58,16 @@ object TextHash {
   def minhashSig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
       numHashes: Int, seed: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val (a, b) = minhashCoeffs(numHashes, seed)
+    minhashSigWith(shingles, a, b)
+  }
+
+  /** [[minhashSig]] over PRE-RESOLVED coefficient arrays — the expression
+    * resolves them once per plan (lazy val / codegen reference object), so
+    * the hottest dedup kernel pays zero per-row cache lookups and boxed
+    * tuple-key allocations. */
+  def minhashSigWith(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Array[Long], b: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val numHashes = a.length
     val p = MinhashPrime
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)

@@ -58,6 +58,10 @@ object VectorOps {
     * nCells-wide expression array that blows up codegen at the 4k–64k
     * cells a 100 TB corpus needs. */
   def argmaxCosineCell(vec: ArrayData, centroids: Array[Array[Float]]): Int = {
+    if (centroids.isEmpty)
+      throw new IllegalArgumentException(
+        "cell assignment needs at least one centroid — an empty matrix " +
+          "would silently route the whole corpus to a phantom cell 0")
     val n = vec.numElements()
     var best = Double.NegativeInfinity
     var bestC = 0
@@ -138,15 +142,27 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Pack int8 quantization codes (each in [-127, 127]) into a binary
-    * column — ONE byte per component, the 4× storage shrink of the
-    * quantized ANN index tier (a parquet array<int> element costs 4 bytes
-    * before encodings; a binary cell costs its length). */
+  /** Pack int8 quantization codes into a binary column — ONE byte per
+    * component, the 4× storage shrink of the quantized ANN index tier (a
+    * parquet array<int> element costs 4 bytes before encodings; a binary
+    * cell costs its length). Two producers share this layout: signed q8
+    * quantization codes in [-128, 127] (read back sign-extending, in
+    * [[unpackQ8]]) and UNSIGNED PQ codes in [0, 255] (read back `& 0xff`,
+    * in [[pqDecodeBytes]]). Anything outside [-128, 255] is a caller bug
+    * and FAILS here — `toByte` truncation would silently corrupt every
+    * vector the index later serves. */
   def packInt8(codes: ArrayData): Array[Byte] = {
     val n = codes.numElements()
     val out = new Array[Byte](n)
     var i = 0
-    while (i < n) { out(i) = codes.getInt(i).toByte; i += 1 }
+    while (i < n) {
+      val v = codes.getInt(i)
+      if (v < -128 || v > 255)
+        throw new IllegalArgumentException(
+          s"int8 pack out of range: $v (expected [-128, 255])")
+      out(i) = (v & 0xff).toByte
+      i += 1
+    }
     out
   }
 
@@ -239,8 +255,10 @@ object VectorOps {
     val out = new Array[Float](m * dsub)
     var s = 0
     while (s < m) {
-      val code = codes(s).toInt
-      if (code < 0 || code >= ksub)
+      // PQ codes are UNSIGNED [0, ksub-1]: a signed read would reject the
+      // wrapped bytes of every code ≥ 128 the standard ksub=256 produces
+      val code = codes(s) & 0xff
+      if (code >= ksub)
         throw new IllegalArgumentException(s"pq code out of range: $code (ksub=$ksub)")
       System.arraycopy(codebook(s * ksub + code), 0, out, s * dsub, dsub)
       s += 1

@@ -211,10 +211,8 @@ case class IvfCellAssign(left: Expression, right: Expression)
 
   /** The constant matrix, converted ONCE per expression instance (not per
     * row) — also registered as a codegen reference object. */
-  @transient private lazy val matrix: Array[Array[Float]] = {
-    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-  }
+  @transient private lazy val matrix: Array[Array[Float]] =
+    GraftExprChecks.floatMatrixOf(right)
 
   override protected def nullSafeEval(vec: Any, cents: Any): Any =
     VectorOps.argmaxCosineCell(
@@ -249,10 +247,8 @@ case class IvfCellsTopN(left: Expression, right: Expression, nprobe: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_ivf_cells_topn"
 
-  @transient private lazy val matrix: Array[Array[Float]] = {
-    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-  }
+  @transient private lazy val matrix: Array[Array[Float]] =
+    GraftExprChecks.floatMatrixOf(right)
 
   override protected def nullSafeEval(vec: Any, cents: Any): Any =
     VectorOps.topCellsByCosine(
@@ -329,10 +325,8 @@ case class PqAssign(left: Expression, right: Expression, ksub: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_assign"
 
-  @transient private lazy val codebook: Array[Array[Float]] = {
-    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-  }
+  @transient private lazy val codebook: Array[Array[Float]] =
+    GraftExprChecks.floatMatrixOf(right)
 
   override protected def nullSafeEval(vec: Any, cb: Any): Any =
     VectorOps.pqAssign(
@@ -366,10 +360,8 @@ case class PqDecode(left: Expression, right: Expression, ksub: Int)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "graft_pq_decode"
 
-  @transient private lazy val codebook: Array[Array[Float]] = {
-    val arr = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-  }
+  @transient private lazy val codebook: Array[Array[Float]] =
+    GraftExprChecks.floatMatrixOf(right)
 
   private def packed: Boolean = left.dataType == BinaryType
 
@@ -400,13 +392,22 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any =
-    TextHash.minhashSig(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes, seed)
+  // coefficients resolve ONCE per expression instance (and ride codegen as
+  // reference objects) — a per-row cache lookup in the hottest dedup
+  // kernel would pay a boxed tuple-key allocation per row for nothing
+  @transient private lazy val coeffs = TextHash.minhashCoeffs(numHashes, seed)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSigWith(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      coeffs._1, coeffs._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", coeffs._1, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", coeffs._2, "long[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextHash.minhashSig($c, $numHashes, ${seed}L)")
+      c => s"graft.functions.TextHash.minhashSigWith($c, $aRef, $bRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -539,8 +540,15 @@ case class KeyedMemberPairs(
     extends TernaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
+      // the kernel reads keys with getLong — an array<int> key column
+      // (e.g. hash() instead of xxhash64()) would pass a looser check and
+      // then read 8 bytes across two 4-byte elements: garbage collisions
       case (ArrayType(StructType(Array(a, k)), _), IntegerType, IntegerType)
-          if a.dataType == LongType && k.dataType.isInstanceOf[ArrayType] =>
+          if a.dataType == LongType &&
+            (k.dataType match {
+              case ArrayType(LongType, _) => true
+              case _ => false
+            }) =>
         TypeCheckResult.TypeCheckSuccess
       case (f, s, t) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (array<struct<long,array<long>>>, int, int), " +
@@ -612,9 +620,14 @@ case class SizedMemberPairs(
     extends TernaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
+      // band-hash keys must be array<long> — the kernel reads getLong
+      // (see KeyedMemberPairs)
       case (ArrayType(StructType(Array(a, b, c)), _), IntegerType, IntegerType)
           if a.dataType == LongType && b.dataType == IntegerType &&
-            c.dataType.isInstanceOf[ArrayType] =>
+            (c.dataType match {
+              case ArrayType(LongType, _) => true
+              case _ => false
+            }) =>
         TypeCheckResult.TypeCheckSuccess
       case (f, s, t) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (array<struct<long,int,array<long>>>, int, int), " +
@@ -655,6 +668,19 @@ case class BloomMightContain(child: Expression, bloom: Array[Byte], k: Int)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
+  // case-class equality on Array[Byte] is REFERENCE equality, which would
+  // defeat canonicalization/subexpression elimination for two probes of
+  // equal bitsets (and break equals/hashCode symmetry after a plan
+  // serialization round-trip) — compare the bytes by content
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContain =>
+      child == that.child && k == that.k &&
+        java.util.Arrays.equals(bloom, that.bloom)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(k), Int.box(java.util.Arrays.hashCode(bloom)))
+
   override protected def nullSafeEval(fp: Any): Any =
     BloomOps.mightContain(bloom, fp.asInstanceOf[Long], k)
 
@@ -672,6 +698,15 @@ case class BloomMightContain(child: Expression, bloom: Array[Byte], k: Int)
   * array element flags are ignored on purpose. */
 object GraftExprChecks {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** A FOLDABLE array<array<float>> child (centroid matrix / PQ codebook)
+    * evaluated once into a JVM matrix — shared by IvfCellAssign,
+    * IvfCellsTopN, PqAssign and PqDecode so the conversion (and any guard
+    * added to it) lives in one place. */
+  def floatMatrixOf(e: Expression): Array[Array[Float]] = {
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+  }
 
   private def same(a: DataType, b: DataType): Boolean = (a, b) match {
     case (ArrayType(x, _), ArrayType(y, _)) => same(x, y)

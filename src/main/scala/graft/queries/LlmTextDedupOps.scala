@@ -77,9 +77,9 @@ trait LlmTextDedupOps { this: LlmOps.type =>
        |  CAST(lang_pred = lang AS INT) AS agree
        |FROM (
        |  SELECT doc_id, lang,
-       |    CASE $cases
+       |    CASE WHEN text IS NULL THEN NULL $cases
        |    ELSE 'und' END AS lang_pred
-       |  FROM (SELECT doc_id, lang, $hitDefs FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, lang, text, $hitDefs FROM documents))""".stripMargin
   }
 
   /** Label set + bucket count of the n-gram language-ID gate. 4096

@@ -285,4 +285,81 @@ class FunctionsSpec extends SparkTestBase {
     assert(r(0) == Seq("a b c", "b c d"))
     assert(r(1) == Seq("a b"))
   }
+
+  test("langId: NULL text stays NULL (never counted as a real 'und' doc)") {
+    GraftFunctions.register(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val rows = Seq(org.apache.spark.sql.Row(null), org.apache.spark.sql.Row("xyzzy"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val got = df.select(GraftFunctions.langId(col("text")).as("l"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(None, Some("und")))
+  }
+
+  test("PQ codes above 127 (standard ksub=256) survive pack → packed decode") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 2 subspaces of dim 2, ksub=256: codebook entry s*256+code
+    val codebook = Array.tabulate(2 * 256)(i => Array(i.toFloat, (i + 1).toFloat))
+    val codes = new GenericArrayData(Array(200, 255)) // both > 127
+    val packed = VectorOps.packInt8(codes)
+    assert(packed(0) == -56.toByte && packed(1) == -1.toByte) // wrapped bytes
+    val decoded = VectorOps.pqDecodeBytes(packed, codebook, 256)
+    assert(decoded.toFloatArray().toSeq ===
+      codebook(200).toSeq ++ codebook(256 + 255).toSeq)
+    // and out-of-range still fails loudly: code 255 against a ksub=16 book
+    val smallBook = Array.tabulate(16)(i => Array(i.toFloat, i.toFloat))
+    val bad = VectorOps.packInt8(new GenericArrayData(Array(255)))
+    val ex = intercept[IllegalArgumentException](
+      VectorOps.pqDecodeBytes(bad, smallBook, 16))
+    assert(ex.getMessage.contains("out of range"))
+  }
+
+  test("packInt8 rejects values outside [-128, 255] instead of silently wrapping") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ex = intercept[IllegalArgumentException](
+      VectorOps.packInt8(new GenericArrayData(Array(256))))
+    assert(ex.getMessage.contains("out of range"))
+    val ex2 = intercept[IllegalArgumentException](
+      VectorOps.packInt8(new GenericArrayData(Array(-129))))
+    assert(ex2.getMessage.contains("out of range"))
+    // signed q8 codes still round-trip sign-exactly
+    val q8 = VectorOps.packInt8(new GenericArrayData(Array(-128, -1, 0, 127)))
+    assert(q8.toSeq === Seq(-128, -1, 0, 127).map(_.toByte))
+  }
+
+  test("empty centroid matrix is a loud error, never a phantom cell 0") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = new GenericArrayData(Array(1.0f, 0.0f))
+    val ex = intercept[IllegalArgumentException](
+      VectorOps.argmaxCosineCell(vec, Array.empty[Array[Float]]))
+    assert(ex.getMessage.contains("at least one centroid"))
+  }
+
+  test("BloomMightContain compares bloom bytes by content (canonicalization-safe)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val child = Literal(42L)
+    val a = BloomMightContain(child, Array[Byte](1, 2, 3), 4)
+    val b = BloomMightContain(child, Array[Byte](1, 2, 3), 4)
+    val c = BloomMightContain(child, Array[Byte](9, 2, 3), 4)
+    assert(a === b); assert(a.hashCode === b.hashCode)
+    assert(a !== c)
+  }
+
+  test("member-pair kernels reject non-long key arrays at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // keys built with hash() (INT) instead of xxhash64 (LONG): the kernel
+    // reads getLong, so this must fail in analysis, not read garbage
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+        .select(array(struct(col("id"),
+          array(hash(col("t")).cast("int")).as("ks"))).as("ms"))
+        .select(explode(GraftFunctions.keyedMemberPairs(col("ms"), lit(0), lit(0))))
+        .collect()
+    }
+    assert(ex.getMessage.contains("graft_keyed_member_pairs"))
+  }
 }
