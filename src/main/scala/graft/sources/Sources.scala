@@ -20,11 +20,14 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** `multiLine = true` is REQUIRED to round-trip text containing
-    * embedded newlines (the writer quotes them, but the default reader
-    * splits records on raw newlines before CSV parsing). */
+  /** `multiLine = true` (the DEFAULT here, unlike Spark's) is REQUIRED to
+    * round-trip text containing embedded newlines: [[writeCsv]] quotes
+    * them, but a multiLine=false read splits records on the raw newline
+    * BEFORE CSV parsing — two silently-malformed rows, no error. Callers
+    * reading machine-generated newline-free CSV can pass false to get the
+    * splittable-scan fast path back. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, multiLine: Boolean = false): DataFrame =
+      header: Boolean = true, multiLine: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString)
       .option("multiLine", multiLine.toString).csv(path)
 
@@ -50,11 +53,19 @@ object Sources {
     * The caller splits on `_corrupt_record IS NOT NULL`: clean rows flow
     * on, quarantined lines go to a dead-letter sink for re-crawl.
     * Requires the corrupt column declared in the schema (Spark drops it
-    * otherwise). */
+    * otherwise). CAVEAT for the dead-letter write: Spark refuses a query
+    * over raw JSON whose only referenced column is the internal corrupt
+    * column — reference at least one data column alongside it (or
+    * `.cache()` the frame first) when dumping the quarantine. */
   def readJsonQuarantine(
       spark: SparkSession, path: String, dataSchema: StructType): DataFrame = {
-    val withCorrupt = dataSchema
-      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    // idempotent for schemas that already carry the quarantine column
+    // (e.g. re-reading a previously quarantined dump) — a blind add would
+    // fail the read with a duplicate column
+    val withCorrupt =
+      if (dataSchema.fieldNames.contains("_corrupt_record")) dataSchema
+      else dataSchema
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     spark.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -108,21 +119,23 @@ object Sources {
     * still reading from (which would truncate the input mid-plan).
     *
     * Swap caveats: the two DDL statements run in ONE transaction, which is
-    * genuinely atomic on engines with transactional DDL (Derby, Postgres);
-    * on engines that auto-commit DDL (MySQL, Oracle) a crash between them
-    * can leave only the staging table — recover by renaming it back. The
-    * rebuilt table has the JDBC writer's schema: engine-side constraints,
-    * indexes and grants on the original are NOT carried over, and `RENAME
-    * TABLE a TO b` is Derby/MySQL syntax (Postgres: ALTER TABLE RENAME).
+    * genuinely atomic on engines with transactional DDL (Derby, Postgres —
+    * the rename statement is dialect-selected, `ALTER TABLE … RENAME TO`
+    * there); on engines that auto-commit DDL (MySQL, Oracle) a crash
+    * between them can leave only the staging table — recover by renaming
+    * it back. The rebuilt table has the JDBC writer's schema: engine-side
+    * constraints, indexes and grants on the original are NOT carried over.
     *
     * Identifier handling: `table` is embedded VERBATIM into SQL text, the
     * same contract as Spark's own `dbtable` option — pass it pre-quoted
     * (`"\"My Table\""`) for case-sensitive/special names. The staging name
-    * is derived quote-aware (suffix inside the caller's quotes), a stale
-    * staging table from a previous failed run is dropped up front, and on
-    * a failed swap the staging table is cleaned up — unless the original
-    * table no longer exists, in which case staging holds the only copy of
-    * the data and is deliberately left for manual recovery. */
+    * is derived quote-aware (suffix inside the caller's quotes) and
+    * carries a per-run unique id, so concurrent upserts of the same table
+    * can never clobber each other's staging; on a failed swap the staging
+    * table is cleaned up — unless the original table no longer exists, in
+    * which case staging holds the only copy of the data and is
+    * deliberately left (uniquely named `*_graft_stg_*`) for manual
+    * recovery. */
   def upsertJdbc(spark: SparkSession, updates: DataFrame, url: String,
       table: String, keys: Seq[String],
       props: java.util.Properties = new java.util.Properties()): Unit =
@@ -139,7 +152,30 @@ object Sources {
   def upsertJdbcMulti(spark: SparkSession,
       updates: Seq[(String, DataFrame, Seq[String])], url: String,
       props: java.util.Properties = new java.util.Properties()): Unit = {
-    import org.apache.spark.sql.functions.col
+    // the same table twice in one request is ambiguous (which merge wins?)
+    // and, worse, on auto-commit-DDL engines the second swap iteration
+    // would DROP the data the first just renamed into place — refuse
+    require(updates.map(_._1).distinct.length == updates.length,
+      s"upsertJdbcMulti: duplicate target tables in ${updates.map(_._1)}")
+
+    // one metadata connection for the whole request: the identifier quote
+    // string is connection-invariant, so per-table connections would be
+    // pure setup overhead against a remote database
+    val quote = withConnection(url, props) { conn =>
+      Option(conn.getMetaData.getIdentifierQuoteString)
+        .map(_.trim).filter(_.nonEmpty).getOrElse("")
+    }
+    // per-run unique staging suffix: a CONSTANT name would let two
+    // concurrent upserts of the same table clobber each other's staging
+    // mid-write and swap half-written data into place. The cost: a run
+    // that crashes AFTER its sweep fails leaves a uniquely-named
+    // `*_graft_stg_*` table for manual cleanup instead of being reused.
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    def stagingNameOf(table: String): String =
+      if (quote.nonEmpty && table.length > 2 * quote.length &&
+          table.startsWith(quote) && table.endsWith(quote))
+        table.dropRight(quote.length) + s"_graft_stg_$runId" + quote
+      else table + s"_graft_stg_$runId"
 
     // staging phase: originals untouched, so on ANY failure here the
     // already-written staging tables are dropped unconditionally and the
@@ -149,21 +185,11 @@ object Sources {
       updates.foreach { case (table, ups, keys) =>
         val existing = readJdbc(spark, url, table, props)
         val merged = existing
-          .join(ups.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(ups.select(existing.columns.map(col).toIndexedSeq: _*))
-        val staging = withConnection(url, props) { conn =>
-          val q = Option(conn.getMetaData.getIdentifierQuoteString)
-            .map(_.trim).filter(_ != " ").getOrElse("")
-          val stg =
-            if (q.nonEmpty && table.length > 2 * q.length &&
-                table.startsWith(q) && table.endsWith(q))
-              table.dropRight(q.length) + "_graft_upsert_stage" + q
-            else table + "_graft_upsert_stage"
-          dropQuietly(conn, stg)
-          stg
-        }
+          .join(ups.select(keys.map(qcol): _*), keys, "left_anti")
+          .unionByName(ups.select(existing.columns.map(qcol).toIndexedSeq: _*))
         // registered BEFORE the write: a staging table created by a write
         // that then dies midway must still be swept by the catch below
+        val staging = stagingNameOf(table)
         staged += ((table, staging))
         merged.write.mode("overwrite").jdbc(url, staging, props)
       }
@@ -186,11 +212,16 @@ object Sources {
         try {
           staged.foreach { case (table, staging) =>
             st.executeUpdate(s"DROP TABLE $table")
-            st.executeUpdate(s"RENAME TABLE $staging TO $table")
+            st.executeUpdate(renameSql(url, staging, table))
           }
           conn.commit()
         } catch {
-          case e: Throwable => conn.rollback(); throw e
+          case e: Throwable =>
+            // the rollback itself can fail (the swap error was likely a
+            // dead connection) — that must never mask the swap error
+            try conn.rollback()
+            catch { case c: Throwable => e.addSuppressed(c) }
+            throw e
         } finally st.close()
       }
     } catch {
@@ -217,6 +248,19 @@ object Sources {
   def deleteJdbc(url: String, table: String, whereSql: String,
       props: java.util.Properties = new java.util.Properties()): Int =
     withStatement(url, props)(_.executeUpdate(s"DELETE FROM $table WHERE $whereSql"))
+
+  /** Column reference by EXACT name — `col("a.b")` would parse as nested
+    * field access, failing resolution for JDBC tables with dotted column
+    * names; backticks make the name literal. */
+  private def qcol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
+
+  /** Table-rename DDL by dialect: Postgres only accepts
+    * `ALTER TABLE … RENAME TO`; Derby/MySQL use `RENAME TABLE … TO …`. */
+  private def renameSql(url: String, from: String, to: String): String =
+    if (url.startsWith("jdbc:postgresql"))
+      s"ALTER TABLE $from RENAME TO $to"
+    else s"RENAME TABLE $from TO $to"
 
   private def withConnection[T](url: String, props: java.util.Properties)(
       f: java.sql.Connection => T): T = {

@@ -126,9 +126,85 @@ class SourcesSpec extends SparkTestBase {
     val usersAfter = Sources.readJdbc(spark, url, "t_users").orderBy("id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(usersAfter == users, "partial multi-table request mutated a table")
-    val stagingGone = intercept[Exception] {
-      Sources.readJdbc(spark, url, "t_users_graft_upsert_stage").collect()
+    // the run-unique staging tables must be swept on failure
+    assert(stagingTables(url).isEmpty,
+      s"failed request left staging tables: ${stagingTables(url)}")
+    assert(ex != null)
+  }
+
+  /** All tables whose name carries the upsert staging marker. */
+  private def stagingTables(url: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%GRAFT_STG%", null)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (rs.next()) out += rs.getString("TABLE_NAME")
+      rs.close()
+      out.toSeq
+    } finally conn.close()
+  }
+
+  test("upsert refuses duplicate target tables (auto-commit-DDL data-loss guard)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftdup${System.nanoTime()};create=true"
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").jdbc(url, "t_d", new java.util.Properties())
+    val ex = intercept[IllegalArgumentException] {
+      Sources.upsertJdbcMulti(spark, Seq(
+        ("t_d", Seq((1L, "x")).toDF("id", "name"), Seq("id")),
+        ("t_d", Seq((1L, "y")).toDF("id", "name"), Seq("id"))), url)
     }
-    assert(stagingGone != null && ex != null)
+    assert(ex.getMessage.contains("duplicate target tables"))
+  }
+
+  test("successive upserts leave no staging tables behind (run-unique names swept)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftstg${System.nanoTime()};create=true"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").jdbc(url, "t_s", new java.util.Properties())
+    Sources.upsertJdbc(spark, Seq((2L, "B2")).toDF("id", "name"), url, "t_s", Seq("id"))
+    Sources.upsertJdbc(spark, Seq((3L, "c")).toDF("id", "name"), url, "t_s", Seq("id"))
+    val rows = Sources.readJdbc(spark, url, "t_s").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(stagingTables(url).isEmpty, s"stagings leaked: ${stagingTables(url)}")
+  }
+
+  test("upsert handles dotted column names (no nested-field mis-parse)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftdot${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    // a quoted dotted column: col("user.name") would parse as field access
+    Seq((1L, "a"), (2L, "b")).toDF("id", "user.name")
+      .write.mode("overwrite").jdbc(url, "t_dot", props)
+    Sources.upsertJdbc(spark,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "user.name"), url, "t_dot", Seq("id"), props)
+    val rows = Sources.readJdbc(spark, url, "t_dot").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("readJsonQuarantine is idempotent for schemas already carrying _corrupt_record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("a.jsonl"),
+        "{\"id\": 1}\nnot json at all\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      val first = Sources.readJsonQuarantine(spark, dir.toString, schema)
+      assert(first.schema.fieldNames.count(_ == "_corrupt_record") === 1)
+      // re-read with the ALREADY-augmented schema: must not duplicate
+      val again = Sources.readJsonQuarantine(spark, dir.toString, first.schema)
+      assert(again.schema.fieldNames.count(_ == "_corrupt_record") === 1)
+      // reference a data column alongside the corrupt one — the exact
+      // dead-letter caveat the Scaladoc documents (corrupt-column-only
+      // queries over raw JSON are disallowed by Spark)
+      val rows = again.select("id", "_corrupt_record").collect()
+      assert(rows.count(r => !r.isNullAt(1)) === 1)
+      assert(rows.count(_.isNullAt(1)) === 1)
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+      dir.toFile.delete(): Unit
+    }
   }
 }
