@@ -357,7 +357,12 @@ object Similarity {
       path: String, centroids: Seq[(Int, Seq[Float])],
       batchTag: String,
       pq: Option[(Seq[Seq[Float]], Int)] = None): Boolean = {
-    require(batchTag.matches("[A-Za-z0-9_-]+"), "batchTag must be filesystem-safe")
+    // no '-' in the tag: file names are `ingest-<tag>-part<i>.parquet`, so
+    // a dash-bearing tag (day1-fix) would share the `ingest-day1-` prefix
+    // with tag day1 — its files would match day1's report glob AND be
+    // deleted by day1's crash-retry partial-cleanup
+    require(batchTag.matches("[A-Za-z0-9_]+"),
+      s"batchTag must be [A-Za-z0-9_]+ (got '$batchTag')")
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val root = new Path(path)

@@ -15,9 +15,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object Channels {
 
-  /** Compose transformation stages left-to-right (ubw's `next`/`compose`). */
+  /** Compose transformation stages left-to-right (ubw's `next`/`compose`);
+    * zero stages compose to the identity transform, not a crash. */
   def pipeline(stages: (DataFrame => DataFrame)*): DataFrame => DataFrame =
-    stages.reduceLeft(_ andThen _)
+    stages.foldLeft(identity[DataFrame] _)(_ andThen _)
 
   /** Run every sink against one cached materialization of `df`; the cache is
     * dropped afterwards. At cluster scale, prefer MEMORY_AND_DISK (default
@@ -28,14 +29,22 @@ object Channels {
     * first sink, so every sink is guaranteed a warm cache regardless of
     * order — but a sink that returns a *lazy* DataFrame gets no protection:
     * the cache is dropped when this method returns, and consuming that
-    * DataFrame later recomputes the full input. */
+    * DataFrame later recomputes the full input.
+    *
+    * A frame the CALLER already persisted is left persisted: unpersisting
+    * it here would silently destroy the caller's cache for every use
+    * after this call (persist-on-persisted is a no-op, so this method
+    * never owned that cache entry). */
   def multiSink[T](df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
       sinks: Seq[DataFrame => T]): Seq[T] = {
-    val cached = df.persist(level)
+    val callerCached = df.storageLevel != StorageLevel.NONE
+    val cached = if (callerCached) df else df.persist(level)
     try {
       cached.count() // materialize once, up front
       sinks.map(sink => sink(cached))
-    } finally cached.unpersist(blocking = false)
+    } finally {
+      if (!callerCached) cached.unpersist(blocking = false); ()
+    }
   }
 }

@@ -45,9 +45,23 @@ object Compaction {
       targetBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Nil): Report = {
     require(targetBytes > 0, "targetBytes must be positive")
+    val target = new java.io.File(outDir)
+    val bak = new java.io.File(outDir + ".bak")
+    // the stranded-.bak refusal runs BEFORE the rewrite: a previous run's
+    // failed rollback holding the only copy must stop the compaction
+    // before it pays for (at the stated scale, hours of) shuffle
+    if (bak.exists() && !target.exists())
+      throw new java.io.IOException(
+        s"refusing to compact: a previous failed swap left the only copy at $bak; recover it first")
     val in = new java.io.File(inDir)
     val before = parquetFiles(in)
-    require(before.nonEmpty, s"no parquet files under $inDir")
+    // flat directories only: a hive-partitioned layout (key=value
+    // subdirs) has its parquet one level down AND must keep its layout —
+    // compact those PER PARTITION DIRECTORY (the affected-partition
+    // discipline of CorpusExport.applyDelta), not through this flat path
+    require(before.nonEmpty,
+      s"no parquet files directly under $inDir — for a partitioned " +
+        "layout, compact each partition directory individually")
     val bytesBefore = before.map(_.length()).sum
     val n = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
 
@@ -59,16 +73,9 @@ object Compaction {
       } else df.repartition(n)
     val staging = outDir + ".staging"
     shaped.write.mode("overwrite").parquet(staging)
-    val target = new java.io.File(outDir)
     // swap: old → .bak, staging → target, delete .bak — the old data
     // stays intact (and is restored) if the forward rename fails, and the
     // target-absent window shrinks to two rename calls
-    val bak = new java.io.File(outDir + ".bak")
-    // a stranded .bak with NO live target is a previous run's failed
-    // rollback still holding the only copy — refuse to destroy it
-    if (bak.exists() && !target.exists())
-      throw new java.io.IOException(
-        s"refusing to compact: a previous failed swap left the only copy at $bak; recover it first")
     CorpusExport.deleteRecursively(bak)
     if (target.exists() && !target.renameTo(bak))
       throw new java.io.IOException(s"compaction swap failed: $outDir -> $bak")

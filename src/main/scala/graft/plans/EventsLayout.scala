@@ -26,8 +26,11 @@ object EventsLayout {
     * keyed on (day, event_id-salt slice), so each day lands in AT MOST
     * `filesPerDay` files while distinct days still spread across tasks —
     * partitionBy alone would write one file per (input task × day), the
-    * small-files failure mode [[Compaction]] exists to repair. At 100 TB
-    * `filesPerDay` is sized so one file ≈ 128 MB-1 GB of a day's bytes. */
+    * small-files failure mode [[Compaction]] exists to repair (run it PER
+    * `event_date=` directory — its flat rewrite keeps a single directory's
+    * files, which for a partitioned layout is exactly one partition). At
+    * 100 TB `filesPerDay` is sized so one file ≈ 128 MB-1 GB of a day's
+    * bytes. */
   def writePartitionedByDay(
       events: DataFrame, outDir: String, filesPerDay: Int = 1): Unit = {
     require(filesPerDay > 0, "filesPerDay must be positive")

@@ -61,10 +61,23 @@ object IncrementalDay {
     import graft.streaming.EventPipeline
     GraftFunctions.register(s)
 
+    // 0. one row per doc_id: a re-sent document inside ONE batch would
+    // otherwise fan out multiplicatively through the doc_id joins below
+    // (2 quality rows × 2 probe rows × 2 text rows = 8 delta rows and a
+    // duplicated index vector) — the dedup tier is text-vs-CORPUS and
+    // never sees the in-batch twin. Keep is deterministic on any
+    // partitioning (ordered by the payload columns, first row wins).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(incoming.columns.filter(_ != "doc_id").map(col).toIndexedSeq: _*)
+    val batch = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
     // 1. ingest dedup: definitely-new rows bypass the anti-join via the
     // corpus bloom; the residual join decides the sliver
     val admitted = Dedup.bloomDedupAgainstCorpus(
-      incoming, standing, "text", bloomBits, bloomProbes)
+      batch, standing, "text", bloomBits, bloomProbes)
 
     // 2. curation under frozen artifacts — the same stateless transforms
     // the streaming deployment binds, so day-batch and live-stream
@@ -80,19 +93,24 @@ object IncrementalDay {
     try {
       // 3. split-partitioned delta export of the curated day
       curated
-        .join(incoming.select(col("doc_id"), col("text")), "doc_id")
+        .join(batch.select(col("doc_id"), col("text")), "doc_id")
         .withColumn("split", splitRule(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
           col("text"), col("split"))
         .write.mode("overwrite").partitionBy("split").parquet(deltaPath)
 
-      // 4. idempotent ANN append of the curated day's vectors; the
-      // replay-refusal is part of the day's contract, proven in-run
+      // 4. idempotent ANN append of the curated day's vectors. A FALSE
+      // first return means the day's marker already exists — a crashed
+      // run that committed the index but died before the report. That's
+      // the crash-recovery replay the idempotent append exists for: the
+      // delta write above is overwrite-idempotent and the report below
+      // reads written artifacts, so the rerun completes the day instead
+      // of poisoning every retry. The in-run proof of the refusal
+      // contract is the SECOND call, which must always come back false.
       val dayVecs = embeddings
         .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
-      require(Similarity.appendBatchToIvfIndex(
-        dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag),
-        s"day $dayTag must commit on first ingest")
+      Similarity.appendBatchToIvfIndex(
+        dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag): Unit
       require(!Similarity.appendBatchToIvfIndex(
         dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag),
         s"replay of committed day $dayTag must be refused")

@@ -42,14 +42,27 @@ object Layout {
     * key. */
   def zValue(dims: Seq[String], ranges: Seq[(Long, Long)], bits: Int = 16): Column = {
     val d = dims.length
-    require(d >= 1 && d * bits <= 63, s"need 1 <= dims*bits <= 63, got $d x $bits")
+    require(bits >= 1 && d >= 1 && d * bits <= 63,
+      s"need bits >= 1 and 1 <= dims*bits <= 63, got $d x $bits")
+    // a dims/ranges length mismatch (a stale or mis-ordered persisted
+    // ranges artifact) must fail, not silently zip-truncate: the bit
+    // spacing below still uses d = dims.length, so every key would be
+    // wrong while looking plausible
+    require(ranges.length == d,
+      s"ranges must pair 1:1 with dims: ${ranges.length} ranges for $d dims")
     ranges.foreach { case (mn, mx) =>
       require(mx >= mn, s"invalid range ($mn, $mx)")
-      // subtractExact: a signed domain wider than Long would otherwise wrap
-      // the range negative and slip PAST this guard into silent garbage keys
+      // subtractExact: a signed domain wider than Long would otherwise
+      // wrap the range negative in quantize's `mx - mn` SQL literal and
+      // produce silent garbage keys — FAIL instead (Long.MaxValue as a
+      // stand-in would itself slip past the bits=1 divisor check)
       val range =
         try Math.subtractExact(mx, mn)
-        catch { case _: ArithmeticException => Long.MaxValue }
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"dimension range [$mn, $mx] is wider than Long " +
+              "- pre-shift the column to a narrower domain")
+        }
       require(range <= Long.MaxValue / ((1L << bits) - 1),
         s"dimension range [$mn, $mx] overflows the quantizer at $bits bits " +
           "- pre-shift the column to a narrower domain") }

@@ -94,6 +94,21 @@ class IncrementalDaySpec extends SparkTestBase {
         .collect().map(_.getInt(0)).toSet
       assert(onDisk === expected,
         s"append touched $onDisk but assignment says $expected")
+
+      // crash recovery: a rerun of the SAME committed day (the driver
+      // died after the index commit, the orchestrator retries) must
+      // COMPLETE idempotently — same report, no duplicated index files —
+      // not poison every retry with a hard failure
+      val idxFiles = countParquet(new java.io.File(idx))
+      val replay = IncrementalDay.ingestDay(
+        spark, incoming, standing, w, probeMargin = -1.0,
+        splitRule = c => lit("train"),
+        embeddings = e, indexPath = idx, centroids = cents,
+        deltaPath = s"$root/delta", dayTag = "day1",
+        bloomBits = 1 << 16, bloomProbes = 4)
+      assert(replay.agg(sum(col("n_docs"))).head().getLong(0) === nDocs)
+      assert(countParquet(new java.io.File(idx)) === idxFiles,
+        "a replayed day must not duplicate index vectors")
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 }
