@@ -90,10 +90,19 @@ object Checkpoint {
           // checkpointing CONCURRENTLY with different DirKeys can still
           // interleave — give them the same dir, or separate contexts.)
           case Some(dir) =>
-            val target = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+            // Qualify BOTH sides (scheme + authority + path) before
+            // comparing: a bare-path match alone would let `/ckpt` on the
+            // local FS shadow `hdfs://nn/ckpt`, skipping setCheckpointDir
+            // and landing reliable checkpoints on the wrong filesystem.
+            val hadoopConf = sc.hadoopConfiguration
+            def qualified(s: String): java.net.URI = {
+              val p = new org.apache.hadoop.fs.Path(s)
+              p.getFileSystem(hadoopConf).makeQualified(p).toUri
+            }
+            val target = qualified(dir)
             val already = sc.getCheckpointDir.exists { c =>
               val p = new org.apache.hadoop.fs.Path(c).getParent
-              p != null && p.toUri.getPath == target
+              p != null && qualified(p.toString) == target
             }
             if (!already) sc.setCheckpointDir(dir)
           case None =>
@@ -101,9 +110,18 @@ object Checkpoint {
               s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
                 "(a DFS path) or SparkContext.setCheckpointDir before running"))
         }
-        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try cached.checkpoint(eager = true)
-        finally { cached.unpersist(blocking = false); () }
+        // A caller-persisted frame already computes once and feeds the
+        // DFS write from its own cache — persisting again would be a
+        // no-op, but the finally-unpersist would silently destroy the
+        // caller's cache (same caller-owned-cache guard as
+        // Channels.multiSink).
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          df.checkpoint(eager = true)
+        else {
+          val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try cached.checkpoint(eager = true)
+          finally { cached.unpersist(blocking = false); () }
+        }
       case other => throw GraftAnalysisException(Seq(
         s"unknown $ModeKey '$other' (expected 'local' or 'reliable')"))
     }

@@ -91,7 +91,37 @@ object IncrementalDay {
     val curated = quality.join(probeOk, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 3. split-partitioned delta export of the curated day
+      val dayVecs = embeddings
+        .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
+
+      // 3. replay guard — BEFORE the delta overwrite. A dayTag already
+      // committed to the index is only safe to re-run when the indexed
+      // day matches the incoming day (the crash-recovery replay: driver
+      // died after the index commit, orchestrator retries). A replay
+      // with DIFFERENT data must refuse the whole day HERE — letting it
+      // proceed would overwrite the delta export while the index kept
+      // the old day's vectors, silently drifting the two artifacts.
+      // Compared by cheap order-independent fingerprint (row count +
+      // id sum over the day's index files).
+      val marker = new org.apache.hadoop.fs.Path(
+        indexPath, s"_graft_ingest_$dayTag.committed")
+      val alreadyCommitted = marker
+        .getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)
+      if (alreadyCommitted) {
+        val indexed = dayIndexFingerprint(s, indexPath, dayTag)
+        val incoming = dayVecs
+          .agg(count(lit(1)).cast("long").as("n"),
+            coalesce(sum(col("vec_id")), lit(0L)).cast("long").as("idsum"))
+          .head()
+        if (indexed != ((incoming.getLong(0), incoming.getLong(1))))
+          throw graft.core.GraftAnalysisException(Seq(
+            s"day $dayTag is already committed to the index with different " +
+              s"data (indexed rows/idsum $indexed vs incoming " +
+              s"(${incoming.getLong(0)},${incoming.getLong(1)})) — refusing " +
+              "to overwrite the delta export against a drifted index"))
+      }
+
+      // 4. split-partitioned delta export of the curated day
       curated
         .join(batch.select(col("doc_id"), col("text")), "doc_id")
         .withColumn("split", splitRule(col("doc_id")))
@@ -99,23 +129,20 @@ object IncrementalDay {
           col("text"), col("split"))
         .write.mode("overwrite").partitionBy("split").parquet(deltaPath)
 
-      // 4. idempotent ANN append of the curated day's vectors. A FALSE
-      // first return means the day's marker already exists — a crashed
-      // run that committed the index but died before the report. That's
-      // the crash-recovery replay the idempotent append exists for: the
-      // delta write above is overwrite-idempotent and the report below
-      // reads written artifacts, so the rerun completes the day instead
-      // of poisoning every retry. The in-run proof of the refusal
-      // contract is the SECOND call, which must always come back false.
-      val dayVecs = embeddings
-        .join(curated.select(col("doc_id").as("vec_id")), "vec_id")
+      // 5. idempotent ANN append of the curated day's vectors. A FALSE
+      // return means the day's marker already exists — the verified
+      // replay above; the delta write is overwrite-idempotent and the
+      // report below reads written artifacts, so the rerun completes
+      // the day instead of poisoning every retry. The in-run proof of
+      // the refusal contract is the SECOND call, which must always
+      // come back false.
       Similarity.appendBatchToIvfIndex(
         dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag): Unit
       require(!Similarity.appendBatchToIvfIndex(
         dayVecs, "vec_id", "embedding", indexPath, centroids, dayTag),
         s"replay of committed day $dayTag must be refused")
 
-      // 5. report — every fact from the WRITTEN artifacts
+      // 6. report — every fact from the WRITTEN artifacts
       val deltaBack = s.read.schema(
           "doc_id long, lang string, n_tokens long, quality double, " +
             "text string, split string")
@@ -127,6 +154,28 @@ object IncrementalDay {
         .crossJoin(broadcast(idxFacts))
         .graftCheckpoint()
     } finally { curated.unpersist(blocking = false); () }
+  }
+
+  /** (rows, sum(vec_id)) over the day's batch-tagged index files — the
+    * cheap order-independent fingerprint the replay guard compares
+    * against the incoming batch. Empty day → (0, 0). */
+  private def dayIndexFingerprint(
+      s: SparkSession, indexPath: String, dayTag: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(
+      new Path(s"$indexPath/cell=*/ingest-$dayTag-*.parquet")))
+      .getOrElse(Array.empty)
+    if (matches.isEmpty) (0L, 0L)
+    else {
+      val row = s.read.option("basePath", indexPath)
+        .parquet(matches.map(_.getPath.toString).toIndexedSeq: _*)
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("vec_id")), lit(0L)).cast("long").as("idsum"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
   }
 
   /** (day_index_rows, day_index_cells) read back from the day's

@@ -256,11 +256,16 @@ object Sources {
     org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
 
   /** Table-rename DDL by dialect: Postgres only accepts
-    * `ALTER TABLE … RENAME TO`; Derby/MySQL use `RENAME TABLE … TO …`. */
+    * `ALTER TABLE … RENAME TO`; Derby/MySQL use `RENAME TABLE … TO …`.
+    * Postgres's RENAME TO takes a BARE identifier (the table stays in its
+    * schema) — a schema-qualified target like `myschema.tbl` is a syntax
+    * error there, so strip any schema prefix from the target while the
+    * source keeps its qualification. */
   private def renameSql(url: String, from: String, to: String): String =
-    if (url.startsWith("jdbc:postgresql"))
-      s"ALTER TABLE $from RENAME TO $to"
-    else s"RENAME TABLE $from TO $to"
+    if (url.startsWith("jdbc:postgresql")) {
+      val bare = to.substring(to.lastIndexOf('.') + 1)
+      s"ALTER TABLE $from RENAME TO $bare"
+    } else s"RENAME TABLE $from TO $to"
 
   private def withConnection[T](url: String, props: java.util.Properties)(
       f: java.sql.Connection => T): T = {

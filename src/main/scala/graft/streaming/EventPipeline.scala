@@ -64,7 +64,7 @@ object EventPipeline {
     * returns the final table — hash-matches the batch eventsWindow oracle.
     *
     * Leak-free under repeated invocation (benchmark loops): the result is
-    * detached from the memory sink via an eager localCheckpoint, the sink's
+    * detached from the memory sink via an eager graftCheckpoint, the sink's
     * temp view is dropped, and the streaming checkpoint directory is
     * deleted — otherwise every run would pin its full result in driver
     * memory and leave state-store providers behind. */
@@ -93,11 +93,21 @@ object EventPipeline {
     try {
       val q = start(ckpt)
       try q.processAllAvailable() finally q.stop()
-      val out = finish(s.table(name)).graftCheckpoint()
-      s.catalog.dropTempView(name)
-      out
-    } finally deleteRecursively(ckpt.toFile)
+      finish(s.table(name)).graftCheckpoint()
+    } finally {
+      // in the finally, not the success path: a finish()/checkpoint
+      // failure must not leak the memory-sink view (and its pinned rows)
+      // into the long-lived harness session
+      dropViewQuietly(s, name)
+      deleteRecursively(ckpt.toFile)
+    }
   }
+
+  /** Best-effort memory-sink view drop for the gate harnesses' cleanup
+    * paths — never masks the exception already unwinding through them. */
+  private def dropViewQuietly(s: SparkSession, name: String): Unit =
+    try s.catalog.dropTempView(name): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Isolated child session for the sync gate harnesses: shares the
     * SparkContext but not session state, so the small shuffle-partition
@@ -260,9 +270,8 @@ object EventPipeline {
             q.processAllAvailable()
           }
       } finally q.stop()
-      val out = hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
-      hs.catalog.dropTempView(name)
-      out
+      try hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
+      finally dropViewQuietly(hs, name)
     } finally deleteRecursively(tmp.toFile)
   }
 
@@ -496,9 +505,8 @@ object EventPipeline {
           q.processAllAvailable()
         }
       } finally q.stop()
-      val out = hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
-      hs.catalog.dropTempView(name)
-      out
+      try hs.table(name).filter(col("user_id") >= 0).graftCheckpoint()
+      finally dropViewQuietly(hs, name)
     } finally deleteRecursively(tmp.toFile)
   }
 
@@ -1017,17 +1025,17 @@ object EventPipeline {
           q.processAllAvailable()
         }
       } finally q.stop()
-      val per = hs.table(name).filter(col("user_id") >= 0)
-      val out = Seq(1 -> "1_signup", 2 -> "2_click", 3 -> "3_purchase")
-        .map { case (k, label) =>
-          per.filter(col("stage") >= k)
-            .agg(count(lit(1)).as("n_users"))
-            .select(lit(label).as("stage"), col("n_users"))
-        }
-        .reduce(_ unionAll _)
-        .graftCheckpoint()
-      hs.catalog.dropTempView(name)
-      out
+      try {
+        val per = hs.table(name).filter(col("user_id") >= 0)
+        Seq(1 -> "1_signup", 2 -> "2_click", 3 -> "3_purchase")
+          .map { case (k, label) =>
+            per.filter(col("stage") >= k)
+              .agg(count(lit(1)).as("n_users"))
+              .select(lit(label).as("stage"), col("n_users"))
+          }
+          .reduce(_ unionAll _)
+          .graftCheckpoint()
+      } finally dropViewQuietly(hs, name)
     } finally deleteRecursively(tmp.toFile)
   }
 

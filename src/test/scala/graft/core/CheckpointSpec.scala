@@ -79,6 +79,35 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("reliable mode leaves a caller-persisted frame's cache intact") {
+    // the transient persist/unpersist pair exists to avoid computing the
+    // plan twice; a frame the CALLER already persisted must keep its
+    // cache (same caller-owned-cache guard as Channels.multiSink)
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_cached")
+    try {
+      s.conf.set(Checkpoint.ModeKey, "reliable")
+      s.conf.set(Checkpoint.DirKey, dir.toString)
+      val cached = (1 to 100).toDF("n").filter($"n" % 2 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out = Checkpoint(cached)
+        assert(out.count() === 50)
+        assert(cached.storageLevel !==
+          org.apache.spark.storage.StorageLevel.NONE,
+          "Checkpoint() must not destroy a caller-owned cache")
+        val rdd = out.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd
+        assert(rdd.getCheckpointFile.nonEmpty,
+          "the cached frame must still be reliably checkpointed")
+        Checkpoint.free(out)
+      } finally { cached.unpersist(blocking = false); () }
+    } finally {
+      Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+      dir.toFile.delete(): Unit
+    }
+  }
+
   test("repeated reliable checkpoints reuse one context dir (no per-call UUID-dir leak)") {
     val s = spark.newSession()
     import s.implicits._

@@ -109,6 +109,25 @@ class IncrementalDaySpec extends SparkTestBase {
       assert(replay.agg(sum(col("n_docs"))).head().getLong(0) === nDocs)
       assert(countParquet(new java.io.File(idx)) === idxFiles,
         "a replayed day must not duplicate index vectors")
+
+      // drift guard: replaying the SAME committed dayTag with DIFFERENT
+      // data must refuse the day BEFORE touching the delta export — the
+      // index would keep the old day's vectors while the delta flipped
+      // to the new data
+      val deltaFilesBefore = countParquet(new java.io.File(s"$root/delta"))
+      val drifted = incoming.filter(pmod(col("doc_id"), lit(8)) === 0)
+      val ex = intercept[graft.core.GraftAnalysisException] {
+        IncrementalDay.ingestDay(
+          spark, drifted, standing, w, probeMargin = -1.0,
+          splitRule = c => lit("train"),
+          embeddings = e, indexPath = idx, centroids = cents,
+          deltaPath = s"$root/delta", dayTag = "day1",
+          bloomBits = 1 << 16, bloomProbes = 4)
+      }
+      assert(ex.getMessage.contains("different"),
+        s"drift refusal must name the mismatch: ${ex.getMessage}")
+      assert(countParquet(new java.io.File(s"$root/delta")) === deltaFilesBefore,
+        "a refused drifted replay must leave the delta export untouched")
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 }
