@@ -20,15 +20,48 @@ package graft
   *   - failures report -1 per query but are EXCLUDED from the summed total
   *     (a failure must never lower the reported runtime); a "failures"
   *     count field makes them visible at the top level.
+  *
+  * Pinned-environment mode (round-12 addition — this box's run-to-run
+  * noise band measured 126–154 s on IDENTICAL code across four r11 runs,
+  * making per-gate regressions unattributable):
+  *   - `SPARK_GRAFT_BENCH_PINNED=1` settles the JVM before every gate's
+  *     sample loop (System.gc() + a fixed pause, so a previous gate's
+  *     garbage is never collected inside this gate's timed window) and
+  *     raises the default sample count to 5;
+  *   - `min_sec` is reported per gate alongside the median in
+  *     BENCH_FULL.json. For a deterministic CPU-bound plan the minimum is
+  *     the low-noise estimator — every source of interference (GC, page
+  *     cache, scheduler) only ADDS time, so min-of-N converges on the
+  *     true cost while the median still reflects typical throughput;
+  *   - `SPARK_GRAFT_BENCH_ONLY=a,b,c` restricts the run to named gates —
+  *     the A/B lever: re-run a suspect subset across two commits under
+  *     identical settle discipline without paying for the full inventory.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val pinned = sys.env.get("SPARK_GRAFT_BENCH_PINNED").exists(v => v == "1" || v == "true")
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
+      .getOrElse(if (pinned) 5 else 3)
     val spark = graft.core.Sessions.local(cpus)
 
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown gates: $unknown")
+    }
+
+    // JVM settle: collect the PREVIOUS gate's garbage outside every timed
+    // window. Two passes because finalizable/phantom-reachable Spark
+    // structures (broadcast blocks, codegen classes) often need a
+    // reference-processing round before their memory actually frees.
+    def settle(): Unit = if (pinned) {
+      System.gc(); Thread.sleep(150); System.gc(); Thread.sleep(150)
+    }
 
     // Per-query shuffle-write attribution (diagnostic): accumulate stage
     // shuffle bytes via a listener and snapshot around each timed query.
@@ -108,17 +141,22 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    def minOf(xs: Seq[Double]): Double =
+      if (xs.contains(-1.0)) -1.0 else xs.min
+
     val results = names.map { name =>
+      settle() // pinned mode: previous gate's garbage never lands in this window
       val sb0 = shuffleBytes.get()
       val samples = Seq.fill(iters)(timeOnce(name))
       Thread.sleep(50) // let async stage-completion events drain (diagnostic only)
       val sbQ = (shuffleBytes.get() - sb0) / iters
       val med = median(samples.map(_._1))
+      val mn = minOf(samples.map(_._1))
       val medPlan = median(samples.map(_._2))
-      System.err.println(f"[bench] $name%-24s median=${fmt(med)}s plan=${fmt(medPlan)}s " +
-        s"shuffleMB=${fmt(sbQ / 1e6)} " +
+      System.err.println(f"[bench] $name%-24s median=${fmt(med)}s min=${fmt(mn)}s " +
+        s"plan=${fmt(medPlan)}s shuffleMB=${fmt(sbQ / 1e6)} " +
         s"samples=${samples.map(s => fmt(s._1)).mkString(",")}")
-      (name, med, medPlan)
+      (name, med, medPlan, mn)
     }
 
     // The driver captures only a bounded TAIL (~2000 chars) of this
@@ -133,17 +171,19 @@ object Bench {
     //   - stdout's final line is a SHORT summary (total/failures/pointer)
     //     that fits the tail window whole, so the driver's parse succeeds.
     def r3(v: Double): String = if (v < 0) "-1" else fmt(v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val plans = results.map { case (k, _, p) => "\"" + k + "\":" + r3(p) }
+    val plans = results.map { case (k, _, p, _) => "\"" + k + "\":" + r3(p) }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, _, m) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
     val succeeded = results.map(_._2).filter(_ >= 0)
     val failures = results.count(_._2 < 0)
     val total = succeeded.sum
     val fullDoc =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""plan_sec":$plans,"failures":$failures,"iters":$iters,""" +
-      s""""cpus":"$cpus","sf":"$sfDir"}"""
+      s""""plan_sec":$plans,"min_sec":$mins,"failures":$failures,"iters":$iters,""" +
+      s""""pinned":$pinned,"cpus":"$cpus","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val wrote =
       try {

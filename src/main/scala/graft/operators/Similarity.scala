@@ -589,7 +589,7 @@ object Similarity {
       // once on the driver — an accumulator bumped inside a filter UDF
       // would double-count on any plan re-execution (Spark only
       // guarantees exactly-once accumulator updates in actions). The
-      // small drop list materializes through localCheckpoint so the
+      // small drop list materializes through graftCheckpoint so the
       // assignment cache is freed before returning (the Spans/Clusters
       // cleanup discipline).
       assignedAll.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

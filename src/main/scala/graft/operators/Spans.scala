@@ -60,10 +60,10 @@ object Spans {
         .select(col("doc_id"), col("p"), (col("p") + k - 1).as("e"))
 
       // eager: the extent table (repeated positions only — a small fraction
-      // of any healthy corpus) is materialized through localCheckpoint so
+      // of any healthy corpus) is materialized through graftCheckpoint so
       // the big positional frame can be unpersisted NOW rather than when
-      // the ContextCleaner happens to GC the plan. On a real cluster swap in
-      // a reliable checkpoint the same way Clusters.resolve documents.
+      // the ContextCleaner happens to GC the plan. The session's
+      // `spark.graft.checkpoint.mode` picks local vs reliable.
       mergeExtents(repeated)
         .select(col("doc_id"),
           col("span_start").cast("long").as("span_start"),
@@ -161,7 +161,7 @@ object Spans {
           .agg(sort_array(collect_list(
             struct(col("span_start").as("s"), col("span_end").as("e")))).as(name))
       // eager like repeatedSpans: the per-doc extent arrays (repeated
-      // positions only) materialize through localCheckpoint so the big
+      // positions only) materialize through graftCheckpoint so the big
       // positional frame is freed NOW
       val exts = extArray(occ.filter(!col("is_wit")), "rem_exts")
         .join(extArray(occ.filter(col("is_wit")), "wit_exts"),
