@@ -119,6 +119,7 @@ object SparkEntry {
     "d_multimodal_flac" -> (q.LlmOps.multimodalFlac _),
     "d_media_parity" -> (q.LlmOps.mediaParity _),
     "d_warc_roundtrip" -> (q.LlmOps.warcRoundtrip _),
+    "d_warc_mixed" -> (q.LlmOps.warcMixed _),
     "d_unicode_normalize" -> (q.LlmOps.unicodeNormalize _),
     "d_curation_reasons" -> (q.LlmOps.curationReasons _),
     "d_warc_ingest" -> (q.LlmOps.warcIngest _),
@@ -378,6 +379,7 @@ object SparkEntry {
     "d_multimodal_flac" -> q.LlmOps.multimodalFlacSql,
     "d_media_parity" -> q.LlmOps.mediaParitySql,
     "d_warc_roundtrip" -> q.LlmOps.warcRoundtripSql,
+    "d_warc_mixed" -> q.LlmOps.warcMixedSql,
     "d_unicode_normalize" -> q.LlmOps.unicodeNormalizeSql,
     "d_curation_reasons" -> q.LlmOps.curationReasonsSql,
     // the WARC round trip is byte-exact, so ingestion ≡ the quality tier

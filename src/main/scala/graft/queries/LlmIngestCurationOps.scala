@@ -243,6 +243,113 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     """SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_exact
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Mixed-record-type realism gate: real Common Crawl segments are
+    * ~half request/metadata/revisit/warcinfo records and non-200
+    * responses — a curation reader must skip ALL of them and still
+    * recover every 200-response document byte-exactly. The fixture
+    * plants a segment with a FIXED census of every non-response type
+    * (counts below are closed-form constants in the oracle); the gate
+    * returns both sides: per-source recovered-doc counts AND the typed
+    * skip census, so a reader that mis-parses a request payload as a
+    * document, or admits a 404 body, hash-mismatches. */
+  def warcMixed(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_warc_mix")
+    try {
+      val d = docs(s, dir)
+      graft.sources.Warc.writeWarc(
+        d.select(col("doc_id"),
+          concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+          col("text"))
+          .repartition(4, col("doc_id")),
+        out.toString)
+      writeMixedRealismSegment(s, out.toString)
+      val back = graft.sources.Warc.readWarc(s, out.toString)
+      val recovered = back
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(
+          regexp_extract(col("url"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
+          col("body_text"))
+        .join(d.select(col("doc_id"), col("source"), col("text")), "doc_id")
+        .groupBy(concat(lit("doc:"), col("source")).as("kind"))
+        .agg(sum(when(col("body_text") === col("text"), 1L).otherwise(0L)).as("n"))
+      val skipped = back
+        .filter(col("warc_type") =!= "response" || col("http_status") =!= 200)
+        .groupBy(concat(lit("skipped:"), col("warc_type"), lit(":"),
+          col("http_status")).as("kind"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      recovered.unionAll(skipped).graftCheckpoint()
+    } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
+  }
+
+  /** Closed-form twin of [[warcMixed]]: every doc recovered byte-exact,
+    * every planted non-response/non-200 record skipped — the skip counts
+    * are the fixture's fixed census (4 writeWarc warcinfos + the mixed
+    * segment's 1, then the planted type counts). */
+  val warcMixedSql: String =
+    """SELECT concat('doc:', source) AS kind, COUNT(*) AS n
+      |FROM documents GROUP BY source
+      |UNION ALL SELECT 'skipped:warcinfo:0', CAST(5 AS BIGINT)
+      |UNION ALL SELECT 'skipped:request:0', CAST(7 AS BIGINT)
+      |UNION ALL SELECT 'skipped:metadata:0', CAST(5 AS BIGINT)
+      |UNION ALL SELECT 'skipped:revisit:0', CAST(3 AS BIGINT)
+      |UNION ALL SELECT 'skipped:resource:0', CAST(2 AS BIGINT)
+      |UNION ALL SELECT 'skipped:response:404', CAST(2 AS BIGINT)
+      |UNION ALL SELECT 'skipped:response:301', CAST(2 AS BIGINT)""".stripMargin
+
+  /** The planted realism segment: one `.warc.gz` whose record census is
+    * the closed-form constant set [[warcMixedSql]] pins — request (7),
+    * metadata (5), revisit (3), resource (2) records plus 404 (2) and
+    * 301 (2) responses, led by the file's own warcinfo. The revisit
+    * records deliberately carry `application/http; msgtype=response`
+    * payloads — the realism trap: a reader keying on Content-Type alone
+    * (instead of WARC-Type) would parse them as live documents. */
+  private def writeMixedRealismSegment(s: SparkSession, outDir: String): Unit = {
+    import graft.sources.Warc
+    val name = "part-mixed.warc.gz"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Warc.buildWarcinfoRecord(name, gzip = true))
+    (1 to 7).foreach { i =>
+      bos.write(Warc.buildRecord("request", s"https://example.com/doc/$i",
+        f"req-$i%04d", "application/http; msgtype=request",
+        (s"GET /doc/$i HTTP/1.1\r\nHost: example.com\r\n" +
+          "User-Agent: graft-crawler/1.0\r\n\r\n").getBytes("UTF-8"),
+        gzip = true))
+    }
+    (1 to 5).foreach { i =>
+      bos.write(Warc.buildRecord("metadata", s"https://example.com/doc/$i",
+        f"meta-$i%04d", "application/warc-fields",
+        "fetchTimeMs: 87\r\ncharset-detected: UTF-8\r\n".getBytes("UTF-8"),
+        gzip = true))
+    }
+    (1 to 3).foreach { i =>
+      bos.write(Warc.buildRecord("revisit", s"https://example.com/doc/$i",
+        f"rev-$i%04d", "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n".getBytes("UTF-8"),
+        gzip = true,
+        extraHeaders = Seq("WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+    }
+    (1 to 2).foreach { i =>
+      bos.write(Warc.buildRecord("resource", "https://example.com/robots.txt",
+        f"res-$i%04d", "text/plain",
+        "User-agent: *\r\nDisallow:\r\n".getBytes("UTF-8"), gzip = true))
+    }
+    (1 to 2).foreach { i =>
+      bos.write(Warc.buildResponseRecord(
+        s"https://example.com/gone/$i", "not found".getBytes("UTF-8"),
+        f"err-$i%04d", gzip = true, status = 404, reason = "Not Found"))
+    }
+    (1 to 2).foreach { i =>
+      bos.write(Warc.buildResponseRecord(
+        s"https://example.com/moved/$i", Array.emptyByteArray,
+        f"mov-$i%04d", gzip = true, status = 301, reason = "Moved Permanently"))
+    }
+    val path = new org.apache.hadoop.fs.Path(outDir, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val o = fs.create(path, true)
+    try o.write(bos.toByteArray) finally o.close()
+  }
+
   /** Cross-codec media parity ([[Multimodal.mediaParityGate]]): the same
     * pixels through BMP, PNG and JPEG must feature-hash identically —
     * three independent codec stacks cross-checking each other per doc. */

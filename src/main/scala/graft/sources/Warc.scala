@@ -59,11 +59,12 @@ object Warc {
     * the HTTP Content-Type — the caller encodes `body` to match. */
   def buildResponseRecord(url: String, body: Array[Byte],
       recordId: String, gzip: Boolean, chunked: Boolean = false,
-      charset: String = "utf-8", date: String = FixtureDate): Array[Byte] = {
+      charset: String = "utf-8", date: String = FixtureDate,
+      status: Int = 200, reason: String = "OK"): Array[Byte] = {
     val (framing, payload) =
       if (chunked) ("Transfer-Encoding: chunked\r\n", chunkFrame(body))
       else (s"Content-Length: ${body.length}\r\n", body)
-    val http = (s"HTTP/1.1 200 OK\r\n" +
+    val http = (s"HTTP/1.1 $status $reason\r\n" +
       s"Content-Type: text/plain; charset=$charset\r\n" +
       framing + "\r\n").getBytes("UTF-8") ++ payload
     val rec = (s"$WarcVersion\r\n" +
@@ -107,6 +108,30 @@ object Warc {
       "Content-Type: application/warc-fields\r\n" +
       s"Content-Length: ${info.length}\r\n\r\n").getBytes("UTF-8") ++
       info ++ "\r\n\r\n".getBytes("UTF-8")
+    if (gzip) gzipMember(rec) else rec
+  }
+
+  /** One generic NON-response record — the realism surface: real crawl
+    * segments are ~half request/metadata/revisit/warcinfo records a
+    * curation reader must carry through typed (and its consumers must
+    * SKIP), never parse as an HTTP response. The parser's http-parse
+    * branch keys on `WARC-Type: response` + an `application/http`
+    * Content-Type, so these flow through with raw payloads and
+    * `http_status = 0`. */
+  def buildRecord(warcType: String, url: String, recordId: String,
+      contentType: String, payload: Array[Byte], gzip: Boolean,
+      extraHeaders: Seq[(String, String)] = Nil,
+      date: String = FixtureDate): Array[Byte] = {
+    val extras = extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
+    val rec = (s"$WarcVersion\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recordId>\r\n" +
+      s"WARC-Date: $date\r\n" +
+      (if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else "") +
+      extras +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+      payload ++ "\r\n\r\n".getBytes("UTF-8")
     if (gzip) gzipMember(rec) else rec
   }
 
