@@ -166,6 +166,110 @@ class DedupScaleSpec extends SparkTestBase {
     labels.unpersist()
   }
 
+  /** 200k-doc tier (5× the tests above — the r10/r11 verdicts' asked-for
+    * scale point): 20k sparse-vocab cliques of 10, PLUS a planted
+    * 1,500-member identical-text hot clique that EXCEEDS the default
+    * 1,000 bucket cap — so this run proves all three scale claims at
+    * once: candidates stay O(n·bands), the cap actually BINDS (dropped
+    * accumulator > 0, the boilerplate-flood defense firing), and recall
+    * on the bounded cliques is untouched by the drop. */
+  test("minhashPairs at 200k docs: candidates O(n·bands), bucket cap binds", Slow) {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val baseDocs = (0 until 20000).map { i =>
+      (i.toLong, Seq.fill(60)("w" + rnd.nextInt(300000)).mkString(" "))
+    }
+    val cliqued = baseDocs.toDF("base_id", "text")
+      .select(col("base_id"), col("text"),
+        explode(sequence(lit(0), lit(9))).as("copy"))
+      .select(
+        (col("base_id") * 10 + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" copytoken"), col("copy").cast("string")).as("text"))
+    // the hot clique: 1,500 byte-identical docs — one LSH bucket of
+    // 1,500 members in every band, 1.5× the default cap
+    val hot = spark.range(1500)
+      .select((col("id") + 300000000L).as("doc_id"),
+        lit("hot boilerplate page " * 20).as("text"))
+    val docs200k = cliqued.unionByName(hot).repartition(32).cache()
+    val n = docs200k.count()
+    assert(n === 201500L)
+    val dropped = spark.sparkContext.longAccumulator("graft-scale200k-dropped")
+    val (candidates, pairs) = measuredCandidates(
+      Dedup.minhashPairs(docs200k, "doc_id", "text",
+        shingleK = 3, numHashes = 48, bands = 16, threshold = 0.8,
+        droppedBuckets = Some(dropped)),
+      "graft_keyed_member_pairs")
+    val bands = 16
+    assert(candidates <= n * bands,
+      s"candidate blow-up at 200k: $candidates emitted for n=$n (bound ${n * bands})")
+    assert(dropped.value >= 1L,
+      "the 1,500-member hot bucket must trip the 1,000 cap — cap not binding")
+    // the hot clique contributes ZERO pairs (dropped whole), so every
+    // verified pair comes from the 20k bounded cliques
+    assert(pairs >= 20000L * 30,
+      s"verified pairs $pairs miss most of the 20k planted cliques' pairs")
+    assert(pairs <= 20000L * 45 + n,
+      s"verified pairs $pairs exceed the planted structure — hot clique leaked?")
+    docs200k.unpersist()
+  }
+
+  /** PassJoin at 200k DISTINCT values: the probe/index explode volume —
+    * the stage whose fan-out makes or breaks the tier at corpus scale —
+    * stays within its closed-form per-value constant (idx ≤ m per value,
+    * probe ≤ (2k+1)·(k+1)·window ≤ 45 at k=2), and recall on the planted
+    * distance-1 cliques is EXACT. 20k cliques × 10 copies, each copy a
+    * distinct value (base 35–45 chars + one copy digit), so the expensive
+    * tier runs on a 200k-value domain — 5× the 40k tests above. */
+  test("editDistancePairs at 200k distinct values: explode volume O(n), recall exact", Slow) {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def randStr(len: Int): String = {
+      val sb = new StringBuilder(len)
+      (0 until len).foreach(_ => sb.append(('a' + rnd.nextInt(26)).toChar))
+      sb.toString
+    }
+    val baseTitles = (0 until 20000).map { i =>
+      (i.toLong, randStr(35 + i % 11))
+    }
+    val titles = baseTitles.toDF("base_id", "base")
+      .select(col("base_id"), col("base"),
+        explode(sequence(lit(0), lit(9))).as("copy"))
+      .select(
+        (col("base_id") * 10 + col("copy")).as("doc_id"),
+        concat(col("base"), col("copy").cast("string")).as("title"))
+      .repartition(32)
+      .cache()
+    val n = titles.count()
+    assert(n === 200000L)
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (explodeRows, pairs) =
+      try {
+        val qe = Dedup.editDistancePairs(titles, "doc_id", "title", maxDist = 2)
+          .queryExecution
+        val nPairs = qe.toRdd.count()
+        val gens = qe.executedPlan.collect { case g: GenerateExec => g }
+        assert(gens.nonEmpty, "no Generate in the executed PassJoin plan")
+        (gens.map(_.metrics("numOutputRows").value).sum, nPairs)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    // closed form at k=2: index m=3 segments + probe ≤ 45 positions per
+    // value (5 target lengths × 3 segments × ≤3-wide multi-match window)
+    assert(explodeRows <= n * 48,
+      s"PassJoin explode blow-up: $explodeRows rows for n=$n (bound ${n * 48})")
+    // every clique's 45 within-clique pairs sit at distance 1 (final-char
+    // substitution); cross-clique pairs at dist ≤ 2 between 35-char random
+    // strings are chance ≈ 0 — recall must be EXACT on the planted set
+    assert(pairs >= 20000L * 45,
+      s"verified pairs $pairs miss planted distance-1 pairs (${20000L * 45} expected)")
+    assert(pairs <= 20000L * 45 + 100,
+      s"verified pairs $pairs well above the planted structure")
+    titles.unpersist()
+  }
+
   /** Incremental near-dup ingest at scale: the standing corpus is half of
     * every 10-clique (copies 0–4), the incoming batch is the other half
     * (copies 5–9 — near-dups that MUST be rejected) plus a disjoint-vocab
