@@ -82,6 +82,7 @@ object SparkEntry {
     "d_dedup_minhash" -> (q.LlmOps.dedupMinhash _),
     "d_dedup_simhash" -> (q.LlmOps.dedupSimhash _),
     "d_dedup_clusters" -> (q.LlmOps.dedupClusters _),
+    "d_dedup_clusters_reliable" -> (q.LlmOps.dedupClustersReliable _),
     "d_cluster_keep_best" -> (q.LlmOps.dedupClustersKeepBest _),
     "d_decontaminate" -> (q.LlmOps.decontaminate _),
     "d_decontaminate_spans" -> (q.LlmOps.decontaminateSpans _),
@@ -351,6 +352,7 @@ object SparkEntry {
     "d_dedup_minhash" -> q.LlmOps.dedupMinhashSql,
     "d_dedup_simhash" -> q.LlmOps.dedupSimhashSql,
     "d_dedup_clusters" -> q.LlmOps.dedupClustersSql,
+    "d_dedup_clusters_reliable" -> q.LlmOps.dedupClustersSql,
     "d_cluster_keep_best" -> q.LlmOps.dedupClustersKeepBestSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
     "d_decontaminate_spans" -> q.LlmOps.decontaminateSpansSql,

@@ -555,6 +555,30 @@ trait LlmTextDedupOps { this: LlmOps.type =>
         (col("id") === col("rep")).cast("int").as("keep"))
   }
 
+  /** [[dedupClusters]] under `spark.graft.checkpoint.mode=reliable` — the
+    * PRICED deployment lane: same pairs, same star contraction, same
+    * oracle, but every iteration round writes a DFS checkpoint (local FS
+    * here) instead of truncating lineage in memory. The bench delta vs
+    * `d_dedup_clusters` is the measured per-run cost of surviving
+    * executor loss — the number a preemptible-node operator budgets per
+    * round (see SCALE.md's runbook §1). Runs in an isolated child
+    * session so the mode never leaks into sibling gates; the result is
+    * detached from the checkpoint files via an explicit localCheckpoint
+    * so the scratch dir can be swept before returning (leak-free under
+    * bench loops). */
+  def dedupClustersReliable(s: SparkSession, dir: String): DataFrame = {
+    val hs = s.newSession()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_reliable_price")
+    try {
+      hs.conf.set(graft.core.Checkpoint.ModeKey, "reliable")
+      hs.conf.set(graft.core.Checkpoint.DirKey, ckpt.toString)
+      // detach from the reliable checkpoint FILES before they are swept;
+      // deliberately localCheckpoint, not graftCheckpoint — this hand-off
+      // must not itself write (and then lose) a reliable checkpoint
+      dedupClusters(hs, dir).localCheckpoint(true)
+    } finally graft.plans.CorpusExport.deleteRecursively(ckpt.toFile)
+  }
+
   /** Transitive closure of [[dedupMinhashSql]]'s pair list via recursive
     * min-label propagation (`lab < v` prunes propagation that cannot lower
     * a node's minimum; the UNION dedup guarantees termination). Lazy:
