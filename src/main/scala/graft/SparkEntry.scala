@@ -197,6 +197,8 @@ object SparkEntry {
       streaming.EventPipeline.lineFilterSync(s, dir)),
     "s_stream_day_layout" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.dayLayoutSync(s, dir)),
+    "s_stream_decontam" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.decontamSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -355,6 +357,9 @@ object SparkEntry {
     "d_dedup_clusters_reliable" -> q.LlmOps.dedupClustersSql,
     "d_cluster_keep_best" -> q.LlmOps.dedupClustersKeepBestSql,
     "d_decontaminate" -> q.LlmOps.decontaminateSql,
+    // per-doc verdicts vs the STATIC eval fingerprint set ⇒ stream ≡
+    // batch: the ingest filter shares the backfill's oracle verbatim
+    "s_stream_decontam" -> q.LlmOps.decontaminateSql,
     "d_decontaminate_spans" -> q.LlmOps.decontaminateSpansSql,
     "d_decontaminate_strip" -> q.LlmOps.decontaminateStripSql,
     "d_decontaminate_fuzzy" -> q.LlmOps.decontaminateFuzzySql,

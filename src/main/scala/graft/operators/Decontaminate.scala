@@ -29,17 +29,45 @@ object Decontaminate {
       eval: DataFrame,
       idCol: String,
       textCol: String,
+      n: Int): DataFrame =
+    overlapAgainstFingerprints(train,
+      evalFingerprints(eval, idCol, textCol, n), idCol, textCol, n)
+
+  /** The eval suite reduced to its distinct n-gram fingerprint set — the
+    * MATERIALIZABLE artifact of the protocol (one `gfp` long per distinct
+    * gram): a production pipeline computes it once per eval-suite release,
+    * persists it, and every decontamination pass (batch backfill or
+    * per-micro-batch ingest filter) broadcasts the stored set instead of
+    * re-shingling the eval corpus. */
+  def evalFingerprints(
+      eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(eval.sparkSession)
+    eval
+      .select(col(idCol),
+        explode(array_distinct(GraftFunctions.wordShingles(col(textCol), n))).as("g"))
+      .select(GraftFunctions.fingerprint64(col("g")).as("gfp"))
+      .distinct()
+  }
+
+  /** [[overlapNgrams]] against an ALREADY-REDUCED eval fingerprint set
+    * ([[evalFingerprints]] output, or its persisted form read back).
+    * Verdicts are per-document against the static set, so a stream
+    * applying this per micro-batch equals the batch backfill at any
+    * batching — the static-artifact discipline the band-index and
+    * boilerplate streaming tiers follow. */
+  def overlapAgainstFingerprints(
+      train: DataFrame,
+      evalFps: DataFrame,
+      idCol: String,
+      textCol: String,
       n: Int): DataFrame = {
     GraftFunctions.register(train.sparkSession)
-    def gramFps(df: DataFrame): DataFrame = df
+    val hits = evalFps.select(col("gfp")).distinct().withColumn("hit", lit(1))
+    train
       .select(col(idCol),
         explode(array_distinct(GraftFunctions.wordShingles(col(textCol), n))).as("g"))
       .select(col(idCol), GraftFunctions.fingerprint64(col("g")).as("gfp"))
-
-    val evalFps = gramFps(eval).select(col("gfp")).distinct()
-      .withColumn("hit", lit(1))
-    gramFps(train)
-      .join(broadcast(evalFps), Seq("gfp"), "left")
+      .join(broadcast(hits), Seq("gfp"), "left")
       .groupBy(col(idCol))
       .agg(count_distinct(when(col("hit") === 1, col("gfp"))).as("n_overlap"))
       .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))

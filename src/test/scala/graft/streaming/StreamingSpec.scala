@@ -207,6 +207,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("decontamSync: streamed ingest decontamination EQUALS the batch protocol") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventPipeline.decontamSync(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = graft.queries.LlmOps.DecontEvalMod
+    val batch = graft.operators.Decontaminate.overlapNgrams(
+        docs.filter(col("doc_id") % m =!= 0),
+        docs.filter(col("doc_id") % m === 0),
+        "doc_id", "text", n = graft.queries.LlmOps.DecontGramK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == batch,
+      s"stream≠batch: missing ${batch.diff(got).take(3)}, extra ${got.diff(batch).take(3)}")
+    // the verdict must actually split the corpus (fixture plants overlaps)
+    assert(got.exists(_._3 == 1), "no contaminated doc flagged")
+    assert(got.exists(_._3 == 0), "every doc flagged — the verdict is vacuous")
+  }
+
   test("curationFilterSync: streamed quality tier EQUALS the batch filters") {
     val got = EventPipeline.curationFilterSync(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
