@@ -199,6 +199,8 @@ object SparkEntry {
       streaming.EventPipeline.dayLayoutSync(s, dir)),
     "s_stream_decontam" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.decontamSync(s, dir)),
+    "s_stream_jdbc_sink" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.jdbcSinkSync(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,6 +269,10 @@ object SparkEntry {
     // the STREAMED layout holds the same rows day-partitioned (file-sink
     // exactly-once), so the streamed probe shares the batch gate's oracle
     "s_stream_day_layout" -> q.Relational.eventsPartitionedSql,
+    // the sunk table must equal the source exactly — the gate replays
+    // batch 0 through the commit path, so a broken exactly-once ledger
+    // doubles every count here
+    "s_stream_jdbc_sink" -> q.Relational.streamJdbcSinkSql,
     "d_text_stats" -> q.LlmOps.textStatsSql,
     "d_profile" -> q.LlmOps.profileDocsSql,
     "d_lang_id" -> q.LlmOps.langIdSql,

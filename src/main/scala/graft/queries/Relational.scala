@@ -1000,6 +1000,15 @@ object Relational {
   /** Mirrors [[eventsPartitioned]]: the same sessionize CTEs over the
     * date-bounded slice — partition pruning is an EXECUTION strategy, so
     * the oracle expresses the probe as a plain date filter. */
+  /** Oracle of the exactly-once streaming JDBC sink gate: the sunk
+    * table's per-type counts and id sums must equal the source events
+    * exactly — the gate REDELIVERS batch 0 through the commit path, so
+    * a broken ledger skip doubles every figure here and mismatches. */
+  val streamJdbcSinkSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY event_type""".stripMargin
+
   val eventsPartitionedSql: String =
     sessionizeCtesFrom(
       """md AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),

@@ -249,6 +249,117 @@ object Sources {
       props: java.util.Properties = new java.util.Properties()): Int =
     withStatement(url, props)(_.executeUpdate(s"DELETE FROM $table WHERE $whereSql"))
 
+  /** Exactly-once batch commit into a JDBC table — the transactional
+    * kernel of the streaming→RDBMS sink ([[graft.streaming.EventPipeline
+    * .jdbcSinkStream]]). `foreachBatch` is AT-LEAST-ONCE: after a failure
+    * the engine redelivers the last micro-batch, so an unguarded
+    * `df.write.jdbc(append)` double-inserts it. This commit makes the
+    * redelivery idempotent with a batch LEDGER committed in the same
+    * driver-side transaction as the batch's rows:
+    *
+    *   1. `(queryId, batchId)` already in `ledgerTable` → the batch
+    *      committed in a previous attempt; sweep any stale staging and
+    *      return false (skip — the replay contract).
+    *   2. Otherwise the batch lands DISTRIBUTED in a deterministic
+    *      staging table (overwrite: a crashed attempt's partial staging
+    *      is replaced, never appended to), then ONE driver transaction
+    *      moves staging → target and inserts the ledger row. Atomic: a
+    *      crash before the commit leaves target and ledger both
+    *      untouched, and the replay repeats from step 2; a crash after
+    *      it leaves both written, and the replay skips at step 1. The
+    *      ledger's (query_id, batch_id) PRIMARY KEY backstops the
+    *      protocol: even a racing duplicate commit fails the transaction
+    *      instead of double-inserting.
+    *
+    * The target table is created from the batch schema when absent (the
+    * Spark JDBC writer's append contract); the ledger is created on
+    * first use. Scale shape: the distributed work (staging write) is all
+    * of the data movement — the driver transaction is two INSERT
+    * statements over engine-side data, so the commit cost is independent
+    * of partition count; per-partition `df.write.jdbc` transactions are
+    * exactly what this protocol exists to avoid trusting (each partition
+    * commits separately — a mid-write crash leaves a fraction of the
+    * batch in place). Identifier contract as [[upsertJdbc]]: `table` /
+    * `ledgerTable` embed verbatim; `queryId` is sanitized into the
+    * staging name. One foreachBatch runs at a time per query (the
+    * engine's contract), so the deterministic staging name cannot be
+    * clobbered concurrently by its own query. */
+  def commitBatchJdbc(batch: DataFrame, url: String, table: String,
+      ledgerTable: String, queryId: String, batchId: Long,
+      props: java.util.Properties = new java.util.Properties()): Boolean = {
+    val qid = queryId.replaceAll("[^A-Za-z0-9_]", "_").take(40)
+    val staging = s"${table}_graft_ep_${qid}_b$batchId"
+    val committed = withConnection(url, props) { conn =>
+      if (!tableExists(conn, ledgerTable)) {
+        val st = conn.createStatement()
+        // race-safe: a concurrent first-use creating it between the check
+        // and here surfaces as "already exists" — the table is there,
+        // which is all this step needs
+        try st.executeUpdate(
+          s"""CREATE TABLE $ledgerTable (
+             |  query_id VARCHAR(64) NOT NULL,
+             |  batch_id BIGINT NOT NULL,
+             |  n_rows BIGINT NOT NULL,
+             |  PRIMARY KEY (query_id, batch_id))""".stripMargin): Unit
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      }
+      val ps = conn.prepareStatement(
+        s"SELECT 1 FROM $ledgerTable WHERE query_id = ? AND batch_id = ?")
+      val hit = try {
+        ps.setString(1, qid); ps.setLong(2, batchId)
+        val rs = ps.executeQuery()
+        try rs.next() finally rs.close()
+      } finally ps.close()
+      if (hit) dropQuietly(conn, staging) // stale post-commit crash debris
+      hit
+    }
+    if (committed) return false
+
+    // distributed staging write; overwrite replaces a crashed attempt's
+    // partial table rather than appending to it
+    batch.write.mode("overwrite").jdbc(url, staging, props)
+
+    withConnection(url, props) { conn =>
+      // target created from the batch schema when absent — before the
+      // transaction, since DDL auto-commits on some engines (the
+      // upsertJdbc caveat); an empty CREATE is idempotent-safe here
+      if (!tableExists(conn, table))
+        batch.limit(0).write.mode("append").jdbc(url, table, props)
+      val quote = Option(conn.getMetaData.getIdentifierQuoteString)
+        .map(_.trim).filter(_.nonEmpty).getOrElse("")
+      val cols = batch.schema.fieldNames
+        .map(n => s"$quote${n.replace(quote, quote + quote)}$quote")
+        .mkString(", ")
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.createStatement()
+        val n = try {
+          val moved = st.executeUpdate(
+            s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+          val ps2 = conn.prepareStatement(
+            s"INSERT INTO $ledgerTable (query_id, batch_id, n_rows) VALUES (?, ?, ?)")
+          try {
+            ps2.setString(1, qid); ps2.setLong(2, batchId); ps2.setLong(3, moved.toLong)
+            ps2.executeUpdate(): Unit
+          } finally ps2.close()
+          moved
+        } finally st.close()
+        conn.commit()
+        n: Unit
+      } catch {
+        case e: Throwable =>
+          try conn.rollback()
+          catch { case r: Throwable => e.addSuppressed(r) } // surface BOTH
+          throw e
+      } finally conn.setAutoCommit(true)
+      // post-commit: staging is debris now; a crash before this drop is
+      // swept by the replay's step-1 skip path
+      dropQuietly(conn, staging)
+    }
+    true
+  }
+
   /** Column reference by EXACT name — `col("a.b")` would parse as nested
     * field access, failing resolution for JDBC tables with dotted column
     * names; backticks make the name literal. */

@@ -944,6 +944,85 @@ object EventPipeline {
     }
   }
 
+  /** Exactly-once streaming sink into a JDBC table: `foreachBatch` +
+    * [[graft.sources.Sources.commitBatchJdbc]] — the batch's rows and
+    * its ledger row commit in ONE driver-side transaction, so the
+    * engine's at-least-once redelivery of a micro-batch is skipped by
+    * the ledger instead of double-inserting (the file sink gets this
+    * from its commit log; an RDBMS sink has to build it from the
+    * database's own transactions — this is that pattern). The reference
+    * writes query results to relational tables (its Slick surface);
+    * this is the STREAMING tier of that capability. */
+  def jdbcSinkStream(
+      rows: DataFrame, url: String, table: String,
+      ledgerTable: String, queryId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.commitBatchJdbc(
+          batch, url, table, ledgerTable, queryId, batchId): Unit
+      }
+
+  /** Synchronous gate run of [[jdbcSinkStream]]: the events file streams
+    * into an in-memory Derby table (batch 0), a sentinel file triggers a
+    * second, filtered-to-EMPTY batch (the ledger must record it too),
+    * and then batch 0 is REDELIVERED through the commit path — the
+    * at-least-once replay the protocol exists for. The ledger must skip
+    * it: a broken skip doubles every count and hash-mismatches the
+    * oracle. The result is the read-back aggregated per event type. */
+  def jdbcSinkSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val db = s"memory:graftsink${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val tmp = harnessTmpDir("graft_stream_jdbc")
+    try {
+      val inDir = tmp.resolve("in")
+      Files.createDirectories(inDir)
+      Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
+      val maxTs = stagedMaxTs(s, inDir.resolve("part-a.parquet"))
+      def sinkRows(df: DataFrame): DataFrame = df
+        .filter(col("user_id") >= 0)
+        .select(col("event_id"), col("event_type"))
+      val q = jdbcSinkStream(
+          sinkRows(readEventStream(s, inDir.toString)),
+          url, "evsink", "graft_epochs", "gate")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        // batch 1: one sentinel row, filtered out in-stream — the sink
+        // must still commit (and ledger) the empty batch
+        val staged = tmp.resolve("part-z1.parquet.staged")
+        SentinelFiles.writeEvents(staged, Seq(
+          (-1L, maxTs.plusSeconds(60), -1L, "sentinel", 0.0, "{}")))
+        Files.move(staged, inDir.resolve("part-z1.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        q.processAllAvailable()
+      } finally q.stop()
+      // redelivery proof, in the gate itself: replaying batch 0 must be
+      // skipped by the ledger (returns false), leaving the table as-is
+      val replay = sinkRows(
+        s.read.schema(rawSchema)
+          .parquet(inDir.resolve("part-a.parquet").toString)
+          .withColumn("ts", col("ts").cast("timestamp")))
+      require(!graft.sources.Sources.commitBatchJdbc(
+          replay, url, "evsink", "graft_epochs", "gate", 0L),
+        "redelivered batch 0 must be skipped by the ledger")
+      graft.sources.Sources.readJdbc(s, url, "evsink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .graftCheckpoint()
+    } finally {
+      // Derby in-memory databases live for the JVM unless dropped — a
+      // bench loop would accumulate one full table per sample
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true").close()
+      catch { case _: java.sql.SQLException => () } // 08006 = dropped, expected
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(tmp.toFile)
+    }
+  }
+
   /** Decontamination at INGEST: each micro-batch of incoming training
     * documents is scored against the eval suite's STATIC n-gram
     * fingerprint set ([[graft.operators.Decontaminate.evalFingerprints]],

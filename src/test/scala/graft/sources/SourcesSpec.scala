@@ -56,6 +56,47 @@ class SourcesSpec extends SparkTestBase {
       orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("commitBatchJdbc: exactly-once ledger — replay skipped, crashed staging overwritten, queries independent") {
+    import spark.implicits._
+    val db = s"memory:graftep${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    try {
+      val b0 = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")
+      assert(Sources.commitBatchJdbc(b0, url, "tgt", "led", "q1", 0L))
+      // at-least-once redelivery of batch 0: the ledger must skip it
+      assert(!Sources.commitBatchJdbc(b0, url, "tgt", "led", "q1", 0L))
+      assert(Sources.readJdbc(spark, url, "tgt").count() === 3L)
+      // crash recovery: a previous attempt died after writing PARTIAL
+      // staging for batch 1 — the replay must overwrite it, never trust
+      // or append to it
+      Seq((99L, "stale")).toDF("k", "v")
+        .write.mode("overwrite").jdbc(url, "tgt_graft_ep_q1_b1",
+          new java.util.Properties())
+      assert(Sources.commitBatchJdbc(
+        Seq((4L, "c")).toDF("k", "v"), url, "tgt", "led", "q1", 1L))
+      val rows = Sources.readJdbc(spark, url, "tgt")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")),
+        s"stale staging leaked into the target: $rows")
+      // a different query's ledger is independent — same batch id commits
+      assert(Sources.commitBatchJdbc(
+        Seq((5L, "d")).toDF("k", "v"), url, "tgt", "led", "q2", 1L))
+      assert(Sources.readJdbc(spark, url, "tgt").count() === 5L)
+      // an EMPTY batch still gets its ledger row (its redelivery could
+      // otherwise carry rows and double-commit)
+      assert(Sources.commitBatchJdbc(b0.limit(0), url, "tgt", "led", "q1", 2L))
+      assert(!Sources.commitBatchJdbc(b0, url, "tgt", "led", "q1", 2L))
+      assert(Sources.readJdbc(spark, url, "tgt").count() === 5L)
+      // no staging debris survives a completed commit
+      val stray = Sources.readJdbc(spark, url,
+        "(SELECT tablename FROM sys.systables WHERE tablename LIKE '%GRAFT_EP%') t")
+      assert(stray.count() === 0L, stray.collect().mkString(","))
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true").close()
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("JDBC round-trip + CRUD on embedded Derby (the reference's DB write-back surface)") {
     import spark.implicits._
     val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"

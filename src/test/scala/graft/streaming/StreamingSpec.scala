@@ -207,6 +207,19 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("jdbcSinkSync: exactly-once streamed JDBC sink equals the source after a replay") {
+    val got = EventPipeline.jdbcSinkSync(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"sunk table diverges from source: missing ${expected.diff(got).take(3)}, " +
+        s"extra ${got.diff(expected).take(3)} — a broken ledger skip doubles counts")
+    assert(got.nonEmpty)
+  }
+
   test("decontamSync: streamed ingest decontamination EQUALS the batch protocol") {
     val dir = "/root/testdata/sf0.001"
     val got = EventPipeline.decontamSync(spark, dir)
