@@ -287,7 +287,11 @@ object Sources {
   def commitBatchJdbc(batch: DataFrame, url: String, table: String,
       ledgerTable: String, queryId: String, batchId: Long,
       props: java.util.Properties = new java.util.Properties()): Boolean = {
-    val qid = queryId.replaceAll("[^A-Za-z0-9_]", "_").take(40)
+    // 16 chars keeps `${table}_graft_ep_${qid}_b<n>` under Postgres's
+    // 63-byte identifier limit for reasonable table names — an over-long
+    // name would TRUNCATE there, letting two queries' staging names
+    // collide silently
+    val qid = queryId.replaceAll("[^A-Za-z0-9_]", "_").take(16)
     val staging = s"${table}_graft_ep_${qid}_b$batchId"
     val committed = withConnection(url, props) { conn =>
       if (!tableExists(conn, ledgerTable)) {
