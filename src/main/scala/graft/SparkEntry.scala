@@ -132,6 +132,7 @@ object SparkEntry {
     "d_format_matrix" -> (q.LlmOps.formatMatrix _),
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_corpus_apply_delta" -> (q.LlmOps.corpusApplyDelta _),
+    "d_corpus_time_travel" -> (q.LlmOps.corpusTimeTravel _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -315,6 +316,9 @@ object SparkEntry {
     // apply(base + delta) must equal the from-scratch export, so the
     // lifecycle gate shares the export's oracle
     "d_corpus_apply_delta" -> q.LlmOps.corpusExportSql,
+    // three versions read back AFTER all commits — snapshot isolation:
+    // any commit touching an earlier version's files shifts v1/v2 here
+    "d_corpus_time_travel" -> q.LlmOps.corpusTimeTravelSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,

@@ -831,6 +831,65 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     }
   }
 
+  /** Time-travel gate ([[graft.plans.Snapshots]] — the versioned
+    * copy-on-write corpus store): v1 commits the corpus WITHOUT the
+    * doc_id ≡ 0 (mod 5) slice, v2 commits that slice as a delta, v3
+    * commits a takedown of the doc_id ≡ 0 (mod 7) docs — then all three
+    * versions are read back AFTER every commit has landed. The returned
+    * per-version manifests prove snapshot isolation end to end: if any
+    * commit had touched an earlier version's files, v1/v2 would no
+    * longer aggregate to their as-of-commit contents. */
+  def corpusTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snapshots")
+    val full = CorpusExport.curatedFull(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Snapshots.commitFull(s,
+        full.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      Snapshots.commitDelta(s, root.toString,
+        adds = full.filter(pmod(col("doc_id"), lit(5)) === 0),
+        removedIds = full.select(col("doc_id")).limit(0))
+      Snapshots.commitDelta(s, root.toString,
+        adds = full.limit(0),
+        removedIds = full.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id")))
+      Seq(1, 2, 3).map { v =>
+        Snapshots.readAt(s, root.toString, v)
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"))
+          .select(lit(s"v$v").as("version"), col("split"), col("lang"),
+            col("n_docs"), col("total_tokens"))
+      }.reduce(_ unionAll _).graftCheckpoint()
+    } finally {
+      full.unpersist(blocking = false)
+      CorpusExport.deleteRecursively(root.toFile)
+    }
+  }
+
+  /** Mirrors [[corpusTimeTravel]] in closed form: v1 = curated minus the
+    * %5 slice, v2 = all curated, v3 = curated minus the %7 slice. */
+  lazy val corpusTimeTravelSql: String =
+    s"""WITH cur AS (
+       |$curationPipelineSql
+       |),
+       |$splitAssignCtes,
+       |sel AS (
+       |  SELECT cur.doc_id, sp.split, cur.lang, cur.n_tokens
+       |  FROM cur JOIN sp USING (doc_id))
+       |SELECT 'v1' AS version, split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM sel WHERE doc_id % 5 <> 0 GROUP BY split, lang
+       |UNION ALL
+       |SELECT 'v2', split, lang, COUNT(*),
+       |  CAST(SUM(n_tokens) AS BIGINT)
+       |FROM sel GROUP BY split, lang
+       |UNION ALL
+       |SELECT 'v3', split, lang, COUNT(*),
+       |  CAST(SUM(n_tokens) AS BIGINT)
+       |FROM sel WHERE doc_id % 7 <> 0 GROUP BY split, lang""".stripMargin
+
   /** Mirrors [[corpusExport]]: the curation subquery joined to the split
     * buckets, aggregated per (split, lang). */
   lazy val corpusExportSql: String =

@@ -1,0 +1,135 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the versioned copy-on-write store's contracts: pointer carry for
+  * untouched splits (files AND bytes), in-place doc replacement, removal
+  * to empty, time travel after every commit, and crashed-commit
+  * invisibility. */
+class SnapshotsSpec extends SparkTestBase {
+
+  private def freshRoot(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_snap_spec")
+
+  private def doc(id: Long, split: String, text: String) =
+    (id, split, text, text.length.toLong)
+
+  private def df(rows: Seq[(Long, String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "split", "text", "n_tokens")
+  }
+
+  private def contents(root: String, v: Int): Set[(Long, String, String)] =
+    Snapshots.readAt(spark, root, v)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  private def listFiles(dir: java.io.File): Set[String] = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f.getAbsolutePath)
+    walk(dir).toSet
+  }
+
+  test("delta commit rewrites ONLY affected splits; untouched splits carry by pointer") {
+    val root = freshRoot()
+    try {
+      val v1 = Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"),
+        doc(3, "b", "three"), doc(4, "b", "four"))), root.toString)
+      assert(v1 === 1)
+      val bBefore = listFiles(root.resolve("v1").toFile)
+        .filter(_.contains("split=b"))
+      assert(bBefore.nonEmpty)
+
+      // v2: modify doc 1, add doc 5 — both split a; split b untouched
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-v2"), doc(5, "a", "five"))),
+        removedIds = df(Nil).select(col("doc_id")))
+      assert(v2 === 2)
+
+      // b's v1 files byte-identical (never rewritten), and NO b data in v2
+      assert(listFiles(root.resolve("v1").toFile)
+        .filter(_.contains("split=b")) === bBefore)
+      assert(listFiles(root.resolve("v2").toFile)
+        .forall(!_.contains("split=b")))
+
+      assert(contents(root.toString, 2) === Set(
+        (1L, "a", "one-v2"), (5L, "a", "five"), (2L, "a", "two"),
+        (3L, "b", "three"), (4L, "b", "four")))
+      // time travel: v1 still reads its as-of content
+      assert(contents(root.toString, 1) === Set(
+        (1L, "a", "one"), (2L, "a", "two"),
+        (3L, "b", "three"), (4L, "b", "four")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("removal to empty split; reads at every version stay as-of") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Nil),
+        removedIds = df(Seq(doc(3, "b", "x"))).select(col("doc_id")))
+      assert(v2 === 2)
+      assert(contents(root.toString, 2) === Set((1L, "a", "one")))
+      assert(contents(root.toString, 1) ===
+        Set((1L, "a", "one"), (3L, "b", "three")))
+      // a third commit on top of the emptied split still works
+      val v3 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(6, "b", "six"))),
+        removedIds = df(Nil).select(col("doc_id")))
+      assert(contents(root.toString, v3) ===
+        Set((1L, "a", "one"), (6L, "b", "six")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a crashed commit (data dir without version file) is invisible") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      // simulate: v2 data landed, driver died before the version rename
+      df(Seq(doc(9, "a", "nine")))
+        .write.mode("overwrite").partitionBy("split")
+        .parquet(root.resolve("v2").toString)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1)
+      assert(contents(root.toString, 1) === Set((1L, "a", "one")))
+      // the replayed commit overwrites the debris and completes
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("doc_id")))
+      assert(v2 === 2)
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (2L, "a", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("empty store: commitFull of an empty frame round-trips schema-only") {
+    val root = freshRoot()
+    try {
+      assert(Snapshots.latestVersion(spark, root.toString) === 0)
+      val v1 = Snapshots.commitFull(spark, df(Nil), root.toString)
+      assert(v1 === 1)
+      val back = Snapshots.readAt(spark, root.toString, 1)
+      assert(back.count() === 0L)
+      assert(back.columns.toSeq === Seq("doc_id", "split", "text", "n_tokens"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("commitDelta on an empty store refuses loudly; unknown version refuses") {
+    val root = freshRoot()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Nil), removedIds = df(Nil).select(col("doc_id")))
+      }
+      assert(e.getMessage.contains("commitFull first"))
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val e2 = intercept[IllegalArgumentException] {
+        Snapshots.readAt(spark, root.toString, 7)
+      }
+      assert(e2.getMessage.contains("no committed version"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+}
