@@ -132,6 +132,54 @@ object Snapshots {
     readRefs(s, root, schema, refs)
   }
 
+  /** Retention vacuum: drop all but the `keepLast` newest versions and
+    * delete every data dir no SURVIVING version references. Pointer
+    * carry makes this subtler than "delete old dirs": the latest
+    * version's untouched splits still point INTO old version dirs, and
+    * those dirs must survive — only dirs referenced by no survivor go.
+    * Readers pinned to a vacuumed version break loudly on their next
+    * `readAt` (no version file) — that is the retention contract; run
+    * vacuum with a `keepLast` covering every training run still
+    * replaying. Dirs NEWER than the latest committed version are never
+    * touched (a concurrent commit may be mid-write there — its version
+    * file is its commit point, not its data dir). Returns
+    * (droppedVersions, deletedDirs). */
+  def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, s"vacuum keepLast must be >= 1, got $keepLast")
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirP)) return (Nil, Nil)
+    val versions = fs.listStatus(dirP).map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith("v") && n.endsWith(".list"))
+          n.stripPrefix("v").stripSuffix(".list").toIntOption
+        else None
+      }.sorted.toIndexedSeq
+    if (versions.isEmpty) return (Nil, Nil)
+    val latest = versions.last
+    val (dropped, survivors) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val referenced: Set[String] = survivors
+      .flatMap(v => readVersionFile(s, root, v)._2.filter(_.nRows > 0).map(_.dir))
+      .toSet
+    // drop version files FIRST: a crash mid-vacuum must never leave a
+    // live version file pointing at a dir the dir-sweep already deleted
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dirP, s"v$v.list"), false): Unit
+    }
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val deletable = fs.listStatus(rootP).map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith("v")) n.stripPrefix("v").toIntOption.map(n -> _)
+        else None
+      }
+      .filter { case (name, k) => k <= latest && !referenced.contains(name) }
+      .map(_._1).sorted.toIndexedSeq
+    deletable.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, d), true): Unit
+    }
+    (dropped, deletable)
+  }
+
   /** Latest committed version at `root` (0 = empty store): the largest N
     * with a COMPLETE `v{N}.list` — a crashed commit's data dir without
     * its version file is invisible, by design. */

@@ -105,6 +105,39 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("vacuum keeps dirs the survivors still point into; drops the rest") {
+    val root = freshRoot()
+    try {
+      // v1: splits a+b. v2: touches only a. v3: touches only a again.
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-v2"))),
+        removedIds = df(Nil).select(col("doc_id")))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-v3"))),
+        removedIds = df(Nil).select(col("doc_id")))
+
+      val (dropped, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(dropped === Seq(1, 2))
+      // v2's dir is unreferenced (v3 rewrote split a) — deletable.
+      // v1's dir SURVIVES: v3 still carries split b by pointer into it.
+      assert(deleted === Seq("v2"))
+      assert(root.resolve("v1").toFile.exists())
+      assert(!root.resolve("v2").toFile.exists())
+      // the surviving version still reads exactly
+      assert(contents(root.toString, 3) ===
+        Set((1L, "a", "one-v3"), (3L, "b", "three")))
+      // vacuumed versions refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.readAt(spark, root.toString, 1)
+      }
+      assert(e.getMessage.contains("no committed version"))
+      // idempotent: a second vacuum finds nothing more to do
+      assert(Snapshots.vacuum(spark, root.toString, 1) === ((Nil, Nil)))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
