@@ -1,6 +1,5 @@
 package graft.plans
 
-import graft.core.Checkpoint.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,10 +14,10 @@ import org.apache.spark.sql.functions._
   * written file:
   *
   *   - Each commit writes ONLY its affected split partitions into a
-  *     fresh `root/v{N}/split=…/` tree — untouched splits are carried by
-  *     POINTER to the version dir that last wrote them, so a daily delta
-  *     touching 3 of 3,000 date-keyed splits writes 3 partitions, not
-  *     the corpus.
+  *     fresh ATTEMPT-UNIQUE `root/v{N}-{attempt}/split=…/` tree —
+  *     untouched splits are carried by POINTER to the version dir that
+  *     last wrote them, so a daily delta touching 3 of 3,000 date-keyed
+  *     splits writes 3 partitions, not the corpus.
   *   - The version FILE (`root/_versions/v{N}.list`) is the commit
   *     point, written to a temp name and atomically renamed. Readers
   *     resolve a version to concrete immutable paths; a reader at v3 is
@@ -26,10 +25,12 @@ import org.apache.spark.sql.functions._
   *     whole point.
   *   - The rename doubles as optimistic concurrency control: HDFS
   *     rename refuses an existing destination, so two racing committers
-  *     produce ONE v{N+1} and one loud failure, never interleaved
-  *     metadata. (On stores without atomic rename — e.g. raw S3 without
-  *     a consistency layer — front the `_versions/` dir with one that
-  *     has it.)
+  *     produce ONE v{N+1} and one loud failure — and because each
+  *     attempt writes its own data dir, the loser's overwrite can never
+  *     touch files the winner's version file references; its dir is
+  *     unreferenced debris for [[vacuum]]. (On stores without atomic
+  *     rename — e.g. raw S3 without a consistency layer — front the
+  *     `_versions/` dir with one that has it.)
   *
   * Version files are tiny driver-side artifacts (one line per split),
   * exactly like the manifest conventions of [[CorpusExport]]; everything
@@ -45,13 +46,28 @@ object Snapshots {
 
   private final case class SplitRef(split: String, dir: String, nRows: Long)
 
+  /** ATTEMPT-UNIQUE data dir for a commit targeting version `v`. Racing
+    * committers for the same v therefore write DISJOINT trees — if they
+    * shared `v{N}/`, the rename-loser's overwrite could destroy files
+    * the winner's just-committed version file already references. One
+    * wins the version-file rename; the loser's dir becomes unreferenced
+    * debris for [[vacuum]]. */
+  private def attemptDir(v: Int): String =
+    s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Version number encoded in a data-dir name (`v{N}-{attempt}`), used
+    * by [[vacuum]]'s newer-than-latest guard. */
+  private def dirVersion(name: String): Option[Int] =
+    if (!name.startsWith("v")) None
+    else name.stripPrefix("v").takeWhile(_.isDigit).toIntOption
+
   /** Commit the FULL corpus as the next version (v1 on an empty root; a
     * consolidation commit on a live one): every split rewrites into
     * `root/v{N}/`, the new version file points only there. Returns the
     * committed version number. `df` must carry a `split` column. */
   def commitFull(s: SparkSession, df: DataFrame, root: String): Int = {
     val v = latestVersion(s, root) + 1
-    val dir = s"v$v"
+    val dir = attemptDir(v)
     df.write.mode("overwrite").partitionBy("split")
       .parquet(s"$root/$dir")
     // explicit schema: an EMPTY corpus writes no part files, and an
@@ -70,8 +86,8 @@ object Snapshots {
   /** Commit a DELTA as the next version: `adds` are new/updated documents
     * (an updated doc_id replaces its old row — the [[CorpusExport]] delta
     * contract), `removedIds` (`doc_id`) are takedowns. Only the split
-    * partitions holding adds or removals are rewritten into
-    * `root/v{N+1}/`; every other split keeps its existing pointer. The
+    * partitions holding adds or removals are rewritten, into this
+    * attempt's own dir; every other split keeps its existing pointer. The
     * new content of an affected split is computed against the CURRENT
     * latest version — immutable inputs, so the rewrite itself is
     * replayable until the version-file rename lands. Returns the new
@@ -82,7 +98,7 @@ object Snapshots {
     require(base >= 1, s"commitDelta on an empty store at $root — commitFull first")
     val (schema, refs) = readVersionFile(s, root, base)
     val v = base + 1
-    val dir = s"v$v"
+    val dir = attemptDir(v)
 
     val gone = removedIds.select(col("doc_id"))
       .unionByName(adds.select(col("doc_id"))).distinct()
@@ -95,7 +111,6 @@ object Snapshots {
       val affected = adds.select(col("split"))
         .unionByName(current.join(gone, "doc_id").select(col("split")))
         .distinct().collect().map(_.getString(0)).toSet
-      val refBySplit = refs.map(r => r.split -> r).toMap
 
       val newRefs: Seq[SplitRef] =
         if (affected.isEmpty) refs
@@ -168,10 +183,7 @@ object Snapshots {
     }
     val rootP = new org.apache.hadoop.fs.Path(root)
     val deletable = fs.listStatus(rootP).map(_.getPath.getName)
-      .flatMap { n =>
-        if (n.startsWith("v")) n.stripPrefix("v").toIntOption.map(n -> _)
-        else None
-      }
+      .flatMap(n => dirVersion(n).map(n -> _))
       .filter { case (name, k) => k <= latest && !referenced.contains(name) }
       .map(_._1).sorted.toIndexedSeq
     deletable.foreach { d =>

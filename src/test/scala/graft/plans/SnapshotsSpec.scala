@@ -31,6 +31,13 @@ class SnapshotsSpec extends SparkTestBase {
     walk(dir).toSet
   }
 
+  /** The attempt-unique data dirs of version N (normally exactly one;
+    * a lost race or crash can leave unreferenced extras). */
+  private def dirsOf(root: java.nio.file.Path, v: Int): Seq[java.io.File] =
+    Option(root.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"v$v-"))
+      .sortBy(_.getName)
+
   test("delta commit rewrites ONLY affected splits; untouched splits carry by pointer") {
     val root = freshRoot()
     try {
@@ -38,8 +45,8 @@ class SnapshotsSpec extends SparkTestBase {
         doc(1, "a", "one"), doc(2, "a", "two"),
         doc(3, "b", "three"), doc(4, "b", "four"))), root.toString)
       assert(v1 === 1)
-      val bBefore = listFiles(root.resolve("v1").toFile)
-        .filter(_.contains("split=b"))
+      val v1Dir = dirsOf(root, 1).head
+      val bBefore = listFiles(v1Dir).filter(_.contains("split=b"))
       assert(bBefore.nonEmpty)
 
       // v2: modify doc 1, add doc 5 — both split a; split b untouched
@@ -49,10 +56,8 @@ class SnapshotsSpec extends SparkTestBase {
       assert(v2 === 2)
 
       // b's v1 files byte-identical (never rewritten), and NO b data in v2
-      assert(listFiles(root.resolve("v1").toFile)
-        .filter(_.contains("split=b")) === bBefore)
-      assert(listFiles(root.resolve("v2").toFile)
-        .forall(!_.contains("split=b")))
+      assert(listFiles(v1Dir).filter(_.contains("split=b")) === bBefore)
+      assert(listFiles(dirsOf(root, 2).head).forall(!_.contains("split=b")))
 
       assert(contents(root.toString, 2) === Set(
         (1L, "a", "one-v2"), (5L, "a", "five"), (2L, "a", "two"),
@@ -92,14 +97,20 @@ class SnapshotsSpec extends SparkTestBase {
       // simulate: v2 data landed, driver died before the version rename
       df(Seq(doc(9, "a", "nine")))
         .write.mode("overwrite").partitionBy("split")
-        .parquet(root.resolve("v2").toString)
+        .parquet(root.resolve("v2-deadbeef").toString)
       assert(Snapshots.latestVersion(spark, root.toString) === 1)
       assert(contents(root.toString, 1) === Set((1L, "a", "one")))
-      // the replayed commit overwrites the debris and completes
+      // the replayed commit writes its OWN attempt dir and completes;
+      // the crashed attempt's dir stays invisible debris
       val v2 = Snapshots.commitDelta(spark, root.toString,
         adds = df(Seq(doc(2, "a", "two"))),
         removedIds = df(Nil).select(col("doc_id")))
       assert(v2 === 2)
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (2L, "a", "two")))
+      // ...until vacuum sweeps it (unreferenced, not newer than latest)
+      val (_, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 2)
+      assert(deleted === Seq("v2-deadbeef"))
       assert(contents(root.toString, 2) ===
         Set((1L, "a", "one"), (2L, "a", "two")))
     } finally CorpusExport.deleteRecursively(root.toFile)
@@ -122,9 +133,9 @@ class SnapshotsSpec extends SparkTestBase {
       assert(dropped === Seq(1, 2))
       // v2's dir is unreferenced (v3 rewrote split a) — deletable.
       // v1's dir SURVIVES: v3 still carries split b by pointer into it.
-      assert(deleted === Seq("v2"))
-      assert(root.resolve("v1").toFile.exists())
-      assert(!root.resolve("v2").toFile.exists())
+      assert(deleted.size === 1 && deleted.head.startsWith("v2-"), deleted)
+      assert(dirsOf(root, 1).nonEmpty)
+      assert(dirsOf(root, 2).isEmpty)
       // the surviving version still reads exactly
       assert(contents(root.toString, 3) ===
         Set((1L, "a", "one-v3"), (3L, "b", "three")))
