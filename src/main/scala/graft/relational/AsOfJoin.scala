@@ -36,7 +36,7 @@ object AsOfJoin {
       keyCols ++ Seq(
         col(leftTime).as("__t"),
         lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(
           right.select(payload).schema.fields.head.dataType).as("__r")): _*)
     val taggedRight = right.select(
@@ -44,7 +44,7 @@ object AsOfJoin {
         col(rightTime).as("__t"),
         lit(0).as("__side"), // right first at equal time → inclusive match
         lit(null).cast(
-          left.select(struct(left.columns.map(col): _*)).schema.fields.head.dataType)
+          left.select(struct(left.columns.toIndexedSeq.map(col): _*)).schema.fields.head.dataType)
           .as("__l"),
         payload.as("__r")): _*)
 
@@ -58,7 +58,7 @@ object AsOfJoin {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
-        left.columns.map(c => col("__l").getField(c).as(c)) ++
+        left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c)) ++
           rightPayload.map(c => col("__match").getField(c).as(s"asof_$c")): _*)
   }
 }

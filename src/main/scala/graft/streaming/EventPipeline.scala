@@ -1318,7 +1318,7 @@ object EventPipeline {
           if (rows.isEmpty && state.hasTimedOut) {
             // watermark passed: flush the open session
             val out = state.getOption.map(s =>
-              SessionOut(userId, tsOf(s.startUs), tsOf(s.endUs), s.n)).toIterator
+              SessionOut(userId, tsOf(s.startUs), tsOf(s.endUs), s.n)).iterator
             state.remove()
             out
           } else {

@@ -101,7 +101,7 @@ private[streaming] object SentinelFiles {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val maxes = blocks.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == "ts").flatMap { c =>
-          val st = c.getStatistics
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else st.genericGetMax match {
             case l: java.lang.Long => Some(l.longValue())
