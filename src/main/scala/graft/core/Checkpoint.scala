@@ -106,9 +106,22 @@ object Checkpoint {
             }
             if (!already) sc.setCheckpointDir(dir)
           case None =>
-            if (sc.getCheckpointDir.isEmpty) throw GraftAnalysisException(Seq(
-              s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
-                "(a DFS path) or SparkContext.setCheckpointDir before running"))
+            // a SET context dir is only trustworthy if it still EXISTS:
+            // the context-level value is process-global and outlives the
+            // session that set it (e.g. an isolated gate's temp dir,
+            // swept on its way out) — silently accepting a stale path
+            // would recreate it wherever the path string lands, the
+            // wrong-filesystem outcome the qualified compare above
+            // guards against
+            val stale = sc.getCheckpointDir.filterNot { c =>
+              val p = new org.apache.hadoop.fs.Path(c)
+              p.getFileSystem(sc.hadoopConfiguration).exists(p)
+            }
+            if (sc.getCheckpointDir.isEmpty || stale.nonEmpty)
+              throw GraftAnalysisException(Seq(
+                s"$ModeKey=reliable needs a checkpoint directory: set $DirKey " +
+                  "(a DFS path) or SparkContext.setCheckpointDir before running" +
+                  stale.fold("")(c => s" (the context dir $c no longer exists)")))
         }
         // A caller-persisted frame already computes once and feeds the
         // DFS write from its own cache — persisting again would be a

@@ -62,7 +62,13 @@ object Decontaminate {
       textCol: String,
       n: Int): DataFrame = {
     GraftFunctions.register(train.sparkSession)
-    val hits = evalFps.select(col("gfp")).distinct().withColumn("hit", lit(1))
+    // no defensive distinct here: [[evalFingerprints]] already emits a
+    // distinct set, and a per-call distinct would re-shuffle the whole
+    // static artifact inside EVERY micro-batch of the streaming tier.
+    // A caller-supplied set with duplicates costs only join fan-out —
+    // the per-doc count below is COUNT(DISTINCT gfp), so the verdict is
+    // unchanged either way.
+    val hits = evalFps.select(col("gfp")).withColumn("hit", lit(1))
     train
       .select(col(idCol),
         explode(array_distinct(GraftFunctions.wordShingles(col(textCol), n))).as("g"))

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   *     produce ONE v{N+1} and one loud failure — and because each
   *     attempt writes its own data dir, the loser's overwrite can never
   *     touch files the winner's version file references; its dir is
-  *     unreferenced debris for [[vacuum]]. (On stores without atomic
-  *     rename — e.g. raw S3 without a consistency layer — front the
-  *     `_versions/` dir with one that has it.)
+  *     unreferenced debris for [[vacuum]]. POSIX/local rename OVERWRITES
+  *     instead, so same-process races are additionally serialized by a
+  *     JVM lock + exists check; cross-DRIVER commits need a filesystem
+  *     with exclusive rename (HDFS) or external coordination (raw S3
+  *     likewise — front `_versions/` with a store that has it).
   *
   * Version files are tiny driver-side artifacts (one line per split),
   * exactly like the manifest conventions of [[CorpusExport]]; everything
@@ -163,13 +165,7 @@ object Snapshots {
     require(keepLast >= 1, s"vacuum keepLast must be >= 1, got $keepLast")
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dirP)) return (Nil, Nil)
-    val versions = fs.listStatus(dirP).map(_.getPath.getName)
-      .flatMap { n =>
-        if (n.startsWith("v") && n.endsWith(".list"))
-          n.stripPrefix("v").stripSuffix(".list").toIntOption
-        else None
-      }.sorted.toIndexedSeq
+    val versions = listVersions(fs, dirP)
     if (versions.isEmpty) return (Nil, Nil)
     val latest = versions.last
     val (dropped, survivors) = versions.splitAt(math.max(0, versions.length - keepLast))
@@ -198,15 +194,21 @@ object Snapshots {
   def latestVersion(s: SparkSession, root: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).map(_.getPath.getName)
+    listVersions(fs, p).lastOption.getOrElse(0)
+  }
+
+  /** The committed version numbers at `dir` (complete `v{N}.list` files
+    * only), ascending — the ONE parse of the naming scheme shared by
+    * [[latestVersion]] and [[vacuum]]. */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): IndexedSeq[Int] =
+    if (!fs.exists(dir)) IndexedSeq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
       .flatMap { n =>
         if (n.startsWith("v") && n.endsWith(".list"))
           n.stripPrefix("v").stripSuffix(".list").toIntOption
         else None
-      }
-      .foldLeft(0)(math.max)
-  }
+      }.sorted.toIndexedSeq
 
   /** Version file format (driver-side, dependency-free, exact):
     * line 1 = the schema DDL (readers need it when every ref is empty);
@@ -229,13 +231,26 @@ object Snapshots {
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dirP, s"v$v.list")
-    if (!fs.rename(tmp, dst)) {
+    // HDFS rename refuses an existing destination (true cross-driver
+    // exclusivity), but POSIX/local rename OVERWRITES — a racing loser
+    // would silently replace the winner's committed file. The JVM lock +
+    // exists check closes the race for every committer in THIS process
+    // (the common orchestrator shape); cross-DRIVER commits to one store
+    // need a filesystem with exclusive rename (HDFS) or external
+    // coordination — documented in SCALE.md.
+    val won = commitLock.synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!won) {
       fs.delete(tmp, false): Unit
       throw graft.core.GraftAnalysisException(Seq(
         s"concurrent commit detected at $root: v$v already exists — " +
           "re-read the latest version and retry the delta against it"))
     }
   }
+
+  /** Serializes same-process commit-point renames (see above). */
+  private val commitLock = new Object
 
   private def readVersionFile(s: SparkSession, root: String, v: Int)
       : (org.apache.spark.sql.types.StructType, Seq[SplitRef]) = {

@@ -997,9 +997,6 @@ object Relational {
     } finally graft.plans.CorpusExport.deleteRecursively(out.toFile)
   }
 
-  /** Mirrors [[eventsPartitioned]]: the same sessionize CTEs over the
-    * date-bounded slice — partition pruning is an EXECUTION strategy, so
-    * the oracle expresses the probe as a plain date filter. */
   /** Oracle of the exactly-once streaming JDBC sink gate: the sunk
     * table's per-type counts and id sums must equal the source events
     * exactly — the gate REDELIVERS batch 0 through the commit path, so
@@ -1009,6 +1006,9 @@ object Relational {
       |       CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Mirrors [[eventsPartitioned]]: the same sessionize CTEs over the
+    * date-bounded slice — partition pruning is an EXECUTION strategy, so
+    * the oracle expresses the probe as a plain date filter. */
   val eventsPartitionedSql: String =
     sessionizeCtesFrom(
       """md AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),

@@ -287,12 +287,16 @@ object Sources {
   def commitBatchJdbc(batch: DataFrame, url: String, table: String,
       ledgerTable: String, queryId: String, batchId: Long,
       props: java.util.Properties = new java.util.Properties()): Boolean = {
-    // 16 chars keeps `${table}_graft_ep_${qid}_b<n>` under Postgres's
-    // 63-byte identifier limit for reasonable table names — an over-long
-    // name would TRUNCATE there, letting two queries' staging names
-    // collide silently
-    val qid = queryId.replaceAll("[^A-Za-z0-9_]", "_").take(16)
-    val staging = s"${table}_graft_ep_${qid}_b$batchId"
+    // the LEDGER key is the full sanitized id (the identity that decides
+    // skip-vs-commit — truncating it would let two queries collide and
+    // silently drop each other's batches); only the STAGING NAME
+    // truncates, to keep `${table}_graft_ep_${fix}_b<n>` under
+    // Postgres's 63-byte identifier limit, and it carries a hash of the
+    // full id so truncation-twins still stage in distinct tables
+    val qid = queryId.replaceAll("[^A-Za-z0-9_]", "_").take(64)
+    val stagingFix = qid.take(8) +
+      java.lang.Integer.toHexString(qid.hashCode).take(8)
+    val staging = s"${table}_graft_ep_${stagingFix}_b$batchId"
     val committed = withConnection(url, props) { conn =>
       if (!tableExists(conn, ledgerTable)) {
         val st = conn.createStatement()

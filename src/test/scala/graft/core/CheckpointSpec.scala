@@ -128,6 +128,22 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("a stale (deleted) context checkpoint dir is refused, not silently recreated") {
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set(Checkpoint.ModeKey, "reliable")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_stale")
+    s.sparkContext.setCheckpointDir(dir.toString)
+    // sweep it — the isolated-gate shape: the session that set the
+    // context-level dir deleted its temp tree on the way out. A later
+    // DirKey-less reliable user must get the loud error, not silently
+    // recreated checkpoints at a path that was someone's swept temp dir.
+    Option(dir.toFile.listFiles()).foreach(_.foreach(f => deleteRec(f)))
+    dir.toFile.delete(): Unit
+    val ex = intercept[GraftAnalysisException](Checkpoint((1 to 3).toDF("n")))
+    assert(ex.getMessage.contains("no longer exists"))
+  }
+
   test("reliable mode without a directory fails loudly") {
     // fresh session; the context-level checkpoint dir may already be set by
     // the test above (SparkContext state is shared), so only assert when not

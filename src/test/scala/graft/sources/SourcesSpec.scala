@@ -68,10 +68,11 @@ class SourcesSpec extends SparkTestBase {
       assert(Sources.readJdbc(spark, url, "tgt").count() === 3L)
       // crash recovery: a previous attempt died after writing PARTIAL
       // staging for batch 1 — the replay must overwrite it, never trust
-      // or append to it
+      // or append to it (name replicates the prefix+hash staging scheme)
+      val stg1 = "tgt_graft_ep_" + "q1" +
+        java.lang.Integer.toHexString("q1".hashCode).take(8) + "_b1"
       Seq((99L, "stale")).toDF("k", "v")
-        .write.mode("overwrite").jdbc(url, "tgt_graft_ep_q1_b1",
-          new java.util.Properties())
+        .write.mode("overwrite").jdbc(url, stg1, new java.util.Properties())
       assert(Sources.commitBatchJdbc(
         Seq((4L, "c")).toDF("k", "v"), url, "tgt", "led", "q1", 1L))
       val rows = Sources.readJdbc(spark, url, "tgt")
@@ -87,6 +88,13 @@ class SourcesSpec extends SparkTestBase {
       assert(Sources.commitBatchJdbc(b0.limit(0), url, "tgt", "led", "q1", 2L))
       assert(!Sources.commitBatchJdbc(b0, url, "tgt", "led", "q1", 2L))
       assert(Sources.readJdbc(spark, url, "tgt").count() === 5L)
+      // long queryIds sharing a prefix stay INDEPENDENT ledger keys —
+      // the identity deciding skip-vs-commit is the full sanitized id
+      assert(Sources.commitBatchJdbc(Seq((6L, "e")).toDF("k", "v"),
+        url, "tgt", "led", "ingest_orders_eu_daily", 0L))
+      assert(Sources.commitBatchJdbc(Seq((7L, "f")).toDF("k", "v"),
+        url, "tgt", "led", "ingest_orders_eu_hourly", 0L))
+      assert(Sources.readJdbc(spark, url, "tgt").count() === 7L)
       // no staging debris survives a completed commit
       val stray = Sources.readJdbc(spark, url,
         "(SELECT tablename FROM sys.systables WHERE tablename LIKE '%GRAFT_EP%') t")
