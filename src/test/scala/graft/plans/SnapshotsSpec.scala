@@ -149,6 +149,46 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("a ten-commit chain reads exactly at every version; vacuum mid-chain keeps survivors intact") {
+    val root = freshRoot()
+    try {
+      // v1: docs 1..3 in split a, doc 100 in split b (b never touched again)
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "t1"), doc(2, "a", "t2"), doc(3, "a", "t3"),
+        doc(100, "b", "stable"))), root.toString)
+      // v2..v10: each commit k rewrites doc k%3+1 to "t<k>" and adds doc 10+k
+      (2 to 10).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(
+            doc((k % 3 + 1).toLong, "a", s"t$k"), doc(10L + k, "a", s"n$k"))),
+          removedIds = df(Nil).select(col("doc_id")))
+      }
+      // closed-form expectation at version v
+      def expected(v: Int): Set[(Long, String, String)] = {
+        val base = scala.collection.mutable.Map(
+          1L -> "t1", 2L -> "t2", 3L -> "t3")
+        val extra = scala.collection.mutable.Map[Long, String]()
+        (2 to v).foreach { k =>
+          base((k % 3 + 1).toLong) = s"t$k"
+          extra(10L + k) = s"n$k"
+        }
+        (base.map { case (i, t) => (i, "a", t) } ++
+          extra.map { case (i, t) => (i, "a", t) }).toSet + ((100L, "b", "stable"))
+      }
+      (1 to 10).foreach { v =>
+        assert(contents(root.toString, v) === expected(v), s"at v$v")
+      }
+      // vacuum to the last three versions: v8..v10 must read unchanged,
+      // and v1's dir must SURVIVE (split b still pointer-carried by all)
+      val (dropped, _) = Snapshots.vacuum(spark, root.toString, keepLast = 3)
+      assert(dropped === (1 to 7))
+      assert(dirsOf(root, 1).nonEmpty, "v1 dir carries split b — must survive")
+      (8 to 10).foreach { v =>
+        assert(contents(root.toString, v) === expected(v), s"post-vacuum v$v")
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
