@@ -95,9 +95,28 @@ object Snapshots {
     * replayable until the version-file rename lands. Returns the new
     * version number. */
   def commitDelta(s: SparkSession, root: String,
-      adds: DataFrame, removedIds: DataFrame): Int = {
+      adds: DataFrame, removedIds: DataFrame): Int =
+    commitDelta(s, root, adds, removedIds, tag = None)
+
+  /** [[commitDelta]] with an IDEMPOTENCE TAG — the at-least-once glue:
+    * a `foreachBatch` ingest stream commits each micro-batch with
+    * `tag = Some(s"b$batchId")`, and a redelivered batch finds its tag
+    * on an already-committed version and returns THAT version instead
+    * of committing a duplicate (the [[graft.sources.Sources
+    * .commitBatchJdbc]] ledger discipline, carried by the version files
+    * themselves — no side table). The tag scan is driver-side over the
+    * live version files, bounded by the retention window. */
+  def commitDelta(s: SparkSession, root: String,
+      adds: DataFrame, removedIds: DataFrame, tag: Option[String]): Int = {
     val base = latestVersion(s, root)
     require(base >= 1, s"commitDelta on an empty store at $root — commitFull first")
+    tag.foreach { t =>
+      val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+      val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      listVersions(fs, dirP).foreach { v =>
+        if (readTag(s, root, v).contains(t)) return v
+      }
+    }
     val (schema, refs) = readVersionFile(s, root, base)
     val v = base + 1
     val dir = attemptDir(v)
@@ -114,7 +133,7 @@ object Snapshots {
         .unionByName(current.join(gone, "doc_id").select(col("split")))
         .distinct().collect().map(_.getString(0)).toSet
 
-      val newRefs: Seq[SplitRef] =
+      val newRefs0: Seq[SplitRef] =
         if (affected.isEmpty) refs
         else {
           val rewritten = current
@@ -135,7 +154,7 @@ object Snapshots {
             SplitRef(sp, dir, counts.getOrElse(sp, 0L)))
           kept ++ touched
         }
-      writeVersionFile(s, root, v, schema, newRefs)
+      writeVersionFile(s, root, v, schema, newRefs0, tag)
       v
     } finally { gone.unpersist(blocking = false); () }
   }
@@ -212,14 +231,16 @@ object Snapshots {
 
   /** Version file format (driver-side, dependency-free, exact):
     * line 1 = the schema DDL (readers need it when every ref is empty);
+    * optional `#tag=<url-encoded>` metadata line (the idempotence tag);
     * each further line = `url-encoded-split \t dir \t n_rows`. Written
     * to a temp name and atomically renamed — the COMMIT POINT; rename
     * onto an existing destination fails, which is the concurrency
     * control. */
   private def writeVersionFile(s: SparkSession, root: String, v: Int,
       schema: org.apache.spark.sql.types.StructType,
-      refs: Seq[SplitRef]): Unit = {
-    val body = (schema.toDDL +:
+      refs: Seq[SplitRef], tag: Option[String] = None): Unit = {
+    val body = (Seq(schema.toDDL) ++
+      tag.map(t => s"#tag=${escape(t)}") ++
       refs.sortBy(_.split).map(r =>
         s"${escape(r.split)}\t${r.dir}\t${r.nRows}"))
       .mkString("", "\n", "\n")
@@ -257,22 +278,34 @@ object Snapshots {
     val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/v$v.list")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no committed version v$v at $root")
-    val in = fs.open(p)
-    val text =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, "UTF-8")
-      } finally in.close()
-    val lines = text.split("\n").toIndexedSeq.filter(_.nonEmpty)
+    val lines = readWhole(fs, p).split("\n").toIndexedSeq.filter(_.nonEmpty)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(lines.head)
-    val refs = lines.tail.map { l =>
+    val refs = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(sp, dir, n) = l.split("\t", 3)
       SplitRef(unescape(sp), dir, n.toLong)
     }
     (schema, refs)
+  }
+
+  /** The idempotence tag recorded in `v{N}.list`, if any. */
+  private def readTag(s: SparkSession, root: String, v: Int): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/v$v.list")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else readWhole(fs, p).split("\n").find(_.startsWith("#tag="))
+      .map(l => unescape(l.stripPrefix("#tag=")))
+  }
+
+  private def readWhole(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
   }
 
   /** One scan per referenced version dir, each PRUNED to the splits the

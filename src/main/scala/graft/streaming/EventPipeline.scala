@@ -1023,6 +1023,27 @@ object EventPipeline {
     }
   }
 
+  /** Versioned-store ingest: each micro-batch commits into the
+    * copy-on-write snapshot store ([[graft.plans.Snapshots]]) as a
+    * TAGGED delta — `foreachBatch`'s at-least-once redelivery finds its
+    * tag on the already-committed version and returns it instead of
+    * committing a duplicate, so the store's version chain is exactly
+    * one version per delivered batch however often the engine retries.
+    * Readers pinned to any version stay isolated from the live ingest
+    * (the store's core property); `rows` must carry the store's `split`
+    * column. */
+  def snapshotIngestStream(
+      rows: DataFrame, root: String, queryId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.plans.Snapshots.commitDelta(
+          batch.sparkSession, root,
+          adds = batch,
+          removedIds = batch.select(col("doc_id")).limit(0),
+          tag = Some(s"$queryId-b$batchId")): Unit
+      }
+
   /** Decontamination at INGEST: each micro-batch of incoming training
     * documents is scored against the eval suite's STATIC n-gram
     * fingerprint set ([[graft.operators.Decontaminate.evalFingerprints]],

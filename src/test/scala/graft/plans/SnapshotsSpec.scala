@@ -189,6 +189,63 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("tagged commits are idempotent: a redelivered delta returns its committed version") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val adds = df(Seq(doc(2, "a", "two")))
+      val none = df(Nil).select(col("doc_id"))
+      val v2 = Snapshots.commitDelta(spark, root.toString, adds, none,
+        tag = Some("q-b0"))
+      assert(v2 === 2)
+      // at-least-once redelivery: same tag → SAME version, no new commit
+      assert(Snapshots.commitDelta(spark, root.toString, adds, none,
+        tag = Some("q-b0")) === 2)
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (2L, "a", "two")))
+      // a new tag commits normally
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(3, "a", "three"))), none, tag = Some("q-b1")) === 3)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("snapshotIngestStream: a two-batch stream lands as two tagged versions") {
+    val root = freshRoot()
+    val tmp = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(100, "b", "base"))), root.toString)
+      // two input files + maxFilesPerTrigger(1) → two micro-batches
+      df(Seq(doc(1, "a", "one"))).coalesce(1)
+        .write.parquet(tmp.resolve("f1").toString)
+      df(Seq(doc(2, "a", "two"))).coalesce(1)
+        .write.parquet(tmp.resolve("f2").toString)
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      def stage(src: String, as: String): Unit = {
+        val p = tmp.resolve(src).toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(p.toPath, inDir.resolve(as))
+      }
+      stage("f1", "part-1.parquet"); stage("f2", "part-2.parquet")
+      val in = spark.readStream
+        .schema("doc_id long, split string, text string, n_tokens long")
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = graft.streaming.EventPipeline
+        .snapshotIngestStream(in, root.toString, "spec")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(Snapshots.latestVersion(spark, root.toString) === 3)
+      assert(contents(root.toString, 3) === Set(
+        (100L, "b", "base"), (1L, "a", "one"), (2L, "a", "two")))
+      // the base version is untouched by the live ingest
+      assert(contents(root.toString, 1) === Set((100L, "b", "base")))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(tmp.toFile)
+    }
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
