@@ -23,16 +23,18 @@ import org.apache.spark.sql.functions._
   *     resolve a version to concrete immutable paths; a reader at v3 is
   *     untouchable by the v4 commit racing alongside it — that is the
   *     whole point.
-  *   - The rename doubles as optimistic concurrency control: HDFS
-  *     rename refuses an existing destination, so two racing committers
-  *     produce ONE v{N+1} and one loud failure — and because each
-  *     attempt writes its own data dir, the loser's overwrite can never
-  *     touch files the winner's version file references; its dir is
-  *     unreferenced debris for [[vacuum]]. POSIX/local rename OVERWRITES
-  *     instead, so same-process races are additionally serialized by a
-  *     JVM lock + exists check; cross-DRIVER commits need a filesystem
-  *     with exclusive rename (HDFS) or external coordination (raw S3
-  *     likewise — front `_versions/` with a store that has it).
+  *   - Concurrency control is a CLAIM FILE (`_versions/.v{N}.claim`)
+  *     created with atomic exclusive semantics before the rename: two
+  *     racing committers produce ONE v{N+1} and one loud failure, and
+  *     because each attempt writes its own data dir, the loser can never
+  *     touch files the winner's version file references — its dir is
+  *     unreferenced debris for [[vacuum]]. Exclusive create is atomic on
+  *     POSIX (O_EXCL) and HDFS; object stores without conditional-put
+  *     (classic S3) must front `_versions/` with a store that has it.
+  *     The tradeoff every lock-file protocol carries: a committer that
+  *     crashes BETWEEN claim and rename wedges that version number until
+  *     the stale claim is removed — the refusal message names the file,
+  *     and [[vacuum]] sweeps claims for already-committed versions.
   *
   * Version files are tiny driver-side artifacts (one line per split),
   * exactly like the manifest conventions of [[CorpusExport]]; everything
@@ -41,10 +43,19 @@ import org.apache.spark.sql.functions._
   * commit — and the standing fix is the same as every LSM: periodically
   * [[commitFull]] a fresh consolidated version and vacuum dirs no live
   * version references.
+  *
+  * SCHEMA EVOLUTION is widen-only: a delta whose adds carry NEW columns
+  * commits them (the version file records the widened schema; older dirs
+  * read back with the new columns null — the parquet reader's
+  * missing-column contract), while a delta that DROPS a stored column or
+  * CHANGES a column's type refuses with a typed error listing every
+  * drift. Removal-only deltas pass adds shaped like the stored schema
+  * (`readAt(...).limit(0)` is the canonical empty frame).
   */
 object Snapshots {
 
   private val VersionsDir = "_versions"
+  private val TagsDir = "_tags"
 
   private final case class SplitRef(split: String, dir: String, nRows: Long)
 
@@ -52,8 +63,8 @@ object Snapshots {
     * committers for the same v therefore write DISJOINT trees — if they
     * shared `v{N}/`, the rename-loser's overwrite could destroy files
     * the winner's just-committed version file already references. One
-    * wins the version-file rename; the loser's dir becomes unreferenced
-    * debris for [[vacuum]]. */
+    * wins the claim; the loser's dir becomes unreferenced debris for
+    * [[vacuum]]. */
   private def attemptDir(v: Int): String =
     s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
@@ -87,13 +98,24 @@ object Snapshots {
 
   /** Commit a DELTA as the next version: `adds` are new/updated documents
     * (an updated doc_id replaces its old row — the [[CorpusExport]] delta
-    * contract), `removedIds` (`doc_id`) are takedowns. Only the split
-    * partitions holding adds or removals are rewritten, into this
-    * attempt's own dir; every other split keeps its existing pointer. The
-    * new content of an affected split is computed against the CURRENT
-    * latest version — immutable inputs, so the rewrite itself is
-    * replayable until the version-file rename lands. Returns the new
-    * version number. */
+    * contract), `removedIds` are takedowns. Only the split partitions
+    * holding adds or removals are rewritten, into this attempt's own dir;
+    * every other split keeps its existing pointer. The new content of an
+    * affected split is computed against the CURRENT latest version —
+    * immutable inputs, so the rewrite itself is replayable until the
+    * version-file rename lands. Returns the new version number.
+    *
+    * TAKEDOWN DISCOVERY: when `removedIds` carries a `split` column
+    * alongside `doc_id`, the affected splits are read straight off the
+    * delta — the commit's IO is bounded by the splits it touches, never
+    * the corpus (the 100 TB shape; SnapshotsSpec pins it by corrupting an
+    * untouched split's files and committing anyway). The contract: each
+    * `(split, doc_id)` names the split the doc CURRENTLY lives in, and
+    * updated docs stay in their split (an update that moves a doc across
+    * splits must list its old `(split, doc_id)` as a removal). A
+    * doc_id-only `removedIds` falls back to locating victims with a
+    * corpus-wide semi-join — correct, but a full-corpus scan per commit;
+    * key your takedowns when the corpus is large. */
   def commitDelta(s: SparkSession, root: String,
       adds: DataFrame, removedIds: DataFrame): Int =
     commitDelta(s, root, adds, removedIds, tag = None)
@@ -101,45 +123,69 @@ object Snapshots {
   /** [[commitDelta]] with an IDEMPOTENCE TAG — the at-least-once glue:
     * a `foreachBatch` ingest stream commits each micro-batch with
     * `tag = Some(s"b$batchId")`, and a redelivered batch finds its tag
-    * on an already-committed version and returns THAT version instead
-    * of committing a duplicate (the [[graft.sources.Sources
-    * .commitBatchJdbc]] ledger discipline, carried by the version files
-    * themselves — no side table). The tag scan is driver-side over the
-    * live version files, bounded by the retention window. */
+    * already recorded and returns THAT version instead of committing a
+    * duplicate (the [[graft.sources.Sources.commitBatchJdbc]] ledger
+    * discipline). Tags live in a DURABLE LEDGER (`_versions/_tags/`, one
+    * tiny marker file per tag) that [[vacuum]] never deletes — a batch
+    * redelivered after its version was vacuumed (stream down across a
+    * retention sweep) still finds its tag and is still skipped, though
+    * the returned version number may no longer be readable. The check is
+    * O(1) per commit: one marker lookup, after a once-per-JVM repair scan
+    * that backfills markers for any version whose committer crashed
+    * between its rename and its marker write. */
   def commitDelta(s: SparkSession, root: String,
       adds: DataFrame, removedIds: DataFrame, tag: Option[String]): Int = {
     val base = latestVersion(s, root)
     require(base >= 1, s"commitDelta on an empty store at $root — commitFull first")
     tag.foreach { t =>
-      val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
-      val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      listVersions(fs, dirP).foreach { v =>
-        if (readTag(s, root, v).contains(t)) return v
-      }
+      ensureTagLedger(s, root)
+      readTagMarker(s, root, t).foreach(v => return v)
     }
     val (schema, refs) = readVersionFile(s, root, base)
+    val widened = widenSchema(root, schema, adds.schema)
     val v = base + 1
     val dir = attemptDir(v)
 
+    val splitKeyed = removedIds.columns.contains("split")
     val gone = removedIds.select(col("doc_id"))
       .unionByName(adds.select(col("doc_id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the commit runs several actions over adds (affected-split collect,
+    // rewrite, read-back) — in a foreachBatch this is the micro-batch
+    // source, which must not be recomputed per action
+    val addsP = adds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val current = readRefs(s, root, schema, refs)
       // affected = splits receiving adds ∪ splits losing docs. Bounded
       // driver collect: one row per AFFECTED split (a daily delta touches
-      // few of many splits — the design point).
-      val affected = adds.select(col("split"))
-        .unionByName(current.join(gone, "doc_id").select(col("split")))
-        .distinct().collect().map(_.getString(0)).toSet
+      // few of many splits — the design point). Split-keyed removals read
+      // their split straight off the delta; doc_id-only removals pay a
+      // corpus-wide semi-join to find where their victims live.
+      val affected: Set[String] =
+        if (splitKeyed)
+          addsP.select(col("split"))
+            .unionByName(removedIds.select(col("split")))
+            .distinct().collect().map(_.getString(0)).toSet
+        else
+          addsP.select(col("split"))
+            .unionByName(readRefs(s, root, schema, refs)
+              .join(gone, "doc_id").select(col("split")))
+            .distinct().collect().map(_.getString(0)).toSet
 
       val newRefs0: Seq[SplitRef] =
         if (affected.isEmpty) refs
         else {
-          val rewritten = current
-            .filter(col("split").isin(affected.toSeq: _*))
+          // read ONLY the affected splits of the current version —
+          // partition-pruned at planning time, so unaffected splits'
+          // files are never opened
+          val affectedRefs = refs.filter(r => affected.contains(r.split))
+          val current = readRefs(s, root, schema, affectedRefs)
+          val currentWide = current.select(widened.fieldNames.map(n =>
+            if (current.columns.contains(n)) col(n)
+            else lit(null).cast(widened(n).dataType).as(n)).toIndexedSeq: _*)
+          val rewritten = currentWide
             .join(gone, Seq("doc_id"), "left_anti")
-            .unionByName(adds.filter(col("split").isin(affected.toSeq: _*)))
+            .unionByName(addsP.filter(col("split").isin(affected.toSeq: _*))
+              .select(widened.fieldNames.map(col).toIndexedSeq: _*))
           rewritten.write.mode("overwrite").partitionBy("split")
             .parquet(s"$root/$dir")
           // read-back counts from the WRITTEN files (the manifest
@@ -154,15 +200,54 @@ object Snapshots {
             SplitRef(sp, dir, counts.getOrElse(sp, 0L)))
           kept ++ touched
         }
-      writeVersionFile(s, root, v, schema, newRefs0, tag)
+      writeVersionFile(s, root, v, widened, newRefs0, tag)
+      tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
       v
-    } finally { gone.unpersist(blocking = false); () }
+    } finally {
+      gone.unpersist(blocking = false)
+      addsP.unpersist(blocking = false): Unit
+    }
+  }
+
+  /** The widened schema of a delta commit: the stored schema plus any NEW
+    * columns the adds carry (nullable — older dirs read them back null).
+    * Any other drift — a stored column the adds dropped, or a type change
+    * — refuses loudly with every violation listed, instead of surfacing
+    * as a raw unionByName failure three plans deep. */
+  private def widenSchema(root: String,
+      stored: org.apache.spark.sql.types.StructType,
+      adds: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val addsByName = adds.fields.map(f => f.name -> f).toMap
+    val drift = stored.fields.flatMap { f =>
+      addsByName.get(f.name) match {
+        case None => Some(s"stored column '${f.name}' (${f.dataType.sql}) is " +
+          "missing from the delta's adds — dropping columns is not supported; " +
+          "removal-only deltas should pass adds shaped like the stored schema " +
+          "(readAt(...).limit(0))")
+        case Some(a) if a.dataType != f.dataType =>
+          Some(s"column '${f.name}' changes type: stored ${f.dataType.sql} " +
+            s"vs delta ${a.dataType.sql}")
+        case _ => None
+      }
+    }
+    if (drift.nonEmpty)
+      throw graft.core.GraftAnalysisException(
+        (s"schema drift in commitDelta at $root (widen-only: new nullable " +
+          "columns commit, drops and type changes refuse)") +: drift.toIndexedSeq)
+    val storedNames = stored.fieldNames.toSet
+    val added = adds.fields.filterNot(f => storedNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(stored.fields ++ added)
   }
 
   /** Read the corpus AS OF `version` — immutable: later commits write
     * new dirs and new version files, so this plan's input files can
     * never change underneath it. One scan per referenced version dir
-    * (not per split, not per commit), unioned. */
+    * (not per split, not per commit), unioned. Reads with the schema the
+    * version COMMITTED — columns added by later deltas are invisible
+    * here, and columns added by earlier ones read back null from dirs
+    * written before them. */
   def readAt(s: SparkSession, root: String, version: Int): DataFrame = {
     val (schema, refs) = readVersionFile(s, root, version)
     readRefs(s, root, schema, refs)
@@ -176,10 +261,13 @@ object Snapshots {
     * Readers pinned to a vacuumed version break loudly on their next
     * `readAt` (no version file) — that is the retention contract; run
     * vacuum with a `keepLast` covering every training run still
-    * replaying. Dirs NEWER than the latest committed version are never
-    * touched (a concurrent commit may be mid-write there — its version
-    * file is its commit point, not its data dir). Returns
-    * (droppedVersions, deletedDirs). */
+    * replaying. Idempotence TAGS outlive their versions: before a tagged
+    * version file drops, its tag is backfilled into the durable ledger,
+    * so a stream redelivering across a retention sweep is still skipped.
+    * Dirs NEWER than the latest committed version are never touched (a
+    * concurrent commit may be mid-write there — its version file is its
+    * commit point, not its data dir); claim files for versions already
+    * committed are swept. Returns (droppedVersions, deletedDirs). */
   def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, s"vacuum keepLast must be >= 1, got $keepLast")
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
@@ -192,9 +280,21 @@ object Snapshots {
       .flatMap(v => readVersionFile(s, root, v)._2.filter(_.nRows > 0).map(_.dir))
       .toSet
     // drop version files FIRST: a crash mid-vacuum must never leave a
-    // live version file pointing at a dir the dir-sweep already deleted
+    // live version file pointing at a dir the dir-sweep already deleted.
+    // A dropped version's tag is the ONLY carrier of its batch's
+    // idempotence — ledger it durably before the file goes.
     dropped.foreach { v =>
+      readTag(s, root, v).foreach(t => writeTagMarker(s, root, t, v))
       fs.delete(new org.apache.hadoop.fs.Path(dirP, s"v$v.list"), false): Unit
+    }
+    // stale-claim sweep: a claim for an already-committed version did its
+    // job (or lost its race) — only claims ≤ latest are provably inert
+    fs.listStatus(dirP).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".v") && n.endsWith(".claim"))
+        n.stripPrefix(".v").stripSuffix(".claim").toIntOption.foreach { cv =>
+          if (cv <= latest) fs.delete(p, false): Unit
+        }
     }
     val rootP = new org.apache.hadoop.fs.Path(root)
     val deletable = fs.listStatus(rootP).map(_.getPath.getName)
@@ -229,13 +329,94 @@ object Snapshots {
         else None
       }.sorted.toIndexedSeq
 
+  // ---- durable tag ledger --------------------------------------------
+
+  /** Per-JVM high-water mark of the tag-ledger repair scan, keyed by the
+    * store's fully-qualified root. Every live version ≤ the mark is
+    * guaranteed to have its tag (if any) in the durable ledger, so a
+    * tagged commit's idempotence check is ONE marker lookup — never a
+    * scan over the version chain. */
+  private val ledgerHigh =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def qualifiedRoot(s: SparkSession, root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  private def bumpLedger(s: SparkSession, root: String, v: Int): Unit =
+    ledgerHigh.merge(qualifiedRoot(s, root), Int.box(v),
+      (a, b) => Int.box(math.max(a, b))): Unit
+
+  /** Repair scan: backfill ledger markers for any version committed past
+    * this JVM's high-water mark (first call: the whole live chain —
+    * bounded by retention; after that only versions OTHER drivers
+    * committed, zero in the single-writer shape because [[commitDelta]]
+    * bumps the mark on its own commits). Closes the crash window of a
+    * committer that died between its version-file rename and its marker
+    * write. Diagnostic [[versionFileReads]] counts the file opens so the
+    * spec can pin the steady state at zero. */
+  private def ensureTagLedger(s: SparkSession, root: String): Unit = {
+    val key = qualifiedRoot(s, root)
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dirP)
+    if (versions.isEmpty) return
+    val latest = versions.last
+    val high = Option(ledgerHigh.get(key)).map(_.intValue).getOrElse(0)
+    if (latest > high) {
+      versions.filter(_ > high).foreach { v =>
+        readTag(s, root, v).foreach { t =>
+          if (readTagMarker(s, root, t).isEmpty) writeTagMarker(s, root, t, v)
+        }
+      }
+      bumpLedger(s, root, latest)
+    }
+  }
+
+  /** Durable tag marker (`_versions/_tags/<url-encoded-tag>`, body = the
+    * committed version). Exclusive create; an existing marker wins —
+    * same tag means same batch, and first-committed is the version the
+    * ledger answers with. */
+  private def writeTagMarker(s: SparkSession, root: String,
+      tag: String, v: Int): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/$TagsDir")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirP): Unit
+    val p = new org.apache.hadoop.fs.Path(dirP, escape(tag))
+    try {
+      val out = fs.create(p, false)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.io.IOException if fs.exists(p) => ()
+    }
+  }
+
+  /** The version a tag committed, from the durable ledger. */
+  private def readTagMarker(s: SparkSession, root: String,
+      tag: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/$TagsDir/${escape(tag)}")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else readWhole(fs, p).trim.toIntOption
+  }
+
+  // ---- version files ---------------------------------------------------
+
+  /** Diagnostic: version-file opens by this JVM — lets SnapshotsSpec pin
+    * the tagged-commit steady state at ZERO version-file reads per
+    * redelivery check (the ledger answers, never a chain scan). */
+  private[plans] val versionFileReads = new java.util.concurrent.atomic.AtomicLong()
+
   /** Version file format (driver-side, dependency-free, exact):
     * line 1 = the schema DDL (readers need it when every ref is empty);
     * optional `#tag=<url-encoded>` metadata line (the idempotence tag);
     * each further line = `url-encoded-split \t dir \t n_rows`. Written
-    * to a temp name and atomically renamed — the COMMIT POINT; rename
-    * onto an existing destination fails, which is the concurrency
-    * control. */
+    * to a temp name and atomically renamed after the exclusive-create
+    * CLAIM (`.v{N}.claim`) is won — the claim is the concurrency
+    * control, the rename the visibility point. */
   private def writeVersionFile(s: SparkSession, root: String, v: Int,
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String] = None): Unit = {
@@ -247,27 +428,63 @@ object Snapshots {
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirP): Unit
-    val tmp = new org.apache.hadoop.fs.Path(dirP,
-      s".v$v.list.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dirP, s"v$v.list")
-    // HDFS rename refuses an existing destination (true cross-driver
-    // exclusivity), but POSIX/local rename OVERWRITES — a racing loser
-    // would silently replace the winner's committed file. The JVM lock +
-    // exists check closes the race for every committer in THIS process
-    // (the common orchestrator shape); cross-DRIVER commits to one store
-    // need a filesystem with exclusive rename (HDFS) or external
-    // coordination — documented in SCALE.md.
-    val won = commitLock.synchronized {
-      !fs.exists(dst) && fs.rename(tmp, dst)
+    val claim = new org.apache.hadoop.fs.Path(dirP, s".v$v.claim")
+    // the JVM lock serializes in-process committers cheaply; the claim
+    // file extends the same exclusion across DRIVERS on any filesystem
+    // with atomic exclusive create (POSIX O_EXCL via java.nio for
+    // file://, HDFS create-no-overwrite elsewhere)
+    commitLock.synchronized {
+      if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
+      if (!tryClaim(fs, claim)) {
+        if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
+        else throw graft.core.GraftAnalysisException(Seq(
+          s"orphaned commit claim at $claim: a committer for v$v crashed " +
+            "between its claim and its version-file rename — after " +
+            "confirming no committer is live, delete the claim file to " +
+            "unwedge the store (vacuum sweeps claims only for versions " +
+            "already committed)"))
+      }
+      try {
+        val tmp = new org.apache.hadoop.fs.Path(dirP,
+          s".v$v.list.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, false): Unit
+          loseRace(fs, claim, root, v)
+        }
+      } finally fs.delete(claim, false): Unit
     }
-    if (!won) {
-      fs.delete(tmp, false): Unit
-      throw graft.core.GraftAnalysisException(Seq(
-        s"concurrent commit detected at $root: v$v already exists — " +
-          "re-read the latest version and retry the delta against it"))
-    }
+  }
+
+  private def loseRace(fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path, root: String, v: Int): Nothing = {
+    if (claim != null) fs.delete(claim, false): Unit
+    throw graft.core.GraftAnalysisException(Seq(
+      s"concurrent commit detected at $root: v$v already exists — " +
+        "re-read the latest version and retry the delta against it"))
+  }
+
+  /** Atomic exclusive create of the claim file. java.nio O_EXCL for
+    * local paths (Hadoop's RawLocalFileSystem create-no-overwrite is
+    * check-then-act, not atomic); Hadoop's exclusive create elsewhere
+    * (atomic on HDFS; object stores need conditional-put — documented
+    * in the class doc). */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path): Boolean = {
+    val q = fs.makeQualified(claim)
+    if (q.toUri.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(q.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { fs.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(claim) => false
+      }
   }
 
   /** Serializes same-process commit-point renames (see above). */
@@ -298,6 +515,7 @@ object Snapshots {
 
   private def readWhole(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
+    if (p.getName.endsWith(".list")) versionFileReads.incrementAndGet(): Unit
     val in = fs.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -313,7 +531,9 @@ object Snapshots {
     * commit holds splits this version must NOT see). The pruning is a
     * partition filter — planning-time, never a data pass — and avoids
     * constructing `split=…` paths by hand, which would have to replicate
-    * Spark's partition-value escaping exactly. */
+    * Spark's partition-value escaping exactly. Dirs written BEFORE a
+    * schema-widening commit lack the new columns; the explicit read
+    * schema null-fills them (the parquet missing-column contract). */
   private def readRefs(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef]): DataFrame = {

@@ -847,13 +847,16 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     try {
       Snapshots.commitFull(s,
         full.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      // removals are SPLIT-KEYED (the doc's resident split comes straight
+      // off the curated frame), so takedown discovery never scans the
+      // corpus — the commit reads only the splits it rewrites
       Snapshots.commitDelta(s, root.toString,
         adds = full.filter(pmod(col("doc_id"), lit(5)) === 0),
-        removedIds = full.select(col("doc_id")).limit(0))
+        removedIds = full.select(col("split"), col("doc_id")).limit(0))
       Snapshots.commitDelta(s, root.toString,
         adds = full.limit(0),
         removedIds = full.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select(col("doc_id")))
+          .select(col("split"), col("doc_id")))
       Seq(1, 2, 3).map { v =>
         Snapshots.readAt(s, root.toString, v)
           .groupBy(col("split"), col("lang"))

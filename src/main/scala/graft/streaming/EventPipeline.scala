@@ -1031,7 +1031,9 @@ object EventPipeline {
     * one version per delivered batch however often the engine retries.
     * Readers pinned to any version stay isolated from the live ingest
     * (the store's core property); `rows` must carry the store's `split`
-    * column. */
+    * column. Removals are SPLIT-KEYED (here trivially empty) so each
+    * micro-batch commit's IO is bounded by the splits it lands in —
+    * never a corpus-wide victim scan per batch. */
   def snapshotIngestStream(
       rows: DataFrame, root: String, queryId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
@@ -1040,7 +1042,7 @@ object EventPipeline {
         graft.plans.Snapshots.commitDelta(
           batch.sparkSession, root,
           adds = batch,
-          removedIds = batch.select(col("doc_id")).limit(0),
+          removedIds = batch.select(col("split"), col("doc_id")).limit(0),
           tag = Some(s"$queryId-b$batchId")): Unit
       }
 

@@ -246,6 +246,158 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("tag ledger survives vacuum: a batch redelivered after its version dropped is still skipped") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(2, "a", "two"))), none, tag = Some("q-b0"))
+      Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(3, "a", "three"))), none, tag = Some("q-b1"))
+      Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(4, "a", "four"))), none, tag = Some("q-b2"))
+      // simulate a committer that crashed between rename and marker write:
+      // b1's marker gone, only its (about-to-drop) version file carries it
+      val tagsDir = root.resolve("_versions").resolve("_tags")
+      assert(java.nio.file.Files.deleteIfExists(tagsDir.resolve("q-b1")))
+      val (dropped, _) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(dropped === Seq(1, 2, 3))
+      // the stream comes back up and redelivers both batches across the
+      // retention sweep: each finds its durable tag — no duplicate commit
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(2, "a", "two"))), none, tag = Some("q-b0")) === v2)
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(3, "a", "three"))), none, tag = Some("q-b1")) === 3)
+      assert(Snapshots.latestVersion(spark, root.toString) === 4)
+      assert(contents(root.toString, 4) === Set(
+        (1L, "a", "one"), (2L, "a", "two"),
+        (3L, "a", "three"), (4L, "a", "four")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a redelivery check at chain length 10+ reads ZERO version files (O(1) tag idempotence)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(0, "a", "base"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      (0 until 10).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          df(Seq(doc(10L + k, "a", s"t$k"))), none, tag = Some(s"q-b$k"))
+      }
+      val before = Snapshots.versionFileReads.get()
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(15, "a", "t5"))), none, tag = Some("q-b5")) === 7)
+      assert(Snapshots.versionFileReads.get() === before,
+        "a redelivered tag must be answered by the ledger, not a version-chain scan")
+      assert(Snapshots.latestVersion(spark, root.toString) === 11)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("split-keyed takedowns never read unaffected splits") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"),
+        doc(3, "b", "three"))), root.toString)
+      // corrupt every data file of split b: any plan that opens one throws
+      val v1Dir = dirsOf(root, 1).head
+      val bFiles = listFiles(v1Dir).filter(p =>
+        p.contains("split=b") && p.endsWith(".parquet"))
+      assert(bFiles.nonEmpty)
+      bFiles.foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          "not parquet".getBytes("UTF-8")): Unit
+      }
+      // split-keyed delta against split a commits WITHOUT touching b —
+      // the proof its IO is bounded by the affected splits
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(4, "a", "four"))),
+        removedIds = df(Seq(doc(2, "a", "x"))).select(col("split"), col("doc_id")))
+      assert(v2 === 2)
+      assert(Snapshots.readAt(spark, root.toString, 2)
+        .filter(col("split") === "a")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet ===
+        Set((1L, "one"), (4L, "four")))
+      // the legacy doc_id-only path locates victims with a corpus scan —
+      // on this corrupted store it must fail, proving the fast path above
+      // genuinely skipped those bytes
+      intercept[Exception] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Nil),
+          removedIds = df(Seq(doc(1, "a", "x"))).select(col("doc_id")))
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("schema evolution: a delta may ADD columns; older dirs read them back null") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      import spark.implicits._
+      val addsV2 = Seq((2L, "a", "two", 3L, 0.9))
+        .toDF("doc_id", "split", "text", "n_tokens", "quality")
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = addsV2,
+        removedIds = addsV2.select(col("split"), col("doc_id")).limit(0))
+      assert(v2 === 2)
+      val at2 = Snapshots.readAt(spark, root.toString, 2)
+      assert(at2.columns.toSeq ===
+        Seq("doc_id", "split", "text", "n_tokens", "quality"))
+      val byId = at2.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toMap
+      // rewritten split a: doc 1 null-backfilled, doc 2 carries its value;
+      // pointer-carried split b (v1 files, no quality column) reads null
+      assert(byId === Map(1L -> None, 2L -> Some(0.9), 3L -> None))
+      // the older version is untouched by the widening
+      assert(Snapshots.readAt(spark, root.toString, 1).columns.toSeq ===
+        Seq("doc_id", "split", "text", "n_tokens"))
+      // a later delta with the ORIGINAL narrow schema now refuses: it
+      // drops the committed quality column
+      val narrow = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(5, "a", "five"))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+      }
+      assert(narrow.getMessage.contains("missing from the delta's adds"))
+      // and a type change refuses, named
+      val retyped = Seq(("6", "a", "six", 3L, 0.5))
+        .toDF("doc_id", "split", "text", "n_tokens", "quality")
+      val drift = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = retyped,
+          removedIds = retyped.select(col("split"), col("doc_id")).limit(0))
+      }
+      assert(drift.getMessage.contains("changes type"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("an orphaned claim blocks the commit loudly; a clean commit leaves no claim behind") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val claim = root.resolve("_versions").resolve(".v2.claim")
+      java.nio.file.Files.createFile(claim)
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(2, "a", "two"))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+      }
+      assert(e.getMessage.contains("orphaned commit claim"))
+      // operator clears the stale claim; the retried commit lands and
+      // releases its own claim
+      java.nio.file.Files.delete(claim)
+      assert(Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id"))) === 2)
+      assert(!java.nio.file.Files.exists(claim))
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (2L, "a", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
