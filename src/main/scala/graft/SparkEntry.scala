@@ -113,6 +113,7 @@ object SparkEntry {
     "d_ann_append" -> (q.LlmOps.annAppend _),
     "d_ann_delete" -> (q.LlmOps.annDelete _),
     "d_incremental_day" -> (q.LlmOps.incrementalDay _),
+    "d_incremental_day_versioned" -> (q.LlmOps.incrementalDayVersioned _),
     "d_knn_join" -> (q.LlmOps.knnJoin _),
     "d_multimodal" -> (q.LlmOps.multimodal _),
     "d_multimodal_png" -> (q.LlmOps.multimodalPng _),
@@ -302,6 +303,9 @@ object SparkEntry {
     // the orchestrated day: dedup -> frozen curation -> delta -> append,
     // replayed stage-by-stage from documents + embeddings alone
     "d_incremental_day" -> q.LlmOps.incrementalDaySql,
+    // the same day pipeline committed as tagged snapshot-store versions:
+    // v2 = day 1 only, v3 = both days (cumulative latest read)
+    "d_incremental_day_versioned" -> q.LlmOps.incrementalDayVersionedSql,
     // streamed index ingest ≡ batch append under the same frozen centroids,
     // so the stream shares the batch twin's oracle (the s_stream_ingest rule)
     "s_stream_ann_ingest" -> q.LlmOps.annAppendSql,

@@ -58,37 +58,14 @@ object IncrementalDay {
       bloomBits: Int = 1 << 23,
       bloomProbes: Int = 5): DataFrame = {
     import graft.operators.{Dedup, Similarity}
-    import graft.streaming.EventPipeline
     GraftFunctions.register(s)
-
-    // 0. one row per doc_id: a re-sent document inside ONE batch would
-    // otherwise fan out multiplicatively through the doc_id joins below
-    // (2 quality rows × 2 probe rows × 2 text rows = 8 delta rows and a
-    // duplicated index vector) — the dedup tier is text-vs-CORPUS and
-    // never sees the in-batch twin. Keep is deterministic on any
-    // partitioning (ordered by the payload columns, first row wins).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(incoming.columns.filter(_ != "doc_id").map(col).toIndexedSeq: _*)
-    val batch = incoming
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-
-    // 1. ingest dedup: definitely-new rows bypass the anti-join via the
-    // corpus bloom; the residual join decides the sliver
-    val admitted = Dedup.bloomDedupAgainstCorpus(
-      batch, standing, "text", bloomBits, bloomProbes)
-
-    // 2. curation under frozen artifacts — the same stateless transforms
-    // the streaming deployment binds, so day-batch and live-stream
-    // admission can never disagree
-    val quality = EventPipeline.curationFilterStream(admitted)
-    val probeOk = EventPipeline
-      .probeScoreStream(admitted, probeWeights, probeMargin)
-      .select(col("doc_id"))
+    val (curated0, batch) = curatedDay(
+      s, incoming,
+      b => Dedup.bloomDedupAgainstCorpus(b, standing, "text", bloomBits, bloomProbes),
+      probeWeights, probeMargin)
     // persisted: the delta write and the index append both consume it,
     // and recomputing would re-run the bloom + anti-join + scoring
-    val curated = quality.join(probeOk, "doc_id")
+    val curated = curated0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dayVecs = embeddings
@@ -154,6 +131,127 @@ object IncrementalDay {
         .crossJoin(broadcast(idxFacts))
         .graftCheckpoint()
     } finally { curated.unpersist(blocking = false); () }
+  }
+
+  /** The day pipeline's CURATION front half, shared by [[ingestDay]] and
+    * [[ingestDayVersioned]]: in-batch doc_id dedup → `admit` (the
+    * corpus-dedup step — a fresh bloom build for the one-shot day, the
+    * PREBUILT standing artifact for the multi-day store) → the
+    * frozen-artifact quality + probe tiers. Returns (curated admissions
+    * `(doc_id, lang, n_tokens, quality)`, the deduped batch — the text
+    * source for the delta projection). Nothing is persisted here; each
+    * caller owns caching for its own consumption pattern. */
+  private def curatedDay(
+      s: SparkSession,
+      incoming: DataFrame,
+      admit: DataFrame => DataFrame,
+      probeWeights: Seq[Double],
+      probeMargin: Double): (DataFrame, DataFrame) = {
+    import graft.streaming.EventPipeline
+
+    // 0. one row per doc_id: a re-sent document inside ONE batch would
+    // otherwise fan out multiplicatively through the doc_id joins below
+    // (2 quality rows × 2 probe rows × 2 text rows = 8 delta rows and a
+    // duplicated index vector) — the dedup tier is text-vs-CORPUS and
+    // never sees the in-batch twin. Keep is deterministic on any
+    // partitioning (ordered by the payload columns, first row wins).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(incoming.columns.filter(_ != "doc_id").map(col).toIndexedSeq: _*)
+    val batch = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // 1. ingest dedup: definitely-new rows bypass the anti-join via the
+    // corpus bloom; the residual join decides the sliver
+    val admitted = admit(batch)
+
+    // 2. curation under frozen artifacts — the same stateless transforms
+    // the streaming deployment binds, so day-batch and live-stream
+    // admission can never disagree
+    val quality = EventPipeline.curationFilterStream(admitted)
+    val probeOk = EventPipeline
+      .probeScoreStream(admitted, probeWeights, probeMargin)
+      .select(col("doc_id"))
+    (quality.join(probeOk, "doc_id"), batch)
+  }
+
+  /** The snapshot-store-backed day lifecycle: day N commits as VERSION
+    * N+1 of a [[Snapshots]] store (v1 = the empty day-0 store), so any
+    * prior day is a `readAt` away — the reproducibility [[ingestDay]]'s
+    * in-place delta export cannot give — and replay protection comes
+    * from the store's durable TAGGED-commit ledger instead of
+    * hand-rolled marker files (each day commits with `tag = dayTag`; the
+    * gate REDELIVERS every day's commit and requires the ledger to
+    * answer with the already-committed version). Removals are
+    * split-keyed (empty here), so each day's commit IO is bounded by the
+    * splits the day lands in. Returns the per-version `(version, split,
+    * lang, n_docs, total_tokens)` manifests, every row computed by
+    * `readAt` AFTER all commits landed — version k's manifest still
+    * aggregating to day ≤ k's content is the time-travel proof. */
+  def ingestDayVersioned(
+      s: SparkSession,
+      standing: DataFrame,
+      days: Seq[(String, DataFrame)],
+      probeWeights: Seq[Double],
+      probeMargin: Double,
+      splitRule: Column => Column,
+      root: String,
+      bloomBits: Int = 1 << 23,
+      bloomProbes: Int = 5): DataFrame = {
+    import graft.operators.Dedup
+    GraftFunctions.register(s)
+    val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_tokens BIGINT, quality DOUBLE, " +
+        "text STRING, split STRING")
+    val v1 = Snapshots.commitFull(s,
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        deltaSchema), root)
+
+    // the standing dedup artifact (fingerprint store + bloom) is built
+    // ONCE and reused for every day — the deployed service's shape: the
+    // snapshot artifact is a batch product maintained beside the corpus,
+    // not rebuilt per day
+    val corpusFp = standing
+      .withColumn("dedup_fp", GraftFunctions.fingerprint128(
+        GraftFunctions.canonicalKey(col("text"))))
+      .select(col("dedup_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val committed =
+      try {
+        val bloom = Dedup.bloomOfCorpus(
+          corpusFp.select(col("dedup_fp.f1").as("f1")), "f1",
+          bloomBits, bloomProbes)
+        days.map { case (dayTag, incoming) =>
+          val (curated, batch) = curatedDay(
+            s, incoming,
+            b => Dedup.bloomDedupAgainstFingerprints(
+              b, corpusFp, "text", bloom, bloomProbes),
+            probeWeights, probeMargin)
+          val delta = curated
+            .join(batch.select(col("doc_id"), col("text")), "doc_id")
+            .withColumn("split", splitRule(col("doc_id")))
+            .select(deltaSchema.fieldNames.map(col).toIndexedSeq: _*)
+          val none = delta.select(col("split"), col("doc_id")).limit(0)
+          val v = Snapshots.commitDelta(s, root, delta, none, tag = Some(dayTag))
+          // the at-least-once replay the tagged ledger exists for: the same
+          // day redelivered must come back as ITS version, not a duplicate
+          require(Snapshots.commitDelta(s, root, delta, none, tag = Some(dayTag)) == v,
+            s"redelivered day $dayTag must return its committed version")
+          v
+        }
+      } finally { corpusFp.unpersist(blocking = false); () }
+    require(Snapshots.latestVersion(s, root) == v1 + days.length,
+      "one version per day: redeliveries must not lengthen the chain")
+
+    committed.map { v =>
+      Snapshots.readAt(s, root, v)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .select(lit(s"v$v").as("version"), col("split"), col("lang"),
+          col("n_docs"), col("total_tokens"))
+    }.reduce(_ unionAll _).graftCheckpoint()
   }
 
   /** (rows, sum(vec_id)) over the day's batch-tagged index files — the

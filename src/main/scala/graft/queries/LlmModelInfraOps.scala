@@ -486,6 +486,69 @@ trait LlmModelInfraOps { this: LlmOps.type =>
        |FROM curated c JOIN sp ON sp.doc_id = c.doc_id CROSS JOIN idx
        |GROUP BY sp.split, c.lang, idx.day_index_rows, idx.day_index_cells""".stripMargin
 
+  /** The snapshot-store-backed day lifecycle
+    * ([[graft.plans.IncrementalDay.ingestDayVersioned]]): the mod-4 "new
+    * day" of [[incrementalDay]] splits into TWO days (doc_id ≡ 0 and ≡ 4
+    * mod 8), each curated under the same frozen artifacts and committed
+    * as a TAGGED version of a [[graft.plans.Snapshots]] store (day N =
+    * version N+1 over the empty day-0 store). Every day's commit is
+    * REDELIVERED in-gate and must come back as its committed version
+    * (the store's durable tag ledger replacing [[graft.plans
+    * .IncrementalDay.ingestDay]]'s marker files); the output is each
+    * version's (split, lang) manifest read back AFTER all commits — v2
+    * still aggregating to day-1-only content is the time-travel proof
+    * the in-place delta export cannot give. */
+  def incrementalDayVersioned(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_day_ver")
+    try {
+      val d = docs(s, dir)
+      val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val day1 = d.filter(pmod(col("doc_id"), lit(8)) === 0)
+      val day2 = d.filter(pmod(col("doc_id"), lit(8)) === 4)
+      graft.plans.IncrementalDay.ingestDayVersioned(
+        s, standing, Seq("day-1" -> day1, "day-2" -> day2),
+        trainedProbeWeights(s, dir), ProbeGateMargin, splitColumnFor,
+        root.toString, bloomBits = 1 << 16, bloomProbes = 4)
+    } finally graft.plans.CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[incrementalDayVersioned]]: the [[incrementalDaySql]]
+    * curated CTEs (dedup is vs the STANDING corpus for both days, so the
+    * two-day union equals the one-shot admit set), manifested twice —
+    * v2 = day 1 only (doc_id ≡ 0 mod 8), v3 = both days (the cumulative
+    * read of the latest version). */
+  lazy val incrementalDayVersionedSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, ${fnvHugeSql("ck")} AS f1, ${fnvAltHugeSql("ck")} AS f2
+       |  FROM (SELECT doc_id,
+       |          array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+       |        FROM documents)),
+       |admitted AS (
+       |  SELECT i.doc_id FROM fp i
+       |  WHERE i.doc_id % 4 = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM fp c
+       |    WHERE c.doc_id % 4 <> 0 AND c.f1 = i.f1 AND c.f2 = i.f2)),
+       |$scoredRepCtes,
+       |$probeTrainCtes,
+       |$probeGateCtes,
+       |curated AS (
+       |  SELECT s.doc_id, s.lang, s.n_tokens FROM scored s
+       |  JOIN rep USING (doc_id) JOIN admitted USING (doc_id)
+       |  JOIN pok USING (doc_id)
+       |  WHERE s.quality >= 0.5 AND s.lang_ok AND rep.rep_ok),
+       |$splitAssignCtes
+       |SELECT 'v2' AS version, sp.split, c.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens
+       |FROM curated c JOIN sp ON sp.doc_id = c.doc_id
+       |WHERE c.doc_id % 8 = 0
+       |GROUP BY sp.split, c.lang
+       |UNION ALL
+       |SELECT 'v3' AS version, sp.split, c.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens
+       |FROM curated c JOIN sp ON sp.doc_id = c.doc_id
+       |GROUP BY sp.split, c.lang""".stripMargin
+
   /** ANN index DELETE lifecycle
     * ([[graft.operators.Similarity.tombstoneIvfIndex]] +
     * [[graft.operators.Similarity.compactIvfIndex]]): build the on-disk

@@ -690,9 +690,25 @@ object EventPipeline {
     }, "graft-standing-template-sweeper"))
   }
 
+  /** Cache key for a fixture-derived standing artifact: the dir PLUS a
+    * cheap content fingerprint (length + mtime) of the source file the
+    * artifact derives from — data regenerated at the same path within
+    * one JVM therefore misses the cache and rebuilds, instead of
+    * silently replaying the stale artifact. */
+  private def fixtureKey(dir: String, sourceFile: String): String = {
+    val p = java.nio.file.Paths.get(dir, sourceFile)
+    val (len, mtime) =
+      try (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    s"$dir|$sourceFile|$len|$mtime"
+  }
+
   /** Build-once helper for the template caches: `build` fills the fresh
     * temp dir; a failed build deletes it and rethrows UNCACHED so a
-    * retry rebuilds from scratch (the artifactCache discipline). */
+    * retry rebuilds from scratch (the artifactCache discipline). Key
+    * with [[fixtureKey]] so the cache is invalidated by source-data
+    * changes, not only by path changes. */
   private def templateDir[T](
       cache: java.util.concurrent.ConcurrentHashMap[String, T], key: String,
       prefix: String)(build: java.nio.file.Path => T): T =
@@ -726,7 +742,7 @@ object EventPipeline {
     * dir's documents through the memory sink. Leak-free like
     * [[windowedCountsSync]]. */
   def probeScoreSync(spark: SparkSession, dir: String): DataFrame = {
-    val w = frozenProbeWeights.computeIfAbsent(dir,
+    val w = frozenProbeWeights.computeIfAbsent(fixtureKey(dir, "documents.parquet"),
       d => graft.queries.LlmOps.trainedProbeWeights(spark, d))
     val s = harnessSession(spark)
     val name = s"graft_stream_probe_${System.nanoTime()}"
@@ -803,7 +819,7 @@ object EventPipeline {
     // standing-corpus snapshot artifacts (fingerprint store + bloom):
     // batch products, template-cached per JVM (see [[standingBloom]]);
     // the gate reloads the store per run — the deployed stream's startup
-    val (fpDir, bloom) = templateDir(standingBloom, dir, "graft_standing_bloom") {
+    val (fpDir, bloom) = templateDir(standingBloom, fixtureKey(dir, "documents.parquet"), "graft_standing_bloom") {
       tmpl =>
         s.read.parquet(s"$dir/documents.parquet")
           .filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -851,7 +867,7 @@ object EventPipeline {
     // persisted" — the [[nearDupIngestStream]] contract), template-cached
     // per JVM (see [[standingBandIndex]]); the gate reloads the persisted
     // index per run — exactly the deployed ingest service's startup
-    val idxDir = templateDir(standingBandIndex, dir, "graft_standing_band") {
+    val idxDir = templateDir(standingBandIndex, fixtureKey(dir, "documents.parquet"), "graft_standing_band") {
       tmpl =>
         graft.operators.Dedup.bandedIndex(
             s.read.parquet(s"$dir/documents.parquet")
@@ -915,7 +931,7 @@ object EventPipeline {
     val out = harnessTmpDir("graft_stream_lines")
     // standing boilerplate set: a batch product of the standing corpus,
     // template-cached per JVM (see [[standingBoiler]]); reloaded per run
-    val boilerDir = templateDir(standingBoiler, dir, "graft_standing_boiler") {
+    val boilerDir = templateDir(standingBoiler, fixtureKey(dir, "documents.parquet"), "graft_standing_boiler") {
       tmpl =>
         graft.operators.Lines.boilerplate(
             s.read.parquet(s"$dir/documents.parquet")
@@ -1084,7 +1100,7 @@ object EventPipeline {
     val gramK = graft.queries.LlmOps.DecontGramK
     val ckpt = harnessTmpDir("graft_stream_ckpt")
     val out = harnessTmpDir("graft_stream_decontam")
-    val fpDir = templateDir(standingEvalFps, dir, "graft_standing_evalfp") {
+    val fpDir = templateDir(standingEvalFps, fixtureKey(dir, "documents.parquet"), "graft_standing_evalfp") {
       tmpl =>
         graft.operators.Decontaminate.evalFingerprints(
             s.read.parquet(s"$dir/documents.parquet")
@@ -1153,7 +1169,7 @@ object EventPipeline {
       // template-cached per JVM (see [[standingIvf]]) and COPIED to a
       // fresh scratch tree per run, so the streamed appends below write
       // real files every invocation — only the batch-side build is cached
-      val (tmplIdx, cents) = templateDir(standingIvf, dir, "graft_standing_ivf") {
+      val (tmplIdx, cents) = templateDir(standingIvf, fixtureKey(dir, "embeddings.parquet"), "graft_standing_ivf") {
         tmpl =>
           val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
           val c = graft.operators.Similarity.writeIvfIndex(

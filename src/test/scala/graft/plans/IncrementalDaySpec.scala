@@ -55,6 +55,36 @@ class IncrementalDaySpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("versioned day lifecycle: day N = version N+1, redelivery skipped, prior day reproducible") {
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_ver")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val day1 = d.filter(pmod(col("doc_id"), lit(8)) === 0)
+      val day2 = d.filter(pmod(col("doc_id"), lit(8)) === 4)
+      val out = IncrementalDay.ingestDayVersioned(
+        spark, standing, Seq("d1" -> day1, "d2" -> day2),
+        probeWeights = Seq.fill(64)(0.0), probeMargin = -1.0, // probe admits all
+        splitRule = c => lit("train"), root = root.toString,
+        bloomBits = 1 << 16, bloomProbes = 4)
+      // the run itself redelivers each day's tagged commit (in-method
+      // require); the chain must still be exactly v1 + one per day
+      assert(Snapshots.latestVersion(spark, root.toString) === 3)
+      // day N = version N+1: v2 carries ONLY day-1 content, v3 both —
+      // read back AFTER the v3 commit (the time-travel property)
+      val ids2 = Snapshots.readAt(spark, root.toString, 2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val ids3 = Snapshots.readAt(spark, root.toString, 3)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(ids2.nonEmpty && ids2.forall(_ % 8 == 0))
+      assert(ids2.subsetOf(ids3))
+      assert((ids3 -- ids2).nonEmpty && (ids3 -- ids2).forall(_ % 8 == 4))
+      // the returned manifest labels exactly the two day versions
+      assert(out.select(col("version")).distinct().collect()
+        .map(_.getString(0)).toSet === Set("v2", "v3"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("a real day's append touches EXACTLY the cells its vectors are assigned to") {
     val root = java.nio.file.Files.createTempDirectory("graft_incr_cells")
     try {
