@@ -134,6 +134,7 @@ object SparkEntry {
     "d_corpus_export" -> (q.LlmOps.corpusExport _),
     "d_corpus_apply_delta" -> (q.LlmOps.corpusApplyDelta _),
     "d_corpus_time_travel" -> (q.LlmOps.corpusTimeTravel _),
+    "d_corpus_changes" -> (q.LlmOps.corpusChanges _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -323,6 +324,8 @@ object SparkEntry {
     // three versions read back AFTER all commits — snapshot isolation:
     // any commit touching an earlier version's files shifts v1/v2 here
     "d_corpus_time_travel" -> q.LlmOps.corpusTimeTravelSql,
+    // row-level diff between two committed versions, closed-form replay
+    "d_corpus_changes" -> q.LlmOps.corpusChangesSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,

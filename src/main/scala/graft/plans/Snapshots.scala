@@ -253,6 +253,82 @@ object Snapshots {
     readRefs(s, root, schema, refs)
   }
 
+  /** Row-level CHANGES between two committed versions (`vFrom` < `vTo`)
+    * — the incremental-consumer primitive: a downstream training job
+    * that processed Monday's corpus asks "what changed by Friday" and
+    * gets adds/removes/updates WITHOUT either full corpus being read.
+    * The store's immutability makes the pruning exact: a split whose
+    * `(dir, nRows)` pointer is IDENTICAL in both version files is
+    * byte-identical on disk (commits never mutate a written file), so
+    * only splits whose pointer differs are scanned — a daily delta chain
+    * diffs in time proportional to what the days touched, never the
+    * corpus (SnapshotsSpec pins it by corrupting an unchanged split).
+    *
+    * Output: the `vTo` schema plus a leading `change` column
+    * (`add` = doc_id only in vTo, `remove` = only in vFrom — payload
+    * columns carry the REMOVED row's values, null-backfilled to the vTo
+    * schema — `update` = in both with any column's content differing,
+    * payload = the new row). Join is per-doc_id within changed splits;
+    * a doc moving between splits surfaces as its own remove + add. */
+  def changesBetween(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"changesBetween needs vFrom < vTo, got $vFrom >= $vTo")
+    val (schFrom, refsFrom) = readVersionFile(s, root, vFrom)
+    val (schTo, refsTo) = readVersionFile(s, root, vTo)
+    val fromBySplit = refsFrom.map(r => r.split -> r).toMap
+    val toBySplit = refsTo.map(r => r.split -> r).toMap
+    val changed = (fromBySplit.keySet ++ toBySplit.keySet).filter { sp =>
+      fromBySplit.get(sp).map(r => (r.dir, r.nRows)) !=
+        toBySplit.get(sp).map(r => (r.dir, r.nRows))
+    }
+    // read ONLY the changed splits of each side; align the old side to
+    // the (possibly widened) vTo schema — missing columns null, exactly
+    // how a reader of vTo sees pre-widening dirs
+    val fromDf = readRefs(s, root, schFrom,
+      refsFrom.filter(r => changed.contains(r.split)))
+    val fromWide = fromDf.select(schTo.fieldNames.map(n =>
+      if (fromDf.columns.contains(n)) col(n)
+      else lit(null).cast(schTo(n).dataType).as(n)).toIndexedSeq: _*)
+    val toDf = readRefs(s, root, schTo,
+      refsTo.filter(r => changed.contains(r.split)))
+    val payload = schTo.fieldNames.filterNot(_ == "doc_id").toIndexedSeq
+    val o = fromWide.select(col("doc_id").as("doc_id"),
+      struct(payload.map(col): _*).as("__old"))
+    val n = toDf.select(col("doc_id").as("doc_id"),
+      struct(payload.map(col): _*).as("__new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("add"))
+          .when(col("__new").isNull, lit("remove"))
+          .otherwise(lit("update")))
+      .filter(col("__old").isNull || col("__new").isNull ||
+        // struct inequality: any payload column differing (null-safe)
+        !(col("__old") <=> col("__new")))
+      .select((col("change") +: col("doc_id") +: payload.map(f =>
+        coalesce(col(s"__new.$f"), col(s"__old.$f")).as(f))).toIndexedSeq: _*)
+  }
+
+  /** The commit history at `root`, oldest first: one row per LIVE
+    * version — `(version, tag, n_splits, n_rows)`, all read from the
+    * driver-side version files (no data scan). The store's DESCRIBE
+    * HISTORY: which commits exist, what each was tagged (the ingest
+    * batch it carries), and the corpus size as of each. */
+  def history(s: SparkSession, root: String): DataFrame = {
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rows = listVersions(fs, dirP).map { v =>
+      val (_, refs) = readVersionFile(s, root, v)
+      org.apache.spark.sql.Row(
+        v, readTag(s, root, v).orNull,
+        refs.count(_.nRows > 0), refs.map(_.nRows).sum)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version INT, tag STRING, n_splits INT, n_rows BIGINT"))
+  }
+
   /** Retention vacuum: drop all but the `keepLast` newest versions and
     * delete every data dir no SURVIVING version references. Pointer
     * carry makes this subtler than "delete old dirs": the latest

@@ -871,6 +871,80 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     }
   }
 
+  /** Incremental-consumer CHANGES gate
+    * ([[graft.plans.Snapshots.changesBetween]]): a three-version store
+    * over the raw documents table — v1 = docs without the %5 slice,
+    * v2 = +that slice (split-keyed empty removals), v3 = an UPDATE batch
+    * (the %11∖%7∖%5 docs re-committed with n_chars+1 — in-place doc
+    * replacement) together with the %7 takedowns — then the row-level
+    * diffs v1→v3 and v2→v3, aggregated per (pair, change, split). The
+    * store's immutability makes the diff read ONLY splits whose pointer
+    * changed between the two version files (pointer-identical split ⇒
+    * byte-identical files); the oracle replays every class in closed
+    * form from `documents` alone. */
+  def corpusChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_changes")
+    val d = docs(s, dir)
+      .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+      .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+    try {
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      val noneRm = d.select(col("split"), col("doc_id")).limit(0)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        removedIds = noneRm)
+      // v3: update a slice in place (replaced rows carry n_chars+1) and
+      // take down the %7 docs; the update slice avoids the takedown set
+      // (a doc in both would be re-added by the replace contract) and
+      // the %5 set (those must stay pure "add" in the v1→v3 diff)
+      val updates = d
+        .filter(pmod(col("doc_id"), lit(11)) === 0 &&
+          pmod(col("doc_id"), lit(7)) =!= 0 && pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("n_chars", col("n_chars") + 1)
+      Snapshots.commitDelta(s, root.toString,
+        adds = updates,
+        removedIds = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      Seq(1 -> 3, 2 -> 3).map { case (a, b) =>
+        Snapshots.changesBetween(s, root.toString, a, b)
+          .groupBy(col("change"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .select(lit(s"v$a..v$b").as("pair"), col("change"), col("split"),
+            col("n_docs"), col("id_sum"))
+      }.reduce(_ unionAll _).graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusChanges]] in closed form. Membership: v1 = ¬%5,
+    * v2 = all, v3 = (all ∖ %7) with the %11∖%7∖%5 slice content-updated.
+    * v1→v3: adds = %5∖%7, removes = ¬%5∧%7, updates = %11∖%7∖%5.
+    * v2→v3: removes = %7, updates = the same slice, adds = ∅. */
+  lazy val corpusChangesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split
+       |  FROM documents),
+       |ch AS (
+       |  SELECT 'v1..v3' AS pair, 'add' AS change, split, doc_id FROM d
+       |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT 'v1..v3', 'remove', split, doc_id FROM d
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT 'v1..v3', 'update', split, doc_id FROM d
+       |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT 'v2..v3', 'remove', split, doc_id FROM d
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT 'v2..v3', 'update', split, doc_id FROM d
+       |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0)
+       |SELECT pair, change, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM ch GROUP BY pair, change, split""".stripMargin
+
   /** Mirrors [[corpusTimeTravel]] in closed form: v1 = curated minus the
     * %5 slice, v2 = all curated, v3 = curated minus the %7 slice. */
   lazy val corpusTimeTravelSql: String =

@@ -398,6 +398,113 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("changesBetween reads ONLY splits whose pointer changed; classifies add/remove/update") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"),
+        doc(3, "b", "stable"))), root.toString)
+      // v2 touches only split a: doc 2 updated, doc 4 added, doc 1 removed
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two-v2"), doc(4, "a", "four"))),
+        removedIds = df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      // split b's pointer is identical in v1 and v2 — corrupt its files:
+      // a diff that touched them would throw
+      val bFiles = listFiles(dirsOf(root, 1).head).filter(p =>
+        p.contains("split=b") && p.endsWith(".parquet"))
+      assert(bFiles.nonEmpty)
+      bFiles.foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          "not parquet".getBytes("UTF-8")): Unit
+      }
+      val ch = Snapshots.changesBetween(spark, root.toString, 1, 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+      assert(ch === Set(
+        ("remove", 1L, "one"), ("update", 2L, "two-v2"), ("add", 4L, "four")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("changesBetween spans a schema widening: old-side rows compare null-backfilled") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"))), root.toString)
+      import spark.implicits._
+      // v2 widens with `quality` and re-commits doc 2 with IDENTICAL
+      // legacy payload (quality null on both sides after backfill — not
+      // an update) and doc 1 with a real quality value (an update)
+      val addsV2 = Seq(
+        (1L, "a", "one", 3L, Some(0.7)),
+        (2L, "a", "two", 3L, Option.empty[Double]))
+        .toDF("doc_id", "split", "text", "n_tokens", "quality")
+      Snapshots.commitDelta(spark, root.toString,
+        adds = addsV2,
+        removedIds = addsV2.select(col("split"), col("doc_id")).limit(0))
+      val ch = Snapshots.changesBetween(spark, root.toString, 1, 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(ch === Set(("update", 1L)),
+        "identical legacy payload with both-null new column must NOT be an update")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("history lists every live version with its tag and row count; no data scan needed") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = Some("q-b0"))
+      val h = Snapshots.history(spark, root.toString)
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)),
+          r.getInt(2), r.getLong(3)))
+      assert(h.toSeq === Seq(
+        (1, None, 2, 2L), (2, Some("q-b0"), 2, 3L)))
+      // history survives (and reflects) vacuum
+      Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(Snapshots.history(spark, root.toString)
+        .collect().map(_.getInt(0)).toSeq === Seq(2))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("racing committers for the same version: exactly one wins, the store stays consistent") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      // two genuinely concurrent committers. Admissible outcomes: they
+      // COLLIDE on v2 (one wins, one refuses loudly) or they SERIALIZE
+      // (v2 then v3) — what may never happen is a silent lost update:
+      // every reported success must read back containing its racer's doc.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = (0 until 2).map { i =>
+        Future {
+          start.await()
+          try Right((i, Snapshots.commitDelta(spark, root.toString,
+            adds = df(Seq(doc(10L + i, "a", s"racer$i"))), removedIds = none)))
+          catch { case e: graft.core.GraftAnalysisException => Left(e.getMessage) }
+        }
+      }
+      start.countDown()
+      val results = fs.map(f => Await.result(f, 120.seconds))
+      val wins = results.collect { case Right(w) => w }
+      val losses = results.collect { case Left(m) => m }
+      assert(wins.nonEmpty, s"at least one racer must commit: $results")
+      assert(losses.forall(_.contains("concurrent commit")), losses)
+      assert(wins.map(_._2).toSet ===
+        (2 to (1 + wins.size)).toSet, s"won versions must be a dense chain: $results")
+      assert(Snapshots.latestVersion(spark, root.toString) === 1 + wins.size)
+      wins.foreach { case (i, v) =>
+        assert(contents(root.toString, v).contains((10L + i, "a", s"racer$i")),
+          s"racer $i's committed version v$v must contain its doc")
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
