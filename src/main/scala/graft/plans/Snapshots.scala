@@ -304,8 +304,12 @@ object Snapshots {
       .filter(col("__old").isNull || col("__new").isNull ||
         // struct inequality: any payload column differing (null-safe)
         !(col("__old") <=> col("__new")))
+      // payload = the new row VERBATIM when one exists (an update that
+      // nulls a column must report the null, not coalesce the old value
+      // back in); only a remove carries the old row's values
       .select((col("change") +: col("doc_id") +: payload.map(f =>
-        coalesce(col(s"__new.$f"), col(s"__old.$f")).as(f))).toIndexedSeq: _*)
+        when(col("__new").isNull, col(s"__old.$f"))
+          .otherwise(col(s"__new.$f")).as(f))).toIndexedSeq: _*)
   }
 
   /** The commit history at `root`, oldest first: one row per LIVE

@@ -444,6 +444,17 @@ class SnapshotsSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(ch === Set(("update", 1L)),
         "identical legacy payload with both-null new column must NOT be an update")
+      // an update that NULLS a column must report the null (the new row
+      // verbatim), not coalesce the old value back in
+      val addsV3 = Seq((1L, "a", "one", 3L, Option.empty[Double]))
+        .toDF("doc_id", "split", "text", "n_tokens", "quality")
+      Snapshots.commitDelta(spark, root.toString,
+        adds = addsV3,
+        removedIds = addsV3.select(col("split"), col("doc_id")).limit(0))
+      val nulled = Snapshots.changesBetween(spark, root.toString, 2, 3)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      assert(nulled.toSeq === Seq(("update", 1L, None)))
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
