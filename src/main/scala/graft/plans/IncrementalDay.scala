@@ -200,6 +200,7 @@ object IncrementalDay {
       bloomBits: Int = 1 << 23,
       bloomProbes: Int = 5): DataFrame = {
     import graft.operators.Dedup
+    require(days.nonEmpty, "ingestDayVersioned needs at least one day")
     GraftFunctions.register(s)
     val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, lang STRING, n_tokens BIGINT, quality DOUBLE, " +

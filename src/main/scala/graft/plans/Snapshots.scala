@@ -141,7 +141,8 @@ object Snapshots {
       ensureTagLedger(s, root)
       readTagMarker(s, root, t).foreach(v => return v)
     }
-    val (schema, refs) = readVersionFile(s, root, base)
+    val vfBase = readVersionFile(s, root, base)
+    val (schema, refs) = (vfBase.schema, vfBase.refs)
     val widened = widenSchema(root, schema, adds.schema)
     val v = base + 1
     val dir = attemptDir(v)
@@ -249,8 +250,8 @@ object Snapshots {
     * here, and columns added by earlier ones read back null from dirs
     * written before them. */
   def readAt(s: SparkSession, root: String, version: Int): DataFrame = {
-    val (schema, refs) = readVersionFile(s, root, version)
-    readRefs(s, root, schema, refs)
+    val vf = readVersionFile(s, root, version)
+    readRefs(s, root, vf.schema, vf.refs)
   }
 
   /** Row-level CHANGES between two committed versions (`vFrom` < `vTo`)
@@ -269,12 +270,15 @@ object Snapshots {
     * columns carry the REMOVED row's values, null-backfilled to the vTo
     * schema — `update` = in both with any column's content differing,
     * payload = the new row). Join is per-doc_id within changed splits;
-    * a doc moving between splits surfaces as its own remove + add. */
+    * a doc moving between splits surfaces as ONE `update` carrying its
+    * new split (both splits' pointers changed, so both sides are read). */
   def changesBetween(s: SparkSession, root: String,
       vFrom: Int, vTo: Int): DataFrame = {
     require(vFrom < vTo, s"changesBetween needs vFrom < vTo, got $vFrom >= $vTo")
-    val (schFrom, refsFrom) = readVersionFile(s, root, vFrom)
-    val (schTo, refsTo) = readVersionFile(s, root, vTo)
+    val vfFrom = readVersionFile(s, root, vFrom)
+    val vfTo = readVersionFile(s, root, vTo)
+    val (schFrom, refsFrom) = (vfFrom.schema, vfFrom.refs)
+    val (schTo, refsTo) = (vfTo.schema, vfTo.refs)
     val fromBySplit = refsFrom.map(r => r.split -> r).toMap
     val toBySplit = refsTo.map(r => r.split -> r).toMap
     val changed = (fromBySplit.keySet ++ toBySplit.keySet).filter { sp =>
@@ -321,10 +325,10 @@ object Snapshots {
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rows = listVersions(fs, dirP).map { v =>
-      val (_, refs) = readVersionFile(s, root, v)
+      val vf = readVersionFile(s, root, v)
       org.apache.spark.sql.Row(
-        v, readTag(s, root, v).orNull,
-        refs.count(_.nRows > 0), refs.map(_.nRows).sum)
+        v, vf.tag.orNull,
+        vf.refs.count(_.nRows > 0), vf.refs.map(_.nRows).sum)
     }
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -357,7 +361,7 @@ object Snapshots {
     val latest = versions.last
     val (dropped, survivors) = versions.splitAt(math.max(0, versions.length - keepLast))
     val referenced: Set[String] = survivors
-      .flatMap(v => readVersionFile(s, root, v)._2.filter(_.nRows > 0).map(_.dir))
+      .flatMap(v => readVersionFile(s, root, v).refs.filter(_.nRows > 0).map(_.dir))
       .toSet
     // drop version files FIRST: a crash mid-vacuum must never leave a
     // live version file pointing at a dir the dir-sweep already deleted.
@@ -444,7 +448,15 @@ object Snapshots {
     val versions = listVersions(fs, dirP)
     if (versions.isEmpty) return
     val latest = versions.last
-    val high = Option(ledgerHigh.get(key)).map(_.intValue).getOrElse(0)
+    val high0 = Option(ledgerHigh.get(key)).map(_.intValue).getOrElse(0)
+    // a chain SHORTER than the cached mark means the store was deleted
+    // and recreated at this root — drop the stale mark and rescan.
+    // (Vacuum never lowers `latest`, so this can't false-positive; a
+    // recreated chain that already outgrew the old mark is the one
+    // undetectable case, and it only costs repair coverage for versions
+    // the old chain happened to share — the documented per-process
+    // fixture-stability assumption covers it.)
+    val high = if (latest < high0) { ledgerHigh.remove(key); 0 } else high0
     if (latest > high) {
       versions.filter(_ > high).foreach { v =>
         readTag(s, root, v).foreach { t =>
@@ -526,6 +538,12 @@ object Snapshots {
             "already committed)"))
       }
       try {
+        // re-check AFTER winning the claim: a racer may have completed
+        // its WHOLE commit (claim released) between our first exists
+        // check and our claim — on overwriting-rename filesystems
+        // (POSIX/local) renaming now would silently replace its
+        // committed version file
+        if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
         val tmp = new org.apache.hadoop.fs.Path(dirP,
           s".v$v.list.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         val out = fs.create(tmp, false)
@@ -570,8 +588,13 @@ object Snapshots {
   /** Serializes same-process commit-point renames (see above). */
   private val commitLock = new Object
 
-  private def readVersionFile(s: SparkSession, root: String, v: Int)
-      : (org.apache.spark.sql.types.StructType, Seq[SplitRef]) = {
+  /** One parse of a `v{N}.list` — schema, refs AND the tag line, so no
+    * caller ever reads the same file twice. */
+  private final case class VersionFile(
+      schema: org.apache.spark.sql.types.StructType,
+      refs: Seq[SplitRef], tag: Option[String])
+
+  private def readVersionFile(s: SparkSession, root: String, v: Int): VersionFile = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/v$v.list")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no committed version v$v at $root")
@@ -581,7 +604,9 @@ object Snapshots {
       val Array(sp, dir, n) = l.split("\t", 3)
       SplitRef(unescape(sp), dir, n.toLong)
     }
-    (schema, refs)
+    val tag = lines.find(_.startsWith("#tag="))
+      .map(l => unescape(l.stripPrefix("#tag=")))
+    VersionFile(schema, refs, tag)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */
@@ -589,8 +614,7 @@ object Snapshots {
     val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/v$v.list")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else readWhole(fs, p).split("\n").find(_.startsWith("#tag="))
-      .map(l => unescape(l.stripPrefix("#tag=")))
+    else readVersionFile(s, root, v).tag
   }
 
   private def readWhole(fs: org.apache.hadoop.fs.FileSystem,

@@ -885,10 +885,10 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
   def corpusChanges(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.{CorpusExport, Snapshots}
     val root = java.nio.file.Files.createTempDirectory("graft_snap_changes")
-    val d = docs(s, dir)
-      .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
-      .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
     try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
       Snapshots.commitFull(s,
         d.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
       val noneRm = d.select(col("split"), col("doc_id")).limit(0)

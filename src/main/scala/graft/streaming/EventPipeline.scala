@@ -742,8 +742,10 @@ object EventPipeline {
     * dir's documents through the memory sink. Leak-free like
     * [[windowedCountsSync]]. */
   def probeScoreSync(spark: SparkSession, dir: String): DataFrame = {
+    // the mapping function receives the composite CACHE KEY, not a path —
+    // train on the closed-over dir
     val w = frozenProbeWeights.computeIfAbsent(fixtureKey(dir, "documents.parquet"),
-      d => graft.queries.LlmOps.trainedProbeWeights(spark, d))
+      _ => graft.queries.LlmOps.trainedProbeWeights(spark, dir))
     val s = harnessSession(spark)
     val name = s"graft_stream_probe_${System.nanoTime()}"
     runToTable(s, name) { ckpt =>

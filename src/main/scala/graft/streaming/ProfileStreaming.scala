@@ -2,8 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY diagnostic: per-micro-batch duration breakdown for the
-  * stateful streaming gates. Not part of the library surface. */
+/** Bench-attribution diagnostic (the SCALE.md round-13 instrument): a
+  * per-micro-batch duration breakdown — Spark's StreamingQueryProgress
+  * `durationMs` and state-operator metrics — for the stateful streaming
+  * gate shape, under the same harness settings the gates use. Run it to
+  * separate "the gate got slower" into planning / addBatch / state
+  * commit / output flush before touching any gate code:
+  *
+  *   SPARK_GRAFT_PROF_PARTS=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.streaming.ProfileStreaming"
+  */
 object ProfileStreaming {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,8 +22,17 @@ object ProfileStreaming {
     hs.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // RAM-backed scratch when the host has one (the gates' harnessTmpDir
+    // posture), default temp dir otherwise
+    val scratchRoot = {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+    }
     def runOnce(label: String): Unit = {
-      val tmp = Files.createTempDirectory(Paths.get("/dev/shm"), "graft_prof")
+      val tmp = scratchRoot match {
+        case Some(r) => Files.createTempDirectory(r, "graft_prof")
+        case None => Files.createTempDirectory("graft_prof")
+      }
       val inDir = tmp.resolve("in")
       Files.createDirectories(inDir)
       Files.copy(Paths.get(dir, "events.parquet"), inDir.resolve("part-a.parquet"))
