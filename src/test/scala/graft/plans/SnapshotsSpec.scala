@@ -516,6 +516,49 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("a 50-commit tagged chain: O(1) redelivery, LSM consolidation, ledger survives the sweep") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(0, "base", "b0"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      (0 until 50).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          df(Seq(doc(100L + k, s"s${k % 5}", s"t$k"))), none,
+          tag = Some(s"q-b$k"))
+      }
+      assert(Snapshots.latestVersion(spark, root.toString) === 51)
+      // O(1) idempotence holds at depth: redelivering ANY of the 50 tags
+      // reads zero version files and never lengthens the chain
+      val before = Snapshots.versionFileReads.get()
+      Seq(0, 24, 49).foreach { k =>
+        assert(Snapshots.commitDelta(spark, root.toString,
+          df(Seq(doc(100L + k, s"s${k % 5}", s"t$k"))), none,
+          tag = Some(s"q-b$k")) === 2 + k)
+      }
+      assert(Snapshots.versionFileReads.get() === before)
+      assert(Snapshots.latestVersion(spark, root.toString) === 51)
+
+      val full = contents(root.toString, 51)
+      assert(full.size === 51)
+
+      // the LSM answer to dir accumulation: consolidate + vacuum —
+      // exactly ONE referenced data dir remains, content identical
+      val v52 = Snapshots.commitFull(spark,
+        Snapshots.readAt(spark, root.toString, 51), root.toString)
+      val (dropped, _) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(dropped === (1 to 51))
+      val liveDirs = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+      assert(liveDirs.size === 1 && liveDirs.head.startsWith("v52-"), liveDirs)
+      assert(contents(root.toString, v52) === full)
+      // every swept version's tag survived into the durable ledger:
+      // redelivery is STILL skipped after the sweep
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(117, "s2", "t17"))), none, tag = Some("q-b17")) === 19)
+      assert(Snapshots.latestVersion(spark, root.toString) === 52)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
