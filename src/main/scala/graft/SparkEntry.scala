@@ -184,6 +184,8 @@ object SparkEntry {
       streaming.EventPipeline.nearDupIngestSync(s, dir)),
     "s_stream_bloom_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.bloomIngestSync(s, dir)),
+    "s_stream_snapshot_ingest" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.snapshotIngestSync(s, dir)),
     "s_stream_probe" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.probeScoreSync(s, dir)),
     "s_stream_join" -> ((s: SparkSession, dir: String) =>
@@ -438,6 +440,13 @@ object SparkEntry {
     "s_stream_ingest" -> q.LlmOps.nearDupIncrementalSql,
     // the stream shares its batch twin's oracle: live ingest ≡ batch backfill
     "s_stream_bloom_ingest" -> q.LlmOps.dedupBloomSql,
+    // base commit + one tagged streamed delta + an in-gate REDELIVERY
+    // (skipped by the durable ledger) reassemble the whole table: the
+    // latest version's manifest is just documents, split-assigned
+    "s_stream_snapshot_ingest" ->
+      """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split, lang,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "s_stream_probe" -> q.LlmOps.streamProbeSql,
     // stream-stream inner join: membership is set by event times alone,
     // so the streamed result equals the batch time-range join exactly

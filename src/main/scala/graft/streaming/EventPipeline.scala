@@ -1064,6 +1064,60 @@ object EventPipeline {
           tag = Some(s"$queryId-b$batchId")): Unit
       }
 
+  /** Synchronous gate run of [[snapshotIngestStream]]: a store is seeded
+    * with the doc_id ≡ 0 (mod 3) slice (`commitFull` — the standing
+    * corpus), the REST of the documents stream in as one tagged delta
+    * commit, and then batch 0 is REDELIVERED through the commit path —
+    * the at-least-once replay the durable tag ledger exists for: it must
+    * return the already-committed version without lengthening the chain
+    * (a broken skip would double every streamed doc and hash-mismatch).
+    * The result is the latest version's (split, lang) manifest — base
+    * and streamed docs together, so any isolation or idempotence break
+    * shifts the counts. */
+  def snapshotIngestSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val root = harnessTmpDir("graft_stream_snap")
+    try {
+      def shaped(df: DataFrame): DataFrame = df
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      graft.plans.Snapshots.commitFull(s,
+        shaped(s.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)),
+        root.toString)
+      val in = shaped(
+        s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      val q = snapshotIngestStream(in, root.toString, "gate")
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val latest = graft.plans.Snapshots.latestVersion(s, root.toString)
+      require(latest == 2, s"one delivered batch must land as ONE version, got v$latest")
+      // redelivery proof, in the gate itself: the replayed batch answers
+      // from the durable ledger with the committed version
+      val replay = shaped(
+        s.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      require(graft.plans.Snapshots.commitDelta(s, root.toString,
+          adds = replay,
+          removedIds = replay.select(col("split"), col("doc_id")).limit(0),
+          tag = Some("gate-b0")) == 2,
+        "redelivered batch 0 must return its committed version")
+      require(graft.plans.Snapshots.latestVersion(s, root.toString) == 2,
+        "redelivery must not lengthen the version chain")
+      graft.plans.Snapshots.readAt(s, root.toString, 2)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .graftCheckpoint()
+    } finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(root.toFile)
+    }
+  }
+
   /** Decontamination at INGEST: each micro-batch of incoming training
     * documents is scored against the eval suite's STATIC n-gram
     * fingerprint set ([[graft.operators.Decontaminate.evalFingerprints]],
