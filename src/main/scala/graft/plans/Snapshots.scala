@@ -371,14 +371,22 @@ object Snapshots {
       readTag(s, root, v).foreach(t => writeTagMarker(s, root, t, v))
       fs.delete(new org.apache.hadoop.fs.Path(dirP, s"v$v.list"), false): Unit
     }
-    // stale-claim sweep: a claim for an already-committed version did its
-    // job (or lost its race) — only claims ≤ latest are provably inert
+    // stale-claim/tmp sweep: a claim or a tmp version file for an
+    // already-committed version is provably inert (tmp files are only
+    // created while the claim is held, and no one can commit v while v's
+    // claim is held — so v ≤ latest means its writer is gone); anything
+    // for a version > latest may belong to a live committer — left alone
     fs.listStatus(dirP).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(".v") && n.endsWith(".claim"))
-        n.stripPrefix(".v").stripSuffix(".claim").toIntOption.foreach { cv =>
-          if (cv <= latest) fs.delete(p, false): Unit
-        }
+      val staleVersion =
+        if (n.startsWith(".v") && n.endsWith(".claim"))
+          n.stripPrefix(".v").stripSuffix(".claim").toIntOption
+        else if (n.startsWith(".v") && n.endsWith(".tmp"))
+          n.stripPrefix(".v").takeWhile(_.isDigit).toIntOption
+        else None
+      staleVersion.foreach { cv =>
+        if (cv <= latest) fs.delete(p, false): Unit
+      }
     }
     val rootP = new org.apache.hadoop.fs.Path(root)
     val deletable = fs.listStatus(rootP).map(_.getPath.getName)

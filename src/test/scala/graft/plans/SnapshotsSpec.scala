@@ -559,6 +559,50 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("readAt plans prune columns and partitions like a plain parquet table") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      // column pruning: a doc_id-only projection must never read `text`
+      val colPlan = Snapshots.readAt(spark, root.toString, 2)
+        .select(col("doc_id")).queryExecution.executedPlan.toString
+      assert(colPlan.contains("ReadSchema: struct<doc_id:bigint>"), colPlan)
+      // partition pruning: a split filter must land as a PartitionFilter
+      // on every dir scan, not a post-scan Filter over all splits
+      val partPlan = Snapshots.readAt(spark, root.toString, 2)
+        .filter(col("split") === "a").queryExecution.executedPlan.toString
+      assert(partPlan.contains("PartitionFilters: [isnotnull(split"), partPlan)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("vacuum sweeps a crashed writer's tmp version file once its version is committed") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      val vdir = root.resolve("_versions")
+      // debris: a tmp for committed v2 (writer crashed pre-rename and
+      // lost) and a tmp for FUTURE v3 (may be a live committer)
+      java.nio.file.Files.write(vdir.resolve(".v2.list.deadbeef.tmp"),
+        "junk".getBytes("UTF-8"))
+      java.nio.file.Files.write(vdir.resolve(".v3.list.cafebabe.tmp"),
+        "junk".getBytes("UTF-8"))
+      Snapshots.vacuum(spark, root.toString, keepLast = 2)
+      assert(!java.nio.file.Files.exists(vdir.resolve(".v2.list.deadbeef.tmp")),
+        "tmp for a committed version is inert debris — swept")
+      assert(java.nio.file.Files.exists(vdir.resolve(".v3.list.cafebabe.tmp")),
+        "tmp for a version newer than latest may be mid-write — kept")
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (2L, "a", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
