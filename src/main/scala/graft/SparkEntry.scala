@@ -186,6 +186,8 @@ object SparkEntry {
       streaming.EventPipeline.bloomIngestSync(s, dir)),
     "s_stream_snapshot_ingest" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.snapshotIngestSync(s, dir)),
+    "s_stream_snapshot_changes" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.snapshotChangesSync(s, dir)),
     "s_stream_probe" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.probeScoreSync(s, dir)),
     "s_stream_join" -> ((s: SparkSession, dir: String) =>
@@ -447,6 +449,23 @@ object SparkEntry {
       """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split, lang,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the CDC tail of the store: v1 bootstrap adds (%3 slice), v2 adds
+    // (the rest), v3 takedown removes (%7) — each version's change feed
+    // emitted by the live tail stream, replayed closed-form here
+    "s_stream_snapshot_changes" ->
+      """WITH d AS (
+        |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split
+        |  FROM documents),
+        |ch AS (
+        |  SELECT 'v1' AS version, 'add' AS change, split, doc_id FROM d
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'v2', 'add', split, doc_id FROM d WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'v3', 'remove', split, doc_id FROM d WHERE doc_id % 7 = 0)
+        |SELECT version, change, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM ch GROUP BY version, change, split""".stripMargin,
     "s_stream_probe" -> q.LlmOps.streamProbeSql,
     // stream-stream inner join: membership is set by event times alone,
     // so the streamed result equals the batch time-range join exactly

@@ -1118,6 +1118,107 @@ object EventPipeline {
     }
   }
 
+  /** The CDC TAIL of the snapshot store — the consumer-side twin of
+    * [[snapshotIngestStream]]: the store's version files are an
+    * append-only log written by atomic rename (exactly the staged-move
+    * discipline a file source requires), so `_versions/` IS a valid
+    * Structured Streaming file source. Each micro-batch carries the
+    * version files that appeared since the last trigger; for each new
+    * version IN ORDER the batch writes that version's row-level changes
+    * ([[graft.plans.Snapshots.changesBetween]] — pointer-pruned, never a
+    * corpus scan) to `outPath/version=N`. A version whose predecessor
+    * file is missing (the chain's first version, or a consumer starting
+    * past a vacuum horizon) BOOTSTRAPS as a full snapshot of adds.
+    * Per-version overwrite keeps the file source's at-least-once
+    * replays idempotent; the driver-side work per batch is one tiny
+    * collect of version FILE NAMES (one row per commit, never data). */
+  def snapshotChangesStream(
+      s: SparkSession, root: String, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.plans.Snapshots
+    s.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("pathGlobFilter", "v*.list")
+      .text(s"$root/_versions")
+      .select(input_file_name().as("f"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val versions = batch.select(col("f")).distinct()
+          .collect() // bounded: one row per version FILE in this batch
+          .flatMap { r =>
+            val n = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+            n.stripPrefix("v").stripSuffix(".list").toIntOption
+          }.sorted
+        versions.foreach { v =>
+          val ch =
+            if (v > 1 && versionExists(s, root, v - 1))
+              Snapshots.changesBetween(s, root, v - 1, v)
+            else {
+              // bootstrap: no predecessor to diff against — the full
+              // as-of snapshot, every row an add, same column order
+              val snap = Snapshots.readAt(s, root, v)
+              snap.select((lit("add").as("change") +: col("doc_id") +:
+                snap.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq): _*)
+            }
+          ch.write.mode("overwrite").parquet(s"$outPath/version=$v")
+        }
+      }
+  }
+
+  private def versionExists(s: SparkSession, root: String, v: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_versions/v$v.list")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Synchronous gate run of [[snapshotChangesStream]]: the tail stream
+    * starts against a one-version store and STAYS RUNNING while two more
+    * commits land (an add batch, then split-keyed takedowns) — each
+    * `processAllAvailable` drains the version files that appeared since,
+    * so the gate exercises the live-tail path, not a replay of a
+    * finished log. The result aggregates the emitted change feed per
+    * (version, change, split); the oracle replays all three versions'
+    * classes in closed form from `documents` alone. */
+  def snapshotChangesSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val root = harnessTmpDir("graft_stream_snaproot")
+    val out = harnessTmpDir("graft_stream_snapch")
+    try {
+      def shaped(f: DataFrame => DataFrame): DataFrame = f(
+        s.read.schema(docSchema).parquet(s"$dir/documents.parquet"))
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      graft.plans.Snapshots.commitFull(s,
+        shaped(_.filter(pmod(col("doc_id"), lit(3)) === 0)), root.toString)
+      val q = snapshotChangesStream(s, root.toString, out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable() // v1 bootstrap
+        val none = shaped(identity).select(col("split"), col("doc_id")).limit(0)
+        graft.plans.Snapshots.commitDelta(s, root.toString,
+          adds = shaped(_.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+          removedIds = none)
+        q.processAllAvailable() // v2 adds
+        graft.plans.Snapshots.commitDelta(s, root.toString,
+          adds = shaped(identity).limit(0),
+          removedIds = shaped(_.filter(pmod(col("doc_id"), lit(7)) === 0))
+            .select(col("split"), col("doc_id")))
+        q.processAllAvailable() // v3 removes
+      } finally q.stop()
+      s.read.schema(
+          "change string, doc_id long, split string, lang string, n_chars long")
+        .option("basePath", out.toString).parquet(out.toString)
+        .groupBy(concat(lit("v"), col("version").cast("string")).as("version"),
+          col("change"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .graftCheckpoint()
+    } finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(root.toFile)
+      deleteRecursively(out.toFile)
+    }
+  }
+
   /** Decontamination at INGEST: each micro-batch of incoming training
     * documents is scored against the eval suite's STATIC n-gram
     * fingerprint set ([[graft.operators.Decontaminate.evalFingerprints]],

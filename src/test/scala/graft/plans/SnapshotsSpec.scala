@@ -603,6 +603,37 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("snapshotChangesStream tails the version log across a query restart") {
+    val root = freshRoot()
+    val tmp = freshRoot()
+    try {
+      val out = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      def tail(): Unit = {
+        val q = graft.streaming.EventPipeline
+          .snapshotChangesStream(spark, root.toString, out)
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      tail() // v1 bootstrap
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))), removedIds = none)
+      // a NEW query on the SAME checkpoint resumes the file-source log:
+      // only v2 is new work; v1's feed must not be recomputed or doubled
+      tail()
+      val feed = spark.read
+        .schema("change string, doc_id long, split string, text string, n_tokens long")
+        .option("basePath", out).parquet(out)
+        .collect().map(r => (r.getAs[Int]("version"), r.getString(0), r.getLong(1))).toSet
+      assert(feed === Set((1, "add", 1L), (2, "add", 2L)))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(tmp.toFile)
+    }
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
