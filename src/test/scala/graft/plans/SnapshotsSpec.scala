@@ -634,6 +634,30 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("changesBetween refuses loudly on an inverted range or a vacuumed endpoint") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      val inv = intercept[IllegalArgumentException] {
+        Snapshots.changesBetween(spark, root.toString, 2, 2)
+      }
+      assert(inv.getMessage.contains("vFrom < vTo"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "a", "three"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      // a consumer pinned to a swept FROM version breaks loudly, never
+      // silently emits a wrong (e.g. bootstrap-shaped) feed
+      val gone = intercept[IllegalArgumentException] {
+        Snapshots.changesBetween(spark, root.toString, 1, 3)
+      }
+      assert(gone.getMessage.contains("no committed version"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("empty store: commitFull of an empty frame round-trips schema-only") {
     val root = freshRoot()
     try {
