@@ -51,13 +51,31 @@ import org.apache.spark.sql.functions._
   * CHANGES a column's type refuses with a typed error listing every
   * drift. Removal-only deltas pass adds shaped like the stored schema
   * (`readAt(...).limit(0)` is the canonical empty frame).
+  *
+  * DATA SKIPPING: `commitFull(…, statsCols)` records per-split
+  * min/max/null-count cells for the named columns in the version file
+  * (recomputed for every split a delta rewrites; carried VERBATIM with
+  * pointer-carried splits, which is exact because their files are
+  * immutable), and [[readAtWhere]] prunes provably-disjoint splits
+  * driver-side before the scan — a range query over a corpus whose
+  * splits correlate with the column reads only the splits that can
+  * match, never the corpus. Pruning is a pure optimization: the full
+  * predicate is still applied to the surviving scan, so the result is
+  * exact whether or not any constraint was extractable.
   */
 object Snapshots {
 
   private val VersionsDir = "_versions"
   private val TagsDir = "_tags"
 
-  private final case class SplitRef(split: String, dir: String, nRows: Long)
+  /** One stats-column cell of a split's ref line: min/max rendered as
+    * strings (None = no non-null values), plus the null count — enough
+    * to decide range, IS NULL and IS NOT NULL disjointness driver-side. */
+  private final case class StatCell(min: Option[String], max: Option[String],
+      nulls: Long)
+
+  private final case class SplitRef(split: String, dir: String, nRows: Long,
+      stats: IndexedSeq[StatCell] = IndexedSeq.empty)
 
   /** ATTEMPT-UNIQUE data dir for a commit targeting version `v`. Racing
     * committers for the same v therefore write DISJOINT trees — if they
@@ -78,22 +96,87 @@ object Snapshots {
     * consolidation commit on a live one): every split rewrites into
     * `root/v{N}/`, the new version file points only there. Returns the
     * committed version number. `df` must carry a `split` column. */
-  def commitFull(s: SparkSession, df: DataFrame, root: String): Int = {
+  def commitFull(s: SparkSession, df: DataFrame, root: String): Int =
+    commitFull(s, df, root, Nil)
+
+  /** [[commitFull]] recording per-split min/max/null-count stats for
+    * `statsCols` (numeric, string — binary collation only —, boolean,
+    * date or timestamp columns). Every later [[commitDelta]] maintains
+    * them automatically; [[readAtWhere]] uses them to skip splits. Rows
+    * are additionally clustered (`sortWithinPartitions`, no shuffle) by
+    * the stats columns inside each split, so parquet row-group min/max
+    * pushdown bites WITHIN the splits that do get read. */
+  def commitFull(s: SparkSession, df: DataFrame, root: String,
+      statsCols: Seq[String]): Int = {
+    validateStatsCols(root, df.schema, statsCols)
     val v = latestVersion(s, root) + 1
     val dir = attemptDir(v)
-    df.write.mode("overwrite").partitionBy("split")
+    val toWrite =
+      if (statsCols.isEmpty) df
+      else df.sortWithinPartitions(("split" +: statsCols).map(col): _*)
+    toWrite.write.mode("overwrite").partitionBy("split")
       .parquet(s"$root/$dir")
     // explicit schema: an EMPTY corpus writes no part files, and an
     // inference-based read-back would refuse instead of recording v1
     val written = s.read.schema(df.schema)
       .option("basePath", s"$root/$dir")
       .parquet(s"$root/$dir")
-    val refs = written.groupBy(col("split"))
-      .agg(count(lit(1)).as("n"))
-      .collect() // bounded: one row per split partition (the applyDelta bound)
-      .map(r => SplitRef(r.getString(0), dir, r.getLong(1)))
-    writeVersionFile(s, root, v, df.schema, refs.toIndexedSeq)
+    val refs = collectRefs(written, dir, statsCols).values.toIndexedSeq
+    writeVersionFile(s, root, v, df.schema, refs, None, statsCols)
     v
+  }
+
+  /** Per-split refs (row count + stats cells) of freshly-written files,
+    * keyed by split. ONE aggregation pass over the written data; bounded
+    * driver collect — one row per split partition (the applyDelta bound). */
+  private def collectRefs(written: DataFrame, dir: String,
+      statsCols: Seq[String]): Map[String, SplitRef] = {
+    val aggs = count(lit(1)).as("n") +: statsCols.flatMap(c =>
+      Seq(min(col(c)), max(col(c)), count(col(c))))
+    written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val cells = statsCols.indices.map { i =>
+          val base = 2 + i * 3
+          StatCell(Option(r.get(base)).map(renderStat),
+            Option(r.get(base + 1)).map(renderStat),
+            n - r.getLong(base + 2))
+        }.toIndexedSeq
+        r.getString(0) -> SplitRef(r.getString(0), dir, n, cells)
+      }.toMap
+  }
+
+  /** Stats values round-trip the version file as strings; timestamps
+    * normalize through Instant (ISO-8601 parses back exactly), dates and
+    * everything else via toString (ISO dates compare correctly as
+    * strings). */
+  private def renderStat(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case i: java.time.Instant => i.toString
+    case other => other.toString
+  }
+
+  private def validateStatsCols(root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val errs = statsCols.flatMap { c =>
+      schema.fields.find(_.name == c) match {
+        case None => Some(s"stats column '$c' is not in the schema")
+        case Some(f) => f.dataType match {
+          case _: NumericType | BooleanType | DateType |
+               TimestampType | TimestampNTZType => None
+          case st: StringType if st == StringType => None
+          case dt => Some(s"stats column '$c' has type ${dt.sql} — split " +
+            "stats support numeric, binary-collation string, boolean, " +
+            "date and timestamp columns")
+        }
+      }
+    }
+    if (errs.nonEmpty)
+      throw graft.core.GraftAnalysisException(
+        s"invalid statsCols for the snapshot store at $root" +: errs.toIndexedSeq)
   }
 
   /** Commit a DELTA as the next version: `adds` are new/updated documents
@@ -143,6 +226,7 @@ object Snapshots {
     }
     val vfBase = readVersionFile(s, root, base)
     val (schema, refs) = (vfBase.schema, vfBase.refs)
+    val statsCols = vfBase.statsCols
     val widened = widenSchema(root, schema, adds.schema)
     val v = base + 1
     val dir = attemptDir(v)
@@ -183,25 +267,31 @@ object Snapshots {
           val currentWide = current.select(widened.fieldNames.map(n =>
             if (current.columns.contains(n)) col(n)
             else lit(null).cast(widened(n).dataType).as(n)).toIndexedSeq: _*)
-          val rewritten = currentWide
+          val rewritten0 = currentWide
             .join(gone, Seq("doc_id"), "left_anti")
             .unionByName(addsP.filter(col("split").isin(affected.toSeq: _*))
               .select(widened.fieldNames.map(col).toIndexedSeq: _*))
+          val rewritten =
+            if (statsCols.isEmpty) rewritten0
+            else rewritten0.sortWithinPartitions(
+              ("split" +: statsCols).map(col): _*)
           rewritten.write.mode("overwrite").partitionBy("split")
             .parquet(s"$root/$dir")
-          // read-back counts from the WRITTEN files (the manifest
+          // read-back counts + stats from the WRITTEN files (the manifest
           // verification contract); a split rewritten to EMPTY has no
-          // files — its ref records 0 rows and readAt skips it
-          val counts = s.read.schema(rewritten.schema)
+          // files — its ref records 0 rows and readAt skips it. Untouched
+          // splits CARRY their stats cells verbatim — exact, because
+          // their files are immutable.
+          val readBack = s.read.schema(rewritten.schema)
             .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
-            .groupBy(col("split")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val touchedRefs = collectRefs(readBack, dir, statsCols)
           val kept = refs.filterNot(r => affected.contains(r.split))
+          val emptyCells = statsCols.map(_ => StatCell(None, None, 0L)).toIndexedSeq
           val touched = affected.toSeq.sorted.map(sp =>
-            SplitRef(sp, dir, counts.getOrElse(sp, 0L)))
+            touchedRefs.getOrElse(sp, SplitRef(sp, dir, 0L, emptyCells)))
           kept ++ touched
         }
-      writeVersionFile(s, root, v, widened, newRefs0, tag)
+      writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols)
       tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
       v
     } finally {
@@ -252,6 +342,258 @@ object Snapshots {
   def readAt(s: SparkSession, root: String, version: Int): DataFrame = {
     val vf = readVersionFile(s, root, version)
     readRefs(s, root, vf.schema, vf.refs)
+  }
+
+  /** [[readAt]] with DATA SKIPPING: splits whose committed stats prove
+    * they cannot satisfy `pred` are dropped from the plan driver-side,
+    * before any file is opened. The predicate is resolved through the
+    * ANALYZER (so casts, name resolution and type promotion are Spark's,
+    * not a re-implementation), its top-level conjuncts are matched
+    * against the tracked stats columns (range comparisons, equality, IN,
+    * prefix, IS [NOT] NULL), and a split is pruned only when a conjunct
+    * is PROVABLY empty on it — everything unrecognized simply doesn't
+    * prune. The full predicate is still applied to the surviving scan:
+    * pruning can never change the result, only the files read. */
+  def readAtWhere(s: SparkSession, root: String, version: Int,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val vf = readVersionFile(s, root, version)
+    readRefs(s, root, vf.schema, prunedRefs(s, root, vf, pred)).filter(pred)
+  }
+
+  /** The splits [[readAtWhere]] would skip for `pred` — the diagnostic
+    * twin (gates assert pruning ENGAGED; operators audit skipping before
+    * a big read). Returns live (non-empty) split names only. */
+  def pruneReport(s: SparkSession, root: String, version: Int,
+      pred: org.apache.spark.sql.Column): Seq[String] = {
+    val vf = readVersionFile(s, root, version)
+    val keep = prunedRefs(s, root, vf, pred).map(_.split).toSet
+    vf.refs.filter(r => r.nRows > 0 && !keep.contains(r.split)).map(_.split)
+  }
+
+  // ---- split-stats pruning ---------------------------------------------
+
+  private sealed trait Constraint
+  /** attr within (lo, hi); bound flag = inclusive. Values are EXTERNAL
+    * Scala representations (the analyzer's literal, converted). */
+  private final case class RangeC(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) extends Constraint
+  private final case class NullC(name: String) extends Constraint
+  private final case class NotNullC(name: String) extends Constraint
+
+  /** Refs surviving stats pruning (all of them when the store tracks no
+    * stats or the predicate yields no usable constraint). */
+  private def prunedRefs(s: SparkSession, root: String, vf: VersionFile,
+      pred: org.apache.spark.sql.Column): Seq[SplitRef] = {
+    if (vf.statsCols.isEmpty) return vf.refs
+    val analyzed = readRefs(s, root, vf.schema, vf.refs).filter(pred)
+      .queryExecution.analyzed
+    val cons = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.map(constraintsOf).getOrElse(Nil)
+      .filter {
+        case RangeC(n, _, _, _) => vf.statsCols.contains(n)
+        case NullC(n) => vf.statsCols.contains(n)
+        case NotNullC(n) => vf.statsCols.contains(n)
+      }
+    if (cons.isEmpty) vf.refs
+    else vf.refs.filter(r => r.nRows == 0 || !provablyEmpty(r, vf.statsCols, cons))
+  }
+
+  /** Top-level conjuncts of the analyzed predicate, lowered to the
+    * constraint forms the stats can refute. Anything else is ignored —
+    * sound, because ignoring a conjunct only ever keeps more splits. */
+  private def constraintsOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Constraint] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case GreaterThan(PruneAttr(n, dt), PruneLit(v)) =>
+        Some(RangeC(n, dt, Some((v, false)), None))
+      case GreaterThanOrEqual(PruneAttr(n, dt), PruneLit(v)) =>
+        Some(RangeC(n, dt, Some((v, true)), None))
+      case LessThan(PruneAttr(n, dt), PruneLit(v)) =>
+        Some(RangeC(n, dt, None, Some((v, false))))
+      case LessThanOrEqual(PruneAttr(n, dt), PruneLit(v)) =>
+        Some(RangeC(n, dt, None, Some((v, true))))
+      case GreaterThan(PruneLit(v), PruneAttr(n, dt)) =>
+        Some(RangeC(n, dt, None, Some((v, false))))
+      case GreaterThanOrEqual(PruneLit(v), PruneAttr(n, dt)) =>
+        Some(RangeC(n, dt, None, Some((v, true))))
+      case LessThan(PruneLit(v), PruneAttr(n, dt)) =>
+        Some(RangeC(n, dt, Some((v, false)), None))
+      case LessThanOrEqual(PruneLit(v), PruneAttr(n, dt)) =>
+        Some(RangeC(n, dt, Some((v, true)), None))
+      case EqualTo(PruneAttr(n, dt), PruneLit(v)) =>
+        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+      case EqualTo(PruneLit(v), PruneAttr(n, dt)) =>
+        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+      case EqualNullSafe(PruneAttr(n, dt), PruneLit(v)) =>
+        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+      case EqualNullSafe(PruneLit(v), PruneAttr(n, dt)) =>
+        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+      case In(PruneAttr(n, dt), vs) if vs.nonEmpty && vs.forall {
+          case l: Literal => l.value != null
+          case _ => false
+        } =>
+        // sound relaxation: attr ∈ S implies min(S) <= attr <= max(S)
+        val keys = vs.flatMap { case l: Literal => PruneLit.unapply(l) }
+          .flatMap(v => litKey(dt, v).map(v -> _))
+        if (keys.size != vs.size) None
+        else Some(RangeC(n, dt,
+          Some((keys.minBy(_._2)(keyOrdering)._1, true)),
+          Some((keys.maxBy(_._2)(keyOrdering)._1, true))))
+      case StartsWith(PruneAttr(n, dt), PruneLit(v: String)) =>
+        // every string with prefix v is >= v in binary order; no upper
+        // bound (byte-order-safe hi needs byte surgery — not worth it)
+        Some(RangeC(n, dt, Some((v, true)), None))
+      case IsNull(PruneAttr(n, _)) => Some(NullC(n))
+      case IsNotNull(PruneAttr(n, _)) => Some(NotNullC(n))
+      case _ => None
+    }
+  }
+
+  private val keyOrdering: Ordering[Any] = new Ordering[Any] {
+    override def compare(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** Attribute side of a comparison: a bare resolved attribute, or a
+    * numeric UP-cast of one (up-casts are monotone and lossless, so the
+    * bound transfers to the underlying column; any other cast is not
+    * provably order-preserving and refuses to match). Yields the
+    * attribute's ORIGINAL type — numeric comparisons happen in the
+    * type-agnostic BigDecimal domain, so the cast target is irrelevant. */
+  private object PruneAttr {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression}
+    def unapply(e: Expression): Option[(String, org.apache.spark.sql.types.DataType)] =
+      e match {
+        case a: AttributeReference => Some(a.name -> a.dataType)
+        case c: Cast => c.child match {
+          case a: AttributeReference if Cast.canUpCast(a.dataType, c.dataType) &&
+              a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+              c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            Some(a.name -> a.dataType)
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  /** Literal side: a non-null literal or a foldable cast of one,
+    * converted to its EXTERNAL Scala value. */
+  private object PruneLit {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    def unapply(e: Expression): Option[Any] = e match {
+      case l: Literal if l.value != null =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        Option(c.eval(null)).map(v =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(v, c.dataType))
+      case _ => None
+    }
+  }
+
+  /** True only when `constraints` PROVE the split holds no matching row.
+    * Unparsable or missing stats never prune. */
+  private def provablyEmpty(r: SplitRef, statsCols: IndexedSeq[String],
+      constraints: Seq[Constraint]): Boolean = {
+    val idx = statsCols.zipWithIndex.toMap
+    def cmp(a: Any, b: Any): Int = keyOrdering.compare(a, b)
+    constraints.exists {
+      case NullC(n) => idx.get(n).exists(i => r.stats(i).nulls == 0L)
+      case NotNullC(n) => idx.get(n).exists(i => r.stats(i).nulls == r.nRows)
+      case RangeC(n, dt, lo, hi) => idx.get(n).exists { i =>
+        val cell = r.stats(i)
+        if (cell.nulls == r.nRows) true // a range never matches null
+        else (cell.min.flatMap(statKey(dt, _)), cell.max.flatMap(statKey(dt, _))) match {
+          case (Some(mn), Some(mx)) =>
+            lo.exists { case (v, inc) => litKey(dt, v).exists(k =>
+              if (inc) cmp(mx, k) < 0 else cmp(mx, k) <= 0) } ||
+            hi.exists { case (v, inc) => litKey(dt, v).exists(k =>
+              if (inc) cmp(mn, k) > 0 else cmp(mn, k) >= 0) }
+          case _ => false
+        }
+      }
+    }
+  }
+
+  /** Comparison key for a STORED stat string, in the column's original
+    * type domain. Strings compare in UTF-8 byte order — Spark's binary
+    * collation — not UTF-16 code-unit order (they differ for
+    * supplementary characters vs U+E000–U+FFFF). */
+  private def statKey(dt: org.apache.spark.sql.types.DataType,
+      v: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case _: NumericType => Some(new java.math.BigDecimal(v)) // NaN/Inf throw → no pruning
+      case st: StringType if st == StringType => Some(Utf8Key(v))
+      case BooleanType => Some(java.lang.Boolean.valueOf(v))
+      case DateType => Some(v) // ISO dates: lexicographic == chronological
+      case TimestampType => Some(java.time.Instant.parse(v))
+      case TimestampNTZType => Some(java.time.LocalDateTime.parse(v))
+      case _ => None
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Comparison key for a predicate literal's EXTERNAL value; None on
+    * any shape mismatch (→ no pruning, sound). */
+  private def litKey(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case _: NumericType => v match {
+        // scala.math.BigDecimal is a java.lang.Number too; toString of
+        // every numeric external round-trips into BigDecimal exactly
+        case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+        case _ => None
+      }
+      case st: StringType if st == StringType => v match {
+        case s0: String => Some(Utf8Key(s0))
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean => Some(b)
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(d.toString)
+        case d: java.time.LocalDate => Some(d.toString)
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp => Some(t.toInstant)
+        case i: java.time.Instant => Some(i)
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case l: java.time.LocalDateTime => Some(l)
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** String ordered by UTF-8 bytes (unsigned) — Spark's UTF8_BINARY
+    * collation, the order its min/max computed the stats in. */
+  private final case class Utf8Key(s: String) extends Comparable[Utf8Key] {
+    override def compareTo(o: Utf8Key): Int = {
+      val a = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = o.s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
   }
 
   /** Row-level CHANGES between two committed versions (`vFrom` < `vTo`)
@@ -513,17 +855,29 @@ object Snapshots {
   /** Version file format (driver-side, dependency-free, exact):
     * line 1 = the schema DDL (readers need it when every ref is empty);
     * optional `#tag=<url-encoded>` metadata line (the idempotence tag);
-    * each further line = `url-encoded-split \t dir \t n_rows`. Written
-    * to a temp name and atomically renamed after the exclusive-create
-    * CLAIM (`.v{N}.claim`) is won — the claim is the concurrency
-    * control, the rename the visibility point. */
+    * optional `#stats=<url-encoded-col>,…` line naming the tracked stats
+    * columns; each further line = `url-encoded-split \t dir \t n_rows`
+    * plus, per stats column, `\t min \t max \t n_nulls` cells (min/max
+    * url-encoded, `~` = no non-null values — unambiguous because the
+    * encoder escapes a literal tilde). Written to a temp name and
+    * atomically renamed after the exclusive-create CLAIM (`.v{N}.claim`)
+    * is won — the claim is the concurrency control, the rename the
+    * visibility point. */
   private def writeVersionFile(s: SparkSession, root: String, v: Int,
       schema: org.apache.spark.sql.types.StructType,
-      refs: Seq[SplitRef], tag: Option[String] = None): Unit = {
+      refs: Seq[SplitRef], tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
+    def cell(o: Option[String]): String = o.map(escape).getOrElse("~")
     val body = (Seq(schema.toDDL) ++
       tag.map(t => s"#tag=${escape(t)}") ++
-      refs.sortBy(_.split).map(r =>
-        s"${escape(r.split)}\t${r.dir}\t${r.nRows}"))
+      (if (statsCols.isEmpty) Nil
+       else Seq(s"#stats=${statsCols.map(escape).mkString(",")}")) ++
+      refs.sortBy(_.split).map { r =>
+        val statCells = r.stats.flatMap(c =>
+          Seq(cell(c.min), cell(c.max), c.nulls.toString))
+        (Seq(escape(r.split), r.dir, r.nRows.toString) ++ statCells)
+          .mkString("\t")
+      })
       .mkString("", "\n", "\n")
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -600,7 +954,8 @@ object Snapshots {
     * caller ever reads the same file twice. */
   private final case class VersionFile(
       schema: org.apache.spark.sql.types.StructType,
-      refs: Seq[SplitRef], tag: Option[String])
+      refs: Seq[SplitRef], tag: Option[String],
+      statsCols: IndexedSeq[String])
 
   private def readVersionFile(s: SparkSession, root: String, v: Int): VersionFile = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/v$v.list")
@@ -608,13 +963,23 @@ object Snapshots {
     require(fs.exists(p), s"no committed version v$v at $root")
     val lines = readWhole(fs, p).split("\n").toIndexedSeq.filter(_.nonEmpty)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(lines.head)
+    val statsCols = lines.find(_.startsWith("#stats="))
+      .map(_.stripPrefix("#stats=").split(",").toIndexedSeq.map(unescape))
+      .getOrElse(IndexedSeq.empty)
+    def cell(c: String): Option[String] =
+      if (c == "~") None else Some(unescape(c))
     val refs = lines.tail.filterNot(_.startsWith("#")).map { l =>
-      val Array(sp, dir, n) = l.split("\t", 3)
-      SplitRef(unescape(sp), dir, n.toLong)
+      val fields = l.split("\t", -1)
+      val stats = statsCols.indices.map { i =>
+        val base = 3 + i * 3
+        StatCell(cell(fields(base)), cell(fields(base + 1)),
+          fields(base + 2).toLong)
+      }.toIndexedSeq
+      SplitRef(unescape(fields(0)), fields(1), fields(2).toLong, stats)
     }
     val tag = lines.find(_.startsWith("#tag="))
       .map(l => unescape(l.stripPrefix("#tag=")))
-    VersionFile(schema, refs, tag)
+    VersionFile(schema, refs, tag, statsCols)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */

@@ -918,6 +918,53 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  /** DATA-SKIPPING gate ([[graft.plans.Snapshots.readAtWhere]]): the
+    * store commits `documents` under doc_id-RANGE splits (16 ids per
+    * split) with min/max/null-count stats on `doc_id`, a delta updates
+    * the %9 docs in place (rewritten splits recompute their stats;
+    * pointer-carried splits keep theirs verbatim), and the filtered read
+    * `doc_id <= max/4` is answered from the splits whose stats can match
+    * — the gate REQUIRES that pruning engaged (most splits skipped,
+    * driver-side, before any file opens) and the oracle proves the
+    * pruned read is still exact. The 100 TB shape: a range query over a
+    * range-partitioned corpus reads what can match, never the corpus. */
+  def corpusStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_stats")
+    try {
+      val d0 = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val d = d0.withColumn("split",
+        concat(lit("s"), floor(col("doc_id") / lit(16)).cast("string")))
+      Snapshots.commitFull(s, d, root.toString, statsCols = Seq("doc_id"))
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .withColumn("n_chars", col("n_chars") + 100),
+        removedIds = d.select(col("split"), col("doc_id")).limit(0))
+      val hi = d0.agg(max(col("doc_id"))).collect()(0).getLong(0) / 4
+      val pred = col("doc_id") <= hi
+      val pruned = Snapshots.pruneReport(s, root.toString, 2, pred)
+      require(pruned.nonEmpty,
+        "stats pruning did not engage on the range-split store")
+      Snapshots.readAtWhere(s, root.toString, 2, pred)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusStatsPrune]] in closed form: the %9 docs carry
+    * n_chars+100, the read keeps doc_id <= floor(max/4). */
+  lazy val corpusStatsPruneSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT) AS hi FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 9 = 0 THEN n_chars + 100 ELSE n_chars END AS n_chars
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM d, m WHERE d.doc_id <= m.hi GROUP BY lang""".stripMargin
+
   /** Mirrors [[corpusChanges]] in closed form. Membership: v1 = ¬%5,
     * v2 = all, v3 = (all ∖ %7) with the %11∖%7∖%5 slice content-updated.
     * v1→v3: adds = %5∖%7, removes = ¬%5∧%7, updates = %11∖%7∖%5.

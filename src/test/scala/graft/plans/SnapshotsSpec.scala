@@ -685,4 +685,179 @@ class SnapshotsSpec extends SparkTestBase {
       assert(e2.getMessage.contains("no committed version"))
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  // ---- split-stats data skipping ---------------------------------------
+
+  /** Three splits with disjoint n_tokens ranges — the shape stats pruning
+    * exists for (splits correlated with the filter column). */
+  private def statsStore(root: java.nio.file.Path): Unit = {
+    Snapshots.commitFull(spark, df(Seq(
+      doc(1, "a", "alpha").copy(_4 = 1L), doc(2, "a", "apex").copy(_4 = 10L),
+      doc(3, "b", "bravo").copy(_4 = 100L), doc(4, "b", "basis").copy(_4 = 110L),
+      doc(5, "c", "charlie").copy(_4 = 1000L), doc(6, "c", "chase").copy(_4 = 1010L))),
+      root.toString, statsCols = Seq("n_tokens", "text"))
+  }
+
+  test("split stats prune range/equality/IN/prefix reads; results stay exact") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      def ids(pred: org.apache.spark.sql.Column): Set[Long] =
+        Snapshots.readAtWhere(spark, root.toString, 1, pred)
+          .collect().map(_.getLong(0)).toSet
+      def pruned(pred: org.apache.spark.sql.Column): Set[String] =
+        Snapshots.pruneReport(spark, root.toString, 1, pred).toSet
+
+      val range = col("n_tokens") >= 100L && col("n_tokens") <= 200L
+      assert(pruned(range) === Set("a", "c"))
+      assert(ids(range) === Set(3L, 4L))
+
+      assert(pruned(col("n_tokens") === 1000L) === Set("a", "b"))
+      assert(ids(col("n_tokens") === 1000L) === Set(5L))
+
+      assert(pruned(col("n_tokens").isin(1L, 105L)) === Set("c"))
+      assert(ids(col("n_tokens").isin(1L, 10L)) === Set(1L, 2L))
+
+      // string stats: prefix and range (binary order)
+      assert(pruned(col("text").startsWith("ch")) === Set("a", "b"))
+      assert(ids(col("text").startsWith("ch")) === Set(5L, 6L))
+      assert(pruned(col("text") < "b") === Set("b", "c"))
+
+      // flipped literal-first comparison; numeric type promotion (double
+      // literal against the long column goes through the analyzer's cast)
+      assert(pruned(lit(100L) <= col("n_tokens") && col("n_tokens") < 999.5) ===
+        Set("a", "c"))
+      assert(ids(lit(100L) <= col("n_tokens") && col("n_tokens") < 999.5) ===
+        Set(3L, 4L))
+
+      // an unrecognizable conjunct neither prunes nor breaks exactness
+      val mixed = col("n_tokens") >= 1000L && length(col("text")) > 5
+      assert(pruned(mixed) === Set("a", "b"))
+      assert(ids(mixed) === Set(5L))
+
+      // a predicate with no usable constraint prunes nothing
+      assert(pruned(length(col("text")) > 4) === Set.empty[String])
+      assert(ids(length(col("text")) > 4) === Set(1L, 3L, 4L, 5L, 6L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("stats-pruned splits' files are never opened") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      val v1Dir = dirsOf(root, 1).head
+      val cFiles = listFiles(v1Dir).filter(p =>
+        p.contains("split=c") && p.endsWith(".parquet"))
+      assert(cFiles.nonEmpty)
+      cFiles.foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          "not parquet".getBytes("UTF-8")): Unit
+      }
+      // prunes b and c — must succeed although c's files are garbage
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+        col("n_tokens") <= 10L).collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L))
+      // the unpruned twin opens c's files and fails — proving the pruned
+      // plan genuinely skipped those bytes
+      intercept[Exception] {
+        Snapshots.readAt(spark, root.toString, 1)
+          .filter(col("n_tokens") <= 10L).collect()
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a delta rewrite recomputes stats; pointer-carried splits keep theirs") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      // v2 moves split a's rows up to the 5000s — its stats must follow
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "alpha").copy(_4 = 5000L),
+          doc(2, "a", "apex").copy(_4 = 5010L))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      assert(v2 === 2)
+      val big = col("n_tokens") >= 5000L
+      // v2: only a can match (recomputed stats); b and c pruned
+      assert(Snapshots.pruneReport(spark, root.toString, 2, big).toSet ===
+        Set("b", "c"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 2, big)
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      // v1's stats are untouched: everything pruned, result empty
+      assert(Snapshots.pruneReport(spark, root.toString, 1, big).toSet ===
+        Set("a", "b", "c"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, big).count() === 0L)
+      // pointer-carried b answers through its carried stats at v2
+      assert(Snapshots.pruneReport(spark, root.toString, 2,
+        col("n_tokens").between(100L, 110L)).toSet === Set("a", "c"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("null-count stats: IS NULL prunes null-free splits, all-null splits prune under ranges") {
+    val root = freshRoot()
+    try {
+      import spark.implicits._
+      val d = Seq(
+        (1L, "a", "one", Some(5L)), (2L, "a", "two", Some(7L)),
+        (3L, "b", "three", None: Option[Long]), (4L, "b", "four", None))
+        .toDF("doc_id", "split", "text", "n_tokens")
+      Snapshots.commitFull(spark, d, root.toString, statsCols = Seq("n_tokens"))
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("n_tokens").isNull).toSet === Set("a"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+        col("n_tokens").isNull).collect().map(_.getLong(0)).toSet ===
+        Set(3L, 4L))
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("n_tokens").isNotNull).toSet === Set("b"))
+      // a range can never match null — the all-null split prunes
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("n_tokens") >= 1L).toSet === Set("b"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+        col("n_tokens") >= 6L).collect().map(_.getLong(0)).toSet === Set(2L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("stats span schema widening; a stats-less store prunes nothing; bad statsCols refuse") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      // widening delta: new nullable column rides along, stats maintained
+      import spark.implicits._
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = Seq((7L, "a", "aqua", 3L, 0.9))
+          .toDF("doc_id", "split", "text", "n_tokens", "quality"),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      assert(v2 === 2)
+      // n_tokens stats still prune at v2; a predicate on the NEW column
+      // has no stats — filters correctly, prunes nothing
+      assert(Snapshots.pruneReport(spark, root.toString, 2,
+        col("n_tokens") >= 1000L).toSet === Set("a", "b"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 2,
+        col("quality") >= 0.5).collect().map(_.getLong(0)).toSet === Set(7L))
+      assert(Snapshots.pruneReport(spark, root.toString, 2,
+        col("quality") >= 0.5) === Seq.empty)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+
+    val root2 = freshRoot()
+    try {
+      // no statsCols: readAtWhere degrades to a plain filtered read
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root2.toString)
+      assert(Snapshots.pruneReport(spark, root2.toString, 1,
+        col("n_tokens") > 100L) === Seq.empty)
+      assert(Snapshots.readAtWhere(spark, root2.toString, 1,
+        col("n_tokens") <= 100L).count() === 1L)
+      // unknown / unsupported stats columns refuse loudly
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))),
+          root2.toString, statsCols = Seq("nope"))
+      }
+      assert(e.getMessage.contains("not in the schema"))
+      val e2 = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitFull(spark,
+          df(Seq(doc(1, "a", "one"))).withColumn("arr", array(col("text"))),
+          root2.toString, statsCols = Seq("arr"))
+      }
+      assert(e2.getMessage.contains("unsupported") ||
+        e2.getMessage.contains("has type"))
+    } finally CorpusExport.deleteRecursively(root2.toFile)
+  }
 }
