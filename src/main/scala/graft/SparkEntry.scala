@@ -136,6 +136,7 @@ object SparkEntry {
     "d_corpus_time_travel" -> (q.LlmOps.corpusTimeTravel _),
     "d_corpus_changes" -> (q.LlmOps.corpusChanges _),
     "d_corpus_stats_prune" -> (q.LlmOps.corpusStatsPrune _),
+    "d_corpus_branch_merge" -> (q.LlmOps.corpusBranchMerge _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -333,6 +334,8 @@ object SparkEntry {
     "d_corpus_changes" -> q.LlmOps.corpusChangesSql,
     // split-stats data skipping: the pruned read must still be exact
     "d_corpus_stats_prune" -> q.LlmOps.corpusStatsPruneSql,
+    // fork/commit/merge across chains, manifests read after the merge
+    "d_corpus_branch_merge" -> q.LlmOps.corpusBranchMergeSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,

@@ -52,6 +52,16 @@ import org.apache.spark.sql.functions._
   * drift. Removal-only deltas pass adds shaped like the stored schema
   * (`readAt(...).limit(0)` is the canonical empty frame).
   *
+  * BRANCHES: [[createBranch]] forks a named version chain off any
+  * committed main version with zero data copied (the branch's v1
+  * pointer-carries the fork point's refs); branch commits write their
+  * own `b-…` data dirs, so main and branch can never clobber each
+  * other; [[mergeBranch]] lands the branch's pointer-pruned net diff as
+  * one main commit, refusing when both sides touched the same doc_id
+  * (force = branch wins). The experimentation loop a training-corpus
+  * store needs: try a curation change on a branch, eval it, land or
+  * drop it — at manifest cost, not corpus cost.
+  *
   * DATA SKIPPING: `commitFull(…, statsCols)` records per-split
   * min/max/null-count cells for the named columns in the version file
   * (recomputed for every split a delta rewrites; carried VERBATIM with
@@ -67,6 +77,17 @@ object Snapshots {
 
   private val VersionsDir = "_versions"
   private val TagsDir = "_tags"
+  private val BranchesDir = "branches"
+
+  /** The version-chain directory: `_versions/` for main,
+    * `_versions/branches/<enc(name)>/` for a branch. Branches share the
+    * root's DATA namespace (a branch v1 pointer-carries main's dirs with
+    * zero copying); only the version files fork. */
+  private def chainDir(root: String, branch: Option[String]): String =
+    branch match {
+      case None => s"$root/$VersionsDir"
+      case Some(b) => s"$root/$VersionsDir/$BranchesDir/${escape(b)}"
+    }
 
   /** One stats-column cell of a split's ref line: min/max rendered as
     * strings (None = no non-null values), plus the null count — enough
@@ -83,8 +104,16 @@ object Snapshots {
     * the winner's just-committed version file already references. One
     * wins the claim; the loser's dir becomes unreferenced debris for
     * [[vacuum]]. */
-  private def attemptDir(v: Int): String =
-    s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+  private def attemptDir(v: Int, branch: Option[String] = None): String = {
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    branch match {
+      // branch data dirs carry a `b-` prefix: main's vacuum neither
+      // deletes them (dirVersion = None) nor confuses their chain-local
+      // version numbers with main's; dropBranch sweeps them by prefix
+      case Some(b) => s"b-${escape(b)}-v$v-$suffix"
+      case None => s"v$v-$suffix"
+    }
+  }
 
   /** Version number encoded in a data-dir name (`v{N}-{attempt}`), used
     * by [[vacuum]]'s newer-than-latest guard. */
@@ -217,19 +246,42 @@ object Snapshots {
     * that backfills markers for any version whose committer crashed
     * between its rename and its marker write. */
   def commitDelta(s: SparkSession, root: String,
-      adds: DataFrame, removedIds: DataFrame, tag: Option[String]): Int = {
-    val base = latestVersion(s, root)
-    require(base >= 1, s"commitDelta on an empty store at $root — commitFull first")
+      adds: DataFrame, removedIds: DataFrame, tag: Option[String]): Int =
+    commitDeltaChain(s, root, adds, removedIds, tag, None)
+
+  /** [[commitDelta]] against a BRANCH chain (see [[createBranch]]).
+    * Branch commits write their own `b-…` data dirs and never touch
+    * main's files or version numbering. Idempotence tags are main-only
+    * (the streaming ingest path targets main); a tagged branch commit
+    * refuses. */
+  def commitDelta(s: SparkSession, root: String,
+      adds: DataFrame, removedIds: DataFrame, tag: Option[String],
+      branch: Option[String]): Int =
+    commitDeltaChain(s, root, adds, removedIds, tag, branch)
+
+  private def commitDeltaChain(s: SparkSession, root: String,
+      adds: DataFrame, removedIds: DataFrame, tag: Option[String],
+      branch: Option[String]): Int = {
+    if (tag.nonEmpty && branch.nonEmpty)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"tagged commits are main-chain only (the durable tag ledger at " +
+          s"$root/$VersionsDir/$TagsDir is not branch-scoped) — commit to " +
+          s"branch '${branch.get}' untagged, or ingest into main"))
+    val base = latestVersion(s, root, branch)
+    require(base >= 1, branch match {
+      case None => s"commitDelta on an empty store at $root — commitFull first"
+      case Some(b) => s"no branch '$b' at $root — createBranch first"
+    })
     tag.foreach { t =>
       ensureTagLedger(s, root)
       readTagMarker(s, root, t).foreach(v => return v)
     }
-    val vfBase = readVersionFile(s, root, base)
+    val vfBase = readVersionFile(s, root, base, branch)
     val (schema, refs) = (vfBase.schema, vfBase.refs)
     val statsCols = vfBase.statsCols
     val widened = widenSchema(root, schema, adds.schema)
     val v = base + 1
-    val dir = attemptDir(v)
+    val dir = attemptDir(v, branch)
 
     val splitKeyed = removedIds.columns.contains("split")
     val gone = removedIds.select(col("doc_id"))
@@ -291,7 +343,7 @@ object Snapshots {
             touchedRefs.getOrElse(sp, SplitRef(sp, dir, 0L, emptyCells)))
           kept ++ touched
         }
-      writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols)
+      writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols, branch)
       tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
       v
     } finally {
@@ -339,8 +391,13 @@ object Snapshots {
     * version COMMITTED — columns added by later deltas are invisible
     * here, and columns added by earlier ones read back null from dirs
     * written before them. */
-  def readAt(s: SparkSession, root: String, version: Int): DataFrame = {
-    val vf = readVersionFile(s, root, version)
+  def readAt(s: SparkSession, root: String, version: Int): DataFrame =
+    readAt(s, root, version, None)
+
+  /** [[readAt]] on a BRANCH chain (None = main). */
+  def readAt(s: SparkSession, root: String, version: Int,
+      branch: Option[String]): DataFrame = {
+    val vf = readVersionFile(s, root, version, branch)
     readRefs(s, root, vf.schema, vf.refs)
   }
 
@@ -615,10 +672,18 @@ object Snapshots {
     * a doc moving between splits surfaces as ONE `update` carrying its
     * new split (both splits' pointers changed, so both sides are read). */
   def changesBetween(s: SparkSession, root: String,
-      vFrom: Int, vTo: Int): DataFrame = {
+      vFrom: Int, vTo: Int): DataFrame =
+    changesCore(s, root, vFrom, vTo, None).drop("__old_split")
+
+  /** [[changesBetween]] plus a trailing `__old_split` column (the row's
+    * split in `vFrom`; null for adds) and a branch chain — what
+    * [[mergeBranch]] needs to translate a cross-split move back into
+    * remove+add instead of losing the stale copy. */
+  private def changesCore(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int, branch: Option[String]): DataFrame = {
     require(vFrom < vTo, s"changesBetween needs vFrom < vTo, got $vFrom >= $vTo")
-    val vfFrom = readVersionFile(s, root, vFrom)
-    val vfTo = readVersionFile(s, root, vTo)
+    val vfFrom = readVersionFile(s, root, vFrom, branch)
+    val vfTo = readVersionFile(s, root, vTo, branch)
     val (schFrom, refsFrom) = (vfFrom.schema, vfFrom.refs)
     val (schTo, refsTo) = (vfTo.schema, vfTo.refs)
     val fromBySplit = refsFrom.map(r => r.split -> r).toMap
@@ -655,7 +720,8 @@ object Snapshots {
       // back in); only a remove carries the old row's values
       .select((col("change") +: col("doc_id") +: payload.map(f =>
         when(col("__new").isNull, col(s"__old.$f"))
-          .otherwise(col(s"__new.$f")).as(f))).toIndexedSeq: _*)
+          .otherwise(col(s"__new.$f")).as(f))).toIndexedSeq :+
+        col("__old.split").as("__old_split"): _*)
   }
 
   /** The commit history at `root`, oldest first: one row per LIVE
@@ -677,6 +743,122 @@ object Snapshots {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       org.apache.spark.sql.types.StructType.fromDDL(
         "version INT, tag STRING, n_splits INT, n_rows BIGINT"))
+  }
+
+  // ---- branches ---------------------------------------------------------
+
+  /** Fork a BRANCH named `name` off main's committed `fromVersion` —
+    * zero data copied: the branch's v1 pointer-carries every split ref
+    * of the fork point (the same immutability that makes time travel
+    * free makes branching free). Commit experiments to it with
+    * `commitDelta(…, branch = Some(name))`, read it with
+    * `readAt(…, branch)`, land it with [[mergeBranch]], discard it with
+    * [[dropBranch]]. Branches fork from MAIN only (no branch-of-branch):
+    * the merge diff and the conflict check are defined against main's
+    * history. Main's [[vacuum]] never deletes a dir a live branch still
+    * references — but it CAN drop the fork-point version file itself,
+    * after which the branch still reads fine (it carries its own refs)
+    * while [[mergeBranch]]'s conflict check refuses on the missing fork
+    * version; merge or drop branches before vacuuming past their fork. */
+  def createBranch(s: SparkSession, root: String, name: String,
+      fromVersion: Int): Unit = {
+    require(name.nonEmpty, "branch name must be non-empty")
+    if (latestVersion(s, root, Some(name)) > 0)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"branch '$name' already exists at $root — dropBranch first, or " +
+          "pick another name"))
+    val vf = readVersionFile(s, root, fromVersion)
+    writeVersionFile(s, root, 1, vf.schema, vf.refs, None, vf.statsCols,
+      Some(name), fork = Some(fromVersion))
+  }
+
+  /** Live branch names at `root` (ones with at least one committed
+    * version), sorted. */
+  def listBranches(s: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/$BranchesDir")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .map(unescape).filter(b => latestVersion(s, root, Some(b)) > 0)
+      .sorted.toIndexedSeq
+  }
+
+  /** Delete a branch: its version chain and every `b-<name>-…` data dir
+    * its commits wrote. Main is untouched — branch commits never write
+    * into main-referenced dirs, and main never references branch dirs
+    * (a merge lands as a fresh main commit). */
+  def dropBranch(s: SparkSession, root: String, name: String): Unit = {
+    val chainP = new org.apache.hadoop.fs.Path(chainDir(root, Some(name)))
+    val fs = chainP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(chainP, true): Unit
+    val prefix = s"b-${escape(name)}-v"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    fs.listStatus(rootP).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .foreach(p => fs.delete(p, true): Unit)
+  }
+
+  def mergeBranch(s: SparkSession, root: String, name: String): Int =
+    mergeBranch(s, root, name, force = false)
+
+  /** Land a branch's NET changes since its fork point as ONE new main
+    * commit (the branch itself is left intact — drop it after). The
+    * delta is the branch chain's own pointer-pruned row diff
+    * (v1 → branch head): adds and updates commit as replacements,
+    * removes as split-keyed takedowns, and a doc the branch moved
+    * across splits merges as remove(old split) + add(new split) — the
+    * stale-copy trap a naive "apply the head" merge would hit.
+    *
+    * CONFLICTS: if main advanced past the fork point and touched any
+    * doc_id the branch also touched, the merge refuses and names a
+    * sample (both sides changed the same document — someone must
+    * decide). `force = true` overrides with branch-wins semantics.
+    * Returns the new main version (or main's head unchanged when the
+    * branch committed nothing). */
+  def mergeBranch(s: SparkSession, root: String, name: String,
+      force: Boolean): Int = {
+    val bChain = Some(name)
+    val bHead = latestVersion(s, root, bChain)
+    if (bHead < 1)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"no branch '$name' at $root — nothing to merge"))
+    val mainHead = latestVersion(s, root)
+    if (bHead == 1) return mainHead // no branch commits — nothing to land
+    val fork = readVersionFile(s, root, 1, bChain).fork.getOrElse(
+      throw graft.core.GraftAnalysisException(Seq(
+        s"branch '$name' at $root records no fork point — not created by " +
+          "createBranch")))
+    val ch = changesCore(s, root, 1, bHead, bChain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (mainHead > fork && !force) {
+        // both-sides-touched doc_ids; bounded collect (sample for the
+        // refusal message only)
+        val conflicts = ch.select(col("doc_id"))
+          .join(changesBetween(s, root, fork, mainHead)
+            .select(col("doc_id")), "doc_id")
+          .distinct().limit(11).collect().map(_.getLong(0))
+        if (conflicts.nonEmpty)
+          throw graft.core.GraftAnalysisException(Seq(
+            s"merge of branch '$name' into $root conflicts: main moved " +
+              s"past the fork (v$fork -> v$mainHead) and both sides " +
+              s"touched doc_ids ${conflicts.take(10).mkString(", ")}" +
+              (if (conflicts.length > 10) ", …" else "") +
+              " — rebase the branch or merge with force = true " +
+              "(branch wins)"))
+      }
+      val payload = ch.columns.filter(c => c != "change" && c != "__old_split")
+      val adds = ch.filter(col("change") =!= "remove")
+        .select(payload.map(col).toIndexedSeq: _*)
+      // removes: true removals at their old split, plus the OLD location
+      // of any doc the branch moved across splits
+      val removes = ch.filter(col("change") === "remove")
+        .select(col("split"), col("doc_id"))
+        .unionByName(ch.filter(col("change") === "update" &&
+            col("__old_split") =!= col("split"))
+          .select(col("__old_split").as("split"), col("doc_id")))
+      commitDeltaChain(s, root, adds, removes, None, None)
+    } finally ch.unpersist(blocking = false): Unit
   }
 
   /** Retention vacuum: drop all but the `keepLast` newest versions and
@@ -702,9 +884,17 @@ object Snapshots {
     if (versions.isEmpty) return (Nil, Nil)
     val latest = versions.last
     val (dropped, survivors) = versions.splitAt(math.max(0, versions.length - keepLast))
+    // live BRANCH versions pointer-carry main dirs: every branch ref
+    // counts as referenced, or vacuum would pull a forked experiment's
+    // data out from under it
+    val branchRefs: Set[String] = listBranches(s, root).flatMap { b =>
+      val chainP = new org.apache.hadoop.fs.Path(chainDir(root, Some(b)))
+      listVersions(fs, chainP).flatMap(v =>
+        readVersionFile(s, root, v, Some(b)).refs.filter(_.nRows > 0).map(_.dir))
+    }.toSet
     val referenced: Set[String] = survivors
       .flatMap(v => readVersionFile(s, root, v).refs.filter(_.nRows > 0).map(_.dir))
-      .toSet
+      .toSet ++ branchRefs
     // drop version files FIRST: a crash mid-vacuum must never leave a
     // live version file pointing at a dir the dir-sweep already deleted.
     // A dropped version's tag is the ONLY carrier of its batch's
@@ -744,8 +934,13 @@ object Snapshots {
   /** Latest committed version at `root` (0 = empty store): the largest N
     * with a COMPLETE `v{N}.list` — a crashed commit's data dir without
     * its version file is invisible, by design. */
-  def latestVersion(s: SparkSession, root: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+  def latestVersion(s: SparkSession, root: String): Int =
+    latestVersion(s, root, None)
+
+  /** Latest committed version on a BRANCH chain (None = main). */
+  def latestVersion(s: SparkSession, root: String,
+      branch: Option[String]): Int = {
+    val p = new org.apache.hadoop.fs.Path(chainDir(root, branch))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     listVersions(fs, p).lastOption.getOrElse(0)
   }
@@ -866,10 +1061,12 @@ object Snapshots {
   private def writeVersionFile(s: SparkSession, root: String, v: Int,
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, branch: Option[String] = None,
+      fork: Option[Int] = None): Unit = {
     def cell(o: Option[String]): String = o.map(escape).getOrElse("~")
     val body = (Seq(schema.toDDL) ++
       tag.map(t => s"#tag=${escape(t)}") ++
+      fork.map(f => s"#fork=$f") ++
       (if (statsCols.isEmpty) Nil
        else Seq(s"#stats=${statsCols.map(escape).mkString(",")}")) ++
       refs.sortBy(_.split).map { r =>
@@ -879,7 +1076,7 @@ object Snapshots {
           .mkString("\t")
       })
       .mkString("", "\n", "\n")
-    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+    val dirP = new org.apache.hadoop.fs.Path(chainDir(root, branch))
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirP): Unit
     val dst = new org.apache.hadoop.fs.Path(dirP, s"v$v.list")
@@ -955,12 +1152,15 @@ object Snapshots {
   private final case class VersionFile(
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String],
-      statsCols: IndexedSeq[String])
+      statsCols: IndexedSeq[String], fork: Option[Int] = None)
 
-  private def readVersionFile(s: SparkSession, root: String, v: Int): VersionFile = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/v$v.list")
+  private def readVersionFile(s: SparkSession, root: String, v: Int,
+      branch: Option[String] = None): VersionFile = {
+    val p = new org.apache.hadoop.fs.Path(s"${chainDir(root, branch)}/v$v.list")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no committed version v$v at $root")
+    require(fs.exists(p),
+      s"no committed version v$v at $root" +
+        branch.fold("")(b => s" on branch '$b'"))
     val lines = readWhole(fs, p).split("\n").toIndexedSeq.filter(_.nonEmpty)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(lines.head)
     val statsCols = lines.find(_.startsWith("#stats="))
@@ -979,7 +1179,9 @@ object Snapshots {
     }
     val tag = lines.find(_.startsWith("#tag="))
       .map(l => unescape(l.stripPrefix("#tag=")))
-    VersionFile(schema, refs, tag, statsCols)
+    val fork = lines.find(_.startsWith("#fork="))
+      .flatMap(_.stripPrefix("#fork=").toIntOption)
+    VersionFile(schema, refs, tag, statsCols, fork)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */

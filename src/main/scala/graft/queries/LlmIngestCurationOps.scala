@@ -918,6 +918,98 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  /** BRANCH-AND-MERGE gate ([[graft.plans.Snapshots.createBranch]] /
+    * [[graft.plans.Snapshots.mergeBranch]]): main commits the corpus
+    * without the %5 slice, an experiment branch forks at v1 and commits
+    * the %5 docs plus a +7 re-score of the %3 slice then a takedown of
+    * the %13∖%5∖%3 docs, MAIN ADVANCES CONCURRENTLY (+1000 on the
+    * disjoint %17 slice), and the branch merges back as one main commit
+    * — its net diff, conflict-checked against main's post-fork history.
+    * The returned manifests (main v1, branch head, merged head) are all
+    * read AFTER the merge landed: isolation across chains is part of
+    * what the oracle proves. */
+  def corpusBranchMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_branch")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      val noneRm = d.select(col("split"), col("doc_id")).limit(0)
+      val exp = Some("exp")
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      Snapshots.createBranch(s, root.toString, "exp", 1)
+      // branch: add the %5 slice, re-score the %3∖%5 slice
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .unionByName(d.filter(pmod(col("doc_id"), lit(3)) === 0 &&
+              pmod(col("doc_id"), lit(5)) =!= 0)
+            .withColumn("n_chars", col("n_chars") + 7)),
+        removedIds = noneRm, tag = None, branch = exp)
+      // main advances concurrently on a DISJOINT slice
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(17)) === 0 &&
+            pmod(col("doc_id"), lit(3)) =!= 0 &&
+            pmod(col("doc_id"), lit(5)) =!= 0 &&
+            pmod(col("doc_id"), lit(13)) =!= 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        removedIds = noneRm)
+      // branch: take down the %13∖%5∖%3 docs
+      Snapshots.commitDelta(s, root.toString, adds = d.limit(0),
+        removedIds = d.filter(pmod(col("doc_id"), lit(13)) === 0 &&
+            pmod(col("doc_id"), lit(5)) =!= 0 &&
+            pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("split"), col("doc_id")),
+        tag = None, branch = exp)
+      val merged = Snapshots.mergeBranch(s, root.toString, "exp")
+      // every manifest reads AFTER the merge — cross-chain isolation
+      Seq(
+        "main_v1" -> Snapshots.readAt(s, root.toString, 1),
+        "branch_head" -> Snapshots.readAt(s, root.toString, 3, exp),
+        "merged" -> Snapshots.readAt(s, root.toString, merged))
+        .map { case (name, frame) =>
+          frame.groupBy(col("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).cast("long").as("total_chars"),
+              sum(col("doc_id")).cast("long").as("id_sum"))
+            .select(lit(name).as("version"), col("split"),
+              col("n_docs"), col("total_chars"), col("id_sum"))
+        }.reduce(_ unionAll _).graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusBranchMerge]] in closed form. Membership:
+    * main v1 = ¬%5; branch head and merged = all ∖ (%13∧¬%5∧¬%3);
+    * n_chars carries +7 on %3∖%5 in both branch head and merged, and
+    * additionally +1000 on main's disjoint %17 slice in merged only. */
+  lazy val corpusBranchMergeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split, n_chars
+       |  FROM documents),
+       |u AS (
+       |  SELECT 'main_v1' AS version, split, doc_id, n_chars FROM d
+       |  WHERE doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT 'branch_head', split, doc_id,
+       |    n_chars + CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 0
+       |      THEN 7 ELSE 0 END
+       |  FROM d
+       |  WHERE NOT (doc_id % 13 = 0 AND doc_id % 5 <> 0 AND doc_id % 3 <> 0)
+       |  UNION ALL
+       |  SELECT 'merged', split, doc_id,
+       |    n_chars + CASE
+       |      WHEN doc_id % 3 = 0 AND doc_id % 5 <> 0 THEN 7
+       |      WHEN doc_id % 17 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+       |        AND doc_id % 13 <> 0 THEN 1000
+       |      ELSE 0 END
+       |  FROM d
+       |  WHERE NOT (doc_id % 13 = 0 AND doc_id % 5 <> 0 AND doc_id % 3 <> 0))
+       |SELECT version, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM u GROUP BY version, split""".stripMargin
+
   /** DATA-SKIPPING gate ([[graft.plans.Snapshots.readAtWhere]]): the
     * store commits `documents` under doc_id-RANGE splits (16 ids per
     * split) with min/max/null-count stats on `doc_id`, a delta updates

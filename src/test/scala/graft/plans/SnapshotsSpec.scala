@@ -860,4 +860,159 @@ class SnapshotsSpec extends SparkTestBase {
         e2.getMessage.contains("has type"))
     } finally CorpusExport.deleteRecursively(root2.toFile)
   }
+
+  // ---- branches ----------------------------------------------------------
+
+  test("a branch forks with zero data copy; branch and main commit independently") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      val mainFiles = listFiles(dirsOf(root, 1).head)
+      Snapshots.createBranch(spark, root.toString, "exp", 1)
+      assert(Snapshots.listBranches(spark, root.toString) === Seq("exp"))
+      // the fork itself wrote NO data dirs
+      assert(Option(root.toFile.listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("b-")) === 0)
+
+      // branch edits split a; main edits split b — fully independent
+      val bv = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-exp"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("exp"))
+      assert(bv === 2)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "b", "three-v2"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+
+      // main v1 files byte-identical — the branch never wrote into them
+      assert(listFiles(dirsOf(root, 1).head) === mainFiles)
+      assert(Snapshots.readAt(spark, root.toString, 2, Some("exp"))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet ===
+        Set((1L, "one-exp"), (3L, "three")))
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (3L, "b", "three-v2")))
+      // tagged branch commits refuse (the ledger is main-scoped)
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString, adds = df(Nil),
+          removedIds = df(Nil).select(col("split"), col("doc_id")),
+          tag = Some("t"), branch = Some("exp"))
+      }
+      assert(e.getMessage.contains("main-chain only"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("mergeBranch lands the net diff as one main commit; empty branches merge as no-ops") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"))),
+        root.toString)
+      Snapshots.createBranch(spark, root.toString, "exp", 1)
+      // merging a branch with no commits changes nothing
+      assert(Snapshots.mergeBranch(spark, root.toString, "exp") === 1)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1)
+
+      // two branch commits: update 1, add 5, remove 3
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-exp"), doc(5, "b", "five"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("exp"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Nil),
+        removedIds = df(Seq(doc(3, "b", "x"))).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("exp"))
+
+      val merged = Snapshots.mergeBranch(spark, root.toString, "exp")
+      assert(merged === 2)
+      assert(contents(root.toString, 2) === Set(
+        (1L, "a", "one-exp"), (2L, "a", "two"), (5L, "b", "five")))
+      // main's pre-merge version is untouched (time travel across merges)
+      assert(contents(root.toString, 1) === Set(
+        (1L, "a", "one"), (2L, "a", "two"), (3L, "b", "three")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("mergeBranch refuses when both sides touched a doc; force = branch wins") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      Snapshots.createBranch(spark, root.toString, "exp", 1)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-exp"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("exp"))
+      // main also rewrites doc 1 after the fork
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-main"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.mergeBranch(spark, root.toString, "exp")
+      }
+      assert(e.getMessage.contains("conflict") && e.getMessage.contains("1"))
+      // disjoint main progress does NOT conflict: doc 2 only
+      val merged = Snapshots.mergeBranch(spark, root.toString, "exp", force = true)
+      assert(Snapshots.readAt(spark, root.toString, merged)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet ===
+        Set((1L, "one-exp"), (2L, "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a cross-split move on the branch merges as remove+add, never a stale duplicate") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      Snapshots.createBranch(spark, root.toString, "mv", 1)
+      // the branch committer follows the split-move contract: remove at
+      // the old split, add at the new one
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "b", "one-moved"))),
+        removedIds = df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("mv"))
+      val merged = Snapshots.mergeBranch(spark, root.toString, "mv")
+      val rows = Snapshots.readAt(spark, root.toString, merged)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.count(_._1 == 1L) === 1) // no stale copy in split a
+      assert(rows.toSet === Set((1L, "b", "one-moved"), (2L, "b", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("vacuum keeps dirs a live branch references; dropBranch sweeps the branch's dirs") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(3, "b", "three"))), root.toString)
+      Snapshots.createBranch(spark, root.toString, "keep", 1)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(7, "a", "seven"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("keep"))
+      // main rewrites EVERY split twice — v1's dir is unreferenced by
+      // main survivors after keepLast = 1
+      Seq("v2", "v3").foreach { t =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(1, "a", s"one-$t"), doc(3, "b", s"three-$t"))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+      }
+      val (dropped, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(dropped === Seq(1, 2))
+      // v1's dir survives: the branch still points into it
+      assert(dirsOf(root, 1).nonEmpty)
+      assert(Snapshots.readAt(spark, root.toString, 2, Some("keep"))
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 7L))
+      assert(deleted.forall(!_.startsWith("v1-")))
+
+      Snapshots.dropBranch(spark, root.toString, "keep")
+      assert(Snapshots.listBranches(spark, root.toString) === Seq.empty)
+      assert(Option(root.toFile.listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("b-")) === 0)
+      // with the branch gone, the next vacuum sweeps v1's dir
+      val (_, deleted2) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(deleted2.exists(_.startsWith("v1-")))
+      assert(dirsOf(root, 1).isEmpty)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }
