@@ -1025,14 +1025,21 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     val root = java.nio.file.Files.createTempDirectory("graft_snap_stats")
     try {
       val d0 = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      // ~8 range splits at ANY scale factor (width grows with the
+      // corpus): the split rule is gate plumbing — the oracle never sees
+      // it — but split COUNT is a real cost, and hundreds of tiny
+      // partition dirs at sf0.1 would benchmark the filesystem, not the
+      // pruning
+      val maxId = d0.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val width = math.max(16L, (maxId + 1) / 8)
       val d = d0.withColumn("split",
-        concat(lit("s"), floor(col("doc_id") / lit(16)).cast("string")))
+        concat(lit("s"), floor(col("doc_id") / lit(width)).cast("string")))
       Snapshots.commitFull(s, d, root.toString, statsCols = Seq("doc_id"))
       Snapshots.commitDelta(s, root.toString,
         adds = d.filter(pmod(col("doc_id"), lit(9)) === 0)
           .withColumn("n_chars", col("n_chars") + 100),
         removedIds = d.select(col("split"), col("doc_id")).limit(0))
-      val hi = d0.agg(max(col("doc_id"))).collect()(0).getLong(0) / 4
+      val hi = maxId / 4
       val pred = col("doc_id") <= hi
       val pruned = Snapshots.pruneReport(s, root.toString, 2, pred)
       require(pruned.nonEmpty,
