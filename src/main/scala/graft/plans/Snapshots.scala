@@ -412,8 +412,15 @@ object Snapshots {
     * prune. The full predicate is still applied to the surviving scan:
     * pruning can never change the result, only the files read. */
   def readAtWhere(s: SparkSession, root: String, version: Int,
-      pred: org.apache.spark.sql.Column): DataFrame = {
-    val vf = readVersionFile(s, root, version)
+      pred: org.apache.spark.sql.Column): DataFrame =
+    readAtWhere(s, root, version, pred, None)
+
+  /** [[readAtWhere]] on a BRANCH chain (None = main) — branch version
+    * files carry the fork's stats and maintain them per commit, so a
+    * forked experiment prunes exactly like main. */
+  def readAtWhere(s: SparkSession, root: String, version: Int,
+      pred: org.apache.spark.sql.Column, branch: Option[String]): DataFrame = {
+    val vf = readVersionFile(s, root, version, branch)
     readRefs(s, root, vf.schema, prunedRefs(s, root, vf, pred)).filter(pred)
   }
 
@@ -729,11 +736,15 @@ object Snapshots {
     * driver-side version files (no data scan). The store's DESCRIBE
     * HISTORY: which commits exist, what each was tagged (the ingest
     * batch it carries), and the corpus size as of each. */
-  def history(s: SparkSession, root: String): DataFrame = {
-    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+  def history(s: SparkSession, root: String): DataFrame =
+    history(s, root, None)
+
+  /** [[history]] of a BRANCH chain (None = main). */
+  def history(s: SparkSession, root: String, branch: Option[String]): DataFrame = {
+    val dirP = new org.apache.hadoop.fs.Path(chainDir(root, branch))
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rows = listVersions(fs, dirP).map { v =>
-      val vf = readVersionFile(s, root, v)
+      val vf = readVersionFile(s, root, v, branch)
       org.apache.spark.sql.Row(
         v, vf.tag.orNull,
         vf.refs.count(_.nRows > 0), vf.refs.map(_.nRows).sum)
@@ -848,8 +859,18 @@ object Snapshots {
               "(branch wins)"))
       }
       val payload = ch.columns.filter(c => c != "change" && c != "__old_split")
-      val adds = ch.filter(col("change") =!= "remove")
+      val adds0 = ch.filter(col("change") =!= "remove")
         .select(payload.map(col).toIndexedSeq: _*)
+      // main may have WIDENED since the fork: the branch's rows never
+      // had those columns, so they merge null — the same contract as an
+      // old dir read under a widened schema. (Columns the BRANCH added
+      // ride through and widen main; a same-name-different-type clash
+      // still refuses in widenSchema.)
+      val mainSchema = readVersionFile(s, root, math.max(mainHead, fork)).schema
+      val have = adds0.columns.toSet
+      val adds = mainSchema.fields.filterNot(f => have.contains(f.name))
+        .foldLeft(adds0)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
       // removes: true removals at their old split, plus the OLD location
       // of any doc the branch moved across splits
       val removes = ch.filter(col("change") === "remove")

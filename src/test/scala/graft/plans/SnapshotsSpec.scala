@@ -980,6 +980,58 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("merging a pre-widening branch into a widened main null-backfills the new column") {
+    val root = freshRoot()
+    try {
+      import spark.implicits._
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      Snapshots.createBranch(spark, root.toString, "old", 1)
+      // branch edits doc 1 under the NARROW schema
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one-exp"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("old"))
+      // main widens with `quality`, touching only the DISJOINT doc 2
+      Snapshots.commitDelta(spark, root.toString,
+        adds = Seq((2L, "b", "two", 3L, 0.7))
+          .toDF("doc_id", "split", "text", "n_tokens", "quality"),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+
+      val merged = Snapshots.mergeBranch(spark, root.toString, "old")
+      val rows = Snapshots.readAt(spark, root.toString, merged)
+        .select(col("doc_id"), col("text"), col("quality"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)))).toSet
+      assert(rows === Set(
+        (1L, "one-exp", None), // branch row: quality null-backfilled
+        (2L, "two", Some(0.7))))
+      // branch-side pruning + history work through the chain overloads
+      Snapshots.dropBranch(spark, root.toString, "old")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("branch chains answer readAtWhere and history") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      Snapshots.createBranch(spark, root.toString, "exp", 1)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(9, "a", "added").copy(_4 = 7L))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("exp"))
+      // the branch inherits and MAINTAINS the fork's stats
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("n_tokens") >= 1000L).toSet === Set("a", "b"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 2,
+        col("n_tokens") <= 10L, Some("exp"))
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 9L))
+      val h = Snapshots.history(spark, root.toString, Some("exp"))
+        .collect().map(r => (r.getInt(0), r.getLong(3)))
+      assert(h.toSeq === Seq((1, 6L), (2, 7L)))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("vacuum keeps dirs a live branch references; dropBranch sweeps the branch's dirs") {
     val root = freshRoot()
     try {
