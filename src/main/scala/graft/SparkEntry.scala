@@ -137,6 +137,7 @@ object SparkEntry {
     "d_corpus_changes" -> (q.LlmOps.corpusChanges _),
     "d_corpus_stats_prune" -> (q.LlmOps.corpusStatsPrune _),
     "d_corpus_branch_merge" -> (q.LlmOps.corpusBranchMerge _),
+    "d_corpus_incr_agg" -> (q.LlmOps.corpusIncrAgg _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -336,6 +337,8 @@ object SparkEntry {
     "d_corpus_stats_prune" -> q.LlmOps.corpusStatsPruneSql,
     // fork/commit/merge across chains, manifests read after the merge
     "d_corpus_branch_merge" -> q.LlmOps.corpusBranchMergeSql,
+    // incremental view refresh must equal the from-scratch aggregate
+    "d_corpus_incr_agg" -> q.LlmOps.corpusIncrAggSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,

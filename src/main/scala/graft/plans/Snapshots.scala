@@ -680,12 +680,22 @@ object Snapshots {
     * new split (both splits' pointers changed, so both sides are read). */
   def changesBetween(s: SparkSession, root: String,
       vFrom: Int, vTo: Int): DataFrame =
+    changesCore(s, root, vFrom, vTo, None)
+      .drop("__old_split").drop("__old")
+
+  /** [[changesBetween]] keeping the RETRACTION side: the trailing
+    * `__old` struct carries the row's `vFrom` payload (null for adds) —
+    * what incremental view maintenance needs to subtract an updated
+    * row's prior contribution ([[IncrementalAgg]]). */
+  private[plans] def changesWithOld(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int): DataFrame =
     changesCore(s, root, vFrom, vTo, None).drop("__old_split")
 
   /** [[changesBetween]] plus a trailing `__old_split` column (the row's
-    * split in `vFrom`; null for adds) and a branch chain — what
-    * [[mergeBranch]] needs to translate a cross-split move back into
-    * remove+add instead of losing the stale copy. */
+    * split in `vFrom`; null for adds), the full `__old` payload struct,
+    * and a branch chain — what [[mergeBranch]] needs to translate a
+    * cross-split move back into remove+add instead of losing the stale
+    * copy, and what [[changesWithOld]] exposes for view maintenance. */
   private def changesCore(s: SparkSession, root: String,
       vFrom: Int, vTo: Int, branch: Option[String]): DataFrame = {
     require(vFrom < vTo, s"changesBetween needs vFrom < vTo, got $vFrom >= $vTo")
@@ -727,8 +737,8 @@ object Snapshots {
       // back in); only a remove carries the old row's values
       .select((col("change") +: col("doc_id") +: payload.map(f =>
         when(col("__new").isNull, col(s"__old.$f"))
-          .otherwise(col(s"__new.$f")).as(f))).toIndexedSeq :+
-        col("__old.split").as("__old_split"): _*)
+          .otherwise(col(s"__new.$f")).as(f))).toIndexedSeq ++
+        Seq(col("__old.split").as("__old_split"), col("__old")): _*)
   }
 
   /** The commit history at `root`, oldest first: one row per LIVE
@@ -754,6 +764,33 @@ object Snapshots {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       org.apache.spark.sql.types.StructType.fromDDL(
         "version INT, tag STRING, n_splits INT, n_rows BIGINT"))
+  }
+
+  /** The LSM consolidation as one call: rewrite the LATEST version's
+    * content into a single fresh version whose refs all point at one
+    * dir, carrying the store's statsCols forward — after which
+    * `vacuum` can drop the long delta chain's dirs. Equivalent to
+    * `commitFull(readAt(latest), root, statsCols-of-latest)`, which a
+    * caller should not have to hand-roll (forgetting statsCols would
+    * silently stop data skipping at the consolidation point). Returns
+    * the new version. */
+  def consolidate(s: SparkSession, root: String): Int = {
+    val latest = latestVersion(s, root)
+    require(latest >= 1, s"consolidate on an empty store at $root")
+    val vf = readVersionFile(s, root, latest)
+    commitFull(s, readRefs(s, root, vf.schema, vf.refs), root, vf.statsCols)
+  }
+
+  /** The main-chain version a TAG committed, if any — the consumer-side
+    * half of tagged commits: an ingest stream commits `tag = "day-N"`,
+    * a training job pins `readAt(versionForTag("day-N"))`. Answers from
+    * the durable ledger (falling back to a chain scan for stores
+    * written before the ledger existed), so it resolves even after the
+    * version itself was vacuumed — readAt then refuses loudly, which is
+    * the retention contract. */
+  def versionForTag(s: SparkSession, root: String, tag: String): Option[Int] = {
+    ensureTagLedger(s, root)
+    readTagMarker(s, root, tag)
   }
 
   // ---- branches ---------------------------------------------------------
@@ -858,7 +895,8 @@ object Snapshots {
               " — rebase the branch or merge with force = true " +
               "(branch wins)"))
       }
-      val payload = ch.columns.filter(c => c != "change" && c != "__old_split")
+      val payload = ch.columns.filter(c =>
+        c != "change" && c != "__old_split" && c != "__old")
       val adds0 = ch.filter(col("change") =!= "remove")
         .select(payload.map(col).toIndexedSeq: _*)
       // main may have WIDENED since the fork: the branch's rows never

@@ -918,6 +918,62 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  /** INCREMENTAL-VIEW-MAINTENANCE gate ([[graft.plans.IncrementalAgg]]):
+    * a per-(split, lang) rollup materializes at v1 of the corpus store,
+    * then two deltas land (the %5 adds; the %11∖%7∖%5 in-place update
+    * together with the %7 takedowns) and ONE incremental refresh brings
+    * the view to v3 — reading only the deltas' pointer-changed splits,
+    * retracting updated rows' old contributions via the CDC diff's
+    * retraction side. The oracle is the from-scratch aggregate over the
+    * final membership: refresh ≡ rebuild is the whole claim. */
+  def corpusIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, IncrementalAgg, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_iagg_store")
+    val view = java.nio.file.Files.createTempDirectory("graft_iagg_view")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      val noneRm = d.select(col("split"), col("doc_id")).limit(0)
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      val spec = IncrementalAgg.Spec(Seq("split", "lang"), Seq("n_chars"))
+      require(IncrementalAgg.materialize(
+        s, root.toString, view.toString, spec) == 1)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        removedIds = noneRm)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(11)) === 0 &&
+            pmod(col("doc_id"), lit(7)) =!= 0 &&
+            pmod(col("doc_id"), lit(5)) =!= 0)
+          .withColumn("n_chars", col("n_chars") + 1),
+        removedIds = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      require(IncrementalAgg.refresh(s, root.toString, view.toString) == 3,
+        "incremental refresh did not reach the store head")
+      IncrementalAgg.read(s, view.toString)
+        .select(col("split"), col("lang"), col("n_docs"),
+          col("sum_n_chars").cast("long").as("total_chars"))
+        .graftCheckpoint()
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(view.toFile)
+    }
+  }
+
+  /** Mirrors [[corpusIncrAgg]] as the from-scratch aggregate over the
+    * final membership (all ∖ %7, with +1 n_chars on %11∖%7∖%5). */
+  lazy val corpusIncrAggSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split, lang,
+       |    n_chars + CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0
+       |      AND doc_id % 5 <> 0 THEN 1 ELSE 0 END AS n_chars
+       |  FROM documents WHERE doc_id % 7 <> 0)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM d GROUP BY split, lang""".stripMargin
+
   /** BRANCH-AND-MERGE gate ([[graft.plans.Snapshots.createBranch]] /
     * [[graft.plans.Snapshots.mergeBranch]]): main commits the corpus
     * without the %5 slice, an experiment branch forks at v1 and commits

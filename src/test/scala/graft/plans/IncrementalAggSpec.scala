@@ -1,0 +1,156 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the incrementally-maintained aggregate view: refresh ≡ rebuild
+  * under adds/removes/updates/group moves, pointer-pruned refresh IO,
+  * no-op and repeated refreshes, emptied-group drop, and the typed
+  * refusals. */
+class IncrementalAggSpec extends SparkTestBase {
+
+  private def freshDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def doc(id: Long, split: String, text: String, n: Long) =
+    (id, split, text, n)
+
+  private def df(rows: Seq[(Long, String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "split", "text", "n_tokens")
+  }
+
+  private val noRm = df(Nil).select(col("split"), col("doc_id"))
+
+  private def viewRows(path: String): Set[(String, Long, Long)] =
+    IncrementalAgg.read(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("refresh after add/remove/update/group-move equals a from-scratch rebuild") {
+    val root = freshDir("graft_iagg_store")
+    val view = freshDir("graft_iagg_view")
+    val audit = freshDir("graft_iagg_audit")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one", 5), doc(2, "a", "two", 7),
+        doc(3, "b", "three", 100))), root.toString)
+      val spec = IncrementalAgg.Spec(Seq("split"), Seq("n_tokens"))
+      assert(IncrementalAgg.materialize(spark, root.toString,
+        view.toString, spec) === 1)
+      assert(viewRows(view.toString) === Set(("a", 2L, 12L), ("b", 1L, 100L)))
+
+      // v2: update 1 in place, move 2 from a to b, add 4 to b, remove 3
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one", 50), doc(2, "b", "two", 7),
+          doc(4, "b", "four", 4))),
+        removedIds = df(Seq(doc(2, "a", "x", 0), doc(3, "b", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      assert(IncrementalAgg.refresh(spark, root.toString, view.toString) === 2)
+      assert(viewRows(view.toString) === Set(("a", 1L, 50L), ("b", 2L, 11L)))
+      assert(IncrementalAgg.version(spark, view.toString) === 2)
+
+      // audit path: a from-scratch rebuild at the same head agrees
+      IncrementalAgg.materialize(spark, root.toString, audit.toString, spec)
+      assert(viewRows(audit.toString) === viewRows(view.toString))
+
+      // v3 empties group a entirely — it must drop from the view
+      Snapshots.commitDelta(spark, root.toString, adds = df(Nil),
+        removedIds = df(Seq(doc(1, "a", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      assert(viewRows(view.toString) === Set(("b", 2L, 11L)))
+    } finally Seq(root, view, audit).foreach(p =>
+      CorpusExport.deleteRecursively(p.toFile))
+  }
+
+  test("refresh reads only pointer-changed splits") {
+    val root = freshDir("graft_iagg_prune")
+    val view = freshDir("graft_iagg_prune_view")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one", 1), doc(2, "b", "two", 2),
+        doc(3, "c", "three", 3))), root.toString)
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Seq("n_tokens"))): Unit
+      // corrupt split c's files — untouched by the coming delta
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val cFiles = walk(root.toFile).filter(f =>
+        f.getAbsolutePath.contains("split=c") && f.getName.endsWith(".parquet"))
+      assert(cFiles.nonEmpty)
+      cFiles.foreach(f => java.nio.file.Files.write(f.toPath,
+        "junk".getBytes("UTF-8")): Unit)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "one", 10))), removedIds = noRm)
+      // incremental refresh diffs only split a — succeeds
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      assert(viewRows(view.toString) ===
+        Set(("a", 1L, 10L), ("b", 1L, 2L), ("c", 1L, 3L)))
+      // a from-scratch rebuild must open c's files and fail — proving
+      // the refresh genuinely skipped those bytes
+      intercept[Exception] {
+        IncrementalAgg.materialize(spark, root.toString, view.toString,
+          IncrementalAgg.Spec(Seq("split"), Seq("n_tokens")))
+      }
+    } finally Seq(root, view).foreach(p =>
+      CorpusExport.deleteRecursively(p.toFile))
+  }
+
+  test("no-op and repeated refreshes; null measures contribute nothing") {
+    val root = freshDir("graft_iagg_noop")
+    val view = freshDir("graft_iagg_noop_view")
+    try {
+      import spark.implicits._
+      val d = Seq((1L, "a", Some(5L)), (2L, "a", None: Option[Long]))
+        .toDF("doc_id", "split", "n_tokens")
+      Snapshots.commitFull(spark, d, root.toString)
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Seq("n_tokens"))): Unit
+      assert(viewRows(view.toString) === Set(("a", 2L, 5L)))
+      // head unchanged: refresh is a no-op and rewrites nothing
+      val gen0 = IncrementalAgg.version(spark, view.toString)
+      assert(IncrementalAgg.refresh(spark, root.toString, view.toString) === gen0)
+      // a null-measure update retracts null and adds a value
+      Snapshots.commitDelta(spark, root.toString,
+        adds = Seq((2L, "a", Some(7L))).toDF("doc_id", "split", "n_tokens"),
+        removedIds = Seq.empty[(String, Long)].toDF("split", "doc_id"))
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      assert(viewRows(view.toString) === Set(("a", 2L, 12L)))
+    } finally Seq(root, view).foreach(p =>
+      CorpusExport.deleteRecursively(p.toFile))
+  }
+
+  test("typed refusals: bad spec, missing view, recreated store") {
+    val root = freshDir("graft_iagg_bad")
+    val view = freshDir("graft_iagg_bad_view")
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one", 1))), root.toString)
+      val e1 = intercept[graft.core.GraftAnalysisException] {
+        IncrementalAgg.materialize(spark, root.toString, view.toString,
+          IncrementalAgg.Spec(Seq("nope"), Nil))
+      }
+      assert(e1.getMessage.contains("missing column 'nope'"))
+      val e2 = intercept[graft.core.GraftAnalysisException] {
+        IncrementalAgg.materialize(spark, root.toString, view.toString,
+          IncrementalAgg.Spec(Seq("split"), Seq("text")))
+      }
+      assert(e2.getMessage.contains("must be numeric"))
+      val e3 = intercept[IllegalArgumentException] {
+        IncrementalAgg.refresh(spark, root.toString, view.toString)
+      }
+      assert(e3.getMessage.contains("materialize first"))
+      // a view ahead of its store refuses (store deleted/recreated
+      // shorter than the view's materialized version)
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Seq("n_tokens"))): Unit
+      CorpusExport.deleteRecursively(root.toFile)
+      val e4 = intercept[IllegalArgumentException] {
+        IncrementalAgg.refresh(spark, root.toString, view.toString)
+      }
+      assert(e4.getMessage.contains("behind the view"))
+    } finally Seq(root, view).foreach(p =>
+      CorpusExport.deleteRecursively(p.toFile))
+  }
+}

@@ -861,6 +861,42 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root2.toFile)
   }
 
+  test("consolidate rewrites the head into one dir, carrying stats; vacuum then frees the chain") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(7, "a", "seven").copy(_4 = 5L))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Nil),
+        removedIds = df(Seq(doc(3, "b", "x"))).select(col("split"), col("doc_id")))
+      val before = contents(root.toString, 3)
+      val v4 = Snapshots.consolidate(spark, root.toString)
+      assert(v4 === 4)
+      assert(contents(root.toString, 4) === before)
+      // stats carried: pruning still engages on the consolidated version
+      assert(Snapshots.pruneReport(spark, root.toString, 4,
+        col("n_tokens") >= 1000L).toSet === Set("a", "b"))
+      // the old chain's dirs are now droppable
+      val (_, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(deleted.exists(_.startsWith("v1-")))
+      assert(contents(root.toString, 4) === before)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("versionForTag resolves a committed tag from the ledger") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val v2 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("doc_id")), tag = Some("day-1"))
+      assert(Snapshots.versionForTag(spark, root.toString, "day-1") === Some(v2))
+      assert(Snapshots.versionForTag(spark, root.toString, "day-9") === None)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   // ---- branches ----------------------------------------------------------
 
   test("a branch forks with zero data copy; branch and main commit independently") {
