@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *   - The refreshed view swaps in exactly like the store's commits:
   *     data lands in a fresh attempt-unique dir, then the meta file is
   *     atomically renamed over the old one — readers never see a
-  *     half-refreshed view, and a crashed refresh is invisible debris.
+  *     half-refreshed view, and crashed or superseded generations are
+  *     swept by the next successful swap (the view keeps ONE live
+  *     generation: it is derived and rebuildable, so a reader holding a
+  *     DataFrame across a refresh must re-resolve with [[read]]).
   *
   * Supported measures: `n_docs` (count) and one `sum_<c>` per requested
   * numeric column. Sums are EXACT for integral and decimal columns;
@@ -71,27 +74,8 @@ object IncrementalAgg {
     val view = base.groupBy(spec.groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         spec.sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
-    val prior = priorDataDir(s, viewPath)
     writeView(s, viewPath, view, head, spec)
-    prior.foreach(d => dropDataDir(s, viewPath, d))
     head
-  }
-
-  /** The data dir the current meta points at, if a view exists. */
-  private def priorDataDir(s: SparkSession, viewPath: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$viewPath/$MetaFile")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None else Some(readMeta(s, viewPath)._3)
-  }
-
-  /** Drop a superseded view generation. The view keeps ONE live
-    * generation (unlike the store, it is derived and rebuildable): a
-    * reader holding a DataFrame across a refresh breaks loudly on its
-    * next action — re-resolve with [[read]] per use. */
-  private def dropDataDir(s: SparkSession, viewPath: String, d: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$viewPath/$d")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(p, true): Unit
   }
 
   /** Bring the view up to the store's head incrementally. Returns the
@@ -121,11 +105,18 @@ object IncrementalAgg {
         spec.sumCols.map(c => sum(col(s"__ds_$c")).as(s"__ds_$c")): _*)
 
     val stored = read(s, viewPath)
-    // full-outer merge: brand-new groups arrive with no stored row,
-    // emptied groups drop on n_docs = 0. Sums of all-null contributions
-    // coalesce to the stored value (nothing to retract or add).
-    val merged = stored.join(delta, spec.groupCols, "full_outer")
-      .select((spec.groupCols.map(col) :+
+    // full-outer merge on NULL-SAFE group equality: groupBy treats null
+    // as a group, so the merge must too — a plain equi-join would leave
+    // a null-keyed group duplicated instead of merged. Brand-new groups
+    // arrive with no stored row; emptied groups drop on n_docs = 0;
+    // all-null sum contributions coalesce to the stored value.
+    val deltaR = spec.groupCols.foldLeft(delta)((acc, c) =>
+      acc.withColumnRenamed(c, s"__g_$c"))
+    val joinCond = spec.groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduce(_ && _)
+    val merged = stored.join(deltaR, joinCond, "full_outer")
+      .select((spec.groupCols.map(c =>
+        coalesce(col(c), col(s"__g_$c")).as(c)) :+
         (coalesce(col("n_docs"), lit(0L)) +
           coalesce(col("__dn"), lit(0L))).as("n_docs")) ++
         spec.sumCols.map { c =>
@@ -134,9 +125,7 @@ object IncrementalAgg {
           when(st.isNull, d).when(d.isNull, st).otherwise(st + d).as(s"sum_$c")
         }: _*)
       .filter(col("n_docs") > 0L)
-    val prior = priorDataDir(s, viewPath)
     writeView(s, viewPath, merged, head, spec)
-    prior.foreach(d => dropDataDir(s, viewPath, d))
     head
   }
 
@@ -172,13 +161,30 @@ object IncrementalAgg {
     val out = fs.create(tmp, false)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dirP, MetaFile)
-    fs.delete(dst, false): Unit
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false): Unit
-      throw graft.core.GraftAnalysisException(Seq(
-        s"IncrementalAgg meta swap lost a race at $viewPath — refresh " +
-          "serially (one maintainer per view)"))
+    // ATOMIC replace where the filesystem gives us one (POSIX rename
+    // replaces; Hadoop's local rename refuses onto an existing path) —
+    // a reader must never observe the view meta-less mid-refresh
+    val qTmp = fs.makeQualified(tmp)
+    if (qTmp.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qTmp.toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } else {
+      fs.delete(dst, false): Unit
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false): Unit
+        throw graft.core.GraftAnalysisException(Seq(
+          s"IncrementalAgg meta swap lost a race at $viewPath — refresh " +
+            "serially (one maintainer per view)"))
+      }
     }
+    // sweep superseded and crashed generations (anything but the one
+    // the fresh meta points at) — the view keeps ONE live generation
+    fs.listStatus(dirP).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName != dataDir)
+      .foreach(p => fs.delete(p, true): Unit)
   }
 
   private def readMeta(s: SparkSession, viewPath: String): (Int, Spec, String) = {

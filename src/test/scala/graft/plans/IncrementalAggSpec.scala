@@ -122,6 +122,36 @@ class IncrementalAggSpec extends SparkTestBase {
       CorpusExport.deleteRecursively(p.toFile))
   }
 
+  test("null group keys merge (never duplicate); one live generation on disk") {
+    val root = freshDir("graft_iagg_null")
+    val view = freshDir("graft_iagg_null_view")
+    try {
+      import spark.implicits._
+      val d = Seq((1L, "a", Some("en"), 5L), (2L, "a", None, 7L),
+        (3L, "b", None, 11L))
+        .toDF("doc_id", "split", "lang", "n_tokens")
+      Snapshots.commitFull(spark, d, root.toString)
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("lang"), Seq("n_tokens"))): Unit
+      // update a null-lang doc: the retraction and the addition must
+      // land in the SAME null-keyed group row
+      Snapshots.commitDelta(spark, root.toString,
+        adds = Seq((2L, "a", None: Option[String], 9L))
+          .toDF("doc_id", "split", "lang", "n_tokens"),
+        removedIds = Seq.empty[(String, Long)].toDF("split", "doc_id"))
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      val rows = IncrementalAgg.read(spark, view.toString)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet === Set(
+        (Some("en"), 1L, 5L), (None, 2L, 20L)))
+      assert(rows.length === 2) // no duplicated null group
+      // exactly one data generation lives beside the meta
+      assert(Option(view.toFile.listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("v")) === 1)
+    } finally Seq(root, view).foreach(p =>
+      CorpusExport.deleteRecursively(p.toFile))
+  }
+
   test("typed refusals: bad spec, missing view, recreated store") {
     val root = freshDir("graft_iagg_bad")
     val view = freshDir("graft_iagg_bad_view")
