@@ -191,6 +191,8 @@ object SparkEntry {
       streaming.EventPipeline.snapshotIngestSync(s, dir)),
     "s_stream_snapshot_changes" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.snapshotChangesSync(s, dir)),
+    "s_stream_incr_agg" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.incrAggSync(s, dir)),
     "s_stream_probe" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.probeScoreSync(s, dir)),
     "s_stream_join" -> ((s: SparkSession, dir: String) =>
@@ -455,6 +457,14 @@ object SparkEntry {
     // (skipped by the durable ledger) reassemble the whole table: the
     // latest version's manifest is just documents, split-assigned
     "s_stream_snapshot_ingest" ->
+      """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split, lang,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the LIVE view after streamed commits + per-batch incremental
+    // refreshes (+ an in-gate redelivery that must not double-count)
+    // equals the from-scratch aggregate of the whole table — the ingest
+    // gate's oracle, shared verbatim
+    "s_stream_incr_agg" ->
       """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split, lang,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,

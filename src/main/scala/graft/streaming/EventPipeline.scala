@@ -1118,6 +1118,86 @@ object EventPipeline {
     }
   }
 
+  /** LIVE incrementally-maintained aggregate — the dashboard over the
+    * streaming ingest: each micro-batch commits into the store as a
+    * TAGGED delta ([[snapshotIngestStream]]'s discipline) and then
+    * refreshes the materialized rollup
+    * ([[graft.plans.IncrementalAgg.refresh]]) to the new head, so the
+    * view tracks the stream with refresh cost ∝ the batch. BOTH halves
+    * are idempotent under `foreachBatch`'s at-least-once redelivery: a
+    * replayed batch's commit answers from the durable ledger (chain
+    * unlengthened) and the follow-up refresh no-ops on an unchanged
+    * head — the view can never double-count a retried batch. */
+  def incrAggStream(rows: DataFrame, root: String, viewPath: String,
+      queryId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.plans.Snapshots.commitDelta(
+          batch.sparkSession, root,
+          adds = batch,
+          removedIds = batch.select(col("split"), col("doc_id")).limit(0),
+          tag = Some(s"$queryId-b$batchId")): Unit
+        graft.plans.IncrementalAgg.refresh(
+          batch.sparkSession, root, viewPath): Unit
+      }
+
+  /** Synchronous gate run of [[incrAggStream]]: the store seeds with the
+    * %3 slice, the view MATERIALIZES at v1, the rest of the documents
+    * stream in (commit + incremental refresh per batch), and batch 0 is
+    * REDELIVERED — the ledger answers with the committed version and the
+    * refresh no-ops, so the view must not double-count. The result is
+    * the LIVE VIEW's contents, which must equal the from-scratch
+    * aggregate of the whole table ([[snapshotIngestSync]]'s oracle,
+    * shared verbatim): streamed refresh ≡ batch rebuild. */
+  def incrAggSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val root = harnessTmpDir("graft_stream_iagg")
+    val view = harnessTmpDir("graft_stream_iagg_view")
+    try {
+      def shaped(df: DataFrame): DataFrame = df
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      graft.plans.Snapshots.commitFull(s,
+        shaped(s.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)),
+        root.toString)
+      graft.plans.IncrementalAgg.materialize(s, root.toString, view.toString,
+        graft.plans.IncrementalAgg.Spec(Seq("split", "lang"), Seq("n_chars"))): Unit
+      val in = shaped(
+        s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      val q = incrAggStream(in, root.toString, view.toString, "gate")
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      require(graft.plans.IncrementalAgg.version(s, view.toString) == 2,
+        "the live view must track the streamed commit")
+      // redelivery proof: the replayed batch's commit answers from the
+      // ledger and the refresh no-ops — the view must not double-count
+      val replay = shaped(
+        s.read.schema(docSchema).parquet(s"$dir/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      require(graft.plans.Snapshots.commitDelta(s, root.toString,
+          adds = replay,
+          removedIds = replay.select(col("split"), col("doc_id")).limit(0),
+          tag = Some("gate-b0")) == 2,
+        "redelivered batch 0 must return its committed version")
+      require(graft.plans.IncrementalAgg.refresh(
+          s, root.toString, view.toString) == 2,
+        "refresh after a skipped redelivery must no-op at the head")
+      graft.plans.IncrementalAgg.read(s, view.toString)
+        .select(col("split"), col("lang"), col("n_docs"),
+          col("sum_n_chars").cast("long").as("total_chars"))
+        .graftCheckpoint()
+    } finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(root.toFile)
+      deleteRecursively(view.toFile)
+    }
+  }
+
   /** The CDC TAIL of the snapshot store — the consumer-side twin of
     * [[snapshotIngestStream]]: the store's version files are an
     * append-only log written by atomic rename (exactly the staged-move
