@@ -40,6 +40,7 @@ object SparkEntry {
     "r_pivot" -> (q.Relational.pivotAgg _),
     "r_unpivot" -> (q.Relational.unpivotMetrics _),
     "r_sql_correlated" -> (q.Relational.sqlCorrelated _),
+    "r_recursive_cte" -> (q.Relational.recursiveCte _),
     "r_join_broadcast" -> (q.Relational.joinBroadcast _),
     "r_q5_multijoin" -> (q.Relational.q5Multijoin _),
     "r_semi_join" -> (q.Relational.semiJoin _),
@@ -241,6 +242,8 @@ object SparkEntry {
     "r_pivot" -> q.Relational.pivotAggSql,
     "r_unpivot" -> q.Relational.unpivotMetricsSql,
     "r_sql_correlated" -> q.Relational.sqlCorrelatedSql,
+    // both engines run the same ANSI recursion and must agree on the fixpoint
+    "r_recursive_cte" -> q.Relational.recursiveCteSql,
     "r_join_broadcast" -> q.Relational.joinBroadcastSql,
     "r_q5_multijoin" -> q.Relational.q5MultijoinSql,
     "r_semi_join" -> q.Relational.semiJoinSql,

@@ -320,6 +320,41 @@ object Relational {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** ANSI RECURSIVE CTE — the iterative-fixpoint front door (hierarchy
+    * walks, transitive closure) Spark 4 executes natively as a
+    * UnionLoop: a binary-heap tree over `documents` (node i's parent is
+    * floor((i-1)/2), root 0) walked from the root, every document's
+    * depth computed by the recursion and aggregated per level. The
+    * recursion is O(log n) iterations of a frontier join — a 5k-doc
+    * tree takes 13, a trillion-doc tree 40; each iteration is one
+    * distributed join, so the shape survives any corpus. DuckDB runs
+    * the same ANSI text — the engines must agree on the fixpoint. */
+  def recursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").select(col("doc_id"))
+      .createOrReplaceTempView("docs_v")
+    s.sql(
+      """WITH RECURSIVE tree(doc_id, depth) AS (
+        |  SELECT doc_id, 0 AS depth FROM docs_v WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM docs_v d JOIN tree t
+        |    ON CAST(FLOOR((d.doc_id - 1) / 2) AS BIGINT) = t.doc_id
+        |  WHERE d.doc_id > 0)
+        |SELECT depth, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM tree GROUP BY depth""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE tree(doc_id, depth) AS (
+      |  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT d.doc_id, t.depth + 1
+      |  FROM documents d JOIN tree t
+      |    ON CAST(FLOOR((d.doc_id - 1) / 2) AS BIGINT) = t.doc_id
+      |  WHERE d.doc_id > 0)
+      |SELECT depth, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM tree GROUP BY depth""".stripMargin
+
   /** Unpivot/melt — the wide→long reshape (the inverse of [[pivotAgg]]):
     * per-flag aggregates melted to (flag, metric, value) rows via the
     * native `Dataset.unpivot` (Catalyst Expand, one pass, no join).

@@ -127,6 +127,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Subquery") && !p.contains("subquery"), p)
   }
 
+  test("recursive CTE executes as Spark's native iterative union, and the tree closes") {
+    val p = plan("r_recursive_cte")
+    // Spark 4 lowers WITH RECURSIVE to a UnionLoop physical node — the
+    // iterative fixpoint, not an unrolled or per-row re-execution
+    assert(p.contains("UnionLoop"), p)
+    val rows = SparkEntry.queries("r_recursive_cte")(spark, dir).collect()
+    // every document is reached exactly once: depth counts sum to the
+    // corpus size and each level is at most double the previous
+    val total = rows.map(_.getLong(1)).sum
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total === n, s"recursion reached $total of $n docs")
+    val byDepth = rows.map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    byDepth.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(b <= 2 * a, byDepth.mkString(","))
+      case _ => ()
+    }
+  }
+
   test("vocab coverage: top-200 via TakeOrderedAndProject, window only over the survivors") {
     val p = plan("d_vocab_coverage")
     // each partition keeps 200 rows; no task ever sorts the full vocab
