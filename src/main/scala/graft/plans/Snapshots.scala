@@ -757,14 +757,46 @@ object Snapshots {
       val vf = readVersionFile(s, root, v, branch)
       org.apache.spark.sql.Row(
         v, vf.tag.orNull,
-        vf.refs.count(_.nRows > 0), vf.refs.map(_.nRows).sum)
+        vf.refs.count(_.nRows > 0), vf.refs.map(_.nRows).sum,
+        vf.ts.map(Long.box).orNull)
     }
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       org.apache.spark.sql.types.StructType.fromDDL(
-        "version INT, tag STRING, n_splits INT, n_rows BIGINT"))
+        "version INT, tag STRING, n_splits INT, n_rows BIGINT, " +
+          "committed_at_ms BIGINT"))
   }
+
+  /** TIMESTAMP AS OF: the largest live main version committed at or
+    * before `epochMillis`, from the `#ts=` stamps in the version files.
+    * Stamps are MONOTONIZED on read (running max up the chain), so a
+    * committer with a backwards-stepping clock can never make time
+    * travel non-monotone; versions written before stamping existed sort
+    * as epoch 0. Refuses when every live version is newer (or the
+    * matching version was vacuumed — the retention contract). */
+  def versionAsOf(s: SparkSession, root: String, epochMillis: Long): Int = {
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dirP)
+    var runningTs = 0L
+    var best = 0
+    versions.foreach { v =>
+      runningTs = math.max(runningTs,
+        readVersionFile(s, root, v).ts.getOrElse(0L))
+      if (runningTs <= epochMillis) best = v
+    }
+    if (best == 0)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"no version at $root committed at or before $epochMillis — " +
+          versions.headOption.fold("the store is empty")(v =>
+            s"the oldest live version is v$v (older ones may have been vacuumed)")))
+    best
+  }
+
+  /** [[readAt]] the version [[versionAsOf]] resolves. */
+  def readAsOf(s: SparkSession, root: String, epochMillis: Long): DataFrame =
+    readAt(s, root, versionAsOf(s, root, epochMillis))
 
   /** The LSM consolidation as one call: rewrite the LATEST version's
     * content into a single fresh version whose refs all point at one
@@ -1124,6 +1156,7 @@ object Snapshots {
       fork: Option[Int] = None): Unit = {
     def cell(o: Option[String]): String = o.map(escape).getOrElse("~")
     val body = (Seq(schema.toDDL) ++
+      Seq(s"#ts=${System.currentTimeMillis()}") ++
       tag.map(t => s"#tag=${escape(t)}") ++
       fork.map(f => s"#fork=$f") ++
       (if (statsCols.isEmpty) Nil
@@ -1211,7 +1244,8 @@ object Snapshots {
   private final case class VersionFile(
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String],
-      statsCols: IndexedSeq[String], fork: Option[Int] = None)
+      statsCols: IndexedSeq[String], fork: Option[Int] = None,
+      ts: Option[Long] = None)
 
   private def readVersionFile(s: SparkSession, root: String, v: Int,
       branch: Option[String] = None): VersionFile = {
@@ -1240,7 +1274,9 @@ object Snapshots {
       .map(l => unescape(l.stripPrefix("#tag=")))
     val fork = lines.find(_.startsWith("#fork="))
       .flatMap(_.stripPrefix("#fork=").toIntOption)
-    VersionFile(schema, refs, tag, statsCols, fork)
+    val ts = lines.find(_.startsWith("#ts="))
+      .flatMap(_.stripPrefix("#ts=").toLongOption)
+    VersionFile(schema, refs, tag, statsCols, fork, ts)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */

@@ -861,6 +861,34 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root2.toFile)
   }
 
+  test("readAsOf resolves time-travel by commit timestamp") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      Thread.sleep(5) // force distinct commit stamps
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      Thread.sleep(5)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "b", "three"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      val ts = Snapshots.history(spark, root.toString)
+        .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+      assert(ts.keySet === Set(1, 2, 3))
+      assert(Snapshots.versionAsOf(spark, root.toString, ts(2)) === 2)
+      assert(Snapshots.readAsOf(spark, root.toString, ts(2))
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      // a time after the head resolves to the head; before v1 refuses
+      assert(Snapshots.versionAsOf(spark, root.toString,
+        ts(3) + 1000000L) === 3)
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.versionAsOf(spark, root.toString, ts(1) - 1L)
+      }
+      assert(e.getMessage.contains("at or before"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("consolidate rewrites the head into one dir, carrying stats; vacuum then frees the chain") {
     val root = freshRoot()
     try {
