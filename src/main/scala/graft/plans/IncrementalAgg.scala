@@ -44,9 +44,27 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** View definition: group-by columns plus numeric columns to sum.
-    * Fixed at [[materialize]] time and recorded in the meta file. */
-  final case class Spec(groupCols: Seq[String], sumCols: Seq[String])
+  /** View definition: group-by columns, numeric columns to sum, and
+    * columns to track approximate distinct counts for (`ndv_<c>`,
+    * DataSketches HLL via Spark's `hll_sketch_agg`). Fixed at
+    * [[materialize]] time and recorded in the meta file.
+    *
+    * NDV caveat: HLL sketches MERGE but cannot RETRACT, so a view with
+    * `ndvCols` refreshes only over ADD-ONLY diffs (the streaming-ingest
+    * shape) — a diff carrying removes or updates refuses loudly and the
+    * caller re-materializes (the audit path). Count and sum measures
+    * carry no such restriction. */
+  final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
+      ndvCols: Seq[String] = Nil)
+
+  /** lgK for the view's HLL sketches (2^12 registers ≈ 1.6% rse —
+    * dashboard-grade; fixed so stored and delta sketches always merge). */
+  private val NdvLgK = 12
+
+  /** Estimate column for a tracked NDV sketch at read time:
+    * `ndvEstimate("lang")` over [[read]]'s frame. */
+  def ndvEstimate(c: String): Column =
+    expr(s"hll_sketch_estimate(ndv_$c)").as(s"ndv_$c")
 
   private val MetaFile = "_agg.meta"
 
@@ -58,7 +76,7 @@ object IncrementalAgg {
     val head = Snapshots.latestVersion(s, root)
     require(head >= 1, s"materialize on an empty store at $root")
     val base = Snapshots.readAt(s, root, head)
-    val missing = (spec.groupCols ++ spec.sumCols)
+    val missing = (spec.groupCols ++ spec.sumCols ++ spec.ndvCols)
       .filterNot(base.columns.contains)
     if (missing.nonEmpty)
       throw graft.core.GraftAnalysisException(
@@ -73,7 +91,9 @@ object IncrementalAgg {
             s"column '$c' has type ${base.schema(c).dataType.sql}").toIndexedSeq)
     val view = base.groupBy(spec.groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        spec.sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        spec.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          spec.ndvCols.map(c =>
+            expr(s"hll_sketch_agg($c, $NdvLgK)").as(s"ndv_$c")): _*)
     writeView(s, viewPath, view, head, spec)
     head
   }
@@ -89,20 +109,48 @@ object IncrementalAgg {
         "was built against a different (or recreated) store")
     if (head == last) return last
 
-    val ch = Snapshots.changesWithOld(s, root, last, head)
+    val ch0 = Snapshots.changesWithOld(s, root, last, head)
+    val ch =
+      if (spec.ndvCols.isEmpty) ch0
+      else {
+        // sketches merge but cannot retract: an ndv-tracking view is
+        // maintainable over ADD-ONLY diffs only (the streaming-ingest
+        // shape). Anything else refuses — re-materialize instead.
+        val p = ch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val blocking = p.filter(col("change") =!= "add")
+          .groupBy(col("change")).count().collect()
+        if (blocking.nonEmpty) {
+          p.unpersist(blocking = false): Unit
+          throw graft.core.GraftAnalysisException(
+            (s"view at $viewPath tracks approximate distinct counts " +
+              s"(${spec.ndvCols.mkString(", ")}), which merge but cannot " +
+              "retract — the diff v" + last + "..v" + head + " is not " +
+              "add-only; re-materialize the view instead") +:
+              blocking.map(r =>
+                s"${r.getLong(1)} '${r.getString(0)}' changes").toIndexedSeq)
+        }
+        p
+      }
     def oldCol(c: String): Column =
       if (c == "doc_id") col("doc_id") else col(s"__old.$c")
     val plus = ch.filter(col("change") =!= "remove")
       .select((spec.groupCols.map(col) :+ lit(1L).as("__dn")) ++
-        spec.sumCols.map(c => col(c).as(s"__ds_$c")): _*)
+        spec.sumCols.map(c => col(c).as(s"__ds_$c")) ++
+        spec.ndvCols.map(c => col(c).as(s"__dv_$c")): _*)
     val minus = ch.filter(col("change") =!= "add")
       .select((spec.groupCols.map(c => oldCol(c).as(c)) :+
         lit(-1L).as("__dn")) ++
-        spec.sumCols.map(c => (-oldCol(c)).as(s"__ds_$c")): _*)
+        spec.sumCols.map(c => (-oldCol(c)).as(s"__ds_$c")) ++
+        // unreachable when ndvCols is non-empty (add-only enforced);
+        // typed null keeps the union shape aligned
+        spec.ndvCols.map(c => lit(null).cast(ch.schema(c).dataType)
+          .as(s"__dv_$c")): _*)
     val delta = plus.unionByName(minus)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(sum(col("__dn")).as("__dn"),
-        spec.sumCols.map(c => sum(col(s"__ds_$c")).as(s"__ds_$c")): _*)
+        spec.sumCols.map(c => sum(col(s"__ds_$c")).as(s"__ds_$c")) ++
+          spec.ndvCols.map(c =>
+            expr(s"hll_sketch_agg(__dv_$c, $NdvLgK)").as(s"__dv_$c")): _*)
 
     val stored = read(s, viewPath)
     // full-outer merge on NULL-SAFE group equality: groupBy treats null
@@ -123,9 +171,17 @@ object IncrementalAgg {
           val st = col(s"sum_$c")
           val d = col(s"__ds_$c")
           when(st.isNull, d).when(d.isNull, st).otherwise(st + d).as(s"sum_$c")
+        } ++
+        spec.ndvCols.map { c =>
+          val st = col(s"ndv_$c")
+          val d = col(s"__dv_$c")
+          when(st.isNull, d).when(d.isNull, st)
+            .otherwise(expr(s"hll_union(ndv_$c, __dv_$c)")).as(s"ndv_$c")
         }: _*)
       .filter(col("n_docs") > 0L)
-    writeView(s, viewPath, merged, head, spec)
+    try {
+      writeView(s, viewPath, merged, head, spec)
+    } finally if (spec.ndvCols.nonEmpty) ch.unpersist(blocking = false): Unit
     head
   }
 
@@ -152,7 +208,8 @@ object IncrementalAgg {
     val meta = Seq(
       s"$version\t$dataDir",
       spec.groupCols.map(esc).mkString(","),
-      spec.sumCols.map(esc).mkString(",")).mkString("", "\n", "\n")
+      spec.sumCols.map(esc).mkString(","),
+      spec.ndvCols.map(esc).mkString(",")).mkString("", "\n", "\n")
     val dirP = new org.apache.hadoop.fs.Path(viewPath)
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirP): Unit
@@ -203,7 +260,9 @@ object IncrementalAgg {
     val Array(v, dataDir) = lines(0).split("\t", 2)
     def cols(l: String): Seq[String] =
       if (l.isEmpty) Nil else l.split(",").toIndexedSeq.map(unesc)
-    (v.toInt, Spec(cols(lines(1)), cols(lines(2))), dataDir)
+    (v.toInt,
+      Spec(cols(lines(1)), cols(lines(2)), cols(lines.lift(3).getOrElse(""))),
+      dataDir)
   }
 
   private def esc(x: String): String = java.net.URLEncoder.encode(x, "UTF-8")

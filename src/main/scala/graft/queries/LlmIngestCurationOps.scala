@@ -974,6 +974,59 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM d GROUP BY split, lang""".stripMargin
 
+  /** NDV-TRACKING VIEW gate ([[graft.plans.IncrementalAgg]] with
+    * `ndvCols`): the per-split rollup carries a DataSketches HLL sketch
+    * of doc_id, materialized over the %3 slice and incrementally MERGED
+    * (sketches union, they don't recount) when the rest of the corpus
+    * arrives as an add-only delta. doc_id is unique, so each split's
+    * exact distinct count IS its row count — the oracle-computable
+    * truth — and the sketch estimate must land within 5σ of it or the
+    * job aborts via `raise_error` (the [[graft.queries.Relational
+    * .approxDistinct]] verdict discipline: the hashed output carries
+    * only exact values plus an enforced-true verdict). */
+  def viewNdvIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, IncrementalAgg, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_ndv_store")
+    val view = java.nio.file.Files.createTempDirectory("graft_ndv_view")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"))
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), root.toString)
+      require(IncrementalAgg.materialize(s, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Nil, ndvCols = Seq("doc_id"))) == 1)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        removedIds = d.select(col("split"), col("doc_id")).limit(0))
+      require(IncrementalAgg.refresh(s, root.toString, view.toString) == 2,
+        "ndv view refresh did not reach the store head")
+      val rse = 1.04 / math.sqrt(1 << 12) // lgK=12 HLL relative std error
+      IncrementalAgg.read(s, view.toString)
+        .select(col("split"), col("n_docs"),
+          expr("hll_sketch_estimate(ndv_doc_id)").as("est"))
+        .select(col("split"), col("n_docs"),
+          when(abs(col("est").cast("double") - col("n_docs").cast("double"))
+              <= lit(5 * rse) * col("n_docs").cast("double"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("merged NDV estimate outside 5*rse for split "),
+              col("split"), lit(": est="), col("est").cast("string"),
+              lit(" exact="), col("n_docs").cast("string"))))
+            .as("within_bound"))
+        .graftCheckpoint()
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(view.toFile)
+    }
+  }
+
+  /** Mirrors [[viewNdvIncr]]: doc_id is unique, so the exact distinct
+    * per split is the row count; the verdict is enforced in-engine. */
+  lazy val viewNdvIncrSql: String =
+    """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
+      |  COUNT(*) AS n_docs, TRUE AS within_bound
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** BRANCH-AND-MERGE gate ([[graft.plans.Snapshots.createBranch]] /
     * [[graft.plans.Snapshots.mergeBranch]]): main commits the corpus
     * without the %5 slice, an experiment branch forks at v1 and commits

@@ -152,6 +152,47 @@ class IncrementalAggSpec extends SparkTestBase {
       CorpusExport.deleteRecursively(p.toFile))
   }
 
+  test("ndv sketches merge across add-only refreshes; non-add-only diffs refuse") {
+    val root = freshDir("graft_iagg_ndv")
+    val view = freshDir("graft_iagg_ndv_view")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "x", 1), doc(2, "a", "y", 2), doc(3, "b", "x", 3))),
+        root.toString)
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Nil, ndvCols = Seq("text"))): Unit
+      // add-only delta: new docs, one repeating an existing text value
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(4, "a", "x", 4), doc(5, "b", "z", 5))),
+        removedIds = noRm)
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      // HLL is exact at this cardinality: a={x,y} -> 2, b={x,z} -> 2
+      val est = IncrementalAgg.read(spark, view.toString)
+        .select(col("split"), col("n_docs"),
+          IncrementalAgg.ndvEstimate("text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(est === Set(("a", 3L, 2L), ("b", 2L, 2L)))
+
+      // a remove makes the diff non-add-only: the ndv view refuses
+      Snapshots.commitDelta(spark, root.toString, adds = df(Nil),
+        removedIds = df(Seq(doc(1, "a", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      val e = intercept[graft.core.GraftAnalysisException] {
+        IncrementalAgg.refresh(spark, root.toString, view.toString)
+      }
+      assert(e.getMessage.contains("not add-only") &&
+        e.getMessage.contains("'remove'"))
+      // the audit path still works: re-materialize at the head
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Nil, ndvCols = Seq("text"))): Unit
+      assert(IncrementalAgg.read(spark, view.toString)
+        .select(col("split"), IncrementalAgg.ndvEstimate("text"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("a", 2L), ("b", 2L))) // a={x,y} still (doc 4 has x), b={x,z}
+    } finally Seq(root, view).foreach(p =>
+      CorpusExport.deleteRecursively(p.toFile))
+  }
+
   test("typed refusals: bad spec, missing view, recreated store") {
     val root = freshDir("graft_iagg_bad")
     val view = freshDir("graft_iagg_bad_view")
