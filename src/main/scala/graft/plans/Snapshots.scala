@@ -136,8 +136,23 @@ object Snapshots {
     * the stats columns inside each split, so parquet row-group min/max
     * pushdown bites WITHIN the splits that do get read. */
   def commitFull(s: SparkSession, df: DataFrame, root: String,
-      statsCols: Seq[String]): Int = {
+      statsCols: Seq[String]): Int =
+    commitFull(s, df, root, statsCols, Nil)
+
+  /** [[commitFull]] with CHECK CONSTRAINTS — boolean SQL expressions
+    * over the stored columns that every commit must satisfy (standard
+    * CHECK semantics: a row violates only when the expression is FALSE;
+    * null passes). The constraints are recorded in the version file and
+    * ENFORCED ON EVERY LATER DELTA's adds before anything is written —
+    * a violating commit refuses listing each failed constraint, its
+    * violation count and sample doc_ids. The store's data contract: bad
+    * rows are stopped at the door, not discovered by a consumer three
+    * jobs downstream. Redefine constraints with a fresh `commitFull`
+    * (a full rewrite is a new contract). */
+  def commitFull(s: SparkSession, df: DataFrame, root: String,
+      statsCols: Seq[String], constraints: Seq[String]): Int = {
     validateStatsCols(root, df.schema, statsCols)
+    checkConstraints(root, df, constraints, "commitFull seed data")
     val v = latestVersion(s, root) + 1
     val dir = attemptDir(v)
     val toWrite =
@@ -151,8 +166,46 @@ object Snapshots {
       .option("basePath", s"$root/$dir")
       .parquet(s"$root/$dir")
     val refs = collectRefs(written, dir, statsCols).values.toIndexedSeq
-    writeVersionFile(s, root, v, df.schema, refs, None, statsCols)
+    writeVersionFile(s, root, v, df.schema, refs, None, statsCols,
+      constraints = constraints)
     v
+  }
+
+  /** Enforce CHECK constraints on `rows` in ONE aggregation pass
+    * (per-constraint violation counts via conditional sums); only a
+    * violated commit pays the second pass that fetches sample doc_ids
+    * for the refusal message. */
+  private def checkConstraints(root: String, rows: DataFrame,
+      constraints: Seq[String], what: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val counts =
+      try {
+        val aggs = constraints.zipWithIndex.map { case (c, i) =>
+          sum(when(!sqlExpr(c), 1L).otherwise(0L)).as(s"__v$i")
+        }
+        rows.agg(aggs.head, aggs.drop(1): _*).collect()(0)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw graft.core.GraftAnalysisException(Seq(
+            s"invalid CHECK constraint on the store at $root " +
+              s"(must be a boolean SQL expression over stored columns): " +
+              e.getMessage))
+      }
+    val errs = constraints.zipWithIndex.flatMap { case (c, i) =>
+      val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (n == 0L) None
+      else {
+        val sample = rows.filter(!sqlExpr(c)).select(col("doc_id"))
+          .limit(5).collect().map(_.get(0)).mkString(", ")
+        Some(s"CHECK ($c) violated by $n row(s), e.g. doc_id $sample")
+      }
+    }
+    if (errs.nonEmpty) {
+      val header = s"$what violates the store's constraints at $root — " +
+        "nothing was written"
+      throw graft.core.GraftAnalysisException(header +: errs.toIndexedSeq)
+    }
   }
 
   /** Per-split refs (row count + stats cells) of freshly-written files,
@@ -292,6 +345,10 @@ object Snapshots {
     // source, which must not be recomputed per action
     val addsP = adds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the store's data contract, enforced at the door: a delta whose
+      // adds violate a recorded CHECK refuses before anything is written
+      checkConstraints(root, addsP, vfBase.constraints,
+        s"commitDelta v$v adds" + branch.fold("")(b => s" (branch '$b')"))
       // affected = splits receiving adds ∪ splits losing docs. Bounded
       // driver collect: one row per AFFECTED split (a daily delta touches
       // few of many splits — the design point). Split-keyed removals read
@@ -343,7 +400,8 @@ object Snapshots {
             touchedRefs.getOrElse(sp, SplitRef(sp, dir, 0L, emptyCells)))
           kept ++ touched
         }
-      writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols, branch)
+      writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols, branch,
+        constraints = vfBase.constraints)
       tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
       v
     } finally {
@@ -800,17 +858,18 @@ object Snapshots {
 
   /** The LSM consolidation as one call: rewrite the LATEST version's
     * content into a single fresh version whose refs all point at one
-    * dir, carrying the store's statsCols forward — after which
-    * `vacuum` can drop the long delta chain's dirs. Equivalent to
-    * `commitFull(readAt(latest), root, statsCols-of-latest)`, which a
-    * caller should not have to hand-roll (forgetting statsCols would
-    * silently stop data skipping at the consolidation point). Returns
-    * the new version. */
+    * dir, carrying the store's statsCols AND check constraints forward
+    * — after which `vacuum` can drop the long delta chain's dirs.
+    * Equivalent to `commitFull(readAt(latest), root, statsCols,
+    * constraints)`, which a caller should not have to hand-roll
+    * (forgetting either would silently drop data skipping or the data
+    * contract at the consolidation point). Returns the new version. */
   def consolidate(s: SparkSession, root: String): Int = {
     val latest = latestVersion(s, root)
     require(latest >= 1, s"consolidate on an empty store at $root")
     val vf = readVersionFile(s, root, latest)
-    commitFull(s, readRefs(s, root, vf.schema, vf.refs), root, vf.statsCols)
+    commitFull(s, readRefs(s, root, vf.schema, vf.refs), root,
+      vf.statsCols, vf.constraints)
   }
 
   /** The main-chain version a TAG committed, if any — the consumer-side
@@ -849,7 +908,7 @@ object Snapshots {
           "pick another name"))
     val vf = readVersionFile(s, root, fromVersion)
     writeVersionFile(s, root, 1, vf.schema, vf.refs, None, vf.statsCols,
-      Some(name), fork = Some(fromVersion))
+      Some(name), fork = Some(fromVersion), constraints = vf.constraints)
   }
 
   /** Live branch names at `root` (ones with at least one committed
@@ -1153,12 +1212,13 @@ object Snapshots {
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String] = None,
       statsCols: Seq[String] = Nil, branch: Option[String] = None,
-      fork: Option[Int] = None): Unit = {
+      fork: Option[Int] = None, constraints: Seq[String] = Nil): Unit = {
     def cell(o: Option[String]): String = o.map(escape).getOrElse("~")
     val body = (Seq(schema.toDDL) ++
       Seq(s"#ts=${System.currentTimeMillis()}") ++
       tag.map(t => s"#tag=${escape(t)}") ++
       fork.map(f => s"#fork=$f") ++
+      constraints.map(c => s"#check=${escape(c)}") ++
       (if (statsCols.isEmpty) Nil
        else Seq(s"#stats=${statsCols.map(escape).mkString(",")}")) ++
       refs.sortBy(_.split).map { r =>
@@ -1245,7 +1305,8 @@ object Snapshots {
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String],
       statsCols: IndexedSeq[String], fork: Option[Int] = None,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      constraints: IndexedSeq[String] = IndexedSeq.empty)
 
   private def readVersionFile(s: SparkSession, root: String, v: Int,
       branch: Option[String] = None): VersionFile = {
@@ -1276,7 +1337,9 @@ object Snapshots {
       .flatMap(_.stripPrefix("#fork=").toIntOption)
     val ts = lines.find(_.startsWith("#ts="))
       .flatMap(_.stripPrefix("#ts=").toLongOption)
-    VersionFile(schema, refs, tag, statsCols, fork, ts)
+    val constraints = lines.filter(_.startsWith("#check="))
+      .map(l => unescape(l.stripPrefix("#check=")))
+    VersionFile(schema, refs, tag, statsCols, fork, ts, constraints)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */

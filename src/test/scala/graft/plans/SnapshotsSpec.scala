@@ -861,6 +861,66 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root2.toFile)
   }
 
+  test("CHECK constraints stop violating deltas at the door, survive branches and consolidate") {
+    val root = freshRoot()
+    try {
+      import spark.implicits._
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one").copy(_4 = 3L), doc(2, "b", "two").copy(_4 = 5L))),
+        root.toString, statsCols = Nil,
+        constraints = Seq("n_tokens > 0", "length(text) >= 3"))
+      // a violating delta refuses, naming the constraint, count and ids
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(3, "a", "ok").copy(_4 = 0L),
+            doc(4, "a", "fine").copy(_4 = -1L))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+      }
+      assert(e.getMessage.contains("CHECK (n_tokens > 0) violated by 2 row(s)"))
+      assert(e.getMessage.contains("CHECK (length(text) >= 3) violated by 1 row(s)"))
+      assert(e.getMessage.contains("nothing was written"))
+      assert(Snapshots.latestVersion(spark, root.toString) === 1)
+
+      // null passes (standard CHECK semantics); a clean delta commits
+      val nullRow = Seq((5L, "a", "five", None: Option[Long]))
+        .toDF("doc_id", "split", "text", "n_tokens")
+      assert(Snapshots.commitDelta(spark, root.toString,
+        adds = nullRow,
+        removedIds = df(Nil).select(col("split"), col("doc_id"))) === 2)
+
+      // branches inherit the contract
+      Snapshots.createBranch(spark, root.toString, "exp", 2)
+      val eb = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(6, "a", "x").copy(_4 = 1L))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")),
+          tag = None, branch = Some("exp"))
+      }
+      assert(eb.getMessage.contains("length(text) >= 3"))
+
+      // consolidate carries the contract forward
+      val v3 = Snapshots.consolidate(spark, root.toString)
+      val ec = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(7, "a", "seven").copy(_4 = 0L))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+      }
+      assert(ec.getMessage.contains("n_tokens > 0") && v3 === 3)
+
+      // a seed violating its own constraints refuses; bad exprs refuse
+      val e2 = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitFull(spark, df(Seq(doc(9, "a", "x"))),
+          root.toString, Nil, Seq("n_tokens > 100"))
+      }
+      assert(e2.getMessage.contains("commitFull seed data"))
+      val e3 = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitFull(spark, df(Seq(doc(9, "a", "nine"))),
+          root.toString, Nil, Seq("no_such_col > 0"))
+      }
+      assert(e3.getMessage.contains("invalid CHECK constraint"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("readAsOf resolves time-travel by commit timestamp") {
     val root = freshRoot()
     try {
