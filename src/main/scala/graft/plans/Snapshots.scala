@@ -150,14 +150,30 @@ object Snapshots {
     * jobs downstream. Redefine constraints with a fresh `commitFull`
     * (a full rewrite is a new contract). */
   def commitFull(s: SparkSession, df: DataFrame, root: String,
-      statsCols: Seq[String], constraints: Seq[String]): Int = {
+      statsCols: Seq[String], constraints: Seq[String]): Int =
+    commitFull(s, df, root, statsCols, constraints, zorder = false)
+
+  /** [[commitFull]] with Z-ORDER clustering: rows cluster inside each
+    * split by the Morton-interleaved key of the (numeric, ≥2) stats
+    * columns ([[Layout.zValue]]) instead of their lexicographic order —
+    * each parquet file/row-group covers a small HYPERCUBE in stats
+    * space, so predicates on ANY tracked dimension skip row groups
+    * within the splits that survive manifest pruning (a lexicographic
+    * sort only serves its leading column). Costs one range exchange per
+    * commit (the same shuffle [[Layout.zorderWrite]] pays); the choice
+    * is recorded in the version file and every later delta re-clusters
+    * the splits it rewrites. */
+  def commitFull(s: SparkSession, df: DataFrame, root: String,
+      statsCols: Seq[String], constraints: Seq[String],
+      zorder: Boolean): Int = {
     validateStatsCols(root, df.schema, statsCols)
+    if (zorder) validateZOrder(root, df.schema, statsCols)
     checkConstraints(root, df, constraints, "commitFull seed data")
     val v = latestVersion(s, root) + 1
     val dir = attemptDir(v)
     val toWrite =
       if (statsCols.isEmpty) df
-      else df.sortWithinPartitions(("split" +: statsCols).map(col): _*)
+      else cluster(df, statsCols, zorder)
     toWrite.write.mode("overwrite").partitionBy("split")
       .parquet(s"$root/$dir")
     // explicit schema: an EMPTY corpus writes no part files, and an
@@ -167,8 +183,44 @@ object Snapshots {
       .parquet(s"$root/$dir")
     val refs = collectRefs(written, dir, statsCols).values.toIndexedSeq
     writeVersionFile(s, root, v, df.schema, refs, None, statsCols,
-      constraints = constraints)
+      constraints = constraints, zorder = zorder)
     v
+  }
+
+  /** In-split clustering of a frame about to be written `partitionBy
+    * ("split")`: lexicographic by the stats columns (no shuffle — rides
+    * the writer's own per-task ordering), or Morton z-order (one range
+    * exchange so files cover disjoint z-intervals, then an in-partition
+    * sort). An empty frame short-circuits: [[Layout.dimRanges]] has no
+    * bounds to quantize against, and there is nothing to cluster. */
+  private def cluster(df: DataFrame, statsCols: Seq[String],
+      zorder: Boolean): DataFrame =
+    if (!zorder) df.sortWithinPartitions(("split" +: statsCols).map(col): _*)
+    else if (df.isEmpty) df
+    else {
+      val ranges = Layout.dimRanges(df, statsCols)
+      // EXPLICIT partition count (the session's tuned shuffle width):
+      // an unsized range repartition is fair game for AQE coalescing,
+      // which would collapse the z-intervals into one file and silently
+      // lose every row-group bound this clustering exists for
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.withColumn("__zval", Layout.zValue(statsCols, ranges))
+        .repartitionByRange(n, col("split"), col("__zval"))
+        .sortWithinPartitions(col("split"), col("__zval"))
+        .drop("__zval")
+    }
+
+  private def validateZOrder(root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String]): Unit = {
+    val bad = statsCols.filterNot(c => schema.fields.find(_.name == c)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    if (statsCols.size < 2 || bad.nonEmpty) {
+      val header = s"z-ordered commits at $root need >= 2 NUMERIC stats " +
+        "columns (the Morton key interleaves their quantized bits)"
+      throw graft.core.GraftAnalysisException(
+        header +: bad.map(c => s"stats column '$c' is not numeric").toIndexedSeq)
+    }
   }
 
   /** Enforce CHECK constraints on `rows` in ONE aggregation pass
@@ -382,8 +434,7 @@ object Snapshots {
               .select(widened.fieldNames.map(col).toIndexedSeq: _*))
           val rewritten =
             if (statsCols.isEmpty) rewritten0
-            else rewritten0.sortWithinPartitions(
-              ("split" +: statsCols).map(col): _*)
+            else cluster(rewritten0, statsCols, vfBase.zorder)
           rewritten.write.mode("overwrite").partitionBy("split")
             .parquet(s"$root/$dir")
           // read-back counts + stats from the WRITTEN files (the manifest
@@ -401,7 +452,7 @@ object Snapshots {
           kept ++ touched
         }
       writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols, branch,
-        constraints = vfBase.constraints)
+        constraints = vfBase.constraints, zorder = vfBase.zorder)
       tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
       v
     } finally {
@@ -869,7 +920,7 @@ object Snapshots {
     require(latest >= 1, s"consolidate on an empty store at $root")
     val vf = readVersionFile(s, root, latest)
     commitFull(s, readRefs(s, root, vf.schema, vf.refs), root,
-      vf.statsCols, vf.constraints)
+      vf.statsCols, vf.constraints, vf.zorder)
   }
 
   /** The main-chain version a TAG committed, if any — the consumer-side
@@ -908,7 +959,8 @@ object Snapshots {
           "pick another name"))
     val vf = readVersionFile(s, root, fromVersion)
     writeVersionFile(s, root, 1, vf.schema, vf.refs, None, vf.statsCols,
-      Some(name), fork = Some(fromVersion), constraints = vf.constraints)
+      Some(name), fork = Some(fromVersion), constraints = vf.constraints,
+      zorder = vf.zorder)
   }
 
   /** Live branch names at `root` (ones with at least one committed
@@ -1212,13 +1264,15 @@ object Snapshots {
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef], tag: Option[String] = None,
       statsCols: Seq[String] = Nil, branch: Option[String] = None,
-      fork: Option[Int] = None, constraints: Seq[String] = Nil): Unit = {
+      fork: Option[Int] = None, constraints: Seq[String] = Nil,
+      zorder: Boolean = false): Unit = {
     def cell(o: Option[String]): String = o.map(escape).getOrElse("~")
     val body = (Seq(schema.toDDL) ++
       Seq(s"#ts=${System.currentTimeMillis()}") ++
       tag.map(t => s"#tag=${escape(t)}") ++
       fork.map(f => s"#fork=$f") ++
       constraints.map(c => s"#check=${escape(c)}") ++
+      (if (zorder) Seq("#zorder=1") else Nil) ++
       (if (statsCols.isEmpty) Nil
        else Seq(s"#stats=${statsCols.map(escape).mkString(",")}")) ++
       refs.sortBy(_.split).map { r =>
@@ -1306,7 +1360,8 @@ object Snapshots {
       refs: Seq[SplitRef], tag: Option[String],
       statsCols: IndexedSeq[String], fork: Option[Int] = None,
       ts: Option[Long] = None,
-      constraints: IndexedSeq[String] = IndexedSeq.empty)
+      constraints: IndexedSeq[String] = IndexedSeq.empty,
+      zorder: Boolean = false)
 
   private def readVersionFile(s: SparkSession, root: String, v: Int,
       branch: Option[String] = None): VersionFile = {
@@ -1339,7 +1394,8 @@ object Snapshots {
       .flatMap(_.stripPrefix("#ts=").toLongOption)
     val constraints = lines.filter(_.startsWith("#check="))
       .map(l => unescape(l.stripPrefix("#check=")))
-    VersionFile(schema, refs, tag, statsCols, fork, ts, constraints)
+    val zorder = lines.contains("#zorder=1")
+    VersionFile(schema, refs, tag, statsCols, fork, ts, constraints, zorder)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */

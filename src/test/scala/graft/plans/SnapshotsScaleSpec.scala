@@ -76,4 +76,64 @@ class SnapshotsScaleSpec extends SparkTestBase {
       }
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  /** Rows surviving parquet row-group/file pruning for `filterExpr` over
+    * a store read (scan-node numOutputRows; AQE off so the executed tree
+    * is directly traversable) — the LayoutSpec measurement. */
+  private def rowsScanned(root: String, v: Int, filterExpr: String): Long = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = Snapshots.readAt(spark, root, v).filter(filterExpr)
+        .queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("z-ordered commits skip row groups on the SECOND stats dimension; deltas re-cluster") {
+    val zroot = java.nio.file.Files.createTempDirectory("graft_snap_z")
+    val lroot = java.nio.file.Files.createTempDirectory("graft_snap_lex")
+    try {
+      // one split, two independent dimensions: a walks 0..142, b cycles
+      val d = spark.range(20000).select(
+        col("id").as("doc_id"), lit("s0").as("split"),
+        (col("id") / 140).cast("long").as("a"),
+        pmod(col("id"), lit(140)).as("b"))
+      Snapshots.commitFull(spark, d, zroot.toString,
+        statsCols = Seq("a", "b"), constraints = Nil, zorder = true)
+      Snapshots.commitFull(spark, d, lroot.toString,
+        statsCols = Seq("a", "b")) // lexicographic: b unserved
+      val total = 20000L
+      val zRows = rowsScanned(zroot.toString, 1, "b = 7")
+      val lRows = rowsScanned(lroot.toString, 1, "b = 7")
+      assert(lRows >= (total * 0.9).toLong,
+        s"lexicographic layout unexpectedly skipped on b: $lRows of $total")
+      assert(zRows <= (total * 0.7).toLong,
+        s"z layout skipped nothing on b: $zRows of $total")
+      // results identical either way
+      assert(Snapshots.readAtWhere(spark, zroot.toString, 1, col("b") === 7)
+        .count() ===
+        Snapshots.readAtWhere(spark, lroot.toString, 1, col("b") === 7).count())
+
+      // a delta rewrite KEEPS the clustering (the version file carries it)
+      val upd = d.filter(col("doc_id") < 20)
+        .withColumn("a", col("a") + 0L)
+      Snapshots.commitDelta(spark, zroot.toString, adds = upd,
+        removedIds = upd.select(col("split"), col("doc_id")).limit(0))
+      assert(rowsScanned(zroot.toString, 2, "b = 7") <= (total * 0.7).toLong)
+
+      // refusals: z-order needs >= 2 numeric stats columns
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitFull(spark, d, zroot.toString,
+          statsCols = Seq("a"), constraints = Nil, zorder = true)
+      }
+      assert(e.getMessage.contains(">= 2 NUMERIC"))
+    } finally {
+      CorpusExport.deleteRecursively(zroot.toFile)
+      CorpusExport.deleteRecursively(lroot.toFile)
+    }
+  }
 }
