@@ -64,7 +64,7 @@ object IncrementalAgg {
   /** Estimate column for a tracked NDV sketch at read time:
     * `ndvEstimate("lang")` over [[read]]'s frame. */
   def ndvEstimate(c: String): Column =
-    expr(s"hll_sketch_estimate(ndv_$c)").as(s"ndv_$c")
+    expr(s"hll_sketch_estimate(`ndv_$c`)").as(s"ndv_$c")
 
   private val MetaFile = "_agg.meta"
 
@@ -93,7 +93,7 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("n_docs"),
         spec.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
           spec.ndvCols.map(c =>
-            expr(s"hll_sketch_agg($c, $NdvLgK)").as(s"ndv_$c")): _*)
+            expr(s"hll_sketch_agg(`$c`, $NdvLgK)").as(s"ndv_$c")): _*)
     writeView(s, viewPath, view, head, spec)
     head
   }
@@ -150,7 +150,7 @@ object IncrementalAgg {
       .agg(sum(col("__dn")).as("__dn"),
         spec.sumCols.map(c => sum(col(s"__ds_$c")).as(s"__ds_$c")) ++
           spec.ndvCols.map(c =>
-            expr(s"hll_sketch_agg(__dv_$c, $NdvLgK)").as(s"__dv_$c")): _*)
+            expr(s"hll_sketch_agg(`__dv_$c`, $NdvLgK)").as(s"__dv_$c")): _*)
 
     val stored = read(s, viewPath)
     // full-outer merge on NULL-SAFE group equality: groupBy treats null
@@ -176,7 +176,7 @@ object IncrementalAgg {
           val st = col(s"ndv_$c")
           val d = col(s"__dv_$c")
           when(st.isNull, d).when(d.isNull, st)
-            .otherwise(expr(s"hll_union(ndv_$c, __dv_$c)")).as(s"ndv_$c")
+            .otherwise(expr(s"hll_union(`ndv_$c`, `__dv_$c`)")).as(s"ndv_$c")
         }: _*)
       .filter(col("n_docs") > 0L)
     try {
