@@ -71,7 +71,22 @@ import org.apache.spark.sql.functions._
   * splits correlate with the column reads only the splits that can
   * match, never the corpus. Pruning is a pure optimization: the full
   * predicate is still applied to the surviving scan, so the result is
-  * exact whether or not any constraint was extractable.
+  * exact whether or not any constraint was extractable. Z-ORDER
+  * clustered commits (`commitFull(…, zorder = true)`) additionally
+  * interleave ≥2 numeric stats columns into a Morton key inside each
+  * split, so row-group skipping serves every tracked dimension, not
+  * just a lexicographic leader.
+  *
+  * Completing the ops surface: CHECK CONSTRAINTS (recorded at
+  * `commitFull`, enforced on every delta's adds before any write —
+  * the data contract at the door), time travel by TIMESTAMP
+  * ([[readAsOf]], commit stamps monotonized on read), [[consolidate]]
+  * (the LSM answer as one call, carrying stats/constraints/clustering
+  * forward), [[versionForTag]] (pin the version an ingest batch
+  * committed, answered from the durable ledger), [[history]], and the
+  * incremental consumers built on top: [[changesBetween]] (CDC),
+  * [[graft.plans.IncrementalAgg]] (maintained rollups) and the
+  * streaming ingest/tail in `graft.streaming.EventPipeline`.
   */
 object Snapshots {
 
