@@ -140,6 +140,7 @@ object SparkEntry {
     "d_corpus_branch_merge" -> (q.LlmOps.corpusBranchMerge _),
     "d_corpus_incr_agg" -> (q.LlmOps.corpusIncrAgg _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
+    "d_corpus_read_asof" -> (q.LlmOps.corpusReadAsOf _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
     "d_sample_stratified" -> (q.LlmOps.sampleStratified _),
@@ -347,6 +348,8 @@ object SparkEntry {
     "d_corpus_incr_agg" -> q.LlmOps.corpusIncrAggSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
+    // wall-clock as-of reads resolve to version semantics the oracle pins
+    "d_corpus_read_asof" -> q.LlmOps.corpusReadAsOfSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,
     "d_source_report" -> q.LlmOps.sourceReportSql,
     "d_corpus_diff" -> q.LlmOps.corpusDiffSql,

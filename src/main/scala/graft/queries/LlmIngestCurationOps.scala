@@ -974,6 +974,56 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM d GROUP BY split, lang""".stripMargin
 
+  /** TIMESTAMP-AS-OF gate ([[graft.plans.Snapshots.readAsOf]]): two
+    * commits land, and the corpus is read back AS OF each commit's
+    * recorded stamp (from `history`'s `committed_at_ms`) plus as of
+    * "now" — all three AFTER both commits. The stamps are runtime
+    * values the oracle can never see, so the oracle pins what they
+    * RESOLVE to: as-of v1's stamp must reproduce v1 exactly, as-of
+    * v2's and as-of the far future must reproduce v2 — time-travel by
+    * wall clock answering with version semantics. (Stamps are distinct
+    * by construction: each commit runs full Spark write jobs between
+    * them.) */
+  def corpusReadAsOf(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_asof")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        removedIds = d.select(col("split"), col("doc_id")).limit(0))
+      val ts = Snapshots.history(s, root.toString)
+        .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+      Seq("asof_v1" -> ts(1), "asof_v2" -> ts(2),
+        "asof_now" -> (ts(2) + 86400000L))
+        .map { case (name, t) =>
+          Snapshots.readAsOf(s, root.toString, t)
+            .groupBy(col("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).cast("long").as("total_chars"))
+            .select(lit(name).as("as_of"), col("split"),
+              col("n_docs"), col("total_chars"))
+        }.reduce(_ unionAll _).graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusReadAsOf]]: v1 = ¬%5, v2 and the future = all. */
+  lazy val corpusReadAsOfSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split, n_chars
+       |  FROM documents),
+       |u AS (
+       |  SELECT 'asof_v1' AS as_of, split, n_chars FROM d WHERE doc_id % 5 <> 0
+       |  UNION ALL SELECT 'asof_v2', split, n_chars FROM d
+       |  UNION ALL SELECT 'asof_now', split, n_chars FROM d)
+       |SELECT as_of, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM u GROUP BY as_of, split""".stripMargin
+
   /** NDV-TRACKING VIEW gate ([[graft.plans.IncrementalAgg]] with
     * `ndvCols`): the per-split rollup carries a DataSketches HLL sketch
     * of doc_id, materialized over the %3 slice and incrementally MERGED
