@@ -139,7 +139,10 @@ object SparkEntry {
     "d_corpus_stats_prune" -> (q.LlmOps.corpusStatsPrune _),
     "d_corpus_branch_merge" -> (q.LlmOps.corpusBranchMerge _),
     "d_corpus_incr_agg" -> (q.LlmOps.corpusIncrAgg _),
+    "d_corpus_dv" -> (q.LlmOps.corpusDv _),
+    "d_corpus_concurrent" -> (q.LlmOps.corpusConcurrent _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
+    "d_view_ndv_remove" -> (q.LlmOps.viewNdvRemove _),
     "d_corpus_read_asof" -> (q.LlmOps.corpusReadAsOf _),
     "d_train_split" -> (q.LlmOps.trainSplit _),
     "d_tfidf_topterms" -> (q.LlmOps.tfidfTopTerms _),
@@ -346,8 +349,14 @@ object SparkEntry {
     "d_corpus_branch_merge" -> q.LlmOps.corpusBranchMergeSql,
     // incremental view refresh must equal the from-scratch aggregate
     "d_corpus_incr_agg" -> q.LlmOps.corpusIncrAggSql,
+    // merge-on-read takedowns: sidecar-only commits, fold-in on rewrite
+    "d_corpus_dv" -> q.LlmOps.corpusDvSql,
+    // two concurrent disjoint committers both land; order-free membership
+    "d_corpus_concurrent" -> q.LlmOps.corpusConcurrentSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
+    // NDV view survives a takedown via touched-group rebuild, 5σ-enforced
+    "d_view_ndv_remove" -> q.LlmOps.viewNdvRemoveSql,
     // wall-clock as-of reads resolve to version semantics the oracle pins
     "d_corpus_read_asof" -> q.LlmOps.corpusReadAsOfSql,
     "d_quality_probe" -> q.LlmOps.qualityProbeSql,

@@ -50,12 +50,23 @@ object IncrementalAgg {
     * [[materialize]] time and recorded in the meta file.
     *
     * NDV caveat: HLL sketches MERGE but cannot RETRACT, so a view with
-    * `ndvCols` refreshes only over ADD-ONLY diffs (the streaming-ingest
-    * shape) — a diff carrying removes or updates refuses loudly and the
-    * caller re-materializes (the audit path). Count and sum measures
-    * carry no such restriction. */
+    * `ndvCols` incrementally refreshes only over ADD-ONLY diffs (the
+    * streaming-ingest shape). What a diff with removes/updates does is
+    * `ndvRebuild`'s choice:
+    *
+    *   - `false` (default): refuse loudly naming the blocking change
+    *     classes; the caller re-materializes (the audit path).
+    *   - `true`: PARTIAL RE-MATERIALIZE — the refresh recomputes ONLY
+    *     the groups the diff touched (both their old and new group
+    *     keys, so moves are covered) wholesale from the store head, and
+    *     keeps every untouched group's stored row verbatim. Exact for
+    *     counts and sums, fresh sketches for NDV; cost ∝ the affected
+    *     groups' data, never the corpus — a takedown day no longer
+    *     forces a full rebuild of the dashboard tier.
+    *
+    * Count and sum measures carry no such restriction either way. */
   final case class Spec(groupCols: Seq[String], sumCols: Seq[String],
-      ndvCols: Seq[String] = Nil)
+      ndvCols: Seq[String] = Nil, ndvRebuild: Boolean = false)
 
   /** lgK for the view's HLL sketches (2^12 registers ≈ 1.6% rse —
     * dashboard-grade; fixed so stored and delta sketches always merge). */
@@ -114,18 +125,26 @@ object IncrementalAgg {
       if (spec.ndvCols.isEmpty) ch0
       else {
         // sketches merge but cannot retract: an ndv-tracking view is
-        // maintainable over ADD-ONLY diffs only (the streaming-ingest
-        // shape). Anything else refuses — re-materialize instead.
+        // INCREMENTALLY maintainable over ADD-ONLY diffs only (the
+        // streaming-ingest shape). Anything else either refuses
+        // (re-materialize is the audit path) or, with ndvRebuild,
+        // recomputes just the touched groups from the head.
         val p = ch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val blocking = p.filter(col("change") =!= "add")
           .groupBy(col("change")).count().collect()
+        if (blocking.nonEmpty && spec.ndvRebuild) {
+          try return refreshByGroupRebuild(s, root, viewPath, spec, p, head)
+          finally p.unpersist(blocking = false): Unit
+        }
         if (blocking.nonEmpty) {
           p.unpersist(blocking = false): Unit
           throw graft.core.GraftAnalysisException(
             (s"view at $viewPath tracks approximate distinct counts " +
               s"(${spec.ndvCols.mkString(", ")}), which merge but cannot " +
               "retract — the diff v" + last + "..v" + head + " is not " +
-              "add-only; re-materialize the view instead") +:
+              "add-only; re-materialize the view, or declare the view " +
+              "with ndvRebuild = true (refresh then recomputes only the " +
+              "touched groups from the head)") +:
               blocking.map(r =>
                 s"${r.getLong(1)} '${r.getString(0)}' changes").toIndexedSeq)
         }
@@ -185,6 +204,44 @@ object IncrementalAgg {
     head
   }
 
+  /** PARTIAL RE-MATERIALIZE (the `ndvRebuild` path): recompute every
+    * measure — count, sums AND sketches — for exactly the groups the
+    * diff touched (new-side and old-side keys, so a row moving between
+    * groups refreshes both), wholesale from the store head; untouched
+    * groups keep their stored row verbatim. The affected-group set is
+    * diff-sized, the head scan is filtered by a null-safe semi join on
+    * it (group-key row-group skipping bites when the group column is a
+    * stats/cluster column), and the sketch rebuild prices only the
+    * affected groups' rows — never the corpus. */
+  private def refreshByGroupRebuild(s: SparkSession, root: String,
+      viewPath: String, spec: Spec, ch: DataFrame, head: Int): Int = {
+    def oldCol(c: String): Column =
+      if (c == "doc_id") col("doc_id") else col(s"__old.$c")
+    val affected = ch.filter(col("change") =!= "remove")
+      .select(spec.groupCols.map(col): _*)
+      .unionByName(ch.filter(col("change") =!= "add")
+        .select(spec.groupCols.map(c => oldCol(c).as(c)): _*))
+      .distinct()
+    val affectedR = spec.groupCols.foldLeft(affected)((acc, c) =>
+      acc.withColumnRenamed(c, s"__g_$c"))
+    // null-safe keys: groupBy treats null as a group, the joins must too
+    def keyCond(left: DataFrame): Column = spec.groupCols
+      .map(c => left(c) <=> affectedR(s"__g_$c")).reduce(_ && _)
+    val headData = Snapshots.readAt(s, root, head)
+    val recomputed = headData.join(affectedR, keyCond(headData), "left_semi")
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        spec.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          spec.ndvCols.map(c =>
+            expr(s"hll_sketch_agg(`$c`, $NdvLgK)").as(s"ndv_$c")): _*)
+    val stored = read(s, viewPath)
+    val untouched = stored.join(affectedR, keyCond(stored), "left_anti")
+    // a group the diff emptied has no head rows — it simply never
+    // reappears from the recompute side (the n_docs = 0 drop, for free)
+    writeView(s, viewPath, untouched.unionByName(recomputed), head, spec)
+    head
+  }
+
   /** The current view contents (group columns, `n_docs`, `sum_<c>`…). */
   def read(s: SparkSession, viewPath: String): DataFrame = {
     val (_, _, dataDir) = readMeta(s, viewPath)
@@ -196,8 +253,9 @@ object IncrementalAgg {
     readMeta(s, viewPath)._1
 
   /** Meta format: line 1 `version \t dataDir`, line 2 group columns
-    * (url-encoded, comma-joined), line 3 sum columns. Temp + atomic
-    * rename, the store's own commit-point convention. */
+    * (url-encoded, comma-joined), line 3 sum columns, line 4 ndv
+    * columns, line 5 `1` when ndvRebuild. Temp + atomic rename, the
+    * store's own commit-point convention. */
   private def writeView(s: SparkSession, viewPath: String, view: DataFrame,
       version: Int, spec: Spec): Unit = {
     val dataDir = s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -209,7 +267,8 @@ object IncrementalAgg {
       s"$version\t$dataDir",
       spec.groupCols.map(esc).mkString(","),
       spec.sumCols.map(esc).mkString(","),
-      spec.ndvCols.map(esc).mkString(",")).mkString("", "\n", "\n")
+      spec.ndvCols.map(esc).mkString(","),
+      if (spec.ndvRebuild) "1" else "").mkString("", "\n", "\n")
     val dirP = new org.apache.hadoop.fs.Path(viewPath)
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirP): Unit
@@ -261,7 +320,8 @@ object IncrementalAgg {
     def cols(l: String): Seq[String] =
       if (l.isEmpty) Nil else l.split(",").toIndexedSeq.map(unesc)
     (v.toInt,
-      Spec(cols(lines(1)), cols(lines(2)), cols(lines.lift(3).getOrElse(""))),
+      Spec(cols(lines(1)), cols(lines(2)), cols(lines.lift(3).getOrElse("")),
+        lines.lift(4).exists(_.trim == "1")),
       dataDir)
   }
 

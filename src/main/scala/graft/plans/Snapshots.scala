@@ -25,16 +25,24 @@ import org.apache.spark.sql.functions._
   *     whole point.
   *   - Concurrency control is a CLAIM FILE (`_versions/.v{N}.claim`)
   *     created with atomic exclusive semantics before the rename: two
-  *     racing committers produce ONE v{N+1} and one loud failure, and
-  *     because each attempt writes its own data dir, the loser can never
-  *     touch files the winner's version file references — its dir is
-  *     unreferenced debris for [[vacuum]]. Exclusive create is atomic on
-  *     POSIX (O_EXCL) and HDFS; object stores without conditional-put
-  *     (classic S3) must front `_versions/` with a store that has it.
-  *     The tradeoff every lock-file protocol carries: a committer that
-  *     crashes BETWEEN claim and rename wedges that version number until
-  *     the stale claim is removed — the refusal message names the file,
-  *     and [[vacuum]] sweeps claims for already-committed versions.
+  *     racing committers produce ONE v{N+1}, and because each attempt
+  *     writes its own data dir, the loser can never touch files the
+  *     winner's version file references — its dir is unreferenced debris
+  *     for [[vacuum]]. A DELTA commit that loses the race AUTO-REBASES
+  *     (optimistic concurrency): it re-reads the head, diffs the
+  *     interleaved commits via the pointer-pruned CDC read, and retries
+  *     against the new head when the doc_id sets are DISJOINT — two
+  *     independent daily pipelines writing one store both land without a
+  *     human in the loop; genuine overlap (both sides touched the same
+  *     document) still refuses loudly, as does a `commitFull` race (a
+  *     full rewrite has no defined rebase). Exclusive create is atomic
+  *     on POSIX (O_EXCL) and HDFS; object stores plug their
+  *     conditional-put through [[CommitPointStrategy]]
+  *     ([[setCommitPointStrategy]]). The tradeoff every lock-file
+  *     protocol carries: a committer that crashes BETWEEN claim and
+  *     rename wedges that version number until the stale claim is
+  *     removed — the refusal message names the file, and [[vacuum]]
+  *     sweeps claims for already-committed versions.
   *
   * Version files are tiny driver-side artifacts (one line per split),
   * exactly like the manifest conventions of [[CorpusExport]]; everything
@@ -110,8 +118,18 @@ object Snapshots {
   private final case class StatCell(min: Option[String], max: Option[String],
       nulls: Long)
 
+  /** `dvDirs`/`dvRows`: DELETION VECTORS — tombstone sidecars from
+    * [[commitRemove]] that [[readRefs]] anti-joins at read time
+    * (merge-on-read). `nRows` stays the PHYSICAL row count of the
+    * split's files (the immutable-manifest invariant); the effective
+    * count is `nRows - dvRows`. A rewrite of the split (any
+    * [[commitDelta]] touching it, or [[consolidate]]) folds the
+    * tombstones in and clears both fields. */
   private final case class SplitRef(split: String, dir: String, nRows: Long,
-      stats: IndexedSeq[StatCell] = IndexedSeq.empty)
+      stats: IndexedSeq[StatCell] = IndexedSeq.empty,
+      dvDirs: IndexedSeq[String] = IndexedSeq.empty, dvRows: Long = 0L) {
+    def effectiveRows: Long = nRows - dvRows
+  }
 
   /** ATTEMPT-UNIQUE data dir for a commit targeting version `v`. Racing
     * committers for the same v therefore write DISJOINT trees — if they
@@ -180,9 +198,27 @@ object Snapshots {
     * the splits it rewrites. */
   def commitFull(s: SparkSession, df: DataFrame, root: String,
       statsCols: Seq[String], constraints: Seq[String],
-      zorder: Boolean): Int = {
+      zorder: Boolean): Int =
+    commitFull(s, df, root, statsCols, constraints, zorder, Nil)
+
+  /** [[commitFull]] with per-split BLOOM cells: for each named column
+    * (must also be a stats column; string or integral type) every split
+    * records a small bloom filter of its values in the version file, and
+    * [[readAtWhere]] consults it for EQUALITY and IN/InSet predicates —
+    * the pruning min/max ranges cannot give on a high-cardinality column
+    * whose values don't correlate with splits (a doc_id/url/hash point
+    * lookup over date-keyed splits prunes to ~the one split that holds
+    * it, at the bloom's false-positive rate). Sound by construction:
+    * a bloom can only KEEP extra splits, never drop a matching one.
+    * Sized by `spark.graft.snapshot.bloomBits` (power of two, default
+    * 2^16 bits = 8 KB per split per column); deltas recompute the blooms
+    * of the splits they rewrite and carry the rest verbatim. */
+  def commitFull(s: SparkSession, df: DataFrame, root: String,
+      statsCols: Seq[String], constraints: Seq[String],
+      zorder: Boolean, bloomCols: Seq[String]): Int = {
     validateStatsCols(root, df.schema, statsCols)
     if (zorder) validateZOrder(root, df.schema, statsCols)
+    validateBloomCols(root, df.schema, statsCols, bloomCols)
     checkConstraints(root, df, constraints, "commitFull seed data")
     val v = latestVersion(s, root) + 1
     val dir = attemptDir(v)
@@ -197,9 +233,78 @@ object Snapshots {
       .option("basePath", s"$root/$dir")
       .parquet(s"$root/$dir")
     val refs = collectRefs(written, dir, statsCols).values.toIndexedSeq
-    writeVersionFile(s, root, v, df.schema, refs, None, statsCols,
-      constraints = constraints, zorder = zorder)
+    val blooms = collectBlooms(s, written, bloomCols)
+    // a full rewrite has no defined rebase against an interleaved delta
+    // (it replaces the corpus wholesale) — a lost race refuses loudly
+    try writeVersionFile(s, root, v, df.schema, refs, None, statsCols,
+      constraints = constraints, zorder = zorder, bloomCols = bloomCols,
+      blooms = blooms)
+    catch {
+      case CommitRaceLost(_, lostV) =>
+        throw graft.core.GraftAnalysisException(Seq(
+          s"concurrent commit detected at $root: v$lostV already exists — " +
+            "a full rewrite cannot be rebased automatically; re-read the " +
+            "latest version and re-derive the commitFull against it"))
+    }
     v
+  }
+
+  /** Probe count for the split blooms (fixed so stored and probe sides
+    * always agree; the bit width rides the stored array's length). */
+  private val BloomK = 6
+
+  private def bloomBits(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.snapshot.bloomBits")
+      .map(_.toInt).getOrElse(1 << 16)
+
+  /** Canonical per-value fingerprint for the split blooms: FNV-1a of the
+    * value CAST TO STRING (Spark's cast, codegen'd on the build side;
+    * [[bloomRender]] reproduces the identical rendering driver-side for
+    * probe literals). Nulls contribute one fixed stray bit — sound, a
+    * bloom only ever over-approximates. */
+  private def bloomFpCol(s: SparkSession, c: String): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(s) // idempotent
+    coalesce(
+      graft.functions.GraftFunctions.fingerprint64(col(c).cast("string")),
+      lit(0L))
+  }
+
+  /** One aggregation pass building every (split, bloomCol) cell of
+    * freshly-written files. Bounded driver collect: one row per split. */
+  private def collectBlooms(s: SparkSession, written: DataFrame,
+      bloomCols: Seq[String]): Map[(String, String), Array[Byte]] = {
+    if (bloomCols.isEmpty) return Map.empty
+    val bits = bloomBits(s)
+    val aggs = bloomCols.map(c => graft.functions.Aggregators
+      .bloomBuildCol(bloomFpCol(s, c), bits, BloomK).as(s"__bf_$c"))
+    written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
+      .collect()
+      .flatMap { r =>
+        bloomCols.zipWithIndex.map { case (c, i) =>
+          (r.getString(0), c) -> r.getAs[Array[Byte]](1 + i)
+        }
+      }.toMap
+  }
+
+  private def validateBloomCols(root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String], bloomCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val errs = bloomCols.flatMap { c =>
+      if (!statsCols.contains(c))
+        Some(s"bloom column '$c' must also be a stats column")
+      else schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) | Some(ByteType) | Some(ShortType) |
+             Some(IntegerType) | Some(LongType) => None
+        case Some(dt) => Some(s"bloom column '$c' has type ${dt.sql} — " +
+          "split blooms support string and integral columns (the " +
+          "canonical string rendering must match Spark's cast exactly)")
+        case None => None // already reported by validateStatsCols
+      }
+    }
+    if (errs.nonEmpty)
+      throw graft.core.GraftAnalysisException(
+        s"invalid bloomCols for the snapshot store at $root" +: errs.toIndexedSeq)
   }
 
   /** In-split clustering of a frame about to be written `partitionBy
@@ -379,6 +484,109 @@ object Snapshots {
       branch: Option[String]): Int =
     commitDeltaChain(s, root, adds, removedIds, tag, branch)
 
+  /** Bounded optimistic-concurrency retries for a claim-race loser: a
+    * DISJOINT concurrent delta rebases onto the interleaved head and
+    * commits without any human in the loop; genuine doc_id overlap (or
+    * pathological contention past this bound) still refuses loudly. */
+  private val MaxRebaseAttempts = 5
+
+  /** MERGE-ON-READ takedown: commit a removal-only delta as a DELETION
+    * VECTOR — a tombstone sidecar of `(split, doc_id)` — instead of
+    * rewriting the affected splits. A copy-on-write removal pays a full
+    * rewrite of every split it touches: with date-keyed splits at
+    * 100 TB, one GDPR delete rewrites a whole day's partition. This
+    * commit writes ONLY the sidecar (rows = the takedowns, not the
+    * split) plus the version file; [[readAt]] / [[readAtWhere]] /
+    * [[changesBetween]] anti-join the vector at read time, and the
+    * tombstones FOLD IN at the next rewrite of the split — any
+    * [[commitDelta]] touching it, or [[consolidate]] (the
+    * compaction/GDPR-erasure point: until then the removed rows' bytes
+    * remain on disk, invisible to every reader).
+    *
+    * Removals must be split-keyed (`split`, `doc_id` — the same
+    * contract as [[commitDelta]]'s fast path); only doc_ids actually
+    * present in the CURRENT effective view tombstone (counts stay
+    * exact, re-deleting is a no-op). Tags and branches behave exactly
+    * as on [[commitDelta]]; a lost claim race auto-rebases. Returns the
+    * new version. */
+  def commitRemove(s: SparkSession, root: String,
+      removedIds: DataFrame): Int =
+    commitRemove(s, root, removedIds, None, None)
+
+  def commitRemove(s: SparkSession, root: String,
+      removedIds: DataFrame, tag: Option[String]): Int =
+    commitRemove(s, root, removedIds, tag, None)
+
+  def commitRemove(s: SparkSession, root: String,
+      removedIds: DataFrame, tag: Option[String],
+      branch: Option[String]): Int = {
+    if (tag.nonEmpty && branch.nonEmpty)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"tagged commits are main-chain only (the durable tag ledger at " +
+          s"$root/$VersionsDir/$TagsDir is not branch-scoped) — commit to " +
+          s"branch '${branch.get}' untagged, or ingest into main"))
+    if (!removedIds.columns.contains("split") ||
+        !removedIds.columns.contains("doc_id"))
+      throw graft.core.GraftAnalysisException(Seq(
+        s"commitRemove at $root needs SPLIT-KEYED removals (split, " +
+          "doc_id) — the deletion vector is applied per split; use " +
+          "commitDelta for doc_id-only takedowns (it locates victims " +
+          "with a corpus-wide semi-join and rewrites their splits)"))
+    val victimsP = removedIds.select(col("split"), col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      commitWithRebase(s, root, tag, branch,
+        victimsP.select(col("doc_id")))(base =>
+        commitRemoveAttempt(s, root, victimsP, tag, branch, base))
+    finally victimsP.unpersist(blocking = false): Unit
+  }
+
+  private def commitRemoveAttempt(s: SparkSession, root: String,
+      victims: DataFrame, tag: Option[String], branch: Option[String],
+      base: Int): Int = {
+    val vfBase = readVersionFile(s, root, base, branch)
+    val v = base + 1
+    val dvDir = attemptDir(v, branch) + "-dv"
+    // bounded collect: one row per affected split (the takedown's span)
+    val affectedNames = victims.select(col("split")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affectedRefs = vfBase.refs.filter(r =>
+      affectedNames.contains(r.split) && r.effectiveRows > 0)
+    // CONFIRMED victims only: rows present in the current effective view
+    // (readRefs already anti-joins prior vectors, so a re-delete can
+    // never double-count) — IO bounded by the affected splits, column-
+    // pruned to the join keys
+    val confirmed = readRefs(s, root, vfBase.schema, affectedRefs)
+      .join(victims, Seq("split", "doc_id"), "left_semi")
+      .select(col("split"), col("doc_id"))
+    confirmed.write.mode("overwrite").parquet(s"$root/$dvDir")
+    // exact per-split tombstone counts from the WRITTEN sidecar (the
+    // manifest verification contract, same as collectRefs)
+    val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("split",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        vfBase.schema("doc_id").dataType)))
+    val counts = s.read.schema(dvSchema).parquet(s"$root/$dvDir")
+      .groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newRefs = vfBase.refs.map { r =>
+      counts.get(r.split) match {
+        case Some(c) if c > 0 =>
+          r.copy(dvDirs = r.dvDirs :+ dvDir, dvRows = r.dvRows + c)
+        case _ => r
+      }
+    }
+    // stats AND blooms carry verbatim: both only ever over-approximate
+    // the post-takedown content — sound for pruning by construction
+    writeVersionFile(s, root, v, vfBase.schema, newRefs, tag,
+      vfBase.statsCols, branch, constraints = vfBase.constraints,
+      zorder = vfBase.zorder, bloomCols = vfBase.bloomCols,
+      blooms = vfBase.blooms)
+    tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
+    v
+  }
+
   private def commitDeltaChain(s: SparkSession, root: String,
       adds: DataFrame, removedIds: DataFrame, tag: Option[String],
       branch: Option[String]): Int = {
@@ -387,15 +595,96 @@ object Snapshots {
         s"tagged commits are main-chain only (the durable tag ledger at " +
           s"$root/$VersionsDir/$TagsDir is not branch-scoped) — commit to " +
           s"branch '${branch.get}' untagged, or ingest into main"))
-    val base = latestVersion(s, root, branch)
+    val goneSpec = removedIds.select(col("doc_id"))
+      .unionByName(adds.select(col("doc_id"))).distinct()
+    val goneP = goneSpec
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val addsPOuter = adds
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      commitWithRebase(s, root, tag, branch, goneP)(base =>
+        commitDeltaAttempt(s, root, addsPOuter, removedIds, goneP,
+          tag, branch, base))
+    finally {
+      goneP.unpersist(blocking = false)
+      addsPOuter.unpersist(blocking = false): Unit
+    }
+  }
+
+  /** The optimistic-concurrency driver shared by every delta-shaped
+    * commit ([[commitDelta]], [[commitRemove]], [[mergeBranch]]'s
+    * landing commit): run `attemptFn` against the current head; on a
+    * lost claim race, re-read the head, diff the interleaved commits
+    * (pointer-pruned CDC), refuse on genuine doc_id overlap with `gone`
+    * (this commit's touched doc_ids, persisted by the caller), and
+    * otherwise retry against the new head — bounded attempts. */
+  private def commitWithRebase(s: SparkSession, root: String,
+      tag: Option[String], branch: Option[String], gone: DataFrame)
+      (attemptFn: Int => Int): Int = {
+    var base = latestVersion(s, root, branch)
     require(base >= 1, branch match {
-      case None => s"commitDelta on an empty store at $root — commitFull first"
+      case None => s"delta commit on an empty store at $root — commitFull first"
       case Some(b) => s"no branch '$b' at $root — createBranch first"
     })
-    tag.foreach { t =>
-      ensureTagLedger(s, root)
-      readTagMarker(s, root, t).foreach(v => return v)
+    var attempt = 0
+    while (true) {
+      // the tag redelivery check re-runs PER ATTEMPT: the same batch
+      // may have been committed by another driver while we rebased
+      tag.foreach { t =>
+        ensureTagLedger(s, root)
+        readTagMarker(s, root, t).foreach(v => return v)
+      }
+      try {
+        return attemptFn(base)
+      } catch {
+        case CommitRaceLost(_, lostV) =>
+          attempt += 1
+          val newHead = latestVersion(s, root, branch)
+          if (newHead < lostV)
+            // claim lost but no NEWER version landed: the claim is an
+            // orphan of a crashed committer — surface the operator
+            // guidance, don't spin on it
+            throw graft.core.GraftAnalysisException(Seq(
+              s"commit of v$lostV at $root lost its claim race but no " +
+                s"newer version is visible — an orphaned claim from a " +
+                "crashed committer is likely wedging the store; see the " +
+                "claim-file refusal for recovery steps"))
+          // OPTIMISTIC REBASE: the interleaved commits' row diff is
+          // exactly changesBetween(base, newHead) — pointer-pruned, so
+          // this costs what the interleaved deltas touched. Disjoint
+          // doc_id sets rebase and retry; overlap means both writers
+          // changed the same document, and someone must decide.
+          val clash = gone
+            .join(changesCore(s, root, base, newHead, branch)
+              .select(col("doc_id")), "doc_id")
+            .distinct().limit(11).collect().map(_.get(0).toString)
+          if (clash.nonEmpty)
+            throw graft.core.GraftAnalysisException(Seq(
+              s"concurrent commit conflict at $root" +
+                branch.fold("")(b => s" (branch '$b')") +
+                s": while this delta targeted v${base + 1}, versions " +
+                s"v${base + 1}..v$newHead landed and touched doc_ids " +
+                s"${clash.take(10).mkString(", ")}" +
+                (if (clash.length > 10) ", …" else "") +
+                " that this delta also touches — re-derive the delta " +
+                "against the current head and recommit"))
+          if (attempt >= MaxRebaseAttempts)
+            throw graft.core.GraftAnalysisException(Seq(
+              s"commit at $root rebased $attempt times and keeps losing " +
+                "the claim race — commit traffic is pathological; " +
+                "serialize the writers or batch their deltas"))
+          base = newHead
+      }
     }
+    -1 // unreachable: the loop returns or throws
+  }
+
+  /** One optimistic attempt of a delta commit against `base` (the head
+    * this attempt believes in). Throws [[CommitRaceLost]] when another
+    * committer lands `base + 1` first; the caller rebases and retries. */
+  private def commitDeltaAttempt(s: SparkSession, root: String,
+      adds: DataFrame, removedIds: DataFrame, gone: DataFrame,
+      tag: Option[String], branch: Option[String], base: Int): Int = {
     val vfBase = readVersionFile(s, root, base, branch)
     val (schema, refs) = (vfBase.schema, vfBase.refs)
     val statsCols = vfBase.statsCols
@@ -404,14 +693,12 @@ object Snapshots {
     val dir = attemptDir(v, branch)
 
     val splitKeyed = removedIds.columns.contains("split")
-    val gone = removedIds.select(col("doc_id"))
-      .unionByName(adds.select(col("doc_id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the commit runs several actions over adds (affected-split collect,
-    // rewrite, read-back) — in a foreachBatch this is the micro-batch
+    // `adds` and `gone` arrive PERSISTED by the caller: the commit runs
+    // several actions over them (affected-split collect, rewrite,
+    // read-back) — in a foreachBatch the adds are the micro-batch
     // source, which must not be recomputed per action
-    val addsP = adds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val addsP = adds;
+    {
       // the store's data contract, enforced at the door: a delta whose
       // adds violate a recorded CHECK refuses before anything is written
       checkConstraints(root, addsP, vfBase.constraints,
@@ -432,6 +719,7 @@ object Snapshots {
               .join(gone, "doc_id").select(col("split")))
             .distinct().collect().map(_.getString(0)).toSet
 
+      var newBlooms: Map[(String, String), Array[Byte]] = vfBase.blooms
       val newRefs0: Seq[SplitRef] =
         if (affected.isEmpty) refs
         else {
@@ -447,19 +735,37 @@ object Snapshots {
             .join(gone, Seq("doc_id"), "left_anti")
             .unionByName(addsP.filter(col("split").isin(affected.toSeq: _*))
               .select(widened.fieldNames.map(col).toIndexedSeq: _*))
-          val rewritten =
-            if (statsCols.isEmpty) rewritten0
-            else cluster(rewritten0, statsCols, vfBase.zorder)
-          rewritten.write.mode("overwrite").partitionBy("split")
-            .parquet(s"$root/$dir")
+          // the z-order path evaluates its input THREE times (isEmpty,
+          // dimRanges, the write) — persist the rewrite join for the
+          // commit's duration, exactly as addsP is persisted above
+          val zClustered = statsCols.nonEmpty && vfBase.zorder
+          val rewritten0P =
+            if (!zClustered) rewritten0
+            else rewritten0.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val rewritten =
+              if (statsCols.isEmpty) rewritten0P
+              else cluster(rewritten0P, statsCols, vfBase.zorder)
+            rewritten.write.mode("overwrite").partitionBy("split")
+              .parquet(s"$root/$dir")
+          } finally {
+            if (zClustered) rewritten0P.unpersist(blocking = false): Unit
+          }
           // read-back counts + stats from the WRITTEN files (the manifest
           // verification contract); a split rewritten to EMPTY has no
           // files — its ref records 0 rows and readAt skips it. Untouched
           // splits CARRY their stats cells verbatim — exact, because
           // their files are immutable.
-          val readBack = s.read.schema(rewritten.schema)
+          val readBack = s.read.schema(rewritten0.schema)
             .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
           val touchedRefs = collectRefs(readBack, dir, statsCols)
+          // blooms: rewritten splits recompute (exact), kept splits
+          // carry verbatim (exact — their files are immutable)
+          if (vfBase.bloomCols.nonEmpty)
+            newBlooms = vfBase.blooms.view
+              .filterKeys(k => !affected.contains(k._1)).toMap ++
+              collectBlooms(s, readBack, vfBase.bloomCols)
           val kept = refs.filterNot(r => affected.contains(r.split))
           val emptyCells = statsCols.map(_ => StatCell(None, None, 0L)).toIndexedSeq
           val touched = affected.toSeq.sorted.map(sp =>
@@ -467,12 +773,10 @@ object Snapshots {
           kept ++ touched
         }
       writeVersionFile(s, root, v, widened, newRefs0, tag, statsCols, branch,
-        constraints = vfBase.constraints, zorder = vfBase.zorder)
+        constraints = vfBase.constraints, zorder = vfBase.zorder,
+        bloomCols = vfBase.bloomCols, blooms = newBlooms)
       tag.foreach { t => writeTagMarker(s, root, t, v); bumpLedger(s, root, v) }
       v
-    } finally {
-      gone.unpersist(blocking = false)
-      addsP.unpersist(blocking = false): Unit
     }
   }
 
@@ -566,31 +870,45 @@ object Snapshots {
   private final case class RangeC(name: String,
       dt: org.apache.spark.sql.types.DataType,
       lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) extends Constraint
+  /** attr ∈ values (equality / IN / InSet) — values EXTERNAL. Refutable
+    * by range relaxation, by a constant cell (min = max ∉ values), and
+    * by the split's bloom when the column carries one. */
+  private final case class SetC(name: String,
+      dt: org.apache.spark.sql.types.DataType, values: Seq[Any]) extends Constraint
   private final case class NullC(name: String) extends Constraint
   private final case class NotNullC(name: String) extends Constraint
+  /** Conjunction: empty when ANY branch is provably empty. */
+  private final case class AndC(cs: Seq[Constraint]) extends Constraint
+  /** Disjunction: empty only when EVERY branch is provably empty — an
+    * `OR` of prunable ranges prunes a split both sides miss. A disjunct
+    * that doesn't lower kills the whole OR (it might match anything). */
+  private final case class OrC(cs: Seq[Constraint]) extends Constraint
 
   /** Refs surviving stats pruning (all of them when the store tracks no
-    * stats or the predicate yields no usable constraint). */
+    * stats or the predicate yields no usable constraint). The predicate
+    * is resolved through the OPTIMIZED logical plan — names, casts and
+    * type promotion are Spark's, and the optimizer's normalizations work
+    * FOR the pruner: large IN lists arrive as `InSet`, comparison casts
+    * unwrap back onto the column, and chains of OR-equalities fuse into
+    * one IN. Driver-side only; nothing executes. */
   private def prunedRefs(s: SparkSession, root: String, vf: VersionFile,
       pred: org.apache.spark.sql.Column): Seq[SplitRef] = {
     if (vf.statsCols.isEmpty) return vf.refs
-    val analyzed = readRefs(s, root, vf.schema, vf.refs).filter(pred)
-      .queryExecution.analyzed
-    val cons = analyzed.collectFirst {
+    val optimized = readRefs(s, root, vf.schema, vf.refs).filter(pred)
+      .queryExecution.optimizedPlan
+    val cons = optimized.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.map(constraintsOf).getOrElse(Nil)
-      .filter {
-        case RangeC(n, _, _, _) => vf.statsCols.contains(n)
-        case NullC(n) => vf.statsCols.contains(n)
-        case NotNullC(n) => vf.statsCols.contains(n)
-      }
     if (cons.isEmpty) vf.refs
-    else vf.refs.filter(r => r.nRows == 0 || !provablyEmpty(r, vf.statsCols, cons))
+    else vf.refs.filter(r =>
+      r.nRows == 0 || !cons.exists(provablyEmpty(vf, r, _)))
   }
 
   /** Top-level conjuncts of the analyzed predicate, lowered to the
-    * constraint forms the stats can refute. Anything else is ignored —
-    * sound, because ignoring a conjunct only ever keeps more splits. */
+    * constraint algebra the stats can refute. Anything unrecognized is
+    * ignored at conjunct level (sound: ignoring a conjunct only ever
+    * keeps more splits); inside an OR, an unrecognized disjunct vetoes
+    * the whole OR instead. */
   private def constraintsOf(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Constraint] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -598,7 +916,23 @@ object Snapshots {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    conjuncts(e).flatMap {
+    conjuncts(e).flatMap(lower)
+  }
+
+  private def lower(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Constraint] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case And(l, r) => (lower(l), lower(r)) match {
+        // one undecidable side is fine: And(a, ?) ⊆ a, so proving `a`
+        // empty proves the conjunction empty
+        case (Some(a), Some(b)) => Some(AndC(Seq(a, b)))
+        case (Some(a), None) => Some(a)
+        case (None, Some(b)) => Some(b)
+        case _ => None
+      }
+      case Or(l, r) =>
+        for { a <- lower(l); b <- lower(r) } yield OrC(Seq(a, b))
       case GreaterThan(PruneAttr(n, dt), PruneLit(v)) =>
         Some(RangeC(n, dt, Some((v, false)), None))
       case GreaterThanOrEqual(PruneAttr(n, dt), PruneLit(v)) =>
@@ -616,24 +950,30 @@ object Snapshots {
       case LessThanOrEqual(PruneLit(v), PruneAttr(n, dt)) =>
         Some(RangeC(n, dt, Some((v, true)), None))
       case EqualTo(PruneAttr(n, dt), PruneLit(v)) =>
-        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+        Some(SetC(n, dt, Seq(v)))
       case EqualTo(PruneLit(v), PruneAttr(n, dt)) =>
-        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+        Some(SetC(n, dt, Seq(v)))
       case EqualNullSafe(PruneAttr(n, dt), PruneLit(v)) =>
-        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+        Some(SetC(n, dt, Seq(v)))
       case EqualNullSafe(PruneLit(v), PruneAttr(n, dt)) =>
-        Some(RangeC(n, dt, Some((v, true)), Some((v, true))))
+        Some(SetC(n, dt, Seq(v)))
       case In(PruneAttr(n, dt), vs) if vs.nonEmpty && vs.forall {
           case l: Literal => l.value != null
           case _ => false
         } =>
-        // sound relaxation: attr ∈ S implies min(S) <= attr <= max(S)
-        val keys = vs.flatMap { case l: Literal => PruneLit.unapply(l) }
-          .flatMap(v => litKey(dt, v).map(v -> _))
-        if (keys.size != vs.size) None
-        else Some(RangeC(n, dt,
-          Some((keys.minBy(_._2)(keyOrdering)._1, true)),
-          Some((keys.maxBy(_._2)(keyOrdering)._1, true))))
+        val values = vs.flatMap { case l: Literal => PruneLit.unapply(l) }
+        if (values.size != vs.size) None else Some(SetC(n, dt, values))
+      // the form Catalyst actually plans for IN lists past the
+      // inSetConversionThreshold (and Column.isInCollection builds
+      // directly): values are CATALYST-internal, convert to external
+      case i: InSet => i.child match {
+        case PruneAttr(n, dt) if i.hset.nonEmpty && !i.hset.contains(null) =>
+          val values = i.hset.toSeq.map(v =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(v, i.child.dataType))
+          if (values.contains(null)) None else Some(SetC(n, dt, values))
+        case _ => None
+      }
       case StartsWith(PruneAttr(n, dt), PruneLit(v: String)) =>
         // every string with prefix v is >= v in binary order; no upper
         // bound (byte-order-safe hi needs byte surgery — not worth it)
@@ -687,13 +1027,16 @@ object Snapshots {
     }
   }
 
-  /** True only when `constraints` PROVE the split holds no matching row.
-    * Unparsable or missing stats never prune. */
-  private def provablyEmpty(r: SplitRef, statsCols: IndexedSeq[String],
-      constraints: Seq[Constraint]): Boolean = {
-    val idx = statsCols.zipWithIndex.toMap
+  /** True only when the constraint PROVES the split holds no matching
+    * row. Unparsable or missing stats never prune; a constraint on an
+    * untracked column proves nothing (false). */
+  private def provablyEmpty(vf: VersionFile, r: SplitRef,
+      c: Constraint): Boolean = {
+    val idx = vf.statsCols.zipWithIndex.toMap
     def cmp(a: Any, b: Any): Int = keyOrdering.compare(a, b)
-    constraints.exists {
+    c match {
+      case AndC(cs) => cs.exists(provablyEmpty(vf, r, _))
+      case OrC(cs) => cs.forall(provablyEmpty(vf, r, _))
       case NullC(n) => idx.get(n).exists(i => r.stats(i).nulls == 0L)
       case NotNullC(n) => idx.get(n).exists(i => r.stats(i).nulls == r.nRows)
       case RangeC(n, dt, lo, hi) => idx.get(n).exists { i =>
@@ -708,6 +1051,66 @@ object Snapshots {
           case _ => false
         }
       }
+      case SetC(n, dt, vs) => idx.get(n).exists { i =>
+        val cell = r.stats(i)
+        if (cell.nulls == r.nRows) true // equality never matches null
+        else {
+          val keys = vs.flatMap(v => litKey(dt, v))
+          val rangeEmpty = keys.size == vs.size && {
+            (cell.min.flatMap(statKey(dt, _)),
+              cell.max.flatMap(statKey(dt, _))) match {
+              case (Some(mn), Some(mx)) =>
+                val lo = keys.min(keyOrdering)
+                val hi = keys.max(keyOrdering)
+                // disjoint ranges, or a CONSTANT cell missing the set
+                cmp(mx, lo) < 0 || cmp(mn, hi) > 0 ||
+                  (cmp(mn, mx) == 0 && !keys.exists(k => cmp(k, mn) == 0))
+              case _ => false
+            }
+          }
+          rangeEmpty || bloomEmpty(vf, r, n, dt, vs)
+        }
+      }
+    }
+  }
+
+  /** Bloom refutation: every probed value is PROVABLY absent from the
+    * split's bloom cell. Any value that can't render canonically, or a
+    * missing cell, proves nothing. */
+  private def bloomEmpty(vf: VersionFile, r: SplitRef, n: String,
+      dt: org.apache.spark.sql.types.DataType, vs: Seq[Any]): Boolean =
+    vf.bloomCols.contains(n) && vf.blooms.get((r.split, n)).exists { bloom =>
+      val rendered = vs.map(v => bloomRender(dt, v))
+      rendered.forall(_.isDefined) && rendered.flatten.forall { x =>
+        !graft.functions.BloomOps.mightContain(bloom,
+          graft.functions.TextHash.fnv1a64(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8)), BloomK)
+      }
+    }
+
+  /** The canonical string a probe value hashes through — MUST equal
+    * Spark's `cast(col AS STRING)` of a matching stored value, or the
+    * bloom would wrongly prune. Strings are identity; integral columns
+    * render integral-valued literals via exact BigDecimal normalization
+    * (so `x = 5L` and the analyzer's `cast(x AS BIGINT) = 5` agree);
+    * anything else refuses (→ no bloom pruning, sound). */
+  private def bloomRender(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StringType if st == StringType => v match {
+        case s0: String => Some(s0)
+        case _ => None
+      }
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case n: java.lang.Number =>
+          try {
+            val bd = new java.math.BigDecimal(n.toString).stripTrailingZeros
+            if (bd.scale <= 0) Some(bd.toBigIntegerExact.toString) else None
+          } catch { case _: ArithmeticException | _: NumberFormatException => None }
+        case _ => None
+      }
+      case _ => None
     }
   }
 
@@ -829,9 +1232,12 @@ object Snapshots {
     val (schTo, refsTo) = (vfTo.schema, vfTo.refs)
     val fromBySplit = refsFrom.map(r => r.split -> r).toMap
     val toBySplit = refsTo.map(r => r.split -> r).toMap
+    // the pointer includes the DV state: a takedown that wrote only a
+    // tombstone sidecar still changed the split's EFFECTIVE content,
+    // while the underlying data files stayed byte-identical
     val changed = (fromBySplit.keySet ++ toBySplit.keySet).filter { sp =>
-      fromBySplit.get(sp).map(r => (r.dir, r.nRows)) !=
-        toBySplit.get(sp).map(r => (r.dir, r.nRows))
+      fromBySplit.get(sp).map(r => (r.dir, r.nRows, r.dvDirs)) !=
+        toBySplit.get(sp).map(r => (r.dir, r.nRows, r.dvDirs))
     }
     // read ONLY the changed splits of each side; align the old side to
     // the (possibly widened) vTo schema — missing columns null, exactly
@@ -881,7 +1287,7 @@ object Snapshots {
       val vf = readVersionFile(s, root, v, branch)
       org.apache.spark.sql.Row(
         v, vf.tag.orNull,
-        vf.refs.count(_.nRows > 0), vf.refs.map(_.nRows).sum,
+        vf.refs.count(_.effectiveRows > 0), vf.refs.map(_.effectiveRows).sum,
         vf.ts.map(Long.box).orNull)
     }
     s.createDataFrame(
@@ -935,7 +1341,7 @@ object Snapshots {
     require(latest >= 1, s"consolidate on an empty store at $root")
     val vf = readVersionFile(s, root, latest)
     commitFull(s, readRefs(s, root, vf.schema, vf.refs), root,
-      vf.statsCols, vf.constraints, vf.zorder)
+      vf.statsCols, vf.constraints, vf.zorder, vf.bloomCols)
   }
 
   /** The main-chain version a TAG committed, if any — the consumer-side
@@ -973,9 +1379,16 @@ object Snapshots {
         s"branch '$name' already exists at $root — dropBranch first, or " +
           "pick another name"))
     val vf = readVersionFile(s, root, fromVersion)
-    writeVersionFile(s, root, 1, vf.schema, vf.refs, None, vf.statsCols,
+    try writeVersionFile(s, root, 1, vf.schema, vf.refs, None, vf.statsCols,
       Some(name), fork = Some(fromVersion), constraints = vf.constraints,
-      zorder = vf.zorder)
+      zorder = vf.zorder, bloomCols = vf.bloomCols, blooms = vf.blooms)
+    catch {
+      case CommitRaceLost(_, _) =>
+        throw graft.core.GraftAnalysisException(Seq(
+          s"branch '$name' already exists at $root (a concurrent " +
+            "createBranch won the race) — dropBranch first, or pick " +
+            "another name"))
+    }
   }
 
   /** Live branch names at `root` (ones with at least one committed
@@ -997,10 +1410,18 @@ object Snapshots {
     val chainP = new org.apache.hadoop.fs.Path(chainDir(root, Some(name)))
     val fs = chainP.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(chainP, true): Unit
-    val prefix = s"b-${escape(name)}-v"
+    // EXACT dir-name match, not a prefix test: URLEncoder leaves '-'
+    // unescaped, so branch 'exp' and branch 'exp-v2' share the prefix
+    // `b-exp-v` — a prefix sweep for 'exp' would silently destroy
+    // 'exp-v2''s live data dirs (`b-exp-v2-v1-…`) while its version
+    // files still reference them. The full [[attemptDir]] shape
+    // (`b-<enc>-v<N>-<8 hex>`) is unambiguous per branch.
+    val pat = java.util.regex.Pattern.compile(
+      "^b-" + java.util.regex.Pattern.quote(escape(name)) +
+        "-v\\d+-[0-9a-f]{8}(-dv)?$")
     val rootP = new org.apache.hadoop.fs.Path(root)
     fs.listStatus(rootP).map(_.getPath)
-      .filter(_.getName.startsWith(prefix))
+      .filter(p => pat.matcher(p.getName).matches())
       .foreach(p => fs.delete(p, true): Unit)
   }
 
@@ -1040,10 +1461,12 @@ object Snapshots {
       if (mainHead > fork && !force) {
         // both-sides-touched doc_ids; bounded collect (sample for the
         // refusal message only)
+        // doc_id-type-agnostic sample (the store never assumes Long —
+        // `.get(0).toString` like checkConstraints, not `.getLong`)
         val conflicts = ch.select(col("doc_id"))
           .join(changesBetween(s, root, fork, mainHead)
             .select(col("doc_id")), "doc_id")
-          .distinct().limit(11).collect().map(_.getLong(0))
+          .distinct().limit(11).collect().map(_.get(0).toString)
         if (conflicts.nonEmpty)
           throw graft.core.GraftAnalysisException(Seq(
             s"merge of branch '$name' into $root conflicts: main moved " +
@@ -1107,10 +1530,15 @@ object Snapshots {
     val branchRefs: Set[String] = listBranches(s, root).flatMap { b =>
       val chainP = new org.apache.hadoop.fs.Path(chainDir(root, Some(b)))
       listVersions(fs, chainP).flatMap(v =>
-        readVersionFile(s, root, v, Some(b)).refs.filter(_.nRows > 0).map(_.dir))
+        readVersionFile(s, root, v, Some(b)).refs.filter(_.nRows > 0)
+          .flatMap(r => r.dir +: r.dvDirs))
     }.toSet
+    // a ref's deletion-vector sidecars are as load-bearing as its data
+    // dir: readAt anti-joins them, so a surviving version's DV dirs
+    // must survive the sweep too
     val referenced: Set[String] = survivors
-      .flatMap(v => readVersionFile(s, root, v).refs.filter(_.nRows > 0).map(_.dir))
+      .flatMap(v => readVersionFile(s, root, v).refs.filter(_.nRows > 0)
+        .flatMap(r => r.dir +: r.dvDirs))
       .toSet ++ branchRefs
     // drop version files FIRST: a crash mid-vacuum must never leave a
     // live version file pointing at a dir the dir-sweep already deleted.
@@ -1280,20 +1708,41 @@ object Snapshots {
       refs: Seq[SplitRef], tag: Option[String] = None,
       statsCols: Seq[String] = Nil, branch: Option[String] = None,
       fork: Option[Int] = None, constraints: Seq[String] = Nil,
-      zorder: Boolean = false): Unit = {
+      zorder: Boolean = false, bloomCols: Seq[String] = Nil,
+      blooms: Map[(String, String), Array[Byte]] = Map.empty): Unit = {
     def cell(o: Option[String]): String = o.map(escape).getOrElse("~")
+    // STRICTLY-INCREASING commit stamps: two commits landing in the same
+    // millisecond (or a backwards clock step) would otherwise share an
+    // as-of instant, and [[versionAsOf]]'s upward tie resolution would
+    // make readAsOf(v1's stamp) return v2. Each version owns a distinct
+    // instant: ts = max(predecessor's stamp + 1, wall clock).
+    val prevTs =
+      if (v <= 1) 0L
+      else readVersionFile(s, root, v - 1, branch).ts.getOrElse(0L)
+    val ts = math.max(prevTs + 1, System.currentTimeMillis())
     val body = (Seq(schema.toDDL) ++
-      Seq(s"#ts=${System.currentTimeMillis()}") ++
+      Seq(s"#ts=$ts") ++
       tag.map(t => s"#tag=${escape(t)}") ++
       fork.map(f => s"#fork=$f") ++
       constraints.map(c => s"#check=${escape(c)}") ++
       (if (zorder) Seq("#zorder=1") else Nil) ++
       (if (statsCols.isEmpty) Nil
        else Seq(s"#stats=${statsCols.map(escape).mkString(",")}")) ++
+      (if (bloomCols.isEmpty) Nil
+       else Seq(s"#bloom=${bloomCols.map(escape).mkString(",")}")) ++
+      blooms.toSeq.sortBy(_._1).map { case ((sp, c), bytes) =>
+        s"#bf=${escape(sp)}\t${escape(c)}\t" +
+          java.util.Base64.getEncoder.encodeToString(bytes)
+      } ++
       refs.sortBy(_.split).map { r =>
         val statCells = r.stats.flatMap(c =>
           Seq(cell(c.min), cell(c.max), c.nulls.toString))
-        (Seq(escape(r.split), r.dir, r.nRows.toString) ++ statCells)
+        // trailing optional DV cells: comma-joined sidecar dirs + the
+        // cumulative tombstone count (absent = no deletion vectors)
+        val dvCells =
+          if (r.dvDirs.isEmpty) Nil
+          else Seq(r.dvDirs.map(escape).mkString(","), r.dvRows.toString)
+        (Seq(escape(r.split), r.dir, r.nRows.toString) ++ statCells ++ dvCells)
           .mkString("\t")
       })
       .mkString("", "\n", "\n")
@@ -1332,38 +1781,78 @@ object Snapshots {
           fs.delete(tmp, false): Unit
           loseRace(fs, claim, root, v)
         }
-      } finally fs.delete(claim, false): Unit
+      } finally commitPoint.release(fs, claim)
     }
   }
 
+  /** Typed race signal: a concurrent committer landed this version
+    * number first. [[commitDeltaChain]] catches it and AUTO-REBASES
+    * (re-read head, overlap-check, retry); [[commitFull]] translates it
+    * to a loud refusal (rebasing a full rewrite has no defined winner). */
+  private[plans] final case class CommitRaceLost(root: String, v: Int)
+    extends RuntimeException(
+      s"concurrent commit detected at $root: v$v already exists")
+
   private def loseRace(fs: org.apache.hadoop.fs.FileSystem,
       claim: org.apache.hadoop.fs.Path, root: String, v: Int): Nothing = {
-    if (claim != null) fs.delete(claim, false): Unit
-    throw graft.core.GraftAnalysisException(Seq(
-      s"concurrent commit detected at $root: v$v already exists — " +
-        "re-read the latest version and retry the delta against it"))
+    if (claim != null) commitPoint.release(fs, claim)
+    throw CommitRaceLost(root, v)
+  }
+
+  /** How the exclusive CLAIM that guards a version number is acquired
+    * across drivers — the one storage primitive the commit protocol
+    * needs. The default covers POSIX (O_EXCL) and HDFS
+    * (create-no-overwrite); an object-store deployment plugs a
+    * conditional-put implementation (S3 `If-None-Match: *`, GCS
+    * `ifGenerationMatch=0`, Azure `If-None-Match`) via
+    * [[Snapshots.setCommitPointStrategy]]. The contract: `tryClaim`
+    * returns true for EXACTLY ONE caller per path until that claim is
+    * released — returning false when no one holds the claim is safe
+    * (the committer refuses or rebases, never corrupts), returning true
+    * twice is not. */
+  trait CommitPointStrategy {
+    /** Atomically create the claim marker; false = already held. */
+    def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+        claim: org.apache.hadoop.fs.Path): Boolean
+    /** Remove the claim marker (idempotent). */
+    def release(fs: org.apache.hadoop.fs.FileSystem,
+        claim: org.apache.hadoop.fs.Path): Unit =
+      fs.delete(claim, false): Unit
   }
 
   /** Atomic exclusive create of the claim file. java.nio O_EXCL for
     * local paths (Hadoop's RawLocalFileSystem create-no-overwrite is
     * check-then-act, not atomic); Hadoop's exclusive create elsewhere
-    * (atomic on HDFS; object stores need conditional-put — documented
-    * in the class doc). */
-  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
-      claim: org.apache.hadoop.fs.Path): Boolean = {
-    val q = fs.makeQualified(claim)
-    if (q.toUri.getScheme == "file")
-      try {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(q.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    else
-      try { fs.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(claim) => false
-      }
+    * (atomic on HDFS; object stores without atomic create plug a
+    * conditional-put strategy — see [[CommitPointStrategy]]). */
+  object DefaultCommitPoint extends CommitPointStrategy {
+    override def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+        claim: org.apache.hadoop.fs.Path): Boolean = {
+      val q = fs.makeQualified(claim)
+      if (q.toUri.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(q.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { fs.create(claim, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(claim) => false
+        }
+    }
   }
+
+  @volatile private var commitPoint: CommitPointStrategy = DefaultCommitPoint
+
+  /** Install the deployment's claim strategy (process-wide; the default
+    * suits POSIX and HDFS). Pass [[DefaultCommitPoint]] to restore. */
+  def setCommitPointStrategy(st: CommitPointStrategy): Unit =
+    commitPoint = st
+
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path): Boolean =
+    commitPoint.tryClaim(fs, claim)
 
   /** Serializes same-process commit-point renames (see above). */
   private val commitLock = new Object
@@ -1376,16 +1865,46 @@ object Snapshots {
       statsCols: IndexedSeq[String], fork: Option[Int] = None,
       ts: Option[Long] = None,
       constraints: IndexedSeq[String] = IndexedSeq.empty,
-      zorder: Boolean = false)
+      zorder: Boolean = false,
+      bloomCols: IndexedSeq[String] = IndexedSeq.empty,
+      blooms: Map[(String, String), Array[Byte]] = Map.empty)
+
+  /** Per-JVM parse cache for version files, keyed by qualified path and
+    * validated by (modification time, length). Version files are written
+    * once by atomic rename and only ever DELETED (vacuum) — never
+    * rewritten in place — so a validated cache entry is exact; the
+    * validation guards the recreated-store-at-the-same-root case (specs,
+    * operators replaying into a swept root). Turns [[history]] /
+    * [[versionAsOf]] / the per-commit predecessor-stamp read from
+    * O(versions) file reads per call into one `getFileStatus` per
+    * version ([[versionFileReads]] counts only genuine reads, so the
+    * spec pins the steady state). */
+  private val vfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, VersionFile)]()
 
   private def readVersionFile(s: SparkSession, root: String, v: Int,
       branch: Option[String] = None): VersionFile = {
     val p = new org.apache.hadoop.fs.Path(s"${chainDir(root, branch)}/v$v.list")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no committed version v$v at $root" +
-        branch.fold("")(b => s" on branch '$b'"))
-    val lines = readWhole(fs, p).split("\n").toIndexedSeq.filter(_.nonEmpty)
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"no committed version v$v at $root" +
+              branch.fold("")(b => s" on branch '$b'"))
+      }
+    val key = fs.makeQualified(p).toString
+    val hit = vfCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+      return hit._3
+    val vf = parseVersionFile(readWhole(fs, p))
+    vfCache.put(key, (st.getModificationTime, st.getLen, vf))
+    vf
+  }
+
+  private def parseVersionFile(text: String): VersionFile = {
+    val lines = text.split("\n").toIndexedSeq.filter(_.nonEmpty)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(lines.head)
     val statsCols = lines.find(_.startsWith("#stats="))
       .map(_.stripPrefix("#stats=").split(",").toIndexedSeq.map(unescape))
@@ -1399,7 +1918,14 @@ object Snapshots {
         StatCell(cell(fields(base)), cell(fields(base + 1)),
           fields(base + 2).toLong)
       }.toIndexedSeq
-      SplitRef(unescape(fields(0)), fields(1), fields(2).toLong, stats)
+      val dvBase = 3 + statsCols.size * 3
+      val (dvDirs, dvRows) =
+        if (fields.length > dvBase)
+          (fields(dvBase).split(",").toIndexedSeq.map(unescape),
+            fields(dvBase + 1).toLong)
+        else (IndexedSeq.empty[String], 0L)
+      SplitRef(unescape(fields(0)), fields(1), fields(2).toLong, stats,
+        dvDirs, dvRows)
     }
     val tag = lines.find(_.startsWith("#tag="))
       .map(l => unescape(l.stripPrefix("#tag=")))
@@ -1410,7 +1936,15 @@ object Snapshots {
     val constraints = lines.filter(_.startsWith("#check="))
       .map(l => unescape(l.stripPrefix("#check=")))
     val zorder = lines.contains("#zorder=1")
-    VersionFile(schema, refs, tag, statsCols, fork, ts, constraints, zorder)
+    val bloomCols = lines.find(_.startsWith("#bloom="))
+      .map(_.stripPrefix("#bloom=").split(",").toIndexedSeq.map(unescape))
+      .getOrElse(IndexedSeq.empty)
+    val blooms = lines.filter(_.startsWith("#bf=")).map { l =>
+      val Array(sp, c, b64) = l.stripPrefix("#bf=").split("\t", 3)
+      (unescape(sp), unescape(c)) -> java.util.Base64.getDecoder.decode(b64)
+    }.toMap
+    VersionFile(schema, refs, tag, statsCols, fork, ts, constraints, zorder,
+      bloomCols, blooms)
   }
 
   /** The idempotence tag recorded in `v{N}.list`, if any. */
@@ -1447,7 +1981,7 @@ object Snapshots {
       refs: Seq[SplitRef]): DataFrame = {
     val live = refs.filter(_.nRows > 0)
     val byDir = live.groupBy(_.dir).toSeq.sortBy(_._1)
-    byDir.map { case (dir, rs) =>
+    val scan = byDir.map { case (dir, rs) =>
       s.read.schema(schema).option("basePath", s"$root/$dir")
         .parquet(s"$root/$dir")
         .filter(col("split").isin(rs.map(_.split): _*))
@@ -1457,6 +1991,33 @@ object Snapshots {
     }.reduceOption(_ unionByName _)
       .getOrElse(s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // MERGE-ON-READ: anti-join the deletion vectors of any ref that
+    // carries them. Each DV dir applies ONLY to the splits whose ref
+    // lists it — a split rewritten after a takedown folded its
+    // tombstones in, and a re-added doc_id there must NOT be re-deleted
+    // by the stale sidecar. Zero cost on DV-less stores (the common
+    // case: no join is planned at all); DV sides are takedown-sized, so
+    // AQE broadcasts them at runtime.
+    val withDv = live.filter(_.dvDirs.nonEmpty)
+    if (withDv.isEmpty) scan
+    else {
+      val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("split",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          schema("doc_id").dataType)))
+      val splitsByDv: Seq[(String, Seq[String])] = withDv
+        .flatMap(r => r.dvDirs.map(_ -> r.split))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+      val dv = splitsByDv.map { case (d, sps) =>
+        s.read.schema(dvSchema).parquet(s"$root/$d")
+          .filter(col("split").isin(sps: _*))
+      }.reduce(_ unionByName _)
+      // the join hoists its keys to the front — re-pin the stored column
+      // order (readAt's shape-identical contract)
+      scan.join(dv, Seq("split", "doc_id"), "left_anti")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 
   /** Split values round-trip MY version-file format via URL-encoding

@@ -918,6 +918,146 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  /** DELETION-VECTOR takedown gate
+    * ([[graft.plans.Snapshots.commitRemove]]): the merge-on-read tier —
+    * v2 takes down the %7 docs and v3 the remaining %5 docs as TOMBSTONE
+    * SIDECARS (the gate REQUIRES that neither commit wrote a split data
+    * dir — a copy-on-write regression fails in-gate, not just in the
+    * numbers), stacking two vectors on the splits both touched; v4 is a
+    * normal delta re-adding the %35 docs with bumped n_chars, which
+    * REWRITES every split and folds the tombstones in — the re-added
+    * doc_ids must not be re-deleted by the stale sidecars. All four
+    * versions read back AFTER every commit; the oracle replays the
+    * membership algebra in closed form. */
+  def corpusDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_dv")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s, d, root.toString)
+      Snapshots.commitRemove(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      Snapshots.commitRemove(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(5)) === 0 &&
+            pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(col("split"), col("doc_id")))
+      // the merge-on-read claim, enforced in-gate: the takedown commits
+      // wrote ONLY `-dv` sidecars, never a split data dir
+      Seq(2, 3).foreach { v =>
+        val dataDirs = Option(root.toFile.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith(s"v$v-") &&
+            !f.getName.endsWith("-dv"))
+        require(dataDirs.isEmpty,
+          s"takedown v$v rewrote split data: ${dataDirs.map(_.getName)}")
+      }
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(35)) === 0)
+          .withColumn("n_chars", col("n_chars") + 1),
+        removedIds = d.select(col("split"), col("doc_id")).limit(0))
+      Seq(1, 2, 3, 4).map { v =>
+        Snapshots.readAt(s, root.toString, v)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("char_sum"))
+          .select(lit(s"v$v").as("version"), col("split"),
+            col("n_docs"), col("id_sum"), col("char_sum"))
+      }.reduce(_ unionAll _).graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** OPTIMISTIC-CONCURRENCY gate: two GENUINELY CONCURRENT committers —
+    * one adding the %3 docs, one taking down the %4==1 slice of the
+    * seed — race on one store from two driver threads (a latch releases
+    * them together). The claim protocol plus auto-rebase
+    * ([[graft.plans.Snapshots.commitDelta]]) must land BOTH as a dense
+    * v2/v3 chain with zero manual retries, whichever order they win;
+    * the deltas are doc_id-disjoint, so the head's content is
+    * order-independent and the oracle replays it in closed form. The
+    * gate REQUIRES both commits succeeded (a refusal aborts it) and the
+    * chain is dense. */
+  def corpusConcurrent(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_conc")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0), root.toString)
+      val noneRm = d.select(col("split"), col("doc_id")).limit(0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val committers = Seq(
+        Future {
+          start.await()
+          Snapshots.commitDelta(s, root.toString,
+            adds = d.filter(pmod(col("doc_id"), lit(3)) === 0),
+            removedIds = noneRm)
+        },
+        Future {
+          start.await()
+          Snapshots.commitDelta(s, root.toString,
+            adds = d.limit(0),
+            removedIds = d.filter(pmod(col("doc_id"), lit(4)) === 1 &&
+                pmod(col("doc_id"), lit(3)) =!= 0)
+              .select(col("split"), col("doc_id")))
+        })
+      start.countDown()
+      val landed = committers.map(f => Await.result(f, 20.minutes))
+      require(landed.toSet == Set(2, 3),
+        s"both concurrent committers must land a dense chain, got $landed")
+      Snapshots.readAt(s, root.toString, 3)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusConcurrent]] in closed form: the final membership
+    * is order-independent — %3 adds ∪ (seed ∖ the %4==1 takedowns). */
+  lazy val corpusConcurrentSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split, n_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT * FROM d WHERE doc_id % 3 = 0 OR doc_id % 4 <> 1)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+       |FROM m GROUP BY split""".stripMargin
+
+  /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
+    * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
+    * n_chars+1). */
+  lazy val corpusDvSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split, n_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT 'v1' AS version, split, doc_id, n_chars FROM d
+       |  UNION ALL
+       |  SELECT 'v2', split, doc_id, n_chars FROM d WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT 'v3', split, doc_id, n_chars FROM d
+       |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT 'v4', split, doc_id, n_chars FROM d
+       |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT 'v4', split, doc_id, n_chars + 1 FROM d WHERE doc_id % 35 = 0)
+       |SELECT version, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+       |FROM m GROUP BY version, split""".stripMargin
+
   /** INCREMENTAL-VIEW-MAINTENANCE gate ([[graft.plans.IncrementalAgg]]):
     * a per-(split, lang) rollup materializes at v1 of the corpus store,
     * then two deltas land (the %5 adds; the %11∖%7∖%5 in-place update
@@ -1076,6 +1216,61 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
       |  COUNT(*) AS n_docs, TRUE AS within_bound
       |FROM documents GROUP BY 1""".stripMargin
+
+  /** NDV view SURVIVING REMOVES ([[graft.plans.IncrementalAgg.Spec]]
+    * `ndvRebuild`): sketches cannot retract, so a takedown day used to
+    * force a manual re-materialize — declared with `ndvRebuild = true`,
+    * the refresh instead recomputes ONLY the diff's touched groups from
+    * the head (counts, sums and fresh sketches) and keeps untouched
+    * groups' stored rows. The gate lands ONE mixed delta (the %11∖%7
+    * docs updated in place + the %7 takedowns) and refreshes once; the
+    * estimates must land within 5σ of the exact per-split distinct
+    * (doc_id unique ⇒ exact = row count), enforced in-query via
+    * raise_error. */
+  def viewNdvRemove(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, IncrementalAgg, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_ndvr_store")
+    val view = java.nio.file.Files.createTempDirectory("graft_ndvr_view")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"))
+      Snapshots.commitFull(s, d, root.toString)
+      require(IncrementalAgg.materialize(s, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Nil, ndvCols = Seq("doc_id"),
+          ndvRebuild = true)) == 1)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(11)) === 0 &&
+          pmod(col("doc_id"), lit(7)) =!= 0),
+        removedIds = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      require(IncrementalAgg.refresh(s, root.toString, view.toString) == 2,
+        "ndv-rebuild refresh did not reach the store head")
+      val rse = 1.04 / math.sqrt(1 << 12) // lgK=12 HLL relative std error
+      IncrementalAgg.read(s, view.toString)
+        .select(col("split"), col("n_docs"),
+          expr("hll_sketch_estimate(ndv_doc_id)").as("est"))
+        .select(col("split"), col("n_docs"),
+          when(abs(col("est").cast("double") - col("n_docs").cast("double"))
+              <= lit(5 * rse) * col("n_docs").cast("double"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("rebuilt NDV estimate outside 5*rse for split "),
+              col("split"), lit(": est="), col("est").cast("string"),
+              lit(" exact="), col("n_docs").cast("string"))))
+            .as("within_bound"))
+        .graftCheckpoint()
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(view.toFile)
+    }
+  }
+
+  /** Mirrors [[viewNdvRemove]]: post-takedown membership is ¬%7; doc_id
+    * unique ⇒ exact distinct = row count; verdict enforced in-engine. */
+  lazy val viewNdvRemoveSql: String =
+    """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
+      |  COUNT(*) AS n_docs, TRUE AS within_bound
+      |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1""".stripMargin
 
   /** BRANCH-AND-MERGE gate ([[graft.plans.Snapshots.createBranch]] /
     * [[graft.plans.Snapshots.mergeBranch]]): main commits the corpus

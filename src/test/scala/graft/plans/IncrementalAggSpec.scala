@@ -224,4 +224,116 @@ class IncrementalAggSpec extends SparkTestBase {
     } finally Seq(root, view).foreach(p =>
       CorpusExport.deleteRecursively(p.toFile))
   }
+
+  // ---- round 14: NDV views that survive removes (ndvRebuild) ------------
+
+  test("ndvRebuild: a takedown/update diff refreshes by touched-group rebuild, equals a from-scratch rebuild") {
+    val root = freshDir("graft_iagg_ndvr")
+    val view = freshDir("graft_iagg_ndvr_view")
+    val audit = freshDir("graft_iagg_ndvr_audit")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one", 5), doc(2, "a", "two", 7),
+        doc(3, "b", "three", 100), doc(4, "c", "four", 9))), root.toString)
+      val spec = IncrementalAgg.Spec(Seq("split"), Seq("n_tokens"),
+        ndvCols = Seq("doc_id"), ndvRebuild = true)
+      assert(IncrementalAgg.materialize(spark, root.toString,
+        view.toString, spec) === 1)
+      // v2: remove doc 1 (a), update doc 3 in place (b); c untouched
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "b", "three", 150))),
+        removedIds = df(Seq(doc(1, "a", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      assert(IncrementalAgg.refresh(spark, root.toString, view.toString) === 2)
+      assert(viewRows(view.toString) === Set(
+        ("a", 1L, 7L), ("b", 1L, 150L), ("c", 1L, 9L)))
+      // estimates equal a from-scratch rebuild's EXACTLY (sketches are
+      // deterministic for identical input sets)
+      IncrementalAgg.materialize(spark, root.toString, audit.toString, spec)
+      def ests(p: String): Map[String, Double] =
+        IncrementalAgg.read(spark, p)
+          .select(col("split"),
+            IncrementalAgg.ndvEstimate("doc_id").cast("double"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(ests(view.toString) === ests(audit.toString))
+    } finally {
+      Seq(root, view, audit).foreach(p => CorpusExport.deleteRecursively(p.toFile))
+    }
+  }
+
+  test("ndvRebuild: untouched groups keep their stored sketch BYTES verbatim") {
+    val root = freshDir("graft_iagg_ndvu")
+    val view = freshDir("graft_iagg_ndvu_view")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one", 5), doc(2, "b", "two", 7),
+        doc(3, "b", "three", 9))), root.toString)
+      val spec = IncrementalAgg.Spec(Seq("split"), Nil,
+        ndvCols = Seq("doc_id"), ndvRebuild = true)
+      IncrementalAgg.materialize(spark, root.toString, view.toString, spec): Unit
+      def sketchOf(split: String): Seq[Byte] =
+        IncrementalAgg.read(spark, view.toString)
+          .filter(col("split") === split).select(col("ndv_doc_id"))
+          .collect()(0).getAs[Array[Byte]](0).toSeq
+      val bBefore = sketchOf("b")
+      // the diff touches ONLY group a
+      Snapshots.commitDelta(spark, root.toString, adds = df(Nil),
+        removedIds = df(Seq(doc(1, "a", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      // group a emptied -> dropped; group b's stored row carried verbatim
+      assert(IncrementalAgg.read(spark, view.toString)
+        .select(col("split"), col("n_docs"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("b", 2L)))
+      assert(sketchOf("b") === bBefore,
+        "an untouched group must not be recomputed")
+    } finally {
+      Seq(root, view).foreach(p => CorpusExport.deleteRecursively(p.toFile))
+    }
+  }
+
+  test("ndvRebuild covers group MOVES: both the old and the new group refresh") {
+    val root = freshDir("graft_iagg_ndvm")
+    val view = freshDir("graft_iagg_ndvm_view")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one", 5), doc(2, "b", "two", 7))), root.toString)
+      val spec = IncrementalAgg.Spec(Seq("split"), Seq("n_tokens"),
+        ndvCols = Seq("doc_id"), ndvRebuild = true)
+      IncrementalAgg.materialize(spark, root.toString, view.toString, spec): Unit
+      // move doc 1 from a to b (remove at a + re-add at b)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "b", "one", 5))),
+        removedIds = df(Seq(doc(1, "a", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      IncrementalAgg.refresh(spark, root.toString, view.toString): Unit
+      assert(viewRows(view.toString) === Set(("b", 2L, 12L)))
+      val est = IncrementalAgg.read(spark, view.toString)
+        .select(IncrementalAgg.ndvEstimate("doc_id").cast("double"))
+        .collect()(0).getDouble(0)
+      assert(math.abs(est - 2.0) < 0.5, s"fresh sketch must see both docs: $est")
+    } finally {
+      Seq(root, view).foreach(p => CorpusExport.deleteRecursively(p.toFile))
+    }
+  }
+
+  test("without ndvRebuild the refusal now names the flag") {
+    val root = freshDir("graft_iagg_ndvf")
+    val view = freshDir("graft_iagg_ndvf_view")
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one", 5))), root.toString)
+      IncrementalAgg.materialize(spark, root.toString, view.toString,
+        IncrementalAgg.Spec(Seq("split"), Nil, ndvCols = Seq("doc_id"))): Unit
+      Snapshots.commitDelta(spark, root.toString, adds = df(Nil),
+        removedIds = df(Seq(doc(1, "a", "x", 0)))
+          .select(col("split"), col("doc_id")))
+      val e = intercept[graft.core.GraftAnalysisException] {
+        IncrementalAgg.refresh(spark, root.toString, view.toString)
+      }
+      assert(e.getMessage.contains("ndvRebuild"), e.getMessage)
+    } finally {
+      Seq(root, view).foreach(p => CorpusExport.deleteRecursively(p.toFile))
+    }
+  }
 }

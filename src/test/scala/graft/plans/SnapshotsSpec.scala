@@ -1191,4 +1191,555 @@ class SnapshotsSpec extends SparkTestBase {
       assert(dirsOf(root, 1).isEmpty)
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+  // ---- round 14: optimistic concurrency + commit-point strategy --------
+
+  /** Conditional-put test DOUBLE: the first claim request loses — and,
+    * when `interleaved` is set, a REAL commit lands in between (the
+    * object-store race: our put is refused because someone else's commit
+    * won). Reentrancy-guarded so the interleaved commit's own claim goes
+    * through the default path. */
+  private class LosingClaim(interleaved: Option[() => Unit])
+      extends Snapshots.CommitPointStrategy {
+    private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private var inInterleaved = false
+    override def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+        claim: org.apache.hadoop.fs.Path): Boolean =
+      if (!inInterleaved && fired.compareAndSet(false, true)) {
+        interleaved.foreach { f =>
+          inInterleaved = true
+          try f() finally inInterleaved = false
+        }
+        false // the conditional put lost
+      } else Snapshots.DefaultCommitPoint.tryClaim(fs, claim)
+  }
+
+  private def withStrategy[A](st: Snapshots.CommitPointStrategy)(body: => A): A = {
+    Snapshots.setCommitPointStrategy(st)
+    try body finally Snapshots.setCommitPointStrategy(Snapshots.DefaultCommitPoint)
+  }
+
+  test("a claim-race loser with a DISJOINT delta auto-rebases and commits") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      // between the victim's head read and its claim, an interleaved
+      // committer lands v2 touching a DIFFERENT doc
+      val st = new LosingClaim(Some(() =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(20, "b", "intruder"))), removedIds = none): Unit))
+      val v = withStrategy(st) {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(10, "a", "mine"))), removedIds = none)
+      }
+      // ZERO manual retries: the victim rebased onto v2 and landed v3
+      assert(v === 3)
+      assert(Snapshots.latestVersion(spark, root.toString) === 3)
+      assert(contents(root.toString, 3) === Set(
+        (1L, "a", "one"), (2L, "b", "two"),
+        (20L, "b", "intruder"), (10L, "a", "mine")))
+      // the interleaved commit's own version is intact (nothing clobbered)
+      assert(contents(root.toString, 2) === Set(
+        (1L, "a", "one"), (2L, "b", "two"), (20L, "b", "intruder")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a claim-race loser whose delta OVERLAPS the interleaved commit refuses, naming the docs") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      val st = new LosingClaim(Some(() =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(1, "a", "theirs"))), removedIds = none): Unit))
+      val e = intercept[graft.core.GraftAnalysisException] {
+        withStrategy(st) {
+          Snapshots.commitDelta(spark, root.toString,
+            adds = df(Seq(doc(1, "a", "mine"))), removedIds = none)
+        }
+      }
+      assert(e.getMessage.contains("concurrent commit conflict"))
+      assert(e.getMessage.contains("1"))
+      // the interleaved commit survives as head; the loser wrote nothing
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      assert(contents(root.toString, 2).contains((1L, "a", "theirs")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a denied claim with NO newer version refuses with orphaned-claim guidance") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      val e = intercept[graft.core.GraftAnalysisException] {
+        withStrategy(new LosingClaim(None)) {
+          Snapshots.commitDelta(spark, root.toString,
+            adds = df(Seq(doc(10, "a", "x"))), removedIds = none)
+        }
+      }
+      assert(e.getMessage.contains("orphaned commit claim"), e.getMessage)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("two genuinely concurrent DISJOINT committers BOTH succeed (dense chain, no manual retry)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = (0 until 2).map { i =>
+        Future {
+          start.await()
+          (i, Snapshots.commitDelta(spark, root.toString,
+            adds = df(Seq(doc(10L + i, "a", s"racer$i"))), removedIds = none))
+        }
+      }
+      start.countDown()
+      // auto-rebase makes BOTH succeed — a thrown refusal fails the test
+      val wins = fs.map(f => Await.result(f, 180.seconds))
+      assert(wins.map(_._2).toSet === Set(2, 3),
+        s"both committers must land on a dense chain: $wins")
+      val head = contents(root.toString, 3)
+      assert(head.contains((10L, "a", "racer0")) && head.contains((11L, "a", "racer1")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("rebase replays the delta's REMOVALS too, against the interleaved head") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"), doc(3, "c", "three"))),
+        root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      val st = new LosingClaim(Some(() =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(20, "b", "intruder"))), removedIds = none): Unit))
+      val v = withStrategy(st) {
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Nil),
+          removedIds = df(Seq(doc(3, "c", "x")))
+            .select(col("split"), col("doc_id")))
+      }
+      assert(v === 3)
+      assert(contents(root.toString, 3) === Set(
+        (1L, "a", "one"), (2L, "b", "two"), (20L, "b", "intruder")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  // ---- round 14: advisory fixes ----------------------------------------
+
+  test("dropBranch 'exp' never touches sibling branch 'exp-v2' (prefix trap)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      Snapshots.createBranch(spark, root.toString, "exp", 1)
+      Snapshots.createBranch(spark, root.toString, "exp-v2", 1)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(10, "a", "on-exp"))), removedIds = none,
+        tag = None, branch = Some("exp"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(20, "a", "on-exp-v2"))), removedIds = none,
+        tag = None, branch = Some("exp-v2"))
+      Snapshots.dropBranch(spark, root.toString, "exp")
+      assert(Snapshots.listBranches(spark, root.toString) === Seq("exp-v2"))
+      // exp-v2's data dirs survived the sweep and its head still reads
+      assert(Option(root.toFile.listFiles()).toSeq.flatten
+        .exists(_.getName.startsWith("b-exp-v2-v")))
+      assert(Snapshots.readAt(spark, root.toString, 2, Some("exp-v2"))
+        .collect().map(_.getLong(0)).toSet === Set(1L, 20L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("merge-conflict refusal is doc_id-type agnostic (string keys name the doc, no cast error)") {
+    val root = freshRoot()
+    try {
+      import spark.implicits._
+      val seed = Seq(("d1", "a", "one"), ("d2", "b", "two"))
+        .toDF("doc_id", "split", "text")
+      Snapshots.commitFull(spark, seed, root.toString)
+      Snapshots.createBranch(spark, root.toString, "x", 1)
+      val none = seed.limit(0).select(col("split"), col("doc_id"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = Seq(("d1", "a", "branch-edit")).toDF("doc_id", "split", "text"),
+        removedIds = none, tag = None, branch = Some("x"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = Seq(("d1", "a", "main-edit")).toDF("doc_id", "split", "text"),
+        removedIds = none)
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.mergeBranch(spark, root.toString, "x")
+      }
+      assert(e.getMessage.contains("d1"), e.getMessage)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("commit stamps are strictly increasing; readAsOf(v's stamp) is exactly v") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "a", "two"))), removedIds = none)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "a", "three"))), removedIds = none)
+      val ts = Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect().map(_.getLong(4))
+      assert(ts.length === 3)
+      assert(ts(0) < ts(1) && ts(1) < ts(2),
+        s"stamps must be strictly increasing even within one millisecond: ${ts.toSeq}")
+      // upward tie resolution can no longer misfire: each version owns
+      // a distinct instant
+      assert(Snapshots.versionAsOf(spark, root.toString, ts(0)) === 1)
+      assert(Snapshots.versionAsOf(spark, root.toString, ts(1)) === 2)
+      assert(Snapshots.versionAsOf(spark, root.toString, ts(1) - 1) === 1)
+      assert(Snapshots.versionAsOf(spark, root.toString, ts(2)) === 3)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("version-file parses are memoized: a second history/versionAsOf pass reads zero files") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      (0 until 6).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(10L + k, "a", s"t$k"))), removedIds = none)
+      }
+      val h1 = Snapshots.history(spark, root.toString).collect()
+      assert(h1.length === 7)
+      val before = Snapshots.versionFileReads.get()
+      val h2 = Snapshots.history(spark, root.toString).collect()
+      val asOf = Snapshots.versionAsOf(spark, root.toString, h1.last.getLong(4))
+      assert(Snapshots.versionFileReads.get() === before,
+        "the second pass must be answered from the cache")
+      assert(h2.map(_.getInt(0)).toSeq === h1.map(_.getInt(0)).toSeq)
+      assert(asOf === 7)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("the parse cache never serves a stale file: a recreated store at the same root reads fresh") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "first-life"))), root.toString)
+      assert(contents(root.toString, 1) === Set((1L, "a", "first-life")))
+      CorpusExport.deleteRecursively(root.toFile)
+      java.nio.file.Files.createDirectories(root)
+      Snapshots.commitFull(spark, df(Seq(
+        doc(2, "b", "second-life-longer"))), root.toString)
+      assert(contents(root.toString, 1) === Set((2L, "b", "second-life-longer")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+  // ---- round 14: deletion-vector (merge-on-read) takedowns -------------
+
+  test("commitRemove writes NO split data files — only the tombstone sidecar") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"))),
+        root.toString)
+      val v1Files = listFiles(dirsOf(root, 1).head)
+      val v2 = Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      assert(v2 === 2)
+      // v1's files are byte-untouched; v2 wrote only a `-dv` sidecar
+      assert(listFiles(dirsOf(root, 1).head) === v1Files)
+      val v2Dirs = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v2-"))
+      assert(v2Dirs.nonEmpty && v2Dirs.forall(_.getName.endsWith("-dv")),
+        s"a takedown must write no split data dir: ${v2Dirs.map(_.getName)}")
+      // merge-on-read: the reader anti-joins the vector
+      assert(contents(root.toString, 2) === Set(
+        (2L, "a", "two"), (3L, "b", "three")))
+      // time travel unaffected
+      assert(contents(root.toString, 1) === Set(
+        (1L, "a", "one"), (2L, "a", "two"), (3L, "b", "three")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("consolidate folds deletion vectors in; vacuum then sweeps the sidecar") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"))),
+        root.toString)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      val v3 = Snapshots.consolidate(spark, root.toString)
+      assert(contents(root.toString, v3) === Set(
+        (2L, "a", "two"), (3L, "b", "three")))
+      val (_, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(deleted.exists(_.endsWith("-dv")),
+        s"the folded-in sidecar must be sweepable: $deleted")
+      assert(contents(root.toString, v3) === Set(
+        (2L, "a", "two"), (3L, "b", "three")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("vacuum NEVER sweeps a sidecar a surviving version still reads through") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"))), root.toString)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      val (dropped, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(dropped === Seq(1))
+      assert(!deleted.exists(_.endsWith("-dv")), s"live sidecar swept: $deleted")
+      // v1's data dir also survives (v2 pointer-carries it)
+      assert(dirsOf(root, 1).nonEmpty)
+      assert(contents(root.toString, 2) === Set((2L, "a", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("re-deleting a tombstoned doc is a no-op; history reports EFFECTIVE rows") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      val h = Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect()
+        .map(r => (r.getInt(0), r.getInt(2), r.getLong(3)))
+      // split 'a' fully tombstoned: drops out of n_splits; rows stay 1
+      assert(h.toSeq === Seq((1, 2, 2L), (2, 1, 1L), (3, 1, 1L)))
+      assert(contents(root.toString, 3) === Set((2L, "b", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("changesBetween reports a DV takedown as a remove carrying the old payload") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"))),
+        root.toString)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      val ch = Snapshots.changesBetween(spark, root.toString, 1, 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+      assert(ch.toSeq === Seq(("remove", 1L, "one")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a rewrite folds the split's tombstones in; a re-added doc_id is NOT re-deleted") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"))), root.toString)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      // v3 rewrites split a (normal delta) re-adding doc 1 — the stale
+      // sidecar still exists on disk but no longer applies to this split
+      val v3 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "reborn"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      assert(contents(root.toString, v3) === Set(
+        (1L, "a", "reborn"), (2L, "a", "two")))
+      // and v2 (pre-rewrite) still reads merge-on-read correct
+      assert(contents(root.toString, 2) === Set((2L, "a", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("commitRemove maintains stats pruning exactness and honors tags") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "alpha").copy(_4 = 1L), doc(2, "b", "beta").copy(_4 = 100L),
+        doc(3, "b", "gamma").copy(_4 = 200L))),
+        root.toString, statsCols = Seq("n_tokens"))
+      val v2 = Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(3, "b", "x"))).select(col("split"), col("doc_id")),
+        tag = Some("day-1"))
+      // redelivery: the durable ledger answers, the chain stays put
+      assert(Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(3, "b", "x"))).select(col("split"), col("doc_id")),
+        tag = Some("day-1")) === v2)
+      assert(Snapshots.latestVersion(spark, root.toString) === v2)
+      // stats carried verbatim stay SOUND over-approximations: split a
+      // still prunes for a range it can't match, and the read is exact
+      assert(Snapshots.pruneReport(spark, root.toString, v2,
+        col("n_tokens") >= 50L) === Seq("a"))
+      assert(Snapshots.readAtWhere(spark, root.toString, v2,
+        col("n_tokens") >= 50L).collect().map(_.getLong(0)).toSet === Set(2L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("branch deletion vectors: commitRemove on a branch, merge lands the takedown, dropBranch sweeps the sidecar") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      Snapshots.createBranch(spark, root.toString, "x", 1)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(2, "b", "x"))).select(col("split"), col("doc_id")),
+        tag = None, branch = Some("x"))
+      assert(Snapshots.readAt(spark, root.toString, 2, Some("x"))
+        .collect().map(_.getLong(0)).toSet === Set(1L))
+      val merged = Snapshots.mergeBranch(spark, root.toString, "x")
+      assert(contents(root.toString, merged) === Set((1L, "a", "one")))
+      Snapshots.dropBranch(spark, root.toString, "x")
+      assert(Option(root.toFile.listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("b-")) === 0,
+        "dropBranch must sweep the branch's -dv sidecars too")
+      assert(contents(root.toString, merged) === Set((1L, "a", "one")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  // ---- round 14: widened stats pruning (OR / InSet / bloom cells) ------
+
+  test("an OR of prunable constraints prunes splits that EVERY disjunct misses") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      def pruned(pred: org.apache.spark.sql.Column): Set[String] =
+        Snapshots.pruneReport(spark, root.toString, 1, pred).toSet
+      def ids(pred: org.apache.spark.sql.Column): Set[Long] =
+        Snapshots.readAtWhere(spark, root.toString, 1, pred)
+          .collect().map(_.getLong(0)).toSet
+
+      // both sides miss b (100..110) and c (1000..1010); a holds 1
+      val twoRanges = col("n_tokens") < 5L || col("n_tokens") > 2000L
+      assert(pruned(twoRanges) === Set("b", "c"))
+      assert(ids(twoRanges) === Set(1L))
+
+      // OR of equalities: a (1..10) misses both points; b and c each
+      // cover one range-wise and must stay
+      val twoPoints = col("n_tokens") === 105L || col("n_tokens") === 1005L
+      assert(pruned(twoPoints) === Set("a"))
+      assert(ids(twoPoints) === Set.empty[Long])
+
+      // a disjunct that can't lower vetoes the whole OR (it might match
+      // anything) — nothing prunes, the result stays exact
+      val half = col("n_tokens") < 5L || length(col("text")) > 50
+      assert(pruned(half) === Set.empty[String])
+      assert(ids(half) === Set(1L))
+
+      // nested AND inside OR: (100 <= t <= 110) OR (t >= 1000) — only a
+      // is outside both
+      val nested = (col("n_tokens") >= 100L && col("n_tokens") <= 110L) ||
+        col("n_tokens") >= 1000L
+      assert(pruned(nested) === Set("a"))
+      assert(ids(nested) === Set(3L, 4L, 5L, 6L))
+
+      // OR under a conjunction: a pruned by the string conjunct (its
+      // texts sort below "c"), b by BOTH sides of the OR missing it
+      val mixed = (col("n_tokens") === 1L || col("n_tokens") === 1000L) &&
+        col("text") >= "c"
+      assert(pruned(mixed) === Set("a", "b"))
+      assert(ids(mixed) === Set(5L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("InSet (the large-IN form Catalyst actually plans) prunes by range relaxation") {
+    val root = freshRoot()
+    try {
+      statsStore(root)
+      // 102 elements — far past the In→InSet conversion threshold (10)
+      val missA = (2000L to 2100L) :+ 110L
+      val predA = col("n_tokens").isInCollection(missA)
+      assert(Snapshots.pruneReport(spark, root.toString, 1, predA).toSet ===
+        Set("a"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, predA)
+        .collect().map(_.getLong(0)).toSet === Set(4L))
+      // the optimized form the pruner consumes really is InSet, not In
+      import org.apache.spark.sql.catalyst.expressions.InSet
+      val optimized = Snapshots.readAtWhere(spark, root.toString, 1, predA)
+        .queryExecution.optimizedPlan
+      assert(optimized.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.exists(_.exists(_.isInstanceOf[InSet])),
+        "expected the predicate to optimize to InSet")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a constant stats cell (min = max) refutes an IN that skips its value") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "x").copy(_4 = 10L), doc(2, "a", "y").copy(_4 = 10L),
+        doc(3, "b", "z").copy(_4 = 7L))), root.toString,
+        statsCols = Seq("n_tokens"))
+      // {5, 15} brackets a's constant 10 — range relaxation alone keeps
+      // a; the constant-cell check proves it empty
+      val pred = col("n_tokens").isin(5L, 15L, 7L)
+      assert(Snapshots.pruneReport(spark, root.toString, 1, pred).toSet ===
+        Set("a"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, pred)
+        .collect().map(_.getLong(0)).toSet === Set(3L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("bloom cells prune equality/IN on a high-cardinality column ranges can't help") {
+    val root = freshRoot()
+    try {
+      // every split's text range is ~[m…, z…] — min/max never prunes
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "m1"), doc(2, "a", "z9"),
+        doc(3, "b", "m2"), doc(4, "b", "z8"),
+        doc(5, "c", "m3"), doc(6, "c", "z7"))), root.toString,
+        statsCols = Seq("text"), constraints = Nil, zorder = false,
+        bloomCols = Seq("text"))
+      def pruned(v: Int, pred: org.apache.spark.sql.Column): Set[String] =
+        Snapshots.pruneReport(spark, root.toString, v, pred).toSet
+      def ids(v: Int, pred: org.apache.spark.sql.Column): Set[Long] =
+        Snapshots.readAtWhere(spark, root.toString, v, pred)
+          .collect().map(_.getLong(0)).toSet
+
+      assert(pruned(1, col("text") === "z8") === Set("a", "c"))
+      assert(ids(1, col("text") === "z8") === Set(4L))
+      assert(pruned(1, col("text").isin("z8", "m3")) === Set("a"))
+      assert(ids(1, col("text").isin("z8", "m3")) === Set(4L, 5L))
+      // a value nowhere in the corpus prunes EVERY split
+      assert(pruned(1, col("text") === "q0") === Set("a", "b", "c"))
+      assert(ids(1, col("text") === "q0") === Set.empty[Long])
+
+      // a delta rewriting split a RECOMPUTES its bloom: the replaced
+      // value stops matching at v2 and the new one starts
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "a", "q5"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      assert(pruned(2, col("text") === "q5") === Set("b", "c"))
+      assert(ids(2, col("text") === "q5") === Set(1L))
+      assert(pruned(2, col("text") === "m1") === Set("a", "b", "c"))
+      assert(ids(2, col("text") === "m1") === Set.empty[Long])
+      // time travel keeps v1's bloom verdicts
+      assert(pruned(1, col("text") === "m1") === Set("b", "c"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("an integral bloom column probes through the analyzer's type promotion") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(11, "a", "x"), doc(92, "a", "y"),
+        doc(13, "b", "z"), doc(94, "b", "w"))), root.toString,
+        statsCols = Seq("doc_id"), constraints = Nil, zorder = false,
+        bloomCols = Seq("doc_id"))
+      // int literal against the long column — analyzer inserts an up-cast
+      val pred = col("doc_id") === lit(13)
+      assert(Snapshots.pruneReport(spark, root.toString, 1, pred).toSet ===
+        Set("a"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, pred)
+        .collect().map(_.getLong(0)).toSet === Set(13L))
+      // a fractional literal can never render integrally — bloom stands
+      // down, the range/constant logic and the scan keep it exact
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+        col("doc_id") === lit(13.5)).collect().isEmpty)
+      // bloom cols must be stats cols and typed string/integral
+      val bad = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitFull(spark, df(Seq(doc(1, "a", "x"))),
+          freshRoot().toString, statsCols = Seq("doc_id"),
+          constraints = Nil, zorder = false, bloomCols = Seq("text"))
+      }
+      assert(bad.getMessage.contains("must also be a stats column"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }
