@@ -141,6 +141,8 @@ object SparkEntry {
     "d_corpus_incr_agg" -> (q.LlmOps.corpusIncrAgg _),
     "d_corpus_dv" -> (q.LlmOps.corpusDv _),
     "d_corpus_concurrent" -> (q.LlmOps.corpusConcurrent _),
+    "d_corpus_merge_into" -> (q.LlmOps.corpusMergeInto _),
+    "d_corpus_restore" -> (q.LlmOps.corpusRestore _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
     "d_view_ndv_remove" -> (q.LlmOps.viewNdvRemove _),
     "d_corpus_read_asof" -> (q.LlmOps.corpusReadAsOf _),
@@ -353,6 +355,10 @@ object SparkEntry {
     "d_corpus_dv" -> q.LlmOps.corpusDvSql,
     // two concurrent disjoint committers both land; order-free membership
     "d_corpus_concurrent" -> q.LlmOps.corpusConcurrentSql,
+    // three-step MERGE INTO algebra (upsert, conditional update, delete)
+    "d_corpus_merge_into" -> q.LlmOps.corpusMergeIntoSql,
+    // pointer-only rollback: restore(1) over a botched takedown, then go on
+    "d_corpus_restore" -> q.LlmOps.corpusRestoreSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
     // NDV view survives a takedown via touched-group rebuild, 5σ-enforced

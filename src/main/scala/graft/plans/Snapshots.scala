@@ -975,9 +975,12 @@ object Snapshots {
         case _ => None
       }
       case StartsWith(PruneAttr(n, dt), PruneLit(v: String)) =>
-        // every string with prefix v is >= v in binary order; no upper
-        // bound (byte-order-safe hi needs byte surgery — not worth it)
-        Some(RangeC(n, dt, Some((v, true)), None))
+        // prefix v spans [v, prefixUpperBound(v)) in binary order — the
+        // upper bound is the prefix with its rightmost incrementable
+        // byte bumped (raw bytes; may not be valid UTF-8, which is why
+        // Utf8Key holds bytes)
+        Some(RangeC(n, dt, Some((v, true)),
+          prefixUpperBound(v).map(k => (k: Any, false))))
       case IsNull(PruneAttr(n, _)) => Some(NullC(n))
       case IsNotNull(PruneAttr(n, _)) => Some(NotNullC(n))
       case _ => None
@@ -1123,7 +1126,7 @@ object Snapshots {
     import org.apache.spark.sql.types._
     try dt match {
       case _: NumericType => Some(new java.math.BigDecimal(v)) // NaN/Inf throw → no pruning
-      case st: StringType if st == StringType => Some(Utf8Key(v))
+      case st: StringType if st == StringType => Some(Utf8Key.of(v))
       case BooleanType => Some(java.lang.Boolean.valueOf(v))
       case DateType => Some(v) // ISO dates: lexicographic == chronological
       case TimestampType => Some(java.time.Instant.parse(v))
@@ -1145,7 +1148,8 @@ object Snapshots {
         case _ => None
       }
       case st: StringType if st == StringType => v match {
-        case s0: String => Some(Utf8Key(s0))
+        case s0: String => Some(Utf8Key.of(s0))
+        case k: Utf8Key => Some(k) // a prefix's synthesized upper bound
         case _ => None
       }
       case BooleanType => v match {
@@ -1171,11 +1175,13 @@ object Snapshots {
   }
 
   /** String ordered by UTF-8 bytes (unsigned) — Spark's UTF8_BINARY
-    * collation, the order its min/max computed the stats in. */
-  private final case class Utf8Key(s: String) extends Comparable[Utf8Key] {
+    * collation, the order its min/max computed the stats in. Holds raw
+    * bytes (not a String) so a prefix's exclusive UPPER bound — which
+    * may not be valid UTF-8 after the increment — is representable. */
+  private final case class Utf8Key(bytes: Array[Byte]) extends Comparable[Utf8Key] {
     override def compareTo(o: Utf8Key): Int = {
-      val a = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = o.s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val a = bytes
+      val b = o.bytes
       var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) {
@@ -1184,6 +1190,26 @@ object Snapshots {
         i += 1
       }
       a.length - b.length
+    }
+  }
+  private object Utf8Key {
+    def of(s: String): Utf8Key =
+      Utf8Key(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The smallest byte string strictly greater than EVERY string with
+    * this prefix: increment the rightmost incrementable byte and
+    * truncate after it (an all-0xFF prefix has no finite bound). Gives
+    * `StartsWith` its exclusive upper range — `prefix <= s < bound`. */
+  private def prefixUpperBound(prefix: String): Option[Utf8Key] = {
+    val b = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(Utf8Key(out))
     }
   }
 
@@ -1342,6 +1368,242 @@ object Snapshots {
     val vf = readVersionFile(s, root, latest)
     commitFull(s, readRefs(s, root, vf.schema, vf.refs), root,
       vf.statsCols, vf.constraints, vf.zorder, vf.bloomCols)
+  }
+
+  /** What a [[mergeInto]] does with a source row whose doc_id already
+    * exists in the store. `Update` replaces the stored row with the
+    * source row (the store's replace contract); `Delete` takes it down;
+    * `Skip` leaves it untouched (insert-only merges). */
+  sealed trait WhenMatched
+  object WhenMatched {
+    case object Update extends WhenMatched
+    case object Delete extends WhenMatched
+    case object Skip extends WhenMatched
+  }
+
+  /** What a [[mergeInto]] does with a source row whose doc_id is new:
+    * `Insert` commits it, `Skip` drops it (update-only merges). */
+  sealed trait WhenNotMatched
+  object WhenNotMatched {
+    case object Insert extends WhenNotMatched
+    case object Skip extends WhenNotMatched
+  }
+
+  /** MERGE INTO (upsert) against the store's head, compiled to ONE
+    * delta commit: source rows whose `doc_id` exists get the
+    * `whenMatched` action — optionally gated by `matchedCondition`, a
+    * predicate over the source columns AND the stored row exposed as an
+    * `existing` struct (`col("existing.n_chars") < col("n_chars")` =
+    * "update only if newer") — and new doc_ids get `whenNotMatched`.
+    * Matched-but-condition-false rows are left untouched (standard
+    * MERGE semantics).
+    *
+    * The source must be SPLIT-KEYED like every delta: `split` names the
+    * split a MATCHED doc currently lives in (and the target split for
+    * inserts), so match detection reads only the source's splits —
+    * never the corpus. Source doc_ids must be unique (a doc matched by
+    * two source rows is a refusal, the Delta convention — which source
+    * row should win is not the engine's call). Tags, branches,
+    * constraints, schema widening, stats/bloom maintenance and the
+    * lost-race auto-rebase all ride the underlying [[commitDelta]].
+    * Returns the new version. */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+      whenMatched: WhenMatched, whenNotMatched: WhenNotMatched,
+      matchedCondition: Option[org.apache.spark.sql.Column] = None,
+      tag: Option[String] = None, branch: Option[String] = None): Int = {
+    if (whenMatched == WhenMatched.Skip && whenNotMatched == WhenNotMatched.Skip)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"mergeInto at $root with both actions Skip does nothing — " +
+          "pick an action"))
+    if (!source.columns.contains("split") || !source.columns.contains("doc_id"))
+      throw graft.core.GraftAnalysisException(Seq(
+        s"mergeInto at $root needs a split-keyed source (split, doc_id, " +
+          "payload …) — split names a matched doc's CURRENT split and an " +
+          "insert's target split"))
+    if (matchedCondition.nonEmpty && whenMatched == WhenMatched.Skip)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"mergeInto at $root has a matchedCondition but whenMatched = " +
+          "Skip — the condition would gate nothing"))
+    val head = latestVersion(s, root, branch)
+    require(head >= 1, s"mergeInto on an empty store at $root — commitFull first")
+    val vf = readVersionFile(s, root, head, branch)
+    val srcP = source
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = srcP.groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).limit(6)
+        .collect().map(_.get(0).toString)
+      if (dup.nonEmpty)
+        throw graft.core.GraftAnalysisException(Seq(
+          s"mergeInto at $root: source doc_ids must be unique — " +
+            s"duplicated: ${dup.take(5).mkString(", ")}" +
+            (if (dup.length > 5) ", …" else "") +
+            " (which duplicate wins is not the engine's call)"))
+      // match detection reads ONLY the source's splits (bounded collect:
+      // one row per source split)
+      val srcSplits = srcP.select(col("split")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val cur = readRefs(s, root, vf.schema,
+        vf.refs.filter(r => srcSplits.contains(r.split)))
+      val curKeyed = cur.select(col("split"), col("doc_id"),
+        struct(vf.schema.fieldNames.map(col).toIndexedSeq: _*).as("existing"))
+      val joined = srcP.join(curKeyed, Seq("split", "doc_id"), "left_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val srcCols = srcP.columns.toIndexedSeq.map(col)
+        val matched0 = joined.filter(col("existing").isNotNull)
+        val matched = matchedCondition.fold(matched0)(matched0.filter)
+        val notMatched = joined.filter(col("existing").isNull)
+        val none = srcP.limit(0)
+        val adds =
+          (if (whenMatched == WhenMatched.Update) matched.select(srcCols: _*)
+           else none.select(srcCols: _*))
+            .unionByName(
+              if (whenNotMatched == WhenNotMatched.Insert)
+                notMatched.select(srcCols: _*)
+              else none.select(srcCols: _*))
+        val removes =
+          if (whenMatched == WhenMatched.Delete)
+            matched.select(col("split"), col("doc_id"))
+          else none.select(col("split"), col("doc_id"))
+        commitDelta(s, root, adds, removes, tag, branch)
+      } finally joined.unpersist(blocking = false): Unit
+    } finally srcP.unpersist(blocking = false): Unit
+  }
+
+  /** RESTORE: make `version`'s content the new HEAD as a fresh commit —
+    * the bad-delta undo. ZERO data copied and zero data read: the new
+    * version file pointer-carries `version`'s refs verbatim (the same
+    * immutability that makes time travel free makes rollback free), so
+    * restoring yesterday over a botched takedown costs one version-file
+    * write. History is preserved — the botched commits stay readable
+    * for forensics until vacuum — and the restore is itself a normal
+    * commit: later deltas build on it, CDC diffs span it correctly
+    * (`changesBetween(bad, restored)` reports exactly the undone rows).
+    * Restores the schema/stats/constraints/clustering contract AS OF
+    * that version too (a restore past a widening narrows back — new
+    * columns reappear when re-widened). Refuses on an empty store or a
+    * restore of the current head (a no-op someone probably didn't
+    * mean). */
+  def restore(s: SparkSession, root: String, version: Int): Int = {
+    val head = latestVersion(s, root)
+    require(head >= 1, s"restore on an empty store at $root")
+    if (version == head)
+      throw graft.core.GraftAnalysisException(Seq(
+        s"restore of v$version at $root is the current head — nothing to " +
+          "undo (pin readers with readAt instead)"))
+    val vf = readVersionFile(s, root, version)
+    val v = head + 1
+    try writeVersionFile(s, root, v, vf.schema, vf.refs, None, vf.statsCols,
+      constraints = vf.constraints, zorder = vf.zorder,
+      bloomCols = vf.bloomCols, blooms = vf.blooms)
+    catch {
+      case CommitRaceLost(_, lostV) =>
+        throw graft.core.GraftAnalysisException(Seq(
+          s"concurrent commit detected at $root: v$lostV landed while " +
+            "restoring — re-check the head and restore again if still " +
+            "intended (a restore races like any commit; it must not " +
+            "silently clobber an interleaved delta)"))
+    }
+    v
+  }
+
+  /** Drop whole SPLITS pointer-only — the retention trim for date-keyed
+    * corpora ("drop days older than 90"): the new version file simply
+    * OMITS the named splits' refs, so the commit reads and writes zero
+    * data bytes regardless of how much the splits hold. The dropped
+    * splits' files stay on disk (older versions still read them — time
+    * travel across the trim keeps working) until [[vacuum]] finds no
+    * surviving reference. CDC spans the trim correctly:
+    * `changesBetween(before, after)` reports every dropped row as a
+    * remove. Unknown split names REFUSE — a retention job with a typo
+    * must not silently no-op. Returns the new version. */
+  def dropSplits(s: SparkSession, root: String, splits: Seq[String]): Int = {
+    require(splits.nonEmpty, s"dropSplits at $root with no splits named")
+    val head = latestVersion(s, root)
+    require(head >= 1, s"dropSplits on an empty store at $root")
+    val vf = readVersionFile(s, root, head)
+    val have = vf.refs.map(_.split).toSet
+    val unknown = splits.filterNot(have.contains)
+    if (unknown.nonEmpty)
+      throw graft.core.GraftAnalysisException(
+        s"dropSplits at $root names splits the head (v$head) does not hold" +:
+          unknown.map(sp => s"unknown split '$sp'").toIndexedSeq)
+    val gone = splits.toSet
+    val newRefs = vf.refs.filterNot(r => gone.contains(r.split))
+    val newBlooms = vf.blooms.view.filterKeys(k => !gone.contains(k._1)).toMap
+    val v = head + 1
+    try writeVersionFile(s, root, v, vf.schema, newRefs, None, vf.statsCols,
+      constraints = vf.constraints, zorder = vf.zorder,
+      bloomCols = vf.bloomCols, blooms = newBlooms)
+    catch {
+      case CommitRaceLost(_, lostV) =>
+        throw graft.core.GraftAnalysisException(Seq(
+          s"concurrent commit detected at $root: v$lostV landed during " +
+            "dropSplits — re-check the head and re-run the trim if still " +
+            "intended (a pointer-only trim never rebases over a commit " +
+            "that may have refilled the split)"))
+    }
+    v
+  }
+
+  /** DV-threshold COMPACTION: fold deletion vectors back into data files
+    * for exactly the splits whose tombstone fraction exceeds
+    * `maxDvFraction` — the bounded merge-on-read maintenance step
+    * between free takedowns ([[commitRemove]]) and the full
+    * [[consolidate]]. Each selected split rewrites to its effective
+    * content (the reader's anti-join, materialized once); untouched
+    * splits carry by pointer, including their own (below-threshold)
+    * vectors. Returns the new version, or the current head unchanged
+    * when no split crosses the threshold (no empty commit). This is
+    * also the targeted GDPR-erasure call: after it, the selected
+    * splits' removed rows are gone from disk, not just invisible. */
+  def compactDeletionVectors(s: SparkSession, root: String,
+      maxDvFraction: Double): Int = {
+    require(maxDvFraction >= 0.0 && maxDvFraction < 1.0,
+      s"maxDvFraction must be in [0, 1), got $maxDvFraction")
+    val head = latestVersion(s, root)
+    require(head >= 1, s"compactDeletionVectors on an empty store at $root")
+    val vf = readVersionFile(s, root, head)
+    val targets = vf.refs.filter(r => r.nRows > 0 && r.dvRows > 0 &&
+      r.dvRows.toDouble / r.nRows > maxDvFraction)
+    if (targets.isEmpty) return head
+    val v = head + 1
+    val dir = attemptDir(v)
+    // materialize the targeted splits' EFFECTIVE content (the reader's
+    // anti-join, i.e. the fold-in) into this attempt's dir; a fully-
+    // tombstoned split simply writes no files and its fresh ref records
+    // 0 rows with the vector gone. IO = the targeted splits only.
+    val effective0 = readRefs(s, root, vf.schema, targets)
+    val effective =
+      if (vf.statsCols.isEmpty) effective0
+      else cluster(effective0, vf.statsCols, vf.zorder)
+    effective.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$root/$dir")
+    val readBack = s.read.schema(vf.schema)
+      .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
+    val freshRefs = collectRefs(readBack, dir, vf.statsCols)
+    val emptyCells = vf.statsCols.map(_ => StatCell(None, None, 0L)).toIndexedSeq
+    val targetNames = targets.map(_.split).toSet
+    val newRefs = vf.refs.map { r =>
+      if (!targetNames.contains(r.split)) r
+      else freshRefs.getOrElse(r.split, SplitRef(r.split, dir, 0L, emptyCells))
+    }
+    val newBlooms =
+      if (vf.bloomCols.isEmpty) vf.blooms
+      else vf.blooms.view.filterKeys(k => !targetNames.contains(k._1)).toMap ++
+        collectBlooms(s, readBack, vf.bloomCols)
+    try writeVersionFile(s, root, v, vf.schema, newRefs, None, vf.statsCols,
+      constraints = vf.constraints, zorder = vf.zorder,
+      bloomCols = vf.bloomCols, blooms = newBlooms)
+    catch {
+      case CommitRaceLost(_, lostV) =>
+        throw graft.core.GraftAnalysisException(Seq(
+          s"concurrent commit detected at $root: v$lostV landed during DV " +
+            "compaction — re-run compactDeletionVectors against the new " +
+            "head (maintenance never rebases over interleaved commits)"))
+    }
+    v
   }
 
   /** The main-chain version a TAG committed, if any — the consumer-side

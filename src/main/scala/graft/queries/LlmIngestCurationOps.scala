@@ -1034,6 +1034,128 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
        |FROM m GROUP BY split""".stripMargin
 
+  /** MERGE INTO gate ([[graft.plans.Snapshots.mergeInto]]) — the upsert
+    * front door, three merges deep: (1) classic upsert of the %2 docs
+    * with bumped n_chars (matched → replace, new → insert); (2) a
+    * CONDITIONAL update of the %7 docs to n_chars = 0, gated on the
+    * STORED row's parity (`existing.n_chars % 2 = 0`) — matched-but-
+    * condition-false rows must stay untouched; (3) a delete-merge of
+    * the %5 docs (matched → takedown, unmatched → skip). Every merge
+    * compiles to one delta commit; the oracle replays the whole
+    * three-step algebra in closed form. */
+  def corpusMergeInto(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_merge")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0), root.toString)
+      // (1) upsert: %2 docs, n_chars + 10
+      require(Snapshots.mergeInto(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("n_chars", col("n_chars") + 10),
+        Snapshots.WhenMatched.Update, Snapshots.WhenNotMatched.Insert) == 2)
+      // (2) conditional update: %7 docs -> n_chars = 0, only where the
+      // STORED row's n_chars is even; unmatched %7 docs skipped
+      require(Snapshots.mergeInto(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("n_chars", lit(0).cast(d.schema("n_chars").dataType)),
+        Snapshots.WhenMatched.Update, Snapshots.WhenNotMatched.Skip,
+        matchedCondition =
+          Some(pmod(col("existing.n_chars"), lit(2)) === 0)) == 3)
+      // (3) delete-merge: %5 docs matched are taken down
+      require(Snapshots.mergeInto(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        Snapshots.WhenMatched.Delete, Snapshots.WhenNotMatched.Skip) == 4)
+      Snapshots.readAt(s, root.toString, 4)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusMergeInto]] in closed form. Membership after the
+    * three merges: (¬%3 ∨ %2) ∧ ¬%5. Content: n_chars+10 for the %2
+    * docs, then 0 for %7 members whose post-upsert n_chars was even —
+    * +10 preserves parity, so that is base-n_chars-even. */
+  lazy val corpusMergeIntoSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split, n_chars
+       |  FROM documents),
+       |mem AS (
+       |  SELECT doc_id, split,
+       |    CASE WHEN doc_id % 2 = 0 THEN n_chars + 10 ELSE n_chars END AS nc
+       |  FROM d WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0),
+       |upd AS (
+       |  SELECT doc_id, split,
+       |    CASE WHEN doc_id % 7 = 0 AND nc % 2 = 0 THEN 0 ELSE nc END AS nc
+       |  FROM mem),
+       |fin AS (SELECT * FROM upd WHERE doc_id % 5 <> 0)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(nc) AS BIGINT) AS char_sum
+       |FROM fin GROUP BY split""".stripMargin
+
+  /** RESTORE gate ([[graft.plans.Snapshots.restore]]): a botched
+    * takedown (the %2 docs — half the corpus, the oops) lands as v2;
+    * `restore(1)` rolls the head back as v3 with ZERO data copied (the
+    * gate REQUIRES v3 wrote no data dir at all), and pipelines keep
+    * going — v4 commits the intended delta (%7 takedowns) on top. All
+    * four versions read back AFTER everything; the botched v2 stays
+    * readable for forensics. */
+  def corpusRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_restore")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s, d, root.toString)
+      Snapshots.commitDelta(s, root.toString, adds = d.limit(0),
+        removedIds = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("split"), col("doc_id")))
+      require(Snapshots.restore(s, root.toString, 1) == 3)
+      // zero-copy claim, enforced in-gate: the restore wrote NO data dir
+      val v3Dirs = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v3-"))
+      require(v3Dirs.isEmpty,
+        s"restore must be pointer-only: ${v3Dirs.map(_.getName)}")
+      Snapshots.commitDelta(s, root.toString, adds = d.limit(0),
+        removedIds = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      Seq(1, 2, 3, 4).map { v =>
+        Snapshots.readAt(s, root.toString, v)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .select(lit(s"v$v").as("version"), col("split"),
+            col("n_docs"), col("id_sum"))
+      }.reduce(_ unionAll _).graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusRestore]] in closed form: v1 = all, v2 = ¬%2
+    * (the oops), v3 = all again (the restore), v4 = ¬%7. */
+  lazy val corpusRestoreSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split
+       |  FROM documents),
+       |m AS (
+       |  SELECT 'v1' AS version, split, doc_id FROM d
+       |  UNION ALL
+       |  SELECT 'v2', split, doc_id FROM d WHERE doc_id % 2 <> 0
+       |  UNION ALL
+       |  SELECT 'v3', split, doc_id FROM d
+       |  UNION ALL
+       |  SELECT 'v4', split, doc_id FROM d WHERE doc_id % 7 <> 0)
+       |SELECT version, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM m GROUP BY version, split""".stripMargin
+
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
     * n_chars+1). */

@@ -136,4 +136,58 @@ class SnapshotsScaleSpec extends SparkTestBase {
       CorpusExport.deleteRecursively(lroot.toFile)
     }
   }
+
+  // ---- round 14: IO-bound corruption proofs for the new store ops -------
+
+  test("128 splits: commitRemove, mergeInto, dropSplits and restore touch only what they must") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_scale14")
+    try {
+      val perSplit = 120
+      val d = spark.range(128L * perSplit).select(
+        col("id").as("doc_id"),
+        concat(lit("s"), floor(col("id") / perSplit).cast("string")).as("split"),
+        pmod(col("id"), lit(997)).as("payload"))
+      Snapshots.commitFull(spark, d, root.toString)
+
+      def corruptAllBut(keep: Set[String]): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        val victims = walk(root.toFile).filter(f =>
+          f.getName.endsWith(".parquet") &&
+            !keep.exists(sp => f.getAbsolutePath.contains(s"split=$sp/")))
+        victims.foreach(f => java.nio.file.Files.write(f.toPath,
+          "junk".getBytes("UTF-8")): Unit)
+        victims.size
+      }
+      // leave ONLY splits s0 and s1 readable — 126 splits are junk
+      assert(corruptAllBut(Set("s0", "s1")) > 100)
+
+      // commitRemove reads only its affected split (s0): the other 127
+      // splits' files are never opened
+      val v2 = Snapshots.commitRemove(spark, root.toString,
+        d.filter(col("doc_id") < 10).select(col("split"), col("doc_id")))
+      assert(v2 === 2)
+
+      // mergeInto's match detection reads only the source's splits (s1)
+      val src = d.filter(col("doc_id") >= perSplit.toLong &&
+          col("doc_id") < perSplit + 10L)
+        .withColumn("payload", col("payload") + 50000)
+      val v3 = Snapshots.mergeInto(spark, root.toString, src,
+        Snapshots.WhenMatched.Update, Snapshots.WhenNotMatched.Insert)
+      assert(v3 === 3)
+
+      // dropSplits and restore read ZERO data: they succeed with every
+      // split (including s0/s1's v1 files) now corrupted
+      assert(corruptAllBut(Set.empty) > 0)
+      val v4 = Snapshots.dropSplits(spark, root.toString,
+        (10 until 20).map(k => s"s$k"))
+      assert(v4 === 4)
+      val v5 = Snapshots.restore(spark, root.toString, 3)
+      assert(v5 === 5)
+      assert(Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect().map(_.getInt(0)).toSeq ===
+        Seq(1, 2, 3, 4, 5))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }

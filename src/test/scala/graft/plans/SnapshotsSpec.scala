@@ -1742,4 +1742,206 @@ class SnapshotsSpec extends SparkTestBase {
       assert(bad.getMessage.contains("must also be a stats column"))
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  // ---- round 14: restore, DV compaction, mergeInto, prefix bound -------
+
+  test("restore rolls back a botched takedown with ZERO data copied; pipelines continue on top") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"))),
+        root.toString)
+      // the oops: remove half of split a
+      Snapshots.commitDelta(spark, root.toString, adds = df(Nil),
+        removedIds = df(Seq(doc(1, "a", "x")))
+          .select(col("split"), col("doc_id")))
+      assert(Snapshots.restore(spark, root.toString, 1) === 3)
+      assert(contents(root.toString, 3) === contents(root.toString, 1))
+      // pointer-only: no v3 data dir exists
+      assert(dirsOf(root, 3).isEmpty)
+      // the botched version stays readable for forensics
+      assert(contents(root.toString, 2) === Set(
+        (2L, "a", "two"), (3L, "b", "three")))
+      // CDC across the restore reports exactly the undone rows
+      val ch = Snapshots.changesBetween(spark, root.toString, 2, 3)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(ch.toSeq === Seq(("add", 1L)))
+      // life goes on: a delta commits on top of the restore
+      val v4 = Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(4, "b", "four"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      assert(contents(root.toString, v4) === Set(
+        (1L, "a", "one"), (2L, "a", "two"), (3L, "b", "three"),
+        (4L, "b", "four")))
+      // restoring the current head refuses (a no-op someone didn't mean)
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.restore(spark, root.toString, v4)
+      }
+      assert(e.getMessage.contains("current head"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("compactDeletionVectors folds ONLY splits past the threshold; vacuum sweeps their sidecars") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "a", "three"),
+        doc(4, "b", "four"), doc(5, "b", "five"), doc(6, "b", "six"),
+        doc(7, "b", "seven"))), root.toString)
+      // a: 2 of 3 tombstoned (fraction .67); b: 1 of 4 (fraction .25)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"), doc(2, "a", "x")))
+          .select(col("split"), col("doc_id")))
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(4, "b", "x"))).select(col("split"), col("doc_id")))
+      val before = contents(root.toString, 3)
+      val v4 = Snapshots.compactDeletionVectors(spark, root.toString, 0.5)
+      assert(v4 === 4)
+      assert(contents(root.toString, 4) === before)
+      // only a's sidecar became unreferenced: vacuum keeps b's
+      val (_, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      val dvDeleted = deleted.filter(_.endsWith("-dv"))
+      assert(dvDeleted.size === 1, s"exactly a's sidecar sweeps: $deleted")
+      assert(contents(root.toString, 4) === before)
+      // below-threshold store: compaction is a no-op, no empty commit
+      assert(Snapshots.compactDeletionVectors(spark, root.toString, 0.5) === 4)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("compactDeletionVectors handles a FULLY-tombstoned split (rewrites to empty)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"))), root.toString)
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      val v3 = Snapshots.compactDeletionVectors(spark, root.toString, 0.0)
+      assert(v3 === 3)
+      assert(contents(root.toString, 3) === Set((2L, "b", "two")))
+      val h = Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect()
+        .map(r => (r.getInt(0), r.getInt(2), r.getLong(3)))
+      assert(h.last === ((3, 1, 1L)))
+      // the vector is gone from the head's refs: vacuum sweeps it
+      val (_, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(deleted.exists(_.endsWith("-dv")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("mergeInto: condition-false matches stay untouched; refusals for dup keys and skip/skip") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one").copy(_4 = 2L), doc(2, "a", "two").copy(_4 = 3L),
+        doc(3, "b", "three").copy(_4 = 4L))), root.toString)
+      // update only rows whose STORED n_tokens is even; insert new ones
+      val src = df(Seq(doc(1, "a", "one-v2").copy(_4 = 100L),
+        doc(2, "a", "two-v2").copy(_4 = 200L),
+        doc(9, "b", "nine").copy(_4 = 900L)))
+      val v2 = Snapshots.mergeInto(spark, root.toString, src,
+        Snapshots.WhenMatched.Update, Snapshots.WhenNotMatched.Insert,
+        matchedCondition = Some(pmod(col("existing.n_tokens"), lit(2)) === 0))
+      assert(v2 === 2)
+      // doc 1 (stored 2, even) updated; doc 2 (stored 3, odd) untouched;
+      // doc 9 inserted
+      assert(contents(root.toString, 2) === Set(
+        (1L, "a", "one-v2"), (2L, "a", "two"), (3L, "b", "three"),
+        (9L, "b", "nine")))
+
+      // delete-merge: only matched rows go; unmatched skipped
+      val v3 = Snapshots.mergeInto(spark, root.toString,
+        df(Seq(doc(2, "a", "x"), doc(77, "a", "x"))),
+        Snapshots.WhenMatched.Delete, Snapshots.WhenNotMatched.Skip)
+      assert(contents(root.toString, v3) === Set(
+        (1L, "a", "one-v2"), (3L, "b", "three"), (9L, "b", "nine")))
+
+      // insert-only: matched rows skipped, not replaced
+      val v4 = Snapshots.mergeInto(spark, root.toString,
+        df(Seq(doc(1, "a", "clobber"), doc(10, "b", "ten"))),
+        Snapshots.WhenMatched.Skip, Snapshots.WhenNotMatched.Insert)
+      assert(contents(root.toString, v4) === Set(
+        (1L, "a", "one-v2"), (3L, "b", "three"), (9L, "b", "nine"),
+        (10L, "b", "ten")))
+
+      val dup = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.mergeInto(spark, root.toString,
+          df(Seq(doc(5, "a", "x"), doc(5, "a", "y"))),
+          Snapshots.WhenMatched.Update, Snapshots.WhenNotMatched.Insert)
+      }
+      assert(dup.getMessage.contains("unique"))
+      val noop = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.mergeInto(spark, root.toString, df(Nil),
+          Snapshots.WhenMatched.Skip, Snapshots.WhenNotMatched.Skip)
+      }
+      assert(noop.getMessage.contains("does nothing"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("StartsWith prunes from BOTH sides (byte-surgery upper bound)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "chair"), doc(2, "a", "chest"),
+        doc(3, "b", "cider"), doc(4, "b", "cz"),
+        doc(5, "c", "ca"), doc(6, "c", "cb"))), root.toString,
+        statsCols = Seq("text"))
+      // prefix "ch" spans [ch, ci): c is below it (old behavior), and b
+      // is ABOVE it — only the new upper bound can prune b
+      val pred = col("text").startsWith("ch")
+      assert(Snapshots.pruneReport(spark, root.toString, 1, pred).toSet ===
+        Set("b", "c"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, pred)
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      // a prefix matching NOTHING refutes every split from both sides:
+      // c below [ce, cf), a ("ch…" > "cf") and b above it
+      val nothing = col("text").startsWith("ce")
+      assert(Snapshots.pruneReport(spark, root.toString, 1, nothing).toSet ===
+        Set("a", "b", "c"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, nothing)
+        .collect().isEmpty)
+      // a split straddling the bound is kept and the read stays exact:
+      // [ca, cb) keeps c (min "ca" < "cb") but prunes a and b
+      val edge = col("text").startsWith("ca")
+      assert(Snapshots.pruneReport(spark, root.toString, 1, edge).toSet ===
+        Set("a", "b"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1, edge)
+        .collect().map(_.getLong(0)).toSet === Set(5L))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("dropSplits trims whole splits pointer-only; time travel and CDC span the trim") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "d1", "one"), doc(2, "d1", "two"),
+        doc(3, "d2", "three"), doc(4, "d3", "four"))), root.toString)
+      val v2 = Snapshots.dropSplits(spark, root.toString, Seq("d1"))
+      assert(v2 === 2)
+      // pointer-only: no v2 data dir at all
+      assert(dirsOf(root, 2).isEmpty)
+      assert(contents(root.toString, 2) === Set(
+        (3L, "d2", "three"), (4L, "d3", "four")))
+      // time travel across the trim
+      assert(contents(root.toString, 1).size === 4)
+      // CDC reports the dropped rows as removes
+      val ch = Snapshots.changesBetween(spark, root.toString, 1, 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(ch === Set(("remove", 1L), ("remove", 2L)))
+      // a typo refuses instead of silently no-opping
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.dropSplits(spark, root.toString, Seq("d2", "dXX"))
+      }
+      assert(e.getMessage.contains("dXX"))
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      // after the last reference goes, vacuum sweeps the dropped data
+      val (_, deleted) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(deleted.isEmpty, "v2 still points into v1's dir (d2/d3 carry)")
+      // a consolidation rewrites the survivors; then v1's dir can go
+      Snapshots.consolidate(spark, root.toString): Unit
+      val (_, deleted2) = Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      assert(deleted2.exists(_.startsWith("v1-")))
+      assert(contents(root.toString, 3) === Set(
+        (3L, "d2", "three"), (4L, "d3", "four")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }
