@@ -957,12 +957,15 @@ object Snapshots {
         Some(SetC(n, dt, Seq(v)))
       case EqualNullSafe(PruneLit(v), PruneAttr(n, dt)) =>
         Some(SetC(n, dt, Seq(v)))
-      case In(PruneAttr(n, dt), vs) if vs.nonEmpty && vs.forall {
-          case l: Literal => l.value != null
-          case _ => false
-        } =>
-        val values = vs.flatMap { case l: Literal => PruneLit.unapply(l) }
-        if (values.size != vs.size) None else Some(SetC(n, dt, values))
+      case In(PruneAttr(n, dt), vs) if vs.nonEmpty && vs.forall(
+          _.isInstanceOf[Literal]) =>
+        // a NULL in the list never MATCHES a row (x IN (1, null) is null,
+        // not true, when x != 1 — and a Filter drops null verdicts), so
+        // pruning on the non-null values alone is sound
+        val nonNull = vs.filter { case l: Literal => l.value != null }
+        val values = nonNull.flatMap { case l: Literal => PruneLit.unapply(l) }
+        if (nonNull.isEmpty || values.size != nonNull.size) None
+        else Some(SetC(n, dt, values))
       // the form Catalyst actually plans for IN lists past the
       // inSetConversionThreshold (and Column.isInCollection builds
       // directly): values are CATALYST-internal, convert to external
@@ -1604,6 +1607,57 @@ object Snapshots {
             "head (maintenance never rebases over interleaved commits)"))
     }
     v
+  }
+
+  /** Knobs for [[maintain]] — the store's scheduled-maintenance policy.
+    * `dvCompactFraction`: fold deletion vectors for splits past this
+    * tombstone fraction (None = leave vectors alone).
+    * `consolidateAfterDirs`: when the head references MORE than this
+    * many data dirs, rewrite it into one consolidated version (the LSM
+    * trigger — read cost grows with referenced dirs, not versions).
+    * `vacuumKeepLast`: retention sweep after the above (None = never
+    * drop history here). */
+  final case class MaintenancePolicy(
+      dvCompactFraction: Option[Double] = Some(0.3),
+      consolidateAfterDirs: Option[Int] = Some(16),
+      vacuumKeepLast: Option[Int] = Some(32))
+
+  /** What one [[maintain]] call did: the versions the DV compaction and
+    * the consolidation committed (None = their trigger didn't fire),
+    * and vacuum's (droppedVersions, deletedDirs). */
+  final case class MaintenanceReport(
+      dvCompacted: Option[Int], consolidated: Option[Int],
+      vacuumDropped: Seq[Int], vacuumDeletedDirs: Seq[String])
+
+  /** ONE scheduled-maintenance call for a live store — the nightly cron
+    * a deployment actually runs, ordered so each step feeds the next:
+    * fold overdue deletion vectors ([[compactDeletionVectors]]), then
+    * consolidate if the head's referenced-dir count crossed the policy
+    * trigger ([[consolidate]] — also the erasure point for any
+    * remaining vectors), then [[vacuum]]. Every step no-ops cleanly
+    * when its trigger doesn't fire — running maintain twice in a row
+    * does nothing the second time (idempotent in effect), so an
+    * at-least-once scheduler is fine. Content is NEVER changed: the
+    * head reads identically before and after (spec-pinned). */
+  def maintain(s: SparkSession, root: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    require(latestVersion(s, root) >= 1, s"maintain on an empty store at $root")
+    val dvV = policy.dvCompactFraction.flatMap { f =>
+      val before = latestVersion(s, root)
+      val after = compactDeletionVectors(s, root, f)
+      if (after != before) Some(after) else None
+    }
+    val consV = policy.consolidateAfterDirs.flatMap { trigger =>
+      val vf = readVersionFile(s, root, latestVersion(s, root))
+      val dirs = vf.refs.filter(_.nRows > 0)
+        .flatMap(r => r.dir +: r.dvDirs).distinct.size
+      if (dirs > trigger) Some(consolidate(s, root)) else None
+    }
+    val (dropped, deleted) = policy.vacuumKeepLast match {
+      case Some(k) => vacuum(s, root, k)
+      case None => (Nil, Nil)
+    }
+    MaintenanceReport(dvV, consV, dropped, deleted)
   }
 
   /** The main-chain version a TAG committed, if any — the consumer-side

@@ -1156,6 +1156,69 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM m GROUP BY version, split""".stripMargin
 
+  /** Scheduled-MAINTENANCE gate ([[graft.plans.Snapshots.maintain]]):
+    * a store accumulates a realistic mess — an update delta (%11 docs,
+    * n_chars+1), a DV takedown (%7), a pointer-only retention trim of
+    * the s3 split — and ONE maintain call folds the vectors,
+    * consolidates the multi-dir chain and vacuums history. The gate
+    * REQUIRES all three triggers fired and exactly one referenced data
+    * dir remains; the oracle is the head's closed-form content —
+    * maintenance must never change what the store says. */
+  def corpusMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_maint")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s, d, root.toString)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("n_chars", col("n_chars") + 1),
+        removedIds = d.select(col("split"), col("doc_id")).limit(0))
+      // the takedown hits split s0 only, so the DV fold rewrites s0 and
+      // the OTHER splits still reference the older delta dir — the
+      // consolidation trigger must fire on genuinely multi-dir state
+      Snapshots.commitRemove(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0 &&
+            pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("split"), col("doc_id")))
+      Snapshots.dropSplits(s, root.toString, Seq("s3"))
+      val rep = Snapshots.maintain(s, root.toString,
+        Snapshots.MaintenancePolicy(dvCompactFraction = Some(0.01),
+          consolidateAfterDirs = Some(1), vacuumKeepLast = Some(1)))
+      require(rep.dvCompacted.nonEmpty && rep.consolidated.nonEmpty &&
+        rep.vacuumDropped.nonEmpty,
+        s"every maintenance trigger had to fire: $rep")
+      val liveDirs = Option(root.toFile.listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      require(liveDirs == 1, s"consolidation must leave ONE data dir: $liveDirs")
+      Snapshots.readAt(s, root.toString,
+          Snapshots.latestVersion(s, root.toString))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusMaintain]] in closed form: membership =
+    * (doc_id % 4 ≠ 3) minus the s0-scoped %7 takedown, content +1 for
+    * the %11 update slice. */
+  lazy val corpusMaintainSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
+       |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS nc
+       |  FROM documents),
+       |m AS (
+       |  SELECT * FROM d
+       |  WHERE doc_id % 4 <> 3 AND NOT (doc_id % 7 = 0 AND doc_id % 4 = 0))
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(nc) AS BIGINT) AS char_sum
+       |FROM m GROUP BY split""".stripMargin
+
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
     * n_chars+1). */

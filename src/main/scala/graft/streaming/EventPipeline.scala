@@ -1054,6 +1054,25 @@ object EventPipeline {
     * never a corpus-wide victim scan per batch. */
   def snapshotIngestStream(
       rows: DataFrame, root: String, queryId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    snapshotIngestStream(rows, root, queryId, maintainEvery = None)
+
+  /** [[snapshotIngestStream]] with BUILT-IN maintenance: every
+    * `maintainEvery`-th batch additionally runs [[graft.plans.Snapshots
+    * .maintain]] under `policy` AFTER its tagged commit — a long-running
+    * ingest stream keeps its own version chain bounded (DV folds,
+    * consolidation past the dir trigger, retention vacuum) without an
+    * external cron. Safe under at-least-once redelivery: the tagged
+    * commit is ledger-skipped on replay, and maintain itself is
+    * idempotent in effect (a satisfied trigger no-ops). Set
+    * `policy.vacuumKeepLast` comfortably above the ledger's needs —
+    * tags survive vacuum either way (the durable ledger), but pinned
+    * readers need their versions retained. */
+  def snapshotIngestStream(
+      rows: DataFrame, root: String, queryId: String,
+      maintainEvery: Option[Int],
+      policy: graft.plans.Snapshots.MaintenancePolicy =
+        graft.plans.Snapshots.MaintenancePolicy())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1062,6 +1081,10 @@ object EventPipeline {
           adds = batch,
           removedIds = batch.select(col("split"), col("doc_id")).limit(0),
           tag = Some(s"$queryId-b$batchId")): Unit
+        maintainEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.plans.Snapshots.maintain(batch.sparkSession, root, policy): Unit
+        }
       }
 
   /** Synchronous gate run of [[snapshotIngestStream]]: a store is seeded

@@ -1944,4 +1944,92 @@ class SnapshotsSpec extends SparkTestBase {
         (3L, "d2", "three"), (4L, "d3", "four")))
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  test("maintain: one call folds overdue vectors, consolidates past the dir trigger, vacuums — and is idempotent in effect") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"))),
+        root.toString)
+      // grow a multi-dir chain with an overdue vector on split a
+      (0 until 4).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(10L + k, s"s$k", s"t$k"))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+      }
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      val before = contents(root.toString,
+        Snapshots.latestVersion(spark, root.toString))
+
+      val rep = Snapshots.maintain(spark, root.toString,
+        Snapshots.MaintenancePolicy(
+          dvCompactFraction = Some(0.3),
+          consolidateAfterDirs = Some(2),
+          vacuumKeepLast = Some(1)))
+      assert(rep.dvCompacted.nonEmpty, "the 1/2 vector had to fold")
+      assert(rep.consolidated.nonEmpty, "6+ dirs had to consolidate")
+      assert(rep.vacuumDropped.nonEmpty && rep.vacuumDeletedDirs.nonEmpty)
+      val head = Snapshots.latestVersion(spark, root.toString)
+      assert(contents(root.toString, head) === before,
+        "maintenance must never change the head's content")
+      // exactly one referenced data dir remains after consolidation
+      assert(Option(root.toFile.listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("v")) === 1)
+
+      // second call: every trigger is already satisfied — full no-op
+      val rep2 = Snapshots.maintain(spark, root.toString,
+        Snapshots.MaintenancePolicy(Some(0.3), Some(2), Some(1)))
+      assert(rep2 === Snapshots.MaintenanceReport(None, None, Nil, Nil))
+      assert(Snapshots.latestVersion(spark, root.toString) === head)
+      assert(contents(root.toString, head) === before)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("snapshotIngestStream with built-in maintenance bounds its own chain") {
+    val root = freshRoot()
+    val tmp = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(100, "b", "base"))), root.toString)
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      (1 to 4).foreach { k =>
+        df(Seq(doc(k.toLong, "a", s"t$k"))).coalesce(1)
+          .write.parquet(tmp.resolve(s"f$k").toString)
+        val p = tmp.resolve(s"f$k").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(p.toPath, inDir.resolve(s"part-$k.parquet"))
+      }
+      val in = spark.readStream
+        .schema("doc_id long, split string, text string, n_tokens long")
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      // every 2nd batch: consolidate past 1 referenced dir + vacuum to 2
+      val q = graft.streaming.EventPipeline
+        .snapshotIngestStream(in, root.toString, "m", maintainEvery = Some(2),
+          policy = Snapshots.MaintenancePolicy(
+            dvCompactFraction = None, consolidateAfterDirs = Some(1),
+            vacuumKeepLast = Some(2)))
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val head = Snapshots.latestVersion(spark, root.toString)
+      // content is complete whatever the maintenance did in between
+      assert(contents(root.toString, head) === Set(
+        (100L, "b", "base"), (1L, "a", "t1"), (2L, "a", "t2"),
+        (3L, "a", "t3"), (4L, "a", "t4")))
+      // the chain was vacuumed down along the way: only the last 2 live
+      val live = Snapshots.history(spark, root.toString)
+        .collect().map(_.getInt(0)).sorted
+      assert(live.length === 2 && live.last === head, live.toSeq.toString)
+      // redelivery of an ingest batch still answers from the ledger
+      // (tags survive the in-stream vacuum)
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(1, "a", "t1"))),
+        df(Nil).select(col("split"), col("doc_id")),
+        tag = Some("m-b0")) === 2)
+      assert(Snapshots.latestVersion(spark, root.toString) === head)
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(tmp.toFile)
+    }
+  }
 }
