@@ -519,7 +519,19 @@ object Snapshots {
 
   def commitRemove(s: SparkSession, root: String,
       removedIds: DataFrame, tag: Option[String],
-      branch: Option[String]): Int = {
+      branch: Option[String]): Int =
+    commitRemove(s, root, removedIds, tag, branch, requireAllFound = false)
+
+  /** [[commitRemove]] with `requireAllFound = true`: the commit REFUSES
+    * (naming samples) unless every requested `(split, doc_id)` matched a
+    * live row — the takedown-pipeline safety catch. The default treats
+    * an unmatched request as the already-deleted no-op (idempotent
+    * re-deliveries); a FIRST-delivery GDPR pipeline should require all
+    * found, because a mis-keyed split makes a silent no-op
+    * indistinguishable from a completed takedown. */
+  def commitRemove(s: SparkSession, root: String,
+      removedIds: DataFrame, tag: Option[String],
+      branch: Option[String], requireAllFound: Boolean): Int = {
     if (tag.nonEmpty && branch.nonEmpty)
       throw graft.core.GraftAnalysisException(Seq(
         s"tagged commits are main-chain only (the durable tag ledger at " +
@@ -537,13 +549,14 @@ object Snapshots {
     try
       commitWithRebase(s, root, tag, branch,
         victimsP.select(col("doc_id")))(base =>
-        commitRemoveAttempt(s, root, victimsP, tag, branch, base))
+        commitRemoveAttempt(s, root, victimsP, tag, branch, base,
+          requireAllFound))
     finally victimsP.unpersist(blocking = false): Unit
   }
 
   private def commitRemoveAttempt(s: SparkSession, root: String,
       victims: DataFrame, tag: Option[String], branch: Option[String],
-      base: Int): Int = {
+      base: Int, requireAllFound: Boolean = false): Int = {
     val vfBase = readVersionFile(s, root, base, branch)
     val v = base + 1
     val dvDir = attemptDir(v, branch) + "-dv"
@@ -570,6 +583,26 @@ object Snapshots {
     val counts = s.read.schema(dvSchema).parquet(s"$root/$dvDir")
       .groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (requireAllFound) {
+      val requested = victims.count()
+      val found = counts.values.sum
+      if (found != requested) {
+        // the unfulfilled requests, for the refusal — bounded sample
+        // (the written sidecar is unreferenced debris; vacuum sweeps it)
+        val missing = victims
+          .join(s.read.schema(dvSchema).parquet(s"$root/$dvDir"),
+            Seq("split", "doc_id"), "left_anti")
+          .limit(6).collect()
+          .map(r => s"(${r.get(0)}, ${r.get(1)})")
+        throw graft.core.GraftAnalysisException(Seq(
+          s"commitRemove at $root (requireAllFound): only $found of " +
+            s"$requested requested takedowns matched a live row — " +
+            s"unmatched e.g. ${missing.take(5).mkString(", ")}" +
+            (if (missing.length > 5) ", …" else "") +
+            "; a mis-keyed split or an already-deleted doc — nothing " +
+            "was committed"))
+      }
+    }
     val newRefs = vfBase.refs.map { r =>
       counts.get(r.split) match {
         case Some(c) if c > 0 =>
@@ -894,8 +927,21 @@ object Snapshots {
   private def prunedRefs(s: SparkSession, root: String, vf: VersionFile,
       pred: org.apache.spark.sql.Column): Seq[SplitRef] = {
     if (vf.statsCols.isEmpty) return vf.refs
-    val optimized = readRefs(s, root, vf.schema, vf.refs).filter(pred)
-      .queryExecution.optimizedPlan
+    // the predicate is analyzed against a BARE scan of the version's
+    // dirs — deliberately NOT readRefs' frame: its per-dir `split IN
+    // (…)` pruning filters would be MERGED with the user predicate by
+    // the optimizer (CombineFilters after pushdown through the union),
+    // and one dir's split list would then read as a user constraint —
+    // wrongly pruning every other dir's splits whenever `split` itself
+    // is a tracked stats column
+    val live = vf.refs.filter(_.nRows > 0)
+    if (live.isEmpty) return vf.refs
+    val bare = live.groupBy(_.dir).toSeq.sortBy(_._1).map { case (dir, _) =>
+      s.read.schema(vf.schema).option("basePath", s"$root/$dir")
+        .parquet(s"$root/$dir")
+        .select(vf.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+    val optimized = bare.filter(pred).queryExecution.optimizedPlan
     val cons = optimized.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.map(constraintsOf).getOrElse(Nil)
@@ -1427,9 +1473,8 @@ object Snapshots {
       throw graft.core.GraftAnalysisException(Seq(
         s"mergeInto at $root has a matchedCondition but whenMatched = " +
           "Skip — the condition would gate nothing"))
-    val head = latestVersion(s, root, branch)
-    require(head >= 1, s"mergeInto on an empty store at $root — commitFull first")
-    val vf = readVersionFile(s, root, head, branch)
+    require(latestVersion(s, root, branch) >= 1,
+      s"mergeInto on an empty store at $root — commitFull first")
     val srcP = source
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1446,32 +1491,80 @@ object Snapshots {
       // one row per source split)
       val srcSplits = srcP.select(col("split")).distinct()
         .collect().map(_.getString(0)).toSet
-      val cur = readRefs(s, root, vf.schema,
-        vf.refs.filter(r => srcSplits.contains(r.split)))
-      val curKeyed = cur.select(col("split"), col("doc_id"),
-        struct(vf.schema.fieldNames.map(col).toIndexedSeq: _*).as("existing"))
-      val joined = srcP.join(curKeyed, Seq("split", "doc_id"), "left_outer")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val srcCols = srcP.columns.toIndexedSeq.map(col)
-        val matched0 = joined.filter(col("existing").isNotNull)
-        val matched = matchedCondition.fold(matched0)(matched0.filter)
-        val notMatched = joined.filter(col("existing").isNull)
-        val none = srcP.limit(0)
-        val adds =
-          (if (whenMatched == WhenMatched.Update) matched.select(srcCols: _*)
-           else none.select(srcCols: _*))
-            .unionByName(
-              if (whenNotMatched == WhenNotMatched.Insert)
-                notMatched.select(srcCols: _*)
-              else none.select(srcCols: _*))
-        val removes =
-          if (whenMatched == WhenMatched.Delete)
-            matched.select(col("split"), col("doc_id"))
-          else none.select(col("split"), col("doc_id"))
-        commitDelta(s, root, adds, removes, tag, branch)
-      } finally joined.unpersist(blocking = false): Unit
+      // the classification is only valid against the head it read — so
+      // the commit is PINNED to that head, and an interleaved commit
+      // (even one that never races our claim) re-runs the WHOLE merge
+      // against the new head: serializable-retry semantics, never a
+      // stale insert/update landing over a concurrent write
+      var attempt = 0
+      while (true) {
+        val head = latestVersion(s, root, branch)
+        val vf = readVersionFile(s, root, head, branch)
+        val cur = readRefs(s, root, vf.schema,
+          vf.refs.filter(r => srcSplits.contains(r.split)))
+        val curKeyed = cur.select(col("split"), col("doc_id"),
+          struct(vf.schema.fieldNames.map(col).toIndexedSeq: _*).as("existing"))
+        val joined = srcP.join(curKeyed, Seq("split", "doc_id"), "left_outer")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val srcCols = srcP.columns.toIndexedSeq.map(col)
+          val matched0 = joined.filter(col("existing").isNotNull)
+          val matched = matchedCondition.fold(matched0)(matched0.filter)
+          val notMatched = joined.filter(col("existing").isNull)
+          val none = srcP.limit(0)
+          val adds =
+            (if (whenMatched == WhenMatched.Update) matched.select(srcCols: _*)
+             else none.select(srcCols: _*))
+              .unionByName(
+                if (whenNotMatched == WhenNotMatched.Insert)
+                  notMatched.select(srcCols: _*)
+                else none.select(srcCols: _*))
+          val removes =
+            if (whenMatched == WhenMatched.Delete)
+              matched.select(col("split"), col("doc_id"))
+            else none.select(col("split"), col("doc_id"))
+          return commitDeltaPinned(s, root, adds, removes, tag, branch, head)
+        } catch {
+          case CommitRaceLost(_, _) =>
+            attempt += 1
+            if (attempt >= MaxRebaseAttempts)
+              throw graft.core.GraftAnalysisException(Seq(
+                s"mergeInto at $root re-derived $attempt times and keeps " +
+                  "losing to interleaved commits — serialize the writers " +
+                  "or batch their merges"))
+        } finally joined.unpersist(blocking = false): Unit
+      }
+      -1 // unreachable: the loop returns or throws
     } finally srcP.unpersist(blocking = false): Unit
+  }
+
+  /** One delta commit PINNED to `expectedBase` — [[mergeInto]]'s commit
+    * point: its adds/removes were DERIVED from that head, so any
+    * interleaved commit (seen either as a moved head before the attempt
+    * or as a lost claim during it) surfaces as [[CommitRaceLost]] for
+    * the caller to re-derive against the new head; a silent rebase here
+    * would land a stale classification. */
+  private def commitDeltaPinned(s: SparkSession, root: String,
+      adds: DataFrame, removedIds: DataFrame, tag: Option[String],
+      branch: Option[String], expectedBase: Int): Int = {
+    tag.foreach { t =>
+      ensureTagLedger(s, root)
+      readTagMarker(s, root, t).foreach(v => return v)
+    }
+    val gone = removedIds.select(col("doc_id"))
+      .unionByName(adds.select(col("doc_id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val addsP = adds
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (latestVersion(s, root, branch) != expectedBase)
+        throw CommitRaceLost(root, expectedBase + 1)
+      commitDeltaAttempt(s, root, addsP, removedIds, gone, tag, branch,
+        expectedBase)
+    } finally {
+      gone.unpersist(blocking = false)
+      addsP.unpersist(blocking = false): Unit
+    }
   }
 
   /** RESTORE: make `version`'s content the new HEAD as a fresh commit —
@@ -1578,11 +1671,22 @@ object Snapshots {
     // tombstoned split simply writes no files and its fresh ref records
     // 0 rows with the vector gone. IO = the targeted splits only.
     val effective0 = readRefs(s, root, vf.schema, targets)
-    val effective =
-      if (vf.statsCols.isEmpty) effective0
-      else cluster(effective0, vf.statsCols, vf.zorder)
-    effective.write.mode("overwrite").partitionBy("split")
-      .parquet(s"$root/$dir")
+    // the z-order path evaluates its input three times (isEmpty,
+    // dimRanges, the write) — persist the scan+anti-join for the call
+    val zClustered = vf.statsCols.nonEmpty && vf.zorder
+    val effectiveP =
+      if (!zClustered) effective0
+      else effective0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val effective =
+        if (vf.statsCols.isEmpty) effectiveP
+        else cluster(effectiveP, vf.statsCols, vf.zorder)
+      effective.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$root/$dir")
+    } finally {
+      if (zClustered) effectiveP.unpersist(blocking = false): Unit
+    }
     val readBack = s.read.schema(vf.schema)
       .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
     val freshRefs = collectRefs(readBack, dir, vf.statsCols)
@@ -2073,14 +2177,34 @@ object Snapshots {
     // file://, HDFS create-no-overwrite elsewhere)
     commitLock.synchronized {
       if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
-      if (!tryClaim(fs, claim)) {
-        if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
-        else throw graft.core.GraftAnalysisException(Seq(
-          s"orphaned commit claim at $claim: a committer for v$v crashed " +
-            "between its claim and its version-file rename — after " +
-            "confirming no committer is live, delete the claim file to " +
-            "unwedge the store (vacuum sweeps claims only for versions " +
-            "already committed)"))
+      var won = tryClaim(fs, claim)
+      if (!won) {
+        // a denied claim with NO committed version usually means a LIVE
+        // cross-driver committer is between its claim and its rename
+        // (or a conditional put blipped) — grace-wait for its rename
+        // (→ CommitRaceLost, the rebase path) or its release (→ our
+        // retried claim wins) instead of refusing instantly. Only a
+        // claim still held with no version appearing after the grace
+        // budget is treated as an orphan.
+        val graceMs = s.conf
+          .getOption("spark.graft.snapshot.claimGraceMs")
+          .map(_.toLong).getOrElse(12000L)
+        val deadline = System.nanoTime() + graceMs * 1000000L
+        while (!won && System.nanoTime() < deadline) {
+          Thread.sleep(math.min(500L, math.max(1L, graceMs / 8)))
+          if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
+          won = tryClaim(fs, claim)
+        }
+        if (!won) {
+          if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
+          throw graft.core.GraftAnalysisException(Seq(
+            s"orphaned commit claim at $claim: a committer for v$v " +
+              s"crashed between its claim and its version-file rename " +
+              s"(no version appeared within the ${graceMs} ms grace " +
+              "window) — after confirming no committer is live, delete " +
+              "the claim file to unwedge the store (vacuum sweeps claims " +
+              "only for versions already committed)"))
+        }
       }
       try {
         // re-check AFTER winning the claim: a racer may have completed
@@ -2195,8 +2319,19 @@ object Snapshots {
     * O(versions) file reads per call into one `getFileStatus` per
     * version ([[versionFileReads]] counts only genuine reads, so the
     * spec pins the steady state). */
-  private val vfCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Long, VersionFile)]()
+  /** BOUNDED (LRU, 64 entries): a long-running ingest driver parses one
+    * new version file per micro-batch, and entries can be bloom-heavy —
+    * an unbounded map would grow with the stream's lifetime. 64 covers
+    * every hot access pattern (history/vacuum walk the live chain once;
+    * steady-state commits touch head±1) while capping worst-case
+    * retention at 64 version files' parses. */
+  private val vfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long, VersionFile)](
+        64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, VersionFile)]): Boolean =
+        size() > 64
+    })
 
   private def readVersionFile(s: SparkSession, root: String, v: Int,
       branch: Option[String] = None): VersionFile = {
