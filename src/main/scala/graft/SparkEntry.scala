@@ -144,6 +144,7 @@ object SparkEntry {
     "d_corpus_merge_into" -> (q.LlmOps.corpusMergeInto _),
     "d_corpus_restore" -> (q.LlmOps.corpusRestore _),
     "d_corpus_maintain" -> (q.LlmOps.corpusMaintain _),
+    "d_corpus_docindex" -> (q.LlmOps.corpusDocIndex _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
     "d_view_ndv_remove" -> (q.LlmOps.viewNdvRemove _),
     "d_corpus_read_asof" -> (q.LlmOps.corpusReadAsOf _),
@@ -362,6 +363,8 @@ object SparkEntry {
     "d_corpus_restore" -> q.LlmOps.corpusRestoreSql,
     // one maintain call (DV fold + consolidate + vacuum) never changes content
     "d_corpus_maintain" -> q.LlmOps.corpusMaintainSql,
+    // CDC-maintained doc_id→split index; indexed takedowns are sidecar-only
+    "d_corpus_docindex" -> q.LlmOps.corpusDocIndexSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
     // NDV view survives a takedown via touched-group rebuild, 5σ-enforced

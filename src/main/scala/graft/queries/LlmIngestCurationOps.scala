@@ -1219,6 +1219,84 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(nc) AS BIGINT) AS char_sum
        |FROM m GROUP BY split""".stripMargin
 
+  /** DOC-INDEX gate ([[graft.plans.DocIndex]]): the standing
+    * doc_id → split index that upgrades doc_id-only takedowns from a
+    * corpus-wide semi-join to an index lookup. The corpus evolves
+    * through adds AND cross-split moves (the %11∖%5 docs relocate —
+    * exactly what makes a stale mapping dangerous); the index
+    * materializes at v1 and CDC-refreshes per commit; `removeByIds`
+    * takes down the %7 docs via the index as a sidecar-only DV commit
+    * (REQUIRED in-gate: no split data dir written). The result reads
+    * BOTH sides — the corpus head and the index itself — per split:
+    * they must agree exactly, and the oracle replays the move/remove
+    * algebra in closed form. */
+  def corpusDocIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, DocIndex, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_dixc")
+    val idx = java.nio.file.Files.createTempDirectory("graft_snap_dixi")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s,
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), root.toString)
+      require(DocIndex.materialize(s, root.toString, idx.toString) == 1)
+      // v2: the %5 docs arrive AND the %11∖%5 docs MOVE across splits
+      val movers = d.filter(pmod(col("doc_id"), lit(11)) === 0 &&
+        pmod(col("doc_id"), lit(5)) =!= 0)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .unionByName(movers.withColumn("split",
+            concat(lit("s"), pmod(col("doc_id") + 1, lit(4))))),
+        removedIds = movers.select(col("split"), col("doc_id")))
+      require(DocIndex.refresh(s, root.toString, idx.toString) == 2)
+      // doc_id-only takedown THROUGH the index: sidecar-only commit
+      require(DocIndex.removeByIds(s, root.toString, idx.toString,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"))) == 3)
+      val v3Data = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v3-") &&
+          !f.getName.endsWith("-dv"))
+      require(v3Data.isEmpty,
+        s"an indexed takedown must be sidecar-only: ${v3Data.map(_.getName)}")
+      require(DocIndex.refresh(s, root.toString, idx.toString) == 3)
+      val corpusSide = Snapshots.readAt(s, root.toString, 3)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .select(lit("corpus").as("side"), col("split"),
+          col("n_docs"), col("id_sum"))
+      val indexSide = DocIndex.read(s, idx.toString)
+        .groupBy(col("target_split").as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .select(lit("index").as("side"), col("split"),
+          col("n_docs"), col("id_sum"))
+      corpusSide.unionAll(indexSide).graftCheckpoint()
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  /** Mirrors [[corpusDocIndex]] in closed form: membership = ¬%7;
+    * split = s((id+1)%4) for the moved %11∖%5 docs, s(id%4) otherwise;
+    * the index must mirror the corpus exactly. */
+  lazy val corpusDocIndexSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 AND doc_id % 5 <> 0
+       |         THEN 's' || CAST((doc_id + 1) % 4 AS VARCHAR)
+       |         ELSE 's' || CAST(doc_id % 4 AS VARCHAR) END AS split
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |m AS (
+       |  SELECT 'corpus' AS side, split, doc_id FROM d
+       |  UNION ALL
+       |  SELECT 'index', split, doc_id FROM d)
+       |SELECT side, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM m GROUP BY side, split""".stripMargin
+
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
     * n_chars+1). */

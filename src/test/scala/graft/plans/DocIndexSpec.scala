@@ -1,0 +1,152 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the CDC-maintained doc_id → split index: lifecycle
+  * (materialize/refresh/resolve/removeByIds), cross-split moves,
+  * stale-index refusal, refresh idempotence across redelivery and
+  * vacuum, and the bucket-bounded refresh IO (corruption-proven). */
+class DocIndexSpec extends SparkTestBase {
+
+  private def freshRoot(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_docidx")
+
+  private def doc(id: Long, split: String, text: String) =
+    (id, split, text, text.length.toLong)
+
+  private def df(rows: Seq[(Long, String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "split", "text", "n_tokens")
+  }
+
+  private val noRm = df(Nil).select(col("split"), col("doc_id"))
+
+  private def indexMap(idx: String): Map[Long, String] =
+    DocIndex.read(spark, idx.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("materialize → refresh tracks adds, removals and cross-split moves") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "d1", "one"), doc(2, "d2", "two"))), root.toString)
+      assert(DocIndex.materialize(spark, root.toString, idx.toString) === 1)
+      assert(indexMap(idx.toString) === Map(1L -> "d1", 2L -> "d2"))
+
+      // v2: add 3, MOVE 1 from d1 to d3, remove 2
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "d2", "three"), doc(1, "d3", "one"))),
+        removedIds = df(Seq(doc(1, "d1", "x"), doc(2, "d2", "x")))
+          .select(col("split"), col("doc_id")))
+      assert(DocIndex.refresh(spark, root.toString, idx.toString) === 2)
+      assert(indexMap(idx.toString) === Map(1L -> "d3", 3L -> "d2"))
+      assert(DocIndex.indexedVersion(spark, idx.toString) === 2)
+
+      // resolve answers split-keyed pairs; absent ids just don't resolve
+      import spark.implicits._
+      val resolved = DocIndex.resolveSplits(spark, root.toString,
+          idx.toString, Seq(1L, 99L).toDF("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(resolved === Set(("d3", 1L)))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("resolving against a stale index refuses; removeByIds is a sidecar-only takedown") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "d1", "one"), doc(2, "d2", "two"))), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "d1", "three"))), removedIds = noRm)
+      import spark.implicits._
+      val e = intercept[graft.core.GraftAnalysisException] {
+        DocIndex.resolveSplits(spark, root.toString, idx.toString,
+          Seq(1L).toDF("doc_id"))
+      }
+      assert(e.getMessage.contains("refresh the index first"), e.getMessage)
+      DocIndex.refresh(spark, root.toString, idx.toString): Unit
+
+      val v3 = DocIndex.removeByIds(spark, root.toString, idx.toString,
+        Seq(1L, 3L).toDF("doc_id"))
+      assert(v3 === 3)
+      val v3Data = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v3-") &&
+          !f.getName.endsWith("-dv"))
+      assert(v3Data.isEmpty, "an indexed takedown must write no split data")
+      assert(Snapshots.readAt(spark, root.toString, 3)
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // the index catches up and mirrors the head
+      DocIndex.refresh(spark, root.toString, idx.toString): Unit
+      assert(indexMap(idx.toString) === Map(2L -> "d2"))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("refresh is idempotent per corpus version and survives an index vacuum") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "d1", "one"))), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "d1", "two"))), removedIds = noRm)
+      assert(DocIndex.refresh(spark, root.toString, idx.toString) === 2)
+      val chainLen = Snapshots.latestVersion(spark, idx.toString)
+      // a redelivered refresh answers from the tag ledger: no new commit
+      assert(DocIndex.refresh(spark, root.toString, idx.toString) === 2)
+      assert(Snapshots.latestVersion(spark, idx.toString) === chainLen)
+      // vacuum the index store hard; the meta marker still answers and
+      // the next corpus commit still refreshes incrementally
+      Snapshots.vacuum(spark, idx.toString, keepLast = 1): Unit
+      assert(DocIndex.indexedVersion(spark, idx.toString) === 2)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "d2", "three"))), removedIds = noRm)
+      assert(DocIndex.refresh(spark, root.toString, idx.toString) === 3)
+      assert(indexMap(idx.toString) ===
+        Map(1L -> "d1", 2L -> "d1", 3L -> "d2"))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("a refresh rewrites ONLY the buckets holding changed doc_ids (corruption-proven)") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      // 200 docs spread across the index's hash buckets
+      val seed = (1L to 200L).map(k => doc(k, s"d${k % 5}", s"t$k"))
+      Snapshots.commitFull(spark, df(seed), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      // one changed doc — find its index bucket with the SAME hash expr
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(7, "d2", "moved"))),
+        removedIds = df(Seq(doc(7, "d2", "x")))
+          .select(col("split"), col("doc_id")))
+      val bucket = spark.range(1).select(concat(lit("b"),
+          pmod(abs(hash(lit(7L))), lit(DocIndex.Buckets)).cast("string")))
+        .collect()(0).getString(0)
+      // corrupt EVERY index bucket except the changed doc's — a refresh
+      // that read any other bucket would fail
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val victims = walk(idx.toFile).filter(f =>
+        f.getName.endsWith(".parquet") &&
+          f.getAbsolutePath.contains("split=") &&
+          !f.getAbsolutePath.contains(s"split=$bucket/"))
+      assert(victims.nonEmpty)
+      victims.foreach(f => java.nio.file.Files.write(f.toPath,
+        "junk".getBytes("UTF-8")): Unit)
+      assert(DocIndex.refresh(spark, root.toString, idx.toString) === 2)
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+}
