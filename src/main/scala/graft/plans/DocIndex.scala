@@ -33,15 +33,26 @@ import org.apache.spark.sql.functions._
 object DocIndex {
 
   /** Index bucketing width: doc_ids hash into this many index splits,
-    * so a refresh touching k doc_ids rewrites ≤ min(k, Buckets) index
-    * partitions and a lookup prunes to the probed ids' buckets. */
-  val Buckets = 64
+    * so a refresh touching k doc_ids rewrites ≤ min(k, buckets) index
+    * partitions and a lookup prunes to the probed ids' buckets. Session
+    * knob `spark.graft.docindex.buckets` (default 64) — size it to the
+    * corpus: ~corpus_rows × 16 bytes / buckets should be a comfortable
+    * partition (4096 buckets for a 10^10-doc corpus). Fixed at
+    * [[materialize]] time for the index's lifetime — the bucket
+    * function must stay stable across refreshes, so the chosen width is
+    * recorded in the index's own rows (every row's `split` came from
+    * it) and [[refresh]] re-reads the session knob; change it only with
+    * a fresh materialize. */
+  def buckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.docindex.buckets")
+      .map(_.toInt).getOrElse(64)
 
-  private def bucketCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(lit("b"), pmod(abs(hash(c)), lit(Buckets)).cast("string"))
+  private def bucketCol(s: SparkSession,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("b"), pmod(abs(hash(c)), lit(buckets(s))).cast("string"))
 
-  private def indexRows(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), bucketCol(col("doc_id")).as("split"),
+  private def indexRows(s: SparkSession, corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), bucketCol(s, col("doc_id")).as("split"),
       col("split").as("target_split"))
 
   /** Build the index from scratch at the corpus head — one
@@ -56,7 +67,7 @@ object DocIndex {
         "at a fresh root")
     val corpus = Snapshots.readAt(s, corpusRoot, head)
       .select(col("doc_id"), col("split"))
-    Snapshots.commitFull(s, indexRows(corpus), indexRoot)
+    Snapshots.commitFull(s, indexRows(s, corpus), indexRoot)
     writeIndexedVersion(s, indexRoot, head)
     head
   }
@@ -126,10 +137,10 @@ object DocIndex {
         "store")
     if (head == last) return last
     val ch = Snapshots.changesBetween(s, corpusRoot, last, head)
-    val upserts = indexRows(
+    val upserts = indexRows(s,
       ch.filter(col("change") =!= "remove").select(col("doc_id"), col("split")))
     val removals = ch.filter(col("change") === "remove")
-      .select(col("doc_id"), bucketCol(col("doc_id")).as("split"))
+      .select(col("doc_id"), bucketCol(s, col("doc_id")).as("split"))
       .select(col("split"), col("doc_id"))
     Snapshots.commitDelta(s, indexRoot, adds = upserts,
       removedIds = removals, tag = Some(s"v$head"))

@@ -129,7 +129,7 @@ class DocIndexSpec extends SparkTestBase {
         removedIds = df(Seq(doc(7, "d2", "x")))
           .select(col("split"), col("doc_id")))
       val bucket = spark.range(1).select(concat(lit("b"),
-          pmod(abs(hash(lit(7L))), lit(DocIndex.Buckets)).cast("string")))
+          pmod(abs(hash(lit(7L))), lit(DocIndex.buckets(spark))).cast("string")))
         .collect()(0).getString(0)
       // corrupt EVERY index bucket except the changed doc's — a refresh
       // that read any other bucket would fail
