@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Standing doc_id → split INDEX for a [[Snapshots]] corpus store — the
@@ -8,51 +8,54 @@ import org.apache.spark.sql.functions._
   * IO bounded by their splits, but a caller who only knows doc_ids
   * (the GDPR request, the upstream retraction feed) had to pay a
   * corpus-wide semi-join to find where its victims live. This index
-  * answers that lookup at (index ∩ ids) cost instead.
+  * answers that lookup at probed-buckets cost instead.
   *
   * The index IS ITSELF a snapshot store — of rows
   * `(doc_id, split = bucket, target_split)`, where `bucket` hashes the
-  * doc_id into [[Buckets]] partitions — so every property the corpus
-  * store already proves carries over for free: a refresh rewrites ONLY
-  * the buckets holding changed doc_ids (the store's affected-split
-  * contract), updates are replacements, removals are split-keyed,
-  * versions give the index its own time travel, and the atomic
-  * version-file commit point makes refreshes crash-safe. Maintenance is
-  * CDC-driven: [[refresh]] reads `changesBetween(lastIndexed, head)` —
-  * pointer-pruned, so a daily delta refreshes the index by what the day
-  * touched, never the corpus. Each refresh commit is TAGGED with the
-  * corpus version it reflects (`v{N}`) — the durable ledger makes a
-  * redelivered refresh idempotent — and the reflected version rides a
-  * tiny atomically-replaced meta marker that survives index vacuums.
+  * doc_id into a fixed number of partitions — so every property the
+  * corpus store already proves carries over for free: a refresh
+  * rewrites ONLY the buckets holding changed doc_ids (the store's
+  * affected-split contract), updates are replacements, removals are
+  * split-keyed, versions give the index its own time travel, and the
+  * atomic version-file commit point makes refreshes crash-safe.
+  * Maintenance is CDC-driven: [[refresh]] reads
+  * `changesBetween(lastIndexed, head)` — pointer-pruned, so a daily
+  * delta refreshes the index by what the day touched, never the corpus.
+  *
+  * CRASH SAFETY of the corpus↔index version mapping: every refresh
+  * commit is TAGGED `v{N}` with the corpus version it reflects, and the
+  * reflected version ALSO rides a tiny meta marker (atomically
+  * replaced, [[Snapshots.atomicReplace]]) together with the index's
+  * bucket width. [[indexedVersion]] answers max(meta, head tag) — a
+  * refresh that crashed between its commit and its meta write can never
+  * make the recovery refresh re-apply a diff from the stale base (which
+  * would silently diverge the index for any doc whose state netted out
+  * across the window). The bucket width is FIXED at [[materialize]]
+  * time and read back from the meta on every refresh/lookup — a
+  * maintenance job running with a different session knob cannot corrupt
+  * the bucketing.
   *
   * [[Snapshots.commitRemove]] + [[resolveSplits]] compose into
   * [[removeByIds]]: the doc_id-only takedown a 100 TB corpus can
-  * actually afford — index lookup, then a split-keyed merge-on-read
-  * tombstone commit.
+  * actually afford — probed-bucket index lookup, then a split-keyed
+  * merge-on-read tombstone commit.
   */
 object DocIndex {
 
-  /** Index bucketing width: doc_ids hash into this many index splits,
-    * so a refresh touching k doc_ids rewrites ≤ min(k, buckets) index
-    * partitions and a lookup prunes to the probed ids' buckets. Session
-    * knob `spark.graft.docindex.buckets` (default 64) — size it to the
+  /** Bucket width for a NEW index ([[materialize]] only — after that
+    * the width rides the meta marker): session knob
+    * `spark.graft.docindex.buckets` (default 64). Size it to the
     * corpus: ~corpus_rows × 16 bytes / buckets should be a comfortable
-    * partition (4096 buckets for a 10^10-doc corpus). Fixed at
-    * [[materialize]] time for the index's lifetime — the bucket
-    * function must stay stable across refreshes, so the chosen width is
-    * recorded in the index's own rows (every row's `split` came from
-    * it) and [[refresh]] re-reads the session knob; change it only with
-    * a fresh materialize. */
+    * partition (4096 buckets for a 10^10-doc corpus). */
   def buckets(s: SparkSession): Int =
     s.conf.getOption("spark.graft.docindex.buckets")
       .map(_.toInt).getOrElse(64)
 
-  private def bucketCol(s: SparkSession,
-      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(lit("b"), pmod(abs(hash(c)), lit(buckets(s))).cast("string"))
+  private def bucketCol(width: Int, c: Column): Column =
+    concat(lit("b"), pmod(abs(hash(c)), lit(width)).cast("string"))
 
-  private def indexRows(s: SparkSession, corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), bucketCol(s, col("doc_id")).as("split"),
+  private def indexRows(width: Int, corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), bucketCol(width, col("doc_id")).as("split"),
       col("split").as("target_split"))
 
   /** Build the index from scratch at the corpus head — one
@@ -65,60 +68,77 @@ object DocIndex {
     require(Snapshots.latestVersion(s, indexRoot) == 0,
       s"index store at $indexRoot already exists — refresh it, or point " +
         "at a fresh root")
+    val width = buckets(s)
     val corpus = Snapshots.readAt(s, corpusRoot, head)
       .select(col("doc_id"), col("split"))
-    Snapshots.commitFull(s, indexRows(s, corpus), indexRoot)
-    writeIndexedVersion(s, indexRoot, head)
+    Snapshots.commitFull(s, indexRows(width, corpus), indexRoot)
+    writeMeta(s, indexRoot, head, width)
     head
   }
 
   private val MetaFile = "_docidx.meta"
 
-  /** The corpus version the index currently reflects — a tiny marker
-    * updated by atomic replace after every materialize/refresh, so it
-    * survives index-store vacuums and redelivered refreshes alike. */
-  def indexedVersion(s: SparkSession, indexRoot: String): Int = {
+  /** Meta marker: line 1 = indexed corpus version, line 2 = bucket
+    * width. Atomically replaced after every materialize/refresh. */
+  private def writeMeta(s: SparkSession, indexRoot: String, v: Int,
+      width: Int): Unit =
+    Snapshots.atomicReplace(s,
+      new org.apache.hadoop.fs.Path(s"$indexRoot/$MetaFile"),
+      s"$v\n$width\n".getBytes("UTF-8"))
+
+  private def readMeta(s: SparkSession,
+      indexRoot: String): Option[(Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexRoot/$MetaFile")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no doc index at $indexRoot — materialize first")
-    val in = fs.open(p)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](256)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, "UTF-8")
-    } finally in.close()
-    text.trim.toInt
-  }
-
-  private def writeIndexedVersion(s: SparkSession, indexRoot: String,
-      v: Int): Unit = {
-    val dirP = new org.apache.hadoop.fs.Path(indexRoot)
-    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dirP): Unit
-    val tmp = new org.apache.hadoop.fs.Path(dirP,
-      s".$MetaFile.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(dirP, MetaFile)
-    val qTmp = fs.makeQualified(tmp)
-    if (qTmp.toUri.getScheme == "file")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(qTmp.toUri.getPath),
-        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    if (!fs.exists(p)) None
     else {
-      fs.delete(dst, false): Unit
-      if (!fs.rename(tmp, dst)) {
-        fs.delete(tmp, false): Unit
-        throw graft.core.GraftAnalysisException(Seq(
-          s"doc-index meta swap lost a race at $indexRoot — refresh " +
-            "serially (one maintainer per index)"))
-      }
+      val lines = Snapshots.readWholeFile(s, p).split("\n")
+      Some((lines(0).trim.toInt, lines(1).trim.toInt))
     }
   }
+
+  /** The corpus version of the index HEAD's refresh tag (`v{N}`), if
+    * the head carries one — the crash-recovery source of truth when a
+    * refresh died between its commit and its meta write. */
+  private def headTagVersion(s: SparkSession, indexRoot: String): Option[Int] = {
+    val head = Snapshots.latestVersion(s, indexRoot)
+    if (head < 1) None
+    else Snapshots.history(s, indexRoot)
+      .filter(col("version") === head && col("tag").isNotNull)
+      .collect().headOption
+      .flatMap(r => Option(r.getString(1)))
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption)
+  }
+
+  /** The corpus version the index currently reflects:
+    * max(meta marker, head refresh tag) — see the class doc's crash
+    * contract. */
+  def indexedVersion(s: SparkSession, indexRoot: String): Int = {
+    val meta = readMeta(s, indexRoot).map(_._1)
+    val tag = headTagVersion(s, indexRoot)
+    (meta, tag) match {
+      case (Some(m), Some(t)) => math.max(m, t)
+      case (Some(m), None) => m
+      case (None, Some(t)) => t
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          s"no doc index at $indexRoot — materialize first (an index " +
+            "root with data but neither meta nor a tagged head crashed " +
+            "during its very first build: delete it and materialize " +
+            "again)")
+    }
+  }
+
+  /** The index's bucket width, from the meta marker (the width is fixed
+    * at materialize time; trusting a session knob here would let a
+    * differently-configured maintenance job corrupt the bucketing). */
+  private def indexWidth(s: SparkSession, indexRoot: String): Int =
+    readMeta(s, indexRoot).map(_._2).getOrElse(
+      throw graft.core.GraftAnalysisException(Seq(
+        s"doc index at $indexRoot has no meta marker (crashed mid-swap " +
+          "on a non-atomic filesystem?) — its bucket width is " +
+          "unrecoverable; delete the index root and materialize again " +
+          "(the index is derived state, rebuilding loses nothing)")))
 
   /** Bring the index up to the corpus head incrementally: ONE tagged
     * index-store delta derived from the corpus CDC diff — adds/updates
@@ -130,21 +150,25 @@ object DocIndex {
     * version now indexed. */
   def refresh(s: SparkSession, corpusRoot: String, indexRoot: String): Int = {
     val last = indexedVersion(s, indexRoot)
+    val width = indexWidth(s, indexRoot)
     val head = Snapshots.latestVersion(s, corpusRoot)
     require(head >= last,
       s"corpus store at $corpusRoot is at v$head, behind the index's " +
         s"v$last — the index was built against a different (or recreated) " +
         "store")
-    if (head == last) return last
+    if (head == last) {
+      writeMeta(s, indexRoot, head, width) // heal a stale meta marker
+      return last
+    }
     val ch = Snapshots.changesBetween(s, corpusRoot, last, head)
-    val upserts = indexRows(s,
+    val upserts = indexRows(width,
       ch.filter(col("change") =!= "remove").select(col("doc_id"), col("split")))
     val removals = ch.filter(col("change") === "remove")
-      .select(col("doc_id"), bucketCol(s, col("doc_id")).as("split"))
+      .select(col("doc_id"), bucketCol(width, col("doc_id")).as("split"))
       .select(col("split"), col("doc_id"))
     Snapshots.commitDelta(s, indexRoot, adds = upserts,
       removedIds = removals, tag = Some(s"v$head"))
-    writeIndexedVersion(s, indexRoot, head)
+    writeMeta(s, indexRoot, head, width)
     head
   }
 
@@ -155,11 +179,13 @@ object DocIndex {
       .select(col("doc_id"), col("target_split"))
 
   /** Resolve bare doc_ids to the SPLIT-KEYED `(split, doc_id)` shape
-    * every store takedown wants, via the index — never a corpus scan.
-    * Ids absent from the index simply don't resolve (the caller's
-    * already-deleted no-op). The index must be refreshed to the corpus
-    * head first ([[refresh]] — enforced, because resolving against a
-    * stale index would miss moves/adds since). */
+    * every store takedown wants — reading ONLY the probed ids' buckets
+    * (their bucket names are computed driver-side, bounded by
+    * min(#ids, width), and pushed as a partition filter). Ids absent
+    * from the index simply don't resolve (the caller's already-deleted
+    * no-op). The index must be refreshed to the corpus head first
+    * ([[refresh]] — enforced, because resolving against a stale index
+    * would miss moves/adds since). */
   def resolveSplits(s: SparkSession, corpusRoot: String, indexRoot: String,
       ids: DataFrame): DataFrame = {
     val head = Snapshots.latestVersion(s, corpusRoot)
@@ -169,9 +195,20 @@ object DocIndex {
         s"doc index at $indexRoot reflects corpus v$indexed but the " +
           s"store at $corpusRoot is at v$head — refresh the index first " +
           "(resolving against a stale index would mis-key takedowns)"))
-    read(s, indexRoot)
-      .join(ids.select(col("doc_id")).distinct(), "doc_id")
-      .select(col("target_split").as("split"), col("doc_id"))
+    val width = indexWidth(s, indexRoot)
+    val probed = ids.select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: at most min(#ids, width) bucket names
+      val bucketNames = probed
+        .select(bucketCol(width, col("doc_id")).as("b")).distinct()
+        .collect().map(_.getString(0))
+      Snapshots.readAt(s, indexRoot,
+          Snapshots.latestVersion(s, indexRoot))
+        .filter(col("split").isin(bucketNames.toIndexedSeq: _*))
+        .join(probed, "doc_id")
+        .select(col("target_split").as("split"), col("doc_id"))
+    } finally probed.unpersist(blocking = false): Unit
   }
 
   /** Doc_id-only takedown at index cost: resolve splits through the

@@ -584,8 +584,14 @@ object Snapshots {
       .groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (requireAllFound) {
-      val requested = victims.count()
-      val found = counts.values.sum
+      // DISTINCT keys on both sides: the sidecar legitimately holds one
+      // row per matched PHYSICAL row (duplicated (split, doc_id) corpus
+      // rows all tombstone, and dvRows must count them all), so a raw
+      // row comparison could mask an unmatched request behind a
+      // duplicate — or spuriously refuse a fully-matched one
+      val requested = victims.count() // victims are distinct by construction
+      val found = s.read.schema(dvSchema).parquet(s"$root/$dvDir")
+        .select(col("split"), col("doc_id")).distinct().count()
       if (found != requested) {
         // the unfulfilled requests, for the refusal — bounded sample
         // (the written sidecar is unreferenced debris; vacuum sweeps it)
@@ -2171,40 +2177,18 @@ object Snapshots {
     fs.mkdirs(dirP): Unit
     val dst = new org.apache.hadoop.fs.Path(dirP, s"v$v.list")
     val claim = new org.apache.hadoop.fs.Path(dirP, s".v$v.claim")
-    // the JVM lock serializes in-process committers cheaply; the claim
-    // file extends the same exclusion across DRIVERS on any filesystem
-    // with atomic exclusive create (POSIX O_EXCL via java.nio for
-    // file://, HDFS create-no-overwrite elsewhere)
-    commitLock.synchronized {
+    // ONE claim-and-commit attempt under the JVM lock (which serializes
+    // in-process committers cheaply; the claim file extends the same
+    // exclusion across DRIVERS): true = committed, false = claim denied
+    // with no committed version visible. The GRACE WAIT between denied
+    // attempts sleeps OUTSIDE the lock — the lock is JVM-global across
+    // every store, and sleeping under it would stall all in-process
+    // commits for the whole grace window.
+    def attemptOnce(): Boolean = commitLock.synchronized {
       if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
-      var won = tryClaim(fs, claim)
-      if (!won) {
-        // a denied claim with NO committed version usually means a LIVE
-        // cross-driver committer is between its claim and its rename
-        // (or a conditional put blipped) — grace-wait for its rename
-        // (→ CommitRaceLost, the rebase path) or its release (→ our
-        // retried claim wins) instead of refusing instantly. Only a
-        // claim still held with no version appearing after the grace
-        // budget is treated as an orphan.
-        val graceMs = s.conf
-          .getOption("spark.graft.snapshot.claimGraceMs")
-          .map(_.toLong).getOrElse(12000L)
-        val deadline = System.nanoTime() + graceMs * 1000000L
-        while (!won && System.nanoTime() < deadline) {
-          Thread.sleep(math.min(500L, math.max(1L, graceMs / 8)))
-          if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
-          won = tryClaim(fs, claim)
-        }
-        if (!won) {
-          if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
-          throw graft.core.GraftAnalysisException(Seq(
-            s"orphaned commit claim at $claim: a committer for v$v " +
-              s"crashed between its claim and its version-file rename " +
-              s"(no version appeared within the ${graceMs} ms grace " +
-              "window) — after confirming no committer is live, delete " +
-              "the claim file to unwedge the store (vacuum sweeps claims " +
-              "only for versions already committed)"))
-        }
+      if (!tryClaim(fs, claim)) {
+        if (fs.exists(dst)) loseRace(fs, claim = null, root, v)
+        return false
       }
       try {
         // re-check AFTER winning the claim: a racer may have completed
@@ -2221,7 +2205,34 @@ object Snapshots {
           fs.delete(tmp, false): Unit
           loseRace(fs, claim, root, v)
         }
+        true
       } finally commitPoint.release(fs, claim)
+    }
+    if (!attemptOnce()) {
+      // a denied claim with NO committed version usually means a LIVE
+      // cross-driver committer is between its claim and its rename (or
+      // a conditional put blipped) — grace-wait for its rename
+      // (→ CommitRaceLost, the rebase path) or its release (→ our
+      // retried claim wins) instead of refusing instantly. Only a claim
+      // still held with no version appearing after the grace budget is
+      // treated as an orphan.
+      val graceMs = s.conf
+        .getOption("spark.graft.snapshot.claimGraceMs")
+        .map(_.toLong).getOrElse(12000L)
+      val deadline = System.nanoTime() + graceMs * 1000000L
+      var committed = false
+      while (!committed && System.nanoTime() < deadline) {
+        Thread.sleep(math.min(500L, math.max(1L, graceMs / 8)))
+        committed = attemptOnce()
+      }
+      if (!committed)
+        throw graft.core.GraftAnalysisException(Seq(
+          s"orphaned commit claim at $claim: a committer for v$v " +
+            s"crashed between its claim and its version-file rename " +
+            s"(no version appeared within the ${graceMs} ms grace " +
+            "window) — after confirming no committer is live, delete " +
+            "the claim file to unwedge the store (vacuum sweeps claims " +
+            "only for versions already committed)"))
     }
   }
 
@@ -2404,6 +2415,50 @@ object Snapshots {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else readVersionFile(s, root, v).tag
+  }
+
+  /** ATOMIC REPLACE of a tiny driver-side marker file — the ONE shared
+    * implementation of the temp-write-then-swap convention ([[DocIndex]]
+    * reuses it; the store's own version files go through the claim
+    * protocol instead, and never replace). POSIX rename replaces
+    * atomically; elsewhere FileContext's rename(OVERWRITE) is used
+    * (atomic on HDFS). On failure the temp file is LEFT IN PLACE and
+    * named — never deleted alongside a possibly-already-deleted
+    * destination, which would destroy the only copy. */
+  private[plans] def atomicReplace(s: SparkSession,
+      dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit = {
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dir = dst.getParent
+    fs.mkdirs(dir): Unit
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(body) finally out.close()
+    val qTmp = fs.makeQualified(tmp)
+    if (qTmp.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qTmp.toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    else
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.makeQualified(dst).toUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: java.io.IOException =>
+          throw graft.core.GraftAnalysisException(Seq(
+            s"atomic replace of $dst failed (${e.getMessage}) — the new " +
+              s"content is intact at $tmp; move it into place manually " +
+              "or retry"))
+      }
+  }
+
+  private[plans] def readWholeFile(s: SparkSession,
+      p: org.apache.hadoop.fs.Path): String = {
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    readWhole(fs, p)
   }
 
   private def readWhole(fs: org.apache.hadoop.fs.FileSystem,

@@ -149,4 +149,94 @@ class DocIndexSpec extends SparkTestBase {
       CorpusExport.deleteRecursively(idx.toFile)
     }
   }
+
+  // ---- second self-review pass: crash/config/count pins ------------------
+
+  test("a stale meta marker (crash between commit and meta write) can never diverge the index") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(7, "s0", "seven"))), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      // v2: doc 7 moves s0 -> s1; refresh commits THEN (simulated crash)
+      // the meta is forced back to the stale base
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(7, "s1", "seven"))),
+        removedIds = df(Seq(doc(7, "s0", "x")))
+          .select(col("split"), col("doc_id")))
+      DocIndex.refresh(spark, root.toString, idx.toString): Unit
+      java.nio.file.Files.write(idx.resolve("_docidx.meta"),
+        s"1\n${DocIndex.buckets(spark)}\n".getBytes("UTF-8"))
+      // v3: doc 7 moves BACK s1 -> s0 — against the stale base 1 the
+      // two moves net out and a naive recovery would leave the index
+      // pointing at s1 forever
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(7, "s0", "seven"))),
+        removedIds = df(Seq(doc(7, "s1", "x")))
+          .select(col("split"), col("doc_id")))
+      assert(DocIndex.indexedVersion(spark, idx.toString) === 2,
+        "the head refresh tag must override the stale meta")
+      assert(DocIndex.refresh(spark, root.toString, idx.toString) === 3)
+      assert(indexMap(idx.toString) === Map(7L -> "s0"))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("the bucket width rides the meta — a differently-configured maintenance job cannot corrupt the index") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(
+        (1L to 40L).map(k => doc(k, s"d${k % 3}", s"t$k"))), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(7, "d2", "moved"))),
+        removedIds = df(Seq(doc(7, "d1", "x")))
+          .select(col("split"), col("doc_id")))
+      // the maintenance job runs with a DIFFERENT session knob — the
+      // refresh must keep using the materialize-time width
+      spark.conf.set("spark.graft.docindex.buckets", "3")
+      try DocIndex.refresh(spark, root.toString, idx.toString): Unit
+      finally spark.conf.unset("spark.graft.docindex.buckets")
+      assert(indexMap(idx.toString).get(7L) === Some("d2"))
+      assert(indexMap(idx.toString).size === 40)
+      import spark.implicits._
+      assert(DocIndex.resolveSplits(spark, root.toString, idx.toString,
+          Seq(7L).toDF("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("d2", 7L)))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("resolveSplits reads ONLY the probed ids' buckets (corruption-proven)") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      val seed = (1L to 200L).map(k => doc(k, s"d${k % 5}", s"t$k"))
+      Snapshots.commitFull(spark, df(seed), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      val bucket = spark.range(1).select(concat(lit("b"),
+          pmod(abs(hash(lit(7L))), lit(DocIndex.buckets(spark))).cast("string")))
+        .collect()(0).getString(0)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(idx.toFile).filter(f =>
+          f.getName.endsWith(".parquet") &&
+            f.getAbsolutePath.contains("split=") &&
+            !f.getAbsolutePath.contains(s"split=$bucket/"))
+        .foreach(f => java.nio.file.Files.write(f.toPath,
+          "junk".getBytes("UTF-8")): Unit)
+      import spark.implicits._
+      assert(DocIndex.resolveSplits(spark, root.toString, idx.toString,
+          Seq(7L).toDF("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("d2", 7L)))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
 }

@@ -2133,4 +2133,30 @@ class SnapshotsSpec extends SparkTestBase {
       assert(contents(root.toString, 2) === Set.empty[(Long, String, String)])
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  test("requireAllFound counts DISTINCT keys: a duplicated corpus row cannot mask a mis-keyed takedown") {
+    val root = freshRoot()
+    try {
+      // the store holds (a, 1) TWICE (commits never dedupe adds)
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(1, "a", "one-bis"), doc(3, "b", "three"))),
+        root.toString)
+      // victims: (a,1) matches (twice, physically); (a,2) is mis-keyed —
+      // a row-count comparison would see 2 sidecar rows == 2 requests
+      // and pass; the distinct-key comparison refuses
+      val e = intercept[graft.core.GraftAnalysisException] {
+        Snapshots.commitRemove(spark, root.toString,
+          df(Seq(doc(1, "a", "x"), doc(2, "a", "x")))
+            .select(col("split"), col("doc_id")),
+          tag = None, branch = None, requireAllFound = true)
+      }
+      assert(e.getMessage.contains("1 of 2"), e.getMessage)
+      // a fully-matched duplicate neither refuses nor under-deletes:
+      // BOTH physical copies tombstone
+      assert(Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")),
+        tag = None, branch = None, requireAllFound = true) === 2)
+      assert(contents(root.toString, 2) === Set((3L, "b", "three")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }
