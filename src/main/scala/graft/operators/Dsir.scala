@@ -64,7 +64,7 @@ object Dsir {
     val cr = feats.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
     // totals derived from the tiny count tables, not another corpus pass
     val tot = ct.agg(sum(col("c_t")).as("t"))
-      .crossJoin(cr.agg(sum(col("c_r")).as("r")))
+      .crossJoin(broadcast(cr.agg(sum(col("c_r")).as("r"))))
 
     val pT = (coalesce(col("c_t"), lit(0L)).cast("double") + lit(1d)) /
       (col("t").cast("double") + lit(dim.toDouble))

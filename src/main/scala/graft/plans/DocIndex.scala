@@ -196,15 +196,39 @@ object DocIndex {
           s"store at $corpusRoot is at v$head — refresh the index first " +
           "(resolving against a stale index would mis-key takedowns)"))
     val width = indexWidth(s, indexRoot)
-    val probed = ids.select(col("doc_id")).distinct()
+    // probe ids are hashed into buckets with Spark's TYPE-SENSITIVE
+    // hash(): a probe frame whose doc_id type differs from the index's
+    // stored type (int vs bigint) would hash into a DIFFERENT bucket —
+    // the equi-join below coerces types and would never see the entry,
+    // so the takedown would silently resolve nothing. Align the probe
+    // type to the stored type first: identical passes through, a
+    // lossless up-cast converts, anything else refuses loudly.
+    val idxFrame = Snapshots.readAt(s, indexRoot,
+      Snapshots.latestVersion(s, indexRoot))
+    val storedDt = idxFrame.schema("doc_id").dataType
+    val rawIds = ids.select(col("doc_id"))
+    val probeDt = rawIds.schema("doc_id").dataType
+    val typedIds =
+      if (probeDt == storedDt) rawIds
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(probeDt, storedDt))
+        rawIds.select(col("doc_id").cast(storedDt).as("doc_id"))
+      else
+        throw graft.core.GraftAnalysisException(Seq(
+          s"resolveSplits at $indexRoot: probe doc_id type " +
+            s"${probeDt.sql} does not match the index's stored type " +
+            s"${storedDt.sql} and cannot up-cast losslessly — the " +
+            "bucket hash is type-sensitive, so a mismatched probe " +
+            "would silently resolve nothing; cast the ids frame to " +
+            "the corpus's doc_id type"))
+    val probed = typedIds.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded collect: at most min(#ids, width) bucket names
       val bucketNames = probed
         .select(bucketCol(width, col("doc_id")).as("b")).distinct()
         .collect().map(_.getString(0))
-      Snapshots.readAt(s, indexRoot,
-          Snapshots.latestVersion(s, indexRoot))
+      idxFrame
         .filter(col("split").isin(bucketNames.toIndexedSeq: _*))
         .join(probed, "doc_id")
         .select(col("target_split").as("split"), col("doc_id"))
@@ -216,9 +240,33 @@ object DocIndex {
     * ([[Snapshots.commitRemove]] — sidecar only, no split rewrite).
     * The 100 TB replacement for commitDelta's corpus-wide-semi-join
     * fallback. Returns the new corpus version. Refresh the index
-    * afterwards like after any commit. */
+    * afterwards like after any commit.
+    *
+    * `requireAllFound = true` is the GDPR-pipeline safety catch on THIS
+    * path: the call refuses (naming samples) unless every requested
+    * doc_id resolved through the index — an id the index doesn't know
+    * (already deleted, or a mis-typed probe) cannot silently no-op —
+    * and the flag is also forwarded to [[Snapshots.commitRemove]], so
+    * an index entry whose row vanished from the corpus refuses there
+    * too. The default keeps takedown re-deliveries idempotent. */
   def removeByIds(s: SparkSession, corpusRoot: String, indexRoot: String,
-      ids: DataFrame, tag: Option[String] = None): Int =
-    Snapshots.commitRemove(s, corpusRoot,
-      resolveSplits(s, corpusRoot, indexRoot, ids), tag)
+      ids: DataFrame, tag: Option[String] = None,
+      requireAllFound: Boolean = false): Int = {
+    val resolved = resolveSplits(s, corpusRoot, indexRoot, ids)
+    if (requireAllFound) {
+      // bounded sample collect: only a refused takedown pays this pass
+      val missing = ids.select(col("doc_id")).distinct()
+        .join(resolved, Seq("doc_id"), "left_anti")
+        .limit(6).collect().map(_.get(0).toString)
+      if (missing.nonEmpty)
+        throw graft.core.GraftAnalysisException(Seq(
+          s"removeByIds at $corpusRoot (requireAllFound): doc_ids " +
+            s"${missing.take(5).mkString(", ")}" +
+            (if (missing.length > 5) ", …" else "") +
+            " did not resolve through the index — already deleted, or " +
+            "never ingested; nothing was committed"))
+    }
+    Snapshots.commitRemove(s, corpusRoot, resolved, tag, None,
+      requireAllFound)
+  }
 }

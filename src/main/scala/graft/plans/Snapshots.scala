@@ -930,9 +930,34 @@ object Snapshots {
     * FOR the pruner: large IN lists arrive as `InSet`, comparison casts
     * unwrap back onto the column, and chains of OR-equalities fuse into
     * one IN. Driver-side only; nothing executes. */
+  /** Diagnostic: how many times the pruner built and optimized a bare
+    * plan — lets SnapshotsSpec pin that a predicate referencing NO
+    * stats column short-circuits before any driver-side plan work. */
+  private[plans] val prunePlanBuilds = new java.util.concurrent.atomic.AtomicLong()
+
   private def prunedRefs(s: SparkSession, root: String, vf: VersionFile,
       pred: org.apache.spark.sql.Column): Seq[SplitRef] = {
     if (vf.statsCols.isEmpty) return vf.refs
+    // CHEAP PRE-CHECK before any file-scan plan construction: a
+    // constraint can only prune through a TRACKED stats column, so a
+    // predicate that references none of them can never prune — skip the
+    // per-call bare-plan build (one parquet-relation listing PER
+    // REFERENCED DIR) and its optimizer pass entirely; an unmaintained
+    // store can reference many dirs, and readAtWhere pays this driver
+    // cost per read. The references come from analyzing the predicate
+    // against a ZERO-ROW local relation with the stored schema — no IO,
+    // O(1) in dirs, and name resolution (case sensitivity, stars,
+    // nested fields) is Spark's own, not a re-implementation.
+    val tiny = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), vf.schema)
+    val referenced = tiny.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name.toLowerCase(java.util.Locale.ROOT))
+          .toSet
+    }.getOrElse(Set.empty[String])
+    if (!vf.statsCols.exists(c =>
+        referenced.contains(c.toLowerCase(java.util.Locale.ROOT))))
+      return vf.refs
     // the predicate is analyzed against a BARE scan of the version's
     // dirs — deliberately NOT readRefs' frame: its per-dir `split IN
     // (…)` pruning filters would be MERGED with the user predicate by
@@ -942,6 +967,7 @@ object Snapshots {
     // is a tracked stats column
     val live = vf.refs.filter(_.nRows > 0)
     if (live.isEmpty) return vf.refs
+    prunePlanBuilds.incrementAndGet(): Unit
     val bare = live.groupBy(_.dir).toSeq.sortBy(_._1).map { case (dir, _) =>
       s.read.schema(vf.schema).option("basePath", s"$root/$dir")
         .parquet(s"$root/$dir")
@@ -1725,12 +1751,18 @@ object Snapshots {
     * `consolidateAfterDirs`: when the head references MORE than this
     * many data dirs, rewrite it into one consolidated version (the LSM
     * trigger — read cost grows with referenced dirs, not versions).
-    * `vacuumKeepLast`: retention sweep after the above (None = never
-    * drop history here). */
+    * `vacuumKeepLast`: count-based retention sweep after the above
+    * (None = no count-based sweep). `vacuumOlderThanMs`: WALL-CLOCK
+    * retention ([[vacuumOlderThan]]) — the operational contract ("keep
+    * every version a still-running training job might read") is
+    * naturally time-based, so prefer this knob when scheduling; both
+    * set = both sweeps run (a version survives only if BOTH would keep
+    * it). */
   final case class MaintenancePolicy(
       dvCompactFraction: Option[Double] = Some(0.3),
       consolidateAfterDirs: Option[Int] = Some(16),
-      vacuumKeepLast: Option[Int] = Some(32))
+      vacuumKeepLast: Option[Int] = Some(32),
+      vacuumOlderThanMs: Option[Long] = None)
 
   /** What one [[maintain]] call did: the versions the DV compaction and
     * the consolidation committed (None = their trigger didn't fire),
@@ -1763,11 +1795,15 @@ object Snapshots {
         .flatMap(r => r.dir +: r.dvDirs).distinct.size
       if (dirs > trigger) Some(consolidate(s, root)) else None
     }
-    val (dropped, deleted) = policy.vacuumKeepLast match {
+    val (dropped1, deleted1) = policy.vacuumKeepLast match {
       case Some(k) => vacuum(s, root, k)
       case None => (Nil, Nil)
     }
-    MaintenanceReport(dvV, consV, dropped, deleted)
+    val (dropped2, deleted2) = policy.vacuumOlderThanMs match {
+      case Some(ms) => vacuumOlderThan(s, root, ms)
+      case None => (Nil, Nil)
+    }
+    MaintenanceReport(dvV, consV, dropped1 ++ dropped2, deleted1 ++ deleted2)
   }
 
   /** The main-chain version a TAG committed, if any — the consumer-side
@@ -1944,12 +1980,49 @@ object Snapshots {
     * committed are swept. Returns (droppedVersions, deletedDirs). */
   def vacuum(s: SparkSession, root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, s"vacuum keepLast must be >= 1, got $keepLast")
+    vacuumCore(s, root,
+      versions => versions.dropRight(keepLast).toSet)
+  }
+
+  /** WALL-CLOCK retention vacuum: drop every version whose commit stamp
+    * (`#ts=`, monotonized on read exactly like [[versionAsOf]]) is
+    * older than `olderThanMs` before now — the shape retention is
+    * actually scheduled in ("keep 30 days: cover every training run
+    * still reading"), where a burst of commits must not push
+    * yesterday's version out the way a count-based sweep would. The
+    * HEAD always survives regardless of age (a store must stay
+    * readable), versions written before stamping existed count as
+    * epoch 0 (maximally old), and everything else — pointer-carry
+    * safety, branch references, the durable tag ledger backfill, the
+    * stale-claim sweep — is shared verbatim with [[vacuum]]. */
+  def vacuumOlderThan(s: SparkSession, root: String,
+      olderThanMs: Long): (Seq[Int], Seq[String]) = {
+    require(olderThanMs >= 0, s"vacuum olderThanMs must be >= 0, got $olderThanMs")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    vacuumCore(s, root, { versions =>
+      val latest = versions.last
+      var running = 0L
+      versions.flatMap { v =>
+        running = math.max(running,
+          readVersionFile(s, root, v).ts.getOrElse(0L))
+        if (v != latest && running < cutoff) Some(v) else None
+      }.toSet
+    })
+  }
+
+  /** The shared sweep under both retention shapes: `pick` names the
+    * versions to drop from the ascending live chain (never the head —
+    * both callers guarantee it). */
+  private def vacuumCore(s: SparkSession, root: String,
+      pick: IndexedSeq[Int] => Set[Int]): (Seq[Int], Seq[String]) = {
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val versions = listVersions(fs, dirP)
     if (versions.isEmpty) return (Nil, Nil)
     val latest = versions.last
-    val (dropped, survivors) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val picked = pick(versions)
+    val dropped = versions.filter(picked.contains)
+    val survivors = versions.filterNot(picked.contains)
     // live BRANCH versions pointer-carry main dirs: every branch ref
     // counts as referenced, or vacuum would pull a forked experiment's
     // data out from under it
@@ -2337,12 +2410,40 @@ object Snapshots {
     * steady-state commits touch head±1) while capping worst-case
     * retention at 64 version files' parses. */
   private val vfCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Long, Long, VersionFile)](
+    new java.util.LinkedHashMap[String, (Long, Long, Long, VersionFile)](
         64, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, VersionFile)]): Boolean =
+          e: java.util.Map.Entry[String, (Long, Long, Long, VersionFile)]): Boolean =
         size() > 64
     })
+
+  /** Coarsest modification-time resolution the cache defends against on
+    * filesystems whose Hadoop status is all we have (object-store
+    * mounts and 1 s-resolution filesystems). Without this, a store
+    * swept and re-seeded at the same root inside one mtime tick could
+    * produce a same-(mtime, length) v{N}.list whose STALE parse the
+    * cache serves silently. Two-tier defense: `file://` paths validate
+    * with java.nio's NANOSECOND lastModifiedTime (exact — memoization
+    * stays hot for freshly-written files); every other scheme treats an
+    * entry parsed within this window of the file's mtime as PROVISIONAL
+    * (served fresh each call, never trusted from cache) — once the
+    * window closes, any rewrite of the path necessarily lands a
+    * different coarse mtime, so the entry is exact from then on. */
+  private val VfMtimeGranularityMs = 2000L
+
+  /** Nanosecond mtime for local files (the fine validator above); -1 =
+    * not a local path, or the file vanished mid-stat (treated as a
+    * cache miss — never a stale serve). */
+  private def fineMtime(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val q = fs.makeQualified(p)
+    if (q.toUri.getScheme != "file") -1L
+    else
+      try java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(q.toUri.getPath))
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => -1L }
+  }
 
   private def readVersionFile(s: SparkSession, root: String, v: Int,
       branch: Option[String] = None): VersionFile = {
@@ -2357,11 +2458,21 @@ object Snapshots {
               branch.fold("")(b => s" on branch '$b'"))
       }
     val key = fs.makeQualified(p).toString
+    val fine = fineMtime(fs, p)
     val hit = vfCache.get(key)
-    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
-      return hit._3
+    if (hit != null && hit._1 == st.getModificationTime &&
+        hit._2 == st.getLen && {
+          // local: exact ns validation; coarse schemes: trust the entry
+          // only once it was parsed past the granularity window
+          if (fine >= 0) hit._3 == fine
+          else hit._3 >=
+            (st.getModificationTime + VfMtimeGranularityMs) * 1000000L
+        })
+      return hit._4
     val vf = parseVersionFile(readWhole(fs, p))
-    vfCache.put(key, (st.getModificationTime, st.getLen, vf))
+    val validator =
+      if (fine >= 0) fine else System.currentTimeMillis() * 1000000L
+    vfCache.put(key, (st.getModificationTime, st.getLen, validator, vf))
     vf
   }
 

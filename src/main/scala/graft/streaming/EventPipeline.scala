@@ -1060,18 +1060,23 @@ object EventPipeline {
     * `maintainEvery`-th batch additionally runs [[graft.plans.Snapshots
     * .maintain]] under `policy` AFTER its tagged commit — a long-running
     * ingest stream keeps its own version chain bounded (DV folds,
-    * consolidation past the dir trigger, retention vacuum) without an
-    * external cron. Safe under at-least-once redelivery: the tagged
-    * commit is ledger-skipped on replay, and maintain itself is
-    * idempotent in effect (a satisfied trigger no-ops). Set
-    * `policy.vacuumKeepLast` comfortably above the ledger's needs —
-    * tags survive vacuum either way (the durable ledger), but pinned
-    * readers need their versions retained. */
+    * consolidation past the dir trigger) without an external cron. Safe
+    * under at-least-once redelivery: the tagged commit is ledger-skipped
+    * on replay, and maintain itself is idempotent in effect (a satisfied
+    * trigger no-ops). RETENTION IS OPT-IN HERE: the default policy
+    * overrides [[graft.plans.Snapshots.MaintenancePolicy]]'s
+    * `vacuumKeepLast = Some(32)` to None — deleting version history is
+    * a DESTRUCTIVE side effect a caller reaching for `maintainEvery`
+    * (DV folding, consolidation) must not inherit silently, because
+    * time-travel readers pinned more than the window back would break.
+    * Pass an explicit policy with `vacuumKeepLast`/`vacuumOlderThanMs`
+    * set comfortably above every training run still replaying to enable
+    * retention sweeps from inside the stream. */
   def snapshotIngestStream(
       rows: DataFrame, root: String, queryId: String,
       maintainEvery: Option[Int],
       policy: graft.plans.Snapshots.MaintenancePolicy =
-        graft.plans.Snapshots.MaintenancePolicy())
+        graft.plans.Snapshots.MaintenancePolicy(vacuumKeepLast = None))
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .outputMode("append")

@@ -239,4 +239,63 @@ class DocIndexSpec extends SparkTestBase {
       CorpusExport.deleteRecursively(idx.toFile)
     }
   }
+
+  // ---- round 15: probe typing + the requireAllFound safety catch ---------
+
+  test("a probe frame with a narrower doc_id type up-casts to the index type before bucketing") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(7, "d1", "seven"), doc(9, "d2", "nine"))), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      import spark.implicits._
+      // INT probe against a BIGINT index: hash() is type-sensitive, so an
+      // unaligned probe would bucket elsewhere and silently resolve
+      // nothing — the exact GDPR-takedown-no-op the cast prevents
+      val intIds = Seq(7).toDF("doc_id") // IntegerType
+      assert(DocIndex.resolveSplits(spark, root.toString, idx.toString,
+          intIds)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("d1", 7L)))
+      // a probe type with no lossless up-cast refuses loudly
+      val e = intercept[graft.core.GraftAnalysisException] {
+        DocIndex.resolveSplits(spark, root.toString, idx.toString,
+          Seq("7").toDF("doc_id"))
+      }
+      assert(e.getMessage.contains("type-sensitive"), e.getMessage)
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("removeByIds(requireAllFound) refuses when an id does not resolve through the index") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "d1", "one"), doc(2, "d2", "two"))), root.toString)
+      DocIndex.materialize(spark, root.toString, idx.toString): Unit
+      import spark.implicits._
+      val e = intercept[graft.core.GraftAnalysisException] {
+        DocIndex.removeByIds(spark, root.toString, idx.toString,
+          Seq(1L, 99L).toDF("doc_id"), requireAllFound = true)
+      }
+      assert(e.getMessage.contains("99"), e.getMessage)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1,
+        "a refused takedown must commit nothing")
+      // fully-resolved requests commit (and forward the flag downstream)
+      assert(DocIndex.removeByIds(spark, root.toString, idx.toString,
+        Seq(1L).toDF("doc_id"), requireAllFound = true) === 2)
+      assert(Snapshots.readAt(spark, root.toString, 2)
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // the default stays idempotent: re-deleting resolves nothing and
+      // no-ops instead of refusing
+      DocIndex.refresh(spark, root.toString, idx.toString): Unit
+      assert(DocIndex.removeByIds(spark, root.toString, idx.toString,
+        Seq(1L).toDF("doc_id")) === 3)
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
 }

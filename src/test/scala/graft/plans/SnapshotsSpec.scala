@@ -2159,4 +2159,112 @@ class SnapshotsSpec extends SparkTestBase {
       assert(contents(root.toString, 2) === Set((3L, "b", "three")))
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  // ---- round 15: time-based retention, pruner short-circuit, cache pin ----
+
+  test("vacuumOlderThan keeps a young version a count-based sweep would drop; the ledger survives the time sweep") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      (0 until 4).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          df(Seq(doc(10L + k, "a", s"t$k"))), none, tag = Some(s"t-b$k"))
+      }
+      assert(Snapshots.latestVersion(spark, root.toString) === 5)
+      // every version is seconds old: a 1-hour retention drops NOTHING —
+      // exactly where vacuum(keepLast = 1) would drop four versions
+      val (d0, _) = Snapshots.vacuumOlderThan(spark, root.toString,
+        olderThanMs = 3600L * 1000L)
+      assert(d0.isEmpty, s"young versions must survive a time sweep: $d0")
+      assert(contents(root.toString, 1) === Set((1L, "a", "one")),
+        "the young chain must stay fully readable")
+      // retention 0 (cutoff = now): everything strictly older than now
+      // drops — but the HEAD always survives regardless of age
+      Thread.sleep(30)
+      val (d1, _) = Snapshots.vacuumOlderThan(spark, root.toString, 0L)
+      assert(d1 === Seq(1, 2, 3, 4))
+      assert(Snapshots.latestVersion(spark, root.toString) === 5)
+      assert(contents(root.toString, 5).size === 5)
+      intercept[IllegalArgumentException] {
+        Snapshots.readAt(spark, root.toString, 1)
+      }
+      // the durable ledger outlives the time sweep exactly as it does
+      // the count sweep: a redelivered batch is still skipped
+      assert(Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(11, "a", "t1"))), none, tag = Some("t-b1")) === 3)
+      assert(Snapshots.latestVersion(spark, root.toString) === 5)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("maintain runs the wall-clock retention sweep when the policy asks for it") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      Snapshots.commitDelta(spark, root.toString,
+        df(Seq(doc(2, "a", "two"))), none)
+      Thread.sleep(30)
+      val rep = Snapshots.maintain(spark, root.toString,
+        Snapshots.MaintenancePolicy(dvCompactFraction = None,
+          consolidateAfterDirs = None, vacuumKeepLast = None,
+          vacuumOlderThanMs = Some(0L)))
+      assert(rep.vacuumDropped === Seq(1))
+      assert(contents(root.toString, 2) ===
+        Set((1L, "a", "one"), (2L, "a", "two")))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a predicate referencing no stats column short-circuits before any pruner plan build") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(9, "b", "nine"))), root.toString,
+        statsCols = Seq("doc_id"))
+      val before = Snapshots.prunePlanBuilds.get()
+      // n_tokens is stored but untracked: no constraint could ever
+      // prune, so the pruner must not build/optimize a bare plan at all
+      val rows = Snapshots.readAtWhere(spark, root.toString, 1,
+        col("n_tokens") >= 4L).collect()
+      assert(rows.map(_.getLong(0)).toSet === Set(9L))
+      assert(Snapshots.prunePlanBuilds.get() === before,
+        "an untracked-column predicate must skip the bare-plan build")
+      // a tracked-column predicate still builds the plan and still prunes
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+        col("doc_id") > 5L).collect().map(_.getLong(0)).toSet === Set(9L))
+      assert(Snapshots.prunePlanBuilds.get() === before + 1)
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("doc_id") > 5L) === Seq("a"))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("version-file cache detects a same-(ms-mtime, length) rewrite via nanosecond validation") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val h1 = Snapshots.history(spark, root.toString).collect()
+      assert(h1.head.getLong(3) === 1L) // n_rows parsed and cached
+      val vfPath = root.resolve("_versions").resolve("v1.list")
+      val origNs = java.nio.file.Files.getLastModifiedTime(vfPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      assume(origNs % 1000000L != 0L,
+        "filesystem lacks sub-ms mtime precision; the ns tier is inert here")
+      // adversarial re-seed: same LENGTH, same MS mtime — the classic
+      // (mtime, length) validator would serve the stale parse silently
+      val body = new String(java.nio.file.Files.readAllBytes(vfPath), "UTF-8")
+      val forged = body.replaceFirst("\t1\n", "\t2\n")
+      assert(forged.length === body.length && forged != body)
+      // drop the LocalFileSystem checksum sidecar — this test forges the
+      // file OUTSIDE the hadoop API, and the stale crc would (rightly)
+      // fail the read before the cache tier under test is even reached
+      java.nio.file.Files.deleteIfExists(
+        root.resolve("_versions").resolve(".v1.list.crc")): Unit
+      java.nio.file.Files.write(vfPath, forged.getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(vfPath,
+        java.nio.file.attribute.FileTime.fromMillis(origNs / 1000000L))
+      val h2 = Snapshots.history(spark, root.toString).collect()
+      assert(h2.head.getLong(3) === 2L,
+        "the rewritten version file must be re-parsed, not served stale")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }
