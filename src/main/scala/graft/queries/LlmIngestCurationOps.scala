@@ -1297,6 +1297,92 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM m GROUP BY side, split""".stripMargin
 
+  /** SQL-FRONT-DOOR gate ([[graft.sources.SnapshotSource]]): a store
+    * with stats + bloom manifests and a deletion-vector takedown is read
+    * back ENTIRELY through `spark.read.format("graft-snapshot")` and a
+    * `CREATE TEMPORARY VIEW … USING` SQL view — the third-party tool's
+    * path, never this repo's Scala API. In-gate REQUIREs: the front-door
+    * head equals the `readAt` twin row-for-row (both directions), pushed
+    * filters appear in the physical plan, and the manifest pruner
+    * engages for a point lookup through the recorded blooms. Sides:
+    * v1 (versionAsOf), head (DV-filtered), sql (the temp view with a
+    * WHERE), point (an equality lookup of the max doc_id). */
+  def corpusSqlRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_sqlrd")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s, d, root.toString, statsCols = Seq("doc_id"),
+        constraints = Nil, zorder = false, bloomCols = Seq("doc_id"))
+      Snapshots.commitRemove(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      def fmt(opts: (String, String)*): DataFrame =
+        opts.foldLeft(s.read.format("graft-snapshot")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(root.toString)
+      // the front door must be the readAt twin, row for row
+      val twin = Snapshots.readAt(s, root.toString, 2)
+      val front = fmt()
+      require(front.exceptAll(twin).isEmpty && twin.exceptAll(front).isEmpty,
+        "format(graft-snapshot) head read must equal the readAt twin")
+      // pushed filters are visible in the scan's physical plan
+      val ranged = front.filter(col("doc_id") >= 1L)
+      val plan = ranged.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual"),
+        s"pushed filters must reach the scan:\n$plan")
+      // the manifest pruner engages through the recorded blooms: a point
+      // lookup must skip at least one of the four hash splits
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      require(Snapshots.pruneReport(s, root.toString, 2,
+          col("doc_id") === maxId).nonEmpty,
+        "bloom pruning must engage for a point lookup")
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_read_gate
+           |USING `graft-snapshot`
+           |OPTIONS (path '${root.toString}', versionAsOf '2')""".stripMargin)
+      try {
+        def side(name: String, rows: DataFrame): DataFrame = rows
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .select(lit(name).as("side"), col("split"),
+            col("n_docs"), col("id_sum"))
+        side("v1", fmt("versionAsOf" -> "1"))
+          .unionAll(side("head", front))
+          .unionAll(side("sql", s.sql(
+            "SELECT split, doc_id FROM graft_sql_read_gate " +
+              "WHERE doc_id % 2 = 0")))
+          .unionAll(side("point", front.filter(col("doc_id") === maxId)))
+          .graftCheckpoint()
+      } finally s.sql("DROP VIEW IF EXISTS graft_sql_read_gate"): Unit
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusSqlRead]] in closed form: v1 = all docs, head/sql/
+    * point = the ¬%7 membership after the DV takedown, sql additionally
+    * %2, point = the max doc_id if it survived. */
+  lazy val corpusSqlReadSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split
+       |  FROM documents),
+       |live AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+       |m AS (
+       |  SELECT 'v1' AS side, split, doc_id FROM d
+       |  UNION ALL
+       |  SELECT 'head', split, doc_id FROM live
+       |  UNION ALL
+       |  SELECT 'sql', split, doc_id FROM live WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT 'point', split, doc_id FROM live
+       |  WHERE doc_id = (SELECT MAX(doc_id) FROM documents))
+       |SELECT side, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM m GROUP BY side, split""".stripMargin
+
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
     * n_chars+1). */
