@@ -160,7 +160,23 @@ object DocIndex {
       writeMeta(s, indexRoot, head, width) // heal a stale meta marker
       return last
     }
-    val ch = Snapshots.changesBetween(s, corpusRoot, last, head)
+    val ch =
+      try Snapshots.changesBetween(s, corpusRoot, last, head)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains(s"no committed version v$last") =>
+          // the indexed BASE was vacuumed out from under the index (a
+          // retention sweep ran between refreshes — the long-running
+          // ingest-stream shape): the CDC diff is gone, so rebuild from
+          // the head instead. One column-pruned corpus scan, committed
+          // as a consolidation of the index store itself — correct from
+          // any staleness, and the meta swap keeps crash recovery exact.
+          val corpus = Snapshots.readAt(s, corpusRoot, head)
+            .select(col("doc_id"), col("split"))
+          Snapshots.commitFull(s, indexRows(width, corpus), indexRoot): Unit
+          writeMeta(s, indexRoot, head, width)
+          return head
+      }
     val upserts = indexRows(width,
       ch.filter(col("change") =!= "remove").select(col("doc_id"), col("split")))
     val removals = ch.filter(col("change") === "remove")
@@ -171,6 +187,16 @@ object DocIndex {
     writeMeta(s, indexRoot, head, width)
     head
   }
+
+  /** The LIFECYCLE entry point: build the index when the root is still
+    * empty, otherwise bring it to the corpus head — what an ingest
+    * pipeline calls after each commit so takedown discovery stays
+    * index-speed without an operator remembering to refresh. Returns
+    * the corpus version now indexed. */
+  def sync(s: SparkSession, corpusRoot: String, indexRoot: String): Int =
+    if (Snapshots.latestVersion(s, indexRoot) == 0)
+      materialize(s, corpusRoot, indexRoot)
+    else refresh(s, corpusRoot, indexRoot)
 
   /** The current index contents (`doc_id`, `target_split`). */
   def read(s: SparkSession, indexRoot: String): DataFrame =

@@ -188,7 +188,11 @@ object IncrementalDay {
     * splits the day lands in. Returns the per-version `(version, split,
     * lang, n_docs, total_tokens)` manifests, every row computed by
     * `readAt` AFTER all commits landed — version k's manifest still
-    * aggregating to day ≤ k's content is the time-travel proof. */
+    * aggregating to day ≤ k's content is the time-travel proof.
+    * `indexRoot` maintains a standing [[DocIndex]] beside the corpus:
+    * materialized on day 1, CDC-refreshed after every day's commit, and
+    * REQUIRED to end at the corpus head — doc_id-only takedowns
+    * ([[DocIndex.removeByIds]]) stay index-speed for free. */
   def ingestDayVersioned(
       s: SparkSession,
       standing: DataFrame,
@@ -198,7 +202,8 @@ object IncrementalDay {
       splitRule: Column => Column,
       root: String,
       bloomBits: Int = 1 << 23,
-      bloomProbes: Int = 5): DataFrame = {
+      bloomProbes: Int = 5,
+      indexRoot: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     require(days.nonEmpty, "ingestDayVersioned needs at least one day")
     GraftFunctions.register(s)
@@ -239,11 +244,19 @@ object IncrementalDay {
           // day redelivered must come back as ITS version, not a duplicate
           require(Snapshots.commitDelta(s, root, delta, none, tag = Some(dayTag)) == v,
             s"redelivered day $dayTag must return its committed version")
+          // the standing doc_id → split index rides the day lifecycle:
+          // CDC-refreshed per commit, so a takedown pipeline is always
+          // index-speed without an operator remembering to refresh
+          indexRoot.foreach(ir => DocIndex.sync(s, root, ir): Unit)
           v
         }
       } finally { corpusFp.unpersist(blocking = false); () }
     require(Snapshots.latestVersion(s, root) == v1 + days.length,
       "one version per day: redeliveries must not lengthen the chain")
+    indexRoot.foreach { ir =>
+      require(DocIndex.indexedVersion(s, ir) == Snapshots.latestVersion(s, root),
+        "the standing index must end the lifecycle at the corpus head")
+    }
 
     committed.map { v =>
       Snapshots.readAt(s, root, v)

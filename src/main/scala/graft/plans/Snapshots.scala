@@ -380,22 +380,89 @@ object Snapshots {
     }
   }
 
+  /** Stats cells for STRING columns are TRUNCATED to this many code
+    * points (knob `spark.graft.snapshot.statsMaxStringLen`, default 32)
+    * — a stats column over long strings (URL, text prefix) must not
+    * embed full values in every version file: at 10^5 splits that is
+    * version-file bloat plus driver parse cost on every read. Sound by
+    * construction: the stored min is a PREFIX of the true min (≤ it in
+    * UTF-8 order), the stored max is the truncated prefix with its
+    * rightmost incrementable code point bumped (> every string with
+    * that prefix, [[bumpPrefix]]); pruning with a widened range can
+    * only keep extra splits, never drop a matching one. */
+  private def statsMaxStringLen(s: SparkSession): Int =
+    math.max(1, s.conf.getOption("spark.graft.snapshot.statsMaxStringLen")
+      .map(_.toInt).getOrElse(32))
+
+  private def codePoints(v: String): Int = v.codePointCount(0, v.length)
+
+  private def truncMin(v: String, cap: Int): String =
+    if (codePoints(v) <= cap) v
+    else v.substring(0, v.offsetByCodePoints(0, cap))
+
+  private def truncMax(v: String, cap: Int): Option[String] =
+    if (codePoints(v) <= cap) Some(v)
+    else bumpPrefix(v.substring(0, v.offsetByCodePoints(0, cap)))
+
+  /** The smallest STRING strictly greater than every string with this
+    * prefix, by incrementing the rightmost incrementable code point
+    * (skipping the surrogate gap: U+D7FF bumps to U+E000) and
+    * truncating after it — the String-domain sibling of
+    * [[prefixUpperBound]], constrained to valid code points because the
+    * result must round-trip the version file as text. Each candidate is
+    * VERIFIED to exceed the prefix in UTF-8 byte order (a malformed
+    * input — lone surrogates — could otherwise produce an unsound
+    * bound); no verifiable candidate → None, and the cell records no
+    * upper bound (weaker pruning, never wrong). */
+  private def bumpPrefix(p: String): Option[String] = {
+    var idx = p.length
+    while (idx > 0) {
+      val cp = p.codePointBefore(idx)
+      val start = idx - Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        val next = if (cp == 0xD7FF) 0xE000 else cp + 1
+        if (!(next >= 0xD800 && next <= 0xDFFF)) {
+          val candidate = p.substring(0, start) +
+            new String(Character.toChars(next))
+          if (Utf8Key.of(candidate).compareTo(Utf8Key.of(p)) > 0)
+            return Some(candidate)
+        }
+      }
+      idx = start
+    }
+    None
+  }
+
   /** Per-split refs (row count + stats cells) of freshly-written files,
     * keyed by split. ONE aggregation pass over the written data; bounded
-    * driver collect — one row per split partition (the applyDelta bound). */
+    * driver collect — one row per split partition (the applyDelta bound).
+    * String columns pre-truncate INSIDE the aggregation (`substring` is
+    * monotone, so min/max of truncations = truncation of min/max) — the
+    * partial aggregates never carry more than cap+1 code points per
+    * value, whatever the stored strings' size. */
   private def collectRefs(written: DataFrame, dir: String,
       statsCols: Seq[String]): Map[String, SplitRef] = {
+    val cap = statsMaxStringLen(written.sparkSession)
+    val schema = written.schema
+    def isStr(c: String): Boolean =
+      schema(c).dataType == org.apache.spark.sql.types.StringType
+    def statExpr(c: String): org.apache.spark.sql.Column =
+      if (isStr(c)) substring(col(c), 1, cap + 1) else col(c)
     val aggs = count(lit(1)).as("n") +: statsCols.flatMap(c =>
-      Seq(min(col(c)), max(col(c)), count(col(c))))
+      Seq(min(statExpr(c)), max(statExpr(c)), count(col(c))))
     written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
       .collect()
       .map { r =>
         val n = r.getLong(1)
         val cells = statsCols.indices.map { i =>
           val base = 2 + i * 3
-          StatCell(Option(r.get(base)).map(renderStat),
-            Option(r.get(base + 1)).map(renderStat),
-            n - r.getLong(base + 2))
+          val mn0 = Option(r.get(base)).map(renderStat)
+          val mx0 = Option(r.get(base + 1)).map(renderStat)
+          val (mn, mx) =
+            if (isStr(statsCols(i)))
+              (mn0.map(truncMin(_, cap)), mx0.flatMap(truncMax(_, cap)))
+            else (mn0, mx0)
+          StatCell(mn, mx, n - r.getLong(base + 2))
         }.toIndexedSeq
         r.getString(0) -> SplitRef(r.getString(0), dir, n, cells)
       }.toMap
@@ -487,8 +554,14 @@ object Snapshots {
   /** Bounded optimistic-concurrency retries for a claim-race loser: a
     * DISJOINT concurrent delta rebases onto the interleaved head and
     * commits without any human in the loop; genuine doc_id overlap (or
-    * pathological contention past this bound) still refuses loudly. */
-  private val MaxRebaseAttempts = 5
+    * pathological contention past this bound) still refuses loudly.
+    * The default (5) suits 2–3 routinely-concurrent writers; a
+    * deployment that fans more committers at one store raises
+    * `spark.graft.snapshot.maxRebaseAttempts` to ≥ its writer count
+    * (worst case every rival lands once before this one does). */
+  private def maxRebaseAttempts(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.snapshot.maxRebaseAttempts")
+      .map(_.toInt).getOrElse(5)
 
   /** MERGE-ON-READ takedown: commit a removal-only delta as a DELETION
     * VECTOR — a tombstone sidecar of `(split, doc_id)` — instead of
@@ -707,11 +780,13 @@ object Snapshots {
                 (if (clash.length > 10) ", …" else "") +
                 " that this delta also touches — re-derive the delta " +
                 "against the current head and recommit"))
-          if (attempt >= MaxRebaseAttempts)
+          if (attempt >= maxRebaseAttempts(s))
             throw graft.core.GraftAnalysisException(Seq(
               s"commit at $root rebased $attempt times and keeps losing " +
                 "the claim race — commit traffic is pathological; " +
-                "serialize the writers or batch their deltas"))
+                "serialize the writers, batch their deltas, or raise " +
+                "spark.graft.snapshot.maxRebaseAttempts toward the " +
+                "writer count"))
           base = newHead
       }
     }
@@ -1559,7 +1634,7 @@ object Snapshots {
         } catch {
           case CommitRaceLost(_, _) =>
             attempt += 1
-            if (attempt >= MaxRebaseAttempts)
+            if (attempt >= maxRebaseAttempts(s))
               throw graft.core.GraftAnalysisException(Seq(
                 s"mergeInto at $root re-derived $attempt times and keeps " +
                   "losing to interleaved commits — serialize the writers " +

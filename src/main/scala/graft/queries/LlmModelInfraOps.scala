@@ -497,20 +497,55 @@ trait LlmModelInfraOps { this: LlmOps.type =>
     * .IncrementalDay.ingestDay]]'s marker files); the output is each
     * version's (split, lang) manifest read back AFTER all commits — v2
     * still aggregating to day-1-only content is the time-travel proof
-    * the in-place delta export cannot give. */
+    * the in-place delta export cannot give. The lifecycle additionally
+    * maintains a STANDING [[graft.plans.DocIndex]] (`indexRoot`): the
+    * gate REQUIRES the index to end at the corpus head and then runs a
+    * doc_id-only takedown THROUGH it ([[graft.plans.DocIndex
+    * .removeByIds]]) — required sidecar-only (no split data dir
+    * written) with the exact post-takedown count, the proof that
+    * index-speed GDPR removal rides the day lifecycle for free. The
+    * takedown commits AFTER the manifests materialize, so the oracle
+    * is unchanged. */
   def incrementalDayVersioned(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val root = java.nio.file.Files.createTempDirectory("graft_incr_day_ver")
+    val idx = java.nio.file.Files.createTempDirectory("graft_incr_day_idx")
     try {
       val d = docs(s, dir)
       val standing = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       val day1 = d.filter(pmod(col("doc_id"), lit(8)) === 0)
       val day2 = d.filter(pmod(col("doc_id"), lit(8)) === 4)
-      graft.plans.IncrementalDay.ingestDayVersioned(
+      val manifests = graft.plans.IncrementalDay.ingestDayVersioned(
         s, standing, Seq("day-1" -> day1, "day-2" -> day2),
         trainedProbeWeights(s, dir), ProbeGateMargin, splitColumnFor,
-        root.toString, bloomBits = 1 << 16, bloomProbes = 4)
-    } finally graft.plans.CorpusExport.deleteRecursively(root.toFile)
+        root.toString, bloomBits = 1 << 16, bloomProbes = 4,
+        indexRoot = Some(idx.toString))
+      // the standing index ended the lifecycle at the corpus head …
+      val head = graft.plans.Snapshots.latestVersion(s, root.toString)
+      require(graft.plans.DocIndex.indexedVersion(s, idx.toString) == head,
+        "the day lifecycle must leave the index at the corpus head")
+      // … so a doc_id-only takedown is index-speed AND sidecar-only
+      val before = graft.plans.Snapshots.readAt(s, root.toString, head)
+      val victims = before.filter(pmod(col("doc_id"), lit(16)) === 0)
+        .select(col("doc_id"))
+      val nVictims = victims.count()
+      val nBefore = before.count()
+      val v = graft.plans.DocIndex.removeByIds(
+        s, root.toString, idx.toString, victims)
+      require(v == head + 1, s"takedown must commit one version, got v$v")
+      val takedownData = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(s"v$v-") &&
+          !f.getName.endsWith("-dv"))
+      require(takedownData.isEmpty,
+        s"an indexed takedown must be sidecar-only: ${takedownData.map(_.getName)}")
+      require(graft.plans.Snapshots.readAt(s, root.toString, v).count() ==
+        nBefore - nVictims,
+        "the takedown must remove exactly the resolved victims")
+      manifests
+    } finally {
+      graft.plans.CorpusExport.deleteRecursively(root.toFile)
+      graft.plans.CorpusExport.deleteRecursively(idx.toFile)
+    }
   }
 
   /** Mirrors [[incrementalDayVersioned]]: the [[incrementalDaySql]]

@@ -1078,6 +1078,25 @@ object EventPipeline {
       policy: graft.plans.Snapshots.MaintenancePolicy =
         graft.plans.Snapshots.MaintenancePolicy(vacuumKeepLast = None))
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    snapshotIngestStream(rows, root, queryId, maintainEvery, policy,
+      indexRoot = None)
+
+  /** [[snapshotIngestStream]] additionally maintaining a STANDING
+    * doc_id → split index ([[graft.plans.DocIndex]]) at `indexRoot`:
+    * after each batch's tagged commit (and any maintenance), the index
+    * is synced to the new head — built on the first batch, CDC-refreshed
+    * after that — so a takedown pipeline running beside a long-lived
+    * ingest stream always finds the index fresh
+    * ([[graft.plans.DocIndex.removeByIds]] refuses on a stale index by
+    * design). Safe with retention-enabled policies: a refresh whose CDC
+    * base was vacuumed falls back to a head rebuild. Redelivered
+    * batches re-sync idempotently (head unchanged → no index commit). */
+  def snapshotIngestStream(
+      rows: DataFrame, root: String, queryId: String,
+      maintainEvery: Option[Int],
+      policy: graft.plans.Snapshots.MaintenancePolicy,
+      indexRoot: Option[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1090,6 +1109,8 @@ object EventPipeline {
           if (n > 0 && batchId % n == n - 1)
             graft.plans.Snapshots.maintain(batch.sparkSession, root, policy): Unit
         }
+        indexRoot.foreach(ir =>
+          graft.plans.DocIndex.sync(batch.sparkSession, root, ir): Unit)
       }
 
   /** Synchronous gate run of [[snapshotIngestStream]]: a store is seeded

@@ -269,6 +269,84 @@ class DocIndexSpec extends SparkTestBase {
     }
   }
 
+  test("sync materializes on an empty root, refreshes after, and survives a vacuumed CDC base by rebuilding") {
+    val root = freshRoot(); val idx = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "d1", "one"))), root.toString)
+      assert(DocIndex.sync(spark, root.toString, idx.toString) === 1)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "d2", "two"))), removedIds = noRm)
+      assert(DocIndex.sync(spark, root.toString, idx.toString) === 2)
+      assert(indexMap(idx.toString) === Map(1L -> "d1", 2L -> "d2"))
+      // the CORPUS store is swept past the index's base (retention ran
+      // between refreshes — the long-lived ingest-stream shape): v2, the
+      // index's CDC base, must survive nothing; sync falls back to a
+      // head rebuild instead of crashing on the missing version file
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "d1", "three"))), removedIds = noRm)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(1, "d3", "one"))),
+        removedIds = df(Seq(doc(1, "d1", "x")))
+          .select(col("split"), col("doc_id")))
+      Snapshots.vacuum(spark, root.toString, keepLast = 1): Unit
+      assert(DocIndex.sync(spark, root.toString, idx.toString) === 4)
+      assert(indexMap(idx.toString) ===
+        Map(1L -> "d3", 2L -> "d2", 3L -> "d1"))
+      // and the rebuilt index still resolves takedowns correctly
+      import spark.implicits._
+      assert(DocIndex.resolveSplits(spark, root.toString, idx.toString,
+          Seq(1L).toDF("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("d3", 1L)))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  test("snapshotIngestStream(indexRoot) keeps the standing index at the stream's head") {
+    val root = freshRoot(); val idx = freshRoot(); val tmp = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(100, "b", "base"))), root.toString)
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir): Unit
+      (1 to 3).foreach { k =>
+        df(Seq(doc(k.toLong, "a", s"t$k"))).coalesce(1)
+          .write.parquet(tmp.resolve(s"f$k").toString)
+        val p = tmp.resolve(s"f$k").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(p.toPath, inDir.resolve(s"part-$k.parquet")): Unit
+      }
+      val in = spark.readStream
+        .schema("doc_id long, split string, text string, n_tokens long")
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = graft.streaming.EventPipeline
+        .snapshotIngestStream(in, root.toString, "ix", maintainEvery = Some(2),
+          policy = Snapshots.MaintenancePolicy(
+            dvCompactFraction = None, consolidateAfterDirs = Some(1),
+            vacuumKeepLast = Some(2)),
+          indexRoot = Some(idx.toString))
+        .option("checkpointLocation", tmp.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      val head = Snapshots.latestVersion(spark, root.toString)
+      assert(DocIndex.indexedVersion(spark, idx.toString) === head,
+        "the stream must leave the index at the corpus head")
+      assert(indexMap(idx.toString) ===
+        Map(100L -> "b", 1L -> "a", 2L -> "a", 3L -> "a"))
+      // takedown discovery is immediately index-speed — no manual refresh
+      import spark.implicits._
+      val v = DocIndex.removeByIds(spark, root.toString, idx.toString,
+        Seq(2L).toDF("doc_id"))
+      assert(v === head + 1)
+      assert(Snapshots.readAt(spark, root.toString, v)
+        .collect().map(_.getLong(0)).toSet === Set(100L, 1L, 3L))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+      CorpusExport.deleteRecursively(tmp.toFile)
+    }
+  }
+
   test("removeByIds(requireAllFound) refuses when an id does not resolve through the index") {
     val root = freshRoot(); val idx = freshRoot()
     try {

@@ -2238,6 +2238,52 @@ class SnapshotsSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("long-string stats cells truncate to the cap; pruning on them stays engaged AND sound") {
+    val root = freshRoot()
+    try {
+      // two splits of 200-char urls: split A all under 'a…', split B all
+      // under 'b…' — they diverge INSIDE the 32-cp cap, so pruning must
+      // still engage; within a split values diverge only past the cap,
+      // so a truncating bound must stay sound
+      import spark.implicits._
+      val rows = (0 until 20).map { k =>
+        val (sp, ch) = if (k % 2 == 0) ("A", "a") else ("B", "b")
+        (k.toLong, sp, ch * 150 + f"$k%04d" + ch * 46)
+      }
+      val d = rows.toDF("doc_id", "split", "url")
+      Snapshots.commitFull(spark, d, root.toString, statsCols = Seq("url"))
+      // bounded cells: the version file must not embed any full value
+      val body = new String(java.nio.file.Files.readAllBytes(
+        root.resolve("_versions").resolve("v1.list")), "UTF-8")
+      assert(!body.contains("a" * 60) && !body.contains("b" * 60),
+        "stats cells must truncate long strings")
+      // pruning ENGAGES across the splits (range + prefix)
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("url") >= "b") === Seq("A"))
+      assert(Snapshots.pruneReport(spark, root.toString, 1,
+        col("url").startsWith("a")) === Seq("B"))
+      // …and the corruption proof: split A's files gone, the pruned
+      // read still answers exactly
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root.toFile).filter(f => f.getName.endsWith(".parquet") &&
+          f.getAbsolutePath.contains("split=A/"))
+        .foreach(f => java.nio.file.Files.write(f.toPath,
+          "junk".getBytes("UTF-8")): Unit)
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+          col("url") >= "b").count() === 10L)
+      // SOUNDNESS where values diverge only past the cap: an equality
+      // probe inside split B must keep split B (the widened range can
+      // keep extras, never drop the match) and return exactly its row
+      val probe = rows.find(_._2 == "B").get._3
+      assert(!Snapshots.pruneReport(spark, root.toString, 1,
+        col("url") === probe).contains("B"))
+      assert(Snapshots.readAtWhere(spark, root.toString, 1,
+          col("url") === probe).count() === 1L)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("version-file cache detects a same-(ms-mtime, length) rewrite via nanosecond validation") {
     val root = freshRoot()
     try {
