@@ -146,6 +146,7 @@ object SparkEntry {
     "d_corpus_maintain" -> (q.LlmOps.corpusMaintain _),
     "d_corpus_docindex" -> (q.LlmOps.corpusDocIndex _),
     "d_corpus_sql_read" -> (q.LlmOps.corpusSqlRead _),
+    "d_corpus_sql_write" -> (q.LlmOps.corpusSqlWrite _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
     "d_view_ndv_remove" -> (q.LlmOps.viewNdvRemove _),
     "d_corpus_read_asof" -> (q.LlmOps.corpusReadAsOf _),
@@ -367,6 +368,7 @@ object SparkEntry {
     // CDC-maintained doc_id→split index; indexed takedowns are sidecar-only
     "d_corpus_docindex" -> q.LlmOps.corpusDocIndexSql,
     "d_corpus_sql_read" -> q.LlmOps.corpusSqlReadSql,
+    "d_corpus_sql_write" -> q.LlmOps.corpusSqlWriteSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
     // NDV view survives a takedown via touched-group rebuild, 5σ-enforced

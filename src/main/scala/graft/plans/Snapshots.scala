@@ -1526,6 +1526,32 @@ object Snapshots {
       vf.statsCols, vf.constraints, vf.zorder, vf.bloomCols)
   }
 
+  /** [[commitFull]] carrying the HEAD's recorded contract forward —
+    * stats columns, check constraints, clustering, bloom columns — the
+    * "replace the content, keep the table definition" write an SQL
+    * `INSERT OVERWRITE` means ([[graft.sources.SnapshotSource]] uses
+    * it): a front-door overwrite must not silently drop the owner's
+    * data-skipping or data-contract setup. */
+  private[graft] def commitFullLike(s: SparkSession, df: DataFrame,
+      root: String): Int = {
+    val head = latestVersion(s, root)
+    require(head >= 1,
+      s"commitFullLike on an empty store at $root — commitFull directly " +
+        "(a new store's stats/constraint contract is the owner's choice)")
+    val vf = readVersionFile(s, root, head)
+    commitFull(s, df, root, vf.statsCols, vf.constraints, vf.zorder,
+      vf.bloomCols)
+  }
+
+  /** The EFFECTIVE row count of a version, answered entirely from the
+    * version file (`Σ nRows − dvRows` — deletion vectors record exact
+    * confirmed-victim counts, so this equals the anti-joined read's
+    * count): zero file IO, the manifest-only COUNT(*) fast path the SQL
+    * front door pushes down to. */
+  private[graft] def effectiveRowCount(s: SparkSession, root: String,
+      version: Int, branch: Option[String]): Long =
+    readVersionFile(s, root, version, branch).refs.map(_.effectiveRows).sum
+
   /** What a [[mergeInto]] does with a source row whose doc_id already
     * exists in the store. `Update` replaces the stored row with the
     * source row (the store's replace contract); `Delete` takes it down;

@@ -1305,8 +1305,11 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
     * head equals the `readAt` twin row-for-row (both directions), pushed
     * filters appear in the physical plan, and the manifest pruner
     * engages for a point lookup through the recorded blooms. Sides:
-    * v1 (versionAsOf), head (DV-filtered), sql (the temp view with a
-    * WHERE), point (an equality lookup of the max doc_id). */
+    * v1 (the CATALOG door — `SELECT … FROM graftsqlgate.store VERSION
+    * AS OF 1`, Spark's native time-travel syntax through
+    * [[graft.sources.SnapshotCatalog]]), head (DV-filtered format
+    * read), sql (the temp view with a WHERE), point (an equality lookup
+    * of the max doc_id). */
   def corpusSqlRead(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.{CorpusExport, Snapshots}
     val root = java.nio.file.Files.createTempDirectory("graft_snap_sqlrd")
@@ -1344,6 +1347,12 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
         s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_read_gate
            |USING `graft-snapshot`
            |OPTIONS (path '${root.toString}', versionAsOf '2')""".stripMargin)
+      // the v1 side reads through the CATALOG with Spark's native
+      // time-travel syntax — the lakehouse user's literal first query
+      s.conf.set("spark.sql.catalog.graftsqlgate",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsqlgate.root",
+        root.getParent.toString)
       try {
         def side(name: String, rows: DataFrame): DataFrame = rows
           .groupBy(col("split"))
@@ -1351,14 +1360,21 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
             sum(col("doc_id")).cast("long").as("id_sum"))
           .select(lit(name).as("side"), col("split"),
             col("n_docs"), col("id_sum"))
-        side("v1", fmt("versionAsOf" -> "1"))
+        side("v1", s.sql("SELECT split, doc_id FROM " +
+            s"graftsqlgate.`${root.getFileName}` VERSION AS OF 1"))
           .unionAll(side("head", front))
           .unionAll(side("sql", s.sql(
             "SELECT split, doc_id FROM graft_sql_read_gate " +
               "WHERE doc_id % 2 = 0")))
           .unionAll(side("point", front.filter(col("doc_id") === maxId)))
           .graftCheckpoint()
-      } finally s.sql("DROP VIEW IF EXISTS graft_sql_read_gate"): Unit
+      } finally {
+        s.sql("DROP VIEW IF EXISTS graft_sql_read_gate")
+        // the catalog NAME stays registered (instances cache per
+        // session); its warehouse is the stable temp parent, so later
+        // runs re-resolve their own store names through it safely
+        ()
+      }
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
@@ -1382,6 +1398,74 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |SELECT side, split, COUNT(*) AS n_docs,
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM m GROUP BY side, split""".stripMargin
+
+  /** SQL-FRONT-DOOR WRITE gate ([[graft.sources.SnapshotSource]]): the
+    * store's second half for a third-party tool — day-2 arrives as a
+    * `df.write.format("graft-snapshot").mode("append")` commit with a
+    * `commitTag` (REDELIVERED in-gate: the ledger must answer with the
+    * committed version, chain length unchanged), one synthetic row
+    * lands via SQL `INSERT INTO` on an unpinned front-door view, and
+    * the head count is REQUIRED to come back through the pushed
+    * manifest COUNT(*). Output = the head's per-split aggregates read
+    * through the format path; the oracle replays the write algebra in
+    * closed form. */
+  def corpusSqlWrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_sqlwr")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      // the owner creates the store with day 1 (the ¬%3 slice)
+      Snapshots.commitFull(s, d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        root.toString)
+      // day 2 (%3 slice) arrives THROUGH the front door, tagged …
+      val day2 = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      day2.write.format("graft-snapshot").mode("append")
+        .option("commitTag", "day-2").save(root.toString)
+      require(Snapshots.latestVersion(s, root.toString) == 2)
+      // … and its at-least-once REDELIVERY is ledger-skipped
+      day2.write.format("graft-snapshot").mode("append")
+        .option("commitTag", "day-2").save(root.toString)
+      require(Snapshots.latestVersion(s, root.toString) == 2,
+        "a redelivered commitTag write must not lengthen the chain")
+      // one correction row lands via SQL INSERT INTO an unpinned view
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_write_gate
+           |USING `graft-snapshot`
+           |OPTIONS (path '${root.toString}')""".stripMargin)
+      try {
+        s.sql(
+          "INSERT INTO graft_sql_write_gate VALUES (-1, 's0', 'zz', 7)")
+        require(Snapshots.latestVersion(s, root.toString) == 3)
+        // the head count answers from the MANIFEST (pushed COUNT(*))
+        val expected = d.count() + 1
+        require(s.read.format("graft-snapshot").load(root.toString)
+          .count() == expected,
+          "the pushed manifest count must see every front-door write")
+        s.read.format("graft-snapshot").load(root.toString)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("char_sum"))
+          .graftCheckpoint()
+      } finally s.sql("DROP VIEW IF EXISTS graft_sql_write_gate"): Unit
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusSqlWrite]] in closed form: all documents plus the
+    * inserted (-1, s0, zz, 7) correction row. */
+  lazy val corpusSqlWriteSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
+       |    n_chars
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT -1, 's0', 7)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+       |FROM m GROUP BY split""".stripMargin
 
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with

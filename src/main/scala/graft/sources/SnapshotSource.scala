@@ -1,12 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, PrunedFilteredScan, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -55,13 +56,48 @@ import graft.plans.Snapshots
   * ingest idempotence tag, resolved through the durable ledger);
   * default = the latest committed version. `branch` reads a branch
   * chain (combinable with `versionAsOf` only — stamps and tags are
-  * main-chain concepts). Version resolution happens at load time and
-  * PINS the scan: commits racing the query cannot move it.
+  * main-chain concepts). Explicit pins FREEZE the view forever; an
+  * unpinned view tracks the HEAD, re-resolving per query — while each
+  * individual scan still captures one version at planning and reads
+  * only immutable refs (snapshot isolation per query, live view across
+  * queries: the Delta-style contract).
   */
 class SnapshotSource extends TableProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** WRITE path (`df.write.format("graft-snapshot").mode(…).save(root)`):
+    * Append = one tagged-able delta commit against the head
+    * (`commitTag` option = the idempotence tag; `branch` targets a
+    * branch chain), Overwrite = a full rewrite CARRYING the head's
+    * stats/constraint/clustering contract forward (`INSERT OVERWRITE`
+    * semantics — a front-door rewrite must not drop the owner's table
+    * definition). Writes target EXISTING stores only: creating a store
+    * — choosing its statsCols, blooms, constraints — is the owning
+    * pipeline's `Snapshots.commitFull` call, not a side effect of a
+    * generic save. Read pins (versionAsOf/timestampAsOf/tag) refuse on
+    * writes: commits go to the head by definition. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val opts = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    mode match {
+      case SaveMode.Append =>
+        SnapshotSource.writeInto(opts, data, overwrite = false)
+      case SaveMode.Overwrite =>
+        SnapshotSource.writeInto(opts, data, overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        SnapshotSource.refuse(
+          "graft-snapshot: the store already exists (front-door writes " +
+            "target existing stores) — use mode append or overwrite; a " +
+            "NEW store is created with Snapshots.commitFull, where its " +
+            "stats/constraint contract is chosen")
+      case SaveMode.Ignore => ()
+    }
+    new SnapshotSource.SnapshotRelation(sqlContext,
+      SnapshotSource.resolve(opts), opts)
+  }
 
   // ---- DataSourceV2 ------------------------------------------------------
 
@@ -73,27 +109,43 @@ class SnapshotSource extends TableProvider with RelationProvider
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new SnapshotSource.SnapshotTable(
-      SnapshotSource.resolve(SnapshotSource.optionMap(
-        new CaseInsensitiveStringMap(properties))), schema)
+      properties: java.util.Map[String, String]): Table = {
+    val opts = SnapshotSource.optionMap(new CaseInsensitiveStringMap(properties))
+    new SnapshotSource.SnapshotTable(SnapshotSource.resolve(opts), schema, opts)
+  }
 
   // ---- DataSource v1 (SQL `USING` path) ----------------------------------
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val t = SnapshotSource.resolve(
-      parameters.map { case (k, v) =>
-        k.toLowerCase(java.util.Locale.ROOT) -> v })
-    new SnapshotSource.SnapshotRelation(sqlContext, t)
+    val opts = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new SnapshotSource.SnapshotRelation(sqlContext,
+      SnapshotSource.resolve(opts), opts)
   }
 }
 
 object SnapshotSource {
 
-  /** A fully-resolved read target: the version is pinned at load time. */
+  /** A resolved read target. An EXPLICIT pin (versionAsOf /
+    * timestampAsOf / tag) freezes `version` forever — a historical read
+    * stays historical however long the view lives. An UNPINNED target
+    * tracks the HEAD: `version` re-resolves on every call, so each scan
+    * (one per query) reads the head as of its own planning — a temp
+    * view created yesterday serves today's corpus, while the scan
+    * itself is still snapshot-isolated (it captures the version once
+    * and reads immutable refs). */
   private[sources] final case class Target(spark: SparkSession, root: String,
-      version: Int, branch: Option[String])
+      pin: Option[Int], branch: Option[String]) {
+    def version: Int = pin.getOrElse {
+      val head = Snapshots.latestVersion(spark, root, branch)
+      if (head < 1)
+        refuse(s"graft-snapshot: no committed version at $root" +
+          branch.fold("")(b => s" on branch '$b'") +
+          " — create the store with Snapshots.commitFull first")
+      head
+    }
+  }
 
   private def optionMap(options: CaseInsensitiveStringMap): Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -101,8 +153,67 @@ object SnapshotSource {
       .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
   }
 
-  private def refuse(msg: String): Nothing =
+  private[sources] def refuse(msg: String): Nothing =
     throw graft.core.GraftAnalysisException(Seq(msg))
+
+  /** True when the options PIN a version for reading — a write through
+    * such options/views refuses (commits go to the head). */
+  private def readPinned(opts: Map[String, String]): Boolean =
+    opts.contains("versionasof") || opts.contains("timestampasof") ||
+      opts.contains("tag")
+
+  /** The shared WRITE body (DataFrameWriter save and SQL INSERT INTO):
+    * append = delta commit (optionally `commitTag`-idempotent, branch
+    * aware), overwrite = full rewrite carrying the head's contract
+    * ([[Snapshots.commitFullLike]], main-chain only). The data must be
+    * split-keyed like every store commit. */
+  private[sources] def writeInto(opts: Map[String, String], data: DataFrame,
+      overwrite: Boolean): Unit = {
+    if (readPinned(opts))
+      refuse("graft-snapshot: versionAsOf/timestampAsOf/tag are READ " +
+        "pins — a write goes to the store's head; remove them from the " +
+        "write options (the commit idempotence tag is `commitTag`)")
+    val spark = SparkSession.active
+    val root = opts.getOrElse("path",
+      refuse("graft-snapshot write needs the store root: .save(<root>)"))
+    val branch = opts.get("branch")
+    if (!data.columns.contains("split") || !data.columns.contains("doc_id"))
+      refuse("graft-snapshot write: store rows are split-keyed — the " +
+        "frame must carry `split` and `doc_id` columns")
+    // the open front door takes writes from tools that never read this
+    // codebase: NULL keys must refuse by name here, not surface as a
+    // planner error three commits deep — notably, v2 by-name append
+    // silently NULL-fills a nullable `split` the input frame omitted
+    val dataP = data
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (dataP.filter(col("split").isNull || col("doc_id").isNull)
+          .limit(1).count() > 0)
+        refuse("graft-snapshot write: every row must carry a non-null " +
+          "`split` and `doc_id` (an input frame without a split column " +
+          "gets it NULL-filled by SQL column defaults — key your rows)")
+      writeCommit(spark, root, branch, opts, dataP, overwrite)
+    } finally dataP.unpersist(blocking = false): Unit
+  }
+
+  private def writeCommit(spark: SparkSession, root: String,
+      branch: Option[String], opts: Map[String, String], data: DataFrame,
+      overwrite: Boolean): Unit = {
+    if (overwrite) {
+      if (branch.nonEmpty)
+        refuse("graft-snapshot: overwrite is a full rewrite of MAIN — " +
+          "branches take deltas (mode append); merge or drop the branch " +
+          "for wholesale changes")
+      if (opts.contains("committag"))
+        refuse("graft-snapshot: commitTag is append-only (full rewrites " +
+          "have no redelivery-idempotence ledger)")
+      Snapshots.commitFullLike(spark, data, root): Unit
+    } else {
+      Snapshots.commitDelta(spark, root, adds = data,
+        removedIds = data.select(col("split"), col("doc_id")).limit(0),
+        tag = opts.get("committag"), branch = branch): Unit
+    }
+  }
 
   /** Epoch millis of a `timestampAsOf` option value: raw millis, an
     * ISO-8601 instant, or a date (read as midnight UTC — the start of
@@ -136,26 +247,19 @@ object SnapshotSource {
     if (branch.nonEmpty && (opts.contains("timestampasof") || opts.contains("tag")))
       refuse("graft-snapshot: timestampAsOf and tag resolve through " +
         "main-chain stamps/ledger — combine branch only with versionAsOf")
-    val version = opts.get("versionasof") match {
+    val pin: Option[Int] = opts.get("versionasof") match {
       case Some(v) =>
-        v.toIntOption.getOrElse(
-          refuse(s"graft-snapshot: versionAsOf '$v' is not an integer"))
+        Some(v.toIntOption.getOrElse(
+          refuse(s"graft-snapshot: versionAsOf '$v' is not an integer")))
       case None => opts.get("timestampasof") match {
         case Some(ts) =>
-          Snapshots.versionAsOf(spark, root, parseTimestamp(ts))
-        case None => opts.get("tag") match {
-          case Some(t) => Snapshots.versionForTag(spark, root, t).getOrElse(
-            refuse(s"graft-snapshot: no commit tagged '$t' at $root"))
-          case None =>
-            val head = Snapshots.latestVersion(spark, root, branch)
-            if (head < 1)
-              refuse(s"graft-snapshot: no committed version at $root" +
-                branch.fold("")(b => s" on branch '$b'"))
-            head
-        }
+          Some(Snapshots.versionAsOf(spark, root, parseTimestamp(ts)))
+        case None => opts.get("tag").map(t =>
+          Snapshots.versionForTag(spark, root, t).getOrElse(
+            refuse(s"graft-snapshot: no commit tagged '$t' at $root")))
       }
     }
-    Target(spark, root, version, branch)
+    Target(spark, root, pin, branch)
   }
 
   /** Pushed v1 filters → one Column predicate for the pruner, or None
@@ -198,12 +302,12 @@ object SnapshotSource {
     * anti-join ([[Snapshots.readAtWhere]]), then the required-column
     * projection (Catalyst pushes it into the underlying parquet scans
     * when this frame is planned). */
-  private[sources] def scanFrame(t: Target, pushed: Seq[Filter],
+  private[sources] def scanFrame(t: Target, version: Int, pushed: Seq[Filter],
       requiredColumns: Seq[String]): DataFrame = {
     val pred = pushed.flatMap(toColumn).reduceOption(_ && _)
     val base = pred match {
-      case Some(p) => Snapshots.readAtWhere(t.spark, t.root, t.version, p, t.branch)
-      case None => Snapshots.readAt(t.spark, t.root, t.version, t.branch)
+      case Some(p) => Snapshots.readAtWhere(t.spark, t.root, version, p, t.branch)
+      case None => Snapshots.readAt(t.spark, t.root, version, t.branch)
     }
     base.select(requiredColumns.map(n => col(s"`$n`")): _*)
   }
@@ -211,22 +315,55 @@ object SnapshotSource {
   // ---- DSv2 table / scan -------------------------------------------------
 
   private[sources] final class SnapshotTable(t: Target,
-      tableSchema: StructType) extends Table with SupportsRead {
+      tableSchema: StructType, opts: Map[String, String])
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String =
       s"graft-snapshot:${t.root}" +
-        t.branch.fold("")(b => s"@$b") + s"@v${t.version}"
+        t.branch.fold("")(b => s"@$b") +
+        t.pin.fold("@head")(v => s"@v$v")
     override def schema(): StructType = tableSchema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new SnapshotScanBuilder(t, tableSchema)
+    /** DSv2 write (`INSERT INTO` a format view, `df.write.mode(…)`),
+      * delegated through [[org.apache.spark.sql.connector.write.V1Write]]
+      * to the shared [[writeInto]] body — the analyzer has already
+      * aligned/cast the input columns to the table schema by the time
+      * the relation sees them. Truncate (mode overwrite /
+      * `INSERT OVERWRITE`) maps to the contract-carrying full rewrite. */
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+          overwrite = true; this
+        }
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: DataFrame, ov: Boolean): Unit =
+                  writeInto(opts, data, overwrite || ov)
+              }
+          }
+      }
   }
 
   private final class SnapshotScanBuilder(t: Target, tableSchema: StructType)
       extends ScanBuilder with SupportsPushDownFilters
-      with SupportsPushDownRequiredColumns {
+      with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    // ONE version per query: captured when the builder is created, so
+    // every stage of this scan (pruning, count, read) sees one snapshot
+    private val version = t.version
     private var pushed: Array[Filter] = Array.empty
     private var required: StructType = tableSchema
+    private var manifestCount = false
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       val (ok, residual) = filters.partition(f => toColumn(f).nonEmpty)
@@ -236,15 +373,64 @@ object SnapshotSource {
     override def pushedFilters(): Array[Filter] = pushed
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new SnapshotV1Scan(t, pushed, required)
+
+    /** MANIFEST-ONLY COUNT(*): an unfiltered, ungrouped count is
+      * answered from the version file (`Σ nRows − dvRows` — exact, DV
+      * sidecars record confirmed-victim counts) with ZERO file IO — on
+      * a 100 TB corpus the difference between a catalog lookup and a
+      * full scan. Pushed only when NO filter reached the scan (a
+      * filtered count must count scanned rows) and the aggregation is
+      * exactly one COUNT(*) with no grouping; everything else takes the
+      * normal scan + Spark-side aggregation. */
+    private def canManifestCount(agg: Aggregation): Boolean =
+      pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.length == 1 &&
+        agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      canManifestCount(agg)
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      manifestCount = canManifestCount(agg)
+      manifestCount
+    }
+
+    override def build(): Scan =
+      if (manifestCount) new ManifestCountScan(t, version)
+      else new SnapshotV1Scan(t, version, pushed, required)
+  }
+
+  /** The pushed COUNT(*) scan: one row, straight off the version file.
+    * The read schema is the AGGREGATION's output shape (one
+    * non-nullable long) — Spark matches it positionally against the
+    * pushed aggregate's expected schema. */
+  private final class ManifestCountScan(t: Target, version: Int)
+      extends V1Scan {
+    private val required = StructType(Seq(
+      org.apache.spark.sql.types.StructField("count(*)",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def readSchema(): StructType = required
+    override def toV1TableScan[R <: BaseRelation with TableScan](
+        context: SQLContext): R =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val n = Snapshots.effectiveRowCount(
+            t.spark, t.root, version, t.branch)
+          context.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row(n)), 1)
+        }
+      }.asInstanceOf[R]
+    override def description(): String =
+      s"graft-snapshot v$version manifest-count"
   }
 
   /** The scan as a [[V1Scan]]: Spark plans it as a row-source scan with
     * the pushed filters visible in `explain` (`PushedFilters: [...]`),
     * and the body delegates to [[scanFrame]] — every stats/bloom/DV
     * behavior the Scala API has, none re-implemented. */
-  private final class SnapshotV1Scan(t: Target, pushed: Array[Filter],
-      required: StructType) extends V1Scan {
+  private final class SnapshotV1Scan(t: Target, version: Int,
+      pushed: Array[Filter], required: StructType) extends V1Scan {
     override def readSchema(): StructType = required
     override def toV1TableScan[R <: BaseRelation with TableScan](
         context: SQLContext): R =
@@ -252,16 +438,18 @@ object SnapshotSource {
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-          scanFrame(t, pushed.toIndexedSeq, required.fieldNames.toIndexedSeq).rdd
+          scanFrame(t, version, pushed.toIndexedSeq,
+            required.fieldNames.toIndexedSeq).rdd
       }.asInstanceOf[R]
     override def description(): String =
-      s"graft-snapshot v${t.version} pushed=[${pushed.mkString(", ")}]"
+      s"graft-snapshot v$version pushed=[${pushed.mkString(", ")}]"
   }
 
   // ---- v1 relation (SQL `USING` path) ------------------------------------
 
-  private[sources] final class SnapshotRelation(context: SQLContext, t: Target)
-      extends BaseRelation with PrunedFilteredScan {
+  private[sources] final class SnapshotRelation(context: SQLContext,
+      t: Target, opts: Map[String, String])
+      extends BaseRelation with PrunedFilteredScan with InsertableRelation {
     override def sqlContext: SQLContext = context
     override val schema: StructType =
       Snapshots.readAt(t.spark, t.root, t.version, t.branch).schema
@@ -269,6 +457,17 @@ object SnapshotSource {
       filters.filter(f => toColumn(f).isEmpty)
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-      scanFrame(t, filters.toIndexedSeq, requiredColumns.toIndexedSeq).rdd
+      // version resolved PER SCAN: an unpinned view tracks the head
+      scanFrame(t, t.version, filters.toIndexedSeq,
+        requiredColumns.toIndexedSeq).rdd
+    /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a front-door view:
+      * columns arrive POSITIONALLY (SQL insert semantics) — realigned
+      * to the store's names, then the shared write body commits a delta
+      * (or a contract-carrying full rewrite). Version-pinned views
+      * refuse inside [[writeInto]]: a historical read is not a write
+      * target. */
+    override def insert(data: DataFrame, overwrite: Boolean): Unit =
+      writeInto(opts, data.toDF(schema.fieldNames.toIndexedSeq: _*),
+        overwrite)
   }
 }

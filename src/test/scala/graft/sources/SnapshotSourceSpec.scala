@@ -154,6 +154,141 @@ class SnapshotSourceSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("COUNT(*) is answered from the manifest with ZERO file IO (corruption-proven), filtered counts still scan") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "a", "two"), doc(3, "b", "three"),
+        doc(4, "b", "four"))), root.toString)
+      // a DV takedown: the manifest count must be the EFFECTIVE count
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(2, "a", "x"))).select(col("split"), col("doc_id")))
+      // corrupt EVERY parquet file — any scan would fail, so a correct
+      // answer proves the count never opened a file
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root.toFile).filter(f => f.getName.endsWith(".parquet") &&
+          f.getAbsolutePath.contains("split="))
+        .foreach(f => java.nio.file.Files.write(f.toPath,
+          "junk".getBytes("UTF-8")): Unit)
+      assert(fmt(root.toString).count() === 3L)
+      assert(spark.read.format("graft-snapshot")
+        .option("versionAsOf", "1").load(root.toString).count() === 4L)
+      // a FILTERED count must take the scan path (counts scanned rows) —
+      // on the corrupted store that read fails, which proves the
+      // manifest shortcut correctly stood down
+      intercept[Exception] {
+        fmt(root.toString).filter(col("split") === "a").count()
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("write path: append commits a tagged delta, overwrite carries the head's contract, SQL INSERT INTO works") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"))), root.toString, statsCols = Seq("doc_id"))
+      // DataFrameWriter append = one delta commit, commitTag-idempotent
+      df(Seq(doc(2, "b", "two"))).write.format("graft-snapshot")
+        .mode("append").option("commitTag", "b0").save(root.toString)
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      df(Seq(doc(2, "b", "two"))).write.format("graft-snapshot")
+        .mode("append").option("commitTag", "b0").save(root.toString)
+      assert(Snapshots.latestVersion(spark, root.toString) === 2,
+        "a redelivered commitTag write must be ledger-skipped")
+      assert(rows(fmt(root.toString)) ===
+        Set((1L, "a", "one"), (2L, "b", "two")))
+      // SQL INSERT INTO through a front-door view (positional columns)
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW corpus_w
+           |USING `graft-snapshot` OPTIONS (path '${root.toString}')""".stripMargin)
+      try {
+        spark.sql(
+          "INSERT INTO corpus_w VALUES (3, 'a', 'three', 5)")
+        assert(Snapshots.latestVersion(spark, root.toString) === 3)
+        assert(rows(Snapshots.readAt(spark, root.toString, 3))
+          .contains((3L, "a", "three")))
+      } finally spark.sql("DROP VIEW corpus_w"): Unit
+      // overwrite = full rewrite CARRYING the stats contract: pruning
+      // still works on the rewritten store
+      df(Seq(doc(10, "lo", "ten"), doc(900, "hi", "big")))
+        .write.format("graft-snapshot").mode("overwrite").save(root.toString)
+      val v = Snapshots.latestVersion(spark, root.toString)
+      assert(rows(Snapshots.readAt(spark, root.toString, v)) ===
+        Set((10L, "lo", "ten"), (900L, "hi", "big")))
+      assert(Snapshots.pruneReport(spark, root.toString, v,
+        col("doc_id") < 100L) === Seq("hi"),
+        "overwrite must carry the head's statsCols forward")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("an unpinned view tracks the head across commits; a pinned view stays frozen") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW corpus_live
+           |USING `graft-snapshot` OPTIONS (path '${root.toString}')""".stripMargin)
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW corpus_pin1
+           |USING `graft-snapshot`
+           |OPTIONS (path '${root.toString}', versionAsOf '1')""".stripMargin)
+      try {
+        assert(spark.table("corpus_live").count() === 1L)
+        Snapshots.commitDelta(spark, root.toString,
+          adds = df(Seq(doc(2, "a", "two"))),
+          removedIds = df(Nil).select(col("split"), col("doc_id")))
+        // the live view serves the NEW head without being re-created …
+        assert(spark.sql("SELECT doc_id FROM corpus_live")
+          .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+        // … while the pinned view is a historical read forever
+        assert(spark.sql("SELECT doc_id FROM corpus_pin1")
+          .collect().map(_.getLong(0)).toSet === Set(1L))
+      } finally {
+        spark.sql("DROP VIEW corpus_live")
+        spark.sql("DROP VIEW corpus_pin1"): Unit
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("write refusals: version-pinned writes, missing split keying, overwrite on a branch") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val e1 = intercept[graft.core.GraftAnalysisException] {
+        df(Seq(doc(2, "a", "two"))).write.format("graft-snapshot")
+          .mode("append").option("versionAsOf", "1").save(root.toString)
+      }
+      assert(e1.getMessage.contains("READ"), e1.getMessage)
+      // missing split keying: the v2 by-name resolution refuses at
+      // analysis (missing output column) before writeInto's own guard
+      // (which still covers the v1 fallback path) is even reached
+      val e2 = intercept[Exception] {
+        import spark.implicits._
+        Seq((9L, "t")).toDF("doc_id", "text").write
+          .format("graft-snapshot").mode("append").save(root.toString)
+      }
+      val e2Chain = Iterator.iterate[Throwable](e2)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(e2Chain.contains("split"), e2Chain)
+      Snapshots.createBranch(spark, root.toString, "exp", 1)
+      val e3 = intercept[graft.core.GraftAnalysisException] {
+        df(Seq(doc(5, "a", "five"))).write.format("graft-snapshot")
+          .mode("overwrite").option("branch", "exp").save(root.toString)
+      }
+      assert(e3.getMessage.contains("MAIN"), e3.getMessage)
+      // …while a branch APPEND is the supported experiment shape
+      df(Seq(doc(5, "a", "five"))).write.format("graft-snapshot")
+        .mode("append").option("branch", "exp").save(root.toString)
+      assert(rows(Snapshots.readAt(spark, root.toString, 2, Some("exp")))
+        .contains((5L, "a", "five")))
+      assert(Snapshots.latestVersion(spark, root.toString) === 1,
+        "a branch append must not advance main")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("conflicting or unresolvable pins refuse loudly") {
     val root = freshRoot()
     try {
