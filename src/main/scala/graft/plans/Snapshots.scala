@@ -1552,6 +1552,69 @@ object Snapshots {
       version: Int, branch: Option[String]): Long =
     readVersionFile(s, root, version, branch).refs.map(_.effectiveRows).sum
 
+  /** MANIFEST-only MIN/MAX of a stats column — the aggregate-pushdown
+    * sibling of [[effectiveRowCount]]. Answers `Some(result)` (result
+    * None = SQL NULL: no non-null values anywhere) only when the answer
+    * is PROVABLY exact from the version file alone:
+    *   - the column is tracked and of a type whose stored cell
+    *     round-trips exactly (integral, floating, date, timestamp —
+    *     STRING cells are truncated since round 15 and never answer);
+    *   - NO live split carries a deletion vector (a tombstoned row may
+    *     BE the extremum; its cell can only over-approximate).
+    * Anything else returns None and the caller scans. Cells are
+    * compared in the same key domain the pruner uses ([[statKey]]), and
+    * the winning cell's stored string parses back to the column's
+    * external value. */
+  private[graft] def manifestMinMax(s: SparkSession, root: String,
+      version: Int, branch: Option[String], column: String,
+      wantMax: Boolean): Option[Option[Any]] = {
+    import org.apache.spark.sql.types._
+    val vf = readVersionFile(s, root, version, branch)
+    val i = vf.statsCols.indexOf(column)
+    if (i < 0) return None
+    val dt = vf.schema.fields.find(_.name == column).map(_.dataType)
+      .getOrElse(return None)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => ()
+      case _ => return None
+    }
+    val live = vf.refs.filter(_.nRows > 0)
+    if (live.exists(_.dvRows > 0)) return None
+    var bestKey: Any = null
+    var bestRaw: String = null
+    live.foreach { r =>
+      val cell = if (wantMax) r.stats(i).max else r.stats(i).min
+      cell.foreach { raw =>
+        statKey(dt, raw) match {
+          case Some(k) =>
+            if (bestKey == null ||
+                (if (wantMax) keyOrdering.compare(k, bestKey) > 0
+                 else keyOrdering.compare(k, bestKey) < 0)) {
+              bestKey = k; bestRaw = raw
+            }
+          case None => return None // unparsable cell — never guess
+        }
+      }
+    }
+    if (bestRaw == null) return Some(None)
+    val value: Any =
+      try dt match {
+        case ByteType => bestRaw.toByte
+        case ShortType => bestRaw.toShort
+        case IntegerType => bestRaw.toInt
+        case LongType => bestRaw.toLong
+        case FloatType => bestRaw.toFloat
+        case DoubleType => bestRaw.toDouble
+        case DateType => java.sql.Date.valueOf(bestRaw)
+        case TimestampType =>
+          java.sql.Timestamp.from(java.time.Instant.parse(bestRaw))
+        case TimestampNTZType => java.time.LocalDateTime.parse(bestRaw)
+        case _ => return None
+      } catch { case _: RuntimeException => return None }
+    Some(Some(value))
+  }
+
   /** What a [[mergeInto]] does with a source row whose doc_id already
     * exists in the store. `Update` replaces the stored row with the
     * source row (the store's replace contract); `Delete` takes it down;

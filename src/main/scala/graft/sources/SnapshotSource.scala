@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -363,7 +364,7 @@ object SnapshotSource {
     private val version = t.version
     private var pushed: Array[Filter] = Array.empty
     private var required: StructType = tableSchema
-    private var manifestCount = false
+    private var manifestRow: Option[(Seq[Any], StructType)] = None
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       val (ok, residual) = filters.partition(f => toColumn(f).nonEmpty)
@@ -374,55 +375,85 @@ object SnapshotSource {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
 
-    /** MANIFEST-ONLY COUNT(*): an unfiltered, ungrouped count is
-      * answered from the version file (`Σ nRows − dvRows` — exact, DV
-      * sidecars record confirmed-victim counts) with ZERO file IO — on
-      * a 100 TB corpus the difference between a catalog lookup and a
-      * full scan. Pushed only when NO filter reached the scan (a
-      * filtered count must count scanned rows) and the aggregation is
-      * exactly one COUNT(*) with no grouping; everything else takes the
-      * normal scan + Spark-side aggregation. */
-    private def canManifestCount(agg: Aggregation): Boolean =
-      pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-        agg.aggregateExpressions.length == 1 &&
-        agg.aggregateExpressions()(0).isInstanceOf[CountStar]
-
-    override def supportCompletePushDown(agg: Aggregation): Boolean =
-      canManifestCount(agg)
-    override def pushAggregation(agg: Aggregation): Boolean = {
-      manifestCount = canManifestCount(agg)
-      manifestCount
+    /** MANIFEST-ONLY aggregates: an unfiltered, ungrouped combination
+      * of COUNT(*) / MIN(col) / MAX(col) is answered straight off the
+      * version file with ZERO file IO — on a 100 TB corpus the
+      * difference between a catalog lookup and a full scan for the most
+      * common dashboard queries there are. COUNT is `Σ nRows − dvRows`
+      * (exact under deletion vectors); MIN/MAX come from the stats
+      * cells only when provably exact ([[Snapshots.manifestMinMax]]:
+      * tracked column, round-trippable type, NO live deletion vectors —
+      * a tombstoned row may be the extremum). Any filter, grouping,
+      * other aggregate, or unanswerable min/max stands the WHOLE
+      * pushdown down to the normal scan: all-or-nothing, never a
+      * guessed cell. Evaluated at push time (driver-side, version-file
+      * only), so the scan ships precomputed values. */
+    private def tryManifest(agg: Aggregation): Option[(Seq[Any], StructType)] = {
+      if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+          agg.aggregateExpressions.isEmpty) return None
+      def field(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[String] = e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0)).filter(n =>
+            tableSchema.fieldNames.contains(n))
+        case _ => None
+      }
+      val out = agg.aggregateExpressions.toIndexedSeq.map {
+        case _: CountStar =>
+          (Snapshots.effectiveRowCount(t.spark, t.root, version, t.branch): Any,
+            org.apache.spark.sql.types.StructField("count(*)",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        case m: Min =>
+          val c = field(m.column()).getOrElse(return None)
+          val ans = Snapshots.manifestMinMax(t.spark, t.root, version,
+            t.branch, c, wantMax = false).getOrElse(return None)
+          (ans.orNull: Any,
+            org.apache.spark.sql.types.StructField(s"min($c)",
+              tableSchema(c).dataType, nullable = true))
+        case m: Max =>
+          val c = field(m.column()).getOrElse(return None)
+          val ans = Snapshots.manifestMinMax(t.spark, t.root, version,
+            t.branch, c, wantMax = true).getOrElse(return None)
+          (ans.orNull: Any,
+            org.apache.spark.sql.types.StructField(s"max($c)",
+              tableSchema(c).dataType, nullable = true))
+        case _ => return None
+      }
+      Some((out.map(_._1), StructType(out.map(_._2))))
     }
 
-    override def build(): Scan =
-      if (manifestCount) new ManifestCountScan(t, version)
-      else new SnapshotV1Scan(t, version, pushed, required)
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      tryManifest(agg).nonEmpty
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      manifestRow = tryManifest(agg)
+      manifestRow.nonEmpty
+    }
+
+    override def build(): Scan = manifestRow match {
+      case Some((values, schema)) =>
+        new ManifestAggScan(version, values, schema)
+      case None => new SnapshotV1Scan(t, version, pushed, required)
+    }
   }
 
-  /** The pushed COUNT(*) scan: one row, straight off the version file.
-    * The read schema is the AGGREGATION's output shape (one
-    * non-nullable long) — Spark matches it positionally against the
-    * pushed aggregate's expected schema. */
-  private final class ManifestCountScan(t: Target, version: Int)
-      extends V1Scan {
-    private val required = StructType(Seq(
-      org.apache.spark.sql.types.StructField("count(*)",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    override def readSchema(): StructType = required
+  /** The pushed manifest-aggregate scan: one precomputed row, straight
+    * off the version file. The read schema is the AGGREGATION's output
+    * shape — Spark matches it positionally against the pushed
+    * aggregate's expected schema. */
+  private final class ManifestAggScan(version: Int, values: Seq[Any],
+      aggSchema: StructType) extends V1Scan {
+    override def readSchema(): StructType = aggSchema
     override def toV1TableScan[R <: BaseRelation with TableScan](
         context: SQLContext): R =
       new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-          val n = Snapshots.effectiveRowCount(
-            t.spark, t.root, version, t.branch)
+        override def schema: StructType = aggSchema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
           context.sparkContext.parallelize(
-            Seq(org.apache.spark.sql.Row(n)), 1)
-        }
+            Seq(org.apache.spark.sql.Row(values: _*)), 1)
       }.asInstanceOf[R]
     override def description(): String =
-      s"graft-snapshot v$version manifest-count"
+      s"graft-snapshot v$version manifest-agg [${aggSchema.fieldNames.mkString(", ")}]"
   }
 
   /** The scan as a [[V1Scan]]: Spark plans it as a row-source scan with
@@ -465,7 +496,10 @@ object SnapshotSource {
       * to the store's names, then the shared write body commits a delta
       * (or a contract-carrying full rewrite). Version-pinned views
       * refuse inside [[writeInto]]: a historical read is not a write
-      * target. */
+      * target. NOTE: a `commitTag` baked into the VIEW's options
+      * applies to EVERY insert through it — the second distinct insert
+      * would be ledger-skipped as a redelivery. Put commitTag on
+      * per-write `DataFrameWriter.option(…)` calls, not on views. */
     override def insert(data: DataFrame, overwrite: Boolean): Unit =
       writeInto(opts, data.toDF(schema.fieldNames.toIndexedSeq: _*),
         overwrite)

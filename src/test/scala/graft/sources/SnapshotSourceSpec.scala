@@ -184,6 +184,53 @@ class SnapshotSourceSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("MIN/MAX over a tracked column answer from the manifest; deletion vectors stand the shortcut down") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(5, "a", "five"), doc(17, "a", "seventeen"),
+        doc(900, "b", "big"), doc(3, "b", "three"))),
+        root.toString, statsCols = Seq("doc_id"))
+      def walkAndCorrupt(): Unit = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(root.toFile).filter(f => f.getName.endsWith(".parquet") &&
+            f.getAbsolutePath.contains("split="))
+          .foreach(f => java.nio.file.Files.write(f.toPath,
+            "junk".getBytes("UTF-8")): Unit)
+      }
+      walkAndCorrupt()
+      // min/max/count together, answered without opening a single file
+      val r = fmt(root.toString)
+        .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)))
+        .collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 900L, 4L)))
+      // an UNTRACKED column must scan (and here, fail): the shortcut
+      // provably stood down instead of guessing
+      intercept[Exception] {
+        fmt(root.toString).agg(min(col("n_tokens"))).collect()
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a deletion vector makes manifest MIN/MAX stand down (the extremum may be tombstoned)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(5, "a", "five"), doc(900, "a", "big"))),
+        root.toString, statsCols = Seq("doc_id"))
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(900, "a", "x"))).select(col("split"), col("doc_id")))
+      // the stats cell still says max = 900, but 900 is tombstoned —
+      // the scan path must answer 5, proving the manifest stood down
+      val r = fmt(root.toString).agg(max(col("doc_id"))).collect()(0)
+      assert(r.getLong(0) === 5L)
+      // count stays manifest-answerable under DVs (exact by dvRows)
+      assert(fmt(root.toString).count() === 1L)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("write path: append commits a tagged delta, overwrite carries the head's contract, SQL INSERT INTO works") {
     val root = freshRoot()
     try {
