@@ -147,6 +147,7 @@ object SparkEntry {
     "d_corpus_docindex" -> (q.LlmOps.corpusDocIndex _),
     "d_corpus_sql_read" -> (q.LlmOps.corpusSqlRead _),
     "d_corpus_sql_write" -> (q.LlmOps.corpusSqlWrite _),
+    "d_corpus_vacuum_time" -> (q.LlmOps.corpusVacuumTime _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
     "d_view_ndv_remove" -> (q.LlmOps.viewNdvRemove _),
     "d_corpus_read_asof" -> (q.LlmOps.corpusReadAsOf _),
@@ -369,6 +370,7 @@ object SparkEntry {
     "d_corpus_docindex" -> q.LlmOps.corpusDocIndexSql,
     "d_corpus_sql_read" -> q.LlmOps.corpusSqlReadSql,
     "d_corpus_sql_write" -> q.LlmOps.corpusSqlWriteSql,
+    "d_corpus_vacuum_time" -> q.LlmOps.corpusVacuumTimeSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
     // NDV view survives a takedown via touched-group rebuild, 5σ-enforced

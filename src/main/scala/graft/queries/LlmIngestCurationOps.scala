@@ -1467,6 +1467,66 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
        |FROM m GROUP BY split""".stripMargin
 
+  /** WALL-CLOCK-RETENTION gate ([[graft.plans.Snapshots.vacuumOlderThan]]):
+    * a store takes three tagged daily deltas, then runs the retention
+    * shape deployments actually schedule — time-based sweeps. In-gate
+    * REQUIREs: a 1-hour retention drops NOTHING (every version is
+    * seconds old — exactly where `vacuum(keepLast = 1)` would have
+    * dropped three), a zero-retention sweep then drops everything but
+    * the head (which survives regardless of age), and a REDELIVERED
+    * day tag still answers from the durable ledger across the sweep.
+    * Output = the head's per-split content after the sweeps — retention
+    * must never change what the head says. */
+  def corpusVacuumTime(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_vact")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      val none = d.select(col("split"), col("doc_id")).limit(0)
+      Snapshots.commitFull(s, d.filter(pmod(col("doc_id"), lit(4)) === 0),
+        root.toString)
+      (1 to 3).foreach { k =>
+        Snapshots.commitDelta(s, root.toString,
+          adds = d.filter(pmod(col("doc_id"), lit(4)) === k),
+          removedIds = none, tag = Some(s"day-$k"))
+      }
+      require(Snapshots.latestVersion(s, root.toString) == 4)
+      // young versions survive a time sweep a count sweep would not
+      val (d0, _) = Snapshots.vacuumOlderThan(s, root.toString,
+        olderThanMs = 3600L * 1000L)
+      require(d0.isEmpty, s"young versions must survive a 1h sweep: $d0")
+      // zero retention: everything strictly older than now drops, the
+      // HEAD survives regardless of age
+      Thread.sleep(30)
+      val (d1, _) = Snapshots.vacuumOlderThan(s, root.toString, 0L)
+      require(d1 == Seq(1, 2, 3), s"expected v1..v3 dropped, got $d1")
+      // the durable ledger answers a day redelivery across the sweep
+      require(Snapshots.commitDelta(s, root.toString,
+          adds = d.filter(pmod(col("doc_id"), lit(4)) === 2),
+          removedIds = none, tag = Some("day-2")) == 3,
+        "a redelivered day must answer from the ledger after the sweep")
+      require(Snapshots.latestVersion(s, root.toString) == 4,
+        "redelivery must not lengthen the chain")
+      Snapshots.readAt(s, root.toString, 4)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusVacuumTime]] in closed form: retention never
+    * changes the head — the full documents table, split s(id%4). */
+  lazy val corpusVacuumTimeSql: String =
+    s"""SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+       |FROM documents GROUP BY 1""".stripMargin
+
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
     * n_chars+1). */
