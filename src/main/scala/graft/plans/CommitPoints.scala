@@ -35,8 +35,15 @@ object CommitPoints {
     *   same bucket). Keys must be STABLE: two drivers claiming the same
     *   version must compute the same key.
     * @param sign request decorator applied before send — the
-    *   deployment's auth (SigV4/OAuth/SAS). Identity suits anonymous
-    *   test endpoints.
+    *   deployment's auth (SigV4/OAuth/SAS) and NOTHING ELSE; the
+    *   create-if-absent precondition is `preconditionHeaders`' job.
+    * @param preconditionHeaders the header(s) that make the PUT
+    *   conditional on the object NOT existing. Default
+    *   `If-None-Match: *` covers S3 and Azure Blob. **GCS does NOT
+    *   honor If-None-Match on PUT** — both racing claimers would get
+    *   200 and mutual exclusion silently fails — so a GCS deployment
+    *   MUST pass `Seq("x-goog-if-generation-match" -> "0")` (its
+    *   create-only precondition) instead.
     * @param createdCodes / heldCodes status classification; anything
     *   else REFUSES loudly (a transient 5xx or auth failure must never
     *   read as "claim held" — the committer would silently rebase on a
@@ -55,17 +62,25 @@ object CommitPoints {
       sign: HttpRequest.Builder => HttpRequest.Builder = identity,
       client: HttpClient = HttpClient.newHttpClient(),
       createdCodes: Set[Int] = Set(200, 201),
-      heldCodes: Set[Int] = Set(409, 412))
+      heldCodes: Set[Int] = Set(409, 412),
+      preconditionHeaders: Seq[(String, String)] =
+        Seq("If-None-Match" -> "*"))
       extends Snapshots.CommitPointStrategy {
+
+    require(preconditionHeaders.nonEmpty,
+      "an UNconditional PUT cannot arbitrate a claim — every racing " +
+        "writer would win; pass the store's create-only precondition " +
+        "header (S3/Azure If-None-Match: *, GCS x-goog-if-generation-match: 0)")
 
     private def url(claim: org.apache.hadoop.fs.Path): URI =
       URI.create(s"${endpoint.stripSuffix("/")}/${keyFor(claim)}")
 
     override def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
         claim: org.apache.hadoop.fs.Path): Boolean = {
-      val req = sign(HttpRequest.newBuilder(url(claim))
-          .header("If-None-Match", "*")
-          .PUT(HttpRequest.BodyPublishers.noBody()))
+      val req = sign(preconditionHeaders.foldLeft(
+          HttpRequest.newBuilder(url(claim))) { case (b, (h, v)) =>
+            b.header(h, v)
+          }.PUT(HttpRequest.BodyPublishers.noBody()))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.discarding())
       val code = resp.statusCode()

@@ -107,6 +107,81 @@ class CommitPointsSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  /** GCS-shaped double: honors `x-goog-if-generation-match: 0` as the
+    * create-only precondition and — like real GCS — silently IGNORES
+    * `If-None-Match` on PUT, treating such a request as an
+    * unconditional overwrite. The hazard the `preconditionHeaders`
+    * parameter exists for. */
+  private final class GcsShapedServer {
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        val key = ex.getRequestURI.getPath
+        ex.getRequestMethod match {
+          case "PUT" =>
+            val conditional = "0" == ex.getRequestHeaders
+              .getFirst("x-goog-if-generation-match")
+            val body = ex.getRequestBody.readAllBytes()
+            if (!conditional) {
+              // GCS: If-None-Match on PUT is not a precondition —
+              // every writer "wins"
+              objects.put(key, body); ex.sendResponseHeaders(200, -1)
+            } else if (objects.putIfAbsent(key, body) == null)
+              ex.sendResponseHeaders(200, -1)
+            else ex.sendResponseHeaders(412, -1)
+          case "DELETE" =>
+            if (objects.remove(key) != null) ex.sendResponseHeaders(204, -1)
+            else ex.sendResponseHeaders(404, -1)
+          case _ => ex.sendResponseHeaders(405, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("GCS deployments pass x-goog-if-generation-match: 0 — and the S3 default provably double-grants there") {
+    val srv = new GcsShapedServer
+    try {
+      val fs = new org.apache.hadoop.fs.Path("/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the documented GCS recipe: single winner among 8 racers
+      val gcs = new CommitPoints.HttpConditionalPutCommitPoint(srv.endpoint,
+        preconditionHeaders = Seq("x-goog-if-generation-match" -> "0"))
+      val claim = new org.apache.hadoop.fs.Path("/tmp/g/_versions/.v2.claim")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val rs = (0 until 8).map { _ =>
+        Future { start.await(); gcs.tryClaim(fs, claim) }
+      }
+      start.countDown()
+      val wins = rs.map(r => Await.result(r, 60.seconds))
+      assert(wins.count(identity) === 1, s"exactly one winner: $wins")
+      // the S3/Azure DEFAULT against a GCS-shaped store: BOTH claimers
+      // get 200 — the silent two-winner failure the constructor
+      // parameter documents; never ship the default against GCS
+      val s3Default = new CommitPoints.HttpConditionalPutCommitPoint(srv.endpoint)
+      val other = new org.apache.hadoop.fs.Path("/tmp/g/_versions/.v3.claim")
+      assert(s3Default.tryClaim(fs, other) && s3Default.tryClaim(fs, other),
+        "GCS ignores If-None-Match on PUT: the default header must " +
+          "double-grant here (that is the documented hazard)")
+    } finally srv.stop()
+  }
+
+  test("an empty preconditionHeaders refuses at construction (an unconditional PUT cannot arbitrate)") {
+    val e = intercept[IllegalArgumentException] {
+      new CommitPoints.HttpConditionalPutCommitPoint("http://127.0.0.1:1",
+        preconditionHeaders = Nil)
+    }
+    assert(e.getMessage.contains("precondition"), e.getMessage)
+  }
+
   test("the full commit protocol runs over the conditional-put strategy (dense two-writer race)") {
     val srv = new CondPutServer
     val root = freshRoot()
