@@ -163,8 +163,7 @@ object DocIndex {
     val ch =
       try Snapshots.changesBetween(s, corpusRoot, last, head)
       catch {
-        case e: IllegalArgumentException
-            if e.getMessage.contains(s"no committed version v$last") =>
+        case e: Snapshots.NoSuchVersionException if e.version == last =>
           // the indexed BASE was vacuumed out from under the index (a
           // retention sweep ran between refreshes — the long-running
           // ingest-stream shape): the CDC diff is gone, so rebuild from

@@ -448,14 +448,27 @@ object Snapshots {
       schema(c).dataType == org.apache.spark.sql.types.StringType
     def statExpr(c: String): org.apache.spark.sql.Column =
       if (isStr(c)) substring(col(c), 1, cap + 1) else col(c)
-    val aggs = count(lit(1)).as("n") +: statsCols.flatMap(c =>
+    // doc_id nullability rides the SAME aggregate as the stats (zero
+    // extra jobs): a NULL doc_id can never be tombstoned (DV joins
+    // never match null) and a NULL split has no partition home, so the
+    // store refuses them at every commit door PRE-PUBLISH — the
+    // attempt dir stays invisible debris for vacuum
+    val aggs = Seq(count(lit(1)).as("n"),
+      count(col("doc_id")).as("n_docid")) ++ statsCols.flatMap(c =>
       Seq(min(statExpr(c)), max(statExpr(c)), count(col(c))))
     written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
       .collect()
       .map { r =>
         val n = r.getLong(1)
+        if (r.isNullAt(0) || n != r.getLong(2))
+          throw graft.core.GraftAnalysisException(Seq(
+            s"commit refused: rows carry a NULL `split` or `doc_id` — " +
+              "store rows are (split, doc_id)-keyed; an input frame " +
+              "missing a column gets it NULL-filled by SQL by-name " +
+              "resolution, so key every row explicitly (nothing was " +
+              "published; the attempt dir is debris vacuum sweeps)"))
         val cells = statsCols.indices.map { i =>
-          val base = 2 + i * 3
+          val base = 3 + i * 3
           val mn0 = Option(r.get(base)).map(renderStat)
           val mx0 = Option(r.get(base + 1)).map(renderStat)
           val (mn, mx) =
@@ -832,6 +845,15 @@ object Snapshots {
             .unionByName(readRefs(s, root, schema, refs)
               .join(gone, "doc_id").select(col("split")))
             .distinct().collect().map(_.getString(0)).toSet
+      // a NULL split surfaces HERE for free (it is one of the distinct
+      // values just collected): refuse before anything is written —
+      // null keys have no partition home and could never be tombstoned
+      if (affected.contains(null))
+        throw graft.core.GraftAnalysisException(Seq(
+          s"commitDelta v$v at $root refused: rows carry a NULL " +
+            "`split` — store rows are (split, doc_id)-keyed; an input " +
+            "frame missing the column gets it NULL-filled by SQL " +
+            "by-name resolution, so key every row explicitly"))
 
       var newBlooms: Map[(String, String), Array[Byte]] = vfBase.blooms
       val newRefs0: Seq[SplitRef] =
@@ -1453,11 +1475,121 @@ object Snapshots {
         Seq(col("__old.split").as("__old_split"), col("__old")): _*)
   }
 
+  /** The per-version CDC frame every tailing consumer shares — the ONE
+    * implementation behind [[graft.streaming.EventPipeline
+    * .snapshotChangesStream]] (foreachBatch door) and the
+    * `graft-snapshot` streaming source (`spark.readStream` door): the
+    * row-level changes version `v` introduced over its predecessor
+    * ([[changesBetween]] — pointer-pruned, never a corpus scan), or —
+    * when the predecessor file is missing (the chain's first version,
+    * or a consumer starting past a vacuum horizon) — the full as-of
+    * snapshot BOOTSTRAPPED as adds, same column order. */
+  private[graft] def changesOrBootstrap(s: SparkSession, root: String,
+      v: Int, branch: Option[String] = None): DataFrame =
+    if (v > 1 && versionFileExists(s, root, v - 1, branch))
+      changesCore(s, root, v - 1, v, branch)
+        .drop("__old_split").drop("__old")
+    else {
+      val snap = readAt(s, root, v, branch)
+      snap.select((lit("add").as("change") +: col("doc_id") +:
+        snap.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq): _*)
+    }
+
+  private[graft] def versionFileExists(s: SparkSession, root: String,
+      v: Int, branch: Option[String] = None): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${chainDir(root, branch)}/v$v.list")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The OLDEST live version (vacuum moves this forward) — where an
+    * unpositioned change-feed consumer starts. 0 = empty store. */
+  private[graft] def earliestLiveVersion(s: SparkSession, root: String,
+      branch: Option[String] = None): Int = {
+    val dirP = new org.apache.hadoop.fs.Path(chainDir(root, branch))
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    listVersions(fs, dirP).headOption.getOrElse(0)
+  }
+
+  // ---- manifest summary checkpoint (long-chain driver cost) ------------
+
+  /** One version's per-chain summary — everything [[history]] /
+    * [[versionAsOf]] / [[vacuumOlderThan]]'s cutoff pick need, WITHOUT
+    * the refs. */
+  private final case class VersionSummary(tag: Option[String],
+      nSplits: Int, nRows: Long, ts: Option[Long])
+
+  private val SummaryFile = "summary.ckpt"
+
+  /** The MANIFEST-LOG CHECKPOINT (the Delta-checkpoint / Iceberg
+    * snapshot-log analog for this store's driver cost): one tiny file
+    * at `_versions/summary.ckpt` summarizing every live main-chain
+    * version — `v \t ts \t tag \t n_splits \t n_rows` — written by
+    * [[maintain]] (atomic replace; advisory, lossy-safe: readers
+    * consult it per live version and fall back to the version file for
+    * anything missing or newer than the checkpoint, so a lost
+    * concurrent update or a stale checkpoint only costs reads, never
+    * correctness). Turns [[history]] / [[versionAsOf]] / the
+    * time-retention cutoff pick on a YEAR-OLD daily chain from
+    * O(versions) version-file parses per call (the LRU-64 parse cache
+    * thrashes past 64 live versions) into one checkpoint read plus
+    * O(versions since last maintain) parses. Version files are
+    * immutable-once-written (only ever deleted), so a summary entry
+    * can never go stale against its version — the sweep that deletes
+    * versions rewrites the checkpoint afterwards, and until then dead
+    * entries are simply never consulted (readers iterate LIVE versions
+    * only). */
+  def writeSummaryCheckpoint(s: SparkSession, root: String): Int = {
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = listVersions(fs, dirP)
+    if (live.isEmpty) return 0
+    val known = readSummaries(s, root)
+    val body = live.map { v =>
+      val sum = known.getOrElse(v, summarize(readVersionFile(s, root, v)))
+      Seq(v.toString, sum.ts.fold("~")(_.toString),
+        sum.tag.fold("~")(escape), sum.nSplits.toString,
+        sum.nRows.toString).mkString("\t")
+    }.mkString("", "\n", "\n")
+    atomicReplace(s, new org.apache.hadoop.fs.Path(dirP, SummaryFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    live.last
+  }
+
+  private def summarize(vf: VersionFile): VersionSummary =
+    VersionSummary(vf.tag, vf.refs.count(_.effectiveRows > 0),
+      vf.refs.map(_.effectiveRows).sum, vf.ts)
+
+  /** The checkpointed summaries (empty when no checkpoint exists — the
+    * pre-checkpoint store shape). Unreadable checkpoints are treated as
+    * absent: every reader has the version-file fallback. */
+  private def readSummaries(s: SparkSession,
+      root: String): Map[Int, VersionSummary] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir/$SummaryFile")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    try readWhole(fs, p).split("\n").iterator.filter(_.nonEmpty).map { l =>
+      val f = l.split("\t", -1)
+      f(0).toInt -> VersionSummary(
+        if (f(2) == "~") None else Some(unescape(f(2))),
+        f(3).toInt, f(4).toLong,
+        if (f(1) == "~") None else Some(f(1).toLong))
+    }.toMap
+    catch { case _: RuntimeException => Map.empty }
+  }
+
+  /** `summaries.get` with the version-file fallback — the one lookup
+    * every checkpoint consumer shares. */
+  private def summaryOf(s: SparkSession, root: String,
+      known: Map[Int, VersionSummary], v: Int): VersionSummary =
+    known.getOrElse(v, summarize(readVersionFile(s, root, v)))
+
   /** The commit history at `root`, oldest first: one row per LIVE
     * version — `(version, tag, n_splits, n_rows)`, all read from the
-    * driver-side version files (no data scan). The store's DESCRIBE
-    * HISTORY: which commits exist, what each was tagged (the ingest
-    * batch it carries), and the corpus size as of each. */
+    * driver-side version files (no data scan; long chains answer from
+    * the [[writeSummaryCheckpoint]] manifest log where present). The
+    * store's DESCRIBE HISTORY: which commits exist, what each was
+    * tagged (the ingest batch it carries), and the corpus size as of
+    * each. */
   def history(s: SparkSession, root: String): DataFrame =
     history(s, root, None)
 
@@ -1465,12 +1597,14 @@ object Snapshots {
   def history(s: SparkSession, root: String, branch: Option[String]): DataFrame = {
     val dirP = new org.apache.hadoop.fs.Path(chainDir(root, branch))
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val known: Map[Int, VersionSummary] =
+      if (branch.isEmpty) readSummaries(s, root) else Map.empty
     val rows = listVersions(fs, dirP).map { v =>
-      val vf = readVersionFile(s, root, v, branch)
+      val sum = known.getOrElse(v,
+        summarize(readVersionFile(s, root, v, branch)))
       org.apache.spark.sql.Row(
-        v, vf.tag.orNull,
-        vf.refs.count(_.effectiveRows > 0), vf.refs.map(_.effectiveRows).sum,
-        vf.ts.map(Long.box).orNull)
+        v, sum.tag.orNull, sum.nSplits, sum.nRows,
+        sum.ts.map(Long.box).orNull)
     }
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -1491,11 +1625,12 @@ object Snapshots {
     val dirP = new org.apache.hadoop.fs.Path(s"$root/$VersionsDir")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val versions = listVersions(fs, dirP)
+    val known = readSummaries(s, root)
     var runningTs = 0L
     var best = 0
     versions.foreach { v =>
       runningTs = math.max(runningTs,
-        readVersionFile(s, root, v).ts.getOrElse(0L))
+        summaryOf(s, root, known, v).ts.getOrElse(0L))
       if (runningTs <= epochMillis) best = v
     }
     if (best == 0)
@@ -1604,8 +1739,20 @@ object Snapshots {
         case ShortType => bestRaw.toShort
         case IntegerType => bestRaw.toInt
         case LongType => bestRaw.toLong
-        case FloatType => bestRaw.toFloat
-        case DoubleType => bestRaw.toDouble
+        // float/double: NaN/Infinity cells already stand down at
+        // statKey (BigDecimal refuses them — and a NaN in the data
+        // always surfaces in the MAX cell, since Spark orders NaN
+        // greatest, so a NaN extremum can never be silently missed);
+        // a ±0.0 extremum ALSO stands down: -0.0 and 0.0 compare equal
+        // in SQL, so which sign the stats cell recorded vs which the
+        // scan would return is not provably the same bit pattern —
+        // never serve a value the scan might render differently
+        case FloatType =>
+          val f = bestRaw.toFloat
+          if (f == 0.0f) return None else f
+        case DoubleType =>
+          val d = bestRaw.toDouble
+          if (d == 0.0d) return None else d
         case DateType => java.sql.Date.valueOf(bestRaw)
         case TimestampType =>
           java.sql.Timestamp.from(java.time.Instant.parse(bestRaw))
@@ -1967,6 +2114,10 @@ object Snapshots {
       case Some(ms) => vacuumOlderThan(s, root, ms)
       case None => (Nil, Nil)
     }
+    // manifest-log checkpoint LAST (post-sweep = tight): maintenance is
+    // exactly the cadence that bounds history/versionAsOf/retention
+    // driver cost on long chains to O(commits since last maintain)
+    writeSummaryCheckpoint(s, root): Unit
     MaintenanceReport(dvV, consV, dropped1 ++ dropped2, deleted1 ++ deleted2)
   }
 
@@ -2163,12 +2314,13 @@ object Snapshots {
       olderThanMs: Long): (Seq[Int], Seq[String]) = {
     require(olderThanMs >= 0, s"vacuum olderThanMs must be >= 0, got $olderThanMs")
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val known = readSummaries(s, root)
     vacuumCore(s, root, { versions =>
       val latest = versions.last
       var running = 0L
       versions.flatMap { v =>
         running = math.max(running,
-          readVersionFile(s, root, v).ts.getOrElse(0L))
+          summaryOf(s, root, known, v).ts.getOrElse(0L))
         if (v != latest && running < cutoff) Some(v) else None
       }.toSet
     })
@@ -2236,6 +2388,13 @@ object Snapshots {
     deletable.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(rootP, d), true): Unit
     }
+    // an existing manifest-log checkpoint now carries dead entries:
+    // rewrite it against the surviving chain (readers would simply
+    // never consult the dead lines, but keeping the file tight keeps
+    // its read O(live)); stores that never checkpointed stay that way
+    if (dropped.nonEmpty &&
+        fs.exists(new org.apache.hadoop.fs.Path(dirP, SummaryFile)))
+      writeSummaryCheckpoint(s, root): Unit
     (dropped, deletable)
   }
 
@@ -2481,6 +2640,18 @@ object Snapshots {
     extends RuntimeException(
       s"concurrent commit detected at $root: v$v already exists")
 
+  /** Typed "version not on disk" signal: the version was never
+    * committed, or a retention sweep vacuumed it. Extends
+    * [[IllegalArgumentException]] so callers matching the historical
+    * exception type keep working, but carries the (root, version,
+    * branch) structurally — [[DocIndex.refresh]]'s vacuumed-CDC-base
+    * fallback matches on THIS, never on message wording. */
+  final class NoSuchVersionException(val root: String, val version: Int,
+      val branch: Option[String])
+    extends IllegalArgumentException(
+      s"no committed version v$version at $root" +
+        branch.fold("")(b => s" on branch '$b'"))
+
   private def loseRace(fs: org.apache.hadoop.fs.FileSystem,
       claim: org.apache.hadoop.fs.Path, root: String, v: Int): Nothing = {
     if (claim != null) commitPoint.release(fs, claim)
@@ -2573,11 +2744,22 @@ object Snapshots {
     * every hot access pattern (history/vacuum walk the live chain once;
     * steady-state commits touch head±1) while capping worst-case
     * retention at 64 version files' parses. */
+  /** A cached parse. `fineNs` is the nanosecond mtime for `file://`
+    * paths (-1 elsewhere); for coarse schemes, `firstSeenNano` anchors
+    * the granularity window to the LOCAL MONOTONIC clock (when this
+    * (mtime, len) was first observed) and `trusted` records that the
+    * window has since closed — no comparison between the local clock
+    * and the store's mtime stamps ever happens, so committer/store
+    * clock skew cannot re-open the stale-serve this cache defends
+    * against. */
+  private final case class VfEntry(mtime: Long, len: Long, fineNs: Long,
+      firstSeenNano: Long, trusted: Boolean, vf: VersionFile)
+
   private val vfCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Long, Long, Long, VersionFile)](
+    new java.util.LinkedHashMap[String, VfEntry](
         64, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, Long, VersionFile)]): Boolean =
+          e: java.util.Map.Entry[String, VfEntry]): Boolean =
         size() > 64
     })
 
@@ -2588,11 +2770,15 @@ object Snapshots {
     * produce a same-(mtime, length) v{N}.list whose STALE parse the
     * cache serves silently. Two-tier defense: `file://` paths validate
     * with java.nio's NANOSECOND lastModifiedTime (exact — memoization
-    * stays hot for freshly-written files); every other scheme treats an
-    * entry parsed within this window of the file's mtime as PROVISIONAL
-    * (served fresh each call, never trusted from cache) — once the
-    * window closes, any rewrite of the path necessarily lands a
-    * different coarse mtime, so the entry is exact from then on. */
+    * stays hot for freshly-written files); every other scheme keeps an
+    * entry PROVISIONAL (served fresh each call, never trusted from
+    * cache) until the local MONOTONIC clock has advanced a full window
+    * past the first observation of its (mtime, len) — at which point
+    * the store's own clock has necessarily left the mtime tick, so any
+    * rewrite of the path lands a different coarse mtime and one final
+    * re-parse is exact from then on. Monotonic-elapsed only: local
+    * wall-clock is never compared against store mtimes (clock skew
+    * must not re-open the window). */
   private val VfMtimeGranularityMs = 2000L
 
   /** Nanosecond mtime for local files (the fine validator above); -1 =
@@ -2617,26 +2803,39 @@ object Snapshots {
       try fs.getFileStatus(p)
       catch {
         case _: java.io.FileNotFoundException =>
-          throw new IllegalArgumentException(
-            s"no committed version v$v at $root" +
-              branch.fold("")(b => s" on branch '$b'"))
+          throw new NoSuchVersionException(root, v, branch)
       }
     val key = fs.makeQualified(p).toString
     val fine = fineMtime(fs, p)
     val hit = vfCache.get(key)
-    if (hit != null && hit._1 == st.getModificationTime &&
-        hit._2 == st.getLen && {
-          // local: exact ns validation; coarse schemes: trust the entry
-          // only once it was parsed past the granularity window
-          if (fine >= 0) hit._3 == fine
-          else hit._3 >=
-            (st.getModificationTime + VfMtimeGranularityMs) * 1000000L
-        })
-      return hit._4
+    val statMatch = hit != null && hit.mtime == st.getModificationTime &&
+      hit.len == st.getLen
+    if (statMatch) {
+      if (fine >= 0) {
+        // local scheme: exact nanosecond validation
+        if (hit.fineNs == fine) return hit.vf
+      } else if (hit.trusted) {
+        return hit.vf
+      } else if (System.nanoTime() - hit.firstSeenNano >=
+          VfMtimeGranularityMs * 1000000L) {
+        // the coarse-mtime window has closed in STORE time: when this
+        // (mtime, len) was first observed, store-now was already >=
+        // mtime (a stamp is never in the store's future), and the
+        // monotonic wait since added >= the granularity — so any
+        // rewrite from here on lands a different coarse mtime. The
+        // PROVISIONAL parse may itself predate an in-window rewrite,
+        // so re-parse once NOW and trust from here on.
+        val vf = parseVersionFile(readWhole(fs, p))
+        vfCache.put(key, hit.copy(trusted = true, vf = vf))
+        return vf
+      }
+      // else: still inside the window — re-parse below, keeping the
+      // original firstSeenNano anchor
+    }
     val vf = parseVersionFile(readWhole(fs, p))
-    val validator =
-      if (fine >= 0) fine else System.currentTimeMillis() * 1000000L
-    vfCache.put(key, (st.getModificationTime, st.getLen, validator, vf))
+    val firstSeen = if (statMatch) hit.firstSeenNano else System.nanoTime()
+    vfCache.put(key, VfEntry(st.getModificationTime, st.getLen, fine,
+      firstSeen, trusted = false, vf))
     vf
   }
 

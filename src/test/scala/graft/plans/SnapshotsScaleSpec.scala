@@ -190,4 +190,62 @@ class SnapshotsScaleSpec extends SparkTestBase {
         Seq(1, 2, 3, 4, 5))
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
+
+  test("long chain: past the LRU-64 parse cache, history thrashes O(versions) — until maintain's summary checkpoint serves it with ZERO version-file reads (corruption-proven)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_chain")
+    // a year-of-daily-commits shape; override for ad-hoc scale runs
+    val n = sys.env.get("GRAFT_CHAIN_LEN").map(_.toInt).getOrElse(128)
+    try {
+      def rowFor(k: Int) = spark.range(1).select(
+        (col("id") + k).as("doc_id"),
+        concat(lit("s"), pmod(lit(k), lit(8))).as("split"),
+        lit(k.toLong).as("payload"))
+      Snapshots.commitFull(spark, rowFor(1), root.toString)
+      val none = rowFor(1).select(col("split"), col("doc_id")).limit(0)
+      (2 to n).foreach { k =>
+        Snapshots.commitDelta(spark, root.toString,
+          adds = rowFor(k), removedIds = none): Unit
+      }
+      // BEFORE the checkpoint: a history walk past the 64-entry cache
+      // re-parses most of the chain, every call
+      val r0 = Snapshots.versionFileReads.get()
+      val t0 = System.nanoTime()
+      val h0 = Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect()
+      val preMs = (System.nanoTime() - t0) / 1e6
+      val preReads = Snapshots.versionFileReads.get() - r0
+      assert(h0.length === n)
+      assert(preReads >= n - 64,
+        s"pre-checkpoint history must thrash the LRU-64 cache: $preReads")
+      // maintain writes the manifest-log checkpoint
+      Snapshots.maintain(spark, root.toString, Snapshots.MaintenancePolicy(
+        dvCompactFraction = None, consolidateAfterDirs = None,
+        vacuumKeepLast = None)): Unit
+      val expected = Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect().toSeq
+      // the strongest proof the chain walk no longer touches version
+      // files: corrupt EVERY ONE except the head — history, versionAsOf
+      // and the retention cutoff pick must still answer exactly
+      (1 until n).foreach { v =>
+        java.nio.file.Files.write(
+          root.resolve("_versions").resolve(s"v$v.list"),
+          "junk".getBytes("UTF-8")): Unit
+      }
+      val r1 = Snapshots.versionFileReads.get()
+      val t1 = System.nanoTime()
+      val h1 = Snapshots.history(spark, root.toString)
+        .orderBy(col("version")).collect().toSeq
+      val postMs = (System.nanoTime() - t1) / 1e6
+      assert(h1 === expected)
+      val tsMid = h1(n / 2).getLong(4)
+      assert(Snapshots.versionAsOf(spark, root.toString, tsMid) >= n / 2)
+      assert(Snapshots.versionFileReads.get() === r1,
+        "post-checkpoint history/versionAsOf must read ZERO version files")
+      // (vacuum sweeps still parse survivors for the referenced-dir set
+      // — inherent to deleting safely, scheduled-maintenance cost; only
+      // their CUTOFF PICK rides the checkpoint)
+      info(f"chain=$n history: pre-ckpt $preMs%.0f ms/$preReads reads, " +
+        f"post-ckpt $postMs%.0f ms/0 reads")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
 }
