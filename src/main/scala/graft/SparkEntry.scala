@@ -147,6 +147,8 @@ object SparkEntry {
     "d_corpus_docindex" -> (q.LlmOps.corpusDocIndex _),
     "d_corpus_sql_read" -> (q.LlmOps.corpusSqlRead _),
     "d_corpus_sql_write" -> (q.LlmOps.corpusSqlWrite _),
+    "d_corpus_sql_delete" -> (q.LlmOps.corpusSqlDelete _),
+    "d_corpus_sql_cdf" -> (q.LlmOps.corpusSqlCdf _),
     "d_corpus_vacuum_time" -> (q.LlmOps.corpusVacuumTime _),
     "d_view_ndv" -> (q.LlmOps.viewNdvIncr _),
     "d_view_ndv_remove" -> (q.LlmOps.viewNdvRemove _),
@@ -204,6 +206,8 @@ object SparkEntry {
       streaming.EventPipeline.snapshotIngestSync(s, dir)),
     "s_stream_snapshot_changes" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.snapshotChangesSync(s, dir)),
+    "s_stream_sql_changes" -> ((s: SparkSession, dir: String) =>
+      streaming.EventPipeline.snapshotSqlChangesSync(s, dir)),
     "s_stream_incr_agg" -> ((s: SparkSession, dir: String) =>
       streaming.EventPipeline.incrAggSync(s, dir)),
     "s_stream_probe" -> ((s: SparkSession, dir: String) =>
@@ -230,6 +234,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The CDC tail of the store: v1 bootstrap adds (%3 slice), v2 adds
+    * (the rest), v3 takedown removes (%7) — replayed closed-form.
+    * Shared VERBATIM by the foreachBatch door
+    * (`s_stream_snapshot_changes`) and the DSv2 streaming front door
+    * (`s_stream_sql_changes`): both must emit the identical feed. */
+  private val snapshotChangesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split
+      |  FROM documents),
+      |ch AS (
+      |  SELECT 'v1' AS version, 'add' AS change, split, doc_id FROM d
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'v2', 'add', split, doc_id FROM d WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'v3', 'remove', split, doc_id FROM d WHERE doc_id % 7 = 0)
+      |SELECT version, change, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM ch GROUP BY version, change, split""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q.Relational.q1AggSql,
     "c1_projection" -> q.CoreSurface.projectionSql,
@@ -370,6 +394,11 @@ object SparkEntry {
     "d_corpus_docindex" -> q.LlmOps.corpusDocIndexSql,
     "d_corpus_sql_read" -> q.LlmOps.corpusSqlReadSql,
     "d_corpus_sql_write" -> q.LlmOps.corpusSqlWriteSql,
+    // SQL row-level DELETE: sidecar-only DV commit, index-routed IN-deletes
+    "d_corpus_sql_delete" -> q.LlmOps.corpusSqlDeleteSql,
+    // batch CDF (table_changes shape): the THIRD door on the one CDC body,
+    // graded against the streaming doors' oracle VERBATIM
+    "d_corpus_sql_cdf" -> snapshotChangesOracle,
     "d_corpus_vacuum_time" -> q.LlmOps.corpusVacuumTimeSql,
     // merged NDV sketches within 5σ of exact, enforced via raise_error
     "d_view_ndv" -> q.LlmOps.viewNdvIncrSql,
@@ -507,20 +536,10 @@ object SparkEntry {
     // the CDC tail of the store: v1 bootstrap adds (%3 slice), v2 adds
     // (the rest), v3 takedown removes (%7) — each version's change feed
     // emitted by the live tail stream, replayed closed-form here
-    "s_stream_snapshot_changes" ->
-      """WITH d AS (
-        |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split
-        |  FROM documents),
-        |ch AS (
-        |  SELECT 'v1' AS version, 'add' AS change, split, doc_id FROM d
-        |  WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT 'v2', 'add', split, doc_id FROM d WHERE doc_id % 3 <> 0
-        |  UNION ALL
-        |  SELECT 'v3', 'remove', split, doc_id FROM d WHERE doc_id % 7 = 0)
-        |SELECT version, change, split, COUNT(*) AS n_docs,
-        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        |FROM ch GROUP BY version, change, split""".stripMargin,
+    "s_stream_snapshot_changes" -> snapshotChangesOracle,
+    // the SAME oracle VERBATIM for the DSv2 streaming front door
+    // (readStream.format("graft-snapshot")): one CDC body, two doors
+    "s_stream_sql_changes" -> snapshotChangesOracle,
     "s_stream_probe" -> q.LlmOps.streamProbeSql,
     // stream-stream inner join: membership is set by event times alone,
     // so the streamed result equals the batch time-range join exactly

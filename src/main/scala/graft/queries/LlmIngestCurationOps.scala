@@ -1527,6 +1527,150 @@ trait LlmIngestCurationOps { this: LlmOps.type =>
        |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** SQL-FRONT-DOOR DELETE gate ([[graft.sources.SnapshotSource]]
+    * `SupportsDelete` + [[graft.sources.SnapshotCatalog]]): the GDPR
+    * takedown from PLAIN SQL — `DELETE FROM <catalog>.<store> WHERE …`
+    * with no knowledge of this codebase. Three statements in-gate:
+    *   1. a predicate delete (`doc_id < 100`) — victims resolved
+    *      through the stats/bloom-PRUNED scan, committed SIDECAR-ONLY
+    *      (REQUIREd: the set of data directories is unchanged; only a
+    *      `-dv` sidecar appeared);
+    *   2. a doc_id-IN delete routed through the STANDING
+    *      [[graft.plans.DocIndex]] (the catalog's `docindex.<table>`
+    *      conf) — index-cost victim resolution, and a preceding
+    *      match-nothing delete REQUIREd to be a true no-op (no blank
+    *      version);
+    *   3. a stale-index delete REQUIREd to REFUSE (the index reflects
+    *      the pre-delete head — resolving through it would mis-key).
+    * The post-delete count is REQUIREd to answer through the pushed
+    * manifest COUNT(*). Output = the head's per-(split, lang)
+    * aggregates through the catalog door. */
+  def corpusSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, DocIndex, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_sqldel")
+    val idx = java.nio.file.Files.createTempDirectory("graft_snap_sqldel_idx")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      Snapshots.commitFull(s, d, root.toString, statsCols = Seq("doc_id"),
+        constraints = Nil, zorder = false, bloomCols = Seq("doc_id"))
+      s.conf.set("spark.sql.catalog.graftsqldel",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsqldel.root",
+        root.getParent.toString)
+      s.conf.set(
+        s"spark.sql.catalog.graftsqldel.docindex.${root.getFileName}",
+        idx.toString)
+      val tbl = s"graftsqldel.`${root.getFileName}`"
+      def dataDirs: Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(root.toString)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .filterNot(n => n == "_versions" || n.endsWith("-dv")).toSet
+      }
+      val dirsBefore = dataDirs
+      // 1. predicate delete through the pruned scan — sidecar-only
+      s.sql(s"DELETE FROM $tbl WHERE doc_id < 100")
+      require(Snapshots.latestVersion(s, root.toString) == 2,
+        "a predicate DELETE must commit exactly one version")
+      require(dataDirs == dirsBefore,
+        "DELETE must be sidecar-only: no data directory added or " +
+          s"rewritten (before=$dirsBefore after=$dataDirs)")
+      // the post-delete count answers off the pushed manifest COUNT(*)
+      val expectAfter1 = d.filter(col("doc_id") >= 100).count()
+      require(s.sql(s"SELECT COUNT(*) FROM $tbl").head().getLong(0) ==
+        expectAfter1, "manifest COUNT(*) must see the deletion vectors")
+      // 2. the standing index catches up to the post-delete head, then
+      // serves doc_id-only deletes at index cost
+      DocIndex.materialize(s, root.toString, idx.toString)
+      s.sql(s"DELETE FROM $tbl WHERE doc_id = -1")
+      require(Snapshots.latestVersion(s, root.toString) == 2,
+        "a DELETE matching nothing is a no-op, never a blank version")
+      s.sql(s"DELETE FROM $tbl WHERE doc_id IN (101, 102, 103)")
+      require(Snapshots.latestVersion(s, root.toString) == 3,
+        "the indexed IN-delete must commit")
+      // 3. the index now reflects v2, the corpus v3: a further indexed
+      // delete must REFUSE rather than resolve through stale entries
+      val refused =
+        try { s.sql(s"DELETE FROM $tbl WHERE doc_id IN (104)"); false }
+        catch { case e: Throwable =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .take(8).exists(c => Option(c.getMessage)
+              .exists(_.contains("refresh the index")))
+        }
+      require(refused, "a stale doc index must refuse the delete")
+      s.sql(s"SELECT split, lang, doc_id, n_chars FROM $tbl")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .graftCheckpoint()
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
+  }
+
+  /** BATCH CDF gate ([[graft.sources.SnapshotChangeFeed]] batch side):
+    * the THIRD door onto the store's change feed — `spark.read
+    * .format("graft-snapshot").option("changeFeed", "true")` replays
+    * per-version row-level changes over a version range (the
+    * table_changes shape), against the SAME closed-form oracle the
+    * foreachBatch door (`s_stream_snapshot_changes`) and the streaming
+    * front door (`s_stream_sql_changes`) share verbatim: one CDC body,
+    * three doors, zero divergence. The v3 takedown here is a
+    * DELETION-VECTOR commit — the feed must read tombstones as
+    * `remove` rows exactly like a rewrite. In-gate REQUIRE: a bounded
+    * `[2, 2]` range replays exactly v2. */
+  def corpusSqlCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{CorpusExport, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_sqlcdf")
+    try {
+      val d = docs(s, dir)
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      val none = d.select(col("split"), col("doc_id")).limit(0)
+      Snapshots.commitFull(s, d.filter(pmod(col("doc_id"), lit(3)) === 0),
+        root.toString)
+      Snapshots.commitDelta(s, root.toString,
+        adds = d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        removedIds = none)
+      Snapshots.commitRemove(s, root.toString,
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("split"), col("doc_id")))
+      def cdf(opts: (String, String)*) =
+        opts.foldLeft(s.read.format("graft-snapshot")
+            .option("changeFeed", "true")) { case (r, (k, v)) =>
+          r.option(k, v)
+        }.load(root.toString)
+      // the bounded range replays exactly v2 (the non-%3 adds)
+      require(cdf("startingVersion" -> "2", "endingVersion" -> "2")
+          .select(col("change")).distinct().collect()
+          .map(_.getString(0)).toSeq == Seq("add"),
+        "range [2,2] must contain only v2's adds")
+      cdf()
+        .groupBy(concat(lit("v"), col("_version").cast("string")).as("version"),
+          col("change"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .graftCheckpoint()
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  /** Mirrors [[corpusSqlDelete]] in closed form: documents surviving
+    * both deletes — doc_id ≥ 100 and ∉ {101, 102, 103}. */
+  lazy val corpusSqlDeleteSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS split,
+       |    lang, n_chars
+       |  FROM documents
+       |  WHERE doc_id >= 100 AND doc_id NOT IN (101, 102, 103))
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+       |FROM m GROUP BY split, lang""".stripMargin
+
   /** Mirrors [[corpusDv]] in closed form. Membership: v1 = all,
     * v2 = ¬%7, v3 = ¬%7 ∧ ¬%5, v4 = v3 ∪ %35 (re-added with
     * n_chars+1). */

@@ -18,6 +18,7 @@ import graft.plans.Snapshots
   *   SELECT … FROM graft.corpus VERSION AS OF 5
   *   SELECT … FROM graft.corpus TIMESTAMP AS OF '2026-08-01T00:00:00Z'
   *   INSERT INTO graft.corpus VALUES (…)
+  *   DELETE FROM graft.corpus WHERE doc_id IN (7, 21)
   *   SHOW TABLES IN graft
   * }}}
   *
@@ -40,6 +41,7 @@ class SnapshotCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var docIndexFor: Map[String, String] = Map.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -48,6 +50,15 @@ class SnapshotCatalog extends TableCatalog {
       throw graft.core.GraftAnalysisException(Seq(
         s"catalog '$name': set spark.sql.catalog.$name.root to the " +
           "warehouse directory whose children are snapshot stores")))
+    // spark.sql.catalog.<name>.docindex.<table> = <DocIndex root>:
+    // names the standing doc_id → split index a `DELETE FROM
+    // <name>.<table> WHERE doc_id IN (…)` resolves victims through
+    // (index cost, zero corpus scan) instead of the pruned scan
+    import scala.jdk.CollectionConverters._
+    docIndexFor = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+      .collect { case (k, v) if k.startsWith("docindex.") =>
+        k.stripPrefix("docindex.") -> v }
   }
 
   override def name(): String = catalogName
@@ -81,12 +92,24 @@ class SnapshotCatalog extends TableCatalog {
     try isStore(rootFor(ident))
     catch { case _: NoSuchTableException => false }
 
+  /** The DocIndex root configured for a table, if any. Checked LIVE
+    * against the session conf first (catalog instances cache per
+    * session — a `docindex.<table>` conf set after first use must
+    * still apply), falling back to the initialize-time options. */
+  private def docIndexOpt(ident: Identifier): Option[String] = {
+    val key = s"spark.sql.catalog.$catalogName.docindex.${ident.name}"
+    spark.conf.getOption(key)
+      .orElse(docIndexFor.get(
+        ident.name.toLowerCase(java.util.Locale.ROOT)))
+  }
+
   private def tableAt(ident: Identifier, pin: Option[Int]): Table = {
     val root = rootFor(ident)
     if (!isStore(root)) throw new NoSuchTableException((ident.namespace :+ ident.name).toIndexedSeq)
     val t = SnapshotSource.Target(spark, root, pin, branch = None)
     val opts = Map("path" -> root) ++
-      pin.map(v => "versionasof" -> v.toString)
+      pin.map(v => SnapshotSource.VersionAsOfKey -> v.toString) ++
+      docIndexOpt(ident).map("docindex" -> _)
     new SnapshotSource.SnapshotTable(t,
       Snapshots.readAt(spark, root, t.version).schema, opts)
   }

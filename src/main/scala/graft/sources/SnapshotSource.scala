@@ -37,6 +37,12 @@ import graft.plans.Snapshots
   * predicate on a tracked column skips provably-disjoint splits before
   * any file is opened, exactly as the Scala API does.
   *
+  * The door is full-duplex: writes (`df.write.format(…)`, SQL
+  * `INSERT INTO`/`OVERWRITE` — [[writeInto]]), row-level `DELETE FROM`
+  * (DSv2 `SupportsDelete`, sidecar-only deletion vectors —
+  * [[deleteFrom]]), and a STREAMING tail of the row-level change feed
+  * (`spark.readStream` + `changeFeed=true` — [[SnapshotChangeFeed]]).
+  *
   * Both connector generations are served by one class so every SQL
   * surface resolves it:
   *   - [[TableProvider]] (DataSourceV2) for `spark.read.format(...)`:
@@ -105,8 +111,12 @@ class SnapshotSource extends TableProvider with RelationProvider
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val t = SnapshotSource.resolve(SnapshotSource.optionMap(options))
-    Snapshots.readAt(t.spark, t.root, t.version, t.branch).schema
+    val opts = SnapshotSource.optionMap(options)
+    val t = SnapshotSource.resolve(opts)
+    val store = Snapshots.readAt(t.spark, t.root, t.version, t.branch).schema
+    if (SnapshotSource.changeFeedRequested(opts))
+      SnapshotChangeFeed.cdcSchema(store)
+    else store
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -157,11 +167,32 @@ object SnapshotSource {
   private[sources] def refuse(msg: String): Nothing =
     throw graft.core.GraftAnalysisException(Seq(msg))
 
+  /** The lowercased option keys — [[graft.sources.SnapshotCatalog]]
+    * builds option maps with these, so the spelling lives in ONE place. */
+  private[sources] val VersionAsOfKey = "versionasof"
+  private[sources] val TimestampAsOfKey = "timestampasof"
+  private[sources] val TagKey = "tag"
+
+  /** `changeFeed=true`: the read serves the row-level CDC stream
+    * ([[SnapshotChangeFeed]]) instead of a snapshot. */
+  private[sources] def changeFeedRequested(opts: Map[String, String]): Boolean =
+    opts.get("changefeed").exists(v =>
+      v.equalsIgnoreCase("true") || v == "1")
+
+  /** The `startingVersion` / `endingVersion` options of a change-feed
+    * read (ending = batch CDF only). */
+  private[sources] def startingVersion(opts: Map[String, String]): Option[Int] =
+    opts.get("startingversion").map(v => v.toIntOption.getOrElse(
+      refuse(s"graft-snapshot: startingVersion '$v' is not an integer")))
+  private[sources] def endingVersion(opts: Map[String, String]): Option[Int] =
+    opts.get("endingversion").map(v => v.toIntOption.getOrElse(
+      refuse(s"graft-snapshot: endingVersion '$v' is not an integer")))
+
   /** True when the options PIN a version for reading — a write through
     * such options/views refuses (commits go to the head). */
   private def readPinned(opts: Map[String, String]): Boolean =
-    opts.contains("versionasof") || opts.contains("timestampasof") ||
-      opts.contains("tag")
+    opts.contains(VersionAsOfKey) || opts.contains(TimestampAsOfKey) ||
+      opts.contains(TagKey)
 
   /** The shared WRITE body (DataFrameWriter save and SQL INSERT INTO):
     * append = delta commit (optionally `commitTag`-idempotent, branch
@@ -181,20 +212,15 @@ object SnapshotSource {
     if (!data.columns.contains("split") || !data.columns.contains("doc_id"))
       refuse("graft-snapshot write: store rows are split-keyed — the " +
         "frame must carry `split` and `doc_id` columns")
-    // the open front door takes writes from tools that never read this
-    // codebase: NULL keys must refuse by name here, not surface as a
-    // planner error three commits deep — notably, v2 by-name append
-    // silently NULL-fills a nullable `split` the input frame omitted
+    // NULL keys (e.g. v2 by-name append NULL-filling a nullable `split`
+    // the input frame omitted) refuse INSIDE the commit: the store's
+    // stats pass counts them for free pre-publish, so the door adds no
+    // extra validation job per append. The persist is cache-only (no
+    // action): the commit runs several actions over the adds
     val dataP = data
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (dataP.filter(col("split").isNull || col("doc_id").isNull)
-          .limit(1).count() > 0)
-        refuse("graft-snapshot write: every row must carry a non-null " +
-          "`split` and `doc_id` (an input frame without a split column " +
-          "gets it NULL-filled by SQL column defaults — key your rows)")
-      writeCommit(spark, root, branch, opts, dataP, overwrite)
-    } finally dataP.unpersist(blocking = false): Unit
+    try writeCommit(spark, root, branch, opts, dataP, overwrite)
+    finally dataP.unpersist(blocking = false): Unit
   }
 
   private def writeCommit(spark: SparkSession, root: String,
@@ -213,6 +239,106 @@ object SnapshotSource {
       Snapshots.commitDelta(spark, root, adds = data,
         removedIds = data.select(col("split"), col("doc_id")).limit(0),
         tag = opts.get("committag"), branch = branch): Unit
+    }
+  }
+
+  /** The doc_ids a conjunction of pushed filters pins EXACTLY — i.e.
+    * the whole predicate is one `doc_id = v` or `doc_id IN (…)` — or
+    * None when the predicate involves anything else (then only the
+    * scan path can resolve victims). */
+  private def docIdOnlyValues(filters: Array[Filter]): Option[Seq[Any]] =
+    filters match {
+      case Array(sources.EqualTo("doc_id", v)) => Some(Seq(v))
+      case Array(sources.In("doc_id", vs)) => Some(vs.toIndexedSeq)
+      case _ => None
+    }
+
+  /** The shared DELETE body. Resolution strategy:
+    *   - predicate is exactly `doc_id = v` / `doc_id IN (…)` AND the
+    *     options name a standing [[graft.plans.DocIndex]] (`docindex`):
+    *     victims resolve at INDEX cost — the probed ids' buckets only,
+    *     zero corpus scan (assumes doc_id → split is unique corpus-wide,
+    *     the index's own contract);
+    *   - otherwise: one stats/bloom-PRUNED scan ([[Snapshots
+    *     .readAtWhere]]) collects the matching `(split, doc_id)` keys,
+    *     plus one bounded guard pass over the affected splits (below).
+    * Either way the commit is [[Snapshots.commitRemove]] — sidecar-only
+    * deletion vectors, never a split rewrite.
+    *
+    * KEY-GRANULARITY GUARD: deletion vectors tombstone whole
+    * `(split, doc_id)` keys. If the corpus holds duplicated keys and
+    * the predicate matches only SOME physical rows of one, deleting the
+    * key would remove more than the predicate selected — so the scan
+    * path verifies (one pass over the affected splits) that every row
+    * of every victim key matches, and refuses naming samples otherwise.
+    * An empty filter set (`DELETE FROM t` with no WHERE) tombstones
+    * everything — the store's history keeps every prior version
+    * readable. */
+  private[sources] def deleteFrom(opts: Map[String, String],
+      tableSchema: StructType, filters: Array[Filter]): Unit = {
+    if (readPinned(opts))
+      refuse("graft-snapshot: DELETE commits against the store's HEAD — " +
+        "versionAsOf/timestampAsOf/tag pin a historical read, which is " +
+        "not a write target; drop the pin (history stays readable: a " +
+        "delete only adds a deletion-vector version)")
+    val spark = SparkSession.active
+    val root = opts.getOrElse("path",
+      refuse("graft-snapshot delete needs the store root option `path`"))
+    val branch = opts.get("branch")
+    val head = Snapshots.latestVersion(spark, root, branch)
+    if (head < 1)
+      refuse(s"graft-snapshot: no committed version at $root to delete from")
+    val idxPath = opts.get("docindex")
+    docIdOnlyValues(filters) match {
+      case Some(ids) if idxPath.nonEmpty && branch.isEmpty =>
+        // index-cost lane: probe ONLY the ids' buckets; ids absent from
+        // the index are the already-deleted no-op (SQL DELETE semantics:
+        // deleting a non-existent row is not an error)
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+        ids.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+        val idsDf = spark.createDataFrame(rows, StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            tableSchema("doc_id").dataType))))
+        val resolved =
+          graft.plans.DocIndex.resolveSplits(spark, root, idxPath.get, idsDf)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (resolved.limit(1).count() > 0)
+            Snapshots.commitRemove(spark, root, resolved, None, None): Unit
+          // no id resolved: the delete-nothing no-op — no blank version
+        } finally resolved.unpersist(blocking = false): Unit
+      case _ =>
+        val pred = filters.toIndexedSeq.flatMap(toColumn)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val victims = Snapshots.readAtWhere(spark, root, head, pred, branch)
+          .select(col("split"), col("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // bounded collect: one name per affected split
+          val names = victims.select(col("split")).distinct()
+            .collect().map(_.getString(0))
+          if (names.nonEmpty) {
+            val affected = Snapshots.readAt(spark, root, head, branch)
+              .filter(col("split").isin(names.toIndexedSeq: _*))
+            val partial = affected
+              .join(victims, Seq("split", "doc_id"), "left_semi")
+              .filter(!pred).limit(6)
+              .select(col("split"), col("doc_id")).collect()
+            if (partial.nonEmpty)
+              refuse("graft-snapshot DELETE: the predicate matches only " +
+                "SOME physical rows of duplicated key(s) " +
+                partial.take(5).map(r => s"(${r.get(0)}, ${r.get(1)})")
+                  .mkString(", ") +
+                (if (partial.length > 5) ", …" else "") +
+                " — deletion vectors tombstone whole (split, doc_id) " +
+                "keys, so this statement would delete more rows than it " +
+                "selected; widen the predicate to whole keys or dedup " +
+                "the corpus first")
+            Snapshots.commitRemove(spark, root, victims, None, branch): Unit
+          }
+          // zero victims: SQL DELETE matching nothing is a no-op, not a
+          // commit — the chain must not grow a blank version per miss
+        } finally victims.unpersist(blocking = false): Unit
     }
   }
 
@@ -241,21 +367,23 @@ object SnapshotSource {
       refuse("graft-snapshot needs a store root: .load(<root>) or " +
         "OPTIONS (path '<root>')"))
     val branch = opts.get("branch")
-    val pins = Seq("versionasof", "timestampasof", "tag").filter(opts.contains)
+    val pins = Seq(VersionAsOfKey, TimestampAsOfKey, TagKey)
+      .filter(opts.contains)
     if (pins.length > 1)
       refuse(s"graft-snapshot: options ${pins.mkString(", ")} are mutually " +
         "exclusive — pin the version one way")
-    if (branch.nonEmpty && (opts.contains("timestampasof") || opts.contains("tag")))
+    if (branch.nonEmpty &&
+        (opts.contains(TimestampAsOfKey) || opts.contains(TagKey)))
       refuse("graft-snapshot: timestampAsOf and tag resolve through " +
         "main-chain stamps/ledger — combine branch only with versionAsOf")
-    val pin: Option[Int] = opts.get("versionasof") match {
+    val pin: Option[Int] = opts.get(VersionAsOfKey) match {
       case Some(v) =>
         Some(v.toIntOption.getOrElse(
           refuse(s"graft-snapshot: versionAsOf '$v' is not an integer")))
-      case None => opts.get("timestampasof") match {
+      case None => opts.get(TimestampAsOfKey) match {
         case Some(ts) =>
           Some(Snapshots.versionAsOf(spark, root, parseTimestamp(ts)))
-        case None => opts.get("tag").map(t =>
+        case None => opts.get(TagKey).map(t =>
           Snapshots.versionForTag(spark, root, t).getOrElse(
             refuse(s"graft-snapshot: no commit tagged '$t' at $root")))
       }
@@ -318,7 +446,22 @@ object SnapshotSource {
   private[sources] final class SnapshotTable(t: Target,
       tableSchema: StructType, opts: Map[String, String])
       extends Table with SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    /** SQL `DELETE FROM <catalog>.<store> WHERE <pred>` — the takedown
+      * that justifies the DV tier, reachable from plain SQL: victims
+      * are resolved through the stats/bloom pruner (or the standing
+      * [[graft.plans.DocIndex]] for doc_id-only predicates when the
+      * `docindex` option names one) and committed SIDECAR-ONLY
+      * ([[Snapshots.commitRemove]]) — no split is rewritten, readers
+      * pinned to prior versions are untouched. Only fully-translatable
+      * predicates are accepted ([[toColumn]]); Spark refuses the
+      * statement otherwise rather than silently deleting the wrong
+      * rows. */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      filters.forall(f => toColumn(f).nonEmpty)
+    override def deleteWhere(filters: Array[Filter]): Unit =
+      SnapshotSource.deleteFrom(opts, tableSchema, filters)
     override def name(): String =
       s"graft-snapshot:${t.root}" +
         t.branch.fold("")(b => s"@$b") +
@@ -326,10 +469,22 @@ object SnapshotSource {
     override def schema(): StructType = tableSchema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new SnapshotScanBuilder(t, tableSchema)
+      if (changeFeedRequested(opts)) {
+        if (t.pin.nonEmpty)
+          refuse("graft-snapshot changeFeed: versionAsOf/timestampAsOf/" +
+            "tag pin a SNAPSHOT — a change feed tails the chain; " +
+            "position it with startingVersion instead")
+        () => new SnapshotChangeFeed.ChangeFeedScan(t.spark, t.root,
+          t.branch, startingVersion(opts), endingVersion(opts), tableSchema,
+          opts.get("maxversionspertrigger").map(v => v.toIntOption
+            .filter(_ > 0).getOrElse(refuse(
+              s"graft-snapshot: maxVersionsPerTrigger '$v' is not a " +
+                "positive integer"))))
+      } else new SnapshotScanBuilder(t, tableSchema)
     /** DSv2 write (`INSERT INTO` a format view, `df.write.mode(…)`),
       * delegated through [[org.apache.spark.sql.connector.write.V1Write]]
       * to the shared [[writeInto]] body — the analyzer has already
@@ -474,10 +629,25 @@ object SnapshotSource {
       }.asInstanceOf[R]
     override def description(): String =
       s"graft-snapshot v$version pushed=[${pushed.mkString(", ")}]"
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      refuse("graft-snapshot: streaming reads serve the row-level " +
+        "CHANGE FEED — add .option(\"changeFeed\", \"true\") (rows " +
+        "arrive as change/…/_version, positioned with startingVersion); " +
+        "a plain snapshot is a batch read")
   }
 
   // ---- v1 relation (SQL `USING` path) ------------------------------------
 
+  /** NOTE on schema lifetime: a `CREATE TEMPORARY VIEW … USING` view
+    * pins its SCHEMA at creation (`schema` below is a val — Spark's v1
+    * relation contract resolves it once), while its CONTENT tracks the
+    * head when unpinned. A widening commit after view creation serves
+    * rows through the old column set until the view is recreated; the
+    * CATALOG door ([[graft.sources.SnapshotCatalog]]) is immune — it
+    * re-infers the schema on every `loadTable`. Delta's USING views
+    * behave identically; recreate the view (or use the catalog) after
+    * a schema-widening commit. */
   private[sources] final class SnapshotRelation(context: SQLContext,
       t: Target, opts: Map[String, String])
       extends BaseRelation with PrunedFilteredScan with InsertableRelation {

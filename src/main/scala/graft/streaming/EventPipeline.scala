@@ -1096,7 +1096,21 @@ object EventPipeline {
       maintainEvery: Option[Int],
       policy: graft.plans.Snapshots.MaintenancePolicy,
       indexRoot: Option[String])
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // retention defaulted OFF in r15 (it used to inherit keepLast=32):
+    // surface the silent behavior change once per process, so a stream
+    // that relied on the old default learns its chain now grows
+    // unbounded until a retention knob is set explicitly
+    if (maintainEvery.exists(_ > 0) && policy.vacuumKeepLast.isEmpty &&
+        policy.vacuumOlderThanMs.isEmpty &&
+        retentionOffWarned.compareAndSet(false, true))
+      System.err.println(
+        "[graft] snapshotIngestStream: maintainEvery is set but the " +
+          "policy enables NO retention (vacuumKeepLast and " +
+          "vacuumOlderThanMs both None — the default since the r15 " +
+          "change): DV folding/consolidation run, but the version " +
+          "chain grows without bound; set vacuumKeepLast or " +
+          "vacuumOlderThanMs above every replaying reader to sweep")
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1112,6 +1126,10 @@ object EventPipeline {
         indexRoot.foreach(ir =>
           graft.plans.DocIndex.sync(batch.sparkSession, root, ir): Unit)
       }
+  }
+
+  private val retentionOffWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Synchronous gate run of [[snapshotIngestStream]]: a store is seeded
     * with the doc_id ≡ 0 (mod 3) slice (`commitFull` — the standing
@@ -1278,24 +1296,12 @@ object EventPipeline {
             n.stripPrefix("v").stripSuffix(".list").toIntOption
           }.sorted
         versions.foreach { v =>
-          val ch =
-            if (v > 1 && versionExists(s, root, v - 1))
-              Snapshots.changesBetween(s, root, v - 1, v)
-            else {
-              // bootstrap: no predecessor to diff against — the full
-              // as-of snapshot, every row an add, same column order
-              val snap = Snapshots.readAt(s, root, v)
-              snap.select((lit("add").as("change") +: col("doc_id") +:
-                snap.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq): _*)
-            }
-          ch.write.mode("overwrite").parquet(s"$outPath/version=$v")
+          // ONE shared CDC body with the `graft-snapshot` streaming
+          // source: per-version pointer-pruned diff, bootstrap as adds
+          Snapshots.changesOrBootstrap(s, root, v)
+            .write.mode("overwrite").parquet(s"$outPath/version=$v")
         }
       }
-  }
-
-  private def versionExists(s: SparkSession, root: String, v: Int): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/_versions/v$v.list")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Synchronous gate run of [[snapshotChangesStream]]: the tail stream
@@ -1337,6 +1343,64 @@ object EventPipeline {
           "change string, doc_id long, split string, lang string, n_chars long")
         .option("basePath", out.toString).parquet(out.toString)
         .groupBy(concat(lit("v"), col("version").cast("string")).as("version"),
+          col("change"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .graftCheckpoint()
+    } finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(root.toFile)
+      deleteRecursively(out.toFile)
+    }
+  }
+
+  /** Synchronous gate run of the STREAMING FRONT DOOR
+    * ([[graft.sources.SnapshotChangeFeed]]): the same three-commit
+    * story as [[snapshotChangesSync]] — v1 bootstrap, v2 adds, v3
+    * takedowns — consumed through `spark.readStream
+    * .format("graft-snapshot").option("changeFeed", "true")`, the
+    * third-party tool's tail (same oracle, shared VERBATIM: one CDC
+    * body, two doors). The v3 takedown lands while NO consumer runs
+    * and is picked up by a FRESH query on the SAME checkpoint — the
+    * restart-resume pin through the public API: a broken resume would
+    * re-emit v1/v2 and double every count. */
+  def snapshotSqlChangesSync(spark: SparkSession, dir: String): DataFrame = {
+    val s = harnessSession(spark)
+    val ckpt = harnessTmpDir("graft_stream_ckpt")
+    val root = harnessTmpDir("graft_stream_sqlsnaproot")
+    val out = harnessTmpDir("graft_stream_sqlsnapch")
+    try {
+      def shaped(f: DataFrame => DataFrame): DataFrame = f(
+        s.read.schema(docSchema).parquet(s"$dir/documents.parquet"))
+        .withColumn("split", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"))
+      graft.plans.Snapshots.commitFull(s,
+        shaped(_.filter(pmod(col("doc_id"), lit(3)) === 0)), root.toString)
+      def startTail() = s.readStream.format("graft-snapshot")
+        .option("changeFeed", "true").load(root.toString)
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      val none = shaped(identity).select(col("split"), col("doc_id")).limit(0)
+      val q = startTail()
+      try {
+        q.processAllAvailable() // v1 bootstrap (full snapshot as adds)
+        graft.plans.Snapshots.commitDelta(s, root.toString,
+          adds = shaped(_.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+          removedIds = none)
+        q.processAllAvailable() // v2 adds, live tail
+      } finally q.stop()
+      // the takedown commits with no consumer attached …
+      graft.plans.Snapshots.commitDelta(s, root.toString,
+        adds = shaped(identity).limit(0),
+        removedIds = shaped(_.filter(pmod(col("doc_id"), lit(7)) === 0))
+          .select(col("split"), col("doc_id")))
+      // … and a fresh query on the same checkpoint resumes at v2,
+      // emitting ONLY v3 (duplicated v1/v2 rows would shift every count)
+      val q2 = startTail()
+      try q2.processAllAvailable() finally q2.stop()
+      s.read.parquet(out.toString)
+        .groupBy(concat(lit("v"), col("_version").cast("string")).as("version"),
           col("change"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).cast("long").as("id_sum"))

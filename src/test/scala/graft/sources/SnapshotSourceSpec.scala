@@ -231,6 +231,75 @@ class SnapshotSourceSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("NaN / ±0.0 double stats: pushed MIN answers exactly where sound, NaN and ±0.0 extrema provably stand down") {
+    val root = freshRoot()
+    try {
+      import spark.implicits._
+      Seq((1L, "a", Double.NaN), (2L, "a", -3.5d), (3L, "b", 7.25d),
+        (4L, "b", 1.0d))
+        .toDF("doc_id", "split", "score")
+        .write.mode("overwrite").parquet(s"$root/seed")
+      Snapshots.commitFull(spark,
+        spark.read.parquet(s"$root/seed"), root.toString,
+        statsCols = Seq("score"))
+      // MIN is manifest-answerable (NaN orders GREATEST, so it can
+      // never be the min; the -3.5 cell is exact): corrupt every data
+      // file — the answer must still come back
+      def corruptData(): Unit = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(root.toFile).filter(f => f.getName.endsWith(".parquet") &&
+            f.getAbsolutePath.contains("split="))
+          .foreach(f => java.nio.file.Files.write(f.toPath,
+            "junk".getBytes("UTF-8")): Unit)
+      }
+      corruptData()
+      val mn = fmt(root.toString).agg(min(col("score"))).collect()(0)
+      assert(mn.getDouble(0) === -3.5d)
+      // MAX hits the NaN stats cell → unparsable → the WHOLE pushdown
+      // stands down to the scan (which here fails on the corrupted
+      // files — the proof it stood down instead of guessing)
+      intercept[Exception] {
+        fmt(root.toString).agg(max(col("score"))).collect()
+      }
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("a ±0.0 extremum stands the pushed MIN/MAX down (cell sign vs scan sign is not provable)") {
+    val root = freshRoot()
+    try {
+      import spark.implicits._
+      Seq((1L, "a", -0.0d), (2L, "a", 5.5d), (3L, "b", 0.0d),
+        (4L, "b", 9.0d))
+        .toDF("doc_id", "split", "score")
+        .write.mode("overwrite").parquet(s"$root/seed")
+      Snapshots.commitFull(spark,
+        spark.read.parquet(s"$root/seed"), root.toString,
+        statsCols = Seq("score"))
+      // min = ±0.0 → must scan (answers, since files are intact) …
+      val mn = fmt(root.toString).agg(min(col("score"))).collect()(0)
+      assert(mn.getDouble(0) === 0.0d || (1d / mn.getDouble(0)).isNegInfinity)
+      // … and PROVABLY scans: corrupted files now fail the min, while
+      // max (9.0, not a zero) still answers off the manifest
+      def corruptData(): Unit = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(root.toFile).filter(f => f.getName.endsWith(".parquet") &&
+            f.getAbsolutePath.contains("split="))
+          .foreach(f => java.nio.file.Files.write(f.toPath,
+            "junk".getBytes("UTF-8")): Unit)
+      }
+      corruptData()
+      intercept[Exception] {
+        fmt(root.toString).agg(min(col("score"))).collect()
+      }
+      val mx = fmt(root.toString).agg(max(col("score"))).collect()(0)
+      assert(mx.getDouble(0) === 9.0d)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("write path: append commits a tagged delta, overwrite carries the head's contract, SQL INSERT INTO works") {
     val root = freshRoot()
     try {
@@ -336,6 +405,67 @@ class SnapshotSourceSpec extends SparkTestBase {
     } finally CorpusExport.deleteRecursively(root.toFile)
   }
 
+  test("NULL-keyed rows refuse PRE-PUBLISH inside the commit (no door-side pre-check pass needed)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val bad = df(Seq(doc(2, "a", "two")))
+        .withColumn("split", lit(null).cast("string"))
+      val e = intercept[graft.core.GraftAnalysisException] {
+        bad.write.format("graft-snapshot").mode("append").save(root.toString)
+      }
+      assert(e.getMessage.contains("NULL"), e.getMessage)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1,
+        "a refused commit must publish nothing")
+      // a null doc_id refuses the same way (it could never be tombstoned)
+      val bad2 = df(Seq(doc(3, "a", "three")))
+        .withColumn("doc_id", lit(null).cast("long"))
+      val e2 = intercept[graft.core.GraftAnalysisException] {
+        bad2.write.format("graft-snapshot").mode("append").save(root.toString)
+      }
+      assert(e2.getMessage.contains("NULL"), e2.getMessage)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("front-door append JOB PARITY: exactly as many Spark jobs as the native commitDelta (the null pre-check rides the stats pass)") {
+    val root1 = freshRoot()
+    val root2 = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root1.toString)
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root2.toString)
+      def jobsDuring(body: => Unit): Int = {
+        val c = new java.util.concurrent.atomic.AtomicInteger()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            c.incrementAndGet(): Unit
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { body; Thread.sleep(1500) }
+        finally spark.sparkContext.removeSparkListener(l)
+        c.get()
+      }
+      val native = jobsDuring {
+        val adds = df(Seq(doc(2, "b", "two")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try Snapshots.commitDelta(spark, root1.toString, adds = adds,
+          removedIds = adds.select(col("split"), col("doc_id")).limit(0)): Unit
+        finally adds.unpersist(blocking = false): Unit
+      }
+      val door = jobsDuring {
+        df(Seq(doc(2, "b", "two"))).write.format("graft-snapshot")
+          .mode("append").save(root2.toString)
+      }
+      assert(door === native,
+        s"front-door append ran $door jobs vs native $native — the door " +
+          "must add no validation job of its own")
+    } finally {
+      CorpusExport.deleteRecursively(root1.toFile)
+      CorpusExport.deleteRecursively(root2.toFile)
+    }
+  }
+
   test("conflicting or unresolvable pins refuse loudly") {
     val root = freshRoot()
     try {
@@ -356,5 +486,265 @@ class SnapshotSourceSpec extends SparkTestBase {
       }
       assert(e3.getMessage.contains("main-chain"), e3.getMessage)
     } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  // ---- SQL DELETE (SupportsDelete) ---------------------------------------
+
+  private def registerDelCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftdeltest",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdeltest.root",
+      System.getProperty("java.io.tmpdir"))
+  }
+
+  private def dataDirs(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n == "_versions" || n.endsWith("-dv")).toSet
+  }
+
+  test("SQL DELETE through the catalog: sidecar-only commit, pinned history intact, match-nothing is a no-op") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"), doc(3, "a", "three"))),
+        root.toString)
+      registerDelCatalog()
+      val tbl = s"graftdeltest.`${root.getFileName}`"
+      val before = dataDirs(root.toString)
+      spark.sql(s"DELETE FROM $tbl WHERE text = 'two'")
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      assert(dataDirs(root.toString) === before,
+        "a DELETE must add only a -dv sidecar, never a data dir")
+      assert(rows(fmt(root.toString)) ===
+        Set((1L, "a", "one"), (3L, "a", "three")))
+      // snapshot isolation: v1 still serves the deleted row
+      assert(rows(spark.read.format("graft-snapshot")
+          .option("versionAsOf", "1").load(root.toString))
+        .contains((2L, "b", "two")))
+      // a delete matching nothing must not grow the chain
+      spark.sql(s"DELETE FROM $tbl WHERE text = 'zzz'")
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      // DELETE with no WHERE tombstones everything — still sidecar-only
+      spark.sql(s"DELETE FROM $tbl")
+      assert(Snapshots.latestVersion(spark, root.toString) === 3)
+      assert(dataDirs(root.toString) === before)
+      assert(fmt(root.toString).count() === 0L)
+      assert(rows(spark.read.format("graft-snapshot")
+          .option("versionAsOf", "2").load(root.toString)).nonEmpty)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("DELETE refusal matrix: pinned target, partial-key predicate over duplicated keys, untranslatable predicate") {
+    val root = freshRoot()
+    try {
+      // duplicated (split, doc_id) key with differing payloads
+      Snapshots.commitFull(spark, df(Seq(
+        doc(5, "a", "x"), doc(5, "a", "y"), doc(6, "b", "z"))),
+        root.toString)
+      // a version pin is a historical read, not a delete target
+      val e1 = intercept[graft.core.GraftAnalysisException] {
+        SnapshotSource.deleteFrom(
+          Map("path" -> root.toString, "versionasof" -> "1"),
+          Snapshots.readAt(spark, root.toString, 1).schema,
+          Array.empty)
+      }
+      assert(e1.getMessage.contains("HEAD"), e1.getMessage)
+      // predicate matches only ONE physical row of the duplicated key:
+      // key-granular tombstones would over-delete — must refuse
+      val e2 = intercept[graft.core.GraftAnalysisException] {
+        SnapshotSource.deleteFrom(
+          Map("path" -> root.toString),
+          Snapshots.readAt(spark, root.toString, 1).schema,
+          Array(org.apache.spark.sql.sources.EqualTo("text", "x")))
+      }
+      assert(e2.getMessage.contains("SOME physical rows"), e2.getMessage)
+      assert(Snapshots.latestVersion(spark, root.toString) === 1,
+        "a refused delete must not commit")
+      // matching BOTH rows of the duplicated key is fine
+      SnapshotSource.deleteFrom(Map("path" -> root.toString),
+        Snapshots.readAt(spark, root.toString, 1).schema,
+        Array(org.apache.spark.sql.sources.EqualTo("doc_id", 5L)))
+      assert(rows(fmt(root.toString)) === Set((6L, "b", "z")))
+      // an untranslatable predicate refuses at ANALYSIS (canDeleteWhere
+      // false) — Spark must not silently delete the wrong rows
+      registerDelCatalog()
+      val tbl = s"graftdeltest.`${root.getFileName}`"
+      val e3 = intercept[Exception] {
+        spark.sql(s"DELETE FROM $tbl WHERE doc_id % 2 = 0")
+      }
+      assert(e3.getMessage.toLowerCase.contains("delete"), e3.getMessage)
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  // ---- streaming change feed ---------------------------------------------
+
+  test("changeFeed: startingVersion positions the tail; a version before it never arrives") {
+    val root = freshRoot()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snapsrc_ck")
+    val out = java.nio.file.Files.createTempDirectory("graft_snapsrc_out")
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "b", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      val q = spark.readStream.format("graft-snapshot")
+        .option("changeFeed", "true").option("startingVersion", "2")
+        .load(root.toString)
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(out.toString)
+        .select(col("_version"), col("change"), col("doc_id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      // v1 is live, so v2 arrives as its DIFF (doc 2 only) — the v1
+      // content itself never emits; bootstrap-as-snapshot happens only
+      // when the predecessor file is gone (vacuum horizon)
+      assert(got === Set((2, "add", 2L)))
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(ckpt.toFile)
+      CorpusExport.deleteRecursively(out.toFile)
+    }
+  }
+
+  test("batch CDF: spark.read of the change feed replays per-version changes over a range (table_changes shape)") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "b", "two"))),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      Snapshots.commitRemove(spark, root.toString,
+        df(Seq(doc(1, "a", "x"))).select(col("split"), col("doc_id")))
+      def cdf(opts: (String, String)*): Set[(Int, String, Long)] =
+        opts.foldLeft(spark.read.format("graft-snapshot")
+            .option("changeFeed", "true")) { case (r, (k, v)) => r.option(k, v) }
+          .load(root.toString)
+          .select(col("_version"), col("change"), col("doc_id"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      // full default range: v1 bootstrap add, v2 add, v3 remove
+      assert(cdf() === Set((1, "add", 1L), (2, "add", 2L), (3, "remove", 1L)))
+      // bounded range [2, 2]
+      assert(cdf("startingVersion" -> "2", "endingVersion" -> "2") ===
+        Set((2, "add", 2L)))
+      // an all-vacuumed range refuses loudly (retention contract)
+      val eR = intercept[graft.core.GraftAnalysisException] {
+        cdf("startingVersion" -> "9", "endingVersion" -> "7")
+      }
+      assert(eR.getMessage.contains("range"), eR.getMessage)
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("maxVersionsPerTrigger paces the tail: a backlog drains version-by-version with identical content") {
+    val root = freshRoot()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snapsrc_ck")
+    val out = java.nio.file.Files.createTempDirectory("graft_snapsrc_out")
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "b", "two"))), removedIds = none)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "a", "three"))), removedIds = none)
+      // the consumer arrives LATE to a 3-version backlog, capped at one
+      // version per micro-batch
+      val q = spark.readStream.format("graft-snapshot")
+        .option("changeFeed", "true").option("maxVersionsPerTrigger", "1")
+        .load(root.toString)
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      val dataBatches =
+        try {
+          q.processAllAvailable()
+          q.recentProgress.count(_.numInputRows > 0)
+        } finally q.stop()
+      val got = spark.read.parquet(out.toString)
+        .select(col("_version"), col("change"), col("doc_id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set((1, "add", 1L), (2, "add", 2L), (3, "add", 3L)))
+      // the cap actually paced: three separate data-carrying batches
+      assert(dataBatches >= 3,
+        s"expected ≥3 paced micro-batches, saw $dataBatches")
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(ckpt.toFile)
+      CorpusExport.deleteRecursively(out.toFile)
+    }
+  }
+
+  test("changeFeed refusal matrix: pinned feed, endingVersion on a stream, plain streaming read without the option") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      // a pinned change feed is a contradiction (pin = snapshot)
+      val e1 = intercept[Throwable] {
+        spark.readStream.format("graft-snapshot")
+          .option("changeFeed", "true").option("versionAsOf", "1")
+          .load(root.toString)
+          .writeStream.format("noop").start().processAllAvailable()
+      }
+      assert(causeChain(e1).exists(_.contains("startingVersion")),
+        s"${e1.getMessage}")
+      // endingVersion bounds a batch CDF, not a stream
+      val e2 = intercept[Throwable] {
+        val q = spark.readStream.format("graft-snapshot")
+          .option("changeFeed", "true").option("endingVersion", "1")
+          .load(root.toString)
+          .writeStream.format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(causeChain(e2).exists(_.contains("BATCH")), s"${e2.getMessage}")
+      // a plain streaming read tells the user about changeFeed
+      val e3 = intercept[Throwable] {
+        val q = spark.readStream.format("graft-snapshot").load(root.toString)
+          .writeStream.format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(causeChain(e3).exists(_.contains("changeFeed")),
+        s"${e3.getMessage}")
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  private def causeChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(c => Option(c.getMessage)).toSeq
+
+  test("doc_id-only DELETE routes through the standing DocIndex at index cost") {
+    val root = freshRoot()
+    val idx = java.nio.file.Files.createTempDirectory("graft_snapsrc_idx")
+    try {
+      Snapshots.commitFull(spark, df(Seq(
+        doc(1, "a", "one"), doc(2, "b", "two"), doc(3, "a", "three"),
+        doc(4, "b", "four"))), root.toString)
+      graft.plans.DocIndex.materialize(spark, root.toString, idx.toString)
+      val opts = Map("path" -> root.toString, "docindex" -> idx.toString)
+      val sch = Snapshots.readAt(spark, root.toString, 1).schema
+      // ids absent from the index are the already-deleted no-op: no commit
+      SnapshotSource.deleteFrom(opts, sch,
+        Array(org.apache.spark.sql.sources.In("doc_id",
+          Array[Any](99L, 100L))))
+      assert(Snapshots.latestVersion(spark, root.toString) === 1)
+      // a present id tombstones through the index's resolved split
+      SnapshotSource.deleteFrom(opts, sch,
+        Array(org.apache.spark.sql.sources.In("doc_id", Array[Any](2L, 99L))))
+      assert(Snapshots.latestVersion(spark, root.toString) === 2)
+      assert(rows(fmt(root.toString)) ===
+        Set((1L, "a", "one"), (3L, "a", "three"), (4L, "b", "four")))
+      // the index is now stale (corpus v2, index v1): the lane must
+      // REFUSE rather than resolve through stale entries
+      val e = intercept[graft.core.GraftAnalysisException] {
+        SnapshotSource.deleteFrom(opts, sch,
+          Array(org.apache.spark.sql.sources.EqualTo("doc_id", 3L)))
+      }
+      assert(e.getMessage.contains("refresh the index"), e.getMessage)
+    } finally {
+      CorpusExport.deleteRecursively(root.toFile)
+      CorpusExport.deleteRecursively(idx.toFile)
+    }
   }
 }
