@@ -677,6 +677,45 @@ class SnapshotSourceSpec extends SparkTestBase {
     }
   }
 
+  test("changeFeed across a vacuum horizon: the earliest LIVE version bootstraps as a full snapshot of adds") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      val none = df(Nil).select(col("split"), col("doc_id"))
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "b", "two"))), removedIds = none)
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(3, "a", "three"))), removedIds = none)
+      Snapshots.vacuum(spark, root.toString, keepLast = 1)
+      // v1/v2 are gone: the default batch CDF starts at the earliest
+      // LIVE version (v3), whose missing predecessor forces the
+      // bootstrap — the full v3 snapshot as adds, not a diff
+      val got = spark.read.format("graft-snapshot")
+        .option("changeFeed", "true").load(root.toString)
+        .select(col("_version"), col("change"), col("doc_id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set((3, "add", 1L), (3, "add", 2L), (3, "add", 3L)))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
+  test("changeFeed schema is pinned at query start: pre-widening versions null-fill the new column") {
+    val root = freshRoot()
+    try {
+      Snapshots.commitFull(spark, df(Seq(doc(1, "a", "one"))), root.toString)
+      // widening commit: new nullable column `quality`
+      Snapshots.commitDelta(spark, root.toString,
+        adds = df(Seq(doc(2, "b", "two"))).withColumn("quality", lit(0.9)),
+        removedIds = df(Nil).select(col("split"), col("doc_id")))
+      val feed = spark.read.format("graft-snapshot")
+        .option("changeFeed", "true").load(root.toString)
+      assert(feed.columns.contains("quality"))
+      val got = feed.select(col("_version"), col("doc_id"), col("quality"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got === Set((1, 1L, None), (2, 2L, Some(0.9))))
+    } finally CorpusExport.deleteRecursively(root.toFile)
+  }
+
   test("changeFeed refusal matrix: pinned feed, endingVersion on a stream, plain streaming read without the option") {
     val root = freshRoot()
     try {
