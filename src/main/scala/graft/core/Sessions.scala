@@ -33,6 +33,15 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // file-listing posture (r16, guide §6): Spark fans partition
+      // discovery out as a DISTRIBUTED JOB past 32 paths — a full job
+      // round-trip to stat a few dozen directories. The snapshot store's
+      // version dirs hold one subdir per split (64 for the default doc
+      // index), so every read of such a dir paid a ~100-200 ms listing
+      // job at local scale. Driver-side listing handles hundreds of
+      // paths through its own listing pool on any filesystem; genuinely
+      // wide layouts (thousands of splits) still fan out past this.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       // reliable-checkpoint hygiene (context-level, so it must be set at
       // session creation): iterative loops free superseded rounds
       // deterministically via Checkpoint.free, but TERMINAL checkpoints

@@ -45,12 +45,14 @@ object CorpusExport {
     * per artifact. */
   private[graft] def writeCuratedFrom(
       s: SparkSession, full: DataFrame, outPath: String): DataFrame = {
-    Channels.multiSink(full)(Seq[DataFrame => Unit](
-      df => df.write.mode("overwrite").partitionBy("split")
-        .parquet(s"$outPath/corpus"),
-      df => manifestOf(df).coalesce(1)
-        .write.mode("overwrite").json(s"$outPath/_manifest")
-    ))
+    graft.core.Labeled(s, "graft export: corpus + manifest write") {
+      Channels.multiSink(full)(Seq[DataFrame => Unit](
+        df => df.write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outPath/corpus"),
+        df => manifestOf(df).coalesce(1)
+          .write.mode("overwrite").json(s"$outPath/_manifest")
+      ))
+    }
     manifestOf(s.read.parquet(s"$outPath/corpus"))
   }
 
@@ -139,10 +141,14 @@ object CorpusExport {
         .select(col("doc_id"))
       val removed = diff.filter(col("status") === "removed").select(col("doc_id"))
 
-      full.join(changed, "doc_id")
-        .write.mode("overwrite").partitionBy("split")
-        .parquet(s"$outPath/delta")
-      removed.write.mode("overwrite").json(s"$outPath/_removed")
+      graft.core.Labeled(s, "graft export: delta write") {
+        full.join(changed, "doc_id")
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outPath/delta")
+      }
+      graft.core.Labeled(s, "graft export: removed-ids write") {
+        removed.write.mode("overwrite").json(s"$outPath/_removed")
+      }
       diff.unpersist(blocking = false)
     } finally {
       if (!callerCached) full.unpersist(blocking = false); ()
@@ -181,10 +187,11 @@ object CorpusExport {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded collect: at most the distinct split values (≤ 3)
-      val affected = (
-        delta.select(col("split")).distinct().collect().map(_.getString(0)) ++
-        base.join(gone, "doc_id").select(col("split")).distinct()
-          .collect().map(_.getString(0))).toSet
+      val affected = graft.core.Labeled(s, "graft applyDelta: affected splits") {
+        (delta.select(col("split")).distinct().collect().map(_.getString(0)) ++
+          base.join(gone, "doc_id").select(col("split")).distinct()
+            .collect().map(_.getString(0))).toSet
+      }
 
       // Directory names use Spark's partition-path escaping: the live
       // corpus was written by partitionBy, so a split value carrying a
@@ -218,11 +225,13 @@ object CorpusExport {
       try {
         if (affected.nonEmpty) {
           val affectedCol = affected.toSeq.map(lit)
-          base.filter(col("split").isin(affectedCol: _*))
-            .join(gone, Seq("doc_id"), "left_anti")
-            .unionByName(delta.filter(col("split").isin(affectedCol: _*)))
-            .write.mode("overwrite").partitionBy("split")
-            .parquet(stagingRoot.getPath)
+          graft.core.Labeled(s, "graft applyDelta: staged rewrite") {
+            base.filter(col("split").isin(affectedCol: _*))
+              .join(gone, Seq("doc_id"), "left_anti")
+              .unionByName(delta.filter(col("split").isin(affectedCol: _*)))
+              .write.mode("overwrite").partitionBy("split")
+              .parquet(stagingRoot.getPath)
+          }
         }
 
         // per-partition swap stays the rename-aside discipline:

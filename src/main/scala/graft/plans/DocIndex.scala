@@ -71,7 +71,9 @@ object DocIndex {
     val width = buckets(s)
     val corpus = Snapshots.readAt(s, corpusRoot, head)
       .select(col("doc_id"), col("split"))
-    Snapshots.commitFull(s, indexRows(width, corpus), indexRoot)
+    graft.core.Labeled(s, s"graft docindex materialize @v$head") {
+      Snapshots.commitFull(s, indexRows(width, corpus), indexRoot): Unit
+    }
     writeMeta(s, indexRoot, head, width)
     head
   }
@@ -181,8 +183,10 @@ object DocIndex {
     val removals = ch.filter(col("change") === "remove")
       .select(col("doc_id"), bucketCol(width, col("doc_id")).as("split"))
       .select(col("split"), col("doc_id"))
-    Snapshots.commitDelta(s, indexRoot, adds = upserts,
-      removedIds = removals, tag = Some(s"v$head"))
+    graft.core.Labeled(s, s"graft docindex refresh v$last -> v$head") {
+      Snapshots.commitDelta(s, indexRoot, adds = upserts,
+        removedIds = removals, tag = Some(s"v$head")): Unit
+    }
     writeMeta(s, indexRoot, head, width)
     head
   }

@@ -223,17 +223,22 @@ object Snapshots {
     val v = latestVersion(s, root) + 1
     val dir = attemptDir(v)
     val toWrite =
-      if (statsCols.isEmpty) df
+      if (statsCols.isEmpty) distribute(df)
       else cluster(df, statsCols, zorder)
-    toWrite.write.mode("overwrite").partitionBy("split")
-      .parquet(s"$root/$dir")
+    graft.core.Labeled(s, s"graft commitFull v$v: write $dir") {
+      toWrite.write.mode("overwrite").partitionBy("split")
+        .parquet(s"$root/$dir")
+    }
     // explicit schema: an EMPTY corpus writes no part files, and an
     // inference-based read-back would refuse instead of recording v1
     val written = s.read.schema(df.schema)
       .option("basePath", s"$root/$dir")
       .parquet(s"$root/$dir")
-    val refs = collectRefs(written, dir, statsCols).values.toIndexedSeq
-    val blooms = collectBlooms(s, written, bloomCols)
+    val (refsMap, blooms) =
+      graft.core.Labeled(s, s"graft commitFull v$v: stats+bloom read-back") {
+        collectRefsAndBlooms(s, written, dir, statsCols, bloomCols)
+      }
+    val refs = refsMap.values.toIndexedSeq
     // a full rewrite has no defined rebase against an interleaved delta
     // (it replaces the corpus wholesale) — a lost race refuses loudly
     try writeVersionFile(s, root, v, df.schema, refs, None, statsCols,
@@ -269,23 +274,6 @@ object Snapshots {
       lit(0L))
   }
 
-  /** One aggregation pass building every (split, bloomCol) cell of
-    * freshly-written files. Bounded driver collect: one row per split. */
-  private def collectBlooms(s: SparkSession, written: DataFrame,
-      bloomCols: Seq[String]): Map[(String, String), Array[Byte]] = {
-    if (bloomCols.isEmpty) return Map.empty
-    val bits = bloomBits(s)
-    val aggs = bloomCols.map(c => graft.functions.Aggregators
-      .bloomBuildCol(bloomFpCol(s, c), bits, BloomK).as(s"__bf_$c"))
-    written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
-      .collect()
-      .flatMap { r =>
-        bloomCols.zipWithIndex.map { case (c, i) =>
-          (r.getString(0), c) -> r.getAs[Array[Byte]](1 + i)
-        }
-      }.toMap
-  }
-
   private def validateBloomCols(root: String,
       schema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String], bloomCols: Seq[String]): Unit = {
@@ -307,15 +295,51 @@ object Snapshots {
         s"invalid bloomCols for the snapshot store at $root" +: errs.toIndexedSeq)
   }
 
+  /** OUTPUT DISTRIBUTION of split-partitioned commit writes (r16, guide
+    * §2.4/§6): a dynamic `partitionBy("split")` write emits up to
+    * (input tasks × splits-per-task) files — at 32 local tasks over a
+    * 64-bucket index store that is ~2,000 tiny files PER COMMIT, and at
+    * cluster scale it is the classic small-files explosion plus a
+    * same-split row-group interleave that dilutes the stats clustering.
+    * `REBALANCE(split)` keys the exchange by the partition column and
+    * lets AQE size the output: small splits coalesce into shared tasks
+    * (few files), a skewed split fans out over several tasks of
+    * advisory-partition size (parallelism preserved) — the
+    * Iceberg-write-distribution-mode=hash shape, scale-adaptive by
+    * construction. Costs one exchange of the COMMIT DELTA (never the
+    * corpus); measured locally it repays itself on many-split stores
+    * (the 64-bucket doc index: 13.7 → ~10 s min-lane on its gate) and
+    * is noise-neutral on few-split corpora.
+    * `spark.graft.snapshot.writeDistribution`: `rebalance` (default),
+    * `hash` (plain `repartition(split)` — fixed per-split writers, no
+    * AQE dependence), or `none` (the shuffle-free pre-r16 layout for
+    * callers whose input is already split-clustered).
+    *
+    * The z-order lane is untouched: its range exchange already
+    * distributes by (split, zval). */
+  private def distribute(df: DataFrame): DataFrame =
+    df.sparkSession.conf
+      .getOption("spark.graft.snapshot.writeDistribution")
+      .getOrElse("rebalance") match {
+      case "none" => df
+      case "hash" => df.repartition(col("split"))
+      case "rebalance" => df.hint("rebalance", col("split"))
+      case other => throw graft.core.GraftAnalysisException(Seq(
+        s"unknown spark.graft.snapshot.writeDistribution '$other' " +
+          "(expected 'rebalance' or 'none')"))
+    }
+
   /** In-split clustering of a frame about to be written `partitionBy
-    * ("split")`: lexicographic by the stats columns (no shuffle — rides
-    * the writer's own per-task ordering), or Morton z-order (one range
-    * exchange so files cover disjoint z-intervals, then an in-partition
-    * sort). An empty frame short-circuits: [[Layout.dimRanges]] has no
-    * bounds to quantize against, and there is nothing to cluster. */
+    * ("split")`: lexicographic by the stats columns (rides the writer's
+    * own per-task ordering after [[distribute]]'s rebalance exchange),
+    * or Morton z-order (one range exchange so files cover disjoint
+    * z-intervals, then an in-partition sort). An empty frame
+    * short-circuits: [[Layout.dimRanges]] has no bounds to quantize
+    * against, and there is nothing to cluster. */
   private def cluster(df: DataFrame, statsCols: Seq[String],
       zorder: Boolean): DataFrame =
-    if (!zorder) df.sortWithinPartitions(("split" +: statsCols).map(col): _*)
+    if (!zorder) distribute(df)
+      .sortWithinPartitions(("split" +: statsCols).map(col): _*)
     else if (df.isEmpty) df
     else {
       val ranges = Layout.dimRanges(df, statsCols)
@@ -356,7 +380,9 @@ object Snapshots {
         val aggs = constraints.zipWithIndex.map { case (c, i) =>
           sum(when(!sqlExpr(c), 1L).otherwise(0L)).as(s"__v$i")
         }
-        rows.agg(aggs.head, aggs.drop(1): _*).collect()(0)
+        graft.core.Labeled(rows.sparkSession, s"graft CHECK constraints: $what") {
+          rows.agg(aggs.head, aggs.drop(1): _*).collect()(0)
+        }
       } catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw graft.core.GraftAnalysisException(Seq(
@@ -441,13 +467,25 @@ object Snapshots {
     * partial aggregates never carry more than cap+1 code points per
     * value, whatever the stored strings' size. */
   private def collectRefs(written: DataFrame, dir: String,
-      statsCols: Seq[String]): Map[String, SplitRef] = {
+      statsCols: Seq[String]): Map[String, SplitRef] =
+    collectRefsAndBlooms(written.sparkSession, written, dir, statsCols, Nil)._1
+
+  /** [[collectRefs]] and the per-split bloom cells in ONE aggregation
+    * pass (r16, guide §1.2/§2.3): stats and blooms group by the same
+    * key over the same freshly-written files, so computing them as two
+    * jobs re-read the written data once per commit for nothing — at
+    * corpus scale that is a full extra pass over the delta's stats
+    * columns. Bounded driver collect: one row per split partition. */
+  private def collectRefsAndBlooms(s: SparkSession, written: DataFrame,
+      dir: String, statsCols: Seq[String], bloomCols: Seq[String])
+      : (Map[String, SplitRef], Map[(String, String), Array[Byte]]) = {
     val cap = statsMaxStringLen(written.sparkSession)
     val schema = written.schema
     def isStr(c: String): Boolean =
       schema(c).dataType == org.apache.spark.sql.types.StringType
     def statExpr(c: String): org.apache.spark.sql.Column =
       if (isStr(c)) substring(col(c), 1, cap + 1) else col(c)
+    val bits = bloomBits(s)
     // doc_id nullability rides the SAME aggregate as the stats (zero
     // extra jobs): a NULL doc_id can never be tombstoned (DV joins
     // never match null) and a NULL split has no partition home, so the
@@ -455,30 +493,39 @@ object Snapshots {
     // attempt dir stays invisible debris for vacuum
     val aggs = Seq(count(lit(1)).as("n"),
       count(col("doc_id")).as("n_docid")) ++ statsCols.flatMap(c =>
-      Seq(min(statExpr(c)), max(statExpr(c)), count(col(c))))
-    written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
+      Seq(min(statExpr(c)), max(statExpr(c)), count(col(c)))) ++
+      bloomCols.map(c => graft.functions.Aggregators
+        .bloomBuildCol(bloomFpCol(s, c), bits, BloomK).as(s"__bf_$c"))
+    val bloomBase = 3 + statsCols.size * 3
+    val rows = written.groupBy(col("split")).agg(aggs.head, aggs.drop(1): _*)
       .collect()
-      .map { r =>
-        val n = r.getLong(1)
-        if (r.isNullAt(0) || n != r.getLong(2))
-          throw graft.core.GraftAnalysisException(Seq(
-            s"commit refused: rows carry a NULL `split` or `doc_id` — " +
-              "store rows are (split, doc_id)-keyed; an input frame " +
-              "missing a column gets it NULL-filled by SQL by-name " +
-              "resolution, so key every row explicitly (nothing was " +
-              "published; the attempt dir is debris vacuum sweeps)"))
-        val cells = statsCols.indices.map { i =>
-          val base = 3 + i * 3
-          val mn0 = Option(r.get(base)).map(renderStat)
-          val mx0 = Option(r.get(base + 1)).map(renderStat)
-          val (mn, mx) =
-            if (isStr(statsCols(i)))
-              (mn0.map(truncMin(_, cap)), mx0.flatMap(truncMax(_, cap)))
-            else (mn0, mx0)
-          StatCell(mn, mx, n - r.getLong(base + 2))
-        }.toIndexedSeq
-        r.getString(0) -> SplitRef(r.getString(0), dir, n, cells)
-      }.toMap
+    val refs = rows.map { r =>
+      val n = r.getLong(1)
+      if (r.isNullAt(0) || n != r.getLong(2))
+        throw graft.core.GraftAnalysisException(Seq(
+          s"commit refused: rows carry a NULL `split` or `doc_id` — " +
+            "store rows are (split, doc_id)-keyed; an input frame " +
+            "missing a column gets it NULL-filled by SQL by-name " +
+            "resolution, so key every row explicitly (nothing was " +
+            "published; the attempt dir is debris vacuum sweeps)"))
+      val cells = statsCols.indices.map { i =>
+        val base = 3 + i * 3
+        val mn0 = Option(r.get(base)).map(renderStat)
+        val mx0 = Option(r.get(base + 1)).map(renderStat)
+        val (mn, mx) =
+          if (isStr(statsCols(i)))
+            (mn0.map(truncMin(_, cap)), mx0.flatMap(truncMax(_, cap)))
+          else (mn0, mx0)
+        StatCell(mn, mx, n - r.getLong(base + 2))
+      }.toIndexedSeq
+      r.getString(0) -> SplitRef(r.getString(0), dir, n, cells)
+    }.toMap
+    val blooms = rows.flatMap { r =>
+      bloomCols.zipWithIndex.map { case (c, i) =>
+        (r.getString(0), c) -> r.getAs[Array[Byte]](bloomBase + i)
+      }
+    }.toMap
+    (refs, blooms)
   }
 
   /** Stats values round-trip the version file as strings; timestamps
@@ -647,8 +694,11 @@ object Snapshots {
     val v = base + 1
     val dvDir = attemptDir(v, branch) + "-dv"
     // bounded collect: one row per affected split (the takedown's span)
-    val affectedNames = victims.select(col("split")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val affectedNames =
+      graft.core.Labeled(s, s"graft commitRemove v$v: affected splits") {
+        victims.select(col("split")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
     val affectedRefs = vfBase.refs.filter(r =>
       affectedNames.contains(r.split) && r.effectiveRows > 0)
     // CONFIRMED victims only: rows present in the current effective view
@@ -658,7 +708,9 @@ object Snapshots {
     val confirmed = readRefs(s, root, vfBase.schema, affectedRefs)
       .join(victims, Seq("split", "doc_id"), "left_semi")
       .select(col("split"), col("doc_id"))
-    confirmed.write.mode("overwrite").parquet(s"$root/$dvDir")
+    graft.core.Labeled(s, s"graft commitRemove v$v: write DV sidecar") {
+      confirmed.write.mode("overwrite").parquet(s"$root/$dvDir")
+    }
     // exact per-split tombstone counts from the WRITTEN sidecar (the
     // manifest verification contract, same as collectRefs)
     val dvSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -666,18 +718,24 @@ object Snapshots {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("doc_id",
         vfBase.schema("doc_id").dataType)))
-    val counts = s.read.schema(dvSchema).parquet(s"$root/$dvDir")
-      .groupBy(col("split")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // DISTINCT doc_id per split rides the SAME read-back aggregation
+    // (r16, one pass): the sidecar legitimately holds one row per matched
+    // PHYSICAL row (duplicated (split, doc_id) corpus rows all tombstone,
+    // and dvRows must count them all), so requireAllFound compares
+    // DISTINCT keys — Σ per-split distinct doc_ids, since split is in
+    // the group key — not raw rows, which could mask an unmatched
+    // request behind a duplicate or spuriously refuse a fully-matched one
+    val countRows =
+      graft.core.Labeled(s, s"graft commitRemove v$v: DV count read-back") {
+        s.read.schema(dvSchema).parquet(s"$root/$dvDir")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("c"), count_distinct(col("doc_id")).as("d"))
+          .collect()
+      }
+    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     if (requireAllFound) {
-      // DISTINCT keys on both sides: the sidecar legitimately holds one
-      // row per matched PHYSICAL row (duplicated (split, doc_id) corpus
-      // rows all tombstone, and dvRows must count them all), so a raw
-      // row comparison could mask an unmatched request behind a
-      // duplicate — or spuriously refuse a fully-matched one
       val requested = victims.count() // victims are distinct by construction
-      val found = s.read.schema(dvSchema).parquet(s"$root/$dvDir")
-        .select(col("split"), col("doc_id")).distinct().count()
+      val found = countRows.map(_.getLong(2)).sum
       if (found != requested) {
         // the unfulfilled requests, for the refusal — bounded sample
         // (the written sidecar is unreferenced debris; vacuum sweeps it)
@@ -836,15 +894,17 @@ object Snapshots {
       // their split straight off the delta; doc_id-only removals pay a
       // corpus-wide semi-join to find where their victims live.
       val affected: Set[String] =
-        if (splitKeyed)
-          addsP.select(col("split"))
-            .unionByName(removedIds.select(col("split")))
-            .distinct().collect().map(_.getString(0)).toSet
-        else
-          addsP.select(col("split"))
-            .unionByName(readRefs(s, root, schema, refs)
-              .join(gone, "doc_id").select(col("split")))
-            .distinct().collect().map(_.getString(0)).toSet
+        graft.core.Labeled(s, s"graft commitDelta v$v: affected splits") {
+          if (splitKeyed)
+            addsP.select(col("split"))
+              .unionByName(removedIds.select(col("split")))
+              .distinct().collect().map(_.getString(0)).toSet
+          else
+            addsP.select(col("split"))
+              .unionByName(readRefs(s, root, schema, refs)
+                .join(gone, "doc_id").select(col("split")))
+              .distinct().collect().map(_.getString(0)).toSet
+        }
       // a NULL split surfaces HERE for free (it is one of the distinct
       // values just collected): refuse before anything is written —
       // null keys have no partition home and could never be tombstoned
@@ -881,10 +941,13 @@ object Snapshots {
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val rewritten =
-              if (statsCols.isEmpty) rewritten0P
+              if (statsCols.isEmpty) distribute(rewritten0P)
               else cluster(rewritten0P, statsCols, vfBase.zorder)
-            rewritten.write.mode("overwrite").partitionBy("split")
-              .parquet(s"$root/$dir")
+            graft.core.Labeled(s, s"graft commitDelta v$v: rewrite " +
+                s"${affected.size} split(s) -> $dir") {
+              rewritten.write.mode("overwrite").partitionBy("split")
+                .parquet(s"$root/$dir")
+            }
           } finally {
             if (zClustered) rewritten0P.unpersist(blocking = false): Unit
           }
@@ -895,13 +958,16 @@ object Snapshots {
           // their files are immutable.
           val readBack = s.read.schema(rewritten0.schema)
             .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
-          val touchedRefs = collectRefs(readBack, dir, statsCols)
-          // blooms: rewritten splits recompute (exact), kept splits
-          // carry verbatim (exact — their files are immutable)
+          // blooms ride the SAME read-back aggregation as the stats:
+          // rewritten splits recompute both (exact), kept splits carry
+          // their cells verbatim (exact — their files are immutable)
+          val (touchedRefs, touchedBlooms) =
+            graft.core.Labeled(s, s"graft commitDelta v$v: stats+bloom read-back") {
+              collectRefsAndBlooms(s, readBack, dir, statsCols, vfBase.bloomCols)
+            }
           if (vfBase.bloomCols.nonEmpty)
             newBlooms = vfBase.blooms.view
-              .filterKeys(k => !affected.contains(k._1)).toMap ++
-              collectBlooms(s, readBack, vfBase.bloomCols)
+              .filterKeys(k => !affected.contains(k._1)).toMap ++ touchedBlooms
           val kept = refs.filterNot(r => affected.contains(r.split))
           val emptyCells = statsCols.map(_ => StatCell(None, None, 0L)).toIndexedSeq
           val touched = affected.toSeq.sorted.map(sp =>
@@ -2023,7 +2089,7 @@ object Snapshots {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val effective =
-        if (vf.statsCols.isEmpty) effectiveP
+        if (vf.statsCols.isEmpty) distribute(effectiveP)
         else cluster(effectiveP, vf.statsCols, vf.zorder)
       effective.write.mode("overwrite").partitionBy("split")
         .parquet(s"$root/$dir")
@@ -2032,7 +2098,10 @@ object Snapshots {
     }
     val readBack = s.read.schema(vf.schema)
       .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
-    val freshRefs = collectRefs(readBack, dir, vf.statsCols)
+    val (freshRefs, freshBlooms) =
+      graft.core.Labeled(s, s"graft dvCompact v$v: stats+bloom read-back") {
+        collectRefsAndBlooms(s, readBack, dir, vf.statsCols, vf.bloomCols)
+      }
     val emptyCells = vf.statsCols.map(_ => StatCell(None, None, 0L)).toIndexedSeq
     val targetNames = targets.map(_.split).toSet
     val newRefs = vf.refs.map { r =>
@@ -2042,7 +2111,7 @@ object Snapshots {
     val newBlooms =
       if (vf.bloomCols.isEmpty) vf.blooms
       else vf.blooms.view.filterKeys(k => !targetNames.contains(k._1)).toMap ++
-        collectBlooms(s, readBack, vf.bloomCols)
+        freshBlooms
     try writeVersionFile(s, root, v, vf.schema, newRefs, None, vf.statsCols,
       constraints = vf.constraints, zorder = vf.zorder,
       bloomCols = vf.bloomCols, blooms = newBlooms)
