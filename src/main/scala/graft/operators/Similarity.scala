@@ -277,7 +277,12 @@ object Similarity {
       if (refineIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, refineIters)
       else ivfCentroids(df, idCol, vecCol, nCells)
     val assigned = withIvfCell(df, vecCol, centroids)
-    storageProjected(assigned, df.columns.toSeq, vecCol, quantize, pq)
+    // REBALANCE(cell) before the dynamic partitionBy (r16, guide §6):
+    // bounds the index at ~#cells files instead of tasks × cells — see
+    // [[graft.core.Distribute]]
+    graft.core.Distribute.forWrite(
+        storageProjected(assigned, df.columns.toSeq, vecCol, quantize, pq),
+        "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids
   }
@@ -331,7 +336,9 @@ object Similarity {
     else
       require(pq.isEmpty, s"index at $path is not PQ-coded; drop the codebook")
     val assigned = withIvfCell(df, vecCol, centroids)
-    storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq)
+    graft.core.Distribute.forWrite(
+        storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq),
+        "cell")
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
@@ -378,7 +385,9 @@ object Similarity {
     val staging = new Path(root, s"_graft_ingest_staging_$batchTag")
     fs.delete(staging, true): Unit
     val assigned = withIvfCell(df, vecCol, centroids)
-    storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq)
+    graft.core.Distribute.forWrite(
+        storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq),
+        "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     val cellDirs = Option(fs.listStatus(staging)).getOrElse(Array.empty)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -502,7 +511,8 @@ object Similarity {
     val after = survivors.count()
     val staging = new Path(root, "_graft_compact_staging")
     fs.delete(staging, true): Unit
-    survivors.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    graft.core.Distribute.forWrite(survivors, "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
 
     affected.foreach { c =>
       val live = new Path(root, s"cell=$c")

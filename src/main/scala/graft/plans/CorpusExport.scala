@@ -47,7 +47,8 @@ object CorpusExport {
       s: SparkSession, full: DataFrame, outPath: String): DataFrame = {
     graft.core.Labeled(s, "graft export: corpus + manifest write") {
       Channels.multiSink(full)(Seq[DataFrame => Unit](
-        df => df.write.mode("overwrite").partitionBy("split")
+        df => graft.core.Distribute.forWrite(df, "split")
+          .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outPath/corpus"),
         df => manifestOf(df).coalesce(1)
           .write.mode("overwrite").json(s"$outPath/_manifest")
@@ -142,7 +143,7 @@ object CorpusExport {
       val removed = diff.filter(col("status") === "removed").select(col("doc_id"))
 
       graft.core.Labeled(s, "graft export: delta write") {
-        full.join(changed, "doc_id")
+        graft.core.Distribute.forWrite(full.join(changed, "doc_id"), "split")
           .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outPath/delta")
       }
@@ -226,9 +227,11 @@ object CorpusExport {
         if (affected.nonEmpty) {
           val affectedCol = affected.toSeq.map(lit)
           graft.core.Labeled(s, "graft applyDelta: staged rewrite") {
-            base.filter(col("split").isin(affectedCol: _*))
-              .join(gone, Seq("doc_id"), "left_anti")
-              .unionByName(delta.filter(col("split").isin(affectedCol: _*)))
+            graft.core.Distribute.forWrite(
+                base.filter(col("split").isin(affectedCol: _*))
+                  .join(gone, Seq("doc_id"), "left_anti")
+                  .unionByName(delta.filter(col("split").isin(affectedCol: _*))),
+                "split")
               .write.mode("overwrite").partitionBy("split")
               .parquet(stagingRoot.getPath)
           }

@@ -99,11 +99,13 @@ object IncrementalDay {
       }
 
       // 4. split-partitioned delta export of the curated day
-      curated
-        .join(batch.select(col("doc_id"), col("text")), "doc_id")
-        .withColumn("split", splitRule(col("doc_id")))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
-          col("text"), col("split"))
+      graft.core.Distribute.forWrite(
+          curated
+            .join(batch.select(col("doc_id"), col("text")), "doc_id")
+            .withColumn("split", splitRule(col("doc_id")))
+            .select(col("doc_id"), col("lang"), col("n_tokens"),
+              col("quality"), col("text"), col("split")),
+          "split")
         .write.mode("overwrite").partitionBy("split").parquet(deltaPath)
 
       // 5. idempotent ANN append of the curated day's vectors. A FALSE

@@ -295,39 +295,17 @@ object Snapshots {
         s"invalid bloomCols for the snapshot store at $root" +: errs.toIndexedSeq)
   }
 
-  /** OUTPUT DISTRIBUTION of split-partitioned commit writes (r16, guide
-    * §2.4/§6): a dynamic `partitionBy("split")` write emits up to
-    * (input tasks × splits-per-task) files — at 32 local tasks over a
-    * 64-bucket index store that is ~2,000 tiny files PER COMMIT, and at
-    * cluster scale it is the classic small-files explosion plus a
-    * same-split row-group interleave that dilutes the stats clustering.
-    * `REBALANCE(split)` keys the exchange by the partition column and
-    * lets AQE size the output: small splits coalesce into shared tasks
-    * (few files), a skewed split fans out over several tasks of
-    * advisory-partition size (parallelism preserved) — the
-    * Iceberg-write-distribution-mode=hash shape, scale-adaptive by
-    * construction. Costs one exchange of the COMMIT DELTA (never the
-    * corpus); measured locally it repays itself on many-split stores
-    * (the 64-bucket doc index: 13.7 → ~10 s min-lane on its gate) and
-    * is noise-neutral on few-split corpora.
-    * `spark.graft.snapshot.writeDistribution`: `rebalance` (default),
-    * `hash` (plain `repartition(split)` — fixed per-split writers, no
-    * AQE dependence), or `none` (the shuffle-free pre-r16 layout for
-    * callers whose input is already split-clustered).
-    *
-    * The z-order lane is untouched: its range exchange already
-    * distributes by (split, zval). */
+  /** Output distribution of split-partitioned commit writes — see
+    * [[graft.core.Distribute]] (r16, guide §2.4/§6): REBALANCE-by-split
+    * bounds a commit's file count at ~#splits instead of
+    * tasks × splits, scale-adaptively; measured locally it repays
+    * itself on many-split stores (the 64-bucket doc index: 13.7 → ~10 s
+    * min-lane on its gate) and is noise-neutral on few-split corpora.
+    * Costs one exchange of the COMMIT DELTA (never the corpus). The
+    * z-order lane is untouched: its range exchange already distributes
+    * by (split, zval). */
   private def distribute(df: DataFrame): DataFrame =
-    df.sparkSession.conf
-      .getOption("spark.graft.snapshot.writeDistribution")
-      .getOrElse("rebalance") match {
-      case "none" => df
-      case "hash" => df.repartition(col("split"))
-      case "rebalance" => df.hint("rebalance", col("split"))
-      case other => throw graft.core.GraftAnalysisException(Seq(
-        s"unknown spark.graft.snapshot.writeDistribution '$other' " +
-          "(expected 'rebalance' or 'none')"))
-    }
+    graft.core.Distribute.forWrite(df, "split")
 
   /** In-split clustering of a frame about to be written `partitionBy
     * ("split")`: lexicographic by the stats columns (rides the writer's
