@@ -58,4 +58,24 @@ class PercentilesSpec extends SparkTestBase {
     assert(!plan.contains("percentile"),
       s"the distributed form must not fall back to the buffering aggregate:\n$plan")
   }
+
+  test("one scan and one shuffle per distinct value column (r16 plan shape)") {
+    // two distinct value columns, three specs: the former per-column count
+    // aggregate + broadcast join re-scanned and re-shuffled the input once
+    // per column (4 scans / 4 shuffles here); the count now rides the rank
+    // window's own sort
+    val specs = Seq(
+      ("l_quantity", 0.5, "p50"), ("l_quantity", 0.9, "p90"),
+      ("l_extendedprice", 0.25, "p25"))
+    val plan = Percentiles.exactInterpolated(li, "l_returnflag", specs)
+      .queryExecution.executedPlan.toString
+    def count(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // "Scan parquet" is a substring of "FileScan parquet" — counting the
+    // shorter form covers both spellings exactly once per scan node
+    assert(count("Scan parquet") == 2,
+      s"expected exactly one scan per distinct value column:\n$plan")
+    assert(count("Exchange hashpartitioning") <= 2,
+      s"expected at most one shuffle per distinct value column:\n$plan")
+  }
 }
