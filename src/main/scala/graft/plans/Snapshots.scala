@@ -437,23 +437,18 @@ object Snapshots {
     None
   }
 
-  /** Per-split refs (row count + stats cells) of freshly-written files,
-    * keyed by split. ONE aggregation pass over the written data; bounded
-    * driver collect — one row per split partition (the applyDelta bound).
-    * String columns pre-truncate INSIDE the aggregation (`substring` is
-    * monotone, so min/max of truncations = truncation of min/max) — the
-    * partial aggregates never carry more than cap+1 code points per
-    * value, whatever the stored strings' size. */
-  private def collectRefs(written: DataFrame, dir: String,
-      statsCols: Seq[String]): Map[String, SplitRef] =
-    collectRefsAndBlooms(written.sparkSession, written, dir, statsCols, Nil)._1
-
-  /** [[collectRefs]] and the per-split bloom cells in ONE aggregation
-    * pass (r16, guide §1.2/§2.3): stats and blooms group by the same
-    * key over the same freshly-written files, so computing them as two
+  /** Per-split refs (row count + stats cells) AND the per-split bloom
+    * cells of freshly-written files, keyed by split — ONE aggregation
+    * pass over the written data (r16, guide §1.2/§2.3: stats and blooms
+    * group by the same key over the same files, so computing them as two
     * jobs re-read the written data once per commit for nothing — at
-    * corpus scale that is a full extra pass over the delta's stats
-    * columns. Bounded driver collect: one row per split partition. */
+    * corpus scale a full extra pass over the delta's stats columns).
+    * Bounded driver collect — one row per split partition (the
+    * applyDelta bound). String columns pre-truncate INSIDE the
+    * aggregation (`substring` is monotone, so min/max of truncations =
+    * truncation of min/max) — the partial aggregates never carry more
+    * than cap+1 code points per value, whatever the stored strings'
+    * size. */
   private def collectRefsAndBlooms(s: SparkSession, written: DataFrame,
       dir: String, statsCols: Seq[String], bloomCols: Seq[String])
       : (Map[String, SplitRef], Map[(String, String), Array[Byte]]) = {
