@@ -1104,11 +1104,22 @@ object Snapshots {
     val live = vf.refs.filter(_.nRows > 0)
     if (live.isEmpty) return vf.refs
     prunePlanBuilds.incrementAndGet(): Unit
-    val bare = live.groupBy(_.dir).toSeq.sortBy(_._1).map { case (dir, _) =>
-      s.read.schema(vf.schema).option("basePath", s"$root/$dir")
-        .parquet(s"$root/$dir")
+    // the bare plan exists ONLY to let the optimizer resolve and
+    // normalize the predicate against the stored schema (the extracted
+    // Filter condition is all that is read off it) — so ONE referenced
+    // split's leaf dir suffices as its relation, instead of listing
+    // every referenced dir per readAtWhere call. A LocalRelation would
+    // not do: the optimizer folds a Filter over local rows away
+    // (ConvertToLocalRelation / PropagateEmptyRelation), losing the
+    // condition this extraction needs.
+    val bare = {
+      val r0 = live.minBy(r => (r.dir, r.split))
+      val reader = s.read.schema(vf.schema)
+        .option("basePath", s"$root/${r0.dir}")
+      splitLeafPaths(root, r0.dir, Seq(r0.split))
+        .fold(reader.parquet(s"$root/${r0.dir}"))(ps => reader.parquet(ps: _*))
         .select(vf.schema.fieldNames.map(col).toIndexedSeq: _*)
-    }.reduce(_ unionByName _)
+    }
     val optimized = bare.filter(pred).queryExecution.optimizedPlan
     val cons = optimized.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -2990,22 +3001,44 @@ object Snapshots {
     } finally in.close()
   }
 
+  /** Leaf `split=…` paths for reading exactly `splits` out of a version
+    * dir, or None when a value would not round-trip the writer's path
+    * encoding (empty string writes as the Hive default-partition dir and
+    * reads back NULL — the whole-dir fallback preserves that legacy
+    * shape rather than silently changing it). The escaping IS the
+    * writer's: `partitionBy("split")` names its dirs through
+    * `ExternalCatalogUtils.escapePathName`, so applying the same
+    * function here is exact by construction (glob-safe too — every glob
+    * metacharacter is in its escape set). Pinned by ReadRefsPruningSpec
+    * against hostile split names and a poisoned sibling layout. */
+  private[plans] def splitLeafPaths(root: String, dir: String,
+      splits: Seq[String]): Option[Seq[String]] =
+    if (splits.exists(sp => sp == null || sp.isEmpty)) None
+    else Some(splits.sorted.map(sp => s"$root/$dir/split=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(sp)))
+
   /** One scan per referenced version dir, each PRUNED to the splits the
     * version actually takes from that dir (a dir written by a later
-    * commit holds splits this version must NOT see). The pruning is a
-    * partition filter — planning-time, never a data pass — and avoids
-    * constructing `split=…` paths by hand, which would have to replicate
-    * Spark's partition-value escaping exactly. Dirs written BEFORE a
-    * schema-widening commit lack the new columns; the explicit read
-    * schema null-fills them (the parquet missing-column contract). */
+    * commit holds splits this version must NOT see). The pruning is
+    * TWO-LAYERED: the scan's paths are the referenced splits' leaf dirs
+    * ([[splitLeafPaths]] — listing IO is ∝ splits READ, not ∝ splits in
+    * the dir: a bloom-pruned point lookup on a 3,000-split corpus stats
+    * 2 subdirs instead of listing 6,000), and the `isin` partition
+    * filter stays on top (planning-time, never a data pass) so the
+    * result is decided by the filter even on the whole-dir fallback
+    * path. Dirs written BEFORE a schema-widening commit lack the new
+    * columns; the explicit read schema null-fills them (the parquet
+    * missing-column contract). */
   private def readRefs(s: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       refs: Seq[SplitRef]): DataFrame = {
     val live = refs.filter(_.nRows > 0)
     val byDir = live.groupBy(_.dir).toSeq.sortBy(_._1)
     val scan = byDir.map { case (dir, rs) =>
-      s.read.schema(schema).option("basePath", s"$root/$dir")
-        .parquet(s"$root/$dir")
+      val reader = s.read.schema(schema).option("basePath", s"$root/$dir")
+      splitLeafPaths(root, dir, rs.map(_.split))
+        .fold(reader.parquet(s"$root/$dir"))(ps => reader.parquet(ps: _*))
         .filter(col("split").isin(rs.map(_.split): _*))
         // partition columns can surface out of schema order — pin the
         // stored order so every version reads back shape-identical
