@@ -185,6 +185,15 @@ object Bench {
       s""""plan_sec":$plans,"min_sec":$mins,"failures":$failures,"iters":$iters,""" +
       s""""pinned":$pinned,"cpus":"$cpus","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Lane-stamped sibling (r17): the harness runs at more than one core
+    // count per round, and each lane writing the SAME file destroys the
+    // other lane's per-query record (round 16 lost its 32-core map to the
+    // 8-core lane). Write the full document under a `_c{cpus}` name as well
+    // so both lanes survive; the legacy name stays as the primary-lane copy
+    // and the stdout pointer/contract are unchanged.
+    def laneStamped(p: String): String =
+      if (p.endsWith(".json")) p.stripSuffix(".json") + s"_c$cpus.json"
+      else p + s"_c$cpus"
     val wrote =
       try {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullDoc + "\n")
@@ -197,6 +206,11 @@ object Bench {
         System.err.println(fullDoc)
         false
       }
+    try {
+      val lp = laneStamped(outPath)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(lp), fullDoc + "\n")
+      System.err.println(s"[bench] lane copy -> $lp")
+    } catch { case _: Throwable => () } // best-effort; the primary write above is the record
     // the pointer must only name a file this run actually wrote — a stale
     // BENCH_FULL.json from an earlier run must never be read as current
     val ptr = if (wrote) s""""queries_file":"$outPath"""" else """"queries_file":null"""

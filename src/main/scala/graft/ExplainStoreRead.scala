@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object ExplainStoreRead {
   def main(args: Array[String]): Unit = {
-    val nSplits = args.headOption.map(_.toInt).getOrElse(8)
+    val nSplits = args.headOption match {
+      case None => 8
+      case Some(a) => a.toIntOption.filter(_ > 0).getOrElse(
+        sys.error(s"usage: ExplainStoreRead [nSplits > 0] (got '$a')"))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.Sessions.local(cpus)
     import spark.implicits._

@@ -686,7 +686,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
 
     // verified pairs between distinct VALUES (dist >= 1 by construction —
-    // equal strings collapsed to one representative above)
+    // equal strings collapsed to one representative above).
+    // MEASURED NEGATIVE, twice (r16 64k-coalesce-floor, r17 pinned-width
+    // repartition of the bare pair ids before these joins): forcing the
+    // AQE-collapsed single-task verify to session width LOSES ~+0.5–0.9 s
+    // on d_edit_clusters interleaved-pinned (6.29/7.31 vs 5.78/6.36 s)
+    // and is neutral on d_edit_distance — the extra exchange plus wider
+    // join scheduling costs more than the single-task levenshtein here.
+    // Leave AQE's sizing alone; at 100 TB the pair set carries real bytes
+    // and fans out on its own.
     val valuePairs = candidates.unionByName(shortPairs).distinct()
       .join(titled.select(col("doc_id").as("id_a"), col("str").as("s_a")), "id_a")
       .join(titled.select(col("doc_id").as("id_b"), col("str").as("s_b")), "id_b")

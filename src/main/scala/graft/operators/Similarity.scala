@@ -277,12 +277,18 @@ object Similarity {
       if (refineIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, refineIters)
       else ivfCentroids(df, idCol, vecCol, nCells)
     val assigned = withIvfCell(df, vecCol, centroids)
-    // REBALANCE(cell) before the dynamic partitionBy (r16, guide §6):
-    // bounds the index at ~#cells files instead of tasks × cells — see
-    // [[graft.core.Distribute]]
+    // Distribution scope `ivf`, default `none` (r17): the index write's
+    // input is a narrow assignment projection over the ingest scan (no
+    // upstream shuffle), so its file count is bounded by scan tasks ×
+    // cells — and r16's pinned A/B measured the rebalance exchange
+    // NEGATIVE on this family at gate scale (Σ 30.2 s vs 29.8 s none;
+    // the fixed AQE-stage cost never repays at a model-bounded cell
+    // count). A many-celled deployment whose ingest fans wide sets
+    // `spark.graft.write.distribution.ivf=rebalance` (or the global
+    // knob) to bound files at ~#cells — see [[graft.core.Distribute]].
     graft.core.Distribute.forWrite(
         storageProjected(assigned, df.columns.toSeq, vecCol, quantize, pq),
-        "cell")
+        "cell", scope = "ivf", scopeDefault = "none")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids
   }
@@ -336,9 +342,10 @@ object Similarity {
     else
       require(pq.isEmpty, s"index at $path is not PQ-coded; drop the codebook")
     val assigned = withIvfCell(df, vecCol, centroids)
+    // scope `ivf`, default `none` — see [[writeIvfIndex]]'s rationale
     graft.core.Distribute.forWrite(
         storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq),
-        "cell")
+        "cell", scope = "ivf", scopeDefault = "none")
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
@@ -385,9 +392,10 @@ object Similarity {
     val staging = new Path(root, s"_graft_ingest_staging_$batchTag")
     fs.delete(staging, true): Unit
     val assigned = withIvfCell(df, vecCol, centroids)
+    // scope `ivf`, default `none` — see [[writeIvfIndex]]'s rationale
     graft.core.Distribute.forWrite(
         storageProjected(assigned, df.columns.toSeq, vecCol, quantized, pq),
-        "cell")
+        "cell", scope = "ivf", scopeDefault = "none")
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     val cellDirs = Option(fs.listStatus(staging)).getOrElse(Array.empty)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -511,7 +519,10 @@ object Similarity {
     val after = survivors.count()
     val staging = new Path(root, "_graft_compact_staging")
     fs.delete(staging, true): Unit
-    graft.core.Distribute.forWrite(survivors, "cell")
+    // scope `ivf`, default `none` — the compaction rewrite is bounded by
+    // the affected cells (compaction-cadence-sized, like the append batch)
+    graft.core.Distribute.forWrite(survivors, "cell",
+        scope = "ivf", scopeDefault = "none")
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
 
     affected.foreach { c =>

@@ -47,7 +47,8 @@ object CorpusExport {
       s: SparkSession, full: DataFrame, outPath: String): DataFrame = {
     graft.core.Labeled(s, "graft export: corpus + manifest write") {
       Channels.multiSink(full)(Seq[DataFrame => Unit](
-        df => graft.core.Distribute.forWrite(df, "split")
+        df => graft.core.Distribute.forWrite(df, "split",
+          scope = "export", scopeDefault = "rebalance")
           .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outPath/corpus"),
         df => manifestOf(df).coalesce(1)
@@ -143,7 +144,8 @@ object CorpusExport {
       val removed = diff.filter(col("status") === "removed").select(col("doc_id"))
 
       graft.core.Labeled(s, "graft export: delta write") {
-        graft.core.Distribute.forWrite(full.join(changed, "doc_id"), "split")
+        graft.core.Distribute.forWrite(full.join(changed, "doc_id"), "split",
+          scope = "export", scopeDefault = "rebalance")
           .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outPath/delta")
       }
@@ -187,11 +189,11 @@ object CorpusExport {
     val gone = delta.select(col("doc_id")).unionByName(removed).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded collect: at most the distinct split values (≤ 3)
+      // bounded collect: at most the distinct split values (≤ 3) — one
+      // job, no exchange (Snapshots.distinctStringsOneJob, r17)
       val affected = graft.core.Labeled(s, "graft applyDelta: affected splits") {
-        (delta.select(col("split")).distinct().collect().map(_.getString(0)) ++
-          base.join(gone, "doc_id").select(col("split")).distinct()
-            .collect().map(_.getString(0))).toSet
+        Snapshots.distinctStringsOneJob(delta.select(col("split"))
+          .unionByName(base.join(gone, "doc_id").select(col("split"))))
       }
 
       // Directory names use Spark's partition-path escaping: the live
@@ -231,7 +233,7 @@ object CorpusExport {
                 base.filter(col("split").isin(affectedCol: _*))
                   .join(gone, Seq("doc_id"), "left_anti")
                   .unionByName(delta.filter(col("split").isin(affectedCol: _*))),
-                "split")
+                "split", scope = "export", scopeDefault = "rebalance")
               .write.mode("overwrite").partitionBy("split")
               .parquet(stagingRoot.getPath)
           }

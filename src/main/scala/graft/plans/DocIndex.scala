@@ -253,10 +253,10 @@ object DocIndex {
     val probed = typedIds.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded collect: at most min(#ids, width) bucket names
-      val bucketNames = probed
-        .select(bucketCol(width, col("doc_id")).as("b")).distinct()
-        .collect().map(_.getString(0))
+      // bounded collect: at most min(#ids, width) bucket names — one job,
+      // no exchange (Snapshots.distinctStringsOneJob, r17)
+      val bucketNames = Snapshots.distinctStringsOneJob(
+        probed.select(bucketCol(width, col("doc_id")).as("b"))).toArray
       idxFrame
         .filter(col("split").isin(bucketNames.toIndexedSeq: _*))
         .join(probed, "doc_id")

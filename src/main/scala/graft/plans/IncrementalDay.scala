@@ -105,7 +105,7 @@ object IncrementalDay {
             .withColumn("split", splitRule(col("doc_id")))
             .select(col("doc_id"), col("lang"), col("n_tokens"),
               col("quality"), col("text"), col("split")),
-          "split")
+          "split", scope = "export", scopeDefault = "rebalance")
         .write.mode("overwrite").partitionBy("split").parquet(deltaPath)
 
       // 5. idempotent ANN append of the curated day's vectors. A FALSE

@@ -296,16 +296,26 @@ object Snapshots {
   }
 
   /** Output distribution of split-partitioned commit writes — see
-    * [[graft.core.Distribute]] (r16, guide §2.4/§6): REBALANCE-by-split
-    * bounds a commit's file count at ~#splits instead of
-    * tasks × splits, scale-adaptively; measured locally it repays
-    * itself on many-split stores (the 64-bucket doc index: 13.7 → ~10 s
-    * min-lane on its gate) and is noise-neutral on few-split corpora.
-    * Costs one exchange of the COMMIT DELTA (never the corpus). The
-    * z-order lane is untouched: its range exchange already distributes
-    * by (split, zval). */
+    * [[graft.core.Distribute]] (r16, guide §2.4/§6): keying the exchange
+    * by split bounds a commit's file count at ~#splits instead of
+    * tasks × splits. Costs one exchange of the COMMIT DELTA (never the
+    * corpus). The z-order lane is untouched: its range exchange already
+    * distributes by (split, zval).
+    *
+    * Scope default `hash` (r17, measured): under `rebalance`, AQE
+    * coalesces a small delta's exchange to ONE task which then creates
+    * every split dir's file serially (~1 s/commit on the 64-bucket doc
+    * index — AQE's byte-based sizing cannot see per-file creation cost);
+    * pinned-width hash keeps ≤ 1 file per split AND parallel writers.
+    * Interleaved 3-arm pinned A/B (r17): lifecycle family Σ min 26.8 s
+    * (hash) vs 30.3 (rebalance) vs 32.5 (none); docindex 6.44 / 7.93 /
+    * 9.25. At scale this is Iceberg's write.distribution-mode=hash shape
+    * with width = the deployment's shuffle-partitions knob; a deployment
+    * with giant-split skew sets `spark.graft.write.distribution.store=
+    * rebalance` to let AQE fan a hot split across writers. */
   private def distribute(df: DataFrame): DataFrame =
-    graft.core.Distribute.forWrite(df, "split")
+    graft.core.Distribute.forWrite(df, "split",
+      scope = "store", scopeDefault = "hash")
 
   /** In-split clustering of a frame about to be written `partitionBy
     * ("split")`: lexicographic by the stats columns (rides the writer's
@@ -669,8 +679,7 @@ object Snapshots {
     // bounded collect: one row per affected split (the takedown's span)
     val affectedNames =
       graft.core.Labeled(s, s"graft commitRemove v$v: affected splits") {
-        victims.select(col("split")).distinct()
-          .collect().map(_.getString(0)).toSet
+        distinctStringsOneJob(victims.select(col("split")))
       }
     val affectedRefs = vfBase.refs.filter(r =>
       affectedNames.contains(r.split) && r.effectiveRows > 0)
@@ -751,7 +760,20 @@ object Snapshots {
         s"tagged commits are main-chain only (the durable tag ledger at " +
           s"$root/$VersionsDir/$TagsDir is not branch-scoped) — commit to " +
           s"branch '${branch.get}' untagged, or ingest into main"))
-    val goneSpec = removedIds.select(col("doc_id"))
+    // removedIds persists alongside adds (r17): the attempt's affected-
+    // split collect and goneSpec both evaluate it — for a CDC-derived
+    // delta (DocIndex.refresh) each evaluation re-runs the pointer-pruned
+    // diff scan, so the cache halves that read. Caller-owned-cache guard
+    // (the Channels.multiSink rule): a frame the caller already persisted
+    // is used as-is — re-persisting is a no-op whose paired unpersist
+    // would destroy the CALLER's cache.
+    val removedOwned = removedIds.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val removedIdsP =
+      if (removedOwned) removedIds
+      else removedIds
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val goneSpec = removedIdsP.select(col("doc_id"))
       .unionByName(adds.select(col("doc_id"))).distinct()
     val goneP = goneSpec
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -759,10 +781,11 @@ object Snapshots {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
       commitWithRebase(s, root, tag, branch, goneP)(base =>
-        commitDeltaAttempt(s, root, addsPOuter, removedIds, goneP,
+        commitDeltaAttempt(s, root, addsPOuter, removedIdsP, goneP,
           tag, branch, base))
     finally {
       goneP.unpersist(blocking = false)
+      if (!removedOwned) removedIdsP.unpersist(blocking = false)
       addsPOuter.unpersist(blocking = false): Unit
     }
   }
@@ -869,14 +892,12 @@ object Snapshots {
       val affected: Set[String] =
         graft.core.Labeled(s, s"graft commitDelta v$v: affected splits") {
           if (splitKeyed)
-            addsP.select(col("split"))
-              .unionByName(removedIds.select(col("split")))
-              .distinct().collect().map(_.getString(0)).toSet
+            distinctStringsOneJob(addsP.select(col("split"))
+              .unionByName(removedIds.select(col("split"))))
           else
-            addsP.select(col("split"))
+            distinctStringsOneJob(addsP.select(col("split"))
               .unionByName(readRefs(s, root, schema, refs)
-                .join(gone, "doc_id").select(col("split")))
-              .distinct().collect().map(_.getString(0)).toSet
+                .join(gone, "doc_id").select(col("split"))))
         }
       // a NULL split surfaces HERE for free (it is one of the distinct
       // values just collected): refuse before anything is written —
@@ -1881,9 +1902,8 @@ object Snapshots {
             (if (dup.length > 5) ", …" else "") +
             " (which duplicate wins is not the engine's call)"))
       // match detection reads ONLY the source's splits (bounded collect:
-      // one row per source split)
-      val srcSplits = srcP.select(col("split")).distinct()
-        .collect().map(_.getString(0)).toSet
+      // one value per source split — one job, no exchange, r17)
+      val srcSplits = distinctStringsOneJob(srcP.select(col("split")))
       // the classification is only valid against the head it read — so
       // the commit is PINNED to that head, and an interleaved commit
       // (even one that never races our claim) re-runs the WHOLE merge
@@ -1944,7 +1964,14 @@ object Snapshots {
       ensureTagLedger(s, root)
       readTagMarker(s, root, t).foreach(v => return v)
     }
-    val gone = removedIds.select(col("doc_id"))
+    // caller-owned-cache guard — see commitDeltaChain
+    val removedOwned = removedIds.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val removedIdsP =
+      if (removedOwned) removedIds
+      else removedIds
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gone = removedIdsP.select(col("doc_id"))
       .unionByName(adds.select(col("doc_id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val addsP = adds
@@ -1952,10 +1979,11 @@ object Snapshots {
     try {
       if (latestVersion(s, root, branch) != expectedBase)
         throw CommitRaceLost(root, expectedBase + 1)
-      commitDeltaAttempt(s, root, addsP, removedIds, gone, tag, branch,
+      commitDeltaAttempt(s, root, addsP, removedIdsP, gone, tag, branch,
         expectedBase)
     } finally {
       gone.unpersist(blocking = false)
+      if (!removedOwned) removedIdsP.unpersist(blocking = false)
       addsP.unpersist(blocking = false): Unit
     }
   }
@@ -3014,9 +3042,46 @@ object Snapshots {
   private[plans] def splitLeafPaths(root: String, dir: String,
       splits: Seq[String]): Option[Seq[String]] =
     if (splits.exists(sp => sp == null || sp.isEmpty)) None
-    else Some(splits.sorted.map(sp => s"$root/$dir/split=" +
+    // .distinct: defense in depth against an out-of-contract version file
+    // listing one split twice in a dir (system-written refs are map-keyed,
+    // so unreachable normally) — duplicate scan paths would duplicate rows
+    else Some(splits.distinct.sorted.map(sp => s"$root/$dir/split=" +
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(sp)))
+
+  /** Distinct values of `df`'s single STRING column in ONE job and ZERO
+    * exchanges (r17, guide §1.2/§2.4 — job-count floor of the commit
+    * path): each task emits its partition's distinct set, the driver
+    * merges. The shuffle `distinct().collect()` this replaces costs two
+    * AQE query-stage jobs per call — pure job-submission latency on the
+    * commit path's metadata collects, whose value domain (split/bucket
+    * names) is bounded by the store's split count. Driver payload is
+    * Σ per-partition distinct counts — the same order the shuffle's
+    * map-side partial aggregate already materializes and sends; a task
+    * whose distinct count exceeds the cap (pathological: a near-unique
+    * column) flags overflow and the call STANDS DOWN to the legacy
+    * shuffle distinct, so the result is identical on any input. NULLs
+    * are preserved (commitDelta's null-split refusal reads them). */
+  private[graft] def distinctStringsOneJob(df: DataFrame): Set[String] = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.snapshot.metaCollectCap")
+      .map(_.toInt).getOrElse(100000)
+    val parts: Array[(Boolean, Array[String])] = df.queryExecution.toRdd
+      .mapPartitions { it =>
+        val seen = new scala.collection.mutable.HashSet[String]()
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          val r = it.next()
+          // copy out of the (possibly reused) row buffer immediately
+          seen += (if (r.isNullAt(0)) null else r.getUTF8String(0).toString)
+          if (seen.size > cap) overflow = true
+        }
+        Iterator.single((overflow, seen.toArray))
+      }.collect()
+    if (parts.exists(_._1))
+      df.distinct().collect().map(_.getString(0)).toSet
+    else parts.iterator.flatMap(_._2).toSet
+  }
 
   /** One scan per referenced version dir, each PRUNED to the splits the
     * version actually takes from that dir (a dir written by a later

@@ -1289,10 +1289,14 @@ object EventPipeline {
       .select(input_file_name().as("f"))
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val versions = batch.select(col("f")).distinct()
-          .collect() // bounded: one row per version FILE in this batch
-          .flatMap { r =>
-            val n = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+        // bounded: one value per version FILE in this batch — one job, no
+        // exchange (Snapshots.distinctStringsOneJob, r17): this collect
+        // runs EVERY micro-batch, so its job count is trigger fixed cost
+        val versions = graft.plans.Snapshots
+          .distinctStringsOneJob(batch.select(col("f")))
+          .toSeq
+          .flatMap { f =>
+            val n = new org.apache.hadoop.fs.Path(f).getName
             n.stripPrefix("v").stripSuffix(".list").toIntOption
           }.sorted
         versions.foreach { v =>

@@ -83,4 +83,35 @@ class DistributeSpec extends SparkTestBase {
         e.getMessage.contains(Distribute.Key))
     }
   }
+
+  // r17: the per-scope override — scoped conf beats global conf beats the
+  // call site's default; an unscoped call never reads another scope's conf
+  test("scoped resolution: scoped conf > global conf > call-site default") {
+    def isIdentity(scope: String, dflt: String): Boolean = {
+      val df = wide // bind: `wide` is a def, each call is a fresh frame
+      val out = Distribute.forWrite(df, "split", scope, dflt)
+      out.queryExecution.logical eq df.queryExecution.logical
+    }
+    val scoped = s"${Distribute.Key}.ivf"
+    withKnob(None) {
+      spark.conf.unset(scoped)
+      // nothing set: the call site's default rules
+      assert(isIdentity("ivf", "none"))
+      assert(!isIdentity("ivf", "rebalance"))
+      // global set: beats the call-site default
+      withKnob(Some("rebalance")) { assert(!isIdentity("ivf", "none")) }
+      withKnob(Some("none")) { assert(isIdentity("ivf", "rebalance")) }
+      // scoped set: beats the global knob, for its scope only
+      try {
+        spark.conf.set(scoped, "none")
+        withKnob(Some("rebalance")) {
+          assert(isIdentity("ivf", "rebalance"))
+          assert(!isIdentity("store", "rebalance"), "other scopes unaffected")
+          assert(!isIdentity("", "rebalance"), "unscoped calls unaffected")
+        }
+        spark.conf.set(scoped, "rebalance")
+        withKnob(Some("none")) { assert(!isIdentity("ivf", "none")) }
+      } finally spark.conf.unset(scoped)
+    }
+  }
 }

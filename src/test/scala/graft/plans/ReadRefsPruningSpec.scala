@@ -45,7 +45,12 @@ class ReadRefsPruningSpec extends SparkTestBase {
   private val hostile = Seq(
     "a/b", "c:d", "e=f", "g%25h", "i#j", "k*l", "m?n", "o[p]", "q{r",
     "s^t", "u\\v", "w'x", "y\"z", "sp ace", "..", ".hidden",
-    "tab\tsep", "%2F")
+    "tab\tsep", "%2F",
+    // '}' and ',' are the only Hadoop glob metachars NOT in
+    // escapePathName's escape set — safe only because '{' IS escaped
+    // (no brace group can ever open); pin that reasoning with names
+    // that would misbehave if it broke (r17, ADVICE item)
+    "b}r", "a,b", "q{r}s")
   // non-ASCII names are escaping-neutral (escapePathName passes them
   // through), and this sandbox JVM cannot create non-UTF-8-mappable
   // paths AT ALL (sun.jnu encoding) — the WRITER refuses before any
@@ -104,9 +109,20 @@ class ReadRefsPruningSpec extends SparkTestBase {
       val junk = new java.io.File(poison, "junk.parquet")
       java.nio.file.Files.write(junk.toPath,
         Array.fill[Byte](64)(0x5A))
+      // expected failure types only (r17, ADVICE item): a fatal error
+      // (OOM, linkage) must FAIL the suite, not count as "poison works"
       val poisoned =
         try { spark.read.parquet(dir.getAbsolutePath).count(); false }
-        catch { case _: Throwable => true }
+        catch {
+          // expected analysis/runtime refusals only — a fatal error (OOM,
+          // linkage) must fail the suite, not count as "poison works".
+          // The observed refusal is a SparkThrowable Exception
+          // ([CONFLICTING_PARTITION_COLUMN_NAMES]); scala.util.control
+          // .NonFatal-style matching on Exception keeps Errors fatal.
+          case e: Exception
+              if e.isInstanceOf[org.apache.spark.SparkThrowable] ||
+                e.isInstanceOf[java.io.IOException] => true
+        }
       assert(poisoned,
         "the planted layout must actually break whole-dir inference — " +
           "otherwise this pin proves nothing")

@@ -10,12 +10,44 @@ import json
 import sys
 
 
+def scaling(args: list, lane: str) -> None:
+    """Per-gate core-scaling ratios: args = [MAIN_LANE.json, LOW_LANE.json]
+    (e.g. the 32-core and 8-core BENCH_FULL_c{cpus}.json records). Prints
+    low/main time ratios and the latency-bound list: gates costing > 1 s on
+    the main lane whose ratio is <= 1.15 (they do not speed up with cores —
+    driver-latency, micro-batch or input-row-group bound)."""
+    main_rec = json.load(open(args[0]))
+    low_rec = json.load(open(args[1]))
+    m, l = main_rec[lane], low_rec[lane]
+    cm = main_rec.get("cpus", "?")
+    cl = low_rec.get("cpus", "?")
+    common = sorted(k for k in set(m) & set(l) if m[k] >= 0 and l[k] >= 0)
+    rows = sorted((l[k] / max(m[k], 1e-9), m[k], l[k], k) for k in common)
+    print(f"lane={lane} cpus_main={cm} cpus_low={cl} common={len(common)}")
+    print(f"{'c' + str(cl) + '/c' + str(cm):>8} {'c' + str(cm):>8} "
+          f"{'c' + str(cl):>8}  gate")
+    for r, vm, vl, k in rows:
+        print(f"{r:8.2f} {vm:8.3f} {vl:8.3f}  {k}")
+    bound = [(vm, r, k) for r, vm, vl, k in rows if vm > 1.0 and r <= 1.15]
+    bound.sort(reverse=True)
+    print(f"\nlatency-bound (> 1 s at {cm} cores, low/main ratio <= 1.15): "
+          f"{len(bound)} gates, {sum(v for v, _, _ in bound):.1f} s")
+    for vm, r, k in bound:
+        print(f"  {k}: {vm:.3f}s ratio={r:.2f}")
+    sm = sum(m[k] for k in common)
+    sl = sum(l[k] for k in common)
+    print(f"sum(common): c{cm}={sm:.1f}s c{cl}={sl:.1f}s ratio={sl / sm:.3f}")
+
+
 def main() -> None:
     lane = "min_sec"
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     for a in sys.argv[1:]:
         if a.startswith("--lane="):
             lane = a.split("=", 1)[1]
+    if "--scaling" in sys.argv[1:]:
+        scaling(args, lane)
+        return
     before = json.load(open(args[0]))
     after = json.load(open(args[1]))
     b, a = before[lane], after[lane]
