@@ -42,6 +42,17 @@ object ExplainStoreRead {
         org.apache.spark.sql.execution.FormattedMode))
       println(s"inputFiles: ${pruned.inputFiles.length} file(s)")
       pruned.inputFiles.sorted.foreach(f => println(s"  $f"))
+      // r17: the commit WRITE's distribution plan under each knob value —
+      // the exchange shape gate plans cannot surface (commits run inside
+      // gate builders; the returned frames are post-checkpoint)
+      val delta = rows.take(10).toDF("doc_id", "split", "text", "n_tokens")
+      Seq("rebalance", "hash", "none").foreach { mode =>
+        println(s"===== commit-write distribution plan: mode=$mode =====")
+        println(graft.core.Distribute
+          .forWrite(delta, "split", scope = "", scopeDefault = mode)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     } finally {
       graft.plans.CorpusExport.deleteRecursively(root.toFile)
       spark.stop()
